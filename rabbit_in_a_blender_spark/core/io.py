@@ -1,0 +1,72 @@
+"""Test-data loaders and warehouse IO helpers.
+
+The driver testdata (/root/testdata/sf*/ — see /root/repo/TESTDATA.md) is
+one parquet file per table. At 100 TB each "file" becomes a partitioned
+parquet/Delta directory; nothing below assumes single files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load named parquet tables (all of TPCH_TABLES when empty).
+
+    Plain ``spark.read.parquet`` — Catalyst handles column pruning and
+    predicate pushdown into the scan; do NOT cache here (caching defeats
+    pushdown and is wrong at 100 TB).
+    """
+    names = names or TPCH_TABLES
+    out = {}
+    for n in names:
+        df = spark.read.parquet(table_path(sf_dir, n))
+        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # TIMESTAMP(NANOS) read as long (nanosAsLong) → truncate to
+            # micros exactly like DuckDB/Arrow do. Integer DIV, not /: a
+            # double round-trip loses precision above 2^53 nanos.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        out[n] = df
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so queries can also be phrased in Spark SQL."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
+def atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Atomic-rebuild sink: the reference's CREATE OR REPLACE TABLE ... AS
+    (SURVEY §2 A7; bq:etl/{omop_table}_merge.sql.jinja:3-12) re-expressed.
+
+    Parquet overwrite in Spark stages to _temporary and commits via rename,
+    which is atomic per-directory on HDFS-like filesystems. For
+    object-store deployments swap in Delta and ``mode("overwrite")`` on a
+    table; the call-site contract (all-or-nothing replace) is identical.
+    """
+    df.write.mode("overwrite").parquet(path)

@@ -1,0 +1,166 @@
+"""Document deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, and n-gram-Jaccard dedup over a text column — all
+expressed with built-in JVM-side functions (md5, higher-order array
+functions, explode + hash joins).  No Python UDFs in any hot path.
+
+Hash choice: md5 hex strings, because (a) it's available JVM-side in
+Spark AND in DuckDB so every step is oracle-checkable, and (b) taking
+``min()`` over hex strings is an order-preserving proxy for min over a
+64/128-bit hash.  MinHash permutations are simulated by salting the hash
+input with the permutation index — the standard trick when you need k
+independent hash functions from one.
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on the 32-hex-char digest — constant-width
+  keys regardless of document length; never shuffle the raw text.
+- minhash/LSH: cost is dominated by the shingle explode (|doc| rows per
+  doc).  Signatures reduce each doc to k strings; the LSH band join only
+  shuffles (band_idx, band_hash, doc_id) triples.  Skewed buckets (boiler-
+  plate shingles) are handled by AQE skew-join; pathological buckets can
+  be capped with a count filter before the self-join.
+- pairwise Jaccard is reserved for LSH *candidates*, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate groups: digest → canonical (min) id + group size."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows.
+
+    Built with higher-order functions (split → transform → explode), all
+    whole-stage-codegen'd JVM expressions.
+    """
+    shingles = F.expr(
+        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+    ).distinct()
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: for each salt j, min(md5(j || shingle)).
+
+    One groupBy(doc) computes all k mins via conditional aggregation —
+    a single shuffle, k constant-width columns out.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return shingles.groupBy(F.col(id_col)).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature are candidates.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.  The self-join key is
+    (band_idx, band_hash) — a 32-char digest, so shuffle width is tiny.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(
+        F.col(id_col),
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity ≥ threshold.
+
+    Without ``candidates`` this joins docs through shared shingles (every
+    pair with ≥1 common shingle is scored — exact, but quadratic in the
+    worst case; feed LSH candidates at scale).  Intersection sizes come
+    from a groupBy on the shingle join; set sizes broadcast back in.
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter_size")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,89 @@
+"""Text-analysis operators: stats, token counts, language ID heuristic,
+document fingerprinting.  All JVM-side expressions (no UDFs).
+
+Scale: every operator here is a narrow map over the documents table —
+no shuffle at all; reads prune to (id, text) columns only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deterministic and oracle-expressible; swap for fastText/CLD3 offline
+# models via a pandas_udf where accuracy matters.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "und", "die", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "y", "una"],
+}
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-scoring features: word count, avg word length, short-word
+    ratio — the length/punctuation/stopword family of heuristics."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    short = F.size(F.filter(words, lambda w: F.length(w) <= 3))
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(
+            (F.length(F.col(text_col)) - (n_words - 1)) / n_words, 4
+        ).alias("avg_word_len"),
+        F.round(short / n_words, 4).alias("short_word_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Regex token counting (whitespace words + BPE-ish alnum chunks)."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit("[a-z0-9]+")).cast("long").alias(
+            "n_alnum_tokens"
+        ),
+    )
+
+
+def langid_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language scoring; argmax with deterministic tie-break
+    (highest hits; ties pick the lexicographically largest language
+    code); 'und' when nothing hits."""
+    words = F.split(F.col(text_col), " ")
+
+    def _marker_hits(markers: list[str]):
+        # Single-arg closure: a default-arg lambda would be seen by PySpark
+        # as a two-parameter (element, index) higher-order function.
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    scores = [
+        F.struct(
+            _marker_hits(markers).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # Struct sort orders by (hits, lang) descending → ties break to the
+    # largest language code, mirrored exactly in the oracle SQL.
+    arr = F.array(*scores)
+    best = F.sort_array(arr, asc=False)[0]
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("predicted_lang"),
+        best["hits"].cast("long").alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4
+) -> DataFrame:
+    """Winnowing-style fingerprint: min digest over word n-grams."""
+    fp = F.expr(
+        f"array_min(transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, 0)), "
+        f"i -> md5(concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))))"
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,222 @@
+"""Extension-operator queries (SURVEY §2.N): dedup, similarity search,
+text analysis, JSON props — over the documents/embeddings/events tables.
+
+Oracles express the SAME algorithm in DuckDB SQL (md5-based hashing and
+explicit arithmetic keep both engines bit-comparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.io import load_tables
+from ..ext.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_sets,
+)
+from ..ext.similarity import cosine_topk
+from ..ext.text import LANG_MARKERS, doc_fingerprint, langid_heuristic, text_stats, token_counts
+from .catalog import register
+
+# Shared DuckDB fragment: distinct word-3-gram shingles per document.
+_SHINGLES_SQL = """
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+           i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')
+         ))) AS shingle
+  FROM documents
+"""
+
+
+@register(
+    "ext_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT)    AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    g = exact_dedup_groups(d, "doc_id", "text")
+    return g.select(
+        "text_hash",
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
+@register(
+    "ext_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(inter_size / (sa.sz + sb.sz - inter_size), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter_size / (sa.sz + sb.sz - inter_size), 4) >= 0.05
+    """,
+)
+def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+
+
+@register(
+    "ext_dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hashes AS (
+      SELECT doc_id, j,
+             MIN(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS j) js
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, j // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY j)) AS band_hash
+      FROM hashes GROUP BY doc_id, j // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash(16 salted md5 mins) + LSH(4 bands of 4) candidate pairs.",
+)
+def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = shingle_sets(d, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+
+
+@register(
+    "ext_embed_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+    )
+    SELECT query_id, neighbor_id,
+           ROUND(list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))),
+                 4) AS cosine
+    FROM c CROSS JOIN q
+    WHERE neighbor_id <> query_id
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY ROUND(list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))),
+                 4) DESC, neighbor_id
+    ) <= 3
+    """,
+    doc="Brute-force exact cosine top-3 for query vectors vec_id<10.",
+)
+def ext_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_topk(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=3)
+
+
+@register(
+    "ext_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           ROUND((length(text) - (len(string_split(text, ' ')) - 1))
+                 / len(string_split(text, ' ')), 4) AS avg_word_len,
+           ROUND(len(list_filter(string_split(text, ' '), w -> length(w) <= 3))
+                 / len(string_split(text, ' ')), 4) AS short_word_ratio
+    FROM documents
+    """,
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return text_stats(d, "doc_id", "text")
+
+
+@register(
+    "ext_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)            AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_alnum_tokens
+    FROM documents
+    """,
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return token_counts(d, "doc_id", "text")
+
+
+def _langid_oracle() -> str:
+    hit_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hit_cols.append(
+            f"CAST(len(list_filter(string_split(text, ' '), "
+            f"w -> list_contains([{lst}], w))) AS BIGINT) AS h_{lang}"
+        )
+    langs_desc = sorted(LANG_MARKERS, reverse=True)
+    mx = "greatest(" + ", ".join(f"h_{lang}" for lang in sorted(LANG_MARKERS)) + ")"
+    case = f"CASE WHEN {mx} = 0 THEN 'und' "
+    for lang in langs_desc[:-1]:
+        case += f"WHEN h_{lang} = {mx} THEN '{lang}' "
+    case += f"ELSE '{langs_desc[-1]}' END"
+    return f"""
+    WITH sc AS (SELECT doc_id, {", ".join(hit_cols)} FROM documents)
+    SELECT doc_id, {case} AS predicted_lang, {mx} AS marker_hits FROM sc
+    """
+
+
+@register("ext_langid", oracle=_langid_oracle())
+def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return langid_heuristic(d, "doc_id", "text")
+
+
+@register(
+    "ext_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_aggregate(list_transform(
+             range(0, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+             i -> md5(array_to_string(string_split(text, ' ')[i+1:i+4], ' '))
+           ), 'min') AS fingerprint
+    FROM documents
+    """,
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return doc_fingerprint(d, "doc_id", "text", n=4)
+
+
+@register(
+    "ext_json_props",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
+    FROM events
+    """,
+    doc="JSON property extraction from the events.props string column.",
+)
+def ext_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
