@@ -42,6 +42,7 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
         # read as long, converted to micros in core.io.load_tables.
