@@ -1,0 +1,92 @@
+"""Extension operators: dedup, similarity, text analysis."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rabbit_in_a_blender_spark.ext.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_sets,
+)
+from rabbit_in_a_blender_spark.ext.similarity import cosine_topk
+from rabbit_in_a_blender_spark.ext.text import langid_heuristic, text_stats, token_counts
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id int, text string"
+    )
+    out = {r["canonical_id"]: r["dup_count"] for r in exact_dedup_groups(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingle_sets(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id int, text string")
+    sh = sorted(r["shingle"] for r in shingle_sets(df, "doc_id", "text", 3).collect())
+    assert sh == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words compose this unrelated document about spark"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id int, text string"
+    )
+    sig = minhash_signatures(shingle_sets(df, "doc_id", "text", 3), "doc_id", 16)
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig, "doc_id", 16, 4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_scores(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "z z2 z3 z4 z5")],
+        "doc_id int, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.1).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 0.5  # 2 shared of 4 distinct shingles
+    assert all(p != (1, 3) for p in out)
+
+
+def test_cosine_topk_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.01]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=2)
+    rows = [(r["neighbor_id"], r["cosine"]) for r in out.orderBy(F.desc("cosine")).collect()]
+    assert [n for n, _ in rows] == [1, 2]
+    assert rows[0][1] == 1.0 and rows[1][1] == 0.0
+
+
+def test_text_stats_and_tokens(spark):
+    df = spark.createDataFrame([(1, "aa bb cccc")], "doc_id int, text string")
+    s = text_stats(df, "doc_id", "text").collect()[0]
+    assert s["n_words"] == 3
+    assert abs(s["avg_word_len"] - 8 / 3) < 1e-3
+    assert abs(s["short_word_ratio"] - 2 / 3) < 1e-3
+    t = token_counts(df, "doc_id", "text").collect()[0]
+    assert t["n_ws_tokens"] == 3 and t["n_alnum_tokens"] == 3
+
+
+def test_langid_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der hund und die katze und das haus"),
+            (3, "xyzzy plugh foobar"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in langid_heuristic(df, "doc_id", "text").collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}

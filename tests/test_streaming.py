@@ -1,0 +1,79 @@
+"""Streaming windows: batch semantics + a real Structured Streaming run."""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import tempfile
+
+from rabbit_in_a_blender_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    streaming_events_source,
+    tumbling_agg,
+    windowed_stream,
+)
+
+D = datetime.datetime
+
+
+def _events(spark):
+    rows = [
+        (1, D(2024, 1, 1, 0, 5), 1, "click", 1.0),
+        (2, D(2024, 1, 1, 0, 20), 1, "click", 2.0),
+        (3, D(2024, 1, 1, 1, 5), 1, "click", 3.0),
+        (4, D(2024, 1, 1, 0, 55), 2, "view", 4.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+    )
+
+
+def test_tumbling_counts(spark):
+    out = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in tumbling_agg(_events(spark), "ts", "1 hour", ["event_type"]).collect()
+    }
+    assert out[("2024-01-01 00:00:00", "click")] == 2
+    assert out[("2024-01-01 01:00:00", "click")] == 1
+    assert out[("2024-01-01 00:00:00", "view")] == 1
+
+
+def test_sliding_every_event_in_two_windows(spark):
+    out = sliding_agg(_events(spark), "ts", "1 hour", "30 minutes", ["event_type"])
+    total = sum(r["n_events"] for r in out.collect())
+    assert total == 2 * 4  # size/slide = 2 windows per event
+
+
+def test_session_gap_semantics(spark):
+    # user 1: events at 0:05, 0:20 (gap 15m < 30m → same session),
+    # then 1:05 (gap 45m → new session). user 2: one session.
+    out = session_agg(_events(spark), "ts", "30 minutes", ["user_id"])
+    rows = {(r["user_id"], r["session_start"]): r["n_events"] for r in out.collect()}
+    assert rows == {
+        (1, "2024-01-01 00:05:00"): 2,
+        (1, "2024-01-01 01:05:00"): 1,
+        (2, "2024-01-01 00:55:00"): 1,
+    }
+
+
+def test_real_structured_stream(spark):
+    """The same tumbling agg through readStream → memory sink."""
+    tmp = tempfile.mkdtemp(prefix="riab_stream_")
+    try:
+        _events(spark).write.mode("overwrite").parquet(f"{tmp}/events")
+        src = streaming_events_source(spark, f"{tmp}/events")
+        agg = windowed_stream(src, "ts", "1 hour", ["event_type"], watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("riab_stream_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = spark.sql("select * from riab_stream_test").collect()
+        got = {(r["window_start"], r["event_type"]): r["n_events"] for r in rows}
+        assert got[("2024-01-01 00:00:00", "click")] == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
