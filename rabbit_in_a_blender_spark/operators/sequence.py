@@ -58,13 +58,15 @@ def assign_ids(
     for pid in sorted(counts):
         cum[pid] = running
         running += counts[pid]
-    mapping = F.create_map(
-        *[F.lit(x) for kv in cum.items() for x in kv]
-    )
+    if cum:
+        mapping = F.create_map(*[F.lit(x) for kv in cum.items() for x in kv])
+        part_offset = F.coalesce(mapping[F.col("__pid")], F.lit(0))
+    else:  # empty input (e.g. re-run with no unseen keys)
+        part_offset = F.lit(0)
     return (
         numbered.withColumn(
             out_col,
-            (F.col("__rn") + mapping[F.col("__pid")] + F.lit(offset)).cast("long"),
+            (F.col("__rn") + part_offset + F.lit(offset)).cast("long"),
         )
         .drop("__pid", "__rn")
     )

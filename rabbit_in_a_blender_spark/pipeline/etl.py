@@ -1,0 +1,166 @@
+"""Two-stage ETL run loop (SURVEY §3.1) — the reference's
+``riab --run-etl`` re-expressed as one Spark driver loop.
+
+Per dependency level, per table:
+  uploads (user queries) → DISTINCT union → usagi concept mapping →
+  PK swap (stable ids) → FK remap through parent swaps → windowed dedup →
+  atomic write to omop (or work when the table has event columns).
+Stage 2: polymorphic event resolution for event-bearing tables, then
+rebuild omop.
+
+The reference parallelizes tables with thread pools
+(etl/etl.py:161-175); in Spark the DAG scheduler parallelizes stages —
+tables within a level are independent jobs, so lazy evaluation plus the
+FAIR scheduler keeps a cluster saturated without driver threading.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.registry import SchemaRegistry, TableSpec
+from ..mapping.swap import apply_fk_swaps, apply_pk_swap, swap_merge
+from ..mapping.usagi import apply_usagi, duplicate_mappings
+from ..mapping.events import resolve_event_columns
+from ..operators.dedup import dedup_keep_first
+from .warehouse import Warehouse
+
+
+class EtlError(RuntimeError):
+    pass
+
+
+@dataclass
+class TableInputs:
+    """Everything the user supplies for one OMOP-style table
+    (the convention-folder contents — etl/etl.py:95-104)."""
+
+    uploads: list[DataFrame] = field(default_factory=list)
+    usagi: dict[str, DataFrame] = field(default_factory=dict)  # concept col → mappings
+
+
+class EtlPipeline:
+    def __init__(self, spark: SparkSession, warehouse: Warehouse, registry: SchemaRegistry):
+        self.spark = spark
+        self.wh = warehouse
+        self.registry = registry
+
+    # -- swap-table persistence ------------------------------------------
+    def _swap_name(self, table: str) -> str:
+        return f"{table}__pk_swap"
+
+    def _load_swap(self, table: str) -> DataFrame | None:
+        name = self._swap_name(table)
+        if self.wh.exists("work", name):
+            return self.wh.read(self.spark, "work", name)
+        return None
+
+    # -- stage 1 ----------------------------------------------------------
+    def run_table(self, spec: TableSpec, inputs: TableInputs) -> DataFrame:
+        if not inputs.uploads:
+            raise EtlError(f"{spec.name}: no upload queries")
+
+        # UNION ALL of upload tables, dedup on ingest (U1 + B2).
+        upload = inputs.uploads[0]
+        for u in inputs.uploads[1:]:
+            upload = upload.unionByName(u)
+        upload = upload.distinct()
+
+        # Usagi mapping per concept column; duplicate mappings are fatal
+        # like the reference (etl/bigquery/etl.py:282-297).
+        for concept_col in spec.concept_cols:
+            usagi = inputs.usagi.get(concept_col)
+            if usagi is None:
+                upload = upload.withColumn(concept_col, F.lit(0).cast("long"))
+                continue
+            dups = duplicate_mappings(usagi).limit(5).collect()
+            if dups:
+                raise EtlError(f"{spec.name}.{concept_col}: duplicate usagi mappings {dups}")
+            upload = apply_usagi(upload, usagi, source_col=f"{concept_col}__source", out_col=concept_col)
+
+        # PK swap: persist-or-extend, then replace prequel keys (§2.J).
+        if spec.pk:
+            event_cols = list(spec.event_cols)
+            swap = swap_merge(
+                self._load_swap(spec.name),
+                upload.select(
+                    F.col(spec.pk).alias("x"),
+                    *spec.concept_cols,
+                    *event_cols,
+                ),
+                key_col="x",
+                concept_cols=spec.concept_cols,
+                event_cols=event_cols,
+            )
+            self.wh.write(swap, "work", self._swap_name(spec.name))
+            swap = self.wh.read(self.spark, "work", self._swap_name(spec.name))
+            upload = apply_pk_swap(
+                upload.withColumnRenamed(spec.pk, "x"),
+                swap,
+                key_col="x",
+                concept_cols=spec.concept_cols,
+                event_cols=event_cols,
+            ).withColumnRenamed("x", spec.pk)
+
+        # FK remap through parent swaps (J3); required FKs default to 0.
+        fk_swaps, required = {}, {}
+        for fk_col, parent in spec.fks.items():
+            parent_swap = self._load_swap(parent)
+            if parent_swap is not None:
+                fk_swaps[fk_col] = parent_swap.select("x", "y")
+                required[fk_col] = any(
+                    c.name == fk_col and c.required for c in spec.columns
+                )
+        if fk_swaps:
+            upload = apply_fk_swaps(upload, fk_swaps, required)
+
+        # Final windowed dedup (W3): one row per (pk, concepts, events).
+        if spec.pk:
+            keys = [spec.pk, *spec.concept_cols, *spec.event_cols]
+            upload = dedup_keep_first(upload, keys)
+
+        zone = "work" if spec.event_cols else "omop"
+        self.wh.write(upload, zone, spec.name)
+        return upload
+
+    # -- stage 2 ----------------------------------------------------------
+    def run_stage2(self, spec: TableSpec) -> DataFrame | None:
+        """Resolve polymorphic event columns and promote work → omop."""
+        if not spec.event_cols:
+            return None
+        df = self.wh.read(self.spark, "work", spec.name)
+        resolved = resolve_event_columns(df, spec.event_cols, self._load_swap)
+        self.wh.write(resolved, "omop", spec.name)
+        return resolved
+
+    # -- full run ---------------------------------------------------------
+    def run(self, inputs: dict[str, TableInputs]) -> list[str]:
+        """Run all tables in FK-dependency order, then stage 2.
+
+        Returns the ordered list of tables processed.
+        """
+        processed: list[str] = []
+        for level in self.registry.dependency_levels():
+            for table in level:
+                if table in inputs:
+                    self.run_table(self.registry[table], inputs[table])
+                    processed.append(table)
+        for table in processed:
+            self.run_stage2(self.registry[table])
+        return processed
+
+
+def cleanup(warehouse: Warehouse, table: str | None = None) -> list[str]:
+    """Reference ``--cleanup``: drop work/omop artifacts for one table
+    (or everything), including its swap so ids restart
+    (etl/cleanup.py:26-172)."""
+    dropped = []
+    for zone in ("work", "omop"):
+        for t in warehouse.list_tables(zone):
+            if table is None or t == table or t.startswith(f"{table}__"):
+                warehouse.drop(zone, t)
+                dropped.append(f"{zone}.{t}")
+    return dropped

@@ -1,0 +1,192 @@
+"""Pipeline-level golden test: mini CDM fixture through the full
+two-stage flow, run twice — contents, id stability, dedup (SURVEY §5)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rabbit_in_a_blender_spark.core.registry import ColumnSpec, SchemaRegistry, TableSpec
+from rabbit_in_a_blender_spark.pipeline.etl import EtlPipeline, TableInputs, cleanup
+from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+REGISTRY = SchemaRegistry(
+    [
+        TableSpec(
+            name="person",
+            columns=[
+                ColumnSpec("person_id", "int64", required=True),
+                ColumnSpec("gender_concept_id", "int64", required=True),
+                ColumnSpec("name", "string"),
+            ],
+            pk="person_id",
+            concept_cols=["gender_concept_id"],
+        ),
+        TableSpec(
+            name="visit",
+            columns=[
+                ColumnSpec("visit_id", "int64", required=True),
+                ColumnSpec("person_id", "int64", required=True),
+                ColumnSpec("amount", "float64"),
+            ],
+            pk="visit_id",
+            fks={"person_id": "person"},
+        ),
+        TableSpec(
+            name="note",
+            columns=[
+                ColumnSpec("note_id", "int64", required=True),
+                ColumnSpec("person_id", "int64", required=True),
+            ],
+            pk="note_id",
+            fks={"person_id": "person"},
+            event_cols={"note_event_id": "note_event_field_concept_id"},
+        ),
+    ]
+)
+
+
+def _usagi(spark):
+    rows = [
+        ("GENDER_M", "male", "APPROVED", 8507, "MALE", "Gender"),
+        ("GENDER_F", "female", "APPROVED", 8532, "FEMALE", "Gender"),
+        # one code mapped to TWO concepts → row fan-out (§2.J)
+        ("GENDER_X", "other", "APPROVED", 1001, "X1", "Gender"),
+        ("GENDER_X", "other", "SEMI-APPROVED", 1002, "X2", "Gender"),
+        # unapproved mapping must be ignored
+        ("GENDER_U", "unknown", "UNCHECKED", 9999, "U", "Gender"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "sourceCode string, sourceName string, mappingStatus string, "
+        "conceptId long, conceptName string, domainId string",
+    )
+
+
+def _inputs(spark):
+    person_upload = spark.createDataFrame(
+        [
+            ("PK_P1", "GENDER_M", "alice"),
+            ("PK_P1", "GENDER_M", "alice"),  # in-table duplicate → dedup
+            ("PK_P2", "GENDER_F", "bob"),
+            ("PK_P3", "GENDER_X", "cleo"),  # fans out to 2 concepts → 2 PKs
+            ("PK_P4", "GENDER_U", "dan"),  # unmapped → concept 0
+        ],
+        "person_id string, gender_concept_id__source string, name string",
+    )
+    visit_upload = spark.createDataFrame(
+        [
+            ("PK_V1", "PK_P1", 10.0),
+            ("PK_V2", "PK_P2", 20.0),
+            ("PK_V3", "PK_MISSING", 30.0),  # FK miss → 0 (required)
+        ],
+        "visit_id string, person_id string, amount double",
+    )
+    note_upload = spark.createDataFrame(
+        [
+            ("PK_N1", "PK_P1", "PK_V1", "visit"),
+            ("PK_N2", "PK_P2", "PK_P2", "person"),
+            ("PK_N3", "PK_P2", None, None),
+        ],
+        "note_id string, person_id string, note_event_id string, "
+        "note_event_field_concept_id string",
+    )
+    return {
+        "person": TableInputs(uploads=[person_upload], usagi={"gender_concept_id": _usagi(spark)}),
+        "visit": TableInputs(uploads=[visit_upload]),
+        "note": TableInputs(uploads=[note_upload]),
+    }
+
+
+@pytest.fixture()
+def wh():
+    d = tempfile.mkdtemp(prefix="riab_wh_")
+    yield Warehouse(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dependency_levels():
+    assert REGISTRY.dependency_levels() == [["person"], ["note", "visit"]]
+
+
+def test_full_pipeline_two_stage(spark, wh):
+    pipe = EtlPipeline(spark, wh, REGISTRY)
+    processed = pipe.run(_inputs(spark))
+    assert processed == ["person", "note", "visit"] or processed == ["person", "visit", "note"]
+
+    person = {r["name"]: r for r in wh.read(spark, "omop", "person").collect()}
+    # dedup: alice once; fan-out: cleo twice with distinct PKs
+    assert wh.read(spark, "omop", "person").count() == 5
+    cleo_ids = [
+        r["person_id"]
+        for r in wh.read(spark, "omop", "person").filter(F.col("name") == "cleo").collect()
+    ]
+    assert len(cleo_ids) == 2 and len(set(cleo_ids)) == 2
+    assert person["dan"]["gender_concept_id"] == 0
+
+    visit = {r["visit_id"]: r for r in wh.read(spark, "omop", "visit").collect()}
+    assert len(visit) == 3
+    missing_fk = [r for r in visit.values() if r["amount"] == 30.0][0]
+    assert missing_fk["person_id"] == 0  # required FK miss → 0
+
+    # stage 2: polymorphic notes resolved to visit/person swapped ids
+    note_rows = wh.read(spark, "omop", "note").collect()
+    assert len(note_rows) == 3
+    v1_id = [v["visit_id"] for v in visit.values() if v["amount"] == 10.0][0]
+    bob_id = person["bob"]["person_id"]
+    evs = sorted(r["note_event_id"] for r in note_rows)
+    assert evs[0] == 0  # the NULL-event row defaults to 0
+    assert v1_id in evs  # note N1 → visit V1's new PK
+    assert bob_id in evs  # note N2 → person bob's new PK
+
+
+def test_rerun_is_stable(spark, wh):
+    """Running the pipeline twice must not renumber any PK
+    (SURVEY §7 known-hard #1)."""
+    pipe = EtlPipeline(spark, wh, REGISTRY)
+    pipe.run(_inputs(spark))
+    first = {
+        (r["name"], r["gender_concept_id"]): r["person_id"]
+        for r in wh.read(spark, "omop", "person").collect()
+    }
+    pipe.run(_inputs(spark))
+    second = {
+        (r["name"], r["gender_concept_id"]): r["person_id"]
+        for r in wh.read(spark, "omop", "person").collect()
+    }
+    assert first == second
+
+
+def test_new_rows_get_new_ids_without_renumbering(spark, wh):
+    pipe = EtlPipeline(spark, wh, REGISTRY)
+    base = _inputs(spark)
+    pipe.run({"person": base["person"]})
+    first = {r["name"]: r["person_id"] for r in wh.read(spark, "omop", "person").collect()}
+
+    extra = spark.createDataFrame(
+        [("PK_P9", "GENDER_M", "zoe")],
+        "person_id string, gender_concept_id__source string, name string",
+    )
+    inputs2 = {
+        "person": TableInputs(
+            uploads=base["person"].uploads + [extra],
+            usagi=base["person"].usagi,
+        )
+    }
+    pipe.run(inputs2)
+    second = {r["name"]: r["person_id"] for r in wh.read(spark, "omop", "person").collect()}
+    for name, pid in first.items():
+        assert second[name] == pid
+    assert second["zoe"] not in first.values()
+
+
+def test_cleanup(spark, wh):
+    pipe = EtlPipeline(spark, wh, REGISTRY)
+    pipe.run(_inputs(spark))
+    dropped = cleanup(wh, "person")
+    assert "omop.person" in dropped and "work.person__pk_swap" in dropped
+    assert not wh.exists("omop", "person")
+    assert wh.exists("omop", "visit")
