@@ -1,0 +1,119 @@
+"""Achilles-style descriptive statistics (SURVEY §2.D G6, §3.3).
+
+The reference executes ~290 vendored analysis SQL files and UNION-ALLs
+scratch results into achilles_results / achilles_results_dist
+(etl/achilles.py:54-227, 507-561).  Here an analysis is a function
+returning one of the two standard shapes; the runner enforces the shape,
+unions (U4), and persists.
+
+Standard shapes:
+  results:      (analysis_id, stratum_1..5, count_value)
+  results_dist: (analysis_id, stratum_1..5, count_value, avg_value,
+                 stdev_value, median_value, p10/p25/p75/p90_value)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.warehouse import Warehouse
+
+RESULT_COLS = ["analysis_id", "stratum_1", "stratum_2", "stratum_3", "stratum_4", "stratum_5", "count_value"]
+DIST_COLS = RESULT_COLS + [
+    "avg_value",
+    "stdev_value",
+    "median_value",
+    "p10_value",
+    "p25_value",
+    "p75_value",
+    "p90_value",
+]
+
+
+def counts_analysis(
+    df: DataFrame, analysis_id: int, strata: Sequence[str]
+) -> DataFrame:
+    """Stratified count in the achilles_results shape (≤5 strata)."""
+    assert len(strata) <= 5
+    sel = [
+        F.col(s).cast("string").alias(f"stratum_{i + 1}")
+        for i, s in enumerate(strata)
+    ] + [
+        F.lit(None).cast("string").alias(f"stratum_{i + 1}")
+        for i in range(len(strata), 5)
+    ]
+    return (
+        df.groupBy(*[F.col(s) for s in strata])
+        .agg(F.count(F.lit(1)).cast("long").alias("count_value"))
+        .select(F.lit(analysis_id).alias("analysis_id"), *sel, "count_value")
+    )
+
+
+def dist_analysis(
+    df: DataFrame, analysis_id: int, value_col: str, strata: Sequence[str], approx: bool = False
+) -> DataFrame:
+    """Distribution analysis in the achilles_results_dist shape.
+
+    ``approx=True`` switches exact percentiles to percentile_approx —
+    same schema, bounded memory for 100 TB runs.
+    """
+    assert len(strata) <= 5
+    pct = F.percentile_approx if approx else F.percentile
+    sel = [
+        F.col(s).cast("string").alias(f"stratum_{i + 1}")
+        for i, s in enumerate(strata)
+    ] + [
+        F.lit(None).cast("string").alias(f"stratum_{i + 1}")
+        for i in range(len(strata), 5)
+    ]
+    return (
+        df.groupBy(*[F.col(s) for s in strata])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("count_value"),
+            F.avg(value_col).alias("avg_value"),
+            F.stddev_samp(value_col).alias("stdev_value"),
+            pct(F.col(value_col), F.lit(0.5)).alias("median_value"),
+            pct(F.col(value_col), F.lit(0.1)).alias("p10_value"),
+            pct(F.col(value_col), F.lit(0.25)).alias("p25_value"),
+            pct(F.col(value_col), F.lit(0.75)).alias("p75_value"),
+            pct(F.col(value_col), F.lit(0.9)).alias("p90_value"),
+        )
+        .select(F.lit(analysis_id).alias("analysis_id"), *sel, "count_value",
+                "avg_value", "stdev_value", "median_value",
+                "p10_value", "p25_value", "p75_value", "p90_value")
+    )
+
+
+def run_analyses(
+    spark: SparkSession,
+    warehouse: Warehouse | None,
+    analyses: Mapping[int, Callable[[SparkSession], DataFrame]],
+) -> dict[str, DataFrame]:
+    """Run every analysis, split by shape, UNION ALL, persist (U4)."""
+    counts, dists = [], []
+    for aid, fn in sorted(analyses.items()):
+        df = fn(spark)
+        if set(df.columns) == set(DIST_COLS):
+            dists.append(df.select(*DIST_COLS))
+        elif set(df.columns) == set(RESULT_COLS):
+            counts.append(df.select(*RESULT_COLS))
+        else:
+            raise ValueError(f"analysis {aid}: unexpected shape {df.columns}")
+    out: dict[str, DataFrame] = {}
+    if counts:
+        merged = counts[0]
+        for c in counts[1:]:
+            merged = merged.unionByName(c)
+        out["achilles_results"] = merged
+    if dists:
+        merged = dists[0]
+        for d in dists[1:]:
+            merged = merged.unionByName(d)
+        out["achilles_results_dist"] = merged
+    if warehouse is not None:
+        for name, df in out.items():
+            warehouse.write(df, "achilles", name)
+    return out

@@ -1,0 +1,86 @@
+"""Source readers (SURVEY §2.A): typed CSV/TSV scans and the Athena
+vocabulary import flow.
+
+Reference behaviors re-expressed:
+- A1 CSV scan with explicit schema (usagi/custom CSVs, etl/etl.py:744-794)
+- A2 TSV scan + '%Y%m%d' date coercion (vocab CSVs,
+  etl/import_vocabularies.py:164-185)
+- vocabulary refresh: per-table load → sort by id → write to work, then
+  atomic refill of the omop-zone table
+  (bq:vocabulary/vocabulary_table_refill.sql.jinja:3-6).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..pipeline.warehouse import Warehouse
+
+# The 9 Athena vocabulary tables (etl/import_vocabularies.py:40-121).
+VOCABULARY_TABLES = (
+    "concept",
+    "concept_ancestor",
+    "concept_class",
+    "concept_relationship",
+    "concept_synonym",
+    "domain",
+    "drug_strength",
+    "relationship",
+    "vocabulary",
+)
+
+
+def read_csv_typed(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """A1: CSV with an explicit schema — never inferSchema in a pipeline
+    (a schema-inference pass is a full extra read at scale)."""
+    return spark.read.csv(path, schema=schema, header=header, mode="PERMISSIVE")
+
+
+def read_tsv_vocab(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    date_cols: tuple[str, ...] = ("valid_start_date", "valid_end_date"),
+) -> DataFrame:
+    """A2: tab-separated Athena export; date columns arrive as yyyyMMdd
+    strings and are coerced (etl/import_vocabularies.py:179-184)."""
+    str_schema = T.StructType(
+        [
+            T.StructField(f.name, T.StringType() if f.name in date_cols else f.dataType)
+            for f in schema.fields
+        ]
+    )
+    df = spark.read.option("sep", "\t").csv(path, schema=str_schema, header=True)
+    for c in date_cols:
+        if c in df.columns:
+            df = df.withColumn(c, F.to_date(F.col(c), "yyyyMMdd"))
+    return df
+
+
+def import_vocabulary_dir(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    vocab_dir: str,
+    schemas: dict[str, T.StructType],
+) -> list[str]:
+    """Vocabulary import: for each CSV present, read → sort by first (id)
+    column (pre-load sort, import_vocabularies.py:156-158) → stage in
+    work → atomic refill of the omop table.  Returns imported tables."""
+    imported = []
+    for table in VOCABULARY_TABLES:
+        src = os.path.join(vocab_dir, f"{table.upper()}.csv")
+        if not os.path.isfile(src) or table not in schemas:
+            continue
+        df = read_tsv_vocab(spark, src, schemas[table])
+        df = df.sort(df.columns[0])
+        warehouse.write(df, "work", f"vocab__{table}")
+        staged = warehouse.read(spark, "work", f"vocab__{table}")
+        warehouse.write(staged, "omop", table)
+        imported.append(table)
+    return imported

@@ -1,0 +1,96 @@
+"""Source readers: typed CSV, TSV vocab with date coercion, vocab import."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+from rabbit_in_a_blender_spark.mapping.usagi import USAGI_SCHEMA, read_usagi_csv
+from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+from rabbit_in_a_blender_spark.sources.readers import (
+    import_vocabulary_dir,
+    read_csv_typed,
+    read_tsv_vocab,
+)
+
+
+@pytest.fixture()
+def tmpdir_():
+    d = tempfile.mkdtemp(prefix="riab_src_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_usagi_csv_subset_of_full_header(spark, tmpdir_):
+    """The full 18-column Usagi export: engine reads its 6 columns."""
+    p = os.path.join(tmpdir_, "usagi.csv")
+    with open(p, "w") as f:
+        f.write(
+            "sourceCode,sourceName,sourceFrequency,sourceAutoAssignedConceptIds,"
+            "ADD_INFO:additionalInfo,matchScore,mappingStatus,equivalence,statusSetBy,"
+            "statusSetOn,conceptId,conceptName,domainId,mappingType,comment,createdBy,"
+            "createdOn,assignedReviewer\n"
+        )
+        f.write("C1,name one,10,,x,0.9,APPROVED,EQUAL,me,now,42,Concept42,Gender,MAPS_TO,,me,now,\n")
+    df = read_usagi_csv(spark, p)
+    assert df.columns == [f.name for f in USAGI_SCHEMA.fields]
+    row = df.collect()[0]
+    assert row["sourceCode"] == "C1" and row["conceptId"] == 42
+    assert row["mappingStatus"] == "APPROVED"
+
+
+def test_read_csv_typed(spark, tmpdir_):
+    p = os.path.join(tmpdir_, "t.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    df = read_csv_typed(spark, p, schema)
+    assert df.schema == schema
+    assert df.count() == 2
+
+
+def test_read_tsv_vocab_date_coercion(spark, tmpdir_):
+    p = os.path.join(tmpdir_, "CONCEPT.csv")
+    with open(p, "w") as f:
+        f.write("concept_id\tconcept_name\tvalid_start_date\tvalid_end_date\n")
+        f.write("1\tAspirin\t19700101\t20991231\n")
+    schema = T.StructType(
+        [
+            T.StructField("concept_id", T.LongType()),
+            T.StructField("concept_name", T.StringType()),
+            T.StructField("valid_start_date", T.DateType()),
+            T.StructField("valid_end_date", T.DateType()),
+        ]
+    )
+    row = read_tsv_vocab(spark, p, schema).collect()[0]
+    assert row["valid_start_date"] == datetime.date(1970, 1, 1)
+    assert row["valid_end_date"] == datetime.date(2099, 12, 31)
+
+
+def test_import_vocabulary_dir(spark, tmpdir_):
+    vocab_dir = os.path.join(tmpdir_, "vocab")
+    os.makedirs(vocab_dir)
+    with open(os.path.join(vocab_dir, "DOMAIN.csv"), "w") as f:
+        f.write("domain_id\tdomain_name\tdomain_concept_id\n")
+        f.write("Gender\tGender\t2\nDrug\tDrug\t13\n")
+    schemas = {
+        "domain": T.StructType(
+            [
+                T.StructField("domain_id", T.StringType()),
+                T.StructField("domain_name", T.StringType()),
+                T.StructField("domain_concept_id", T.LongType()),
+            ]
+        )
+    }
+    wh = Warehouse(os.path.join(tmpdir_, "wh"))
+    imported = import_vocabulary_dir(spark, wh, vocab_dir, schemas)
+    assert imported == ["domain"]
+    rows = wh.read(spark, "omop", "domain").collect()
+    assert sorted(r["domain_id"] for r in rows) == ["Drug", "Gender"]
