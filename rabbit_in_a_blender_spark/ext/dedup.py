@@ -48,11 +48,14 @@ def shingle_sets(
     Built with higher-order functions (split → transform → explode), all
     whole-stage-codegen'd JVM expressions.
     """
+    # Split once into a projected column; a naive inline expression would
+    # re-split the text for every lambda element.
+    words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
     shingles = F.expr(
-        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, 0)), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        f"transform(sequence(0, greatest(size(__w) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(__w, i + 1, {n})))"
     )
-    return df.select(
+    return words.select(
         F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     ).distinct()
 

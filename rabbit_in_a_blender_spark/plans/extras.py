@@ -1,0 +1,229 @@
+"""Additional operator coverage: parameterized SQL (A10), pivot summary
+(G5), update-from-join (M2), delete-in-list (M3), and Spark-native
+extensions beyond the reference surface (rollup, lag windows, as-of
+join, distinct profiling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.io import load_tables
+from ..operators.asof import asof_join
+from .catalog import register
+
+
+# A10 + B5: parameterized query execution (spark.sql named params — the
+# reference's @etl_start scalar params, etl/bigquery/etl.py:66-89).
+@register(
+    "a10_param_query",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+                THEN 'old' ELSE 'recent' END AS age_band
+    FROM orders WHERE o_totalprice > 500.0
+    """,
+)
+def a10_param_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "orders")["orders"].createOrReplaceTempView(
+        "__orders_param"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_orderdate < :etl_start THEN 'old' ELSE 'recent' END
+                 AS age_band
+        FROM __orders_param WHERE o_totalprice > :min_price
+        """,
+        args={"etl_start": "1997-06-30 00:00:00", "min_price": 500.0},
+    )
+
+
+# G5: multi-filter count summary with pivot (DQD rollup shape,
+# etl/data_quality.py:280-320 / dashboard pivot :380-545).
+@register(
+    "g5_pivot_summary",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS st_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS st_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS st_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def g5_pivot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"st_{s}") for s in ["O", "F", "P"]],
+    )
+
+
+# M2: UPDATE ... FROM (join-driven update of missing values,
+# bq:etl/{omop_table}__{concept_id_column}_usagi_update_custom_concepts.sql.jinja)
+@register(
+    "m2_update_from_join",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(CASE WHEN c.c_nationkey = 0 THEN n.n_regionkey
+                     ELSE c.c_nationkey END AS BIGINT) AS patched_key
+    FROM customer c
+    LEFT JOIN nation n ON n.n_nationkey = 5
+    """,
+    doc="Rows with sentinel value get patched from a joined subquery.",
+)
+def m2_update_from_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    patch = t["nation"].filter(F.col("n_nationkey") == 5).select("n_regionkey")
+    return (
+        t["customer"]
+        .join(F.broadcast(patch), F.lit(True), "left")
+        .select(
+            "c_custkey",
+            F.when(F.col("c_nationkey") == 0, F.col("n_regionkey"))
+            .otherwise(F.col("c_nationkey"))
+            .cast("long")
+            .alias("patched_key"),
+        )
+    )
+
+
+# M3: DELETE WHERE col IN (list)
+@register(
+    "m3_delete_isin",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey NOT IN (1, 3, 5, 7)
+    """,
+)
+def m3_delete_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_tables(spark, sf_dir, "nation")["nation"]
+    return n.filter(~F.col("n_nationkey").isin(1, 3, 5, 7)).select(
+        "n_nationkey", "n_name"
+    )
+
+
+# Extension: ROLLUP aggregation (Spark/DuckDB both native; beyond the
+# reference surface — SURVEY §2.D note).
+@register(
+    "ext_rollup_revenue",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def ext_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+# Extension: lag/delta window (frame-based windows; reference uses none).
+@register(
+    "ext_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - COALESCE(lag(value) OVER w, 0.0), 3) AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ext_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 3
+        ).alias("value_delta"),
+    )
+
+
+# Extension: as-of join (backward) — latest order at or before each event.
+@register(
+    "ext_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS last_orderkey,
+           ROUND(o.o_totalprice, 2) AS last_totalprice
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+      ) = 1
+    ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    doc="Union-merge as-of join; right side deduped to latest per (key, ts).",
+)
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_keep_first
+
+    t = load_tables(spark, sf_dir, "events", "orders")
+    # Dedup right side to one row per (key, ts) — DuckDB's ASOF picks one
+    # arbitrary match on ties; pin the same winner (max o_orderkey).
+    orders = dedup_keep_first(
+        t["orders"].select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        ["o_custkey", "o_orderdate"],
+        [F.col("o_orderkey").desc()],
+    )
+    joined = asof_join(
+        t["events"].select("event_id", "user_id", "ts"),
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_totalprice"),
+    )
+
+
+# Extension: distinct-value profiling (exact here for oracle parity; the
+# engine's approx variant is ext/profile.approx_distinct_profile).
+@register(
+    "ext_profile_distinct",
+    oracle="""
+    SELECT 'orders' AS table_name,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)      AS n_custkeys,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)  AS n_statuses,
+           CAST(COUNT(*) AS BIGINT)                       AS n_rows
+    FROM orders
+    """,
+)
+def ext_profile_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.agg(
+        F.lit("orders").alias("table_name"),
+        F.count_distinct(F.col("o_custkey")).alias("n_custkeys"),
+        F.count_distinct(F.col("o_orderstatus")).alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -100,3 +100,36 @@ def test_polymorphic_resolve_routes_and_defaults(spark):
     got = {r["id"]: r["resolved_id"] for r in out.collect()}
     # id 3: discriminator t1 but no match → 0; id 4: unknown kind → 0
     assert got == {1: 100, 2: 200, 3: 0, 4: 0}
+
+
+def test_asof_join_backward(spark):
+    import datetime
+
+    from rabbit_in_a_blender_spark.operators.asof import asof_join
+
+    D = datetime.datetime
+    probes = spark.createDataFrame(
+        [(1, 7, D(2024, 1, 10)), (2, 7, D(2024, 1, 1)), (3, 8, D(2024, 1, 5))],
+        "event_id int, k int, ts timestamp",
+    )
+    refs = spark.createDataFrame(
+        [(7, D(2024, 1, 2), 100), (7, D(2024, 1, 9), 200), (9, D(2024, 1, 1), 300)],
+        "k int, rts timestamp, payload int",
+    )
+    out = asof_join(probes, refs, ["k"], "ts", "rts", ["payload"])
+    got = {r["event_id"]: r["payload"] for r in out.collect()}
+    # event 1: latest ref at/before 01-10 is 200; event 2: none before 01-01;
+    # event 3: key 8 has no refs at all.
+    assert got == {1: 200, 2: None, 3: None}
+
+
+def test_asof_join_tie_matches_reference_row(spark):
+    import datetime
+
+    from rabbit_in_a_blender_spark.operators.asof import asof_join
+
+    D = datetime.datetime
+    probes = spark.createDataFrame([(1, 7, D(2024, 1, 2))], "event_id int, k int, ts timestamp")
+    refs = spark.createDataFrame([(7, D(2024, 1, 2), 42)], "k int, rts timestamp, payload int")
+    out = asof_join(probes, refs, ["k"], "ts", "rts", ["payload"]).collect()
+    assert out[0]["payload"] == 42  # equal timestamps match (inclusive)
