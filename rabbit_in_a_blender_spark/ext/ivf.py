@@ -1,0 +1,105 @@
+"""IVF-style approximate nearest-neighbor search (the scale path for
+ext/similarity.cosine_topk).
+
+Index build: every corpus vector is assigned to its nearest of C coarse
+centroids; store ``centroid_id`` as a partition column.  Search: score
+the query against the C centroids only, pick ``nprobe`` closest lists,
+and run exact cosine inside those lists.
+
+Centroid choice here is deterministic (the lowest-id vectors) so tests
+are reproducible without an iterative k-means job; on a real corpus run
+a few Lloyd iterations offline and pass the centroids in — the index
+and search code below are unchanged.
+
+Scale: the corpus scan prunes to nprobe/C of the data via partition
+pruning on ``centroid_id`` (write the index with
+``.partitionBy("centroid_id")``); queries are broadcast.  Recall/latency
+trades with nprobe exactly like FAISS IVF-Flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _dot, _norm
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (cosine).
+
+    Returns corpus + ``centroid_id``; persist with
+    ``.write.partitionBy("centroid_id")`` so searches prune.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    scored = corpus.withColumn("__v", F.col(vec_col).cast("array<double>")).crossJoin(
+        F.broadcast(c)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.round(_cosine(F.col("__v"), F.col("__cv")), 6)), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__cv", "__v")
+    )
+
+
+def ivf_search(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: probe the nprobe nearest centroid lists only."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    # Which centroid lists does each query probe? (tiny: |Q| × C)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(_cosine(F.col("__qv"), F.col("__cv")), 6)), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "centroid_id")
+    )
+    # Exact cosine inside the probed lists; centroid_id join prunes
+    # partitions when the index is partitioned by it.
+    cand = index.withColumnRenamed(id_col, "neighbor_id").join(
+        F.broadcast(probes), "centroid_id"
+    )
+    scored = cand.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _cosine(F.col(vec_col).cast("array<double>"), F.col("__qv")), 4
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

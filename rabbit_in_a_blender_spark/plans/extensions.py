@@ -220,3 +220,63 @@ def ext_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
     )
+
+
+def _simhash_oracle(bits: int = 64) -> str:
+    sums, chars = [], []
+    for b in range(bits):
+        pos = b // 4 + 1
+        shift = 3 - b % 4
+        sums.append(
+            f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1 "
+            f">> {shift}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        )
+        chars.append(f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END")
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), th AS (
+      SELECT doc_id, substr(md5(tok), 1, {bits // 4}) AS h FROM toks
+    ), sums AS (
+      SELECT doc_id, {", ".join(sums)} FROM th GROUP BY doc_id
+    )
+    SELECT doc_id, concat({", ".join(chars)}) AS simhash FROM sums
+    """
+
+
+@register("ext_simhash", oracle=_simhash_oracle())
+def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.simhash import simhash
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return simhash(d, "doc_id", "text")
+
+
+@register(
+    "ext_ivf_topk",
+    oracle=None,  # approximate by design → rows-only check; recall is
+    # asserted against brute force in tests/test_ivf.py
+    doc="IVF-Flat ANN: 16 coarse centroids, nprobe=4, exact rerank.",
+)
+def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.ivf import build_ivf_index, ivf_search
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    centroids = e.filter(F.col("vec_id") < 16)
+    index = build_ivf_index(e, centroids)
+    queries = e.filter(F.col("vec_id") < 10)
+    return ivf_search(index, centroids, queries, k=3, nprobe=4)
+
+
+@register(
+    "ext_profile_approx",
+    oracle=None,  # HLL estimates differ across engines by design
+    doc="approx_count_distinct profile of the orders table.",
+)
+def ext_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.profile import approx_distinct_profile
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return approx_distinct_profile(o)

@@ -1,0 +1,37 @@
+"""IVF ANN: recall against brute force, partition pruning contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rabbit_in_a_blender_spark.ext.ivf import build_ivf_index, ivf_search
+from rabbit_in_a_blender_spark.ext.similarity import cosine_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(embeddings, queries, k=3)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    centroids = embeddings.filter(F.col("vec_id") < 16)
+    index = build_ivf_index(embeddings, centroids)
+    approx = ivf_search(index, centroids, queries, k=3, nprobe=8)
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_index_assigns_every_vector_once(spark, embeddings):
+    centroids = embeddings.filter(F.col("vec_id") < 16)
+    index = build_ivf_index(embeddings, centroids)
+    assert index.count() == embeddings.count()
+    assert index.select("centroid_id").distinct().count() <= 16
