@@ -84,3 +84,85 @@ def start_before_end(
         & (F.col(end_col) < F.col(start_col)),
         check_name or f"plausibleStartBeforeEnd_{start_col}_{end_col}",
     )
+
+
+def plausible_value_high(
+    df: DataFrame, col: str, high, check_name: str | None = None
+) -> DataFrame:
+    """DQD plausibleValueHigh: non-null value above the plausible ceiling."""
+    return check_result(
+        df,
+        F.col(col).isNotNull() & (F.col(col) > F.lit(high)),
+        check_name or f"plausibleValueHigh_{col}",
+    )
+
+
+def concept_completeness(
+    df: DataFrame, concept_col: str, check_name: str | None = None
+) -> DataFrame:
+    """DQD standardConceptRecordCompleteness: unmapped rows (concept 0)."""
+    return check_result(
+        df,
+        F.col(concept_col).isNull() | (F.col(concept_col) == 0),
+        check_name or f"standardConceptRecordCompleteness_{concept_col}",
+    )
+
+
+def cdm_datatype(
+    df: DataFrame, col: str, dtype: str, check_name: str | None = None
+) -> DataFrame:
+    """DQD cdmDatatype: non-null values that fail to cast to the CDM type
+    (try_cast semantics — no job-killing CAST errors)."""
+    return check_result(
+        df,
+        F.col(col).isNotNull() & F.col(col).try_cast(dtype).isNull(),
+        check_name or f"cdmDatatype_{col}_{dtype}",
+    )
+
+
+def fk_domain(
+    df: DataFrame,
+    concept_col: str,
+    concept: DataFrame,
+    allowed_domains: list[str],
+    check_name: str | None = None,
+) -> DataFrame:
+    """DQD fkDomain: mapped concept's domain outside the column's allowed
+    set (bq:..._usagi_fk_domain_check.sql.jinja:3-18)."""
+    lookup = concept.select(
+        F.col("concept_id").alias("__cid"), F.col("domain_id").alias("__dom")
+    )
+    joined = df.join(F.broadcast(lookup), df[concept_col] == F.col("__cid"), "left")
+    return check_result(
+        joined,
+        (F.col(concept_col) > 0)
+        & F.col("__dom").isNotNull()
+        & ~F.col("__dom").isin(allowed_domains),
+        check_name or f"fkDomain_{concept_col}",
+    )
+
+
+def within_visit_dates(
+    fact: DataFrame,
+    visit: DataFrame,
+    fact_fk: str,
+    fact_date: str,
+    visit_pk: str,
+    visit_start: str,
+    visit_end: str,
+    check_name: str = "withinVisitDates",
+) -> DataFrame:
+    """DQD withinVisitDates: fact date outside its visit's date range."""
+    v = visit.select(
+        F.col(visit_pk).alias("__vid"),
+        F.col(visit_start).alias("__vs"),
+        F.col(visit_end).alias("__ve"),
+    )
+    joined = fact.join(v, fact[fact_fk] == F.col("__vid"), "left")
+    return check_result(
+        joined,
+        F.col("__vid").isNotNull()
+        & F.col(fact_date).isNotNull()
+        & ((F.col(fact_date) < F.col("__vs")) | (F.col(fact_date) > F.col("__ve"))),
+        check_name,
+    )

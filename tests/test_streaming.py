@@ -77,3 +77,44 @@ def test_real_structured_stream(spark):
         assert got[("2024-01-01 00:00:00", "click")] == 2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_running_counts(spark):
+    """applyInPandasWithState across two micro-batches: state carries over."""
+    import os
+
+    from rabbit_in_a_blender_spark.streaming.stateful import running_counts
+    from rabbit_in_a_blender_spark.streaming.windows import streaming_events_source
+
+    tmp = tempfile.mkdtemp(prefix="riab_state_")
+    try:
+        batch1 = _events(spark).filter("event_id <= 2")
+        batch2 = _events(spark).filter("event_id > 2")
+        batch1.coalesce(1).write.parquet(f"{tmp}/in/b1")
+        # one file per trigger → two micro-batches
+        batch2.coalesce(1).write.parquet(f"{tmp}/in/b2")
+        for i, sub in enumerate(sorted(os.listdir(f"{tmp}/in"))):
+            for f in os.listdir(f"{tmp}/in/{sub}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{tmp}/in/{sub}/{f}", f"{tmp}/stream_{i}.parquet")
+        src = streaming_events_source(spark, tmp, schema=_events(spark).schema, max_files=1)
+        q = (
+            running_counts(src)
+            .writeStream.format("memory")
+            .queryName("riab_stateful_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "select * from riab_stateful_test order by user_id, n_events"
+        ).collect()
+        # final state per user must reflect ALL events (state carried over)
+        final = {}
+        for r in rows:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+        assert final[1] == (3, 6.0)  # events 1,2,3: values 1+2+3
+        assert final[2] == (1, 4.0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
