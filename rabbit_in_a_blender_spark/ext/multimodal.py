@@ -86,6 +86,50 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(_batches, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Image resize plumbing: cap dimensions at (max_w, max_h), preserving
+    aspect ratio.  Arrow-batched mapInPandas, one narrow pass, no shuffle.
+
+    The pixel transform is stubbed (no PIL in this container): the fake
+    'resized' payload is the original truncated proportionally to the
+    area ratio — deterministic, so tests can assert byte counts.  The
+    dimension math and batch plumbing are the real contract.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = r.width or 0, r.height or 0
+                scale = min(1.0, max_w / w if w else 1.0, max_h / h if h else 1.0)
+                nw, nh = max(int(w * scale), 1) if w else w, (
+                    max(int(h * scale), 1) if h else h
+                )
+                payload = r.payload
+                if payload is not None and scale < 1.0:
+                    keep = max(int(len(payload) * scale * scale), 1)
+                    payload = payload[:keep]
+                out_rows.append((r.media_id, r.kind, payload, nw, nh))
+            yield pd.DataFrame(
+                out_rows, columns=["media_id", "kind", "payload", "width", "height"]
+            )
+
+    return media.filter(media["kind"] == "image").mapInPandas(
+        _batches, RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per planned frame.
 

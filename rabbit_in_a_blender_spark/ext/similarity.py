@@ -75,3 +75,122 @@ def cosine_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b).
+
+    The exact baseline is an all-pairs self-join — quadratic, so it is
+    the CORRECTNESS reference only; at scale use
+    :func:`cosine_near_dup_lsh`, which generates candidates from
+    random-hyperplane buckets and verifies with the same exact cosine.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("__va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("__vb"),
+    )
+    cos = F.round(
+        _dot(F.col("__va"), F.col("__vb"))
+        / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+        round_digits,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy needed)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def cosine_near_dup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    dim: int = 64,
+    planes: int = 12,
+    bands: int = 6,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH bucketing + exact verify.
+
+    Each vector gets a ``planes``-bit signature (sign of the dot product
+    with fixed random hyperplanes), split into ``bands`` bands; vectors
+    sharing any band bucket become candidates, then the exact cosine
+    filter re-checks.  Cost: one narrow signature pass + a bucket
+    equi-join that shuffles only (band, bucket, id, vec) — never the
+    full cross product.  Recall is tunable via planes/bands (more bands
+    of fewer bits → higher recall); banding is probabilistic, so this is
+    the approximate variant — validated against the exact pairs in
+    tests, not against a SQL oracle.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    plane_arrays = [
+        F.array(*[F.lit(w) for w in p]) for p in _hyperplanes(dim, planes)
+    ]
+    bits = [
+        F.when(_dot(v, p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in plane_arrays
+    ]
+    per_band = planes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        v.alias("__vec"),
+        *[
+            F.concat(*bits[i * per_band : (i + 1) * per_band]).alias(f"__b{i}")
+            for i in range(bands)
+        ],
+    )
+    buckets = sig.select(
+        "__id",
+        "__vec",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{i}:"), F.col(f"__b{i}"))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__bucket"),
+    )
+    left = buckets.select(
+        F.col("__bucket"),
+        F.col("__id").alias("id_a"),
+        F.col("__vec").alias("__va"),
+    )
+    right = buckets.select(
+        F.col("__bucket"),
+        F.col("__id").alias("id_b"),
+        F.col("__vec").alias("__vb"),
+    )
+    cand = (
+        left.join(right, ["__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.round(
+        _dot(F.col("__va"), F.col("__vb"))
+        / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+        round_digits,
+    )
+    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

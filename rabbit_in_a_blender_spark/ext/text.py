@@ -37,6 +37,35 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite document-quality heuristic (Gopher/C4-style filters):
+    length score, stopword ratio, punctuation density → one 0-1 score.
+
+    All JVM-side expressions; the weights are arbitrary but fixed so the
+    oracle can reproduce them bit-for-bit.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    stop_ratio = F.size(F.filter(words, lambda w: F.array_contains(sw, w))) / n_words
+    punct_ratio = F.regexp_count(F.col(text_col), F.lit(r"[.,;:!?]")) / F.greatest(
+        F.length(F.col(text_col)), F.lit(1)
+    )
+    length_score = F.least(n_words / F.lit(64.0), F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(
+            length_score * 0.4 + stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.2, 4
+        ).alias("quality"),
+    )
+
+
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Regex token counting (whitespace words + BPE-ish alnum chunks)."""
     return df.select(

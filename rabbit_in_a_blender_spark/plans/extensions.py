@@ -280,3 +280,71 @@ def ext_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_tables(spark, sf_dir, "orders")["orders"]
     return approx_distinct_profile(o)
+
+
+_STOPWORDS_SQL = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+@register(
+    "ext_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS nw,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({_STOPWORDS_SQL}, w)))
+               / len(string_split(text, ' ')) AS stop_r,
+             len(regexp_extract_all(text, '[.,;:!?]'))
+               / greatest(length(text), 1) AS punct_r
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           ROUND(stop_r, 4)  AS stopword_ratio,
+           ROUND(punct_r, 4) AS punct_ratio,
+           ROUND(least(nw / 64.0, 1.0) * 0.4 + stop_r * 0.4
+                 + (1.0 - punct_r) * 0.2, 4) AS quality
+    FROM base
+    """,
+    doc="Composite document-quality heuristic (length/stopword/punct).",
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import quality_score
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return quality_score(d, "doc_id", "text")
+
+
+@register(
+    "ext_dedup_embed_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+    """,
+    doc="Exact embedding-cosine near-dup pairs (threshold 0.35).",
+)
+def ext_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import cosine_near_dup_pairs
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
+
+
+@register(
+    "ext_dedup_embed_lsh",
+    oracle=None,  # banding is probabilistic → rows-only check; recall vs
+    # the exact pairs is asserted in tests/test_ext.py
+    doc="Sign-LSH bucketed embedding near-dup (scale path, exact verify).",
+)
+def ext_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import cosine_near_dup_lsh
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_near_dup_lsh(e, "vec_id", "embedding", threshold=0.35)

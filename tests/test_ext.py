@@ -90,3 +90,38 @@ def test_langid_heuristic(spark):
     )
     out = {r["doc_id"]: r["predicted_lang"] for r in langid_heuristic(df, "doc_id", "text").collect()}
     assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_score_components(spark):
+    from rabbit_in_a_blender_spark.ext.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat."), (2, "zzz qqq")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_score(df, "doc_id", "text").collect()}
+    assert out[1]["n_words"] == 6
+    assert out[1]["stopword_ratio"] > out[2]["stopword_ratio"] == 0.0
+    assert 0.0 <= out[2]["quality"] <= out[1]["quality"] <= 1.0
+
+
+def test_embed_cosine_near_dup_exact_and_lsh_recall(spark):
+    from rabbit_in_a_blender_spark.core.io import load_tables
+    from rabbit_in_a_blender_spark.ext.similarity import (
+        cosine_near_dup_lsh,
+        cosine_near_dup_pairs,
+    )
+
+    e = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(e, "vec_id", "embedding", 0.30).collect()
+    }
+    assert exact, "threshold should produce at least one pair at sf0.001"
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_lsh(e, "vec_id", "embedding", 0.30).collect()
+    }
+    assert approx <= exact, "LSH must never invent pairs (exact verify step)"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"sign-LSH recall too low: {recall:.2f}"

@@ -32,3 +32,20 @@ def test_frame_sample_plan(spark):
     # video is 3500 ms → frames at 0,1000,2000,3000
     assert sorted(r["frame_ts_ms"] for r in frames) == [0, 1000, 2000, 3000]
     assert {r["media_id"] for r in frames} == {3}
+
+
+def test_resize_images(spark):
+    from rabbit_in_a_blender_spark.ext.multimodal import resize_images
+
+    rows = [
+        (1, "image", "image/png", bytes(range(100)) * 4, 512, 256, None),
+        (2, "image", "image/png", bytes(range(100)), 100, 50, None),
+        (3, "audio", "audio/wav", bytes(range(10)), None, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, 256, 256).collect()}
+    assert set(out) == {1, 2}, "non-images filtered out"
+    assert (out[1]["width"], out[1]["height"]) == (256, 128)
+    assert len(out[1]["payload"]) == 100  # area ratio 0.25 of 400 bytes
+    assert (out[2]["width"], out[2]["height"]) == (100, 50)
+    assert len(out[2]["payload"]) == 100  # under the cap: untouched
