@@ -23,6 +23,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_volume_customer",
     "g1_duplicate_groups",
     "w3_window_dedup",
     "seq_assign_scalable",

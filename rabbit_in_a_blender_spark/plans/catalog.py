@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = (
     "rabbit_in_a_blender_spark.plans.parity",
+    "rabbit_in_a_blender_spark.plans.analytics",
     "rabbit_in_a_blender_spark.plans.extras",
     "rabbit_in_a_blender_spark.plans.quality",
     "rabbit_in_a_blender_spark.plans.extensions",
