@@ -57,6 +57,41 @@ class Warehouse:
     def append(self, df: DataFrame, zone: str, table: str) -> None:
         df.write.mode("append").parquet(self.path(zone, table))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        zone: str,
+        table: str,
+        keys: list[str],
+        buckets: int = 32,
+        sorted_within: bool = True,
+    ) -> None:
+        """Bucketed, catalog-managed write — the co-located-join path.
+
+        The BigQuery `CLUSTER BY` analog (bq:ddl/
+        OMOPCDM_bigquery_5.4_clustering_fields.json): two tables bucketed
+        on the same keys with the same bucket count join/aggregate on
+        those keys WITHOUT a shuffle (bucketed scan provides the
+        partitioning; sortBy provides the sort for SMJ).  At 100 TB this
+        removes the dominant exchange from every fact-fact join in the
+        pipeline.  Requires saveAsTable (bucket metadata lives in the
+        catalog, session-local derby here, HMS/Glue on a cluster).
+        """
+        spark = df.sparkSession
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {zone}")
+        w = df.write.bucketBy(buckets, *keys)
+        if sorted_within:
+            w = w.sortBy(*keys)
+        (
+            w.mode("overwrite")
+            .format("parquet")
+            .option("path", self.path(zone, table) + "__bucketed")
+            .saveAsTable(f"{zone}.{table}")
+        )
+
+    def read_bucketed(self, spark: SparkSession, zone: str, table: str) -> DataFrame:
+        return spark.table(f"{zone}.{table}")
+
     def drop(self, zone: str, table: str) -> None:
         shutil.rmtree(self.path(zone, table), ignore_errors=True)
 

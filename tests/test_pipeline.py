@@ -190,3 +190,43 @@ def test_cleanup(spark, wh):
     assert "omop.person" in dropped and "work.person__pk_swap" in dropped
     assert not wh.exists("omop", "person")
     assert wh.exists("omop", "visit")
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join: same keys + same bucket count → zero exchanges."""
+    from rabbit_in_a_blender_spark.operators.skew import explain_shuffle_count
+    from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("o_flag")
+    )
+    lines = spark.range(0, 4000).select(
+        (F.col("id") % 1000).alias("l_orderkey"), F.col("id").alias("l_line")
+    )
+    wh.write_bucketed(orders, "work", "orders_b", ["o_orderkey"], buckets=4)
+    wh.write_bucketed(lines, "work", "lineitem_b", ["l_orderkey"], buckets=4)
+
+    o = wh.read_bucketed(spark, "work", "orders_b")
+    li = wh.read_bucketed(spark, "work", "lineitem_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", old
+    )
+    try:
+        # force the non-broadcast plan: this is the big-big join shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        j = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        assert explain_shuffle_count(j) == 0, j._jdf.queryExecution().executedPlan().toString()
+        assert j.count() == 4000
+        # control: the same join on plain (non-bucketed) reads shuffles
+        o2 = orders
+        l2 = lines
+        j2 = o2.join(l2, F.col("o_orderkey") == F.col("l_orderkey"))
+        assert explain_shuffle_count(j2) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        spark.sql("DROP TABLE IF EXISTS work.orders_b")
+        spark.sql("DROP TABLE IF EXISTS work.lineitem_b")
