@@ -55,9 +55,12 @@ def shingle_sets(
         f"transform(sequence(0, greatest(size(__w) - {n}, 0)), "
         f"i -> concat_ws(' ', slice(__w, i + 1, {n})))"
     )
+    # array_distinct already dedupes within the doc and ids are unique,
+    # so the exploded (id, shingle) rows are distinct — adding .distinct()
+    # here would shuffle every shingle row for nothing.
     return words.select(
         F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
-    ).distinct()
+    )
 
 
 def minhash_signatures(
@@ -103,6 +106,14 @@ def lsh_candidate_pairs(
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_hash").alias("band_hash"),
     )
+    # The self-join consumes `banded` twice; without a persist Spark
+    # recomputes the whole shingle→signature pipeline (the expensive
+    # part) for each side.  Banded rows are (id, int, 32-hex) — doc-count
+    # sized, thousands of times smaller than the corpus — so caching is
+    # safe at any scale (Spark's cache manager dedupes by logical plan,
+    # repeated calls reuse one entry; at 100 TB you would materialize
+    # signatures to a table between runs anyway).
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
