@@ -38,6 +38,87 @@ HEADLINE = [
 ]
 
 
+def etl_pipeline_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """End-to-end two-stage ETL over customer(person-like) + orders
+    (visit-like): prequel keys → usagi mapping → pk swap → fk remap →
+    windowed dedup → atomic write.  The analog of the reference's
+    headline 'full ETL throughput' number (README.md:77)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.core.registry import (
+        ColumnSpec,
+        SchemaRegistry,
+        TableSpec,
+    )
+    from rabbit_in_a_blender_spark.pipeline.etl import EtlPipeline, TableInputs
+    from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+    registry = SchemaRegistry(
+        [
+            TableSpec(
+                name="person",
+                columns=[
+                    ColumnSpec("person_id", "int64", required=True),
+                    ColumnSpec("segment_concept_id", "int64", required=True),
+                    ColumnSpec("name", "string"),
+                    ColumnSpec("acctbal", "float64"),
+                ],
+                pk="person_id",
+                concept_cols=["segment_concept_id"],
+            ),
+            TableSpec(
+                name="visit",
+                columns=[
+                    ColumnSpec("visit_id", "int64", required=True),
+                    ColumnSpec("person_id", "int64", required=True),
+                    ColumnSpec("totalprice", "float64"),
+                ],
+                pk="visit_id",
+                fks={"person_id": "person"},
+            ),
+        ]
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    person_upload = cust.select(
+        F.concat(F.lit("PK_"), F.col("c_custkey").cast("string")).alias("person_id"),
+        F.col("c_mktsegment").alias("segment_concept_id__source"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    visit_upload = orders.select(
+        F.concat(F.lit("PK_"), F.col("o_orderkey").cast("string")).alias("visit_id"),
+        F.concat(F.lit("PK_"), F.col("o_custkey").cast("string")).alias("person_id"),
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+    )
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    usagi = spark.createDataFrame(
+        [(s, s.lower(), "APPROVED", 9000 + i, s, "Segment") for i, s in enumerate(segs)],
+        "sourceCode string, sourceName string, mappingStatus string, "
+        "conceptId long, conceptName string, domainId string",
+    )
+    n_rows = person_upload.count() + visit_upload.count()
+    whdir = tempfile.mkdtemp(prefix="bench_wh_")
+    try:
+        t0 = time.perf_counter()
+        pipe = EtlPipeline(spark, Warehouse(whdir), registry)
+        pipe.run(
+            {
+                "person": TableInputs(
+                    uploads=[person_upload], usagi={"segment_concept_id": usagi}
+                ),
+                "visit": TableInputs(uploads=[visit_upload]),
+            }
+        )
+        elapsed = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(whdir, ignore_errors=True)
+    return elapsed, n_rows
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -59,6 +140,9 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    etl_sec, etl_rows = etl_pipeline_bench(spark, sf_dir)
+    timings["etl_pipeline_two_stage"] = round(etl_sec, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -68,6 +152,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "etl_rows_per_sec": round(etl_rows / etl_sec),
             }
         )
     )
