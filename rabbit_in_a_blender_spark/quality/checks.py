@@ -166,3 +166,210 @@ def within_visit_dates(
         & ((F.col(fact_date) < F.col("__vs")) | (F.col(fact_date) > F.col("__ve"))),
         check_name,
     )
+
+
+def measure_person_completeness(
+    person: DataFrame,
+    fact: DataFrame,
+    person_pk: str,
+    fact_fk: str,
+    check_name: str = "measurePersonCompleteness",
+) -> DataFrame:
+    """DQD measurePersonCompleteness: persons with no record in the fact
+    table.  Anti-join keyed on the (already distinct) person pk; the fact
+    side reduces to its distinct fk set first so the join shuffles keys,
+    not fact rows."""
+    fact_keys = fact.select(F.col(fact_fk).alias("__fk")).distinct()
+    joined = person.join(
+        fact_keys, person[person_pk] == F.col("__fk"), "left"
+    )
+    return check_result(joined, F.col("__fk").isNull(), check_name)
+
+
+def cdm_table(
+    exists: bool, table: str, check_name: str | None = None
+) -> tuple[str, int, float, int]:
+    """DQD cdmTable: the table exists in the CDM zone.  Metadata-level —
+    returns the standard tuple directly (no DataFrame needed)."""
+    violated = 0 if exists else 1
+    return (check_name or f"cdmTable_{table}", violated, float(violated), 1)
+
+
+def cdm_field(
+    df: DataFrame, col: str, check_name: str | None = None
+) -> tuple[str, int, float, int]:
+    """DQD cdmField: the column exists in the table (metadata-level)."""
+    violated = 0 if col in df.columns else 1
+    return (check_name or f"cdmField_{col}", violated, float(violated), 1)
+
+
+def is_primary_key(df: DataFrame, pk: str, check_name: str | None = None) -> DataFrame:
+    """DQD isPrimaryKey: rows whose pk value occurs more than once.
+
+    Count-per-key via a window on the pk — one shuffle on the key, no
+    join back."""
+    from pyspark.sql import Window
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(pk))
+    return check_result(
+        df.withColumn("__pk_cnt", cnt),
+        F.col("__pk_cnt") > 1,
+        check_name or f"isPrimaryKey_{pk}",
+    )
+
+
+def fk_class(
+    df: DataFrame,
+    concept_col: str,
+    concept: DataFrame,
+    allowed_classes: list[str],
+    check_name: str | None = None,
+) -> DataFrame:
+    """DQD fkClass: mapped concept's concept_class outside the allowed set
+    (sibling of fkDomain)."""
+    lookup = concept.select(
+        F.col("concept_id").alias("__cid"),
+        F.col("concept_class_id").alias("__cls"),
+    )
+    joined = df.join(F.broadcast(lookup), df[concept_col] == F.col("__cid"), "left")
+    return check_result(
+        joined,
+        (F.col(concept_col) > 0)
+        & F.col("__cls").isNotNull()
+        & ~F.col("__cls").isin(allowed_classes),
+        check_name or f"fkClass_{concept_col}",
+    )
+
+
+def measure_value_completeness(
+    df: DataFrame, col: str, check_name: str | None = None
+) -> DataFrame:
+    """DQD measureValueCompleteness: NULL fraction of any column."""
+    return check_result(
+        df, F.col(col).isNull(), check_name or f"measureValueCompleteness_{col}"
+    )
+
+
+def source_concept_completeness(
+    df: DataFrame, source_concept_col: str, check_name: str | None = None
+) -> DataFrame:
+    """DQD sourceConceptRecordCompleteness: source concept id 0/NULL."""
+    return check_result(
+        df,
+        F.col(source_concept_col).isNull() | (F.col(source_concept_col) == 0),
+        check_name or f"sourceConceptRecordCompleteness_{source_concept_col}",
+    )
+
+
+def source_value_completeness(
+    df: DataFrame, source_value_col: str, check_name: str | None = None
+) -> DataFrame:
+    """DQD sourceValueCompleteness: NULL/empty source value strings."""
+    return check_result(
+        df,
+        F.col(source_value_col).isNull() | (F.trim(F.col(source_value_col)) == ""),
+        check_name or f"sourceValueCompleteness_{source_value_col}",
+    )
+
+
+def plausible_after_birth(
+    fact: DataFrame,
+    person: DataFrame,
+    fact_fk: str,
+    date_col: str,
+    person_pk: str,
+    birth_col: str,
+    check_name: str | None = None,
+) -> DataFrame:
+    """DQD plausibleAfterBirth: event dated before the person's birth."""
+    p = person.select(
+        F.col(person_pk).alias("__pid"), F.col(birth_col).alias("__birth")
+    )
+    joined = fact.join(F.broadcast(p), fact[fact_fk] == F.col("__pid"), "left")
+    return check_result(
+        joined,
+        F.col("__birth").isNotNull()
+        & F.col(date_col).isNotNull()
+        & (F.col(date_col) < F.col("__birth")),
+        check_name or f"plausibleAfterBirth_{date_col}",
+    )
+
+
+def plausible_before_death(
+    fact: DataFrame,
+    death: DataFrame,
+    fact_fk: str,
+    date_col: str,
+    death_pk: str,
+    death_date_col: str,
+    grace_days: int = 60,
+    check_name: str | None = None,
+) -> DataFrame:
+    """DQD plausibleBeforeDeath: event more than ``grace_days`` after the
+    person's death date (DQD uses a 60-day grace window)."""
+    d = death.select(
+        F.col(death_pk).alias("__pid"), F.col(death_date_col).alias("__dd")
+    )
+    joined = fact.join(F.broadcast(d), fact[fact_fk] == F.col("__pid"), "left")
+    return check_result(
+        joined,
+        F.col("__dd").isNotNull()
+        & F.col(date_col).isNotNull()
+        & (F.col(date_col) > F.date_add(F.col("__dd"), grace_days)),
+        check_name or f"plausibleBeforeDeath_{date_col}",
+    )
+
+
+def plausible_gender(
+    fact: DataFrame,
+    person: DataFrame,
+    fact_fk: str,
+    concept_col: str,
+    gender_specific: dict[int, int],
+    person_pk: str = "person_id",
+    gender_col: str = "gender_concept_id",
+    check_name: str | None = None,
+) -> DataFrame:
+    """DQD plausibleGenderUseDescendants (flattened): rows whose concept is
+    gender-specific (``gender_specific`` maps concept_id → required gender
+    concept) but the person's gender differs.  The descendant expansion is
+    precomputed into the dict — at runtime it's one broadcast join."""
+    p = person.select(
+        F.col(person_pk).alias("__pid"), F.col(gender_col).alias("__g")
+    )
+    required = F.create_map(
+        *[F.lit(x) for kv in gender_specific.items() for x in kv]
+    )
+    joined = fact.join(F.broadcast(p), fact[fact_fk] == F.col("__pid"), "left")
+    req = required[F.col(concept_col)]
+    return check_result(
+        joined,
+        req.isNotNull() & F.col("__g").isNotNull() & (F.col("__g") != req),
+        check_name or f"plausibleGender_{concept_col}",
+    )
+
+
+def plausible_unit_concept_ids(
+    df: DataFrame,
+    concept_col: str,
+    unit_col: str,
+    allowed_units: dict[int, list[int]],
+    check_name: str | None = None,
+) -> DataFrame:
+    """DQD plausibleUnitConceptIds: measurement rows whose unit concept is
+    outside the allowed set for that measurement concept."""
+    pairs = [
+        (mid, uid) for mid, units in allowed_units.items() for uid in units
+    ]
+    allowed = F.array(
+        *[F.struct(F.lit(m).alias("m"), F.lit(u).alias("u")) for m, u in pairs]
+    )
+    checked = F.array_contains(
+        allowed, F.struct(F.col(concept_col).alias("m"), F.col(unit_col).alias("u"))
+    )
+    in_scope = F.col(concept_col).isin(list(allowed_units.keys()))
+    return check_result(
+        df,
+        in_scope & F.col(unit_col).isNotNull() & ~checked,
+        check_name or f"plausibleUnitConceptIds_{concept_col}",
+    )
