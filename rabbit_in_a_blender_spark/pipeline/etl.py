@@ -97,6 +97,7 @@ class EtlPipeline:
             )
             self.wh.write(swap, "work", self._swap_name(spec.name))
             swap = self.wh.read(self.spark, "work", self._swap_name(spec.name))
+            self._record_id_map(spec.name, swap)
             upload = apply_pk_swap(
                 upload.withColumnRenamed(spec.pk, "x"),
                 swap,
@@ -125,6 +126,39 @@ class EtlPipeline:
         zone = "work" if spec.event_cols else "omop"
         self.wh.write(upload, zone, spec.name)
         return upload
+
+    ID_MAP = "source_id_to_omop_id_map"
+
+    def _record_id_map(self, table: str, swap: DataFrame) -> None:
+        """Consolidated source-key → OMOP-id audit table (J10:
+        bq:etl/SOURCE_ID_TO_OMOP_ID_MAP_merge.sql.jinja:3-22).
+
+        Upsert keyed on (source_id, omop_table); the swap table already
+        holds the authoritative mapping, this is the cross-table view the
+        reference exposes for lineage queries."""
+        rows = swap.select(
+            F.col("x").cast("string").alias("source_id"),
+            F.col("y").cast("long").alias("omop_id"),
+            F.lit(table).alias("omop_table"),
+        ).distinct()
+        if self.wh.exists("work", self.ID_MAP):
+            existing = self.wh.read(self.spark, "work", self.ID_MAP)
+            keep = existing.join(
+                rows.select("source_id", "omop_table").distinct(),
+                ["source_id", "omop_table"],
+                "left_anti",
+            )
+            rows = keep.unionByName(rows)
+        self.wh.write(rows, "work", self.ID_MAP)
+
+    def remove_id_map_entries(self, table: str) -> None:
+        """M3 (bq:cleanup/SOURCE_ID_TO_OMOP_ID_MAP_remove_ids_by_omop_table):
+        delete one table's rows from the audit map."""
+        if self.wh.exists("work", self.ID_MAP):
+            kept = self.wh.read(self.spark, "work", self.ID_MAP).filter(
+                F.col("omop_table") != table
+            )
+            self.wh.write(kept, "work", self.ID_MAP)
 
     # -- stage 2 ----------------------------------------------------------
     def run_stage2(self, spec: TableSpec) -> DataFrame | None:

@@ -230,3 +230,28 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
         spark.sql("DROP TABLE IF EXISTS work.orders_b")
         spark.sql("DROP TABLE IF EXISTS work.lineitem_b")
+
+
+def test_source_id_to_omop_id_map(spark, wh):
+    """The consolidated audit map records every swap assignment and
+    survives re-runs without renumbering; cleanup removes one table."""
+    pipe = EtlPipeline(spark, wh, REGISTRY)
+    pipe.run(_inputs(spark))
+    m = wh.read(spark, "work", "source_id_to_omop_id_map")
+    rows = {(r["source_id"], r["omop_table"]): r["omop_id"] for r in m.collect()}
+    assert ("PK_P1", "person") in rows and ("PK_V1", "visit") in rows
+    # fan-out key appears twice in the swap but once per (id, table) pair
+    assert m.filter("omop_table = 'person'").count() >= 4
+
+    before = dict(rows)
+    pipe.run(_inputs(spark))  # re-run: ids must not change
+    after = {
+        (r["source_id"], r["omop_table"]): r["omop_id"]
+        for r in wh.read(spark, "work", "source_id_to_omop_id_map").collect()
+    }
+    assert after == before
+
+    pipe.remove_id_map_entries("visit")
+    left = wh.read(spark, "work", "source_id_to_omop_id_map")
+    assert left.filter("omop_table = 'visit'").count() == 0
+    assert left.filter("omop_table = 'person'").count() > 0
