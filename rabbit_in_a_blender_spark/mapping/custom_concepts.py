@@ -19,14 +19,24 @@ CUSTOM_CONCEPT_OFFSET = 2_000_000_000
 
 
 def assign_custom_concept_ids(
-    swap: DataFrame | None, concepts: DataFrame, code_col: str = "concept_code"
+    swap: DataFrame | None,
+    concepts: DataFrame,
+    code_col: str = "concept_code",
+    key_prefix: str = "",
 ) -> DataFrame:
     """Extend the concept-id swap (x=code string, y=id) with unseen codes.
+
+    ``key_prefix`` mirrors the reference's column-scoped swap key
+    ``concat('{concept_id_column}__', concept_code)``
+    (bq:etl/..._usagi_update_custom_concepts.sql.jinja) so the same code
+    used by two concept columns gets two ids.
 
     The global-order RANK window is acceptable here because custom
     concepts are dimension-sized (thousands), never fact-sized.
     """
-    new = concepts.select(F.col(code_col).alias("x")).distinct()
+    new = concepts.select(
+        F.concat(F.lit(key_prefix), F.col(code_col)).alias("x")
+    ).distinct()
     offset = CUSTOM_CONCEPT_OFFSET
     if swap is not None:
         new = new.join(swap.select("x"), "x", "left_anti")

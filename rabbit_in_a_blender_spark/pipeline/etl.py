@@ -40,6 +40,9 @@ class TableInputs:
 
     uploads: list[DataFrame] = field(default_factory=list)
     usagi: dict[str, DataFrame] = field(default_factory=dict)  # concept col → mappings
+    # concept col → custom-concept frame (concept_name, concept_code,
+    # domain_id, vocabulary_id, concept_class_id) — reference §3.1 step 4b
+    custom_concepts: dict[str, DataFrame] = field(default_factory=dict)
 
 
 class EtlPipeline:
@@ -69,10 +72,18 @@ class EtlPipeline:
             upload = upload.unionByName(u)
         upload = upload.distinct()
 
+        # Custom concepts first: assign stable ids ≥ 2B, merge into the
+        # omop.concept dimension, patch unmapped usagi rows (M2).
+        usagi_patched = dict(inputs.usagi)
+        for concept_col, custom in inputs.custom_concepts.items():
+            usagi_patched[concept_col] = self._process_custom_concepts(
+                concept_col, custom, usagi_patched.get(concept_col)
+            )
+
         # Usagi mapping per concept column; duplicate mappings are fatal
         # like the reference (etl/bigquery/etl.py:282-297).
         for concept_col in spec.concept_cols:
-            usagi = inputs.usagi.get(concept_col)
+            usagi = usagi_patched.get(concept_col)
             if usagi is None:
                 upload = upload.withColumn(concept_col, F.lit(0).cast("long"))
                 continue
@@ -128,6 +139,82 @@ class EtlPipeline:
         return upload
 
     ID_MAP = "source_id_to_omop_id_map"
+    CONCEPT_SWAP = "concept_id__swap"
+
+    def _process_custom_concepts(
+        self,
+        concept_col: str,
+        custom: DataFrame,
+        usagi: DataFrame | None,
+    ) -> DataFrame | None:
+        """Reference §3.1 step 4b: validate → assign ids ≥ 2B via the
+        persistent concept-id swap → upsert into omop.concept → patch
+        usagi rows whose conceptId is NULL/0 (M2:
+        bq:etl/..._usagi_update_custom_concepts.sql.jinja)."""
+        from ..mapping.custom_concepts import (
+            assign_custom_concept_ids,
+            duplicate_concept_codes,
+        )
+        from ..operators.joins import merge_upsert
+
+        dups = duplicate_concept_codes(custom).limit(5).collect()
+        if dups:
+            raise EtlError(f"{concept_col}: duplicate custom concept codes {dups}")
+
+        prefix = f"{concept_col}__"
+        swap = None
+        if self.wh.exists("work", self.CONCEPT_SWAP):
+            swap = self.wh.read(self.spark, "work", self.CONCEPT_SWAP)
+        swap = assign_custom_concept_ids(swap, custom, key_prefix=prefix)
+        self.wh.write(swap, "work", self.CONCEPT_SWAP)
+        swap = self.wh.read(self.spark, "work", self.CONCEPT_SWAP)
+
+        ids = swap.select(
+            F.col("y").alias("concept_id"),
+            F.col("x").alias("__key"),
+        )
+        concept_rows = (
+            custom.withColumn("__key", F.concat(F.lit(prefix), F.col("concept_code")))
+            .join(F.broadcast(ids), "__key")
+            .drop("__key")
+            .select(
+                "concept_id",
+                "concept_name",
+                "domain_id",
+                "vocabulary_id",
+                "concept_class_id",
+                F.lit(None).cast("string").alias("standard_concept"),
+                "concept_code",
+            )
+        )
+        if self.wh.exists("omop", "concept"):
+            target = self.wh.read(self.spark, "omop", "concept")
+            concept_rows = merge_upsert(target, concept_rows, ["concept_id"])
+        self.wh.write(concept_rows, "omop", "concept")
+
+        if usagi is None:
+            return None
+        code_ids = (
+            custom.select(
+                F.concat(F.lit(prefix), F.col("concept_code")).alias("__key"),
+                F.col("concept_code").alias("__code"),
+            )
+            .join(F.broadcast(ids), "__key")
+            .select("__code", "concept_id")
+            .distinct()
+        )
+        patched = usagi.join(
+            F.broadcast(code_ids), usagi["sourceCode"] == F.col("__code"), "left"
+        )
+        fill = (
+            (F.col("conceptId").isNull() | (F.col("conceptId") == 0))
+            & F.col("concept_id").isNotNull()
+            & F.col("mappingStatus").isin("APPROVED", "SEMI-APPROVED")
+        )
+        return patched.withColumn(
+            "conceptId",
+            F.when(fill, F.col("concept_id")).otherwise(F.col("conceptId")),
+        ).drop("__code", "concept_id")
 
     def _record_id_map(self, table: str, swap: DataFrame) -> None:
         """Consolidated source-key → OMOP-id audit table (J10:

@@ -255,3 +255,48 @@ def test_source_id_to_omop_id_map(spark, wh):
     left = wh.read(spark, "work", "source_id_to_omop_id_map")
     assert left.filter("omop_table = 'visit'").count() == 0
     assert left.filter("omop_table = 'person'").count() > 0
+
+
+def test_custom_concepts_flow(spark, wh):
+    """§3.1 step 4b: custom concepts get stable ids ≥ 2B, land in
+    omop.concept, and patch unmapped usagi rows."""
+    custom = spark.createDataFrame(
+        [("nonbinary", "GENDER_NB", "Gender", "Custom", "Gender")],
+        "concept_name string, concept_code string, domain_id string, "
+        "vocabulary_id string, concept_class_id string",
+    )
+    usagi = _usagi(spark).unionByName(
+        spark.createDataFrame(
+            [("GENDER_NB", "nonbinary", "APPROVED", 0, "NB", "Gender")],
+            "sourceCode string, sourceName string, mappingStatus string, "
+            "conceptId long, conceptName string, domainId string",
+        )
+    )
+    person_upload = spark.createDataFrame(
+        [("PK_P1", "GENDER_M", "alice"), ("PK_P9", "GENDER_NB", "nyx")],
+        "person_id string, gender_concept_id__source string, name string",
+    )
+    inputs = {
+        "person": TableInputs(
+            uploads=[person_upload],
+            usagi={"gender_concept_id": usagi},
+            custom_concepts={"gender_concept_id": custom},
+        )
+    }
+    pipe = EtlPipeline(spark, wh, REGISTRY)
+    pipe.run(inputs)
+
+    concept = {r["concept_code"]: r for r in wh.read(spark, "omop", "concept").collect()}
+    assert "GENDER_NB" in concept
+    nb_id = concept["GENDER_NB"]["concept_id"]
+    assert nb_id > 2_000_000_000
+
+    person = {r["name"]: r for r in wh.read(spark, "omop", "person").collect()}
+    assert person["nyx"]["gender_concept_id"] == nb_id
+    assert person["alice"]["gender_concept_id"] == 8507
+
+    pipe.run(inputs)  # re-run: id stable
+    concept2 = {
+        r["concept_code"]: r for r in wh.read(spark, "omop", "concept").collect()
+    }
+    assert concept2["GENDER_NB"]["concept_id"] == nb_id
