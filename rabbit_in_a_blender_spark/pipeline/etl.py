@@ -62,7 +62,9 @@ class EtlPipeline:
         return None
 
     # -- stage 1 ----------------------------------------------------------
-    def run_table(self, spec: TableSpec, inputs: TableInputs) -> DataFrame:
+    def run_table(
+        self, spec: TableSpec, inputs: TableInputs, etl_start: str | None = None
+    ) -> DataFrame:
         if not inputs.uploads:
             raise EtlError(f"{spec.name}: no upload queries")
 
@@ -90,6 +92,7 @@ class EtlPipeline:
             dups = duplicate_mappings(usagi).limit(5).collect()
             if dups:
                 raise EtlError(f"{spec.name}.{concept_col}: duplicate usagi mappings {dups}")
+            self._record_source_to_concept_map(usagi, etl_start)
             upload = apply_usagi(upload, usagi, source_col=f"{concept_col}__source", out_col=concept_col)
 
         # PK swap: persist-or-extend, then replace prequel keys (§2.J).
@@ -247,6 +250,73 @@ class EtlPipeline:
             )
             self.wh.write(kept, "work", self.ID_MAP)
 
+    STCM = "source_to_concept_map"
+
+    def _record_source_to_concept_map(
+        self, usagi: DataFrame, etl_start: str | None
+    ) -> None:
+        """J10 (bq:etl/SOURCE_TO_CONCEPT_MAP_merge.sql.jinja:3-33): merge
+        approved mappings into omop.source_to_concept_map, refreshing
+        valid_start_date so re-confirmed mappings survive invalidation.
+
+        Deviation noted: the reference INNER JOINs omop.concept to fetch
+        target_vocabulary_id (dropping mappings to unknown concepts); we
+        LEFT JOIN so the map stays useful without a vocabulary load —
+        unknown targets carry a NULL vocabulary and the fkDomain/isForeignKey
+        checks flag them instead."""
+        from ..operators.joins import merge_upsert
+
+        start = F.lit(etl_start).cast("date") if etl_start else F.current_date()
+        vocab = None
+        if self.wh.exists("omop", "concept"):
+            vocab = self.wh.read(self.spark, "omop", "concept").select(
+                F.col("concept_id").alias("__cid"),
+                F.col("vocabulary_id").alias("__voc"),
+            )
+        rows = usagi.filter(
+            F.col("mappingStatus").isin("APPROVED", "SEMI-APPROVED")
+        )
+        if vocab is not None:
+            rows = rows.join(
+                F.broadcast(vocab), rows["conceptId"] == F.col("__cid"), "left"
+            )
+        else:
+            rows = rows.withColumn("__voc", F.lit(None).cast("string"))
+        rows = rows.select(
+            F.col("sourceCode").alias("source_code"),
+            F.lit(0).cast("long").alias("source_concept_id"),
+            F.lit("").alias("source_vocabulary_id"),
+            F.col("sourceName").alias("source_code_description"),
+            F.col("conceptId").cast("long").alias("target_concept_id"),
+            F.col("__voc").alias("target_vocabulary_id"),
+            start.alias("valid_start_date"),
+            F.lit("2099-12-31").cast("date").alias("valid_end_date"),
+            F.lit(None).cast("string").alias("invalid_reason"),
+        ).distinct()
+        if self.wh.exists("omop", self.STCM):
+            target = self.wh.read(self.spark, "omop", self.STCM)
+            rows = merge_upsert(target, rows, ["source_code", "target_concept_id"])
+        self.wh.write(rows, "omop", self.STCM)
+
+    def invalidate_stale_mappings(self, etl_start: str | None = None) -> None:
+        """M1 (bq:etl/SOURCE_TO_CONCEPT_MAP_update_invalid_reason.sql.jinja):
+        mappings not re-confirmed this run (valid_start_date < etl_start)
+        get invalid_reason='D'."""
+        if not self.wh.exists("omop", self.STCM):
+            return
+        start = F.lit(etl_start).cast("date") if etl_start else F.current_date()
+        df = self.wh.read(self.spark, "omop", self.STCM)
+        self.wh.write(
+            df.withColumn(
+                "invalid_reason",
+                F.when(F.col("valid_start_date") < start, F.lit("D")).otherwise(
+                    F.col("invalid_reason")
+                ),
+            ),
+            "omop",
+            self.STCM,
+        )
+
     # -- stage 2 ----------------------------------------------------------
     def run_stage2(self, spec: TableSpec) -> DataFrame | None:
         """Resolve polymorphic event columns and promote work → omop."""
@@ -258,8 +328,11 @@ class EtlPipeline:
         return resolved
 
     # -- full run ---------------------------------------------------------
-    def run(self, inputs: dict[str, TableInputs]) -> list[str]:
-        """Run all tables in FK-dependency order, then stage 2.
+    def run(
+        self, inputs: dict[str, TableInputs], etl_start: str | None = None
+    ) -> list[str]:
+        """Run all tables in FK-dependency order, then stage 2, then
+        invalidate mappings not re-confirmed this run (§3.1 step 6).
 
         Returns the ordered list of tables processed.
         """
@@ -267,10 +340,11 @@ class EtlPipeline:
         for level in self.registry.dependency_levels():
             for table in level:
                 if table in inputs:
-                    self.run_table(self.registry[table], inputs[table])
+                    self.run_table(self.registry[table], inputs[table], etl_start)
                     processed.append(table)
         for table in processed:
             self.run_stage2(self.registry[table])
+        self.invalidate_stale_mappings(etl_start)
         return processed
 
 

@@ -300,3 +300,33 @@ def test_custom_concepts_flow(spark, wh):
         r["concept_code"]: r for r in wh.read(spark, "omop", "concept").collect()
     }
     assert concept2["GENDER_NB"]["concept_id"] == nb_id
+
+
+def test_source_to_concept_map_merge_and_invalidation(spark, wh):
+    """J10 + M1: approved mappings land in omop.source_to_concept_map;
+    mappings absent from a later run are invalidated with 'D'."""
+    pipe = EtlPipeline(spark, wh, REGISTRY)
+    pipe.run(_inputs(spark), etl_start="2020-01-01")
+
+    stcm = wh.read(spark, "omop", "source_to_concept_map")
+    rows = {
+        (r["source_code"], r["target_concept_id"]): r for r in stcm.collect()
+    }
+    assert ("GENDER_M", 8507) in rows and ("GENDER_F", 8532) in rows
+    assert ("GENDER_U", 9999) not in rows  # UNCHECKED filtered out
+    assert rows[("GENDER_M", 8507)]["invalid_reason"] is None
+
+    # second run drops the GENDER_F mapping → its row goes stale
+    inputs = _inputs(spark)
+    usagi2 = _usagi(spark).filter("sourceCode <> 'GENDER_F'")
+    inputs["person"] = TableInputs(
+        uploads=inputs["person"].uploads, usagi={"gender_concept_id": usagi2}
+    )
+    pipe.run(inputs, etl_start="2020-02-01")
+
+    rows2 = {
+        (r["source_code"], r["target_concept_id"]): r
+        for r in wh.read(spark, "omop", "source_to_concept_map").collect()
+    }
+    assert rows2[("GENDER_F", 8532)]["invalid_reason"] == "D"
+    assert rows2[("GENDER_M", 8507)]["invalid_reason"] is None
