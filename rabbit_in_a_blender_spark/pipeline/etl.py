@@ -16,15 +16,19 @@ FAIR scheduler keeps a cluster saturated without driver threading.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+log = logging.getLogger(__name__)
+
 from ..core.registry import SchemaRegistry, TableSpec
 from ..mapping.swap import apply_fk_swaps, apply_pk_swap, swap_merge
 from ..mapping.usagi import apply_usagi, duplicate_mappings
 from ..mapping.events import resolve_event_columns
+from ..operators.aggregates import duplicate_groups
 from ..operators.dedup import dedup_keep_first
 from .warehouse import Warehouse
 
@@ -43,13 +47,85 @@ class TableInputs:
     # concept col → custom-concept frame (concept_name, concept_code,
     # domain_id, vocabulary_id, concept_class_id) — reference §3.1 step 4b
     custom_concepts: dict[str, DataFrame] = field(default_factory=dict)
+    # concept col → allowed OMOP domains; checked against omop.concept
+    # when present (J12: raises like etl/bigquery/etl.py:607-625)
+    allowed_domains: dict[str, list[str]] = field(default_factory=dict)
 
 
 class EtlPipeline:
-    def __init__(self, spark: SparkSession, warehouse: Warehouse, registry: SchemaRegistry):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: Warehouse,
+        registry: SchemaRegistry,
+        inline_checks: bool = True,
+    ):
         self.spark = spark
         self.wh = warehouse
         self.registry = registry
+        # Warning-level checks cost one extra aggregation job per table;
+        # SURVEY §7 rule 8: keep them behind a flag so 100 TB runs can
+        # skip the logging-only materializations the reference always pays.
+        self.inline_checks = inline_checks
+
+    def _check_usagi_concepts(
+        self,
+        table: str,
+        concept_col: str,
+        usagi: DataFrame,
+        allowed_domains: list[str] | None,
+    ) -> None:
+        """J1/J12 (bq:etl/..._usagi_non_standard.sql.jinja,
+        ..._usagi_fk_domain_check.sql.jinja): warn on mappings to
+        non-standard concepts; raise when a mapped concept's domain is
+        outside the column's allowed set.  Both need omop.concept — a
+        no-op until a vocabulary is loaded."""
+        if not self.inline_checks or not self.wh.exists("omop", "concept"):
+            return
+        concept = self.wh.read(self.spark, "omop", "concept")
+        cols = concept.columns
+        approved = usagi.filter(
+            F.col("mappingStatus").isin("APPROVED", "SEMI-APPROVED")
+        )
+        if "standard_concept" in cols:
+            lookup = concept.select(
+                F.col("concept_id").alias("__cid"),
+                F.col("standard_concept").alias("__std"),
+            )
+            non_std = (
+                approved.join(
+                    F.broadcast(lookup), approved["conceptId"] == F.col("__cid")
+                )
+                .filter(F.coalesce(F.col("__std"), F.lit("")) != "S")
+                .limit(100)
+                .collect()
+            )
+            if non_std:
+                log.warning(
+                    "%s.%s: %d mapping(s) to non-standard concepts, e.g. %s",
+                    table,
+                    concept_col,
+                    len(non_std),
+                    [r["sourceCode"] for r in non_std[:5]],
+                )
+        if allowed_domains and "domain_id" in cols:
+            lookup = concept.select(
+                F.col("concept_id").alias("__cid"),
+                F.col("domain_id").alias("__dom"),
+            )
+            bad = (
+                approved.join(
+                    F.broadcast(lookup), approved["conceptId"] == F.col("__cid")
+                )
+                .filter(~F.col("__dom").isin(allowed_domains))
+                .limit(100)
+                .collect()
+            )
+            if bad:
+                raise EtlError(
+                    f"{table}.{concept_col}: mappings outside domains "
+                    f"{allowed_domains}: {[r['sourceCode'] for r in bad[:5]]}"
+                )
 
     # -- swap-table persistence ------------------------------------------
     def _swap_name(self, table: str) -> str:
@@ -92,6 +168,9 @@ class EtlPipeline:
             dups = duplicate_mappings(usagi).limit(5).collect()
             if dups:
                 raise EtlError(f"{spec.name}.{concept_col}: duplicate usagi mappings {dups}")
+            self._check_usagi_concepts(
+                spec.name, concept_col, usagi, inputs.allowed_domains.get(concept_col)
+            )
             self._record_source_to_concept_map(usagi, etl_start)
             upload = apply_usagi(upload, usagi, source_col=f"{concept_col}__source", out_col=concept_col)
 
@@ -132,9 +211,23 @@ class EtlPipeline:
         if fk_swaps:
             upload = apply_fk_swaps(upload, fk_swaps, required)
 
-        # Final windowed dedup (W3): one row per (pk, concepts, events).
+        # Final windowed dedup (W3): one row per (pk, concepts, events) —
+        # preceded by the reference's duplicate-row warning (G1,
+        # bq:etl/{omop_work_table}_merge_check_for_duplicate_rows:3-63).
         if spec.pk:
             keys = [spec.pk, *spec.concept_cols, *spec.event_cols]
+            dups = (
+                duplicate_groups(upload, keys).limit(100).collect()
+                if self.inline_checks
+                else []
+            )
+            if dups:
+                log.warning(
+                    "%s: %d duplicate row group(s) before merge, e.g. %s",
+                    spec.name,
+                    len(dups),
+                    dups[:3],
+                )
             upload = dedup_keep_first(upload, keys)
 
         zone = "work" if spec.event_cols else "omop"

@@ -330,3 +330,30 @@ def test_source_to_concept_map_merge_and_invalidation(spark, wh):
     }
     assert rows2[("GENDER_F", 8532)]["invalid_reason"] == "D"
     assert rows2[("GENDER_M", 8507)]["invalid_reason"] is None
+
+
+def test_usagi_domain_check_raises(spark, wh):
+    """J12: a mapping whose concept domain is outside the allowed set is
+    fatal once omop.concept exists."""
+    from rabbit_in_a_blender_spark.pipeline.etl import EtlError
+
+    concept = spark.createDataFrame(
+        [(8507, "MALE", "Gender", "Gender", "Gender", "S", "M")],
+        "concept_id long, concept_name string, domain_id string, "
+        "vocabulary_id string, concept_class_id string, "
+        "standard_concept string, concept_code string",
+    )
+    wh.write(concept, "omop", "concept")
+    pipe = EtlPipeline(spark, wh, REGISTRY)
+    inputs = _inputs(spark)
+    inputs["person"] = TableInputs(
+        uploads=inputs["person"].uploads,
+        usagi=inputs["person"].usagi,
+        allowed_domains={"gender_concept_id": ["Drug"]},  # Gender not allowed
+    )
+    with pytest.raises(EtlError, match="outside domains"):
+        pipe.run_table(REGISTRY["person"], inputs["person"])
+
+    # allowed set including Gender passes
+    inputs["person"].allowed_domains["gender_concept_id"] = ["Gender"]
+    pipe.run_table(REGISTRY["person"], inputs["person"])
