@@ -348,3 +348,50 @@ def ext_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return cosine_near_dup_lsh(e, "vec_id", "embedding", threshold=0.35)
+
+
+@register(
+    "ext_dedup_pipeline",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hashes AS (
+      SELECT doc_id, j,
+             MIN(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS j) js
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, j // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY j)) AS band_hash
+      FROM hashes GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.inter_size / (sa.sz + sb.sz - i.inter_size), 4) AS jaccard
+    FROM inter i
+    JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE ROUND(i.inter_size / (sa.sz + sb.sz - i.inter_size), 4) >= 0.05
+    """,
+    doc="Full near-dedup pipeline: MinHash-LSH candidates → exact Jaccard verify.",
+)
+def ext_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = shingle_sets(d, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.05, candidates=cand
+    )
