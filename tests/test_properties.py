@@ -83,13 +83,20 @@ def test_null_safe_join_matches_python_semantics(spark, left, right):
     joined = null_safe_join(
         l, r.select("k", "v"), ["k", "v"], how="inner", null_safe_keys=["v"]
     )
+
+    def nkey(t):  # None-safe sort key
+        return tuple((x is None, 0 if x is None else x) for x in t)
+
     expect = sorted(
-        (lk, lv)
-        for (lk, lv) in (left or [(0, 0)])
-        for (rk, rv) in (right or [(0, 0)])
-        if lk == rk and lv == rv  # None == None is True in Python, like <=>
+        (
+            (lk, lv)
+            for (lk, lv) in (left or [(0, 0)])
+            for (rk, rv) in (right or [(0, 0)])
+            if lk == rk and lv == rv  # None == None is True in Python, like <=>
+        ),
+        key=nkey,
     )
-    assert sorted((x[0], x[1]) for x in joined.collect()) == expect
+    assert sorted(((x[0], x[1]) for x in joined.collect()), key=nkey) == expect
 
 
 @given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), max_size=30))
