@@ -33,8 +33,10 @@ HEADLINE = [
     "stream_tumbling_1h",
     "stream_session_30m",
     "ext_dedup_minhash_lsh",
+    "ext_dedup_pipeline",
     "ext_embed_cosine_topk",
     "ext_dedup_exact",
+    "q8_market_share",
 ]
 
 

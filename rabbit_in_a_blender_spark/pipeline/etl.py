@@ -316,32 +316,22 @@ class EtlPipeline:
         """Consolidated source-key → OMOP-id audit table (J10:
         bq:etl/SOURCE_ID_TO_OMOP_ID_MAP_merge.sql.jinja:3-22).
 
-        Upsert keyed on (source_id, omop_table); the swap table already
-        holds the authoritative mapping, this is the cross-table view the
-        reference exposes for lineage queries."""
+        Stored PARTITIONED by omop_table (one directory per table):
+        recording table T atomically replaces only partition T — a MERGE
+        keyed on (source_id, omop_table) would rewrite the whole
+        fact-sized map once per table (O(tables × map) at 100 TB).
+        Readers get `omop_table` back via partition discovery, and
+        per-table lineage lookups prune to one directory."""
         rows = swap.select(
             F.col("x").cast("string").alias("source_id"),
             F.col("y").cast("long").alias("omop_id"),
-            F.lit(table).alias("omop_table"),
         ).distinct()
-        if self.wh.exists("work", self.ID_MAP):
-            existing = self.wh.read(self.spark, "work", self.ID_MAP)
-            keep = existing.join(
-                rows.select("source_id", "omop_table").distinct(),
-                ["source_id", "omop_table"],
-                "left_anti",
-            )
-            rows = keep.unionByName(rows)
-        self.wh.write(rows, "work", self.ID_MAP)
+        self.wh.write(rows, "work", f"{self.ID_MAP}/omop_table={table}")
 
     def remove_id_map_entries(self, table: str) -> None:
         """M3 (bq:cleanup/SOURCE_ID_TO_OMOP_ID_MAP_remove_ids_by_omop_table):
-        delete one table's rows from the audit map."""
-        if self.wh.exists("work", self.ID_MAP):
-            kept = self.wh.read(self.spark, "work", self.ID_MAP).filter(
-                F.col("omop_table") != table
-            )
-            self.wh.write(kept, "work", self.ID_MAP)
+        delete one table's rows from the audit map — a partition drop."""
+        self.wh.drop("work", f"{self.ID_MAP}/omop_table={table}")
 
     STCM = "source_to_concept_map"
 

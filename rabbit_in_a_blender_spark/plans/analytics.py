@@ -244,3 +244,77 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(_dec_rev()), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="Semi-join existence filter + grouped count (TPC-H Q4 shape).",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT year(o_orderdate) AS order_year, n_name,
+             l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4)) AS r
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT order_year,
+           ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN r ELSE 0 END)
+                 / SUM(r) AS DOUBLE), 4) AS mkt_share
+    FROM rev GROUP BY order_year
+    """,
+    doc="Market share: conditional decimal agg over a 4-dim star join (Q8 shape).",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation", "region")
+    rev = _dec_rev()
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    national = F.when(F.col("n_name") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(38,8)")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                (F.sum(national) / F.sum(rev)).cast("double"), 4
+            ).alias("mkt_share")
+        )
+    )
