@@ -84,3 +84,29 @@ def import_vocabulary_dir(
         warehouse.write(staged, "omop", table)
         imported.append(table)
     return imported
+
+
+def import_vocabulary_zip(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    zip_path: str,
+    schemas: dict[str, T.StructType],
+) -> list[str]:
+    """Reference ``--import-vocabularies <zip>`` (import_vocabularies.py:
+    40-121): an Athena download is a zip of per-table TSV-ish CSVs —
+    unzip to a scratch dir, then the directory import does the rest.
+
+    The unzip is driver-side on purpose: Athena zips are single files,
+    and Spark reads the extracted CSVs in parallel afterwards."""
+    import tempfile
+    import zipfile
+
+    with tempfile.TemporaryDirectory(prefix="vocab_zip_") as scratch:
+        with zipfile.ZipFile(zip_path) as zf:
+            names = [
+                n
+                for n in zf.namelist()
+                if n.upper().endswith(".CSV") and not n.startswith(("/", ".."))
+            ]
+            zf.extractall(scratch, members=names)
+        return import_vocabulary_dir(spark, warehouse, scratch, schemas)

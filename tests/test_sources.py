@@ -94,3 +94,32 @@ def test_import_vocabulary_dir(spark, tmpdir_):
     assert imported == ["domain"]
     rows = wh.read(spark, "omop", "domain").collect()
     assert sorted(r["domain_id"] for r in rows) == ["Drug", "Gender"]
+
+
+def test_import_vocabulary_zip(spark, tmpdir_):
+    import zipfile
+
+    from rabbit_in_a_blender_spark.sources.readers import import_vocabulary_zip
+
+    zp = os.path.join(tmpdir_, "athena.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr(
+            "DOMAIN.csv",
+            "domain_id\tdomain_name\tdomain_concept_id\n"
+            "Gender\tGender\t2\nDrug\tDrug\t13\n",
+        )
+        zf.writestr("README.txt", "not a table")
+    schemas = {
+        "domain": T.StructType(
+            [
+                T.StructField("domain_id", T.StringType()),
+                T.StructField("domain_name", T.StringType()),
+                T.StructField("domain_concept_id", T.LongType()),
+            ]
+        )
+    }
+    wh = Warehouse(os.path.join(tmpdir_, "wh_zip"))
+    imported = import_vocabulary_zip(spark, wh, zp, schemas)
+    assert imported == ["domain"]
+    rows = wh.read(spark, "omop", "domain").collect()
+    assert sorted(r["domain_id"] for r in rows) == ["Drug", "Gender"]
