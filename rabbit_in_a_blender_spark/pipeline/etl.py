@@ -17,6 +17,8 @@ FAIR scheduler keeps a cluster saturated without driver threading.
 from __future__ import annotations
 
 import logging
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +69,18 @@ class EtlPipeline:
         # SURVEY §7 rule 8: keep them behind a flag so 100 TB runs can
         # skip the logging-only materializations the reference always pays.
         self.inline_checks = inline_checks
+        # Per-step wall-clock tally — the Spark analog of the reference's
+        # per-query cost/time accounting (etl/bigquery/gcp.py:106-144,
+        # totals at exit etl_base.py:65-67).
+        self.metrics: list[tuple[str, float]] = []
+
+    @contextmanager
+    def _step(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.metrics.append((name, round(time.perf_counter() - t0, 3)))
 
     def _check_usagi_concepts(
         self,
@@ -423,11 +437,16 @@ class EtlPipeline:
         for level in self.registry.dependency_levels():
             for table in level:
                 if table in inputs:
-                    self.run_table(self.registry[table], inputs[table], etl_start)
+                    with self._step(f"stage1:{table}"):
+                        self.run_table(self.registry[table], inputs[table], etl_start)
                     processed.append(table)
         for table in processed:
-            self.run_stage2(self.registry[table])
-        self.invalidate_stale_mappings(etl_start)
+            with self._step(f"stage2:{table}"):
+                self.run_stage2(self.registry[table])
+        with self._step("invalidate_stale_mappings"):
+            self.invalidate_stale_mappings(etl_start)
+        total = round(sum(s for _, s in self.metrics), 3)
+        log.info("ETL run: %.3fs total; steps: %s", total, self.metrics)
         return processed
 
 

@@ -357,3 +357,13 @@ def test_usagi_domain_check_raises(spark, wh):
     # allowed set including Gender passes
     inputs["person"].allowed_domains["gender_concept_id"] = ["Gender"]
     pipe.run_table(REGISTRY["person"], inputs["person"])
+
+
+def test_run_records_step_metrics(spark, wh):
+    pipe = EtlPipeline(spark, wh, REGISTRY)
+    pipe.run(_inputs(spark))
+    names = [n for n, _ in pipe.metrics]
+    assert any(n.startswith("stage1:person") for n in names)
+    assert any(n.startswith("stage2:note") for n in names)
+    assert names[-1] == "invalidate_stale_mappings"
+    assert all(s >= 0 for _, s in pipe.metrics)
