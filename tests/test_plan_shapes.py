@@ -1,0 +1,54 @@
+"""Plan-shape regression tests: the scale properties PLANS.md documents,
+asserted so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import pytest
+
+from rabbit_in_a_blender_spark.plans.catalog import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_lookup_join_broadcasts(spark):
+    plan = _plan(spark, "j1_dim_lookup_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_single_shuffle_with_pushdown(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q5_no_sort_merge_join(spark):
+    # 5 dims broadcast; only the fact-fact shuffle(s) remain
+    plan = _plan(spark, "q5_region_revenue")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_scalable_sequence_has_no_single_partition_window(spark):
+    plan = _plan(spark, "seq_assign_scalable")
+    # the strict variant funnels through Exchange SinglePartition + Window;
+    # the scalable one must not
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_minhash_lsh_never_cross_joins(spark):
+    plan = _plan(spark, "ext_dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_ops_are_shuffle_free(spark):
+    for name in ("ext_text_stats", "ext_token_count", "ext_quality_score", "ext_langid"):
+        plan = _plan(spark, name)
+        assert "Exchange hashpartitioning" not in plan, name
