@@ -24,7 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -83,11 +83,18 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature are candidates.
 
     Returns distinct (id_a, id_b) with id_a < id_b.  The self-join key is
     (band_idx, band_hash) — a 32-char digest, so shuffle width is tiny.
+
+    ``max_bucket_size`` caps pathological buckets (boilerplate text that
+    hashes thousands of docs into one band bucket → a quadratic pair
+    explosion no skew-splitting can fix).  Capped buckets are DROPPED —
+    at corpus scale a bucket that hot is boilerplate, not near-dup
+    signal; set None (default) for the exact oracle-checked behavior.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -114,6 +121,13 @@ def lsh_candidate_pairs(
     # repeated calls reuse one entry; at 100 TB you would materialize
     # signatures to a table between runs anyway).
     banded = banded.persist()
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -125,3 +125,25 @@ def test_embed_cosine_near_dup_exact_and_lsh_recall(spark):
     assert approx <= exact, "LSH must never invent pairs (exact verify step)"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"sign-LSH recall too low: {recall:.2f}"
+
+
+def test_lsh_bucket_cap_drops_hot_buckets(spark):
+    from rabbit_in_a_blender_spark.ext.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    # 6 identical boilerplate docs (one hot bucket) + 2 near-dup docs
+    rows = [(i, "common boiler plate text here always") for i in range(6)]
+    rows += [(10, "alpha beta gamma delta epsilon"), (11, "alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = shingle_sets(df, "doc_id", "text", 3)
+    sig = minhash_signatures(sh, "doc_id", 16)
+    uncapped = lsh_candidate_pairs(sig, "doc_id", 16, 4)
+    capped = lsh_candidate_pairs(sig, "doc_id", 16, 4, max_bucket_size=4)
+    un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (10, 11) in un and (10, 11) in cp  # real near-dups survive the cap
+    assert any(a < 6 and b < 6 for a, b in un)  # boilerplate pairs exist uncapped
+    assert not any(a < 6 and b < 6 for a, b in cp)  # and are dropped when capped
