@@ -42,6 +42,15 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     names = names or TPCH_TABLES
     out = {}
     for n in names:
+        if n == "events":
+            # events.parquet stores TIMESTAMP(NANOS); without this legacy
+            # flag the parquet reader refuses the file outright.  Set it
+            # defensively — the harness may hand us a session built
+            # without core.session.get_spark's defaults.
+            try:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            except Exception:  # noqa: BLE001 — conf may be static on some builds
+                pass
         df = spark.read.parquet(table_path(sf_dir, n))
         if n == "events" and dict(df.dtypes).get("ts") == "bigint":
             # TIMESTAMP(NANOS) read as long (nanosAsLong) → truncate to
