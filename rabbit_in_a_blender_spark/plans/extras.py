@@ -227,3 +227,33 @@ def ext_profile_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("o_orderstatus")).alias("n_statuses"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Two-phase salted aggregation == plain groupBy (skew-safe path).",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.skew import salted_agg
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"l_quantity": "sum", "l_orderkey": "count"},
+        salt_col="l_orderkey",
+        salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("sum_l_quantity"), 2).alias("sum_qty"),
+        F.col("count_l_orderkey").alias("n_rows"),
+    )
