@@ -118,3 +118,51 @@ def test_stateful_running_counts(spark):
         assert final[2] == (1, 4.0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_upsert_into_warehouse(spark):
+    """foreachBatch upsert: two micro-batches land in one warehouse table,
+    overlapping keys updated not duplicated."""
+    import os
+
+    from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+    from rabbit_in_a_blender_spark.streaming.sink import stream_upsert_query
+    from rabbit_in_a_blender_spark.streaming.windows import streaming_events_source
+
+    tmp = tempfile.mkdtemp(prefix="riab_sink_")
+    try:
+        # batch 1: events 1,2 — batch 2: events 2 (updated value), 3
+        b1 = _events(spark).filter("event_id <= 2")
+        from pyspark.sql import functions as F
+
+        b2 = (
+            _events(spark)
+            .filter("event_id >= 2 and event_id <= 3")
+            .withColumn("value", F.lit(99.0))
+        )
+        b1.coalesce(1).write.parquet(f"{tmp}/in1")
+        b2.coalesce(1).write.parquet(f"{tmp}/in2")
+        srcdir = f"{tmp}/src"
+        os.makedirs(srcdir)
+        i = 0
+        for sub in ("in1", "in2"):
+            for f in os.listdir(f"{tmp}/{sub}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{tmp}/{sub}/{f}", f"{srcdir}/stream_{i}.parquet")
+                    i += 1
+        src = streaming_events_source(
+            spark, srcdir, schema=_events(spark).schema, max_files=1
+        )
+        wh = Warehouse(f"{tmp}/wh")
+        q = (
+            stream_upsert_query(src, wh, "work", "events_live", ["event_id"], f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {r["event_id"]: r["value"] for r in wh.read(spark, "work", "events_live").collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[2] == 99.0  # batch-2 update won
+        assert rows[1] == 1.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
