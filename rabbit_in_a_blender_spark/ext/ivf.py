@@ -103,3 +103,48 @@ def ivf_search(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+) -> DataFrame:
+    """Lloyd (k-means) refinement of the coarse centroids, pure DataFrame.
+
+    Each iteration: assign every vector to its nearest centroid
+    (broadcast join, one shuffle for the window), then recompute each
+    centroid as the element-wise mean of its members — posexplode to
+    (centroid, dim, value), one groupBy, and an ordered re-assembly.
+    Shuffle width is (centroid_id, dim_index, double): dimensions ×
+    centroids rows, never corpus-sized payloads.
+
+    Returns a frame in the same (id_col, vec_col) shape as ``centroids``
+    so it feeds straight back into build_ivf_index / ivf_search.
+    """
+    cents = centroids.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    for _ in range(iterations):
+        assigned = build_ivf_index(corpus, cents, id_col=id_col, vec_col=vec_col)
+        dims = assigned.select(
+            "centroid_id",
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val"),
+        )
+        means = (
+            dims.groupBy("centroid_id", "__pos")
+            .agg(F.avg("__val").alias("__mean"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__mean")))
+                    ),
+                    lambda s: s["__mean"],
+                ).alias(vec_col)
+            )
+        )
+        cents = means.select(F.col("centroid_id").alias(id_col), vec_col)
+    return cents

@@ -35,3 +35,25 @@ def test_ivf_index_assigns_every_vector_once(spark, embeddings):
     index = build_ivf_index(embeddings, centroids)
     assert index.count() == embeddings.count()
     assert index.select("centroid_id").distinct().count() <= 16
+
+
+def test_refine_centroids_shape_and_search(spark):
+    from rabbit_in_a_blender_spark.core.io import load_tables
+    from rabbit_in_a_blender_spark.ext.ivf import (
+        build_ivf_index,
+        ivf_search,
+        refine_centroids,
+    )
+
+    e = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    seed = e.filter("vec_id < 8")
+    refined = refine_centroids(e, seed, iterations=1)
+    rows = refined.collect()
+    assert len(rows) == 8
+    assert all(len(r["embedding"]) == 64 for r in rows)
+    # refined centroids drive the same index/search path
+    index = build_ivf_index(e, refined)
+    out = ivf_search(index, refined, e.filter("vec_id < 3"), k=3, nprobe=3)
+    got = out.collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    assert all(len([x for x in got if x["query_id"] == q]) == 3 for q in (0, 1, 2))
