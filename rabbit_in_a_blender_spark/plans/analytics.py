@@ -318,3 +318,103 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="Two-level aggregation over a left join (TPC-H Q13 shape).",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(ROUND(SUM(l_extendedprice::DECIMAL(18,4)
+                  * (1 - l_discount::DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="Max-revenue supplier via scalar-subquery join-back (Q15 shape; ties kept).",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_dec_rev()), 2).cast("double").alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH rich AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(ROUND(SUM(c_acctbal::DECIMAL(18,4)), 2) AS DOUBLE) AS totacctbal
+    FROM rich
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    doc="Scalar-avg filter + anti join + grouped agg (TPC-H Q22 shape).",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    cust = t["customer"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    no_orders = rich.join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    # acctbal sums: values have 2 decimals; decimal cast keeps the sum
+    # exact under reordering like the revenue terms elsewhere
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("totacctbal"),
+    )
