@@ -257,3 +257,83 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_l_quantity"), 2).alias("sum_qty"),
         F.col("count_l_orderkey").alias("n_rows"),
     )
+
+
+@register(
+    "ev_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS viewed,
+           CAST(COUNT(*) FILTER (t_click > t_view) AS BIGINT) AS clicked_after_view,
+           CAST(COUNT(*) FILTER (t_buy > t_click AND t_click > t_view) AS BIGINT)
+             AS purchased_in_order
+    FROM per_user WHERE t_view IS NOT NULL
+    """,
+    doc="Ordered funnel view→click→purchase via conditional-min per user.",
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_buy"),
+    )
+    viewed = per_user.filter(F.col("t_view").isNotNull())
+    return viewed.agg(
+        F.count(F.lit(1)).alias("viewed"),
+        F.sum(F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0))
+        .cast("long")
+        .alias("clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_buy") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("purchased_in_order"),
+    )
+
+
+@register(
+    "ev_retention",
+    oracle="""
+    WITH d0 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    ), dn AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+    )
+    SELECT CAST((SELECT COUNT(*) FROM d0) AS BIGINT) AS week1_users,
+           CAST(COUNT(*) AS BIGINT) AS retained_week4
+    FROM d0 WHERE user_id IN (SELECT user_id FROM dn)
+    """,
+    doc="Week-1 → week-4 retention via distinct-user semi join.",
+)
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    d0 = (
+        ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .select("user_id")
+        .distinct()
+    )
+    dn = (
+        ev.filter(F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
+        .select("user_id")
+        .distinct()
+    )
+    week1 = d0.count()  # metadata scalar (distinct-user count, dim-sized)
+    retained = d0.join(dn, "user_id", "left_semi")
+    return retained.agg(
+        F.lit(week1).cast("long").alias("week1_users"),
+        F.count(F.lit(1)).alias("retained_week4"),
+    )
