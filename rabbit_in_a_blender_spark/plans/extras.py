@@ -337,3 +337,41 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(week1).cast("long").alias("week1_users"),
         F.count(F.lit(1)).alias("retained_week4"),
     )
+
+
+@register(
+    "ext_cube_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE aggregation (all grouping-set combinations).",
+)
+def ext_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "ext_ntile_quartiles",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+    doc="NTILE window, unique tie-break for determinism.  Global-order "
+    "window is intentional: quartiling a DIMENSION table (customers). "
+    "For fact-sized quartiles use percentile_approx thresholds + a "
+    "partition-free bucket expression instead.",
+)
+def ext_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", F.ntile(4).over(w).alias("balance_quartile")
+    )
