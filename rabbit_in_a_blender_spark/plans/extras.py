@@ -375,3 +375,45 @@ def ext_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", F.ntile(4).over(w).alias("balance_quartile")
     )
+
+
+@register(
+    "u6_intersect_except",
+    oracle="""
+    WITH click_users AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         buy_users   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         both_u  AS (SELECT user_id FROM click_users INTERSECT SELECT user_id FROM buy_users),
+         only_c  AS (SELECT user_id FROM click_users EXCEPT   SELECT user_id FROM buy_users)
+    SELECT 'clicked_and_bought' AS segment, user_id FROM both_u
+    UNION ALL
+    SELECT 'clicked_never_bought' AS segment, user_id FROM only_c
+    """,
+    doc="INTERSECT / EXCEPT set operators (not in the reference; Spark built-ins).",
+)
+def u6_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clicks.intersect(buys).select(
+        F.lit("clicked_and_bought").alias("segment"), "user_id"
+    )
+    only = clicks.exceptAll(buys).select(
+        F.lit("clicked_never_bought").alias("segment"), "user_id"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "ext_json_typed",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed
+    FROM events WHERE props IS NOT NULL
+    """,
+    doc="from_json with an explicit schema (typed struct extraction).",
+)
+def ext_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    parsed = ev.filter(F.col("props").isNotNull()).select(
+        "event_id", F.from_json(F.col("props"), "k BIGINT").alias("__j")
+    )
+    return parsed.select("event_id", F.col("__j.k").alias("k_typed"))
