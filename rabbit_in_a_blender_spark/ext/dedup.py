@@ -152,6 +152,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard similarity ≥ threshold.
 
@@ -159,8 +160,11 @@ def ngram_jaccard_pairs(
     pair with ≥1 common shingle is scored — exact, but quadratic in the
     worst case; feed LSH candidates at scale).  Intersection sizes come
     from a groupBy on the shingle join; set sizes broadcast back in.
+    Pass ``shingles`` (from :func:`shingle_sets`, ideally persisted) to
+    share one shingle pass with the MinHash stage instead of re-deriving
+    it from the text.
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -389,9 +389,12 @@ def ext_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    sh = shingle_sets(d, "doc_id", "text", n=3)
+    # One persisted shingle pass feeds BOTH the MinHash signatures and the
+    # Jaccard verify (shingle rows are ~|corpus words| — cache-manager
+    # dedupes repeated calls; at 100 TB materialize to a table instead).
+    sh = shingle_sets(d, "doc_id", "text", n=3).persist()
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     return ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.05, candidates=cand
+        d, "doc_id", "text", n=3, threshold=0.05, candidates=cand, shingles=sh
     )
