@@ -850,3 +850,93 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.col("n_name"))
     )
+
+
+@register(
+    "j3_fk_swap_routing",
+    oracle="""
+    WITH cust_swap AS (
+      SELECT 'PK_' || CAST(c_custkey AS VARCHAR) AS x,
+             c_custkey + 1000000 AS y
+      FROM customer
+    ), prequel AS (
+      SELECT o_orderkey, 'PK_' || CAST(o_custkey AS VARCHAR) AS cust_fk,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'PK_MISSING'
+                  ELSE 'PK_' || CAST(o_custkey AS VARCHAR) END AS cust_fk2
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(COALESCE(s1.y, 0) AS BIGINT) AS cust_fk,
+           CAST(COALESCE(s2.y, 0) AS BIGINT) AS cust_fk2
+    FROM prequel
+    LEFT JOIN cust_swap s1 ON prequel.cust_fk  = s1.x
+    LEFT JOIN cust_swap s2 ON prequel.cust_fk2 = s2.x
+    """,
+    doc="J3: remap two FK prequel columns through a parent swap; misses → 0.",
+)
+def j3_fk_swap_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..mapping.swap import apply_fk_swaps
+
+    t = _t(spark, sf_dir, "customer", "orders")
+    swap = t["customer"].select(
+        F.concat(F.lit("PK_"), F.col("c_custkey").cast("string")).alias("x"),
+        (F.col("c_custkey") + 1_000_000).alias("y"),
+    )
+    prequel = t["orders"].select(
+        "o_orderkey",
+        F.concat(F.lit("PK_"), F.col("o_custkey").cast("string")).alias("cust_fk"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("PK_MISSING"))
+        .otherwise(F.concat(F.lit("PK_"), F.col("o_custkey").cast("string")))
+        .alias("cust_fk2"),
+    )
+    return apply_fk_swaps(
+        prequel,
+        {"cust_fk": swap, "cust_fk2": swap},
+        required={"cust_fk": True, "cust_fk2": True},
+    )
+
+
+@register(
+    "w4_rekey_window_losers",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_custkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderkey <= 2000
+    ), mx AS (SELECT MAX(o_orderkey) AS max_id FROM orders WHERE o_orderkey <= 2000),
+    losers AS (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) AS lrn
+      FROM ranked WHERE rn > 1
+    )
+    SELECT r.o_custkey, CAST(r.o_orderkey AS BIGINT) AS new_key
+    FROM ranked r WHERE r.rn = 1
+    UNION ALL
+    SELECT l.o_custkey, CAST(mx.max_id + l.lrn AS BIGINT) AS new_key
+    FROM losers l CROSS JOIN mx
+    """,
+    doc="W4: keep rn=1 rows; losers get fresh keys = MAX(id) + row_number "
+    "(bq:etl/{omop_table}_apply_event_columns.sql.jinja:165-189). Strict "
+    "global window on the LOSER SUBSET only — duplicates are rare, so the "
+    "single-partition window sees a sliver of the data.",
+)
+def w4_rekey_window_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders")["orders"].filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    ranked = t.select("o_orderkey", "o_custkey").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    keepers = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderkey").cast("long").alias("new_key")
+    )
+    max_id = t.agg(F.max("o_orderkey").alias("__mx"))
+    lw = Window.orderBy("o_custkey", "o_orderkey")
+    losers = (
+        ranked.filter(F.col("rn") > 1)
+        .withColumn("lrn", F.row_number().over(lw))
+        .crossJoin(F.broadcast(max_id))
+        .select(
+            "o_custkey", (F.col("__mx") + F.col("lrn")).cast("long").alias("new_key")
+        )
+    )
+    return keepers.unionByName(losers)
