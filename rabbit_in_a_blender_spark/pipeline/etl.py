@@ -188,6 +188,15 @@ class EtlPipeline:
             self._record_source_to_concept_map(usagi, etl_start)
             upload = apply_usagi(upload, usagi, source_col=f"{concept_col}__source", out_col=concept_col)
 
+        # Materialize the mapped upload in the work zone (the reference's
+        # work.{t}__upload__{q} tables, §3.1 step 4d).  Besides matching
+        # the reference's resumability contract, this cuts the upload
+        # lineage (DISTINCT + usagi joins) from computing 3× — once for
+        # the swap identities, once for the pk apply, once for the final
+        # write — to once.
+        self.wh.write(upload, "work", f"{spec.name}__upload")
+        upload = self.wh.read(self.spark, "work", f"{spec.name}__upload")
+
         # PK swap: persist-or-extend, then replace prequel keys (§2.J).
         if spec.pk:
             event_cols = list(spec.event_cols)
