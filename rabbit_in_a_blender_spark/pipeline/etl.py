@@ -9,15 +9,19 @@ Stage 2: polymorphic event resolution for event-bearing tables, then
 rebuild omop.
 
 The reference parallelizes tables with thread pools
-(etl/etl.py:161-175); in Spark the DAG scheduler parallelizes stages —
-tables within a level are independent jobs, so lazy evaluation plus the
-FAIR scheduler keeps a cluster saturated without driver threading.
+(etl/etl.py:161-175, max_parallel_tables).  Spark's DAG scheduler
+parallelizes *within* a job, but separate tables are separate actions —
+so ``run()`` also fans tables of one FK level out over driver threads
+(jobs interleave on the scheduler; shared-table writes serialize on a
+lock, mirroring the reference's global lock etl/etl.py:427-442).
 """
 
 from __future__ import annotations
 
 import logging
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
@@ -73,6 +77,11 @@ class EtlPipeline:
         # per-query cost/time accounting (etl/bigquery/gcp.py:106-144,
         # totals at exit etl_base.py:65-67).
         self.metrics: list[tuple[str, float]] = []
+        # Shared-table writes (source_to_concept_map, concept swap,
+        # omop.concept) must serialize when tables run concurrently —
+        # the reference guards the same sections with a global lock
+        # (etl/etl.py:427-442, 618-625).
+        self._shared_lock = threading.Lock()
 
     @contextmanager
     def _step(self, name: str):
@@ -281,6 +290,7 @@ class EtlPipeline:
             raise EtlError(f"{concept_col}: duplicate custom concept codes {dups}")
 
         prefix = f"{concept_col}__"
+        self._shared_lock.acquire()
         swap = None
         if self.wh.exists("work", self.CONCEPT_SWAP):
             swap = self.wh.read(self.spark, "work", self.CONCEPT_SWAP)
@@ -306,10 +316,13 @@ class EtlPipeline:
                 "concept_code",
             )
         )
-        if self.wh.exists("omop", "concept"):
-            target = self.wh.read(self.spark, "omop", "concept")
-            concept_rows = merge_upsert(target, concept_rows, ["concept_id"])
-        self.wh.write(concept_rows, "omop", "concept")
+        try:
+            if self.wh.exists("omop", "concept"):
+                target = self.wh.read(self.spark, "omop", "concept")
+                concept_rows = merge_upsert(target, concept_rows, ["concept_id"])
+            self.wh.write(concept_rows, "omop", "concept")
+        finally:
+            self._shared_lock.release()
 
         if usagi is None:
             return None
@@ -399,10 +412,13 @@ class EtlPipeline:
             F.lit("2099-12-31").cast("date").alias("valid_end_date"),
             F.lit(None).cast("string").alias("invalid_reason"),
         ).distinct()
-        if self.wh.exists("omop", self.STCM):
-            target = self.wh.read(self.spark, "omop", self.STCM)
-            rows = merge_upsert(target, rows, ["source_code", "target_concept_id"])
-        self.wh.write(rows, "omop", self.STCM)
+        with self._shared_lock:
+            if self.wh.exists("omop", self.STCM):
+                target = self.wh.read(self.spark, "omop", self.STCM)
+                rows = merge_upsert(
+                    target, rows, ["source_code", "target_concept_id"]
+                )
+            self.wh.write(rows, "omop", self.STCM)
 
     def invalidate_stale_mappings(self, etl_start: str | None = None) -> None:
         """M1 (bq:etl/SOURCE_TO_CONCEPT_MAP_update_invalid_reason.sql.jinja):
@@ -435,20 +451,39 @@ class EtlPipeline:
 
     # -- full run ---------------------------------------------------------
     def run(
-        self, inputs: dict[str, TableInputs], etl_start: str | None = None
+        self,
+        inputs: dict[str, TableInputs],
+        etl_start: str | None = None,
+        max_parallel_tables: int = 4,
     ) -> list[str]:
-        """Run all tables in FK-dependency order, then stage 2, then
-        invalidate mappings not re-confirmed this run (§3.1 step 6).
+        """Run all tables in FK-dependency order (tables within a level
+        concurrently, like the reference's ``max_parallel_tables``), then
+        stage 2, then invalidate mappings not re-confirmed this run
+        (§3.1 step 6).
 
         Returns the ordered list of tables processed.
         """
         processed: list[str] = []
+
+        def _one(table: str) -> str:
+            with self._step(f"stage1:{table}"):
+                self.run_table(self.registry[table], inputs[table], etl_start)
+            return table
+
         for level in self.registry.dependency_levels():
-            for table in level:
-                if table in inputs:
-                    with self._step(f"stage1:{table}"):
-                        self.run_table(self.registry[table], inputs[table], etl_start)
-                    processed.append(table)
+            todo = [t for t in level if t in inputs]
+            if not todo:
+                continue
+            if max_parallel_tables > 1 and len(todo) > 1:
+                # Tables within a level are FK-independent; run them
+                # concurrently like the reference's table thread pool
+                # (etl/etl.py:161-175, max_parallel_tables).  Spark jobs
+                # from driver threads interleave on the scheduler; shared
+                # table writes serialize on _shared_lock.
+                with ThreadPoolExecutor(max_parallel_tables) as pool:
+                    processed.extend(pool.map(_one, todo))
+            else:
+                processed.extend(_one(t) for t in todo)
         for table in processed:
             with self._step(f"stage2:{table}"):
                 self.run_stage2(self.registry[table])
