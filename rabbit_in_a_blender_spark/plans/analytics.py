@@ -288,8 +288,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'EUROPE'
     )
     SELECT order_year,
-           ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN r ELSE 0 END)
-                 / SUM(r) AS DOUBLE), 4) AS mkt_share
+           ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN r ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(r) AS DOUBLE), 4) AS mkt_share
     FROM rev GROUP BY order_year
     """,
     doc="Market share: conditional decimal agg over a 4-dim star join (Q8 shape).",
@@ -314,7 +314,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
             F.round(
-                (F.sum(national) / F.sum(rev)).cast("double"), 4
+                F.sum(national).cast("double") / F.sum(rev).cast("double"), 4
             ).alias("mkt_share")
         )
     )
