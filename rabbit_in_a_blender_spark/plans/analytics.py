@@ -145,10 +145,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-    SELECT ROUND(CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                          THEN l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))
-                         ELSE 0 END)
-                 / SUM(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4)))
+                         ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4)))
                  AS DOUBLE), 4) AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -169,7 +169,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
         )
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
+            ).alias("promo_pct")
+        )
     )
 
 
