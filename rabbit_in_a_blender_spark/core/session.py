@@ -40,6 +40,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Swap-table joins bucket both sides on the near-unique source key
+        # x, but their null-safe identity conditions expand to extra
+        # coalesce()/isnull() join keys; allow subset co-partitioning so
+        # the bucketed scans satisfy the join's distribution without a
+        # shuffle (skew risk nil — x is near-unique by construction).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -65,10 +65,22 @@ class EtlPipeline:
         warehouse: Warehouse,
         registry: SchemaRegistry,
         inline_checks: bool = True,
+        bucketed_io: bool = False,
+        buckets: int = 32,
     ):
         self.spark = spark
         self.wh = warehouse
         self.registry = registry
+        # Cluster-scale path: materialized uploads and swap tables are
+        # written bucketed on the source key, so the pk-swap join (the
+        # one fact-fact join in the pipeline) reads two co-partitioned
+        # scans and needs NO exchange (see Warehouse.write_bucketed and
+        # the requireAllClusterKeysForCoPartition note in core.session).
+        # Off by default: at test scale the catalog round-trips cost more
+        # than the shuffle they remove; on a 1000-executor cluster the
+        # shuffle is the bottleneck. Set buckets ~ 2-3x total cores.
+        self.bucketed_io = bucketed_io
+        self.buckets = buckets
         # Warning-level checks cost one extra aggregation job per table;
         # SURVEY §7 rule 8: keep them behind a flag so 100 TB runs can
         # skip the logging-only materializations the reference always pays.
@@ -156,9 +168,19 @@ class EtlPipeline:
 
     def _load_swap(self, table: str) -> DataFrame | None:
         name = self._swap_name(table)
+        if self.bucketed_io and self.wh.exists_bucketed(self.spark, "work", name):
+            return self.wh.read_bucketed(self.spark, "work", name)
         if self.wh.exists("work", name):
             return self.wh.read(self.spark, "work", name)
         return None
+
+    def _write_keyed(self, df: DataFrame, name: str, key: str | None) -> DataFrame:
+        """Materialize a work table, bucketed on ``key`` in cluster mode."""
+        if self.bucketed_io and key is not None:
+            self.wh.write_bucketed(df, "work", name, [key], buckets=self.buckets)
+            return self.wh.read_bucketed(self.spark, "work", name)
+        self.wh.write(df, "work", name)
+        return self.wh.read(self.spark, "work", name)
 
     # -- stage 1 ----------------------------------------------------------
     def run_table(
@@ -203,8 +225,7 @@ class EtlPipeline:
         # lineage (DISTINCT + usagi joins) from computing 3× — once for
         # the swap identities, once for the pk apply, once for the final
         # write — to once.
-        self.wh.write(upload, "work", f"{spec.name}__upload")
-        upload = self.wh.read(self.spark, "work", f"{spec.name}__upload")
+        upload = self._write_keyed(upload, f"{spec.name}__upload", spec.pk)
 
         # PK swap: persist-or-extend, then replace prequel keys (§2.J).
         if spec.pk:
@@ -220,8 +241,7 @@ class EtlPipeline:
                 concept_cols=spec.concept_cols,
                 event_cols=event_cols,
             )
-            self.wh.write(swap, "work", self._swap_name(spec.name))
-            swap = self.wh.read(self.spark, "work", self._swap_name(spec.name))
+            swap = self._write_keyed(swap, self._swap_name(spec.name), "x")
             self._record_id_map(spec.name, swap)
             upload = apply_pk_swap(
                 upload.withColumnRenamed(spec.pk, "x"),

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -76,18 +77,47 @@ class Warehouse:
         removes the dominant exchange from every fact-fact join in the
         pipeline.  Requires saveAsTable (bucket metadata lives in the
         catalog, session-local derby here, HMS/Glue on a cluster).
+
+        Replacement is staged like ``write``: the new data lands in a
+        fresh location under a staging table name, then the catalog entry
+        is swapped and the old files removed — so a plan may lazily read
+        the table being replaced (swap-table extension on re-runs).
         """
         spark = df.sparkSession
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {zone}")
+        full = f"{zone}.{table}"
+        old_location = self._bucketed_location(spark, zone, table)
+        stg_location = self.path(zone, table) + f"__bucketed__{uuid.uuid4().hex[:8]}"
+        stg_table = f"{full}__stg"
+        spark.sql(f"DROP TABLE IF EXISTS {stg_table}")
         w = df.write.bucketBy(buckets, *keys)
         if sorted_within:
             w = w.sortBy(*keys)
         (
             w.mode("overwrite")
             .format("parquet")
-            .option("path", self.path(zone, table) + "__bucketed")
-            .saveAsTable(f"{zone}.{table}")
+            .option("path", stg_location)
+            .saveAsTable(stg_table)
         )
+        spark.sql(f"DROP TABLE IF EXISTS {full}")
+        spark.sql(f"ALTER TABLE {stg_table} RENAME TO {full}")
+        if old_location and os.path.isdir(old_location):
+            shutil.rmtree(old_location, ignore_errors=True)
+
+    def _bucketed_location(
+        self, spark: SparkSession, zone: str, table: str
+    ) -> str | None:
+        if not self.exists_bucketed(spark, zone, table):
+            return None
+        rows = spark.sql(f"DESCRIBE FORMATTED {zone}.{table}").collect()
+        for r in rows:
+            if r.col_name == "Location":
+                loc = r.data_type
+                return loc[7:] if loc.startswith("file:") else loc
+        return None
+
+    def exists_bucketed(self, spark: SparkSession, zone: str, table: str) -> bool:
+        return spark.catalog.tableExists(f"{zone}.{table}")
 
     def read_bucketed(self, spark: SparkSession, zone: str, table: str) -> DataFrame:
         return spark.table(f"{zone}.{table}")

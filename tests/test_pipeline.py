@@ -367,3 +367,66 @@ def test_run_records_step_metrics(spark, wh):
     assert any(n.startswith("stage2:note") for n in names)
     assert names[-1] == "invalidate_stale_mappings"
     assert all(s >= 0 for _, s in pipe.metrics)
+
+
+def test_bucketed_io_pipeline_matches_plain_and_is_stable(spark, wh):
+    """bucketed_io=True (the cluster path) must produce exactly the same
+    tables as the plain path, stay id-stable across re-runs, and give the
+    pk-swap join co-partitioned inputs (no exchange on either side)."""
+    from rabbit_in_a_blender_spark.mapping.swap import apply_pk_swap
+    from rabbit_in_a_blender_spark.operators.skew import explain_shuffle_count
+
+    plain = EtlPipeline(spark, wh, REGISTRY)
+    plain.run(_inputs(spark))
+    expected = {
+        t: sorted(map(str, wh.read(spark, "omop", t).collect()))
+        for t in ("person", "visit", "note")
+    }
+
+    d = tempfile.mkdtemp(prefix="riab_wh_bkt_")
+    try:
+        bwh = Warehouse(d)
+        pipe = EtlPipeline(spark, bwh, REGISTRY, bucketed_io=True, buckets=4)
+        pipe.run(_inputs(spark))
+        for t, exp in expected.items():
+            got = sorted(map(str, bwh.read(spark, "omop", t).collect()))
+            assert got == exp, t
+
+        # swap + upload live in the catalog, bucketed on the source key
+        assert bwh.exists_bucketed(spark, "work", "person__pk_swap")
+        assert bwh.exists_bucketed(spark, "work", "person__upload")
+
+        # re-run: staged catalog replacement, ids must not renumber
+        first = {
+            (r["name"], r["gender_concept_id"]): r["person_id"]
+            for r in bwh.read(spark, "omop", "person").collect()
+        }
+        pipe.run(_inputs(spark))
+        second = {
+            (r["name"], r["gender_concept_id"]): r["person_id"]
+            for r in bwh.read(spark, "omop", "person").collect()
+        }
+        assert first == second
+
+        # the signature plan property: pk-swap join without exchanges
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            up = bwh.read_bucketed(spark, "work", "person__upload").withColumnRenamed(
+                "person_id", "x"
+            )
+            sw = bwh.read_bucketed(spark, "work", "person__pk_swap")
+            j = apply_pk_swap(up, sw, key_col="x", concept_cols=["gender_concept_id"])
+            assert explain_shuffle_count(j) == 0, (
+                j._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+    finally:
+        for t in ("person__pk_swap", "person__upload", "visit__pk_swap",
+                  "visit__upload", "note__pk_swap", "note__upload"):
+            spark.sql(f"DROP TABLE IF EXISTS work.{t}")
+        shutil.rmtree(d, ignore_errors=True)
