@@ -52,6 +52,10 @@ class TableSpec:
     pointing the column at its parent here.
     ``event_cols`` maps a polymorphic event column -> its discriminator
     column (the *_field_concept_id twin, cdm_5.4_events.json).
+    ``cluster_by`` is the BigQuery CLUSTER BY analog (bq:ddl/
+    OMOPCDM_bigquery_5.4_clustering_fields.json): final table writes
+    range-partition + sort on these keys so parquet rowgroup min/max
+    stats prune selective reads the way clustered tables do.
     """
 
     name: str
@@ -60,6 +64,7 @@ class TableSpec:
     fks: dict[str, str] = field(default_factory=dict)
     concept_cols: list[str] = field(default_factory=list)
     event_cols: dict[str, str] = field(default_factory=dict)
+    cluster_by: list[str] = field(default_factory=list)
 
     def schema(self) -> T.StructType:
         return T.StructType(

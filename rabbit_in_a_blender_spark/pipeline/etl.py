@@ -283,7 +283,7 @@ class EtlPipeline:
             upload = dedup_keep_first(upload, keys)
 
         zone = "work" if spec.event_cols else "omop"
-        self.wh.write(upload, zone, spec.name)
+        self.wh.write(upload, zone, spec.name, cluster_by=spec.cluster_by)
         return upload
 
     ID_MAP = "source_id_to_omop_id_map"
@@ -466,7 +466,7 @@ class EtlPipeline:
             return None
         df = self.wh.read(self.spark, "work", spec.name)
         resolved = resolve_event_columns(df, spec.event_cols, self._load_swap)
-        self.wh.write(resolved, "omop", spec.name)
+        self.wh.write(resolved, "omop", spec.name, cluster_by=spec.cluster_by)
         return resolved
 
     # -- full run ---------------------------------------------------------

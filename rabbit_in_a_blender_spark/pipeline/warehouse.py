@@ -36,14 +36,30 @@ class Warehouse:
     def read(self, spark: SparkSession, zone: str, table: str) -> DataFrame:
         return spark.read.parquet(self.path(zone, table))
 
-    def write(self, df: DataFrame, zone: str, table: str) -> None:
+    def write(
+        self,
+        df: DataFrame,
+        zone: str,
+        table: str,
+        cluster_by: list[str] | None = None,
+    ) -> None:
         """Atomic rebuild (CREATE OR REPLACE TABLE ... AS semantics).
 
         Staged write + rename: the plan may lazily READ the table being
         replaced (e.g. swap-table extension on re-runs) — a plain
         overwrite would delete the input files mid-job.  Rename is atomic
         on posix/HDFS; on object stores swap in Delta instead.
+
+        ``cluster_by`` is the BigQuery CLUSTER BY analog: range-partition
+        + sort on the keys, so each parquet file covers a narrow key
+        range and rowgroup min/max stats prune selective scans.  Range
+        partitioning samples the data, so skewed keys don't produce
+        straggler files the way hash clustering would.
         """
+        if cluster_by:
+            keys = [c for c in cluster_by if c in df.columns]
+            if keys:
+                df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
         target = self.path(zone, table)
         staging = target + ".__staging__"
         shutil.rmtree(staging, ignore_errors=True)

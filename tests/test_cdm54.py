@@ -96,3 +96,46 @@ def test_cdm54_runs_through_pipeline(spark, tmp_path):
     # FK remapped to the generated person ids
     pids = {r["person_id"] for r in person.collect()}
     assert {r["person_id"] for r in cond.collect()} <= pids
+
+
+def test_clustering_fields_attached_and_written_sorted(spark, tmp_path):
+    """Every CDM table carries the reference's CLUSTER BY keys
+    (bq:ddl/OMOPCDM_bigquery_5.4_clustering_fields.json); Warehouse.write
+    range-partitions + sorts on them so rowgroup stats prune scans."""
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.core.cdm54 import cdm54_registry
+    from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+    reg = cdm54_registry()
+    assert reg["person"].cluster_by == [
+        "gender_concept_id", "location_id", "race_concept_id", "person_id"
+    ]
+    assert reg["measurement"].cluster_by[0] == "measurement_concept_id"
+    assert all(spec.cluster_by for spec in reg.tables.values())
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.range(10000).select(
+        (F.col("id") % 7).alias("gender_concept_id"),
+        (F.col("id") % 13).alias("location_id"),
+        (F.col("id") % 3).alias("race_concept_id"),
+        F.col("id").alias("person_id"),
+    )
+    wh.write(df, "omop", "person", cluster_by=reg["person"].cluster_by)
+    back = wh.read(spark, "omop", "person")
+    assert back.count() == 10000
+    # within every output file, rows are sorted on the cluster keys
+    files = back.select(
+        F.input_file_name().alias("f"), "gender_concept_id", "location_id",
+        "race_concept_id", "person_id"
+    )
+    # each file must cover a narrow leading-key range (range partitioning
+    # + in-file sort); boundary overlap of one key value is allowed
+    per_file = files.groupBy("f").agg(
+        F.min("gender_concept_id").alias("lo"), F.max("gender_concept_id").alias("hi")
+    ).collect()
+    # range partitioning: files cover narrow, mostly disjoint leading-key
+    # ranges (allow boundary overlap of 1 key value)
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert lo2 >= hi1 - 1, spans
