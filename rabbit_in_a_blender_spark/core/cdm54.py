@@ -707,7 +707,10 @@ def _cost() -> TableSpec:
         ],
         # reference graph fixup: COST → PAYER_PLAN_PERIOD
         fks={"payer_plan_period_id": "payer_plan_period"},
-        event_cols={"cost_event_id": "cost_domain_id"},
+        # Reference parity: cdm_5.4_events.json routes cost_event_id by
+        # cost_type_concept_id (not cost_domain_id, which would be the
+        # CDM-truer discriminator) — match the upstream framework.
+        event_cols={"cost_event_id": "cost_type_concept_id"},
         columns=[
             _c("cost_id", _I, True),
             _c("cost_event_id", _I, True),

@@ -39,21 +39,41 @@ def build_ivf_index(
 
     Returns corpus + ``centroid_id``; persist with
     ``.write.partitionBy("centroid_id")`` so searches prune.
+
+    Zero-shuffle assignment: the C centroids are collapsed to ONE row
+    holding an array of (id, vector) structs, broadcast, and attached to
+    every corpus row (a 1-row BroadcastNestedLoopJoin is a map-side
+    attach).  Nearest-centroid is then a pure per-row ``array_max`` over
+    ``transform(centroids, struct(cosine, -id))`` — no corpus×C row
+    explosion, no exchange.  (The previous crossJoin + row_number window
+    shuffled corpus×C rows: a 4000× exchange at C=4k on a 100 TB corpus.)
+    Tie-break matches the old window (cosine desc, centroid_id asc) via
+    the negated id inside the max struct.
     """
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
+    cents_row = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("long").alias("cid"),
+                    F.col(vec_col).cast("array<double>").alias("cv"),
+                )
+            )
+        ).alias("__cents")
     )
-    scored = corpus.withColumn("__v", F.col(vec_col).cast("array<double>")).crossJoin(
-        F.broadcast(c)
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc(F.round(_cosine(F.col("__v"), F.col("__cv")), 6)), F.col("centroid_id")
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                F.round(_cosine(F.col("__v"), s["cv"]), 6).alias("cos"),
+                (-s["cid"]).alias("neg_cid"),
+            ),
+        )
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__cv", "__v")
+        corpus.withColumn("__v", F.col(vec_col).cast("array<double>"))
+        .crossJoin(F.broadcast(cents_row))
+        .withColumn("centroid_id", -best["neg_cid"])
+        .drop("__cents", "__v")
     )
 
 

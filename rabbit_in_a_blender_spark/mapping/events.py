@@ -23,6 +23,45 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import polymorphic_resolve
 
+# Table-name → CDM-vocabulary field concept id, mirrored from the
+# reference's literal CASE (bq:etl/{omop_table}_apply_event_columns
+# .sql.jinja:44-141).  Stage 2 replaces the table-name string the user's
+# queries put in the discriminator column with this concept id.  The
+# reference's own "cost" WHEN has an empty literal (an upstream template
+# bug — it would not render runnable SQL), so cost is deliberately
+# absent here and falls through to the ELSE 0 like any unknown value.
+EVENT_TYPE_CONCEPT_IDS: dict[str, int] = {
+    "care_site": 1147195,
+    "cohort_definition": 1147004,
+    "concept": 1146945,
+    "concept_class": 1146963,
+    "condition_era": 1147295,
+    "condition_occurrence": 1147127,
+    "death": 1147064,
+    "device_exposure": 1147115,
+    "domain": 1146960,
+    "dose_era": 1147288,
+    "drug_era": 1147281,
+    "drug_exposure": 1147094,
+    "episode": 756290,
+    "location": 1147187,
+    "measurement": 1147138,
+    "metadata": 756314,
+    "note": 1147156,
+    "note_nlp": 1147589,
+    "observation": 1147165,
+    "observation_period": 1147044,
+    "payer_plan_period": 1147214,
+    "person": 1147026,
+    "procedure_occurrence": 1147082,
+    "provider": 1147201,
+    "relationship": 1146972,
+    "specimen": 1147049,
+    "visit_detail": 1147624,
+    "visit_occurrence": 1147070,
+    "vocabulary": 1146955,
+}
+
 
 def discover_event_tables(
     df: DataFrame, event_cols: Mapping[str, str]
@@ -55,9 +94,15 @@ def resolve_event_columns(
     swap_lookup: Callable[[str], DataFrame | None],
     key_col: str = "x",
     id_col: str = "y",
+    rewrite_discriminator: bool = True,
 ) -> DataFrame:
     """Replace each event column's prequel value by the target table's
-    swapped PK, routed by its discriminator column; unresolvable → 0."""
+    swapped PK, routed by its discriminator column; unresolvable → 0.
+
+    With ``rewrite_discriminator`` the table-name string in the
+    discriminator column is then replaced by its CDM field concept id
+    (ELSE 0), matching the reference's second CASE in
+    apply_event_columns.sql.jinja:68-141."""
     discovered = discover_event_tables(df, event_cols)
     out = df
     for event_col, disc_col in event_cols.items():
@@ -79,4 +124,18 @@ def resolve_event_columns(
             ).drop(f"__res_{event_col}")
         else:
             out = out.withColumn(event_col, F.lit(0).cast("long"))
+        if rewrite_discriminator:
+            mapped = None
+            for table in sorted(targets):
+                cid = EVENT_TYPE_CONCEPT_IDS.get(table)
+                if cid is None:
+                    continue
+                branch = F.when(F.col(disc_col) == F.lit(table), F.lit(cid))
+                mapped = branch if mapped is None else mapped.when(
+                    F.col(disc_col) == F.lit(table), F.lit(cid)
+                )
+            mapped = (
+                F.coalesce(mapped, F.lit(0)) if mapped is not None else F.lit(0)
+            )
+            out = out.withColumn(disc_col, mapped.cast("long"))
     return out

@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _disk_only():
+    from pyspark import StorageLevel
+
+    return StorageLevel.DISK_ONLY
+
+
 def assign_ids(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -47,9 +53,18 @@ def assign_ids(
     )
     with_pid = ordered.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
-    numbered = with_pid.withColumn("__rn", F.row_number().over(w))
+    # Persist before the counts job: repartitionByRange samples its range
+    # boundaries per execution, so without a pin the counts job and the
+    # caller's materialization could see rows in *different* partitions —
+    # duplicate/skipped ids (silent corruption of the stable-PK contract).
+    # DISK_ONLY: this frame is data-sized, not metadata-sized.
+    numbered = with_pid.withColumn("__rn", F.row_number().over(w)).persist(
+        _disk_only()
+    )
     # Tiny driver-side state: one count per partition (thousands of ints,
-    # never data rows) → cumulative offsets.
+    # never data rows) → cumulative offsets.  This action also materializes
+    # the persisted ``numbered`` so every later action reuses the same
+    # partitioning.
     counts = {
         r["__pid"]: r["cnt"]
         for r in numbered.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

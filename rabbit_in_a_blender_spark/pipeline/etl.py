@@ -115,52 +115,58 @@ class EtlPipeline:
         non-standard concepts; raise when a mapped concept's domain is
         outside the column's allowed set.  Both need omop.concept — a
         no-op until a vocabulary is loaded."""
-        if not self.inline_checks or not self.wh.exists("omop", "concept"):
+        if not self.inline_checks:
             return
-        concept = self.wh.read(self.spark, "omop", "concept")
-        cols = concept.columns
-        approved = usagi.filter(
-            F.col("mappingStatus").isin("APPROVED", "SEMI-APPROVED")
-        )
-        if "standard_concept" in cols:
-            lookup = concept.select(
-                F.col("concept_id").alias("__cid"),
-                F.col("standard_concept").alias("__std"),
+        # Read AND consume omop.concept under the shared lock: sibling
+        # FK-level threads replace that table via rename+rmtree, and an
+        # unlocked reader can list files that vanish mid-job.
+        with self._shared_lock:
+            if not self.wh.exists("omop", "concept"):
+                return
+            concept = self.wh.read(self.spark, "omop", "concept")
+            cols = concept.columns
+            approved = usagi.filter(
+                F.col("mappingStatus").isin("APPROVED", "SEMI-APPROVED")
             )
-            non_std = (
-                approved.join(
-                    F.broadcast(lookup), approved["conceptId"] == F.col("__cid")
+            if "standard_concept" in cols:
+                lookup = concept.select(
+                    F.col("concept_id").alias("__cid"),
+                    F.col("standard_concept").alias("__std"),
                 )
-                .filter(F.coalesce(F.col("__std"), F.lit("")) != "S")
-                .limit(100)
-                .collect()
-            )
-            if non_std:
-                log.warning(
-                    "%s.%s: %d mapping(s) to non-standard concepts, e.g. %s",
-                    table,
-                    concept_col,
-                    len(non_std),
-                    [r["sourceCode"] for r in non_std[:5]],
+                non_std = (
+                    approved.join(
+                        F.broadcast(lookup), approved["conceptId"] == F.col("__cid")
+                    )
+                    .filter(F.coalesce(F.col("__std"), F.lit("")) != "S")
+                    .limit(100)
+                    .collect()
                 )
-        if allowed_domains and "domain_id" in cols:
-            lookup = concept.select(
-                F.col("concept_id").alias("__cid"),
-                F.col("domain_id").alias("__dom"),
-            )
-            bad = (
-                approved.join(
-                    F.broadcast(lookup), approved["conceptId"] == F.col("__cid")
+                if non_std:
+                    log.warning(
+                        "%s.%s: %d mapping(s) to non-standard concepts, e.g. %s",
+                        table,
+                        concept_col,
+                        len(non_std),
+                        [r["sourceCode"] for r in non_std[:5]],
+                    )
+            if allowed_domains and "domain_id" in cols:
+                lookup = concept.select(
+                    F.col("concept_id").alias("__cid"),
+                    F.col("domain_id").alias("__dom"),
                 )
-                .filter(~F.col("__dom").isin(allowed_domains))
-                .limit(100)
-                .collect()
-            )
-            if bad:
-                raise EtlError(
-                    f"{table}.{concept_col}: mappings outside domains "
-                    f"{allowed_domains}: {[r['sourceCode'] for r in bad[:5]]}"
+                bad = (
+                    approved.join(
+                        F.broadcast(lookup), approved["conceptId"] == F.col("__cid")
+                    )
+                    .filter(~F.col("__dom").isin(allowed_domains))
+                    .limit(100)
+                    .collect()
                 )
+                if bad:
+                    raise EtlError(
+                        f"{table}.{concept_col}: mappings outside domains "
+                        f"{allowed_domains}: {[r['sourceCode'] for r in bad[:5]]}"
+                    )
 
     # -- swap-table persistence ------------------------------------------
     def _swap_name(self, table: str) -> str:
@@ -334,6 +340,13 @@ class EtlPipeline:
                 "concept_class_id",
                 F.lit(None).cast("string").alias("standard_concept"),
                 "concept_code",
+                # Full 10-column CDM concept schema with the reference's
+                # defaults (CONCEPT_merge.sql.jinja carries all 10): a
+                # 7-column source would crash merge_upsert's
+                # select(*target.columns) once a vocabulary is loaded.
+                F.lit("1970-01-01").cast("date").alias("valid_start_date"),
+                F.lit("2099-12-31").cast("date").alias("valid_end_date"),
+                F.lit(None).cast("string").alias("invalid_reason"),
             )
         )
         try:
@@ -406,33 +419,36 @@ class EtlPipeline:
         from ..operators.joins import merge_upsert
 
         start = F.lit(etl_start).cast("date") if etl_start else F.current_date()
-        vocab = None
-        if self.wh.exists("omop", "concept"):
-            vocab = self.wh.read(self.spark, "omop", "concept").select(
-                F.col("concept_id").alias("__cid"),
-                F.col("vocabulary_id").alias("__voc"),
-            )
-        rows = usagi.filter(
-            F.col("mappingStatus").isin("APPROVED", "SEMI-APPROVED")
-        )
-        if vocab is not None:
-            rows = rows.join(
-                F.broadcast(vocab), rows["conceptId"] == F.col("__cid"), "left"
-            )
-        else:
-            rows = rows.withColumn("__voc", F.lit(None).cast("string"))
-        rows = rows.select(
-            F.col("sourceCode").alias("source_code"),
-            F.lit(0).cast("long").alias("source_concept_id"),
-            F.lit("").alias("source_vocabulary_id"),
-            F.col("sourceName").alias("source_code_description"),
-            F.col("conceptId").cast("long").alias("target_concept_id"),
-            F.col("__voc").alias("target_vocabulary_id"),
-            start.alias("valid_start_date"),
-            F.lit("2099-12-31").cast("date").alias("valid_end_date"),
-            F.lit(None).cast("string").alias("invalid_reason"),
-        ).distinct()
+        # Both shared-table reads (omop.concept for the vocab lookup, the
+        # STCM target) and the write that consumes them stay inside one
+        # lock scope — sibling threads atomically replace these tables.
         with self._shared_lock:
+            vocab = None
+            if self.wh.exists("omop", "concept"):
+                vocab = self.wh.read(self.spark, "omop", "concept").select(
+                    F.col("concept_id").alias("__cid"),
+                    F.col("vocabulary_id").alias("__voc"),
+                )
+            rows = usagi.filter(
+                F.col("mappingStatus").isin("APPROVED", "SEMI-APPROVED")
+            )
+            if vocab is not None:
+                rows = rows.join(
+                    F.broadcast(vocab), rows["conceptId"] == F.col("__cid"), "left"
+                )
+            else:
+                rows = rows.withColumn("__voc", F.lit(None).cast("string"))
+            rows = rows.select(
+                F.col("sourceCode").alias("source_code"),
+                F.lit(0).cast("long").alias("source_concept_id"),
+                F.lit("").alias("source_vocabulary_id"),
+                F.col("sourceName").alias("source_code_description"),
+                F.col("conceptId").cast("long").alias("target_concept_id"),
+                F.col("__voc").alias("target_vocabulary_id"),
+                start.alias("valid_start_date"),
+                F.lit("2099-12-31").cast("date").alias("valid_end_date"),
+                F.lit(None).cast("string").alias("invalid_reason"),
+            ).distinct()
             if self.wh.exists("omop", self.STCM):
                 target = self.wh.read(self.spark, "omop", self.STCM)
                 rows = merge_upsert(

@@ -129,7 +129,14 @@ class Warehouse:
         for r in rows:
             if r.col_name == "Location":
                 loc = r.data_type
-                return loc[7:] if loc.startswith("file:") else loc
+                if loc.startswith("file:"):
+                    # DESCRIBE returns 'file:/path' (single slash) — parse
+                    # as a URI; a fixed [7:] strip mangles it into a
+                    # relative path and the old files never get removed.
+                    from urllib.parse import urlparse
+
+                    return urlparse(loc).path
+                return loc
         return None
 
     def exists_bucketed(self, spark: SparkSession, zone: str, table: str) -> bool:
