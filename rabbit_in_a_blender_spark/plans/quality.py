@@ -10,6 +10,206 @@ from ..quality.checks import fk_orphans, plausible_value_low, start_before_end
 from .catalog import register
 
 
+def _pseudo_cdm(spark: SparkSession, sf_dir: str):
+    """Deterministic pseudo-CDM over the driver testdata, used to
+    hash-prove the Achilles analysis catalog: person ← customer,
+    visit_occurrence ← orders, observation_period ← per-customer order
+    span.  Pure column arithmetic so the DuckDB oracle derives the
+    identical CDM."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    person = c.select(
+        F.col("c_custkey").alias("person_id"),
+        (F.lit(8507) + F.col("c_custkey") % 2).alias("gender_concept_id"),
+        (F.lit(1940) + F.col("c_custkey") % 60).alias("year_of_birth"),
+        F.col("c_nationkey").alias("race_concept_id"),
+        (F.col("c_nationkey") % 5).alias("ethnicity_concept_id"),
+    )
+    odate = F.col("o_orderdate").cast("date")
+    visit = o.select(
+        F.col("o_orderkey").alias("visit_occurrence_id"),
+        F.col("o_custkey").alias("person_id"),
+        (F.lit(9201) + F.col("o_orderkey") % 3).alias("visit_concept_id"),
+        odate.alias("visit_start_date"),
+        F.date_add(odate, (F.col("o_orderkey") % 14).cast("int")).alias(
+            "visit_end_date"
+        ),
+    )
+    obs = o.groupBy(F.col("o_custkey").alias("person_id")).agg(
+        F.min(odate).alias("observation_period_start_date"),
+        F.max(odate).alias("observation_period_end_date"),
+    )
+    source = spark.createDataFrame(
+        [("spark-graft",)], "cdm_source_name string"
+    )
+    tables = {
+        "person": person,
+        "visit_occurrence": visit,
+        "observation_period": obs,
+        "cdm_source": source,
+    }
+    return tables.get
+
+
+# Shared oracle CTEs deriving the identical pseudo-CDM in DuckDB.
+_PSEUDO_CDM_SQL = """
+    WITH person AS (
+      SELECT c_custkey AS person_id,
+             8507 + (c_custkey % 2)  AS gender_concept_id,
+             1940 + (c_custkey % 60) AS year_of_birth,
+             c_nationkey             AS race_concept_id,
+             (c_nationkey % 5)       AS ethnicity_concept_id
+      FROM customer),
+    op AS (
+      SELECT o_custkey AS person_id,
+             MIN(CAST(o_orderdate AS DATE)) AS op_start,
+             MAX(CAST(o_orderdate AS DATE)) AS op_end
+      FROM orders GROUP BY o_custkey),
+    visit AS (
+      SELECT o_orderkey AS visit_occurrence_id,
+             o_custkey  AS person_id,
+             9201 + (o_orderkey % 3) AS visit_concept_id,
+             CAST(o_orderdate AS DATE) AS visit_start_date,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 14 AS INTEGER)
+               AS visit_end_date
+      FROM orders)
+"""
+
+_PAD = (
+    "CAST(NULL AS VARCHAR) AS stratum_2, CAST(NULL AS VARCHAR) AS stratum_3, "
+    "CAST(NULL AS VARCHAR) AS stratum_4, CAST(NULL AS VARCHAR) AS stratum_5"
+)
+
+
+# Achilles content catalog, counts shape: 13 public analysis ids
+# (0-5 demographics, 101/111/112/113 observation period, 200/201/220
+# visits) through quality/achilles_catalog.run_catalog → one
+# achilles_results frame (reference merge etl/achilles.py:507-561).
+@register(
+    "achilles_counts_catalog",
+    oracle=_PSEUDO_CDM_SQL
+    + f"""
+    SELECT 0 AS analysis_id, 'spark-graft' AS stratum_1, {_PAD},
+           CAST(1 AS BIGINT) AS count_value
+    UNION ALL
+    SELECT 1, CAST(NULL AS VARCHAR), {_PAD}, CAST(COUNT(*) AS BIGINT) FROM person
+    UNION ALL
+    SELECT 2, CAST(gender_concept_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM person GROUP BY gender_concept_id
+    UNION ALL
+    SELECT 3, CAST(year_of_birth AS VARCHAR), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM person GROUP BY year_of_birth
+    UNION ALL
+    SELECT 4, CAST(race_concept_id AS VARCHAR), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM person GROUP BY race_concept_id
+    UNION ALL
+    SELECT 5, CAST(ethnicity_concept_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM person GROUP BY ethnicity_concept_id
+    UNION ALL
+    SELECT 101, CAST(year(op.op_start) - p.year_of_birth AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM op JOIN person p USING (person_id)
+    GROUP BY year(op.op_start) - p.year_of_birth
+    UNION ALL
+    SELECT 111, strftime(op_start, '%Y%m'), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM op GROUP BY strftime(op_start, '%Y%m')
+    UNION ALL
+    SELECT 112, strftime(op_end, '%Y%m'), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM op GROUP BY strftime(op_end, '%Y%m')
+    UNION ALL
+    SELECT 113, CAST(cnt AS VARCHAR), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT person_id, COUNT(*) AS cnt FROM op GROUP BY person_id)
+    GROUP BY cnt
+    UNION ALL
+    SELECT 200, CAST(visit_concept_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT person_id, visit_concept_id FROM visit)
+    GROUP BY visit_concept_id
+    UNION ALL
+    SELECT 201, CAST(visit_concept_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM visit GROUP BY visit_concept_id
+    UNION ALL
+    SELECT 220, strftime(visit_start_date, '%Y%m'), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM visit GROUP BY strftime(visit_start_date, '%Y%m')
+    """,
+)
+def achilles_counts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.achilles_catalog import run_catalog
+
+    read = _pseudo_cdm(spark, sf_dir)
+    out = run_catalog(
+        spark,
+        read,
+        analysis_ids=[0, 1, 2, 3, 4, 5, 101, 111, 112, 113, 200, 201, 220],
+    )
+    return out["achilles_results"]
+
+
+_DIST_STATS = [
+    "avg_value",
+    "stdev_value",
+    "median_value",
+    "p10_value",
+    "p25_value",
+    "p75_value",
+    "p90_value",
+]
+
+_DIST_ORACLE_STATS = """
+           CAST(COUNT(*) AS BIGINT)              AS count_value,
+           ROUND(AVG(v), 3)                      AS avg_value,
+           ROUND(stddev_samp(v), 3)              AS stdev_value,
+           ROUND(quantile_cont(v, 0.50), 3)      AS median_value,
+           ROUND(quantile_cont(v, 0.10), 3)      AS p10_value,
+           ROUND(quantile_cont(v, 0.25), 3)      AS p25_value,
+           ROUND(quantile_cont(v, 0.75), 3)      AS p75_value,
+           ROUND(quantile_cont(v, 0.90), 3)      AS p90_value
+"""
+
+
+# Achilles content catalog, distribution shape: ids 102 (age at first
+# observation by gender), 105 (observation length), 203 (visits per
+# person), 211 (visit length) → one achilles_results_dist frame.
+@register(
+    "achilles_dists_catalog",
+    oracle=_PSEUDO_CDM_SQL
+    + f"""
+    SELECT 102 AS analysis_id,
+           CAST(p.gender_concept_id AS VARCHAR) AS stratum_1, {_PAD},
+           {_DIST_ORACLE_STATS}
+    FROM (SELECT person_id, year(op_start) - year_of_birth AS v
+          FROM op JOIN person USING (person_id)) sub
+    JOIN person p USING (person_id)
+    GROUP BY p.gender_concept_id
+    UNION ALL
+    SELECT 105, CAST(NULL AS VARCHAR), {_PAD}, {_DIST_ORACLE_STATS}
+    FROM (SELECT op_end - op_start AS v FROM op)
+    UNION ALL
+    SELECT 203, CAST(NULL AS VARCHAR), {_PAD}, {_DIST_ORACLE_STATS}
+    FROM (SELECT COUNT(*) AS v FROM visit GROUP BY person_id)
+    UNION ALL
+    SELECT 211, CAST(NULL AS VARCHAR), {_PAD}, {_DIST_ORACLE_STATS}
+    FROM (SELECT visit_end_date - visit_start_date AS v FROM visit)
+    """,
+)
+def achilles_dists_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.achilles_catalog import run_catalog
+
+    read = _pseudo_cdm(spark, sf_dir)
+    out = run_catalog(spark, read, analysis_ids=[102, 105, 203, 211])
+    dist = out["achilles_results_dist"]
+    return dist.select(
+        "analysis_id",
+        *[f"stratum_{i}" for i in range(1, 6)],
+        "count_value",
+        *[F.round(c, 3).alias(c) for c in _DIST_STATS],
+    )
+
+
 # plausibleValueLow on lineitem quantity
 @register(
     "dq_plausible_value_low",

@@ -1,0 +1,510 @@
+"""Concrete Achilles analysis catalog — the reference's content layer.
+
+The reference vendors ~290 OHDSI Achilles v1.7.2 analysis SQL files and
+runs them by id (orchestration /root/reference/src/riab/etl/achilles.py:54-227,
+details CSV :237-238, scratch→results merge :507-561; the submodule CSVs
+are consumed interfaces — their ids and semantics are public OHDSI
+knowledge).  This module is the PySpark-native equivalent: each analysis
+is a declarative spec (table, strata, value, optional derivation) that
+compiles to a DataFrame aggregation in one of the two standard shapes
+(quality/achilles.py RESULT_COLS / DIST_COLS), then UNION-merged and
+persisted by ``run_analyses`` exactly like the reference's merge step.
+
+Conventions mirrored from the public Achilles catalog:
+- count analyses strata are stringified (stratum_1..5, NULL-padded);
+- month strata use YYYYMM;
+- "persons with ≥1 X" analyses count distinct persons per stratum;
+- "records per person" analyses are distributions of the per-person
+  record count;
+- age analyses derive ``year(event) - year_of_birth`` via a person join.
+
+Scale: every analysis is a single groupBy (one shuffle, partial
+aggregation map-side); person joins broadcast the 2-column projection.
+``run_catalog`` skips analyses whose tables are absent, like the
+reference skips non-applicable analyses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .achilles import counts_analysis, dist_analysis, run_analyses
+
+# read("table") -> DataFrame | None (absent tables skip their analyses)
+Reader = Callable[[str], DataFrame | None]
+Prepare = Callable[[DataFrame, Reader], DataFrame | None]
+
+
+@dataclass(frozen=True)
+class AnalysisSpec:
+    analysis_id: int
+    doc: str
+    table: str
+    shape: str  # "results" | "dist"
+    strata: tuple[str, ...] = ()
+    value_col: str | None = None
+    prepare: Prepare | None = None
+    requires: tuple[str, ...] = ()
+
+    def build(self, read: Reader) -> DataFrame | None:
+        df = read(self.table)
+        if df is None:
+            return None
+        for t in self.requires:
+            if read(t) is None:
+                return None
+        if self.prepare is not None:
+            df = self.prepare(df, read)
+            if df is None:
+                return None
+        if self.shape == "dist":
+            assert self.value_col is not None
+            return dist_analysis(df, self.analysis_id, self.value_col, self.strata)
+        return counts_analysis(df, self.analysis_id, self.strata)
+
+
+def _ym(col: str):
+    return F.date_format(F.col(col), "yyyyMM")
+
+
+def _with_person_age(df: DataFrame, read: Reader, event_date: str) -> DataFrame | None:
+    """Attach __age = year(event_date) - year_of_birth (broadcast join)."""
+    person = read("person")
+    if person is None:
+        return None
+    p = person.select(
+        F.col("person_id").alias("__pid"),
+        F.col("year_of_birth").alias("__yob"),
+        F.col("gender_concept_id").alias("__gender"),
+    )
+    return (
+        df.join(F.broadcast(p), df["person_id"] == F.col("__pid"))
+        .withColumn("__age", (F.year(event_date) - F.col("__yob")).cast("int"))
+        .drop("__pid", "__yob")
+    )
+
+
+def _distinct_persons(concept_col: str) -> Prepare:
+    def prep(df: DataFrame, read: Reader) -> DataFrame:
+        return df.select("person_id", concept_col).distinct()
+
+    return prep
+
+
+def _per_person_count() -> Prepare:
+    def prep(df: DataFrame, read: Reader) -> DataFrame:
+        return df.groupBy("person_id").agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt")
+        )
+
+    return prep
+
+
+def _month_col(date_col: str) -> Prepare:
+    def prep(df: DataFrame, read: Reader) -> DataFrame:
+        return df.filter(F.col(date_col).isNotNull()).withColumn(
+            "__ym", _ym(date_col)
+        )
+
+    return prep
+
+
+def _duration(start_col: str, end_col: str) -> Prepare:
+    def prep(df: DataFrame, read: Reader) -> DataFrame:
+        return df.filter(
+            F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+        ).withColumn("__days", F.datediff(F.col(end_col), F.col(start_col)))
+
+    return prep
+
+
+def _first_obs_age() -> Prepare:
+    """Age at first observation period start, one row per person."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        firsts = df.groupBy("person_id").agg(
+            F.min("observation_period_start_date").alias("__first_start")
+        )
+        return _with_person_age(firsts, read, "__first_start")
+
+    return prep
+
+
+def _event_age(date_col: str) -> Prepare:
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        return _with_person_age(df.filter(F.col(date_col).isNotNull()), read, date_col)
+
+    return prep
+
+
+def _domain_specs(
+    base_id: int,
+    table: str,
+    concept_col: str,
+    date_col: str,
+    per_person_id: int,
+    month_id: int,
+    extra: Iterable[AnalysisSpec] = (),
+) -> list[AnalysisSpec]:
+    """The standard Achilles quartet every domain table gets:
+    persons-by-concept, records-by-concept, records-per-person dist,
+    records-by-month — ids follow the public catalog's base numbering."""
+    return [
+        AnalysisSpec(
+            base_id,
+            f"Number of persons with at least one {table} record, by {concept_col}",
+            table,
+            "results",
+            (concept_col,),
+            prepare=_distinct_persons(concept_col),
+        ),
+        AnalysisSpec(
+            base_id + 1,
+            f"Number of {table} records, by {concept_col}",
+            table,
+            "results",
+            (concept_col,),
+        ),
+        AnalysisSpec(
+            per_person_id,
+            f"Distribution of number of {table} records per person",
+            table,
+            "dist",
+            (),
+            value_col="__cnt",
+            prepare=_per_person_count(),
+        ),
+        AnalysisSpec(
+            month_id,
+            f"Number of {table} records by month (YYYYMM)",
+            table,
+            "results",
+            ("__ym",),
+            prepare=_month_col(date_col),
+        ),
+        *extra,
+    ]
+
+
+def _build_specs() -> dict[int, AnalysisSpec]:
+    specs: list[AnalysisSpec] = []
+
+    # --- source / person demographics (Achilles 0-5) ---------------------
+    specs += [
+        AnalysisSpec(0, "Source name", "cdm_source", "results", ("cdm_source_name",)),
+        AnalysisSpec(1, "Number of persons", "person", "results", ()),
+        AnalysisSpec(2, "Number of persons by gender", "person", "results", ("gender_concept_id",)),
+        AnalysisSpec(3, "Number of persons by year of birth", "person", "results", ("year_of_birth",)),
+        AnalysisSpec(4, "Number of persons by race", "person", "results", ("race_concept_id",)),
+        AnalysisSpec(5, "Number of persons by ethnicity", "person", "results", ("ethnicity_concept_id",)),
+    ]
+
+    # --- observation period (101-113) ------------------------------------
+    specs += [
+        AnalysisSpec(
+            101,
+            "Number of persons by age at first observation period (age = year of first period start - year of birth)",
+            "observation_period",
+            "results",
+            ("__age",),
+            prepare=_first_obs_age(),
+            requires=("person",),
+        ),
+        AnalysisSpec(
+            102,
+            "Distribution of age at first observation period, by gender",
+            "observation_period",
+            "dist",
+            ("__gender",),
+            value_col="__age",
+            prepare=_first_obs_age(),
+            requires=("person",),
+        ),
+        AnalysisSpec(
+            105,
+            "Distribution of length (days) of observation periods",
+            "observation_period",
+            "dist",
+            (),
+            value_col="__days",
+            prepare=_duration(
+                "observation_period_start_date", "observation_period_end_date"
+            ),
+        ),
+        AnalysisSpec(
+            111,
+            "Number of observation periods starting in each month (YYYYMM)",
+            "observation_period",
+            "results",
+            ("__ym",),
+            prepare=_month_col("observation_period_start_date"),
+        ),
+        AnalysisSpec(
+            112,
+            "Number of observation periods ending in each month (YYYYMM)",
+            "observation_period",
+            "results",
+            ("__ym",),
+            prepare=_month_col("observation_period_end_date"),
+        ),
+        AnalysisSpec(
+            113,
+            "Number of persons by number of observation periods",
+            "observation_period",
+            "results",
+            ("__cnt",),
+            prepare=_per_person_count(),
+        ),
+    ]
+
+    # --- visit occurrence (200-220) ---------------------------------------
+    specs += _domain_specs(
+        200,
+        "visit_occurrence",
+        "visit_concept_id",
+        "visit_start_date",
+        per_person_id=203,
+        month_id=220,
+        extra=[
+            AnalysisSpec(
+                206,
+                "Distribution of age at visit start, by visit_concept_id and gender",
+                "visit_occurrence",
+                "dist",
+                ("visit_concept_id", "__gender"),
+                value_col="__age",
+                prepare=_event_age("visit_start_date"),
+                requires=("person",),
+            ),
+            AnalysisSpec(
+                211,
+                "Distribution of length of visit (days)",
+                "visit_occurrence",
+                "dist",
+                (),
+                value_col="__days",
+                prepare=_duration("visit_start_date", "visit_end_date"),
+            ),
+        ],
+    )
+
+    # --- provider (300-301) ----------------------------------------------
+    specs += [
+        AnalysisSpec(300, "Number of providers", "provider", "results", ()),
+        AnalysisSpec(
+            301,
+            "Number of providers by specialty_concept_id",
+            "provider",
+            "results",
+            ("specialty_concept_id",),
+        ),
+    ]
+
+    # --- condition occurrence (400-420) ----------------------------------
+    specs += _domain_specs(
+        400, "condition_occurrence", "condition_concept_id",
+        "condition_start_date", per_person_id=403, month_id=420,
+    )
+
+    # --- death (500-506) --------------------------------------------------
+    specs += [
+        AnalysisSpec(
+            500,
+            "Number of death records by cause_concept_id",
+            "death",
+            "results",
+            ("cause_concept_id",),
+        ),
+        AnalysisSpec(
+            501,
+            "Number of death records by death_type_concept_id",
+            "death",
+            "results",
+            ("death_type_concept_id",),
+        ),
+        AnalysisSpec(
+            506,
+            "Distribution of age at death, by gender",
+            "death",
+            "dist",
+            ("__gender",),
+            value_col="__age",
+            prepare=_event_age("death_date"),
+            requires=("person",),
+        ),
+    ]
+
+    # --- procedure occurrence (600-620) ----------------------------------
+    specs += _domain_specs(
+        600, "procedure_occurrence", "procedure_concept_id",
+        "procedure_date", per_person_id=603, month_id=620,
+    )
+
+    # --- drug exposure (700-720) ------------------------------------------
+    specs += _domain_specs(
+        700, "drug_exposure", "drug_concept_id",
+        "drug_exposure_start_date", per_person_id=703, month_id=720,
+        extra=[
+            AnalysisSpec(
+                715,
+                "Distribution of days_supply by drug_concept_id",
+                "drug_exposure",
+                "dist",
+                ("drug_concept_id",),
+                value_col="days_supply",
+                prepare=lambda df, read: df.filter(F.col("days_supply").isNotNull()),
+            ),
+            AnalysisSpec(
+                717,
+                "Distribution of quantity by drug_concept_id",
+                "drug_exposure",
+                "dist",
+                ("drug_concept_id",),
+                value_col="quantity",
+                prepare=lambda df, read: df.filter(F.col("quantity").isNotNull()),
+            ),
+        ],
+    )
+
+    # --- observation (800-820) --------------------------------------------
+    specs += _domain_specs(
+        800, "observation", "observation_concept_id",
+        "observation_date", per_person_id=803, month_id=820,
+    )
+
+    # --- drug era (900-920) -----------------------------------------------
+    specs += _domain_specs(
+        900, "drug_era", "drug_concept_id",
+        "drug_era_start_date", per_person_id=903, month_id=920,
+        extra=[
+            AnalysisSpec(
+                907,
+                "Distribution of drug era length (days)",
+                "drug_era",
+                "dist",
+                (),
+                value_col="__days",
+                prepare=_duration("drug_era_start_date", "drug_era_end_date"),
+            ),
+        ],
+    )
+
+    # --- condition era (1000-1020) ----------------------------------------
+    specs += _domain_specs(
+        1000, "condition_era", "condition_concept_id",
+        "condition_era_start_date", per_person_id=1003, month_id=1020,
+        extra=[
+            AnalysisSpec(
+                1007,
+                "Distribution of condition era length (days)",
+                "condition_era",
+                "dist",
+                (),
+                value_col="__days",
+                prepare=_duration(
+                    "condition_era_start_date", "condition_era_end_date"
+                ),
+            ),
+        ],
+    )
+
+    # --- measurement (1800-1820) ------------------------------------------
+    specs += _domain_specs(
+        1800, "measurement", "measurement_concept_id",
+        "measurement_date", per_person_id=1803, month_id=1820,
+        extra=[
+            AnalysisSpec(
+                1815,
+                "Distribution of numeric measurement values, by measurement_concept_id",
+                "measurement",
+                "dist",
+                ("measurement_concept_id",),
+                value_col="value_as_number",
+                prepare=lambda df, read: df.filter(
+                    F.col("value_as_number").isNotNull()
+                ),
+            ),
+        ],
+    )
+
+    # --- device exposure (2100-2120) --------------------------------------
+    specs += _domain_specs(
+        2100, "device_exposure", "device_concept_id",
+        "device_exposure_start_date", per_person_id=2103, month_id=2120,
+    )
+
+    # --- specimen (2000-2001) / note (2201) -------------------------------
+    specs += [
+        AnalysisSpec(
+            2000,
+            "Number of persons with at least one specimen, by specimen_concept_id",
+            "specimen",
+            "results",
+            ("specimen_concept_id",),
+            prepare=_distinct_persons("specimen_concept_id"),
+        ),
+        AnalysisSpec(
+            2001,
+            "Number of specimen records, by specimen_concept_id",
+            "specimen",
+            "results",
+            ("specimen_concept_id",),
+        ),
+        AnalysisSpec(
+            2201,
+            "Number of note records, by note_type_concept_id",
+            "note",
+            "results",
+            ("note_type_concept_id",),
+        ),
+    ]
+
+    out = {s.analysis_id: s for s in specs}
+    assert len(out) == len(specs), "duplicate analysis ids"
+    return out
+
+
+SPECS: dict[int, AnalysisSpec] = _build_specs()
+
+
+def warehouse_reader(spark: SparkSession, warehouse, zone: str = "omop") -> Reader:
+    """Reader over a Warehouse zone (None for absent tables)."""
+
+    def read(table: str) -> DataFrame | None:
+        if not warehouse.exists(zone, table):
+            return None
+        return warehouse.read(spark, zone, table)
+
+    return read
+
+
+def run_catalog(
+    spark: SparkSession,
+    read: Reader,
+    warehouse=None,
+    analysis_ids: Iterable[int] | None = None,
+    exclude_analysis_ids: Iterable[int] | None = None,
+) -> dict[str, DataFrame]:
+    """Run the analysis catalog over a CDM exposed by ``read``.
+
+    Mirrors the reference's id include/exclude filters
+    (etl/achilles.py:69-83) and its skip of non-applicable analyses;
+    results land in achilles_results / achilles_results_dist via
+    ``run_analyses`` (U4 merge, etl/achilles.py:507-561).
+    """
+    wanted = set(analysis_ids) if analysis_ids is not None else None
+    excluded = set(exclude_analysis_ids or ())
+    analyses: dict[int, Callable[[SparkSession], DataFrame]] = {}
+    for aid, spec in sorted(SPECS.items()):
+        if wanted is not None and aid not in wanted:
+            continue
+        if aid in excluded:
+            continue
+        df = spec.build(read)
+        if df is not None:
+            analyses[aid] = lambda _spark, _df=df: _df
+    return run_analyses(spark, warehouse, analyses)
