@@ -149,6 +149,283 @@ def achilles_counts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["achilles_results"]
 
 
+def _mini_registry():
+    """Registry describing the pseudo-CDM, for the DQD sweep queries."""
+    from ..core.registry import ColumnSpec as C
+    from ..core.registry import SchemaRegistry, TableSpec
+
+    person = TableSpec(
+        name="person",
+        pk="person_id",
+        concept_cols=["gender_concept_id", "race_concept_id", "ethnicity_concept_id"],
+        columns=[
+            C("person_id", "integer", True),
+            C("gender_concept_id", "integer", True),
+            C("year_of_birth", "integer", True),
+            C("race_concept_id", "integer"),
+            C("ethnicity_concept_id", "integer"),
+        ],
+    )
+    visit = TableSpec(
+        name="visit_occurrence",
+        pk="visit_occurrence_id",
+        fks={"person_id": "person"},
+        concept_cols=["visit_concept_id"],
+        columns=[
+            C("visit_occurrence_id", "integer", True),
+            C("person_id", "integer", True),
+            C("visit_concept_id", "integer", True),
+            C("visit_start_date", "date", True),
+            C("visit_end_date", "date"),
+        ],
+    )
+    obs = TableSpec(
+        name="observation_period",
+        fks={"person_id": "person"},
+        columns=[
+            C("person_id", "integer", True),
+            C("observation_period_start_date", "date", True),
+            C("observation_period_end_date", "date", True),
+        ],
+    )
+    return SchemaRegistry([person, visit, obs])
+
+
+# ---- DQD sweep oracle: independently recomputes every check the sweep
+# enumerates for the mini registry (names must match the sweep's
+# {family}_{table}_{field} convention; values are re-derived in SQL).
+_DQ_META_COLS = {
+    "person": [
+        "person_id",
+        "gender_concept_id",
+        "year_of_birth",
+        "race_concept_id",
+        "ethnicity_concept_id",
+    ],
+    "visit_occurrence": [
+        "visit_occurrence_id",
+        "person_id",
+        "visit_concept_id",
+        "visit_start_date",
+        "visit_end_date",
+    ],
+    "observation_period": [
+        "person_id",
+        "observation_period_start_date",
+        "observation_period_end_date",
+    ],
+}
+
+
+def _dq_meta_values() -> str:
+    rows = []
+    for t, cols in _DQ_META_COLS.items():
+        rows.append(f"('cdmTable_{t}', 'cdmTable')")
+        for c in cols:
+            rows.append(f"('cdmField_{t}_{c}', 'cdmField')")
+            rows.append(f"('cdmDatatype_{t}_{c}', 'cdmDatatype')")
+    return ",\n           ".join(rows)
+
+
+def _dq_check_sql(
+    name: str, family: str, violated: str, frm: str, threshold: float
+) -> str:
+    if threshold == 0.0:
+        failed = "CASE WHEN SUM(__V) > 0 THEN 1 ELSE 0 END"
+    elif threshold >= 1.0:
+        failed = "0"
+    else:
+        failed = (
+            f"CASE WHEN SUM(__V) / GREATEST(COUNT(*), 1) > {threshold} "
+            "THEN 1 ELSE 0 END"
+        )
+    return f"""
+    SELECT '{name}' AS check_name, '{family}' AS check_family,
+           CAST(SUM(__V) AS BIGINT) AS num_violated_rows,
+           ROUND(SUM(__V) / GREATEST(COUNT(*), 1), 6) AS pct_violated_rows,
+           CAST(COUNT(*) AS BIGINT) AS num_denominator_rows,
+           {failed} AS failed
+    FROM (SELECT CASE WHEN {violated} THEN 1 ELSE 0 END AS __V {frm})
+    """
+
+
+def _dq_pk_sql(name: str, table: str, pk: str) -> str:
+    return f"""
+    SELECT '{name}' AS check_name, 'isPrimaryKey' AS check_family,
+           CAST(COUNT(*) - COUNT(DISTINCT {pk}) AS BIGINT) AS num_violated_rows,
+           ROUND((COUNT(*) - COUNT(DISTINCT {pk})) / GREATEST(COUNT(*), 1), 6)
+             AS pct_violated_rows,
+           CAST(COUNT(*) AS BIGINT) AS num_denominator_rows,
+           CASE WHEN COUNT(*) > COUNT(DISTINCT {pk}) THEN 1 ELSE 0 END AS failed
+    FROM {table}
+    """
+
+
+def _dq_detail_oracle() -> str:
+    req = [
+        ("person", c) for c in ("person_id", "gender_concept_id", "year_of_birth")
+    ] + [
+        ("visit", c)
+        for c in (
+            "visit_occurrence_id",
+            "person_id",
+            "visit_concept_id",
+            "visit_start_date",
+        )
+    ] + [
+        ("obs", c)
+        for c in (
+            "person_id",
+            "observation_period_start_date",
+            "observation_period_end_date",
+        )
+    ]
+    tname = {"person": "person", "visit": "visit_occurrence", "obs": "observation_period"}
+    parts = [
+        f"""
+    SELECT check_name, check_family,
+           CAST(0 AS BIGINT) AS num_violated_rows,
+           ROUND(0 / 1, 6)  AS pct_violated_rows,
+           CAST(1 AS BIGINT) AS num_denominator_rows,
+           0 AS failed
+    FROM (VALUES {_dq_meta_values()}) t(check_name, check_family)
+    """
+    ]
+    for tbl, c in req:
+        parts.append(
+            _dq_check_sql(
+                f"isRequired_{tname[tbl]}_{c}", "isRequired",
+                f"{c} IS NULL", f"FROM {tbl}", 0.0,
+            )
+        )
+    parts.append(_dq_pk_sql("isPrimaryKey_person_person_id", "person", "person_id"))
+    parts.append(
+        _dq_pk_sql(
+            "isPrimaryKey_visit_occurrence_visit_occurrence_id",
+            "visit",
+            "visit_occurrence_id",
+        )
+    )
+    for tbl in ("visit", "obs"):
+        parts.append(
+            _dq_check_sql(
+                f"isForeignKey_{tname[tbl]}_person_id", "isForeignKey",
+                "person_id IS NOT NULL AND __pid IS NULL",
+                f"FROM {tbl} LEFT JOIN (SELECT DISTINCT person_id AS __pid "
+                f"FROM person) pk ON {tbl}.person_id = pk.__pid",
+                0.0,
+            )
+        )
+    parts.append(
+        _dq_check_sql(
+            "plausibleStartBeforeEnd_visit_occurrence_visit_start_date",
+            "plausibleStartBeforeEnd",
+            "visit_start_date IS NOT NULL AND visit_end_date IS NOT NULL "
+            "AND visit_end_date < visit_start_date",
+            "FROM visit", 0.01,
+        )
+    )
+    parts.append(
+        _dq_check_sql(
+            "plausibleStartBeforeEnd_observation_period_observation_period_start_date",
+            "plausibleStartBeforeEnd",
+            "observation_period_start_date IS NOT NULL AND "
+            "observation_period_end_date IS NOT NULL AND "
+            "observation_period_end_date < observation_period_start_date",
+            "FROM obs", 0.01,
+        )
+    )
+    parts.append(
+        _dq_check_sql(
+            "plausibleValueLow_person_year_of_birth", "plausibleValueLow",
+            "year_of_birth IS NOT NULL AND year_of_birth < 1850",
+            "FROM person", 0.01,
+        )
+    )
+    parts.append(
+        _dq_check_sql(
+            "plausibleValueHigh_person_year_of_birth", "plausibleValueHigh",
+            "year_of_birth IS NOT NULL AND year_of_birth > 2099",
+            "FROM person", 0.01,
+        )
+    )
+    for c in ("gender_concept_id", "race_concept_id", "ethnicity_concept_id"):
+        parts.append(
+            _dq_check_sql(
+                f"standardConceptRecordCompleteness_person_{c}",
+                "standardConceptRecordCompleteness",
+                f"{c} IS NULL OR {c} = 0", "FROM person", 1.0,
+            )
+        )
+    parts.append(
+        _dq_check_sql(
+            "standardConceptRecordCompleteness_visit_occurrence_visit_concept_id",
+            "standardConceptRecordCompleteness",
+            "visit_concept_id IS NULL OR visit_concept_id = 0",
+            "FROM visit", 1.0,
+        )
+    )
+    for tbl in ("visit", "obs"):
+        parts.append(
+            _dq_check_sql(
+                f"measurePersonCompleteness_{tname[tbl]}",
+                "measurePersonCompleteness",
+                "__fk IS NULL",
+                f"FROM person LEFT JOIN (SELECT DISTINCT person_id AS __fk "
+                f"FROM {tbl}) f ON person.person_id = f.__fk",
+                1.0,
+            )
+        )
+    return (
+        _PSEUDO_CDM_SQL
+        + """,
+    obs AS (
+      SELECT person_id, op_start AS observation_period_start_date,
+             op_end AS observation_period_end_date
+      FROM op)
+    """
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+@register("dq_sweep_detail", oracle=_dq_detail_oracle())
+def dq_sweep_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven DQD sweep over the pseudo-CDM: every instantiated
+    check row (quality/dqd_sweep.py; reference data_quality.py:57-224)."""
+    from ..quality.dqd_sweep import run_sweep
+
+    res = run_sweep(spark, _pseudo_cdm(spark, sf_dir), _mini_registry())
+    return res.select(
+        "check_name",
+        "check_family",
+        "num_violated_rows",
+        "pct_violated_rows",
+        "num_denominator_rows",
+        "failed",
+    )
+
+
+@register(
+    "dq_sweep_summary",
+    oracle=f"""
+    SELECT check_family,
+           CAST(COUNT(*) AS BIGINT)               AS num_checks,
+           CAST(SUM(failed) AS BIGINT)            AS num_failed,
+           CAST(SUM(num_violated_rows) AS BIGINT) AS total_violated
+    FROM ({_dq_detail_oracle()}) detail
+    GROUP BY check_family
+    """,
+)
+def dq_sweep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-family rollup of the sweep (G5-style; data_quality.py:280-320)."""
+    detail = dq_sweep_detail(spark, sf_dir)
+    return detail.groupBy("check_family").agg(
+        F.count(F.lit(1)).cast("long").alias("num_checks"),
+        F.sum("failed").cast("long").alias("num_failed"),
+        F.sum("num_violated_rows").cast("long").alias("total_violated"),
+    )
+
+
 _DIST_STATS = [
     "avg_value",
     "stdev_value",

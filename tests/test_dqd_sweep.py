@@ -1,0 +1,146 @@
+"""Metadata-driven DQD sweep tests: enumeration breadth over the full
+CDM 5.4 registry, seeded-violation detection, threshold semantics
+(reference data_quality.py:57-101, 209-224, 322-347)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from rabbit_in_a_blender_spark.core.cdm54 import cdm54_registry
+from rabbit_in_a_blender_spark.quality.dqd_sweep import run_sweep
+
+
+def _d(s: str) -> dt.date:
+    return dt.date.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def cdm(spark):
+    person = spark.createDataFrame(
+        [
+            # seeded: person 2 NULL gender; person 3 implausible birth year;
+            # person 4 duplicated pk
+            (1, 8507, 1970, dt.datetime(1970, 3, 1), 8527, 38003563),
+            (2, None, 1980, dt.datetime(1980, 1, 1), 8527, 38003563),
+            (3, 8532, 1800, dt.datetime(1800, 1, 1), 8516, 0),
+            (4, 8507, 1990, dt.datetime(1990, 6, 1), 8516, 0),
+            (4, 8507, 1990, dt.datetime(1990, 6, 1), 8516, 0),
+        ],
+        "person_id long, gender_concept_id long, year_of_birth long, "
+        "birth_datetime timestamp, race_concept_id long, ethnicity_concept_id long",
+    )
+    condition = spark.createDataFrame(
+        [
+            # seeded: row 21 end<start; row 22 orphan person 99; row 23
+            # concept 0; row 24 pre-birth date for person 1 (born 1970)
+            (20, 1, 201826, _d("2020-02-01"), _d("2020-02-10"), 44820889),
+            (21, 1, 201826, _d("2020-04-10"), _d("2020-04-01"), 0),
+            (22, 99, 4329847, _d("2020-07-02"), None, 0),
+            (23, 3, 0, _d("2020-08-01"), None, 0),
+            (24, 1, 201826, _d("1960-01-01"), None, 0),
+        ],
+        "condition_occurrence_id long, person_id long, condition_concept_id long, "
+        "condition_start_date date, condition_end_date date, "
+        "condition_source_concept_id long",
+    )
+    death = spark.createDataFrame(
+        [(3, _d("2020-06-01"), 0)],
+        "person_id long, death_date date, death_type_concept_id long",
+    )
+    tables = {"person": person, "condition_occurrence": condition, "death": death}
+    return tables.get
+
+
+def test_sweep_enumerates_hundreds_of_checks(spark, cdm):
+    res = run_sweep(spark, cdm, cdm54_registry()).cache()
+    total = res.count()
+    # one call sweeps the whole CDM: 39 cdmTable rows + per-column
+    # field/datatype rows + data-level checks on the 3 present tables
+    assert total >= 100
+    fams = {r["check_family"] for r in res.select("check_family").distinct().collect()}
+    assert {
+        "cdmTable",
+        "cdmField",
+        "cdmDatatype",
+        "isRequired",
+        "isPrimaryKey",
+        "isForeignKey",
+        "plausibleValueLow",
+        "plausibleStartBeforeEnd",
+        "plausibleAfterBirth",
+        "plausibleBeforeDeath",
+        "standardConceptRecordCompleteness",
+        "sourceConceptRecordCompleteness",
+        "measurePersonCompleteness",
+    } <= fams
+    res.unpersist()
+
+
+def test_sweep_detects_seeded_violations(spark, cdm):
+    res = run_sweep(spark, cdm, cdm54_registry())
+    rows = {r["check_name"]: r for r in res.collect()}
+
+    # absent table → cdmTable violated
+    assert rows["cdmTable_visit_occurrence"]["num_violated_rows"] == 1
+    assert rows["cdmTable_person"]["num_violated_rows"] == 0
+    # NULL gender on one of 5 person rows
+    r = rows["isRequired_person_gender_concept_id"]
+    assert (r["num_violated_rows"], r["num_denominator_rows"]) == (1, 5)
+    assert r["failed"] == 1
+    # duplicated person pk: 5 rows, 4 distinct → 1 excess
+    assert rows["isPrimaryKey_person_person_id"]["num_violated_rows"] == 1
+    # implausible year_of_birth 1800
+    assert rows["plausibleValueLow_person_year_of_birth"]["num_violated_rows"] == 1
+    # condition end < start once
+    assert (
+        rows["plausibleStartBeforeEnd_condition_occurrence_condition_start_date"][
+            "num_violated_rows"
+        ]
+        == 1
+    )
+    # orphan person_id 99
+    assert rows["isForeignKey_condition_occurrence_person_id"]["num_violated_rows"] == 1
+    # unmapped condition concept (0) on 1 row
+    assert (
+        rows["standardConceptRecordCompleteness_condition_occurrence_condition_concept_id"][
+            "num_violated_rows"
+        ]
+        == 1
+    )
+    # condition dated before person 1's birth
+    assert (
+        rows["plausibleAfterBirth_condition_occurrence_condition_start_date"][
+            "num_violated_rows"
+        ]
+        == 1
+    )
+    # person 3 died 2020-06-01; condition 23 dated 2020-08-01 (>60d after)
+    assert (
+        rows["plausibleBeforeDeath_condition_occurrence_condition_start_date"][
+            "num_violated_rows"
+        ]
+        == 1
+    )
+    # persons without condition rows: 2 and 4 (dup counts once per row → 5-row denom)
+    mpc = rows["measurePersonCompleteness_condition_occurrence"]
+    assert mpc["num_denominator_rows"] == 5
+    assert mpc["num_violated_rows"] == 3  # person 2 + the two pk-4 rows
+    # completeness families are informational: threshold 1.0 never fails
+    assert mpc["failed"] == 0
+
+
+def test_sweep_threshold_override_and_family_filter(spark, cdm):
+    res = run_sweep(
+        spark,
+        cdm,
+        cdm54_registry(),
+        families=["isRequired"],
+        thresholds={"isRequired_person_gender_concept_id": 0.5},
+    )
+    rows = {r["check_name"]: r for r in res.collect()}
+    assert all(r["check_family"] == "isRequired" for r in rows.values())
+    # 1/5 = 0.2 <= 0.5 → passes under the override
+    assert rows["isRequired_person_gender_concept_id"]["failed"] == 0
