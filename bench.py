@@ -147,6 +147,10 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # ETL warmup at the smallest sf: codegen + committer paths compile
+    # once here, so the timed run below measures steady-state execution
+    # (same treatment the headline queries get above).
+    etl_pipeline_bench(spark, "/root/testdata/sf0.001")
     etl_sec, etl_rows = etl_pipeline_bench(spark, sf_dir)
     timings["etl_pipeline_two_stage"] = round(etl_sec, 3)
 

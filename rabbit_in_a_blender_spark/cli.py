@@ -1,0 +1,228 @@
+"""riab-spark CLI — the reference's operational surface on Spark.
+
+Mirrors ``riab``'s commands (/root/reference/src/riab/cli.py:48-282,
+flag surface :454-658): --create-db, --create-folders,
+--import-vocabularies, --run-etl, --cleanup, --data-quality,
+--data-quality-dashboard, --achilles, --print-etl-flow, with an ini
+config resolved by the same cascade (--config flag → RIAB_CONFIG env →
+./riab.ini; cli.py:335-356).
+
+Config file (ini):
+
+    [spark]
+    master = local[*]
+    shuffle_partitions = 32
+    [warehouse]
+    root = ./warehouse
+    [raw]
+    path = ./raw          ; dir of <name>.parquet registered as raw views
+
+Run as ``python -m rabbit_in_a_blender_spark`` (or install the package
+and expose ``riab-spark = rabbit_in_a_blender_spark.cli:main``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import configparser
+import json
+import logging
+import os
+import sys
+from datetime import datetime
+
+log = logging.getLogger("riab_spark")
+
+
+def _read_config(path: str | None) -> configparser.ConfigParser:
+    cfg = configparser.ConfigParser()
+    ini = path or os.environ.get("RIAB_CONFIG")
+    if not ini:
+        candidate = os.path.join(os.getcwd(), "riab.ini")
+        ini = candidate if os.path.exists(candidate) else None
+    if ini:
+        if not os.path.exists(ini):
+            raise SystemExit(f"config file not found: {ini}")
+        cfg.read(ini)
+    return cfg
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="riab-spark",
+        description="PySpark-native OMOP CDM ETL (Rabbit-in-a-Blender capabilities)",
+    )
+    g = p.add_argument_group("commands")
+    g.add_argument("-cd", "--create-db", action="store_true",
+                   help="Create the (empty) OMOP CDM tables in the omop zone")
+    g.add_argument("-cf", "--create-folders", metavar="PATH",
+                   help="Scaffold the ETL folder structure (queries/usagi/custom)")
+    g.add_argument("-i", "--import-vocabularies", metavar="ZIP_OR_DIR",
+                   help="Import an Athena vocabulary export (zip or directory)")
+    g.add_argument("-r", "--run-etl", metavar="PATH",
+                   help="Run the two-stage ETL from a convention folder tree")
+    g.add_argument("-c", "--cleanup", nargs="?", const="ALL", metavar="TABLE",
+                   help="Cleanup all OMOP tables (no arg) or one table")
+    g.add_argument("-dq", "--data-quality", action="store_true",
+                   help="Run the metadata-driven DQD sweep over the CDM")
+    g.add_argument("-dqd", "--data-quality-dashboard", action="store_true",
+                   help="Print the latest DQD run's viewer Overview")
+    g.add_argument("-ach", "--achilles", action="store_true",
+                   help="Generate the Achilles descriptive statistics")
+    g.add_argument("--print-etl-flow", action="store_true",
+                   help="Print the FK-dependency table processing order")
+    o = p.add_argument_group("options")
+    o.add_argument("--config", metavar="INI",
+                   help="ini config path (else $RIAB_CONFIG, else ./riab.ini)")
+    o.add_argument("-t", "--table", action="append",
+                   help="Restrict --run-etl to specific table(s)")
+    o.add_argument("--json", metavar="PATH",
+                   help="With --data-quality: also write viewer JSON here")
+    o.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    cfg = _read_config(args.config)
+
+    from .core.cdm54 import cdm54_registry
+
+    registry = cdm54_registry()
+
+    if args.print_etl_flow:
+        for i, level in enumerate(registry.dependency_levels()):
+            print(f"level {i}: {', '.join(level)}")
+        return 0
+
+    if args.create_folders:
+        from .folders import create_cdm_folders
+
+        created = create_cdm_folders(args.create_folders, registry)
+        print(f"created {len(created)} table folders under {args.create_folders}")
+        return 0
+
+    # Everything below needs Spark + a warehouse.
+    from .core.session import get_spark
+    from .pipeline.warehouse import Warehouse
+
+    wh_root = cfg.get("warehouse", "root", fallback="./warehouse")
+    spark = get_spark(
+        "riab-spark",
+        master=cfg.get("spark", "master", fallback=None),
+        shuffle_partitions=(
+            cfg.getint("spark", "shuffle_partitions")
+            if cfg.has_option("spark", "shuffle_partitions")
+            else None
+        ),
+    )
+    wh = Warehouse(wh_root)
+
+    def _omop_reader():
+        def read(table):
+            if not wh.exists("omop", table):
+                return None
+            return wh.read(spark, "omop", table)
+
+        return read
+
+    if args.create_db:
+        created = []
+        for tname in sorted(registry.tables):
+            if not wh.exists("omop", tname):
+                wh.write(
+                    spark.createDataFrame([], registry[tname].schema()), "omop", tname
+                )
+                created.append(tname)
+        print(f"created {len(created)} empty OMOP tables in {wh_root}/omop")
+        return 0
+
+    if args.import_vocabularies:
+        from .core.cdm54 import vocabulary_schemas
+        from .sources.readers import import_vocabulary_dir, import_vocabulary_zip
+
+        src = args.import_vocabularies
+        fn = import_vocabulary_zip if os.path.isfile(src) else import_vocabulary_dir
+        imported = fn(spark, wh, src, vocabulary_schemas())
+        print(f"imported vocabulary tables: {', '.join(imported) or '(none found)'}")
+        return 0
+
+    if args.run_etl:
+        from .folders import load_table_inputs
+        from .pipeline.etl import EtlPipeline
+
+        raw_path = cfg.get("raw", "path", fallback=None)
+        if raw_path and os.path.isdir(raw_path):
+            for fn in sorted(os.listdir(raw_path)):
+                if fn.endswith(".parquet"):
+                    name = fn[: -len(".parquet")]
+                    spark.read.parquet(os.path.join(raw_path, fn)).createOrReplaceTempView(name)
+                    log.info("registered raw view %s", name)
+        inputs = {}
+        only = set(args.table or [])
+        for tname in sorted(registry.tables):
+            if only and tname not in only:
+                continue
+            ti = load_table_inputs(spark, args.run_etl, registry[tname])
+            if ti is not None:
+                inputs[tname] = ti
+        if not inputs:
+            raise SystemExit(f"no table folders with queries under {args.run_etl}")
+        pipe = EtlPipeline(spark, wh, registry)
+        processed = pipe.run(inputs)
+        print(f"processed tables: {', '.join(processed)}")
+        return 0
+
+    if args.cleanup:
+        from .pipeline.etl import cleanup
+
+        dropped = cleanup(wh, None if args.cleanup == "ALL" else args.cleanup)
+        print(f"dropped: {', '.join(dropped) or '(nothing)'}")
+        return 0
+
+    if args.data_quality:
+        from .quality.dashboard import export_dqd_json
+        from .quality.dqd_sweep import run_sweep
+
+        start = datetime.now()
+        read = _omop_reader()
+        results = run_sweep(
+            spark, read, registry, concept=read("concept"), warehouse=wh
+        )
+        rows = results.count()
+        failed = results.filter("failed = 1").count()
+        print(f"DQD sweep: {rows} checks, {failed} failed → {wh_root}/dqd")
+        if args.json:
+            export_dqd_json(results, args.json, start=start, end=datetime.now())
+            print(f"viewer JSON written to {args.json}")
+        return 0 if failed == 0 else 3
+
+    if args.data_quality_dashboard:
+        from .quality.dashboard import summarize_overview
+
+        if not wh.exists("dqd", "dqdashboard_results"):
+            raise SystemExit("no DQD results — run --data-quality first")
+        rows = [
+            r.asDict() for r in wh.read(spark, "dqd", "dqdashboard_results").collect()
+        ]
+        print(json.dumps(summarize_overview(rows), indent=2))
+        return 0
+
+    if args.achilles:
+        from .quality.achilles_catalog import run_catalog
+
+        out = run_catalog(spark, _omop_reader(), warehouse=wh)
+        for name, df in out.items():
+            print(f"{name}: {df.count()} rows → {wh_root}/achilles/{name}")
+        return 0
+
+    build_parser().print_help()
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

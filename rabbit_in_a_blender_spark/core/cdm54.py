@@ -1092,3 +1092,11 @@ def cdm54_tables() -> list[TableSpec]:
 def cdm54_registry() -> SchemaRegistry:
     """The full CDM 5.4 registry, FK graph ready for dependency_levels()."""
     return SchemaRegistry(cdm54_tables())
+
+
+def vocabulary_schemas():
+    """StructType per vocabulary table, for --import-vocabularies
+    (the reference derives these from the CDM metadata CSVs the same
+    way, etl/import_vocabularies.py:164-185)."""
+    reg = cdm54_registry()
+    return {t: reg[t].schema() for t in VOCABULARY_TABLES if t in reg}

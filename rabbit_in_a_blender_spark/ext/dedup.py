@@ -153,33 +153,56 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    exact: bool = False,
+    num_hashes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard similarity ≥ threshold.
 
-    Without ``candidates`` this joins docs through shared shingles (every
-    pair with ≥1 common shingle is scored — exact, but quadratic in the
-    worst case; feed LSH candidates at scale).  Intersection sizes come
-    from a groupBy on the shingle join; set sizes broadcast back in.
-    Pass ``shingles`` (from :func:`shingle_sets`, ideally persisted) to
-    share one shingle pass with the MinHash stage instead of re-deriving
-    it from the text.
+    DEFAULT is the scale path: when no ``candidates`` frame is given,
+    candidate pairs are derived from MinHash+LSH over the same shingle
+    pass, and only those pairs are scored.  ``exact=True`` opts into the
+    oracle baseline that scores EVERY pair sharing ≥1 shingle —
+    quadratic in the worst case, for correctness comparison only.
+
+    With candidates (given or derived), the intersection is
+    candidate-bounded: the pair list joins each side's shingles and
+    counts matches, so work scales with |candidates| x shingles-per-doc,
+    never all shared-shingle pairs.  Pass ``shingles`` (from
+    :func:`shingle_sets`, ideally persisted) to share one shingle pass
+    with the MinHash stage instead of re-deriving it from the text.
     """
     sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
+    if candidates is None and not exact:
+        if shingles is None:
+            # one shingle pass feeds signatures, sizes AND intersections
+            sh = sh.persist()
+        sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+        candidates = lsh_candidate_pairs(sig, id_col, num_hashes=num_hashes, bands=bands)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter_size"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter_size"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("inter_size"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     return (

@@ -189,13 +189,28 @@ class EtlPipeline:
         return self.wh.read(self.spark, "work", name)
 
     # -- stage 1 ----------------------------------------------------------
-    def run_table(
-        self, spec: TableSpec, inputs: TableInputs, etl_start: str | None = None
-    ) -> DataFrame:
+    def _prepare_upload(
+        self,
+        spec: TableSpec,
+        inputs: TableInputs,
+        etl_start: str | None,
+        pool: ThreadPoolExecutor | None = None,
+    ):
+        """Union+DISTINCT the uploads, run custom-concept/usagi mapping,
+        and materialize the mapped upload in the work zone (the
+        reference's work.{t}__upload__{q} tables, §3.1 step 4d).
+
+        Materializing cuts the upload lineage (DISTINCT + usagi joins)
+        from computing 3× (swap identities, pk apply, final write) to
+        once.  Returns (upload_df, fatal_futures, bookkeeping_futures):
+        fatal checks must settle before the final merge (reference raises
+        pre-merge), bookkeeping (STCM record) just needs awaiting before
+        the run ends — they execute on ``pool`` threads so their Spark
+        jobs overlap the main lineage, mirroring the reference's
+        per-table worker pool (etl/etl.py:211-238,
+        max_worker_threads_per_table)."""
         if not inputs.uploads:
             raise EtlError(f"{spec.name}: no upload queries")
-
-        # UNION ALL of upload tables, dedup on ingest (U1 + B2).
         upload = inputs.uploads[0]
         for u in inputs.uploads[1:]:
             upload = upload.unionByName(u)
@@ -209,88 +224,159 @@ class EtlPipeline:
                 concept_col, custom, usagi_patched.get(concept_col)
             )
 
-        # Usagi mapping per concept column; duplicate mappings are fatal
-        # like the reference (etl/bigquery/etl.py:282-297).
+        fatal, bookkeeping = [], []
+
+        def _dup_check(concept_col, usagi):
+            # duplicate mappings are fatal like the reference
+            # (etl/bigquery/etl.py:282-297)
+            dups = duplicate_mappings(usagi).limit(5).collect()
+            if dups:
+                raise EtlError(
+                    f"{spec.name}.{concept_col}: duplicate usagi mappings {dups}"
+                )
+
         for concept_col in spec.concept_cols:
             usagi = usagi_patched.get(concept_col)
             if usagi is None:
                 upload = upload.withColumn(concept_col, F.lit(0).cast("long"))
                 continue
-            dups = duplicate_mappings(usagi).limit(5).collect()
-            if dups:
-                raise EtlError(f"{spec.name}.{concept_col}: duplicate usagi mappings {dups}")
-            self._check_usagi_concepts(
-                spec.name, concept_col, usagi, inputs.allowed_domains.get(concept_col)
+            if pool is not None:
+                fatal.append(pool.submit(_dup_check, concept_col, usagi))
+                fatal.append(
+                    pool.submit(
+                        self._check_usagi_concepts,
+                        spec.name,
+                        concept_col,
+                        usagi,
+                        inputs.allowed_domains.get(concept_col),
+                    )
+                )
+                bookkeeping.append(
+                    pool.submit(self._record_source_to_concept_map, usagi, etl_start)
+                )
+            else:
+                _dup_check(concept_col, usagi)
+                self._check_usagi_concepts(
+                    spec.name, concept_col, usagi, inputs.allowed_domains.get(concept_col)
+                )
+                self._record_source_to_concept_map(usagi, etl_start)
+            upload = apply_usagi(
+                upload, usagi, source_col=f"{concept_col}__source", out_col=concept_col
             )
-            self._record_source_to_concept_map(usagi, etl_start)
-            upload = apply_usagi(upload, usagi, source_col=f"{concept_col}__source", out_col=concept_col)
 
-        # Materialize the mapped upload in the work zone (the reference's
-        # work.{t}__upload__{q} tables, §3.1 step 4d).  Besides matching
-        # the reference's resumability contract, this cuts the upload
-        # lineage (DISTINCT + usagi joins) from computing 3× — once for
-        # the swap identities, once for the pk apply, once for the final
-        # write — to once.
         upload = self._write_keyed(upload, f"{spec.name}__upload", spec.pk)
+        return upload, fatal, bookkeeping
 
-        # PK swap: persist-or-extend, then replace prequel keys (§2.J).
-        if spec.pk:
-            event_cols = list(spec.event_cols)
-            swap = swap_merge(
-                self._load_swap(spec.name),
-                upload.select(
-                    F.col(spec.pk).alias("x"),
-                    *spec.concept_cols,
-                    *event_cols,
-                ),
-                key_col="x",
-                concept_cols=spec.concept_cols,
-                event_cols=event_cols,
-            )
-            swap = self._write_keyed(swap, self._swap_name(spec.name), "x")
-            self._record_id_map(spec.name, swap)
-            upload = apply_pk_swap(
-                upload.withColumnRenamed(spec.pk, "x"),
-                swap,
-                key_col="x",
-                concept_cols=spec.concept_cols,
-                event_cols=event_cols,
-            ).withColumnRenamed("x", spec.pk)
-
-        # FK remap through parent swaps (J3); required FKs default to 0.
-        fk_swaps, required = {}, {}
-        for fk_col, parent in spec.fks.items():
-            parent_swap = self._load_swap(parent)
-            if parent_swap is not None:
-                fk_swaps[fk_col] = parent_swap.select("x", "y")
-                required[fk_col] = any(
-                    c.name == fk_col and c.required for c in spec.columns
+    def run_table(
+        self,
+        spec: TableSpec,
+        inputs: TableInputs,
+        etl_start: str | None = None,
+        pool: ThreadPoolExecutor | None = None,
+        prepared=None,
+    ) -> DataFrame:
+        own_pool = pool is None
+        if own_pool:
+            pool = ThreadPoolExecutor(max_workers=4)
+        try:
+            if prepared is not None:
+                upload, fatal, bookkeeping = prepared
+            else:
+                upload, fatal, bookkeeping = self._prepare_upload(
+                    spec, inputs, etl_start, pool
                 )
-        if fk_swaps:
-            upload = apply_fk_swaps(upload, fk_swaps, required)
 
-        # Final windowed dedup (W3): one row per (pk, concepts, events) —
-        # preceded by the reference's duplicate-row warning (G1,
-        # bq:etl/{omop_work_table}_merge_check_for_duplicate_rows:3-63).
-        if spec.pk:
-            keys = [spec.pk, *spec.concept_cols, *spec.event_cols]
-            dups = (
-                duplicate_groups(upload, keys).limit(100).collect()
-                if self.inline_checks
-                else []
-            )
-            if dups:
-                log.warning(
-                    "%s: %d duplicate row group(s) before merge, e.g. %s",
-                    spec.name,
-                    len(dups),
-                    dups[:3],
+            # PK swap: persist-or-extend, then replace prequel keys (§2.J).
+            if spec.pk:
+                event_cols = list(spec.event_cols)
+                prior = self._load_swap(spec.name)
+                swap = swap_merge(
+                    prior,
+                    upload.select(
+                        F.col(spec.pk).alias("x"),
+                        *spec.concept_cols,
+                        *event_cols,
+                    ),
+                    key_col="x",
+                    concept_cols=spec.concept_cols,
+                    event_cols=event_cols,
                 )
-            upload = dedup_keep_first(upload, keys)
+                if self.bucketed_io or prior is not None:
+                    # cluster path: read back the bucketed table so the
+                    # pk-swap join sees co-partitioned scans (no exchange).
+                    # Re-run path: the swap lineage scans the PRIOR swap
+                    # parquet, which the write below replaces — write
+                    # first, read back, so consumers see the new files.
+                    swap = self._write_keyed(swap, self._swap_name(spec.name), "x")
+                else:
+                    # first-run plain path: the swap lineage is pinned by
+                    # the persist inside assign_ids (and reads no prior
+                    # files), so the parquet write, the id-map write and
+                    # the pk join can all consume it CONCURRENTLY (three
+                    # driver threads, one shared cached frame) — the
+                    # swap/bookkeeping writes overlap the final merge
+                    # instead of serializing before it.
+                    bookkeeping.append(
+                        pool.submit(
+                            self._write_keyed, swap, self._swap_name(spec.name), "x"
+                        )
+                    )
+                bookkeeping.append(pool.submit(self._record_id_map, spec.name, swap))
+                upload = apply_pk_swap(
+                    upload.withColumnRenamed(spec.pk, "x"),
+                    swap,
+                    key_col="x",
+                    concept_cols=spec.concept_cols,
+                    event_cols=event_cols,
+                ).withColumnRenamed("x", spec.pk)
 
-        zone = "work" if spec.event_cols else "omop"
-        self.wh.write(upload, zone, spec.name, cluster_by=spec.cluster_by)
-        return upload
+            # FK remap through parent swaps (J3); required FKs default to 0.
+            fk_swaps, required = {}, {}
+            for fk_col, parent in spec.fks.items():
+                parent_swap = self._load_swap(parent)
+                if parent_swap is not None:
+                    fk_swaps[fk_col] = parent_swap.select("x", "y")
+                    required[fk_col] = any(
+                        c.name == fk_col and c.required for c in spec.columns
+                    )
+            if fk_swaps:
+                upload = apply_fk_swaps(upload, fk_swaps, required)
+
+            # Final windowed dedup (W3): one row per (pk, concepts, events) —
+            # preceded by the reference's duplicate-row warning (G1,
+            # bq:etl/{omop_work_table}_merge_check_for_duplicate_rows:3-63),
+            # which is logging-only and runs on a pool thread overlapping
+            # the final write.
+            if spec.pk:
+                keys = [spec.pk, *spec.concept_cols, *spec.event_cols]
+                if self.inline_checks:
+                    pre_dedup = upload
+
+                    def _dup_warning():
+                        dups = duplicate_groups(pre_dedup, keys).limit(100).collect()
+                        if dups:
+                            log.warning(
+                                "%s: %d duplicate row group(s) before merge, e.g. %s",
+                                spec.name,
+                                len(dups),
+                                dups[:3],
+                            )
+
+                    bookkeeping.append(pool.submit(_dup_warning))
+                upload = dedup_keep_first(upload, keys)
+
+            # Fatal checks settle BEFORE the final merge (reference order);
+            # bookkeeping settles before returning.
+            for f in fatal:
+                f.result()
+            zone = "work" if spec.event_cols else "omop"
+            self.wh.write(upload, zone, spec.name, cluster_by=spec.cluster_by)
+            for f in bookkeeping:
+                f.result()
+            return upload
+        finally:
+            if own_pool:
+                pool.shutdown(wait=True)
 
     ID_MAP = "source_id_to_omop_id_map"
     CONCEPT_SWAP = "concept_id__swap"
@@ -500,26 +586,52 @@ class EtlPipeline:
         Returns the ordered list of tables processed.
         """
         processed: list[str] = []
+        prefetched: dict[str, object] = {}
 
-        def _one(table: str) -> str:
-            with self._step(f"stage1:{table}"):
-                self.run_table(self.registry[table], inputs[table], etl_start)
-            return table
+        with ThreadPoolExecutor(max(4, 2 * max_parallel_tables)) as pool:
 
-        for level in self.registry.dependency_levels():
-            todo = [t for t in level if t in inputs]
-            if not todo:
-                continue
-            if max_parallel_tables > 1 and len(todo) > 1:
-                # Tables within a level are FK-independent; run them
-                # concurrently like the reference's table thread pool
-                # (etl/etl.py:161-175, max_parallel_tables).  Spark jobs
-                # from driver threads interleave on the scheduler; shared
-                # table writes serialize on _shared_lock.
-                with ThreadPoolExecutor(max_parallel_tables) as pool:
-                    processed.extend(pool.map(_one, todo))
-            else:
-                processed.extend(_one(t) for t in todo)
+            def _one(table: str) -> str:
+                with self._step(f"stage1:{table}"):
+                    prep = prefetched.pop(table, None)
+                    self.run_table(
+                        self.registry[table],
+                        inputs[table],
+                        etl_start,
+                        pool=pool,
+                        prepared=prep.result() if prep is not None else None,
+                    )
+                return table
+
+            levels = [
+                [t for t in level if t in inputs]
+                for level in self.registry.dependency_levels()
+            ]
+            for i, todo in enumerate(levels):
+                if not todo:
+                    continue
+                # Pipeline the level barrier: the NEXT level's upload
+                # preparation (union+DISTINCT+usagi join+work write) only
+                # needs mapping inputs, not parent swaps — prefetch it on
+                # pool threads while this level runs, so the level
+                # boundary only serializes the swap/FK-dependent stages.
+                for nxt in levels[i + 1] if i + 1 < len(levels) else []:
+                    prefetched[nxt] = pool.submit(
+                        self._prepare_upload,
+                        self.registry[nxt],
+                        inputs[nxt],
+                        etl_start,
+                        pool,
+                    )
+                if max_parallel_tables > 1 and len(todo) > 1:
+                    # Tables within a level are FK-independent; run them
+                    # concurrently like the reference's table thread pool
+                    # (etl/etl.py:161-175, max_parallel_tables).  Spark
+                    # jobs from driver threads interleave on the
+                    # scheduler; shared writes serialize on _shared_lock.
+                    with ThreadPoolExecutor(max_parallel_tables) as tpool:
+                        processed.extend(tpool.map(_one, todo))
+                else:
+                    processed.extend(_one(t) for t in todo)
         for table in processed:
             with self._step(f"stage2:{table}"):
                 self.run_stage2(self.registry[table])

@@ -70,8 +70,12 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact=True opts into the all-shared-shingle oracle baseline the
+    DuckDB side computes; the DEFAULT ngram_jaccard_pairs path derives
+    MinHash-LSH candidates first (the composed pipeline is oracle-proven
+    by ext_dedup_pipeline)."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05, exact=True)
 
 
 @register(

@@ -1,0 +1,125 @@
+"""CLI smoke tests: every riab-spark subcommand against tmp fixtures
+(reference surface cli.py:48-282)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from rabbit_in_a_blender_spark.cli import main
+
+
+@pytest.fixture()
+def tmpdir_():
+    d = tempfile.mkdtemp(prefix="riab_cli_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def env(spark, tmpdir_):
+    """Config ini + raw zone + etl folders under one tmp root."""
+    root = str(tmpdir_)
+    raw = os.path.join(root, "raw")
+    os.makedirs(raw)
+    spark.createDataFrame(
+        [(1, "M", 1970), (2, "F", 1980), (2, "F", 1980), (3, "X", 1990)],
+        "id int, gender string, yob int",
+    ).write.parquet(os.path.join(raw, "person_raw.parquet"))
+
+    etl_dir = os.path.join(root, "omop_folders")
+    os.makedirs(os.path.join(etl_dir, "person", "gender_concept_id"))
+    with open(os.path.join(etl_dir, "person", "load.sql"), "w") as f:
+        f.write(
+            "SELECT CAST(id AS STRING) AS person_id, "
+            "gender AS gender_concept_id__source, "
+            "CAST(yob AS BIGINT) AS year_of_birth FROM person_raw"
+        )
+    with open(
+        os.path.join(etl_dir, "person", "gender_concept_id", "sex_usagi.csv"), "w"
+    ) as f:
+        f.write(
+            "sourceCode,sourceName,mappingStatus,conceptId,conceptName,domainId\n"
+            "M,Male,APPROVED,8507,MALE,Gender\n"
+            "F,Female,APPROVED,8532,FEMALE,Gender\n"
+        )
+
+    ini = os.path.join(root, "riab.ini")
+    with open(ini, "w") as f:
+        f.write(f"[warehouse]\nroot = {root}/warehouse\n[raw]\npath = {raw}\n")
+    return {"root": root, "ini": ini, "etl_dir": etl_dir}
+
+
+def test_print_etl_flow(capsys):
+    assert main(["--print-etl-flow"]) == 0
+    out = capsys.readouterr().out
+    assert "level 0" in out and "person" in out
+
+
+def test_create_folders(env, capsys):
+    target = os.path.join(env["root"], "scaffold")
+    assert main(["--config", env["ini"], "--create-folders", target]) == 0
+    assert os.path.isfile(os.path.join(target, "person", "example.sql"))
+    assert os.path.isdir(
+        os.path.join(target, "condition_occurrence", "condition_concept_id", "custom")
+    )
+    sample = open(os.path.join(target, "person", "example.sql")).read()
+    assert "person_id" in sample and "gender_concept_id__source" in sample
+
+
+def test_run_etl_then_quality_then_achilles_then_cleanup(env, spark, capsys):
+    ini = env["ini"]
+    # --run-etl from the convention folders
+    assert main(["--config", ini, "--run-etl", env["etl_dir"]]) == 0
+    out = capsys.readouterr().out
+    assert "person" in out
+    person = spark.read.parquet(
+        os.path.join(env["root"], "warehouse", "omop", "person")
+    )
+    rows = {r["year_of_birth"]: r for r in person.collect()}
+    assert len(rows) == 3  # DISTINCT dropped the duplicate upload row
+    assert rows[1970]["gender_concept_id"] == 8507  # usagi-mapped
+    assert rows[1990]["gender_concept_id"] == 0  # unmapped source → 0
+    assert isinstance(rows[1970]["person_id"], int)  # prequel renumbered
+
+    # --data-quality with viewer JSON
+    json_path = os.path.join(env["root"], "dqd.json")
+    rc = main(["--config", ini, "--data-quality", "--json", json_path])
+    assert rc in (0, 3)  # 3 = some checks failed (absent tables fail cdmTable)
+    doc = json.load(open(json_path))
+    assert {"Overview", "CheckResults", "Metadata"} <= set(doc)
+    assert doc["Overview"]["countTotal"] == len(doc["CheckResults"])
+    one = doc["CheckResults"][0]
+    assert {"CHECK_NAME", "CATEGORY", "CONTEXT", "NUM_VIOLATED_ROWS"} <= set(one)
+    capsys.readouterr()  # drain the --data-quality progress lines
+
+    # --data-quality-dashboard prints the Overview of the stored run
+    assert main(["--config", ini, "--data-quality-dashboard"]) == 0
+    overview = json.loads(capsys.readouterr().out)
+    assert overview["countTotal"] > 0
+
+    # --achilles persists both result shapes for the present tables
+    assert main(["--config", ini, "--achilles"]) == 0
+    res = spark.read.parquet(
+        os.path.join(env["root"], "warehouse", "achilles", "achilles_results")
+    )
+    ids = {r["analysis_id"] for r in res.select("analysis_id").distinct().collect()}
+    assert {1, 2, 3} <= ids  # person count / by gender / by year of birth
+
+    # --cleanup person drops its artifacts
+    assert main(["--config", ini, "--cleanup", "person"]) == 0
+    assert not os.path.isdir(
+        os.path.join(env["root"], "warehouse", "omop", "person")
+    )
+
+
+def test_create_db(env, spark):
+    assert main(["--config", env["ini"], "--create-db"]) == 0
+    vocab = os.path.join(env["root"], "warehouse", "omop", "vocabulary")
+    assert os.path.isdir(vocab)
+    df = spark.read.parquet(vocab)
+    assert "vocabulary_id" in df.columns and df.count() == 0

@@ -48,9 +48,30 @@ def test_ngram_jaccard_scores(spark):
         "doc_id int, text string",
     )
     out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
-           ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.1).collect()}
+           ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.1, exact=True).collect()}
     assert (1, 2) in out and out[(1, 2)] == 0.5  # 2 shared of 4 distinct shingles
     assert all(p != (1, 3) for p in out)
+
+
+def test_ngram_jaccard_default_is_lsh_bounded(spark):
+    """The default path derives MinHash-LSH candidates: its output is a
+    subset of the exact scoring, and near-identical docs survive."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again!"),
+            (3, "completely unrelated text about something else entirely"),
+        ],
+        "doc_id int, text string",
+    )
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.1, exact=True).collect()}
+    default = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+               ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.1).collect()}
+    assert set(default) <= set(exact)
+    assert (1, 2) in default  # near-dup pair collides in every band
+    for pair, score in default.items():
+        assert score == exact[pair]
 
 
 def test_cosine_topk_exact(spark):
