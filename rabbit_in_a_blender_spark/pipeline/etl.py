@@ -135,7 +135,7 @@ class EtlPipeline:
                 )
                 non_std = (
                     approved.join(
-                        F.broadcast(lookup), approved["conceptId"] == F.col("__cid")
+                        lookup, approved["conceptId"] == F.col("__cid")
                     )
                     .filter(F.coalesce(F.col("__std"), F.lit("")) != "S")
                     .limit(100)
@@ -156,7 +156,7 @@ class EtlPipeline:
                 )
                 bad = (
                     approved.join(
-                        F.broadcast(lookup), approved["conceptId"] == F.col("__cid")
+                        lookup, approved["conceptId"] == F.col("__cid")
                     )
                     .filter(~F.col("__dom").isin(allowed_domains))
                     .limit(100)
@@ -520,7 +520,7 @@ class EtlPipeline:
             )
             if vocab is not None:
                 rows = rows.join(
-                    F.broadcast(vocab), rows["conceptId"] == F.col("__cid"), "left"
+                    vocab, rows["conceptId"] == F.col("__cid"), "left"
                 )
             else:
                 rows = rows.withColumn("__voc", F.lit(None).cast("string"))

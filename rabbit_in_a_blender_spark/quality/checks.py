@@ -132,7 +132,7 @@ def fk_domain(
     lookup = concept.select(
         F.col("concept_id").alias("__cid"), F.col("domain_id").alias("__dom")
     )
-    joined = df.join(F.broadcast(lookup), df[concept_col] == F.col("__cid"), "left")
+    joined = df.join(lookup, df[concept_col] == F.col("__cid"), "left")
     return check_result(
         joined,
         (F.col(concept_col) > 0)
@@ -231,7 +231,7 @@ def fk_class(
         F.col("concept_id").alias("__cid"),
         F.col("concept_class_id").alias("__cls"),
     )
-    joined = df.join(F.broadcast(lookup), df[concept_col] == F.col("__cid"), "left")
+    joined = df.join(lookup, df[concept_col] == F.col("__cid"), "left")
     return check_result(
         joined,
         (F.col(concept_col) > 0)

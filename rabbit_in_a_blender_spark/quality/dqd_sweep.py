@@ -216,6 +216,18 @@ def _table_checks(
                 )
             )
 
+    # measureValueCompleteness over the domain value columns
+    for c in ("value_as_number", "value_as_concept_id", "quantity"):
+        if c in cols and any(sc.name == c for sc in spec.columns):
+            checks.append(
+                _Check(
+                    f"measureValueCompleteness_{tname}_{c}",
+                    "measureValueCompleteness",
+                    c,
+                    F.col(c).isNull(),
+                )
+            )
+
     # isForeignKey: broadcast each parent's distinct key set, left join
     for i, (fk_col, parent) in enumerate(sorted(spec.fks.items())):
         if fk_col not in cols or parent not in registry:
@@ -287,6 +299,44 @@ def _table_checks(
                 )
             )
 
+    # withinVisitDates: the fact's event date must fall inside its
+    # visit's [start, end] (DQD withinVisitDates)
+    if (
+        event_date
+        and event_date in cols
+        and "visit_occurrence_id" in cols
+        and spec.fks.get("visit_occurrence_id") == "visit_occurrence"
+    ):
+        visit = read("visit_occurrence")
+        if visit is not None and {
+            "visit_occurrence_id",
+            "visit_start_date",
+            "visit_end_date",
+        } <= set(visit.columns):
+            v = visit.select(
+                F.col("visit_occurrence_id").alias("__wv_id"),
+                F.col("visit_start_date").alias("__wv_s"),
+                F.col("visit_end_date").alias("__wv_e"),
+            )
+            joined = joined.join(
+                F.broadcast(v),
+                joined["visit_occurrence_id"] == F.col("__wv_id"),
+                "left",
+            )
+            checks.append(
+                _Check(
+                    f"withinVisitDates_{tname}_{event_date}",
+                    "withinVisitDates",
+                    event_date,
+                    F.col("__wv_id").isNotNull()
+                    & F.col(event_date).isNotNull()
+                    & (
+                        (F.col(event_date) < F.col("__wv_s"))
+                        | (F.col(event_date) > F.col("__wv_e"))
+                    ),
+                )
+            )
+
     # fkDomain via the vocabulary concept table (when loaded)
     if concept is not None and "domain_id" in concept.columns:
         for j, c in enumerate(spec.concept_cols):
@@ -298,7 +348,7 @@ def _table_checks(
                 F.col("domain_id").alias(f"__dom{j}"),
             )
             joined = joined.join(
-                F.broadcast(lk), joined[c] == F.col(f"__dc{j}"), "left"
+                lk, joined[c] == F.col(f"__dc{j}"), "left"
             )
             checks.append(
                 _Check(

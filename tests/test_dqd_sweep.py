@@ -132,6 +132,39 @@ def test_sweep_detects_seeded_violations(spark, cdm):
     assert mpc["failed"] == 0
 
 
+def test_within_visit_dates_and_value_completeness(spark):
+    visit = spark.createDataFrame(
+        [(1, 1, 9201, _d("2020-02-01"), _d("2020-02-10"))],
+        "visit_occurrence_id long, person_id long, visit_concept_id long, "
+        "visit_start_date date, visit_end_date date",
+    )
+    measurement = spark.createDataFrame(
+        [
+            # in-visit, NULL value (value-completeness violation)
+            (10, 1, 3027018, _d("2020-02-05"), None, 1),
+            # outside the visit window (withinVisitDates violation)
+            (11, 1, 3027018, _d("2020-03-01"), 70.0, 1),
+            # no visit reference: exempt from withinVisitDates
+            (12, 1, 3027018, _d("2021-01-01"), 71.0, None),
+        ],
+        "measurement_id long, person_id long, measurement_concept_id long, "
+        "measurement_date date, value_as_number double, visit_occurrence_id long",
+    )
+    tables = {"visit_occurrence": visit, "measurement": measurement}
+    res = run_sweep(
+        spark,
+        tables.get,
+        cdm54_registry(),
+        tables=["visit_occurrence", "measurement"],
+        families=["withinVisitDates", "measureValueCompleteness"],
+    )
+    rows = {r["check_name"]: r for r in res.collect()}
+    wv = rows["withinVisitDates_measurement_measurement_date"]
+    assert (wv["num_violated_rows"], wv["num_denominator_rows"]) == (1, 3)
+    mv = rows["measureValueCompleteness_measurement_value_as_number"]
+    assert mv["num_violated_rows"] == 1
+
+
 def test_sweep_threshold_override_and_family_filter(spark, cdm):
     res = run_sweep(
         spark,
