@@ -122,6 +122,65 @@ def _duration(start_col: str, end_col: str) -> Prepare:
     return prep
 
 
+def _continuous_obs_years() -> Prepare:
+    """One row per (person, fully-covered year): explode a year spine
+    from each observation period and keep years the period spans
+    end-to-end (Achilles 109 semantics).  The spine is JVM-side
+    ``sequence`` + ``explode`` — rows ≈ person-years, never a cross
+    join against a calendar table."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame:
+        s, e = (
+            F.col("observation_period_start_date"),
+            F.col("observation_period_end_date"),
+        )
+        years = df.filter(s.isNotNull() & e.isNotNull()).select(
+            "person_id",
+            s.alias("__s"),
+            e.alias("__e"),
+            F.explode(F.sequence(F.year(s), F.year(e))).alias("__year"),
+        )
+        full = years.filter(
+            (F.col("__s") <= F.make_date(F.col("__year"), F.lit(1), F.lit(1)))
+            & (F.col("__e") >= F.make_date(F.col("__year"), F.lit(12), F.lit(31)))
+        )
+        return full.select("person_id", "__year").distinct()
+
+    return prep
+
+
+def _continuous_obs_months() -> Prepare:
+    """One row per (person, fully-covered month) — Achilles 110: month
+    spine via ``sequence(trunc(start,'MM'), trunc(end,'MM'), 1 month)``,
+    kept when the period covers the whole month."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame:
+        s, e = (
+            F.col("observation_period_start_date"),
+            F.col("observation_period_end_date"),
+        )
+        months = df.filter(s.isNotNull() & e.isNotNull()).select(
+            "person_id",
+            s.alias("__s"),
+            e.alias("__e"),
+            F.explode(
+                F.expr(
+                    "sequence(trunc(observation_period_start_date, 'MM'), "
+                    "trunc(observation_period_end_date, 'MM'), interval 1 month)"
+                )
+            ).alias("__month_start"),
+        )
+        full = months.filter(
+            (F.col("__s") <= F.col("__month_start"))
+            & (F.col("__e") >= F.last_day(F.col("__month_start")))
+        )
+        return full.select(
+            "person_id", F.date_format("__month_start", "yyyyMM").alias("__ym")
+        ).distinct()
+
+    return prep
+
+
 def _first_obs_age() -> Prepare:
     """Age at first observation period start, one row per person."""
 
@@ -234,6 +293,22 @@ def _build_specs() -> dict[int, AnalysisSpec]:
             prepare=_duration(
                 "observation_period_start_date", "observation_period_end_date"
             ),
+        ),
+        AnalysisSpec(
+            109,
+            "Number of persons with continuous observation in each year",
+            "observation_period",
+            "results",
+            ("__year",),
+            prepare=_continuous_obs_years(),
+        ),
+        AnalysisSpec(
+            110,
+            "Number of persons with continuous observation in each month (YYYYMM)",
+            "observation_period",
+            "results",
+            ("__ym",),
+            prepare=_continuous_obs_months(),
         ),
         AnalysisSpec(
             111,

@@ -139,6 +139,27 @@ def test_run_catalog_over_cdm_fixture(spark, cdm):
     assert drows[506]["avg_value"] == pytest.approx(66.0)
 
 
+def test_continuous_observation_spine(spark, cdm):
+    """Achilles 109/110: full-coverage year/month spines.
+
+    Fixture periods: p1 2020-01-01..2020-12-31 (full 2020);
+    p2 2020-06-01..2021-05-31 (no full year; full months 202006-202105);
+    p3 2019-01-01..2020-12-31 (full 2019+2020); p4 2021-02-01..2021-03-01
+    (full Feb 2021 only)."""
+    out = run_catalog(spark, cdm, analysis_ids=[109, 110])
+    rows = {
+        (r["analysis_id"], r["stratum_1"]): r["count_value"]
+        for r in out["achilles_results"].collect()
+    }
+    assert rows[(109, "2019")] == 1  # p3
+    assert rows[(109, "2020")] == 2  # p1, p3
+    assert (109, "2021") not in rows  # nobody spans all of 2021
+    assert rows[(110, "202006")] == 3  # p1, p2, p3
+    assert rows[(110, "202102")] == 2  # p2, p4 (p4 covers Feb exactly)
+    assert rows[(110, "202103")] == 1  # p2 only — p4 ends March 1st
+    assert (110, "202106") not in rows  # p2 ends May 31st
+
+
 def test_run_catalog_id_filters(spark, cdm):
     out = run_catalog(spark, cdm, analysis_ids=[1, 2, 105])
     res_ids = {r["analysis_id"] for r in out["achilles_results"].collect()}

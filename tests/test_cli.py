@@ -117,6 +117,21 @@ def test_run_etl_then_quality_then_achilles_then_cleanup(env, spark, capsys):
     )
 
 
+def test_import_vocabularies(env, spark):
+    vocab_dir = os.path.join(env["root"], "vocab")
+    os.makedirs(vocab_dir)
+    with open(os.path.join(vocab_dir, "DOMAIN.csv"), "w") as f:
+        f.write("domain_id\tdomain_name\tdomain_concept_id\n")
+        f.write("Gender\tGender\t2\n")
+        f.write("Condition\tCondition\t19\n")
+    assert main(["--config", env["ini"], "--import-vocabularies", vocab_dir]) == 0
+    dom = spark.read.parquet(
+        os.path.join(env["root"], "warehouse", "omop", "domain")
+    )
+    rows = {r["domain_id"]: r["domain_concept_id"] for r in dom.collect()}
+    assert rows == {"Gender": 2, "Condition": 19}
+
+
 def test_create_db(env, spark):
     assert main(["--config", env["ini"], "--create-db"]) == 0
     vocab = os.path.join(env["root"], "warehouse", "omop", "vocabulary")

@@ -141,6 +141,10 @@ def test_full_pipeline_two_stage(spark, wh):
     assert evs[0] == 0  # the NULL-event row defaults to 0
     assert v1_id in evs  # note N1 → visit V1's new PK
     assert bob_id in evs  # note N2 → person bob's new PK
+    # stage 2 rewrites the discriminator to CDM field concept ids
+    # (EVENT_TYPE_CONCEPT_IDS; 'person' → 1147026, toy 'visit' → 0)
+    discs = {r["note_event_field_concept_id"] for r in note_rows}
+    assert discs == {0, 1147026}
 
 
 def test_rerun_is_stable(spark, wh):
