@@ -101,9 +101,14 @@ def apply_fk_swaps(
 ) -> DataFrame:
     """Remap FK prequel columns through their parent swap tables (J3).
 
-    One LEFT JOIN per FK column (broadcast — swap tables are key-sized
-    relative to facts).  Required FKs default to 0 on miss, nullable FKs
-    stay null (IFNULL routing in bq:etl/{omop_table}_merge.sql.jinja:36-48).
+    One LEFT JOIN per FK column.  The swap side carries only (x, y) —
+    but a PARENT swap is key-per-parent-row, which for person/visit
+    parents is fact-sized at scale, so the broadcast-vs-shuffle choice
+    is left to AQE's runtime size statistics (a forced broadcast of a
+    100M-key person swap would OOM an executor; a dimension-sized swap
+    still broadcasts automatically).  Required FKs default to 0 on
+    miss, nullable FKs stay null (IFNULL routing in
+    bq:etl/{omop_table}_merge.sql.jinja:36-48).
     """
     required = required or {}
     out = df
@@ -113,7 +118,7 @@ def apply_fk_swaps(
             F.col(key_col).alias(f"{alias}_x"), F.col(id_col).alias(f"{alias}_y")
         )
         out = out.join(
-            F.broadcast(sel), out[fk_col] == sel[f"{alias}_x"], "left"
+            sel, out[fk_col] == sel[f"{alias}_x"], "left"
         ).drop(f"{alias}_x")
         mapped = F.col(f"{alias}_y")
         if required.get(fk_col, True):

@@ -92,10 +92,14 @@ def polymorphic_resolve(
     Rows whose discriminator matches no entry get ``default`` (else 0).
 
     Mirrors apply_event_columns: one LEFT JOIN per candidate table plus a
-    CASE chain over the discriminator.  Each dim side is typically small
-    (a swap table of keys) → broadcast joins, no N-way shuffle explosion.
-    The caller should prune ``targets`` to discriminator values actually
-    present (the reference discovers them first — U2 get_event_tables).
+    CASE chain over the discriminator.  Broadcast-vs-shuffle per dim is
+    AQE's call: event targets range from true dimensions (provider) to
+    fact-sized swaps (visit_occurrence at scale) — runtime size stats
+    pick broadcast for the small ones and SMJ with only matching
+    discriminator rows for the big ones (the ``disc == value`` conjunct
+    prunes the probe side).  The caller should prune ``targets`` to
+    discriminator values actually present (the reference discovers them
+    first — U2 get_event_tables).
     """
     out = fact
     resolved: Column | None = None
@@ -105,7 +109,7 @@ def polymorphic_resolve(
             F.col(dim_key).alias(f"{alias}_k"), F.col(dim_out).alias(f"{alias}_v")
         )
         out = out.join(
-            F.broadcast(dim_sel),
+            dim_sel,
             (out[discriminator] == F.lit(disc_value))
             & (out[value_col] == dim_sel[f"{alias}_k"]),
             "left",

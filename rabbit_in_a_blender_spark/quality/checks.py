@@ -59,12 +59,14 @@ def fk_orphans(
 ) -> DataFrame:
     """DQD isForeignKey: child keys with no parent row.
 
-    Left join against the (small, broadcast) parent key set; at scale the
-    parent side of an FK check is the dimension, so broadcast is right.
+    Left join against the parent's distinct key set.  Broadcast vs
+    shuffle is AQE's runtime call: dimension parents broadcast, but a
+    person/visit parent key set is fact-sized at scale and must not be
+    force-broadcast.
     """
     parent_keys = parent.select(F.col(pk).alias("__pk")).distinct()
     joined = child.join(
-        F.broadcast(parent_keys), child[fk] == F.col("__pk"), "left"
+        parent_keys, child[fk] == F.col("__pk"), "left"
     )
     return check_result(
         joined,
@@ -285,7 +287,7 @@ def plausible_after_birth(
     p = person.select(
         F.col(person_pk).alias("__pid"), F.col(birth_col).alias("__birth")
     )
-    joined = fact.join(F.broadcast(p), fact[fact_fk] == F.col("__pid"), "left")
+    joined = fact.join(p, fact[fact_fk] == F.col("__pid"), "left")
     return check_result(
         joined,
         F.col("__birth").isNotNull()
@@ -310,7 +312,7 @@ def plausible_before_death(
     d = death.select(
         F.col(death_pk).alias("__pid"), F.col(death_date_col).alias("__dd")
     )
-    joined = fact.join(F.broadcast(d), fact[fact_fk] == F.col("__pid"), "left")
+    joined = fact.join(d, fact[fact_fk] == F.col("__pid"), "left")
     return check_result(
         joined,
         F.col("__dd").isNotNull()
@@ -340,7 +342,7 @@ def plausible_gender(
     required = F.create_map(
         *[F.lit(x) for kv in gender_specific.items() for x in kv]
     )
-    joined = fact.join(F.broadcast(p), fact[fact_fk] == F.col("__pid"), "left")
+    joined = fact.join(p, fact[fact_fk] == F.col("__pid"), "left")
     req = required[F.col(concept_col)]
     return check_result(
         joined,

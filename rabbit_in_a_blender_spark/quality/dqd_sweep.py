@@ -239,7 +239,7 @@ def _table_checks(
         marker = f"__fk{i}"
         keys = parent_df.select(F.col(parent_pk).alias(marker)).distinct()
         joined = joined.join(
-            F.broadcast(keys), joined[fk_col] == F.col(marker), "left"
+            keys, joined[fk_col] == F.col(marker), "left"
         )
         checks.append(
             _Check(
@@ -264,7 +264,7 @@ def _table_checks(
                 F.col("birth_datetime").alias("__birth"),
             )
             joined = joined.join(
-                F.broadcast(p), joined["person_id"] == F.col("__ab_pid"), "left"
+                p, joined["person_id"] == F.col("__ab_pid"), "left"
             )
             checks.append(
                 _Check(
@@ -283,7 +283,7 @@ def _table_checks(
                 F.col("death_date").alias("__dd"),
             )
             joined = joined.join(
-                F.broadcast(d), joined["person_id"] == F.col("__bd_pid"), "left"
+                d, joined["person_id"] == F.col("__bd_pid"), "left"
             )
             checks.append(
                 _Check(
@@ -319,7 +319,7 @@ def _table_checks(
                 F.col("visit_end_date").alias("__wv_e"),
             )
             joined = joined.join(
-                F.broadcast(v),
+                v,
                 joined["visit_occurrence_id"] == F.col("__wv_id"),
                 "left",
             )
@@ -424,7 +424,7 @@ def _person_completeness(
         marker = f"__mp{i}"
         keys = fact.select(F.col("person_id").alias(marker)).distinct()
         joined = joined.join(
-            F.broadcast(keys), joined["person_id"] == F.col(marker), "left"
+            keys, joined["person_id"] == F.col(marker), "left"
         )
         fact_tables.append((tname, marker))
     if not fact_tables:
