@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ini config path (else $RIAB_CONFIG, else ./riab.ini)")
     o.add_argument("-t", "--table", action="append",
                    help="Restrict --run-etl to specific table(s)")
+    o.add_argument("-q", "--only-query", action="append", metavar="TABLE/FILE.sql",
+                   help="Restrict --run-etl to specific query file(s)")
+    o.add_argument("-se", "--process-semi-approved-mappings", action="store_true",
+                   help="Also map SEMI-APPROVED usagi rows (default: APPROVED only)")
     o.add_argument("--json", metavar="PATH",
                    help="With --data-quality: also write viewer JSON here")
     o.add_argument("-v", "--verbose", action="store_true")
@@ -164,15 +168,30 @@ def main(argv: list[str] | None = None) -> int:
                     log.info("registered raw view %s", name)
         inputs = {}
         only = set(args.table or [])
+        only_queries = set(args.only_query or [])
+        if only_queries:
+            # reference --query TABLE/FILE.sql: restrict to those files
+            # (and implicitly to their tables — cli.py only_query path)
+            only |= {q.split("/", 1)[0] for q in only_queries}
         for tname in sorted(registry.tables):
             if only and tname not in only:
                 continue
-            ti = load_table_inputs(spark, args.run_etl, registry[tname])
+            ti = load_table_inputs(
+                spark,
+                args.run_etl,
+                registry[tname],
+                only_queries=only_queries or None,
+            )
             if ti is not None:
                 inputs[tname] = ti
         if not inputs:
             raise SystemExit(f"no table folders with queries under {args.run_etl}")
-        pipe = EtlPipeline(spark, wh, registry)
+        pipe = EtlPipeline(
+            spark,
+            wh,
+            registry,
+            process_semi_approved_mappings=args.process_semi_approved_mappings,
+        )
         processed = pipe.run(inputs)
         print(f"processed tables: {', '.join(processed)}")
         return 0

@@ -110,13 +110,18 @@ def create_cdm_folders(root: str, registry: SchemaRegistry) -> list[str]:
 
 
 def load_table_inputs(
-    spark: SparkSession, root: str, spec: TableSpec
+    spark: SparkSession,
+    root: str,
+    spec: TableSpec,
+    only_queries: set[str] | None = None,
 ) -> TableInputs | None:
     """Read one table's convention folder into TableInputs.
 
     Upload queries are plain Spark SQL over the session's registered raw
     views (the reference renders them against the raw dataset the same
-    way, etl/etl.py:325-350); sample/template files are skipped."""
+    way, etl/etl.py:325-350); sample/template files are skipped.
+    ``only_queries`` restricts to specific "table/file.sql" entries
+    (the reference's --query filter, etl/etl.py:108-115)."""
     from functools import reduce
 
     from pyspark.sql import DataFrame
@@ -127,6 +132,8 @@ def load_table_inputs(
     uploads = []
     for fn in sorted(os.listdir(tdir)):
         if fn.endswith(".sql") and fn != "example.sql":
+            if only_queries and f"{spec.name}/{fn}" not in only_queries:
+                continue
             with open(os.path.join(tdir, fn), encoding="utf-8") as f:
                 uploads.append(spark.sql(f.read()))
     if not uploads:

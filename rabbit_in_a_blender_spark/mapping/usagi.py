@@ -64,15 +64,18 @@ def apply_usagi(
     source_col: str,
     out_col: str,
     keep_source: bool = True,
+    semi: bool = True,
 ) -> DataFrame:
     """Map ``source_col`` codes to concept ids; unmapped → 0.
 
     LEFT JOIN with the status predicate folded into the join condition
     (J2); the usagi frame is mapping-table-sized → broadcast.  Fan-out to
     k rows per k-mapped code is intentional and flows into the PK-swap
-    identity (one source row → k CDM rows with k PKs).
+    identity (one source row → k CDM rows with k PKs).  ``semi`` mirrors
+    the reference's --process-semi-approved-mappings switch (cli.py) —
+    False keeps APPROVED rows only.
     """
-    m = approved_mappings(usagi).select(
+    m = approved_mappings(usagi, semi=semi).select(
         F.col("sourceCode").alias("__src"), F.col("conceptId").alias("__cid")
     )
     out = upload.join(

@@ -67,10 +67,16 @@ class EtlPipeline:
         inline_checks: bool = True,
         bucketed_io: bool = False,
         buckets: int = 32,
+        process_semi_approved_mappings: bool = True,
     ):
         self.spark = spark
         self.wh = warehouse
         self.registry = registry
+        # Reference --process-semi-approved-mappings (cli.py): whether
+        # SEMI-APPROVED usagi rows map (the reference defaults to
+        # APPROVED-only; this library defaults to True — documented in
+        # COVERAGE.md; the CLI flag mirrors the reference default).
+        self.semi = process_semi_approved_mappings
         # Cluster-scale path: materialized uploads and swap tables are
         # written bucketed on the source key, so the pk-swap join (the
         # one fact-fact join in the pipeline) reads two co-partitioned
@@ -125,9 +131,10 @@ class EtlPipeline:
                 return
             concept = self.wh.read(self.spark, "omop", "concept")
             cols = concept.columns
-            approved = usagi.filter(
-                F.col("mappingStatus").isin("APPROVED", "SEMI-APPROVED")
+            statuses = (
+                ["APPROVED", "SEMI-APPROVED"] if self.semi else ["APPROVED"]
             )
+            approved = usagi.filter(F.col("mappingStatus").isin(statuses))
             if "standard_concept" in cols:
                 lookup = concept.select(
                     F.col("concept_id").alias("__cid"),
@@ -261,7 +268,11 @@ class EtlPipeline:
                 )
                 self._record_source_to_concept_map(usagi, etl_start)
             upload = apply_usagi(
-                upload, usagi, source_col=f"{concept_col}__source", out_col=concept_col
+                upload,
+                usagi,
+                source_col=f"{concept_col}__source",
+                out_col=concept_col,
+                semi=self.semi,
             )
 
         upload = self._write_keyed(upload, f"{spec.name}__upload", spec.pk)
@@ -515,9 +526,10 @@ class EtlPipeline:
                     F.col("concept_id").alias("__cid"),
                     F.col("vocabulary_id").alias("__voc"),
                 )
-            rows = usagi.filter(
-                F.col("mappingStatus").isin("APPROVED", "SEMI-APPROVED")
+            statuses = (
+                ["APPROVED", "SEMI-APPROVED"] if self.semi else ["APPROVED"]
             )
+            rows = usagi.filter(F.col("mappingStatus").isin(statuses))
             if vocab is not None:
                 rows = rows.join(
                     vocab, rows["conceptId"] == F.col("__cid"), "left"

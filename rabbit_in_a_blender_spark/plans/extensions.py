@@ -402,3 +402,39 @@ def ext_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.05, candidates=cand, shingles=sh
     )
+
+
+@register(
+    "ext_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    doc="Multimodal plumbing through the driver gate: documents.text "
+    "encoded to a binary payload, typed media frame, Arrow mapInPandas "
+    "feature pass (ext/multimodal.py) — byte counts hash-proven; the "
+    "stubbed codec's histogram features are exercised but asserted in "
+    "tests/test_multimodal.py (not SQL-expressible).",
+)
+def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.multimodal import extract_features
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    media = d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            ((F.col("doc_id") % 3) + 1).cast("int"),
+        ).alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_features(media).select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes")
+    )

@@ -426,6 +426,37 @@ def dq_sweep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Achilles 109/110: continuous-observation date spines — persons whose
+# observation period fully covers each year/month.  Spark derives the
+# spine with sequence+explode; DuckDB independently with generate_series.
+@register(
+    "achilles_continuous_obs",
+    oracle=_PSEUDO_CDM_SQL
+    + f"""
+    SELECT 109 AS analysis_id, CAST(y AS VARCHAR) AS stratum_1, {_PAD},
+           CAST(COUNT(DISTINCT person_id) AS BIGINT) AS count_value
+    FROM op, UNNEST(generate_series(year(op_start), year(op_end))) AS t(y)
+    WHERE op_start <= make_date(y, 1, 1) AND op_end >= make_date(y, 12, 31)
+    GROUP BY y
+    UNION ALL
+    SELECT 110, strftime(m, '%Y%m'), {_PAD},
+           CAST(COUNT(DISTINCT person_id) AS BIGINT)
+    FROM op,
+         UNNEST(generate_series(date_trunc('month', op_start),
+                                date_trunc('month', op_end),
+                                INTERVAL 1 MONTH)) AS t(m)
+    WHERE op_start <= m AND op_end >= last_day(CAST(m AS DATE))
+    GROUP BY strftime(m, '%Y%m')
+    """,
+)
+def achilles_continuous_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.achilles_catalog import run_catalog
+
+    read = _pseudo_cdm(spark, sf_dir)
+    out = run_catalog(spark, read, analysis_ids=[109, 110])
+    return out["achilles_results"]
+
+
 _DIST_STATS = [
     "avg_value",
     "stdev_value",

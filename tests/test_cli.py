@@ -46,6 +46,7 @@ def env(spark, tmpdir_):
             "sourceCode,sourceName,mappingStatus,conceptId,conceptName,domainId\n"
             "M,Male,APPROVED,8507,MALE,Gender\n"
             "F,Female,APPROVED,8532,FEMALE,Gender\n"
+            "X,Unknown,SEMI-APPROVED,8551,UNKNOWN,Gender\n"
         )
 
     ini = os.path.join(root, "riab.ini")
@@ -83,8 +84,20 @@ def test_run_etl_then_quality_then_achilles_then_cleanup(env, spark, capsys):
     rows = {r["year_of_birth"]: r for r in person.collect()}
     assert len(rows) == 3  # DISTINCT dropped the duplicate upload row
     assert rows[1970]["gender_concept_id"] == 8507  # usagi-mapped
-    assert rows[1990]["gender_concept_id"] == 0  # unmapped source → 0
+    # SEMI-APPROVED not processed by default (reference CLI default)
+    assert rows[1990]["gender_concept_id"] == 0
     assert isinstance(rows[1970]["person_id"], int)  # prequel renumbered
+
+    # rerun with --process-semi-approved-mappings: X now maps to 8551
+    assert main(
+        ["--config", ini, "--run-etl", env["etl_dir"],
+         "--process-semi-approved-mappings"]
+    ) == 0
+    person = spark.read.parquet(
+        os.path.join(env["root"], "warehouse", "omop", "person")
+    )
+    semi = {r["year_of_birth"]: r["gender_concept_id"] for r in person.collect()}
+    assert semi[1990] == 8551
 
     # --data-quality with viewer JSON
     json_path = os.path.join(env["root"], "dqd.json")
