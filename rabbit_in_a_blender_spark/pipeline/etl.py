@@ -657,11 +657,20 @@ class EtlPipeline:
 def cleanup(warehouse: Warehouse, table: str | None = None) -> list[str]:
     """Reference ``--cleanup``: drop work/omop artifacts for one table
     (or everything), including its swap so ids restart
-    (etl/cleanup.py:26-172)."""
+    (etl/cleanup.py:26-172).  Single-table cleanup also drops the
+    table's partition of the id-map audit table (the reference's
+    SOURCE_ID_TO_OMOP_ID_MAP_remove_ids_by_omop_table, M3)."""
     dropped = []
     for zone in ("work", "omop"):
         for t in warehouse.list_tables(zone):
             if table is None or t == table or t.startswith(f"{table}__"):
                 warehouse.drop(zone, t)
                 dropped.append(f"{zone}.{t}")
+    if table is not None:
+        part = f"{EtlPipeline.ID_MAP}/omop_table={table}"
+        import os
+
+        if os.path.isdir(warehouse.path("work", part)):
+            warehouse.drop("work", part)
+            dropped.append(f"work.{part}")
     return dropped

@@ -194,6 +194,10 @@ def test_cleanup(spark, wh):
     assert "omop.person" in dropped and "work.person__pk_swap" in dropped
     assert not wh.exists("omop", "person")
     assert wh.exists("omop", "visit")
+    # the table's id-map partition goes too (reference M3 cleanup)
+    assert "work.source_id_to_omop_id_map/omop_table=person" in dropped
+    assert not wh.exists("work", "source_id_to_omop_id_map/omop_table=person")
+    assert wh.exists("work", "source_id_to_omop_id_map/omop_table=visit")
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
