@@ -405,12 +405,33 @@ class EtlPipeline:
         from ..mapping.custom_concepts import (
             assign_custom_concept_ids,
             duplicate_concept_codes,
+            validate_custom_concepts,
         )
         from ..operators.joins import merge_upsert
 
         dups = duplicate_concept_codes(custom).limit(5).collect()
         if dups:
             raise EtlError(f"{concept_col}: duplicate custom concept codes {dups}")
+
+        # Referential validation (J8) against the vocabulary tables when a
+        # vocabulary is loaded — fatal, like etl/bigquery/etl.py:146-177.
+        with self._shared_lock:
+            if all(
+                self.wh.exists("omop", t)
+                for t in ("domain", "vocabulary", "concept_class")
+            ):
+                bad = validate_custom_concepts(
+                    custom,
+                    self.wh.read(self.spark, "omop", "domain"),
+                    self.wh.read(self.spark, "omop", "vocabulary"),
+                    self.wh.read(self.spark, "omop", "concept_class"),
+                ).collect()
+                if bad:
+                    raise EtlError(
+                        f"{concept_col}: custom concepts with unknown domain/"
+                        f"vocabulary/class: "
+                        f"{[r['concept_code'] for r in bad[:5]]}"
+                    )
 
         prefix = f"{concept_col}__"
         self._shared_lock.acquire()

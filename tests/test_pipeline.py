@@ -10,7 +10,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from rabbit_in_a_blender_spark.core.registry import ColumnSpec, SchemaRegistry, TableSpec
-from rabbit_in_a_blender_spark.pipeline.etl import EtlPipeline, TableInputs, cleanup
+from rabbit_in_a_blender_spark.pipeline.etl import (
+    EtlError,
+    EtlPipeline,
+    TableInputs,
+    cleanup,
+)
 from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
 
 REGISTRY = SchemaRegistry(
@@ -308,6 +313,42 @@ def test_custom_concepts_flow(spark, wh):
         r["concept_code"]: r for r in wh.read(spark, "omop", "concept").collect()
     }
     assert concept2["GENDER_NB"]["concept_id"] == nb_id
+
+
+def test_custom_concepts_referential_validation(spark, wh):
+    """J8: with a vocabulary loaded, custom concepts naming an unknown
+    domain/vocabulary/class are fatal (etl/bigquery/etl.py:146-177)."""
+    wh.write(
+        spark.createDataFrame([("Gender",)], "domain_id string"), "omop", "domain"
+    )
+    wh.write(
+        spark.createDataFrame([("Custom",)], "vocabulary_id string"),
+        "omop",
+        "vocabulary",
+    )
+    wh.write(
+        spark.createDataFrame([("Gender",)], "concept_class_id string"),
+        "omop",
+        "concept_class",
+    )
+    custom = spark.createDataFrame(
+        [("bad", "BAD_CODE", "NoSuchDomain", "Custom", "Gender")],
+        "concept_name string, concept_code string, domain_id string, "
+        "vocabulary_id string, concept_class_id string",
+    )
+    upload = spark.createDataFrame(
+        [("PK_P1", "BAD_CODE", "x")],
+        "person_id string, gender_concept_id__source string, name string",
+    )
+    pipe = EtlPipeline(spark, wh, REGISTRY)
+    with pytest.raises(EtlError, match="unknown domain"):
+        pipe.run_table(
+            REGISTRY["person"],
+            TableInputs(
+                uploads=[upload],
+                custom_concepts={"gender_concept_id": custom},
+            ),
+        )
 
 
 def test_source_to_concept_map_merge_and_invalidation(spark, wh):
