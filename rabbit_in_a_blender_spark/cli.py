@@ -199,7 +199,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cleanup:
         from .pipeline.etl import cleanup
 
-        dropped = cleanup(wh, None if args.cleanup == "ALL" else args.cleanup)
+        dropped = cleanup(
+            wh, None if args.cleanup == "ALL" else args.cleanup, spark=spark
+        )
         print(f"dropped: {', '.join(dropped) or '(nothing)'}")
         return 0
 

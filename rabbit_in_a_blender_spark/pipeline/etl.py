@@ -226,12 +226,24 @@ class EtlPipeline:
         # Custom concepts first: assign stable ids ≥ 2B, merge into the
         # omop.concept dimension, patch unmapped usagi rows (M2).
         usagi_patched = dict(inputs.usagi)
+        fatal, bookkeeping = [], []
         for concept_col, custom in inputs.custom_concepts.items():
             usagi_patched[concept_col] = self._process_custom_concepts(
                 concept_col, custom, usagi_patched.get(concept_col)
             )
-
-        fatal, bookkeeping = [], []
+            # Persist the custom-concept upload (reference's
+            # work.{t}__{col}_custom_concept tables): cleanup uses it to
+            # remove this table's contributions from omop.concept.
+            # mapping-table-sized by contract → single-file write.
+            # repartition(1), NOT coalesce(1): coalescing an Arrow local
+            # relation to one partition serializes all source partitions
+            # through one task's Arrow conversion (measured ~10x slower);
+            # the tiny round-trip shuffle is cheaper.
+            self.wh.write(
+                custom.repartition(1),
+                "work",
+                f"{spec.name}__{concept_col}__custom_concepts",
+            )
 
         def _dup_check(concept_col, usagi):
             # duplicate mappings are fatal like the reference
@@ -267,6 +279,14 @@ class EtlPipeline:
                     spec.name, concept_col, usagi, inputs.allowed_domains.get(concept_col)
                 )
                 self._record_source_to_concept_map(usagi, etl_start)
+            # Persist the usagi upload (reference's work.{t}__{col}_usagi
+            # tables): resumability/audit + per-table cleanup of the
+            # source_to_concept_map.
+            # human-curated CSVs: dimension-sized → single-file write
+            # (repartition, not coalesce — see custom-concepts note)
+            self.wh.write(
+                usagi.repartition(1), "work", f"{spec.name}__{concept_col}__usagi"
+            )
             upload = apply_usagi(
                 upload,
                 usagi,
@@ -675,13 +695,66 @@ class EtlPipeline:
         return processed
 
 
-def cleanup(warehouse: Warehouse, table: str | None = None) -> list[str]:
+def cleanup(
+    warehouse: Warehouse,
+    table: str | None = None,
+    spark: SparkSession | None = None,
+) -> list[str]:
     """Reference ``--cleanup``: drop work/omop artifacts for one table
     (or everything), including its swap so ids restart
-    (etl/cleanup.py:26-172).  Single-table cleanup also drops the
-    table's partition of the id-map audit table (the reference's
-    SOURCE_ID_TO_OMOP_ID_MAP_remove_ids_by_omop_table, M3)."""
+    (etl/cleanup.py:26-172).  Single-table cleanup additionally:
+
+    - drops the table's partition of the id-map audit table
+      (SOURCE_ID_TO_OMOP_ID_MAP_remove_ids_by_omop_table, M3);
+    - with ``spark``, removes the table's custom concepts from
+      omop.concept (CONCEPT_remove_custom_concepts_by_..., J6/B8) and
+      its mappings from source_to_concept_map
+      (SOURCE_TO_CONCEPT_MAP_remove_concepts_by_..., J11) — driven by
+      the persisted per-table usagi/custom upload work tables, exactly
+      like the reference walks its upload tables.
+    """
+    from ..operators.joins import merge_delete
+
     dropped = []
+    if table is not None and spark is not None:
+        # vocabulary-side removal BEFORE dropping the bookkeeping tables
+        # that identify this table's contributions
+        prefix = f"{table}__"
+        for wt in warehouse.list_tables("work"):
+            if not wt.startswith(prefix):
+                continue
+            if wt.endswith("__custom_concepts") and warehouse.exists(
+                "omop", "concept"
+            ):
+                codes = (
+                    warehouse.read(spark, "work", wt)
+                    .select(F.col("concept_code").alias("__code"))
+                    .distinct()
+                )
+                concept = warehouse.read(spark, "omop", "concept")
+                keep = concept.join(
+                    codes,
+                    (concept["concept_code"] == codes["__code"])
+                    & (concept["concept_id"] >= 2_000_000_000),
+                    "left_anti",
+                )
+                warehouse.write(keep, "omop", "concept")
+                dropped.append(f"omop.concept[custom:{wt}]")
+            if wt.endswith("__usagi") and warehouse.exists(
+                "omop", EtlPipeline.STCM
+            ):
+                srcs = (
+                    warehouse.read(spark, "work", wt)
+                    .select(F.col("sourceCode").alias("source_code"))
+                    .distinct()
+                )
+                stcm = warehouse.read(spark, "omop", EtlPipeline.STCM)
+                warehouse.write(
+                    merge_delete(stcm, srcs, ["source_code"]),
+                    "omop",
+                    EtlPipeline.STCM,
+                )
+                dropped.append(f"omop.{EtlPipeline.STCM}[{wt}]")
     for zone in ("work", "omop"):
         for t in warehouse.list_tables(zone):
             if table is None or t == table or t.startswith(f"{table}__"):

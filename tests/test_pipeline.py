@@ -314,6 +314,20 @@ def test_custom_concepts_flow(spark, wh):
     }
     assert concept2["GENDER_NB"]["concept_id"] == nb_id
 
+    # single-table cleanup removes this table's custom concepts from
+    # omop.concept and its mappings from source_to_concept_map
+    # (reference cleanup by usagi/custom upload tables)
+    cleanup(wh, "person", spark=spark)
+    if wh.exists("omop", "concept"):
+        codes = {r["concept_code"] for r in wh.read(spark, "omop", "concept").collect()}
+        assert "GENDER_NB" not in codes
+    assert wh.exists("omop", "source_to_concept_map")
+    srcs = {
+        r["source_code"]
+        for r in wh.read(spark, "omop", "source_to_concept_map").collect()
+    }
+    assert "GENDER_M" not in srcs and "GENDER_NB" not in srcs
+
 
 def test_custom_concepts_referential_validation(spark, wh):
     """J8: with a vocabulary loaded, custom concepts naming an unknown
