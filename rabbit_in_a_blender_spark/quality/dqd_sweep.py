@@ -52,6 +52,7 @@ DEFAULT_THRESHOLDS: dict[str, float] = {
     "isPrimaryKey": 0.0,
     "isForeignKey": 0.0,
     "fkDomain": 0.0,
+    "fkClass": 0.0,
     "plausibleValueLow": 0.01,
     "plausibleValueHigh": 0.01,
     "plausibleStartBeforeEnd": 0.01,
@@ -73,6 +74,14 @@ PLAUSIBLE_RANGES: dict[str, tuple[float, float]] = {
     "day_of_birth": (1, 31),
     "days_supply": (0, 365),
     "refills": (0, 24),
+}
+
+# table → concept column → required concept class (the Field_Level
+# fkClass column; public DQD applies it to the era tables' drug
+# concepts, which must be Ingredient-level).
+FK_CLASSES: dict[str, dict[str, str]] = {
+    "drug_era": {"drug_concept_id": "Ingredient"},
+    "dose_era": {"drug_concept_id": "Ingredient"},
 }
 
 # Concept column → allowed OMOP domain (the Field_Level fkDomain column).
@@ -358,6 +367,27 @@ def _table_checks(
                     (F.col(c) > 0)
                     & F.col(f"__dom{j}").isNotNull()
                     & (F.col(f"__dom{j}") != F.lit(dom)),
+                )
+            )
+
+    # fkClass: era-table drug concepts must be Ingredient-class
+    if concept is not None and "concept_class_id" in concept.columns:
+        for k, (c, cls) in enumerate(FK_CLASSES.get(tname, {}).items()):
+            if c not in cols:
+                continue
+            lk = concept.select(
+                F.col("concept_id").alias(f"__cc{k}"),
+                F.col("concept_class_id").alias(f"__cls{k}"),
+            )
+            joined = joined.join(lk, joined[c] == F.col(f"__cc{k}"), "left")
+            checks.append(
+                _Check(
+                    f"fkClass_{tname}_{c}",
+                    "fkClass",
+                    c,
+                    (F.col(c) > 0)
+                    & F.col(f"__cls{k}").isNotNull()
+                    & (F.col(f"__cls{k}") != F.lit(cls)),
                 )
             )
 

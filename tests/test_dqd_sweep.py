@@ -165,6 +165,41 @@ def test_within_visit_dates_and_value_completeness(spark):
     assert mv["num_violated_rows"] == 1
 
 
+def test_fk_domain_and_class_with_concept_table(spark):
+    concept = spark.createDataFrame(
+        [
+            (8507, "Gender", "Gender"),
+            (1177480, "Drug", "Ingredient"),
+            (19078924, "Drug", "Branded Drug"),  # not Ingredient-level
+            (201826, "Condition", "Clinical Finding"),
+        ],
+        "concept_id long, domain_id string, concept_class_id string",
+    )
+    drug_era = spark.createDataFrame(
+        [
+            (1, 1, 1177480, _d("2020-01-01"), _d("2020-02-01")),  # ok
+            (2, 1, 19078924, _d("2020-03-01"), _d("2020-04-01")),  # fkClass bad
+            (3, 2, 201826, _d("2020-01-01"), _d("2020-01-02")),  # fkDomain bad
+        ],
+        "drug_era_id long, person_id long, drug_concept_id long, "
+        "drug_era_start_date date, drug_era_end_date date",
+    )
+    tables = {"drug_era": drug_era}
+    res = run_sweep(
+        spark,
+        tables.get,
+        cdm54_registry(),
+        concept=concept,
+        tables=["drug_era"],
+        families=["fkDomain", "fkClass"],
+    )
+    rows = {r["check_name"]: r for r in res.collect()}
+    assert rows["fkDomain_drug_era_drug_concept_id"]["num_violated_rows"] == 1
+    # both the Branded Drug and the Condition concept violate Ingredient
+    assert rows["fkClass_drug_era_drug_concept_id"]["num_violated_rows"] == 2
+    assert rows["fkClass_drug_era_drug_concept_id"]["failed"] == 1
+
+
 def test_sweep_threshold_override_and_family_filter(spark, cdm):
     res = run_sweep(
         spark,
