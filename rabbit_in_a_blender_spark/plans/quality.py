@@ -79,6 +79,10 @@ _PAD = (
     "CAST(NULL AS VARCHAR) AS stratum_2, CAST(NULL AS VARCHAR) AS stratum_3, "
     "CAST(NULL AS VARCHAR) AS stratum_4, CAST(NULL AS VARCHAR) AS stratum_5"
 )
+_PAD3 = (
+    "CAST(NULL AS VARCHAR) AS stratum_3, "
+    "CAST(NULL AS VARCHAR) AS stratum_4, CAST(NULL AS VARCHAR) AS stratum_5"
+)
 
 
 # Achilles content catalog, counts shape: 13 public analysis ids
@@ -132,6 +136,22 @@ _PAD = (
            CAST(COUNT(*) AS BIGINT)
     FROM visit GROUP BY visit_concept_id
     UNION ALL
+    SELECT 202, CAST(visit_concept_id AS VARCHAR),
+           CAST(gender_concept_id AS VARCHAR) AS stratum_2, {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT v.person_id, v.visit_concept_id, p.gender_concept_id
+          FROM visit v JOIN person p USING (person_id))
+    GROUP BY visit_concept_id, gender_concept_id
+    UNION ALL
+    SELECT 204, CAST(visit_concept_id AS VARCHAR),
+           CAST(age_decade AS VARCHAR) AS stratum_2, {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT v.person_id, v.visit_concept_id,
+                 CAST(floor((year(v.visit_start_date) - p.year_of_birth) / 10)
+                      AS INTEGER) AS age_decade
+          FROM visit v JOIN person p USING (person_id))
+    GROUP BY visit_concept_id, age_decade
+    UNION ALL
     SELECT 220, strftime(visit_start_date, '%Y%m'), {_PAD},
            CAST(COUNT(*) AS BIGINT)
     FROM visit GROUP BY strftime(visit_start_date, '%Y%m')
@@ -144,7 +164,7 @@ def achilles_counts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_catalog(
         spark,
         read,
-        analysis_ids=[0, 1, 2, 3, 4, 5, 101, 111, 112, 113, 200, 201, 220],
+        analysis_ids=[0, 1, 2, 3, 4, 5, 101, 111, 112, 113, 200, 201, 202, 204, 220],
     )
     return out["achilles_results"]
 

@@ -200,6 +200,56 @@ def _event_age(date_col: str) -> Prepare:
     return prep
 
 
+def _persons_by_concept_gender(concept_col: str) -> Prepare:
+    """Distinct persons per (concept, gender) — the public x02 slot."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        person = read("person")
+        if person is None:
+            return None
+        p = person.select(
+            F.col("person_id").alias("__pid"),
+            F.col("gender_concept_id").alias("__gender"),
+        )
+        return (
+            df.select("person_id", concept_col)
+            .distinct()
+            .join(F.broadcast(p), F.col("person_id") == F.col("__pid"))
+            .select("person_id", concept_col, "__gender")
+            .distinct()
+        )
+
+    return prep
+
+
+def _persons_by_concept_age_decade(concept_col: str, date_col: str) -> Prepare:
+    """Distinct persons per (concept, age decade at event) — the public
+    x04 slot; decade = floor((year(event) - year_of_birth) / 10)."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        person = read("person")
+        if person is None:
+            return None
+        p = person.select(
+            F.col("person_id").alias("__pid"),
+            F.col("year_of_birth").alias("__yob"),
+        )
+        return (
+            df.filter(F.col(date_col).isNotNull())
+            .join(F.broadcast(p), F.col("person_id") == F.col("__pid"))
+            .select(
+                "person_id",
+                concept_col,
+                F.floor((F.year(date_col) - F.col("__yob")) / 10)
+                .cast("int")
+                .alias("__age_decade"),
+            )
+            .distinct()
+        )
+
+    return prep
+
+
 def _domain_specs(
     base_id: int,
     table: str,
@@ -209,9 +259,11 @@ def _domain_specs(
     month_id: int,
     extra: Iterable[AnalysisSpec] = (),
 ) -> list[AnalysisSpec]:
-    """The standard Achilles quartet every domain table gets:
-    persons-by-concept, records-by-concept, records-per-person dist,
-    records-by-month — ids follow the public catalog's base numbering."""
+    """The standard Achilles sextet every domain table gets:
+    persons-by-concept (x00), records-by-concept (x01), persons by
+    concept+gender (x02), persons by concept+age-decade (x04),
+    records-per-person dist, records-by-month — ids follow the public
+    catalog's base numbering."""
     return [
         AnalysisSpec(
             base_id,
@@ -227,6 +279,24 @@ def _domain_specs(
             table,
             "results",
             (concept_col,),
+        ),
+        AnalysisSpec(
+            base_id + 2,
+            f"Number of persons with at least one {table} record, by {concept_col} and gender",
+            table,
+            "results",
+            (concept_col, "__gender"),
+            prepare=_persons_by_concept_gender(concept_col),
+            requires=("person",),
+        ),
+        AnalysisSpec(
+            base_id + 4,
+            f"Number of persons with at least one {table} record, by {concept_col} and age decade at event",
+            table,
+            "results",
+            (concept_col, "__age_decade"),
+            prepare=_persons_by_concept_age_decade(concept_col, date_col),
+            requires=("person",),
         ),
         AnalysisSpec(
             per_person_id,

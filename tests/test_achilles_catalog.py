@@ -87,7 +87,11 @@ def cdm(spark):
 
 def test_spec_inventory():
     # the judge's bar: >= 50 concrete analyses, both shapes represented
-    assert len(SPECS) >= 50
+    assert len(SPECS) >= 80
+    # the public per-domain sextet: x00/x01/x02/x04 + per-person + month
+    assert SPECS[402].strata == ("condition_concept_id", "__gender")
+    assert SPECS[404].strata == ("condition_concept_id", "__age_decade")
+    assert SPECS[202].table == "visit_occurrence"
     shapes = {s.shape for s in SPECS.values()}
     assert shapes == {"results", "dist"}
     # well-known public ids present with the public semantics
@@ -123,6 +127,18 @@ def test_run_catalog_over_cdm_fixture(spark, cdm):
     # analysis 400: persons with condition 201826 = 1 (two records)
     assert rows[(400, "201826")] == 1
     assert rows[(401, "201826")] == 2
+    # analysis 402/404: by gender / age decade (person 1: male, born 1970,
+    # condition events 2020 → age 50 → decade 5)
+    by_gender = {
+        (r["stratum_1"], r["stratum_2"]): r["count_value"]
+        for r in res.filter("analysis_id = 402").collect()
+    }
+    assert by_gender[("201826", "8507")] == 1
+    by_decade = {
+        (r["stratum_1"], r["stratum_2"]): r["count_value"]
+        for r in res.filter("analysis_id = 404").collect()
+    }
+    assert by_decade[("201826", "5")] == 1
     # analyses for absent tables (drug 701, device 2101) must be skipped
     present_ids = {aid for aid, _ in rows}
     assert 701 not in present_ids and 2101 not in present_ids
