@@ -61,6 +61,12 @@ class AnalysisSpec:
             df = self.prepare(df, read)
             if df is None:
                 return None
+        # Skip non-applicable analyses (reference behavior): a source
+        # missing one of this analysis's columns — e.g. a slim fixture
+        # without the *_type_concept_id column — just doesn't run it.
+        needed = set(self.strata) | ({self.value_col} if self.value_col else set())
+        if not needed <= set(df.columns):
+            return None
         if self.shape == "dist":
             assert self.value_col is not None
             return dist_analysis(df, self.analysis_id, self.value_col, self.strata)
@@ -257,14 +263,28 @@ def _domain_specs(
     date_col: str,
     per_person_id: int,
     month_id: int,
+    type_col: str | None = None,
     extra: Iterable[AnalysisSpec] = (),
 ) -> list[AnalysisSpec]:
-    """The standard Achilles sextet every domain table gets:
+    """The standard Achilles set every domain table gets:
     persons-by-concept (x00), records-by-concept (x01), persons by
-    concept+gender (x02), persons by concept+age-decade (x04),
-    records-per-person dist, records-by-month — ids follow the public
-    catalog's base numbering."""
-    return [
+    concept+gender (x02), persons by concept+age-decade (x04), records
+    by concept+type (x05), records-per-person dist, records-by-month —
+    ids follow the public catalog's base numbering."""
+    type_specs = (
+        [
+            AnalysisSpec(
+                base_id + 5,
+                f"Number of {table} records, by {concept_col} and {type_col}",
+                table,
+                "results",
+                (concept_col, type_col),
+            )
+        ]
+        if type_col
+        else []
+    )
+    return type_specs + [
         AnalysisSpec(
             base_id,
             f"Number of persons with at least one {table} record, by {concept_col}",
@@ -413,7 +433,7 @@ def _build_specs() -> dict[int, AnalysisSpec]:
         "visit_concept_id",
         "visit_start_date",
         per_person_id=203,
-        month_id=220,
+        month_id=220, type_col="visit_type_concept_id",
         extra=[
             AnalysisSpec(
                 206,
@@ -452,7 +472,7 @@ def _build_specs() -> dict[int, AnalysisSpec]:
     # --- condition occurrence (400-420) ----------------------------------
     specs += _domain_specs(
         400, "condition_occurrence", "condition_concept_id",
-        "condition_start_date", per_person_id=403, month_id=420,
+        "condition_start_date", per_person_id=403, month_id=420, type_col="condition_type_concept_id",
     )
 
     # --- death (500-506) --------------------------------------------------
@@ -486,13 +506,13 @@ def _build_specs() -> dict[int, AnalysisSpec]:
     # --- procedure occurrence (600-620) ----------------------------------
     specs += _domain_specs(
         600, "procedure_occurrence", "procedure_concept_id",
-        "procedure_date", per_person_id=603, month_id=620,
+        "procedure_date", per_person_id=603, month_id=620, type_col="procedure_type_concept_id",
     )
 
     # --- drug exposure (700-720) ------------------------------------------
     specs += _domain_specs(
         700, "drug_exposure", "drug_concept_id",
-        "drug_exposure_start_date", per_person_id=703, month_id=720,
+        "drug_exposure_start_date", per_person_id=703, month_id=720, type_col="drug_type_concept_id",
         extra=[
             AnalysisSpec(
                 715,
@@ -518,7 +538,7 @@ def _build_specs() -> dict[int, AnalysisSpec]:
     # --- observation (800-820) --------------------------------------------
     specs += _domain_specs(
         800, "observation", "observation_concept_id",
-        "observation_date", per_person_id=803, month_id=820,
+        "observation_date", per_person_id=803, month_id=820, type_col="observation_type_concept_id",
     )
 
     # --- drug era (900-920) -----------------------------------------------
@@ -560,7 +580,7 @@ def _build_specs() -> dict[int, AnalysisSpec]:
     # --- measurement (1800-1820) ------------------------------------------
     specs += _domain_specs(
         1800, "measurement", "measurement_concept_id",
-        "measurement_date", per_person_id=1803, month_id=1820,
+        "measurement_date", per_person_id=1803, month_id=1820, type_col="measurement_type_concept_id",
         extra=[
             AnalysisSpec(
                 1815,
@@ -579,7 +599,7 @@ def _build_specs() -> dict[int, AnalysisSpec]:
     # --- device exposure (2100-2120) --------------------------------------
     specs += _domain_specs(
         2100, "device_exposure", "device_concept_id",
-        "device_exposure_start_date", per_person_id=2103, month_id=2120,
+        "device_exposure_start_date", per_person_id=2103, month_id=2120, type_col="device_type_concept_id",
     )
 
     # --- specimen (2000-2001) / note (2201) -------------------------------
