@@ -37,6 +37,8 @@ HEADLINE = [
     "ext_embed_cosine_topk",
     "ext_dedup_exact",
     "q8_market_share",
+    "achilles_counts_catalog",
+    "dq_sweep_detail",
 ]
 
 
