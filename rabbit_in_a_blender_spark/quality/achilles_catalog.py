@@ -256,6 +256,21 @@ def _persons_by_concept_age_decade(concept_col: str, date_col: str) -> Prepare:
     return prep
 
 
+def _invalid_person_records() -> Prepare:
+    """Records whose person_id has no person row — the public x07
+    data-quality slot inside Achilles (overlaps DQD isForeignKey by
+    design; the reference ships both)."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        person = read("person")
+        if person is None:
+            return None
+        keys = person.select(F.col("person_id").alias("__pid")).distinct()
+        return df.join(keys, df["person_id"] == F.col("__pid"), "left_anti")
+
+    return prep
+
+
 def _domain_specs(
     base_id: int,
     table: str,
@@ -269,8 +284,9 @@ def _domain_specs(
     """The standard Achilles set every domain table gets:
     persons-by-concept (x00), records-by-concept (x01), persons by
     concept+gender (x02), persons by concept+age-decade (x04), records
-    by concept+type (x05), records-per-person dist, records-by-month —
-    ids follow the public catalog's base numbering."""
+    by concept+type (x05), age-at-event distribution by concept (x06),
+    records with invalid person_id (x07), records-per-person dist,
+    records-by-month — ids follow the public catalog's base numbering."""
     type_specs = (
         [
             AnalysisSpec(
@@ -284,7 +300,37 @@ def _domain_specs(
         if type_col
         else []
     )
-    return type_specs + [
+    # a domain's explicit ``extra`` spec wins its id slot (e.g. visit's
+    # richer 206 age-by-concept-and-gender; the era tables' 907/1007
+    # length distributions)
+    extra = list(extra)
+    taken = {s.analysis_id for s in extra}
+    slot_specs = [
+        s
+        for s in (
+            AnalysisSpec(
+                base_id + 6,
+                f"Distribution of age at first event, by {concept_col} (age = year({date_col}) - year_of_birth)",
+                table,
+                "dist",
+                (concept_col,),
+                value_col="__age",
+                prepare=_event_age(date_col),
+                requires=("person",),
+            ),
+            AnalysisSpec(
+                base_id + 7,
+                f"Number of {table} records with an invalid person_id",
+                table,
+                "results",
+                (),
+                prepare=_invalid_person_records(),
+                requires=("person",),
+            ),
+        )
+        if s.analysis_id not in taken
+    ]
+    return type_specs + slot_specs + [
         AnalysisSpec(
             base_id,
             f"Number of persons with at least one {table} record, by {concept_col}",

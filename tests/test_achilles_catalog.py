@@ -139,6 +139,14 @@ def test_run_catalog_over_cdm_fixture(spark, cdm):
         for r in res.filter("analysis_id = 404").collect()
     }
     assert by_decade[("201826", "5")] == 1
+    # x07: this fixture has no orphan person_ids → zero-count row
+    assert rows[(407, None)] == 0
+
+    # x06: age-at-event distribution by concept (person 1 born 1970,
+    # two 201826 conditions in 2020 → ages 50, 50)
+    x06 = {r["stratum_1"]: r for r in dist.filter("analysis_id = 406").collect()}
+    assert x06["201826"]["count_value"] == 2
+    assert x06["201826"]["p90_value"] == pytest.approx(50.0)
     # analyses for absent tables (drug 701, device 2101) must be skipped
     present_ids = {aid for aid, _ in rows}
     assert 701 not in present_ids and 2101 not in present_ids
