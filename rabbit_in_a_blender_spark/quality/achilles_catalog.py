@@ -256,6 +256,36 @@ def _persons_by_concept_age_decade(concept_col: str, date_col: str) -> Prepare:
     return prep
 
 
+def _outside_observation_period(date_col: str) -> Prepare:
+    """Records whose event date falls inside NO observation period of
+    their person — the public x08 slot.  Join fact→periods on person_id
+    keeps rows covered by at least one period (typically 1-2 periods per
+    person, bounded fan-out), then anti-joins back."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        op = read("observation_period")
+        if op is None:
+            return None
+        periods = op.select(
+            F.col("person_id").alias("__op_pid"),
+            F.col("observation_period_start_date").alias("__op_s"),
+            F.col("observation_period_end_date").alias("__op_e"),
+        )
+        dated = df.filter(F.col(date_col).isNotNull())
+        covered = (
+            dated.join(periods, dated["person_id"] == F.col("__op_pid"))
+            .filter(
+                (F.col(date_col) >= F.col("__op_s"))
+                & (F.col(date_col) <= F.col("__op_e"))
+            )
+            .select("person_id", date_col)
+            .distinct()
+        )
+        return dated.join(covered, ["person_id", date_col], "left_anti")
+
+    return prep
+
+
 def _invalid_person_records() -> Prepare:
     """Records whose person_id has no person row — the public x07
     data-quality slot inside Achilles (overlaps DQD isForeignKey by
@@ -326,6 +356,15 @@ def _domain_specs(
                 (),
                 prepare=_invalid_person_records(),
                 requires=("person",),
+            ),
+            AnalysisSpec(
+                base_id + 8,
+                f"Number of {table} records outside every observation period of their person",
+                table,
+                "results",
+                (),
+                prepare=_outside_observation_period(date_col),
+                requires=("observation_period",),
             ),
         )
         if s.analysis_id not in taken

@@ -147,6 +147,14 @@ def test_run_catalog_over_cdm_fixture(spark, cdm):
     x06 = {r["stratum_1"]: r for r in dist.filter("analysis_id = 406").collect()}
     assert x06["201826"]["count_value"] == 2
     assert x06["201826"]["p90_value"] == pytest.approx(50.0)
+
+    # x08: condition 22 (person 2, 2020-07-02) is inside person 2's
+    # period (2020-06-01..2021-05-31); 20/21 inside person 1's 2020
+    # period → none outside
+    assert rows[(408, None)] == 0
+    # visit 13 (person 3, 2019-05-01) IS inside person 3's 2019-2020
+    # period; all visits covered
+    assert rows[(208, None)] == 0
     # analyses for absent tables (drug 701, device 2101) must be skipped
     present_ids = {aid for aid, _ in rows}
     assert 701 not in present_ids and 2101 not in present_ids
