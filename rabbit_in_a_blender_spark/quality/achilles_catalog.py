@@ -301,6 +301,25 @@ def _invalid_person_records() -> Prepare:
     return prep
 
 
+def _invalid_fk_records(fk_col: str, parent: str) -> Prepare:
+    """Non-null ``fk_col`` values with no row in ``parent`` — the
+    public x11-style invalid-provider slot (generalized)."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        parent_df = read(parent)
+        if parent_df is None or fk_col not in df.columns:
+            return None
+        pk = f"{parent}_id"
+        if pk not in parent_df.columns:
+            return None
+        keys = parent_df.select(F.col(pk).alias("__fkp")).distinct()
+        return df.filter(F.col(fk_col).isNotNull()).join(
+            keys, F.col(fk_col) == F.col("__fkp"), "left_anti"
+        )
+
+    return prep
+
+
 def _domain_specs(
     base_id: int,
     table: str,
@@ -687,31 +706,41 @@ def _build_specs() -> dict[int, AnalysisSpec]:
         "device_exposure_start_date", per_person_id=2103, month_id=2120, type_col="device_type_concept_id",
     )
 
-    # --- specimen (2000-2001) / note (2201) -------------------------------
-    specs += [
-        AnalysisSpec(
-            2000,
-            "Number of persons with at least one specimen, by specimen_concept_id",
-            "specimen",
-            "results",
-            ("specimen_concept_id",),
-            prepare=_distinct_persons("specimen_concept_id"),
-        ),
-        AnalysisSpec(
-            2001,
-            "Number of specimen records, by specimen_concept_id",
-            "specimen",
-            "results",
-            ("specimen_concept_id",),
-        ),
-        AnalysisSpec(
-            2201,
-            "Number of note records, by note_type_concept_id",
-            "note",
-            "results",
-            ("note_type_concept_id",),
-        ),
-    ]
+    # --- specimen (2000-2020) / note (2200-2220) --------------------------
+    specs += _domain_specs(
+        2000, "specimen", "specimen_concept_id",
+        "specimen_date", per_person_id=2003, month_id=2020,
+        type_col="specimen_type_concept_id",
+    )
+    specs += _domain_specs(
+        2200, "note", "note_class_concept_id",
+        "note_date", per_person_id=2203, month_id=2220,
+        type_col="note_type_concept_id",
+    )
+
+    # --- x11 slot: records with an invalid provider_id --------------------
+    # (visit_occurrence's 211 slot is the length-of-visit distribution,
+    # so its provider check is omitted rather than misnumbered)
+    for base, table in (
+        (400, "condition_occurrence"),
+        (600, "procedure_occurrence"),
+        (700, "drug_exposure"),
+        (800, "observation"),
+        (1800, "measurement"),
+        (2100, "device_exposure"),
+        (2200, "note"),
+    ):
+        specs.append(
+            AnalysisSpec(
+                base + 11,
+                f"Number of {table} records with an invalid provider_id",
+                table,
+                "results",
+                (),
+                prepare=_invalid_fk_records("provider_id", "provider"),
+                requires=("provider",),
+            )
+        )
 
     out = {s.analysis_id: s for s in specs}
     assert len(out) == len(specs), "duplicate analysis ids"
