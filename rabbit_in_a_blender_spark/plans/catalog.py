@@ -17,11 +17,7 @@ Conventions that keep Spark and DuckDB hash-identical:
 
 from __future__ import annotations
 
-import glob
 import importlib
-import json
-import os
-import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -68,62 +64,23 @@ def _load() -> None:
         _loaded = True
 
 
-def _verification_priority() -> list[str]:
-    """Deterministic catalog order that front-loads unproven queries.
-
-    The driver's correctness gate adjudicates the catalog in dict order
-    and round 1 showed it checks at most ~50 queries per round — with a
-    larger catalog, a fixed order would leave the same tail permanently
-    unverified.  So: queries with no green row in any prior
-    CORRECTNESS_r*.json come first (registration order), then verified
-    ones, stalest round first — a rotation that maximizes *cumulative*
-    oracle coverage across rounds while still re-verifying old queries.
-    Input is only the committed result files, so the order is stable
-    within a round.
-    """
-    last_green: dict[str, int] = {}
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        m = re.search(r"_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            with open(path) as f:
-                results = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            continue
-        for name, res in results.items():
-            if not isinstance(res, dict) or res.get("err"):
-                continue
-            has_oracle = name in _REGISTRY and _REGISTRY[name].oracle is not None
-            ok = (
-                res.get("rows_match", res.get("spark_rows") is not None)
-                and res.get("schema_match", True)
-                and (res.get("hash_match") or not has_oracle)
-            )
-            if ok:
-                last_green[name] = max(last_green.get(name, 0), rnd)
-    reg_index = {name: i for i, name in enumerate(_REGISTRY)}
-    return sorted(
-        _REGISTRY,
-        key=lambda n: (last_green.get(n, -1), reg_index[n]),
-    )
-
-
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every catalog query, in stable registration order.
+
+    Library API: the order never depends on the environment.  The
+    driver-facing unverified-first rotation (which *samples* this
+    catalog under a per-round cap) lives in /root/repo/__spark_entry__.py —
+    the harness that owns the CORRECTNESS_r*.json artifacts.
+    """
     _load()
-    order = _verification_priority()
-    return {name: _REGISTRY[name].fn for name in order}
+    return {name: q.fn for name, q in _REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:
+    """DuckDB oracle SQL per query, stable registration order."""
     _load()
-    order = _verification_priority()
     return {
-        name: _REGISTRY[name].oracle
-        for name in order
-        if _REGISTRY[name].oracle is not None
+        name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None
     }
 
 

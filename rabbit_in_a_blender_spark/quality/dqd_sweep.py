@@ -237,7 +237,16 @@ def _table_checks(
                 )
             )
 
-    # isForeignKey: broadcast each parent's distinct key set, left join
+    # isForeignKey: left-join each parent's distinct key set.  The join
+    # strategy is AQE-decided: small vocab parents broadcast, fact-sized
+    # parents (person at 100 TB) degrade gracefully to a shuffled SMJ.
+    #
+    # Every lookup below is deduplicated on its join key before joining.
+    # Duplicate parent keys are exactly the broken-data condition this
+    # sweep's own isPrimaryKey check measures; without the dedupe they
+    # would fan out the fact rows and silently inflate every check's
+    # violated AND denominator counts (the reference's per-check queries
+    # isolate each join, so a bad parent only skews its own check).
     for i, (fk_col, parent) in enumerate(sorted(spec.fks.items())):
         if fk_col not in cols or parent not in registry:
             continue
@@ -271,7 +280,7 @@ def _table_checks(
             p = person.select(
                 F.col("person_id").alias("__ab_pid"),
                 F.col("birth_datetime").alias("__birth"),
-            )
+            ).dropDuplicates(["__ab_pid"])
             joined = joined.join(
                 p, joined["person_id"] == F.col("__ab_pid"), "left"
             )
@@ -290,7 +299,7 @@ def _table_checks(
             d = death.select(
                 F.col("person_id").alias("__bd_pid"),
                 F.col("death_date").alias("__dd"),
-            )
+            ).dropDuplicates(["__bd_pid"])
             joined = joined.join(
                 d, joined["person_id"] == F.col("__bd_pid"), "left"
             )
@@ -326,7 +335,7 @@ def _table_checks(
                 F.col("visit_occurrence_id").alias("__wv_id"),
                 F.col("visit_start_date").alias("__wv_s"),
                 F.col("visit_end_date").alias("__wv_e"),
-            )
+            ).dropDuplicates(["__wv_id"])
             joined = joined.join(
                 v,
                 joined["visit_occurrence_id"] == F.col("__wv_id"),
@@ -355,7 +364,7 @@ def _table_checks(
             lk = concept.select(
                 F.col("concept_id").alias(f"__dc{j}"),
                 F.col("domain_id").alias(f"__dom{j}"),
-            )
+            ).dropDuplicates([f"__dc{j}"])
             joined = joined.join(
                 lk, joined[c] == F.col(f"__dc{j}"), "left"
             )
@@ -378,7 +387,7 @@ def _table_checks(
             lk = concept.select(
                 F.col("concept_id").alias(f"__cc{k}"),
                 F.col("concept_class_id").alias(f"__cls{k}"),
-            )
+            ).dropDuplicates([f"__cc{k}"])
             joined = joined.join(lk, joined[c] == F.col(f"__cc{k}"), "left")
             checks.append(
                 _Check(

@@ -200,6 +200,62 @@ def test_fk_domain_and_class_with_concept_table(spark):
     assert rows["fkClass_drug_era_drug_concept_id"]["failed"] == 1
 
 
+def test_duplicate_lookup_keys_do_not_fan_out(spark):
+    """A duplicated parent key (the very condition isPrimaryKey flags)
+    must not inflate other checks' counts: every lookup projection is
+    deduplicated on its join key before the left join."""
+    person = spark.createDataFrame(
+        [
+            # person 1 duplicated — would double every person-1 fact row
+            # in the augmented frame without the dedupe
+            (1, 8507, 1970, dt.datetime(1970, 3, 1), 8527, 38003563),
+            (1, 8507, 1970, dt.datetime(1970, 3, 1), 8527, 38003563),
+        ],
+        "person_id long, gender_concept_id long, year_of_birth long, "
+        "birth_datetime timestamp, race_concept_id long, ethnicity_concept_id long",
+    )
+    visit = spark.createDataFrame(
+        [
+            # visit 7 duplicated too
+            (7, 1, 9201, _d("2020-02-01"), _d("2020-02-10")),
+            (7, 1, 9201, _d("2020-02-01"), _d("2020-02-10")),
+        ],
+        "visit_occurrence_id long, person_id long, visit_concept_id long, "
+        "visit_start_date date, visit_end_date date",
+    )
+    condition = spark.createDataFrame(
+        [
+            (20, 1, 201826, _d("2020-02-05"), _d("2020-02-06"), 0, 7),
+            (21, 1, None, _d("2020-02-07"), None, 0, 7),  # seeded isRequired hit
+            (22, 1, 201826, _d("2020-03-05"), None, 0, 7),  # outside visit
+        ],
+        "condition_occurrence_id long, person_id long, condition_concept_id long, "
+        "condition_start_date date, condition_end_date date, "
+        "condition_source_concept_id long, visit_occurrence_id long",
+    )
+    tables = {
+        "person": person,
+        "visit_occurrence": visit,
+        "condition_occurrence": condition,
+    }
+    res = run_sweep(
+        spark, tables.get, cdm54_registry(), tables=list(tables)
+    )
+    rows = {r["check_name"]: r for r in res.collect()}
+    # the dup parents themselves are still flagged
+    assert rows["isPrimaryKey_person_person_id"]["num_violated_rows"] == 1
+    assert rows["isPrimaryKey_visit_occurrence_visit_occurrence_id"]["num_violated_rows"] == 1
+    # ...but unrelated condition checks keep the true 3-row denominator
+    r = rows["isRequired_condition_occurrence_condition_concept_id"]
+    assert (r["num_violated_rows"], r["num_denominator_rows"]) == (1, 3)
+    fk = rows["isForeignKey_condition_occurrence_person_id"]
+    assert (fk["num_violated_rows"], fk["num_denominator_rows"]) == (0, 3)
+    wv = rows["withinVisitDates_condition_occurrence_condition_start_date"]
+    assert (wv["num_violated_rows"], wv["num_denominator_rows"]) == (1, 3)
+    ab = rows["plausibleAfterBirth_condition_occurrence_condition_start_date"]
+    assert (ab["num_violated_rows"], ab["num_denominator_rows"]) == (0, 3)
+
+
 def test_sweep_threshold_override_and_family_filter(spark, cdm):
     res = run_sweep(
         spark,
