@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 from .core.registry import SchemaRegistry, TableSpec
 from .mapping.usagi import read_usagi_csv
 from .pipeline.etl import TableInputs
+from .quality.dqd_sweep import FK_DOMAINS
 
 CUSTOM_CONCEPT_HEADER = (
     "concept_name,concept_code,domain_id,vocabulary_id,concept_class_id"
@@ -165,4 +166,16 @@ def load_table_inputs(
             ]
             if ccs:
                 custom[concept_col] = reduce(DataFrame.unionByName, ccs)
-    return TableInputs(uploads=uploads, usagi=usagi, custom_concepts=custom)
+    # Derive each concept column's allowed OMOP domain set from the
+    # shared Field_Level-style map so the fatal domain-mismatch check
+    # (reference parity J12, etl/bigquery/etl.py:607-625) fires on CLI
+    # --run-etl invocations, not only when callers pass it explicitly.
+    allowed = {
+        c: [FK_DOMAINS[c]] for c in spec.concept_cols if c in FK_DOMAINS
+    }
+    return TableInputs(
+        uploads=uploads,
+        usagi=usagi,
+        custom_concepts=custom,
+        allowed_domains=allowed,
+    )

@@ -46,11 +46,14 @@ def approved_mappings(usagi: DataFrame, semi: bool = True) -> DataFrame:
     return usagi.filter(F.col("mappingStatus").isin(statuses))
 
 
-def duplicate_mappings(usagi: DataFrame) -> DataFrame:
+def duplicate_mappings(usagi: DataFrame, semi: bool = True) -> DataFrame:
     """Duplicate (sourceCode, conceptId) detection — the reference raises
-    on these (etl/etl.py:492-508, etl/bigquery/etl.py:282-297)."""
+    on these (etl/etl.py:492-508, etl/bigquery/etl.py:282-297).  ``semi``
+    must match the ETL's --process-semi-approved-mappings switch so the
+    duplicate check covers exactly the rows that will map (the reference
+    applies the flag-dependent status set, etl.py:495,564)."""
     return (
-        approved_mappings(usagi)
+        approved_mappings(usagi, semi=semi)
         .groupBy("sourceCode", "conceptId")
         .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)

@@ -248,7 +248,7 @@ class EtlPipeline:
         def _dup_check(concept_col, usagi):
             # duplicate mappings are fatal like the reference
             # (etl/bigquery/etl.py:282-297)
-            dups = duplicate_mappings(usagi).limit(5).collect()
+            dups = duplicate_mappings(usagi, semi=self.semi).limit(5).collect()
             if dups:
                 raise EtlError(
                     f"{spec.name}.{concept_col}: duplicate usagi mappings {dups}"
@@ -726,15 +726,23 @@ def cleanup(
             if wt.endswith("__custom_concepts") and warehouse.exists(
                 "omop", "concept"
             ):
+                # match on (concept_code, vocabulary_id), not code alone:
+                # another table's custom concept may legitimately reuse
+                # the same code under a different vocabulary_id and must
+                # survive this table's cleanup
                 codes = (
                     warehouse.read(spark, "work", wt)
-                    .select(F.col("concept_code").alias("__code"))
+                    .select(
+                        F.col("concept_code").alias("__code"),
+                        F.col("vocabulary_id").alias("__vocab"),
+                    )
                     .distinct()
                 )
                 concept = warehouse.read(spark, "omop", "concept")
                 keep = concept.join(
                     codes,
                     (concept["concept_code"] == codes["__code"])
+                    & (concept["vocabulary_id"] == codes["__vocab"])
                     & (concept["concept_id"] >= 2_000_000_000),
                     "left_anti",
                 )

@@ -130,6 +130,24 @@ def test_run_etl_then_quality_then_achilles_then_cleanup(env, spark, capsys):
     )
 
 
+def test_load_table_inputs_derives_allowed_domains(env, spark):
+    """The folder loader must populate allowed_domains from the shared
+    Field_Level-style map so the fatal J12 domain check can fire on
+    --run-etl, not only when tests pass it explicitly."""
+    from rabbit_in_a_blender_spark.core.cdm54 import cdm54_registry
+    from rabbit_in_a_blender_spark.folders import load_table_inputs
+
+    spark.read.parquet(
+        os.path.join(env["root"], "raw", "person_raw.parquet")
+    ).createOrReplaceTempView("person_raw")
+    inputs = load_table_inputs(
+        spark, env["etl_dir"], cdm54_registry()["person"]
+    )
+    assert inputs is not None
+    assert inputs.allowed_domains["gender_concept_id"] == ["Gender"]
+    assert inputs.allowed_domains["race_concept_id"] == ["Race"]
+
+
 def test_import_vocabularies(env, spark):
     vocab_dir = os.path.join(env["root"], "vocab")
     os.makedirs(vocab_dir)

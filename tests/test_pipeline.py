@@ -316,11 +316,24 @@ def test_custom_concepts_flow(spark, wh):
 
     # single-table cleanup removes this table's custom concepts from
     # omop.concept and its mappings from source_to_concept_map
-    # (reference cleanup by usagi/custom upload tables)
+    # (reference cleanup by usagi/custom upload tables); a different
+    # table's custom concept that reuses the same concept_code under
+    # another vocabulary_id must NOT be collateral damage
+    concept_df = wh.read(spark, "omop", "concept")
+    decoy = spark.createDataFrame(
+        [(2_000_000_999, "decoy nb", "Gender", "OtherVocab", "Gender",
+          None, "GENDER_NB", None, None, None)],
+        concept_df.schema,
+    )
+    wh.write(concept_df.unionByName(decoy), "omop", "concept")
     cleanup(wh, "person", spark=spark)
     if wh.exists("omop", "concept"):
-        codes = {r["concept_code"] for r in wh.read(spark, "omop", "concept").collect()}
-        assert "GENDER_NB" not in codes
+        kept = {
+            (r["concept_code"], r["vocabulary_id"])
+            for r in wh.read(spark, "omop", "concept").collect()
+        }
+        assert ("GENDER_NB", "Custom") not in kept
+        assert ("GENDER_NB", "OtherVocab") in kept
     assert wh.exists("omop", "source_to_concept_map")
     srcs = {
         r["source_code"]
