@@ -128,18 +128,18 @@ def _duration(start_col: str, end_col: str) -> Prepare:
     return prep
 
 
-def _continuous_obs_years() -> Prepare:
+def _continuous_obs_years(
+    start_col: str = "observation_period_start_date",
+    end_col: str = "observation_period_end_date",
+) -> Prepare:
     """One row per (person, fully-covered year): explode a year spine
-    from each observation period and keep years the period spans
-    end-to-end (Achilles 109 semantics).  The spine is JVM-side
-    ``sequence`` + ``explode`` — rows ≈ person-years, never a cross
-    join against a calendar table."""
+    from each period and keep years the period spans end-to-end
+    (Achilles 109 semantics; 1409 for payer plan periods).  The spine is
+    JVM-side ``sequence`` + ``explode`` — rows ≈ person-years, never a
+    cross join against a calendar table."""
 
     def prep(df: DataFrame, read: Reader) -> DataFrame:
-        s, e = (
-            F.col("observation_period_start_date"),
-            F.col("observation_period_end_date"),
-        )
+        s, e = F.col(start_col), F.col(end_col)
         years = df.filter(s.isNotNull() & e.isNotNull()).select(
             "person_id",
             s.alias("__s"),
@@ -155,24 +155,25 @@ def _continuous_obs_years() -> Prepare:
     return prep
 
 
-def _continuous_obs_months() -> Prepare:
-    """One row per (person, fully-covered month) — Achilles 110: month
-    spine via ``sequence(trunc(start,'MM'), trunc(end,'MM'), 1 month)``,
-    kept when the period covers the whole month."""
+def _continuous_obs_months(
+    start_col: str = "observation_period_start_date",
+    end_col: str = "observation_period_end_date",
+) -> Prepare:
+    """One row per (person, fully-covered month) — Achilles 110 (1410
+    for payer plan periods): month spine via ``sequence(trunc(start,
+    'MM'), trunc(end,'MM'), 1 month)``, kept when the period covers the
+    whole month."""
 
     def prep(df: DataFrame, read: Reader) -> DataFrame:
-        s, e = (
-            F.col("observation_period_start_date"),
-            F.col("observation_period_end_date"),
-        )
+        s, e = F.col(start_col), F.col(end_col)
         months = df.filter(s.isNotNull() & e.isNotNull()).select(
             "person_id",
             s.alias("__s"),
             e.alias("__e"),
             F.explode(
                 F.expr(
-                    "sequence(trunc(observation_period_start_date, 'MM'), "
-                    "trunc(observation_period_end_date, 'MM'), interval 1 month)"
+                    f"sequence(trunc({start_col}, 'MM'), "
+                    f"trunc({end_col}, 'MM'), interval 1 month)"
                 )
             ).alias("__month_start"),
         )
@@ -183,6 +184,98 @@ def _continuous_obs_months() -> Prepare:
         return full.select(
             "person_id", F.date_format("__month_start", "yyyyMM").alias("__ym")
         ).distinct()
+
+    return prep
+
+
+def _parent_attr(fk_col: str, parent: str, attr_col: str, alias: str) -> Prepare:
+    """Attach one attribute of a dimension parent via an inner broadcast
+    join (e.g. person→location.state, visit→care_site.place_of_service).
+    Inner, not left: rows without a parent don't belong in the stratum
+    counts, matching the public catalog's JOIN (not LEFT JOIN) SQL."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        parent_df = read(parent)
+        pk = f"{parent}_id"
+        if parent_df is None or fk_col not in df.columns:
+            return None
+        if pk not in parent_df.columns or attr_col not in parent_df.columns:
+            return None
+        lk = parent_df.select(
+            F.col(pk).alias("__pa_key"), F.col(attr_col).alias(alias)
+        ).dropDuplicates(["__pa_key"])
+        return df.join(
+            F.broadcast(lk), df[fk_col] == F.col("__pa_key")
+        ).drop("__pa_key")
+
+    return prep
+
+
+def _zip3(prev: Prepare | None = None) -> Prepare:
+    """Derive __zip3 = first 3 digits of the (possibly joined) zip."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        if prev is not None:
+            out = prev(df, read)
+            if out is None:
+                return None
+            df = out
+        if "zip" not in df.columns:
+            return None
+        return df.withColumn("__zip3", F.substring(F.col("zip"), 1, 3))
+
+    return prep
+
+
+def _duration_by_gender(start_col: str, end_col: str) -> Prepare:
+    """__days between start/end plus the person's gender (Achilles 106
+    shape: length distribution stratified by gender)."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        person = read("person")
+        if person is None:
+            return None
+        p = person.select(
+            F.col("person_id").alias("__pid"),
+            F.col("gender_concept_id").alias("__gender"),
+        ).dropDuplicates(["__pid"])
+        return (
+            df.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+            .withColumn("__days", F.datediff(F.col(end_col), F.col(start_col)))
+            .join(F.broadcast(p), F.col("person_id") == F.col("__pid"))
+        )
+
+    return prep
+
+
+def _length_bucket_30d(start_col: str, end_col: str) -> Prepare:
+    """Persons by period length in 30-day increments (Achilles 108
+    shape): one row per person, bucket = floor(days of longest span/30)
+    over the person's total covered days (sum of period lengths)."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame:
+        return (
+            df.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+            .groupBy("person_id")
+            .agg(
+                F.sum(F.datediff(F.col(end_col), F.col(start_col))).alias("__len")
+            )
+            .withColumn("__bucket", F.floor(F.col("__len") / 30).cast("int"))
+        )
+
+    return prep
+
+
+def _end_before_start(start_col: str, end_col: str) -> Prepare:
+    """Records whose end date precedes their start date (Achilles 107
+    data-quality slot)."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame:
+        return df.filter(
+            F.col(start_col).isNotNull()
+            & F.col(end_col).isNotNull()
+            & (F.col(end_col) < F.col(start_col))
+        )
 
     return prep
 
@@ -716,6 +809,376 @@ def _build_specs() -> dict[int, AnalysisSpec]:
         2200, "note", "note_class_concept_id",
         "note_date", per_person_id=2203, month_id=2220,
         type_col="note_type_concept_id",
+    )
+
+    # --- person depth (7-12): invalid-FK slots + 2-strata demographics ----
+    specs += [
+        AnalysisSpec(
+            7, "Number of persons with an invalid provider_id", "person",
+            "results", (), prepare=_invalid_fk_records("provider_id", "provider"),
+            requires=("provider",),
+        ),
+        AnalysisSpec(
+            8, "Number of persons with an invalid location_id", "person",
+            "results", (), prepare=_invalid_fk_records("location_id", "location"),
+            requires=("location",),
+        ),
+        AnalysisSpec(
+            9, "Number of persons with an invalid care_site_id", "person",
+            "results", (), prepare=_invalid_fk_records("care_site_id", "care_site"),
+            requires=("care_site",),
+        ),
+        AnalysisSpec(
+            10, "Number of persons by year of birth and gender", "person",
+            "results", ("year_of_birth", "gender_concept_id"),
+        ),
+        AnalysisSpec(
+            12, "Number of persons by race and ethnicity", "person",
+            "results", ("race_concept_id", "ethnicity_concept_id"),
+        ),
+    ]
+
+    # --- observation period depth (103-108) -------------------------------
+    specs += [
+        AnalysisSpec(
+            103, "Distribution of age at first observation period",
+            "observation_period", "dist", (), value_col="__age",
+            prepare=_first_obs_age(), requires=("person",),
+        ),
+        AnalysisSpec(
+            106, "Distribution of length (days) of observation periods, by gender",
+            "observation_period", "dist", ("__gender",), value_col="__days",
+            prepare=_duration_by_gender(
+                "observation_period_start_date", "observation_period_end_date"
+            ),
+            requires=("person",),
+        ),
+        AnalysisSpec(
+            107, "Number of observation periods with end date < start date",
+            "observation_period", "results", (),
+            prepare=_end_before_start(
+                "observation_period_start_date", "observation_period_end_date"
+            ),
+        ),
+        AnalysisSpec(
+            108,
+            "Number of persons by total observed days, in 30-day increments",
+            "observation_period", "results", ("__bucket",),
+            prepare=_length_bucket_30d(
+                "observation_period_start_date", "observation_period_end_date"
+            ),
+        ),
+    ]
+
+    # --- death depth (502-505) --------------------------------------------
+    specs += [
+        AnalysisSpec(
+            502, "Number of death records by month (YYYYMM)", "death",
+            "results", ("__ym",), prepare=_month_col("death_date"),
+        ),
+        AnalysisSpec(
+            503, "Distribution of age at death", "death", "dist", (),
+            value_col="__age", prepare=_event_age("death_date"),
+            requires=("person",),
+        ),
+        AnalysisSpec(
+            505,
+            "Number of death records outside every observation period of their person",
+            "death", "results", (),
+            prepare=_outside_observation_period("death_date"),
+            requires=("observation_period",),
+        ),
+    ]
+
+    # --- visit / provider depth -------------------------------------------
+    specs += [
+        AnalysisSpec(
+            212, "Number of visit_occurrence records with an invalid care_site_id",
+            "visit_occurrence", "results", (),
+            prepare=_invalid_fk_records("care_site_id", "care_site"),
+            requires=("care_site",),
+        ),
+        AnalysisSpec(
+            302, "Number of providers by gender_concept_id", "provider",
+            "results", ("gender_concept_id",),
+        ),
+        AnalysisSpec(
+            303, "Number of providers with an invalid care_site_id", "provider",
+            "results", (), prepare=_invalid_fk_records("care_site_id", "care_site"),
+            requires=("care_site",),
+        ),
+    ]
+
+    # --- measurement / observation / drug depth ---------------------------
+    specs += [
+        AnalysisSpec(
+            1816,
+            "Distribution of numeric measurement values, by measurement_concept_id and unit_concept_id",
+            "measurement", "dist",
+            ("measurement_concept_id", "unit_concept_id"),
+            value_col="value_as_number",
+            prepare=lambda df, read: df.filter(F.col("value_as_number").isNotNull()),
+        ),
+        AnalysisSpec(
+            1821, "Number of measurement records with no numeric value",
+            "measurement", "results", (),
+            prepare=lambda df, read: (
+                df.filter(F.col("value_as_number").isNull())
+                if "value_as_number" in df.columns
+                else None
+            ),
+        ),
+        AnalysisSpec(
+            812, "Number of observation records with no value (numeric, string, or concept)",
+            "observation", "results", (),
+            prepare=lambda df, read: (
+                df.filter(
+                    F.col("value_as_number").isNull()
+                    & F.col("value_as_string").isNull()
+                    & F.col("value_as_concept_id").isNull()
+                )
+                if {"value_as_number", "value_as_string", "value_as_concept_id"}
+                <= set(df.columns)
+                else None
+            ),
+        ),
+        AnalysisSpec(
+            716, "Distribution of refills by drug_concept_id", "drug_exposure",
+            "dist", ("drug_concept_id",), value_col="refills",
+            prepare=lambda df, read: df.filter(F.col("refills").isNotNull()),
+        ),
+    ]
+
+    # --- location (1100-1103): persons / care sites by geography ----------
+    specs += [
+        AnalysisSpec(
+            1100, "Number of persons by location 3-digit zip", "person",
+            "results", ("__zip3",),
+            prepare=_zip3(_parent_attr("location_id", "location", "zip", "zip")),
+            requires=("location",),
+        ),
+        AnalysisSpec(
+            1101, "Number of persons by location state", "person",
+            "results", ("__state",),
+            prepare=_parent_attr("location_id", "location", "state", "__state"),
+            requires=("location",),
+        ),
+        AnalysisSpec(
+            1102, "Number of care sites by location 3-digit zip", "care_site",
+            "results", ("__zip3",),
+            prepare=_zip3(_parent_attr("location_id", "location", "zip", "zip")),
+            requires=("location",),
+        ),
+        AnalysisSpec(
+            1103, "Number of care sites by location state", "care_site",
+            "results", ("__state",),
+            prepare=_parent_attr("location_id", "location", "state", "__state"),
+            requires=("location",),
+        ),
+    ]
+
+    # --- care site (1200-1202): place-of-service strata -------------------
+    specs += [
+        AnalysisSpec(
+            1200, "Number of persons by place of service", "person",
+            "results", ("__pos",),
+            prepare=_parent_attr(
+                "care_site_id", "care_site", "place_of_service_concept_id", "__pos"
+            ),
+            requires=("care_site",),
+        ),
+        AnalysisSpec(
+            1201, "Number of visits by place of service", "visit_occurrence",
+            "results", ("__pos",),
+            prepare=_parent_attr(
+                "care_site_id", "care_site", "place_of_service_concept_id", "__pos"
+            ),
+            requires=("care_site",),
+        ),
+        AnalysisSpec(
+            1202, "Number of care sites by place_of_service_concept_id",
+            "care_site", "results", ("place_of_service_concept_id",),
+        ),
+        AnalysisSpec(
+            1203, "Number of care sites with an invalid location_id",
+            "care_site", "results", (),
+            prepare=_invalid_fk_records("location_id", "location"),
+            requires=("location",),
+        ),
+    ]
+
+    # --- visit detail (1300-1321) -----------------------------------------
+    specs += _domain_specs(
+        1300, "visit_detail", "visit_detail_concept_id",
+        "visit_detail_start_date", per_person_id=1303, month_id=1320,
+        type_col="visit_detail_type_concept_id",
+        extra=[
+            AnalysisSpec(
+                1306,
+                "Distribution of age at visit detail start, by visit_detail_concept_id and gender",
+                "visit_detail", "dist",
+                ("visit_detail_concept_id", "__gender"), value_col="__age",
+                prepare=_event_age("visit_detail_start_date"),
+                requires=("person",),
+            ),
+            AnalysisSpec(
+                1311, "Number of visit_detail records with an invalid provider_id",
+                "visit_detail", "results", (),
+                prepare=_invalid_fk_records("provider_id", "provider"),
+                requires=("provider",),
+            ),
+            AnalysisSpec(
+                1312,
+                "Number of visit_detail records with an invalid visit_occurrence_id",
+                "visit_detail", "results", (),
+                prepare=_invalid_fk_records(
+                    "visit_occurrence_id", "visit_occurrence"
+                ),
+                requires=("visit_occurrence",),
+            ),
+            AnalysisSpec(
+                1313, "Distribution of length of visit detail (days)",
+                "visit_detail", "dist", (), value_col="__days",
+                prepare=_duration(
+                    "visit_detail_start_date", "visit_detail_end_date"
+                ),
+            ),
+            AnalysisSpec(
+                1321, "Number of visit_detail records with an invalid care_site_id",
+                "visit_detail", "results", (),
+                prepare=_invalid_fk_records("care_site_id", "care_site"),
+                requires=("care_site",),
+            ),
+        ],
+    )
+
+    # --- payer plan period (1400-1420): mirrors the observation-period set
+    specs += _domain_specs(
+        1400, "payer_plan_period", "payer_concept_id",
+        "payer_plan_period_start_date", per_person_id=1403, month_id=1411,
+        extra=[
+            AnalysisSpec(
+                1409,
+                "Number of persons with continuous payer coverage in each year",
+                "payer_plan_period", "results", ("__year",),
+                prepare=_continuous_obs_years(
+                    "payer_plan_period_start_date", "payer_plan_period_end_date"
+                ),
+            ),
+            AnalysisSpec(
+                1410,
+                "Number of persons with continuous payer coverage in each month (YYYYMM)",
+                "payer_plan_period", "results", ("__ym",),
+                prepare=_continuous_obs_months(
+                    "payer_plan_period_start_date", "payer_plan_period_end_date"
+                ),
+            ),
+            AnalysisSpec(
+                1412,
+                "Number of payer plan periods ending in each month (YYYYMM)",
+                "payer_plan_period", "results", ("__ym",),
+                prepare=_month_col("payer_plan_period_end_date"),
+            ),
+            AnalysisSpec(
+                1413, "Number of persons by number of payer plan periods",
+                "payer_plan_period", "results", ("__cnt",),
+                prepare=_per_person_count(),
+            ),
+            AnalysisSpec(
+                1415, "Distribution of length (days) of payer plan periods",
+                "payer_plan_period", "dist", (), value_col="__days",
+                prepare=_duration(
+                    "payer_plan_period_start_date", "payer_plan_period_end_date"
+                ),
+            ),
+        ],
+    )
+
+    # --- cost (1500-1520): strata counts + paid-amount distributions ------
+    specs += [
+        AnalysisSpec(1500, "Number of cost records by cost_domain_id", "cost",
+                     "results", ("cost_domain_id",)),
+        AnalysisSpec(1501, "Number of cost records by cost_type_concept_id",
+                     "cost", "results", ("cost_type_concept_id",)),
+        AnalysisSpec(1502, "Number of cost records by currency_concept_id",
+                     "cost", "results", ("currency_concept_id",)),
+        AnalysisSpec(1503, "Number of cost records by revenue_code_concept_id",
+                     "cost", "results", ("revenue_code_concept_id",)),
+        AnalysisSpec(1504, "Number of cost records by drg_concept_id", "cost",
+                     "results", ("drg_concept_id",)),
+        AnalysisSpec(1505,
+                     "Number of cost records by cost_domain_id and cost_type_concept_id",
+                     "cost", "results", ("cost_domain_id", "cost_type_concept_id")),
+        AnalysisSpec(1520,
+                     "Number of cost records with an invalid payer_plan_period_id",
+                     "cost", "results", (),
+                     prepare=_invalid_fk_records(
+                         "payer_plan_period_id", "payer_plan_period"
+                     ),
+                     requires=("payer_plan_period",)),
+    ]
+    for did, vcol in (
+        (1510, "total_charge"),
+        (1511, "total_cost"),
+        (1512, "total_paid"),
+        (1513, "paid_by_payer"),
+        (1514, "paid_by_patient"),
+        (1515, "amount_allowed"),
+    ):
+        specs.append(
+            AnalysisSpec(
+                did, f"Distribution of {vcol} across cost records", "cost",
+                "dist", (), value_col=vcol,
+                prepare=lambda df, read, _c=vcol: (
+                    df.filter(F.col(_c).isNotNull())
+                    if _c in df.columns
+                    else None
+                ),
+            )
+        )
+
+    # --- cohort (1700-1702) -----------------------------------------------
+    specs += [
+        AnalysisSpec(1700, "Number of cohort records by cohort_definition_id",
+                     "cohort", "results", ("cohort_definition_id",)),
+        AnalysisSpec(
+            1701, "Number of distinct subjects by cohort_definition_id",
+            "cohort", "results", ("cohort_definition_id",),
+            prepare=lambda df, read: df.select(
+                "cohort_definition_id", "subject_id"
+            ).distinct(),
+        ),
+        AnalysisSpec(
+            1702,
+            "Distribution of cohort length (days), by cohort_definition_id",
+            "cohort", "dist", ("cohort_definition_id",), value_col="__days",
+            prepare=lambda df, read: df.filter(
+                F.col("cohort_start_date").isNotNull()
+                & F.col("cohort_end_date").isNotNull()
+            ).withColumn(
+                "__days",
+                F.datediff(F.col("cohort_end_date"), F.col("cohort_start_date")),
+            ),
+        ),
+    ]
+
+    # --- episode (2400-2420, CDM 5.4; catalog-convention numbering — the
+    # public Achilles catalog predates the episode table, so these follow
+    # this catalog's standard domain-set shape under an unused id range)
+    specs += _domain_specs(
+        2400, "episode", "episode_concept_id", "episode_start_date",
+        per_person_id=2403, month_id=2420, type_col="episode_type_concept_id",
+        extra=[
+            AnalysisSpec(
+                2413, "Number of episode records by episode_object_concept_id",
+                "episode", "results", ("episode_object_concept_id",),
+            ),
+            AnalysisSpec(
+                2415, "Distribution of episode length (days)", "episode",
+                "dist", (), value_col="__days",
+                prepare=_duration("episode_start_date", "episode_end_date"),
+            ),
+        ],
     )
 
     # --- x11 slot: records with an invalid provider_id --------------------

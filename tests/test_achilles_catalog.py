@@ -192,6 +192,171 @@ def test_continuous_observation_spine(spark, cdm):
     assert (110, "202106") not in rows  # p2 ends May 31st
 
 
+@pytest.fixture(scope="module")
+def cdm_extended(spark, cdm):
+    """The base fixture plus the round-3 table families: location,
+    care_site, payer_plan_period, cost, cohort, visit_detail, episode."""
+    location = spark.createDataFrame(
+        [
+            (100, "10001", "NY"),
+            (101, "10002", "NY"),
+            (102, "94105", "CA"),
+        ],
+        "location_id long, zip string, state string",
+    )
+    care_site = spark.createDataFrame(
+        [
+            (200, 8717, 100),
+            (201, 8756, 102),
+            (202, 8717, 999),  # invalid location
+        ],
+        "care_site_id long, place_of_service_concept_id long, location_id long",
+    )
+    base = cdm  # reader over the base tables
+    person = base("person").withColumn(
+        "location_id",
+        F.when(F.col("person_id") <= 2, 100).otherwise(102).cast("long"),
+    ).withColumn(
+        "care_site_id",
+        F.when(F.col("person_id") == 1, 200).otherwise(201).cast("long"),
+    )
+    payer = spark.createDataFrame(
+        [
+            # p1: full-2020 coverage; p2: two short periods; end<start seeded no
+            (300, 1, _d("2020-01-01"), _d("2020-12-31"), 32021),
+            (301, 2, _d("2020-06-01"), _d("2020-08-31"), 32022),
+            (302, 2, _d("2020-10-01"), _d("2020-11-30"), 32022),
+        ],
+        "payer_plan_period_id long, person_id long, "
+        "payer_plan_period_start_date date, payer_plan_period_end_date date, "
+        "payer_concept_id long",
+    )
+    cost = spark.createDataFrame(
+        [
+            (400, 10, "Visit", 5031, 44818668, 100.0, 80.0, 300),
+            (401, 20, "Condition", 5031, 44818668, 50.0, 40.0, 301),
+            (402, 30, "Measurement", 5032, 44818669, 20.0, None, 999),  # bad fk
+        ],
+        "cost_id long, cost_event_id long, cost_domain_id string, "
+        "cost_type_concept_id long, currency_concept_id long, "
+        "total_charge double, total_paid double, payer_plan_period_id long",
+    )
+    cohort = spark.createDataFrame(
+        [
+            (1, 1, _d("2020-01-01"), _d("2020-01-31")),
+            (1, 2, _d("2020-02-01"), _d("2020-02-11")),
+            (1, 1, _d("2020-06-01"), _d("2020-06-21")),  # same subject twice
+            (2, 3, _d("2019-01-01"), _d("2019-12-31")),
+        ],
+        "cohort_definition_id long, subject_id long, "
+        "cohort_start_date date, cohort_end_date date",
+    )
+    visit_detail = spark.createDataFrame(
+        [
+            # child of visit 10, valid everything
+            (500, 1, 581476, _d("2020-02-01"), _d("2020-02-02"), 10, 200),
+            # invalid visit_occurrence_id + care_site
+            (501, 2, 581477, _d("2020-07-01"), _d("2020-07-03"), 999, 999),
+        ],
+        "visit_detail_id long, person_id long, visit_detail_concept_id long, "
+        "visit_detail_start_date date, visit_detail_end_date date, "
+        "visit_occurrence_id long, care_site_id long",
+    )
+    episode = spark.createDataFrame(
+        [
+            (600, 1, 32528, _d("2020-02-01"), _d("2020-05-01"), 4000001),
+            (601, 2, 32529, _d("2020-07-01"), _d("2020-09-01"), 4000002),
+        ],
+        "episode_id long, person_id long, episode_concept_id long, "
+        "episode_start_date date, episode_end_date date, "
+        "episode_object_concept_id long",
+    )
+    extra = {
+        "person": person,
+        "location": location,
+        "care_site": care_site,
+        "payer_plan_period": payer,
+        "cost": cost,
+        "cohort": cohort,
+        "visit_detail": visit_detail,
+        "episode": episode,
+    }
+    return lambda t: extra.get(t) if t in extra else base(t)
+
+
+def test_new_family_analyses(spark, cdm_extended):
+    out = run_catalog(
+        spark,
+        cdm_extended,
+        analysis_ids=[
+            8, 9, 10, 1100, 1101, 1102, 1103, 1200, 1202, 1203,
+            1300, 1301, 1307, 1312, 1321, 1400, 1401, 1409, 1410, 1413,
+            1500, 1501, 1520, 1700, 1701, 2400, 2401, 2413,
+        ],
+    )
+    rows = {
+        (r["analysis_id"], r["stratum_1"], r["stratum_2"]): r["count_value"]
+        for r in out["achilles_results"].collect()
+    }
+    one = {
+        (aid, s1): v for (aid, s1, _), v in rows.items()
+    }
+    # location: persons 1,2 in NY (loc 100); 3,4 in CA (loc 102)
+    assert one[(1101, "NY")] == 2 and one[(1101, "CA")] == 2
+    assert one[(1100, "100")] == 2 and one[(1100, "941")] == 2
+    # care sites: 2 in NY-linked locations? sites 200→100(NY), 201→102(CA)
+    assert one[(1103, "NY")] == 1 and one[(1103, "CA")] == 1
+    # persons by place of service: person 1 → site 200 (8717), 2-4 → 201 (8756)
+    assert one[(1200, "8717")] == 1 and one[(1200, "8756")] == 3
+    assert one[(1202, "8717")] == 2 and one[(1202, "8756")] == 1
+    # invalid location on care_site 202
+    assert one[(1203, None)] == 1
+    # person FK slots: all valid locations/care sites
+    assert one[(8, None)] == 0 and one[(9, None)] == 0
+    # persons by yob+gender: (1970, 8507) → 1
+    assert rows[(10, "1970", "8507")] == 1
+    # payer: persons by payer concept
+    assert one[(1400, "32021")] == 1 and one[(1400, "32022")] == 1
+    assert one[(1401, "32022")] == 2
+    # continuous coverage: p1 covers all of 2020
+    assert one[(1409, "2020")] == 1
+    assert one[(1410, "202007")] == 2  # p1 (full year) + p2 (Jun-Aug)
+    # persons by number of periods: one person with 1, one with 2
+    assert one[(1413, "1")] == 1 and one[(1413, "2")] == 1
+    # cost strata + invalid payer_plan_period fk (cost 402)
+    assert one[(1500, "Visit")] == 1
+    assert one[(1501, "5031")] == 2
+    assert one[(1520, None)] == 1
+    # cohort: 4 records, 3 distinct subjects in cohort 1? (1: subjects 1,2)
+    assert one[(1700, "1")] == 3 and one[(1700, "2")] == 1
+    assert one[(1701, "1")] == 2 and one[(1701, "2")] == 1
+    # visit_detail: records by concept; invalid fks seeded on row 501
+    assert one[(1301, "581476")] == 1
+    assert one[(1307, None)] == 0  # both persons exist
+    assert one[(1312, None)] == 1  # visit 999
+    assert one[(1321, None)] == 1  # care site 999
+    # episode
+    assert one[(2401, "32528")] == 1
+    assert one[(2413, "4000001")] == 1
+
+    dist_out = run_catalog(
+        spark, cdm_extended, analysis_ids=[1415, 1702, 1313, 2415]
+    )
+    drows = {
+        (r["analysis_id"], r["stratum_1"]): r
+        for r in dist_out["achilles_results_dist"].collect()
+    }
+    # payer period lengths: 365, 91, 60 days
+    assert drows[(1415, None)]["count_value"] == 3
+    assert drows[(1415, None)]["median_value"] == pytest.approx(91.0)
+    # cohort 1 lengths: 30, 10, 20 → median 20
+    assert drows[(1702, "1")]["median_value"] == pytest.approx(20.0)
+    # visit_detail lengths 1, 2 days
+    assert drows[(1313, None)]["count_value"] == 2
+    # episode lengths 90, 62
+    assert drows[(2415, None)]["count_value"] == 2
+
+
 def test_run_catalog_id_filters(spark, cdm):
     out = run_catalog(spark, cdm, analysis_ids=[1, 2, 105])
     res_ids = {r["analysis_id"] for r in out["achilles_results"].collect()}
