@@ -85,6 +85,199 @@ _PAD3 = (
 )
 
 
+def _pseudo_cdm_ext(spark: SparkSession, sf_dir: str):
+    """The pseudo-CDM plus the round-3 table families — location,
+    care_site, payer_plan_period, cost, cohort, visit_detail, episode —
+    all pure column arithmetic over nation/customer/orders/lineitem so
+    the DuckDB oracle (``_PSEUDO_EXT_SQL``) derives the identical CDM."""
+    base = _pseudo_cdm(spark, sf_dir)
+    t = load_tables(spark, sf_dir, "nation", "customer", "orders", "lineitem")
+    n, c, o, li = t["nation"], t["customer"], t["orders"], t["lineitem"]
+    location = n.select(
+        F.col("n_nationkey").alias("location_id"),
+        (F.lit(10000) + F.col("n_nationkey") * 373).cast("string").alias("zip"),
+        F.concat(F.lit("ST"), (F.col("n_nationkey") % 10).cast("string")).alias(
+            "state"
+        ),
+    )
+    care_site = n.select(
+        (F.col("n_nationkey") + 1).alias("care_site_id"),
+        (F.lit(8717) + F.col("n_nationkey") % 3).alias(
+            "place_of_service_concept_id"
+        ),
+        F.col("n_nationkey").alias("location_id"),
+    )
+    person = base("person").join(
+        c.select(
+            F.col("c_custkey").alias("person_id"),
+            F.col("c_nationkey").alias("location_id"),
+            (F.col("c_nationkey") + 1).alias("care_site_id"),
+        ),
+        "person_id",
+    )
+    odate = F.col("o_orderdate").cast("date")
+    payer = o.select(
+        F.col("o_orderkey").alias("payer_plan_period_id"),
+        F.col("o_custkey").alias("person_id"),
+        odate.alias("payer_plan_period_start_date"),
+        F.date_add(odate, (F.col("o_orderkey") % 365).cast("int")).alias(
+            "payer_plan_period_end_date"
+        ),
+        (F.lit(32021) + F.col("o_orderkey") % 4).alias("payer_concept_id"),
+    )
+    cost = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("cost_id"),
+        F.when(F.col("l_linenumber") % 3 == 0, "Drug")
+        .when(F.col("l_linenumber") % 3 == 1, "Procedure")
+        .otherwise("Visit")
+        .alias("cost_domain_id"),
+        (F.lit(5031) + F.col("l_suppkey") % 2).alias("cost_type_concept_id"),
+        (F.lit(44818668) + F.col("l_partkey") % 2).alias("currency_concept_id"),
+        F.col("l_extendedprice").alias("total_charge"),
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+            "total_paid"
+        ),
+        F.col("l_orderkey").alias("payer_plan_period_id"),
+    )
+    cstart = F.date_add(
+        F.lit("1995-01-01").cast("date"), (F.col("c_custkey") % 1000).cast("int")
+    )
+    cohort_one = c.select(
+        (F.col("c_custkey") % 3).alias("cohort_definition_id"),
+        F.col("c_custkey").alias("subject_id"),
+        cstart.alias("cohort_start_date"),
+        F.date_add(cstart, (F.col("c_custkey") % 200).cast("int")).alias(
+            "cohort_end_date"
+        ),
+    )
+    cohort_two = c.filter(F.col("c_custkey") % 4 == 0).select(
+        (F.col("c_custkey") % 3).alias("cohort_definition_id"),
+        F.col("c_custkey").alias("subject_id"),
+        F.date_add(cstart, 30).alias("cohort_start_date"),
+        F.date_add(
+            F.date_add(cstart, (F.col("c_custkey") % 200).cast("int")), 30
+        ).alias("cohort_end_date"),
+    )
+    cohort = cohort_one.unionByName(cohort_two)
+    vd = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(
+            "visit_detail_id"
+        ),
+        F.col("o_custkey").alias("person_id"),
+        (F.lit(581476) + F.col("l_linenumber") % 3).alias(
+            "visit_detail_concept_id"
+        ),
+        F.col("l_shipdate").cast("date").alias("visit_detail_start_date"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            (F.col("l_linenumber") % 7 + 1).cast("int"),
+        ).alias("visit_detail_end_date"),
+        (F.lit(44818517) + F.col("l_partkey") % 2).alias(
+            "visit_detail_type_concept_id"
+        ),
+        F.col("l_orderkey").alias("visit_occurrence_id"),
+        (F.col("l_suppkey") % 25 + 1).alias("care_site_id"),
+    )
+    episode = o.select(
+        F.col("o_orderkey").alias("episode_id"),
+        F.col("o_custkey").alias("person_id"),
+        (F.lit(32528) + F.col("o_orderkey") % 3).alias("episode_concept_id"),
+        odate.alias("episode_start_date"),
+        F.date_add(odate, (F.col("o_orderkey") % 90).cast("int")).alias(
+            "episode_end_date"
+        ),
+        (F.lit(4000000) + F.col("o_orderkey") % 5).alias(
+            "episode_object_concept_id"
+        ),
+        (F.lit(32545) + F.col("o_orderkey") % 2).alias(
+            "episode_type_concept_id"
+        ),
+    )
+    extra = {
+        "person": person,
+        "location": location,
+        "care_site": care_site,
+        "payer_plan_period": payer,
+        "cost": cost,
+        "cohort": cohort,
+        "visit_detail": vd,
+        "episode": episode,
+    }
+    return lambda name: extra.get(name) if name in extra else base(name)
+
+
+# Oracle CTEs for the extended pseudo-CDM (appended to _PSEUDO_CDM_SQL).
+_PSEUDO_EXT_SQL = """,
+    loc AS (
+      SELECT n_nationkey AS location_id,
+             CAST(10000 + n_nationkey * 373 AS VARCHAR) AS zip,
+             'ST' || CAST(n_nationkey % 10 AS VARCHAR)  AS state
+      FROM nation),
+    care_site AS (
+      SELECT n_nationkey + 1       AS care_site_id,
+             8717 + (n_nationkey % 3) AS place_of_service_concept_id,
+             n_nationkey           AS location_id
+      FROM nation),
+    person_ext AS (
+      SELECT p.*, c_nationkey AS location_id, c_nationkey + 1 AS care_site_id
+      FROM person p JOIN customer ON p.person_id = c_custkey),
+    payer AS (
+      SELECT o_orderkey AS payer_plan_period_id,
+             o_custkey  AS person_id,
+             CAST(o_orderdate AS DATE) AS pstart,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 365 AS INTEGER)
+               AS pend,
+             32021 + (o_orderkey % 4) AS payer_concept_id
+      FROM orders),
+    cost AS (
+      SELECT l_orderkey * 10 + l_linenumber AS cost_id,
+             CASE CAST(l_linenumber % 3 AS INTEGER)
+               WHEN 0 THEN 'Drug' WHEN 1 THEN 'Procedure' ELSE 'Visit'
+             END AS cost_domain_id,
+             5031 + (l_suppkey % 2)     AS cost_type_concept_id,
+             44818668 + (l_partkey % 2) AS currency_concept_id,
+             l_extendedprice            AS total_charge,
+             l_extendedprice * (1 - l_discount) AS total_paid,
+             l_orderkey                 AS payer_plan_period_id
+      FROM lineitem),
+    cohort AS (
+      SELECT c_custkey % 3 AS cohort_definition_id,
+             c_custkey     AS subject_id,
+             DATE '1995-01-01' + CAST(c_custkey % 1000 AS INTEGER)
+               AS cohort_start_date,
+             DATE '1995-01-01' + CAST(c_custkey % 1000 AS INTEGER)
+               + CAST(c_custkey % 200 AS INTEGER) AS cohort_end_date
+      FROM customer
+      UNION ALL
+      SELECT c_custkey % 3, c_custkey,
+             DATE '1995-01-01' + CAST(c_custkey % 1000 AS INTEGER) + 30,
+             DATE '1995-01-01' + CAST(c_custkey % 1000 AS INTEGER)
+               + CAST(c_custkey % 200 AS INTEGER) + 30
+      FROM customer WHERE c_custkey % 4 = 0),
+    vdetail AS (
+      SELECT l_orderkey * 10 + l_linenumber AS visit_detail_id,
+             o_custkey AS person_id,
+             581476 + (l_linenumber % 3) AS visit_detail_concept_id,
+             CAST(l_shipdate AS DATE)    AS vd_start,
+             CAST(l_shipdate AS DATE)
+               + CAST((l_linenumber % 7) + 1 AS INTEGER) AS vd_end,
+             44818517 + (l_partkey % 2)  AS visit_detail_type_concept_id,
+             l_orderkey                  AS visit_occurrence_id,
+             (l_suppkey % 25) + 1        AS care_site_id
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    episode AS (
+      SELECT o_orderkey AS episode_id,
+             o_custkey  AS person_id,
+             32528 + (o_orderkey % 3) AS episode_concept_id,
+             CAST(o_orderdate AS DATE) AS ep_start,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 90 AS INTEGER)
+               AS ep_end,
+             4000000 + (o_orderkey % 5) AS episode_object_concept_id,
+             32545 + (o_orderkey % 2)   AS episode_type_concept_id
+      FROM orders)
+"""
+
+
 # Achilles content catalog, counts shape: 13 public analysis ids
 # (0-5 demographics, 101/111/112/113 observation period, 200/201/220
 # visits) through quality/achilles_catalog.run_catalog → one
@@ -536,6 +729,503 @@ def achilles_dists_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count_value",
         *[F.round(c, 3).alias(c) for c in _DIST_STATS],
     )
+
+
+def _run_ext_counts(spark: SparkSession, sf_dir: str, ids: list[int]) -> DataFrame:
+    from ..quality.achilles_catalog import run_catalog
+
+    out = run_catalog(spark, _pseudo_cdm_ext(spark, sf_dir), analysis_ids=ids)
+    return out["achilles_results"]
+
+
+def _run_ext_dists(spark: SparkSession, sf_dir: str, ids: list[int]) -> DataFrame:
+    from ..quality.achilles_catalog import run_catalog
+
+    out = run_catalog(spark, _pseudo_cdm_ext(spark, sf_dir), analysis_ids=ids)
+    dist = out["achilles_results_dist"]
+    return dist.select(
+        "analysis_id",
+        *[f"stratum_{i}" for i in range(1, 6)],
+        "count_value",
+        *[F.round(c, 3).alias(c) for c in _DIST_STATS],
+    )
+
+
+# Location + care-site families (Achilles 11xx/12xx) plus the person
+# invalid-FK slots 8/9 — geography strata through dimension joins.
+@register(
+    "achilles_geo_caresite",
+    oracle=_PSEUDO_CDM_SQL
+    + _PSEUDO_EXT_SQL
+    + f"""
+    SELECT 8 AS analysis_id, CAST(NULL AS VARCHAR) AS stratum_1, {_PAD},
+           CAST(COUNT(*) AS BIGINT) AS count_value
+    FROM person_ext
+    WHERE location_id IS NOT NULL
+      AND location_id NOT IN (SELECT location_id FROM loc)
+    UNION ALL
+    SELECT 9, CAST(NULL AS VARCHAR), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM person_ext
+    WHERE care_site_id IS NOT NULL
+      AND care_site_id NOT IN (SELECT care_site_id FROM care_site)
+    UNION ALL
+    SELECT 1100, substr(l.zip, 1, 3), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM person_ext p JOIN loc l USING (location_id)
+    GROUP BY substr(l.zip, 1, 3)
+    UNION ALL
+    SELECT 1101, l.state, {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM person_ext p JOIN loc l USING (location_id)
+    GROUP BY l.state
+    UNION ALL
+    SELECT 1102, substr(l.zip, 1, 3), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM care_site cs JOIN loc l USING (location_id)
+    GROUP BY substr(l.zip, 1, 3)
+    UNION ALL
+    SELECT 1103, l.state, {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM care_site cs JOIN loc l USING (location_id)
+    GROUP BY l.state
+    UNION ALL
+    SELECT 1200, CAST(cs.place_of_service_concept_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM person_ext p JOIN care_site cs USING (care_site_id)
+    GROUP BY cs.place_of_service_concept_id
+    UNION ALL
+    SELECT 1202, CAST(place_of_service_concept_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM care_site GROUP BY place_of_service_concept_id
+    UNION ALL
+    SELECT 1203, CAST(NULL AS VARCHAR), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM care_site
+    WHERE location_id IS NOT NULL
+      AND location_id NOT IN (SELECT location_id FROM loc)
+    """,
+)
+def achilles_geo_caresite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achilles location/care_site families over the extended pseudo-CDM
+    (quality/achilles_catalog.py 1100-1203; reference runs the same ids
+    when the tables exist, etl/achilles.py:54-227)."""
+    return _run_ext_counts(
+        spark, sf_dir, [8, 9, 1100, 1101, 1102, 1103, 1200, 1202, 1203]
+    )
+
+
+# Person/observation-period depth: 2-strata demographics + the 107/108
+# data-quality and 30-day-bucket slots.
+@register(
+    "achilles_person_depth",
+    oracle=_PSEUDO_CDM_SQL
+    + f""",
+    op2 AS (SELECT person_id, op_start, op_end FROM op)
+    SELECT 10 AS analysis_id, CAST(year_of_birth AS VARCHAR) AS stratum_1,
+           CAST(gender_concept_id AS VARCHAR) AS stratum_2, {_PAD3},
+           CAST(COUNT(*) AS BIGINT) AS count_value
+    FROM person GROUP BY year_of_birth, gender_concept_id
+    UNION ALL
+    SELECT 12, CAST(race_concept_id AS VARCHAR),
+           CAST(ethnicity_concept_id AS VARCHAR), {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM person GROUP BY race_concept_id, ethnicity_concept_id
+    UNION ALL
+    SELECT 107, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM op2 WHERE op_end < op_start
+    UNION ALL
+    SELECT 108,
+           CAST(CAST(floor((op_end - op_start) / 30) AS INTEGER) AS VARCHAR),
+           CAST(NULL AS VARCHAR), {_PAD3}, CAST(COUNT(*) AS BIGINT)
+    FROM op2 GROUP BY CAST(floor((op_end - op_start) / 30) AS INTEGER)
+    """,
+)
+def achilles_person_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Person 2-strata demographics (10/12) + observation-period 107/108
+    (end-before-start, 30-day total-observed buckets)."""
+    return _run_ext_counts(spark, sf_dir, [10, 12, 107, 108])
+
+
+# Payer plan period family (Achilles 14xx): the observation-period set
+# mirrored onto insurance coverage periods.
+@register(
+    "achilles_payer_catalog",
+    oracle=_PSEUDO_CDM_SQL
+    + _PSEUDO_EXT_SQL
+    + f"""
+    SELECT 1400 AS analysis_id, CAST(payer_concept_id AS VARCHAR) AS stratum_1,
+           {_PAD}, CAST(COUNT(*) AS BIGINT) AS count_value
+    FROM (SELECT DISTINCT person_id, payer_concept_id FROM payer)
+    GROUP BY payer_concept_id
+    UNION ALL
+    SELECT 1401, CAST(payer_concept_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM payer GROUP BY payer_concept_id
+    UNION ALL
+    SELECT 1402, CAST(payer_concept_id AS VARCHAR),
+           CAST(gender_concept_id AS VARCHAR) AS stratum_2, {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT pp.person_id, pp.payer_concept_id,
+                 p.gender_concept_id
+          FROM payer pp JOIN person p USING (person_id))
+    GROUP BY payer_concept_id, gender_concept_id
+    UNION ALL
+    SELECT 1404, CAST(payer_concept_id AS VARCHAR),
+           CAST(age_decade AS VARCHAR) AS stratum_2, {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT pp.person_id, pp.payer_concept_id,
+                 CAST(floor((year(pp.pstart) - p.year_of_birth) / 10)
+                      AS INTEGER) AS age_decade
+          FROM payer pp JOIN person p USING (person_id))
+    GROUP BY payer_concept_id, age_decade
+    UNION ALL
+    SELECT 1407, CAST(NULL AS VARCHAR), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM payer WHERE person_id NOT IN (SELECT person_id FROM person)
+    UNION ALL
+    SELECT 1408, CAST(NULL AS VARCHAR), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM payer pp
+    WHERE NOT EXISTS (SELECT 1 FROM op
+                      WHERE op.person_id = pp.person_id
+                        AND pp.pstart BETWEEN op.op_start AND op.op_end)
+    UNION ALL
+    SELECT 1409, CAST(y AS VARCHAR), {_PAD},
+           CAST(COUNT(DISTINCT person_id) AS BIGINT)
+    FROM payer, UNNEST(generate_series(year(pstart), year(pend))) AS t(y)
+    WHERE pstart <= make_date(y, 1, 1) AND pend >= make_date(y, 12, 31)
+    GROUP BY y
+    UNION ALL
+    SELECT 1410, strftime(m, '%Y%m'), {_PAD},
+           CAST(COUNT(DISTINCT person_id) AS BIGINT)
+    FROM payer,
+         UNNEST(generate_series(date_trunc('month', pstart),
+                                date_trunc('month', pend),
+                                INTERVAL 1 MONTH)) AS t(m)
+    WHERE pstart <= m AND pend >= last_day(CAST(m AS DATE))
+    GROUP BY strftime(m, '%Y%m')
+    UNION ALL
+    SELECT 1411, strftime(pstart, '%Y%m'), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM payer GROUP BY strftime(pstart, '%Y%m')
+    UNION ALL
+    SELECT 1412, strftime(pend, '%Y%m'), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM payer GROUP BY strftime(pend, '%Y%m')
+    UNION ALL
+    SELECT 1413, CAST(cnt AS VARCHAR), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT person_id, COUNT(*) AS cnt FROM payer GROUP BY person_id)
+    GROUP BY cnt
+    """,
+)
+def achilles_payer_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payer plan period counts family (1400-1413): persons/records by
+    payer, gender/age-decade strata, continuous-coverage spines,
+    start/end months, periods-per-person."""
+    return _run_ext_counts(
+        spark, sf_dir,
+        [1400, 1401, 1402, 1404, 1407, 1408, 1409, 1410, 1411, 1412, 1413],
+    )
+
+
+@register(
+    "achilles_payer_dists",
+    oracle=_PSEUDO_CDM_SQL
+    + _PSEUDO_EXT_SQL
+    + f"""
+    SELECT 1403 AS analysis_id, CAST(NULL AS VARCHAR) AS stratum_1, {_PAD},
+           {_DIST_ORACLE_STATS}
+    FROM (SELECT COUNT(*) AS v FROM payer GROUP BY person_id)
+    UNION ALL
+    SELECT 1406, CAST(payer_concept_id AS VARCHAR), {_PAD},
+           {_DIST_ORACLE_STATS}
+    FROM (SELECT pp.payer_concept_id, year(pp.pstart) - p.year_of_birth AS v
+          FROM payer pp JOIN person p USING (person_id))
+    GROUP BY payer_concept_id
+    UNION ALL
+    SELECT 1415, CAST(NULL AS VARCHAR), {_PAD}, {_DIST_ORACLE_STATS}
+    FROM (SELECT pend - pstart AS v FROM payer)
+    """,
+)
+def achilles_payer_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payer plan period distributions (1403/1406/1415): periods per
+    person, age at period start by payer, period length days."""
+    return _run_ext_dists(spark, sf_dir, [1403, 1406, 1415])
+
+
+# Visit detail family (Achilles 13xx): the visit set on the finer table.
+@register(
+    "achilles_visit_detail_catalog",
+    oracle=_PSEUDO_CDM_SQL
+    + _PSEUDO_EXT_SQL
+    + f"""
+    SELECT 1300 AS analysis_id,
+           CAST(visit_detail_concept_id AS VARCHAR) AS stratum_1, {_PAD},
+           CAST(COUNT(*) AS BIGINT) AS count_value
+    FROM (SELECT DISTINCT person_id, visit_detail_concept_id FROM vdetail)
+    GROUP BY visit_detail_concept_id
+    UNION ALL
+    SELECT 1301, CAST(visit_detail_concept_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM vdetail GROUP BY visit_detail_concept_id
+    UNION ALL
+    SELECT 1302, CAST(visit_detail_concept_id AS VARCHAR),
+           CAST(gender_concept_id AS VARCHAR) AS stratum_2, {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT v.person_id, v.visit_detail_concept_id,
+                 p.gender_concept_id
+          FROM vdetail v JOIN person p USING (person_id))
+    GROUP BY visit_detail_concept_id, gender_concept_id
+    UNION ALL
+    SELECT 1304, CAST(visit_detail_concept_id AS VARCHAR),
+           CAST(age_decade AS VARCHAR) AS stratum_2, {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT v.person_id, v.visit_detail_concept_id,
+                 CAST(floor((year(v.vd_start) - p.year_of_birth) / 10)
+                      AS INTEGER) AS age_decade
+          FROM vdetail v JOIN person p USING (person_id))
+    GROUP BY visit_detail_concept_id, age_decade
+    UNION ALL
+    SELECT 1305, CAST(visit_detail_concept_id AS VARCHAR),
+           CAST(visit_detail_type_concept_id AS VARCHAR), {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM vdetail
+    GROUP BY visit_detail_concept_id, visit_detail_type_concept_id
+    UNION ALL
+    SELECT 1307, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM vdetail WHERE person_id NOT IN (SELECT person_id FROM person)
+    UNION ALL
+    SELECT 1308, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM vdetail v
+    WHERE NOT EXISTS (SELECT 1 FROM op
+                      WHERE op.person_id = v.person_id
+                        AND v.vd_start BETWEEN op.op_start AND op.op_end)
+    UNION ALL
+    SELECT 1312, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM vdetail
+    WHERE visit_occurrence_id IS NOT NULL AND visit_occurrence_id NOT IN
+          (SELECT visit_occurrence_id FROM visit)
+    UNION ALL
+    SELECT 1320, strftime(vd_start, '%Y%m'), CAST(NULL AS VARCHAR), {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM vdetail GROUP BY strftime(vd_start, '%Y%m')
+    UNION ALL
+    SELECT 1321, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM vdetail
+    WHERE care_site_id IS NOT NULL AND care_site_id NOT IN
+          (SELECT care_site_id FROM care_site)
+    """,
+)
+def achilles_visit_detail_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visit detail counts family (1300-1321) over the extended
+    pseudo-CDM (lineitem⋈orders-derived visit details)."""
+    return _run_ext_counts(
+        spark, sf_dir,
+        [1300, 1301, 1302, 1304, 1305, 1307, 1308, 1312, 1320, 1321],
+    )
+
+
+@register(
+    "achilles_visit_detail_dists",
+    oracle=_PSEUDO_CDM_SQL
+    + _PSEUDO_EXT_SQL
+    + f"""
+    SELECT 1303 AS analysis_id, CAST(NULL AS VARCHAR) AS stratum_1,
+           CAST(NULL AS VARCHAR) AS stratum_2, {_PAD3}, {_DIST_ORACLE_STATS}
+    FROM (SELECT COUNT(*) AS v FROM vdetail GROUP BY person_id)
+    UNION ALL
+    SELECT 1306, CAST(visit_detail_concept_id AS VARCHAR),
+           CAST(gender_concept_id AS VARCHAR), {_PAD3}, {_DIST_ORACLE_STATS}
+    FROM (SELECT v.visit_detail_concept_id, p.gender_concept_id,
+                 year(v.vd_start) - p.year_of_birth AS v
+          FROM vdetail v JOIN person p USING (person_id))
+    GROUP BY visit_detail_concept_id, gender_concept_id
+    UNION ALL
+    SELECT 1313, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), {_PAD3},
+           {_DIST_ORACLE_STATS}
+    FROM (SELECT vd_end - vd_start AS v FROM vdetail)
+    """,
+)
+def achilles_visit_detail_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visit detail distributions (1303/1306/1313)."""
+    return _run_ext_dists(spark, sf_dir, [1303, 1306, 1313])
+
+
+# Cost family (Achilles 15xx): strata counts + paid-amount distributions.
+@register(
+    "achilles_cost_catalog",
+    oracle=_PSEUDO_CDM_SQL
+    + _PSEUDO_EXT_SQL
+    + f"""
+    SELECT 1500 AS analysis_id, cost_domain_id AS stratum_1, {_PAD},
+           CAST(COUNT(*) AS BIGINT) AS count_value
+    FROM cost GROUP BY cost_domain_id
+    UNION ALL
+    SELECT 1501, CAST(cost_type_concept_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM cost GROUP BY cost_type_concept_id
+    UNION ALL
+    SELECT 1502, CAST(currency_concept_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM cost GROUP BY currency_concept_id
+    UNION ALL
+    SELECT 1505, cost_domain_id, CAST(cost_type_concept_id AS VARCHAR),
+           {_PAD3}, CAST(COUNT(*) AS BIGINT)
+    FROM cost GROUP BY cost_domain_id, cost_type_concept_id
+    UNION ALL
+    SELECT 1520, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM cost
+    WHERE payer_plan_period_id IS NOT NULL AND payer_plan_period_id NOT IN
+          (SELECT payer_plan_period_id FROM payer)
+    """,
+)
+def achilles_cost_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost counts family (1500-1520): domain/type/currency strata and
+    the invalid payer-plan FK slot."""
+    return _run_ext_counts(spark, sf_dir, [1500, 1501, 1502, 1505, 1520])
+
+
+@register(
+    "achilles_cost_dists",
+    oracle=_PSEUDO_CDM_SQL
+    + _PSEUDO_EXT_SQL
+    + f"""
+    SELECT 1510 AS analysis_id, CAST(NULL AS VARCHAR) AS stratum_1, {_PAD},
+           {_DIST_ORACLE_STATS}
+    FROM (SELECT total_charge AS v FROM cost WHERE total_charge IS NOT NULL)
+    UNION ALL
+    SELECT 1512, CAST(NULL AS VARCHAR), {_PAD}, {_DIST_ORACLE_STATS}
+    FROM (SELECT total_paid AS v FROM cost WHERE total_paid IS NOT NULL)
+    """,
+)
+def achilles_cost_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost amount distributions (1510 total_charge, 1512 total_paid)."""
+    return _run_ext_dists(spark, sf_dir, [1510, 1512])
+
+
+# Cohort (17xx) + episode (24xx, CDM 5.4) families.
+@register(
+    "achilles_cohort_episode",
+    oracle=_PSEUDO_CDM_SQL
+    + _PSEUDO_EXT_SQL
+    + f"""
+    SELECT 1700 AS analysis_id,
+           CAST(cohort_definition_id AS VARCHAR) AS stratum_1, {_PAD},
+           CAST(COUNT(*) AS BIGINT) AS count_value
+    FROM cohort GROUP BY cohort_definition_id
+    UNION ALL
+    SELECT 1701, CAST(cohort_definition_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT cohort_definition_id, subject_id FROM cohort)
+    GROUP BY cohort_definition_id
+    UNION ALL
+    SELECT 2400, CAST(episode_concept_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT person_id, episode_concept_id FROM episode)
+    GROUP BY episode_concept_id
+    UNION ALL
+    SELECT 2401, CAST(episode_concept_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM episode GROUP BY episode_concept_id
+    UNION ALL
+    SELECT 2402, CAST(episode_concept_id AS VARCHAR),
+           CAST(gender_concept_id AS VARCHAR) AS stratum_2, {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT e.person_id, e.episode_concept_id,
+                 p.gender_concept_id
+          FROM episode e JOIN person p USING (person_id))
+    GROUP BY episode_concept_id, gender_concept_id
+    UNION ALL
+    SELECT 2404, CAST(episode_concept_id AS VARCHAR),
+           CAST(age_decade AS VARCHAR) AS stratum_2, {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT e.person_id, e.episode_concept_id,
+                 CAST(floor((year(e.ep_start) - p.year_of_birth) / 10)
+                      AS INTEGER) AS age_decade
+          FROM episode e JOIN person p USING (person_id))
+    GROUP BY episode_concept_id, age_decade
+    UNION ALL
+    SELECT 2405, CAST(episode_concept_id AS VARCHAR),
+           CAST(episode_type_concept_id AS VARCHAR), {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM episode GROUP BY episode_concept_id, episode_type_concept_id
+    UNION ALL
+    SELECT 2407, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM episode WHERE person_id NOT IN (SELECT person_id FROM person)
+    UNION ALL
+    SELECT 2408, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM episode e
+    WHERE NOT EXISTS (SELECT 1 FROM op
+                      WHERE op.person_id = e.person_id
+                        AND e.ep_start BETWEEN op.op_start AND op.op_end)
+    UNION ALL
+    SELECT 2413, CAST(episode_object_concept_id AS VARCHAR),
+           CAST(NULL AS VARCHAR), {_PAD3}, CAST(COUNT(*) AS BIGINT)
+    FROM episode GROUP BY episode_object_concept_id
+    UNION ALL
+    SELECT 2420, strftime(ep_start, '%Y%m'), CAST(NULL AS VARCHAR), {_PAD3},
+           CAST(COUNT(*) AS BIGINT)
+    FROM episode GROUP BY strftime(ep_start, '%Y%m')
+    """,
+)
+def achilles_cohort_episode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort (1700/1701) + episode (2400-2420) counts families."""
+    return _run_ext_counts(
+        spark, sf_dir,
+        [1700, 1701, 2400, 2401, 2402, 2404, 2405, 2407, 2408, 2413, 2420],
+    )
+
+
+@register(
+    "achilles_cohort_episode_dists",
+    oracle=_PSEUDO_CDM_SQL
+    + _PSEUDO_EXT_SQL
+    + f"""
+    SELECT 1702 AS analysis_id,
+           CAST(cohort_definition_id AS VARCHAR) AS stratum_1, {_PAD},
+           {_DIST_ORACLE_STATS}
+    FROM (SELECT cohort_definition_id,
+                 cohort_end_date - cohort_start_date AS v
+          FROM cohort)
+    GROUP BY cohort_definition_id
+    UNION ALL
+    SELECT 2403, CAST(NULL AS VARCHAR), {_PAD}, {_DIST_ORACLE_STATS}
+    FROM (SELECT COUNT(*) AS v FROM episode GROUP BY person_id)
+    UNION ALL
+    SELECT 2406, CAST(episode_concept_id AS VARCHAR), {_PAD},
+           {_DIST_ORACLE_STATS}
+    FROM (SELECT e.episode_concept_id, year(e.ep_start) - p.year_of_birth AS v
+          FROM episode e JOIN person p USING (person_id))
+    GROUP BY episode_concept_id
+    UNION ALL
+    SELECT 2415, CAST(NULL AS VARCHAR), {_PAD}, {_DIST_ORACLE_STATS}
+    FROM (SELECT ep_end - ep_start AS v FROM episode)
+    """,
+)
+def achilles_cohort_episode_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort/episode distributions (1702/2403/2406/2415)."""
+    return _run_ext_dists(spark, sf_dir, [1702, 2403, 2406, 2415])
+
+
+@register(
+    "achilles_obsperiod_depth_dists",
+    oracle=_PSEUDO_CDM_SQL
+    + f"""
+    SELECT 103 AS analysis_id, CAST(NULL AS VARCHAR) AS stratum_1, {_PAD},
+           {_DIST_ORACLE_STATS}
+    FROM (SELECT year(op.op_start) - p.year_of_birth AS v
+          FROM op JOIN person p USING (person_id))
+    UNION ALL
+    SELECT 106, CAST(gender_concept_id AS VARCHAR), {_PAD},
+           {_DIST_ORACLE_STATS}
+    FROM (SELECT p.gender_concept_id, op.op_end - op.op_start AS v
+          FROM op JOIN person p USING (person_id))
+    GROUP BY gender_concept_id
+    """,
+)
+def achilles_obsperiod_depth_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation-period depth distributions: 103 (age at first period)
+    and 106 (period length by gender)."""
+    return _run_ext_dists(spark, sf_dir, [103, 106])
 
 
 # plausibleValueLow on lineitem quantity
