@@ -39,6 +39,37 @@ def _pseudo_cdm(spark: SparkSession, sf_dir: str):
         F.min(odate).alias("observation_period_start_date"),
         F.max(odate).alias("observation_period_end_date"),
     )
+    k = F.col("o_orderkey")
+    measurement = o.select(
+        k.alias("measurement_id"),
+        F.col("o_custkey").alias("person_id"),
+        F.when(k % 3 == 0, 3036277)
+        .when(k % 3 == 1, 3025315)
+        .otherwise(3027018)
+        .alias("measurement_concept_id"),
+        odate.alias("measurement_date"),
+        F.when(k % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("value_as_number"),
+        F.when(k % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.when(k % 4 == 0, 8582)
+            .when(k % 4 == 1, 9529)
+            .when(k % 4 == 2, 8541)
+            .otherwise(8582)
+            .cast("long")
+        )
+        .alias("unit_concept_id"),
+    )
+    condition = o.select(
+        k.alias("condition_occurrence_id"),
+        F.col("o_custkey").alias("person_id"),
+        F.when(k % 4 == 0, 4163261)
+        .when(k % 4 == 1, 4299535)
+        .otherwise(201826)
+        .alias("condition_concept_id"),
+        odate.alias("condition_start_date"),
+    )
     source = spark.createDataFrame(
         [("spark-graft",)], "cdm_source_name string"
     )
@@ -46,6 +77,8 @@ def _pseudo_cdm(spark: SparkSession, sf_dir: str):
         "person": person,
         "visit_occurrence": visit,
         "observation_period": obs,
+        "measurement": measurement,
+        "condition_occurrence": condition,
         "cdm_source": source,
     }
     return tables.get
@@ -72,6 +105,29 @@ _PSEUDO_CDM_SQL = """
              CAST(o_orderdate AS DATE) AS visit_start_date,
              CAST(o_orderdate AS DATE) + CAST(o_orderkey % 14 AS INTEGER)
                AS visit_end_date
+      FROM orders),
+    measurement AS (
+      SELECT o_orderkey AS measurement_id,
+             o_custkey  AS person_id,
+             CASE CAST(o_orderkey % 3 AS INTEGER)
+               WHEN 0 THEN 3036277 WHEN 1 THEN 3025315 ELSE 3027018
+             END AS measurement_concept_id,
+             CAST(o_orderdate AS DATE) AS measurement_date,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_totalprice END AS value_as_number,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  WHEN o_orderkey % 4 = 0 THEN 8582
+                  WHEN o_orderkey % 4 = 1 THEN 9529
+                  WHEN o_orderkey % 4 = 2 THEN 8541
+                  ELSE 8582 END AS unit_concept_id
+      FROM orders),
+    cond AS (
+      SELECT o_orderkey AS condition_occurrence_id,
+             o_custkey  AS person_id,
+             CASE CAST(o_orderkey % 4 AS INTEGER)
+               WHEN 0 THEN 4163261 WHEN 1 THEN 4299535 ELSE 201826
+             END AS condition_concept_id,
+             CAST(o_orderdate AS DATE) AS condition_start_date
       FROM orders)
 """
 
@@ -401,7 +457,33 @@ def _mini_registry():
             C("observation_period_end_date", "date", True),
         ],
     )
-    return SchemaRegistry([person, visit, obs])
+    measurement = TableSpec(
+        name="measurement",
+        pk="measurement_id",
+        fks={"person_id": "person"},
+        concept_cols=["measurement_concept_id", "unit_concept_id"],
+        columns=[
+            C("measurement_id", "integer", True),
+            C("person_id", "integer", True),
+            C("measurement_concept_id", "integer", True),
+            C("measurement_date", "date", True),
+            C("value_as_number", "float"),
+            C("unit_concept_id", "integer"),
+        ],
+    )
+    condition = TableSpec(
+        name="condition_occurrence",
+        pk="condition_occurrence_id",
+        fks={"person_id": "person"},
+        concept_cols=["condition_concept_id"],
+        columns=[
+            C("condition_occurrence_id", "integer", True),
+            C("person_id", "integer", True),
+            C("condition_concept_id", "integer", True),
+            C("condition_start_date", "date", True),
+        ],
+    )
+    return SchemaRegistry([person, visit, obs, measurement, condition])
 
 
 # ---- DQD sweep oracle: independently recomputes every check the sweep
@@ -426,6 +508,20 @@ _DQ_META_COLS = {
         "person_id",
         "observation_period_start_date",
         "observation_period_end_date",
+    ],
+    "measurement": [
+        "measurement_id",
+        "person_id",
+        "measurement_concept_id",
+        "measurement_date",
+        "value_as_number",
+        "unit_concept_id",
+    ],
+    "condition_occurrence": [
+        "condition_occurrence_id",
+        "person_id",
+        "condition_concept_id",
+        "condition_start_date",
     ],
 }
 
@@ -492,8 +588,30 @@ def _dq_detail_oracle() -> str:
             "observation_period_start_date",
             "observation_period_end_date",
         )
+    ] + [
+        ("measurement", c)
+        for c in (
+            "measurement_id",
+            "person_id",
+            "measurement_concept_id",
+            "measurement_date",
+        )
+    ] + [
+        ("cond", c)
+        for c in (
+            "condition_occurrence_id",
+            "person_id",
+            "condition_concept_id",
+            "condition_start_date",
+        )
     ]
-    tname = {"person": "person", "visit": "visit_occurrence", "obs": "observation_period"}
+    tname = {
+        "person": "person",
+        "visit": "visit_occurrence",
+        "obs": "observation_period",
+        "measurement": "measurement",
+        "cond": "condition_occurrence",
+    }
     parts = [
         f"""
     SELECT check_name, check_family,
@@ -519,7 +637,20 @@ def _dq_detail_oracle() -> str:
             "visit_occurrence_id",
         )
     )
-    for tbl in ("visit", "obs"):
+    parts.append(
+        _dq_pk_sql(
+            "isPrimaryKey_measurement_measurement_id", "measurement",
+            "measurement_id",
+        )
+    )
+    parts.append(
+        _dq_pk_sql(
+            "isPrimaryKey_condition_occurrence_condition_occurrence_id",
+            "cond",
+            "condition_occurrence_id",
+        )
+    )
+    for tbl in ("visit", "obs", "measurement", "cond"):
         parts.append(
             _dq_check_sql(
                 f"isForeignKey_{tname[tbl]}_person_id", "isForeignKey",
@@ -578,7 +709,59 @@ def _dq_detail_oracle() -> str:
             "FROM visit", 1.0,
         )
     )
-    for tbl in ("visit", "obs"):
+    for nm, col, tbl in (
+        ("measurement", "measurement_concept_id", "measurement"),
+        ("measurement", "unit_concept_id", "measurement"),
+        ("condition_occurrence", "condition_concept_id", "cond"),
+    ):
+        parts.append(
+            _dq_check_sql(
+                f"standardConceptRecordCompleteness_{nm}_{col}",
+                "standardConceptRecordCompleteness",
+                f"{col} IS NULL OR {col} = 0", f"FROM {tbl}", 1.0,
+            )
+        )
+    parts.append(
+        _dq_check_sql(
+            "measureValueCompleteness_measurement_value_as_number",
+            "measureValueCompleteness",
+            "value_as_number IS NULL", "FROM measurement", 1.0,
+        )
+    )
+    # concept-level families (19/19): gender-conditional concepts vs the
+    # person's gender; measurement units vs the allowed-unit map
+    parts.append(
+        _dq_check_sql(
+            "plausibleGenderUseDescendants_condition_occurrence_condition_concept_id",
+            "plausibleGenderUseDescendants",
+            "(cc = 4163261 AND g IS NOT NULL AND g <> 8507) OR "
+            "(cc = 4299535 AND g IS NOT NULL AND g <> 8532)",
+            "FROM (SELECT c.condition_concept_id AS cc, p.gender_concept_id AS g "
+            "FROM cond c LEFT JOIN person p USING (person_id))",
+            0.01,
+        )
+    )
+    parts.append(
+        _dq_check_sql(
+            "plausibleGenderUseDescendants_measurement_measurement_concept_id",
+            "plausibleGenderUseDescendants",
+            "FALSE",
+            "FROM measurement", 0.01,
+        )
+    )
+    parts.append(
+        _dq_check_sql(
+            "plausibleUnitConceptIds_measurement_measurement_concept_id",
+            "plausibleUnitConceptIds",
+            "measurement_concept_id IN (3036277, 3025315, 3027018) "
+            "AND unit_concept_id IS NOT NULL AND NOT ("
+            "(measurement_concept_id = 3036277 AND unit_concept_id = 8582) OR "
+            "(measurement_concept_id = 3025315 AND unit_concept_id = 9529) OR "
+            "(measurement_concept_id = 3027018 AND unit_concept_id = 8541))",
+            "FROM measurement", 0.01,
+        )
+    )
+    for tbl in ("visit", "obs", "measurement", "cond"):
         parts.append(
             _dq_check_sql(
                 f"measurePersonCompleteness_{tname[tbl]}",

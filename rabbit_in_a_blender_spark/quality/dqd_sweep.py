@@ -64,6 +64,8 @@ DEFAULT_THRESHOLDS: dict[str, float] = {
     "sourceConceptRecordCompleteness": 1.0,
     "sourceValueCompleteness": 1.0,
     "measurePersonCompleteness": 1.0,
+    "plausibleGenderUseDescendants": 0.01,
+    "plausibleUnitConceptIds": 0.01,
 }
 
 # Plausible value ranges for specific CDM fields (public DQD convention:
@@ -75,6 +77,46 @@ PLAUSIBLE_RANGES: dict[str, tuple[float, float]] = {
     "days_supply": (0, 365),
     "refills": (0, 24),
 }
+
+# Concept-level family defaults.  The reference drives
+# plausibleGenderUseDescendants / plausibleUnitConceptIds from the OHDSI
+# Concept_Level CSV (data_quality.py:209-217), which vendors thousands of
+# (concept, constraint) rows; that CSV is not shipped here, so the sweep
+# carries seed defaults — the canonical gender-conditional concepts and
+# vital-sign UCUM units — and deployments pass the full maps via
+# ``run_sweep(gender_specific=..., allowed_units=...)``.  The descendant
+# expansion ("UseDescendants") is precomputed into the map, making the
+# runtime check a pure map lookup inside the single aggregation pass.
+
+# concept_id → required gender concept (8507 male / 8532 female)
+GENDER_SPECIFIC_DEFAULTS: dict[int, int] = {
+    4163261: 8507,  # neoplasm of prostate → male
+    4299535: 8532,  # pregnancy finding → female
+}
+
+# columns the gender family applies to (DQD scopes it to the clinical
+# event domains, not visits/types/units)
+GENDER_CHECK_COLS = frozenset(
+    {
+        "condition_concept_id",
+        "procedure_concept_id",
+        "observation_concept_id",
+        "measurement_concept_id",
+    }
+)
+
+# measurement concept_id → allowed unit concept ids
+ALLOWED_UNIT_DEFAULTS: dict[int, list[int]] = {
+    3036277: [8582],  # body height → centimeter
+    3025315: [9529],  # body weight → kilogram
+    3027018: [8541],  # heart rate → per minute
+}
+
+# (concept column, unit column) pairs the unit family applies to
+UNIT_CHECK_COLS = (
+    ("measurement_concept_id", "unit_concept_id"),
+    ("observation_concept_id", "unit_concept_id"),
+)
 
 # table → concept column → required concept class (the Field_Level
 # fkClass column; public DQD applies it to the era tables' drug
@@ -148,6 +190,8 @@ def _table_checks(
     read: Reader,
     registry: SchemaRegistry,
     concept: DataFrame | None,
+    gender_specific: Mapping[int, int] | None = None,
+    allowed_units: Mapping[int, list[int]] | None = None,
 ) -> DataFrame | None:
     """All column-level checks of one table, evaluated in ONE agg pass."""
     cols = set(df.columns)
@@ -355,6 +399,83 @@ def _table_checks(
                 )
             )
 
+    # plausibleGenderUseDescendants: gender-conditional concepts vs the
+    # person's gender.  The descendant expansion lives in the map, so the
+    # runtime cost is one (deduped) person join shared by every scoped
+    # concept column plus a map lookup per row in the shared agg pass —
+    # the reference renders one query per (concept, table) row instead.
+    if gender_specific and tname != "person" and "person_id" in cols:
+        gcols = [
+            c for c in spec.concept_cols if c in cols and c in GENDER_CHECK_COLS
+        ]
+        person = read("person") if gcols else None
+        if person is not None and {"person_id", "gender_concept_id"} <= set(
+            person.columns
+        ):
+            pg = person.select(
+                F.col("person_id").alias("__pg_pid"),
+                F.col("gender_concept_id").alias("__pgender"),
+            ).dropDuplicates(["__pg_pid"])
+            joined = joined.join(
+                pg, joined["person_id"] == F.col("__pg_pid"), "left"
+            )
+            req_map = F.create_map(
+                *[
+                    F.lit(x).cast("long")
+                    for kv in gender_specific.items()
+                    for x in kv
+                ]
+            )
+            for c in gcols:
+                req = req_map[F.col(c).cast("long")]
+                checks.append(
+                    _Check(
+                        f"plausibleGenderUseDescendants_{tname}_{c}",
+                        "plausibleGenderUseDescendants",
+                        c,
+                        req.isNotNull()
+                        & F.col("__pgender").isNotNull()
+                        & (F.col("__pgender").cast("long") != req),
+                    )
+                )
+
+    # plausibleUnitConceptIds: units outside the allowed set for their
+    # measurement concept — a pure array-membership projection, no join.
+    if allowed_units:
+        scope_vals = [int(k) for k in allowed_units]
+        pairs = [
+            (int(m), int(u)) for m, units in allowed_units.items() for u in units
+        ]
+        allowed_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(m).cast("long").alias("m"),
+                    F.lit(u).cast("long").alias("u"),
+                )
+                for m, u in pairs
+            ]
+        )
+        for c, unit_col in UNIT_CHECK_COLS:
+            if c not in cols or unit_col not in cols or c not in spec.concept_cols:
+                continue
+            ok = F.array_contains(
+                allowed_arr,
+                F.struct(
+                    F.col(c).cast("long").alias("m"),
+                    F.col(unit_col).cast("long").alias("u"),
+                ),
+            )
+            checks.append(
+                _Check(
+                    f"plausibleUnitConceptIds_{tname}_{c}",
+                    "plausibleUnitConceptIds",
+                    unit_col,
+                    F.col(c).isin(scope_vals)
+                    & F.col(unit_col).isNotNull()
+                    & ~ok,
+                )
+            )
+
     # fkDomain via the vocabulary concept table (when loaded)
     if concept is not None and "domain_id" in concept.columns:
         for j, c in enumerate(spec.concept_cols):
@@ -541,13 +662,25 @@ def run_sweep(
     families: Iterable[str] | None = None,
     thresholds: Mapping[str, float] | None = None,
     warehouse=None,
+    gender_specific: Mapping[int, int] | None = None,
+    allowed_units: Mapping[int, list[int]] | None = None,
 ) -> DataFrame:
     """Enumerate and run the whole DQD over the CDM exposed by ``read``.
 
     Returns one row per instantiated check:
     (check_name, check_family, cdm_table, cdm_field, num_violated_rows,
     pct_violated_rows, num_denominator_rows, threshold, failed).
+
+    The concept-level families auto-enumerate from
+    ``GENDER_SPECIFIC_DEFAULTS`` / ``ALLOWED_UNIT_DEFAULTS`` (the
+    reference's Concept_Level CSV equivalents); pass ``gender_specific``
+    / ``allowed_units`` to supply the full production maps, or empty
+    mappings to disable the families.
     """
+    if gender_specific is None:
+        gender_specific = GENDER_SPECIFIC_DEFAULTS
+    if allowed_units is None:
+        allowed_units = ALLOWED_UNIT_DEFAULTS
     wanted = list(tables) if tables is not None else sorted(registry.tables)
     frames: list[DataFrame] = []
 
@@ -559,7 +692,16 @@ def run_sweep(
         df = read(tname)
         if df is None:
             continue
-        per_table = _table_checks(tname, registry[tname], df, read, registry, concept)
+        per_table = _table_checks(
+            tname,
+            registry[tname],
+            df,
+            read,
+            registry,
+            concept,
+            gender_specific=gender_specific,
+            allowed_units=allowed_units,
+        )
         if per_table is not None:
             frames.append(per_table)
 

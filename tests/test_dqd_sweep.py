@@ -256,6 +256,78 @@ def test_duplicate_lookup_keys_do_not_fan_out(spark):
     assert (ab["num_violated_rows"], ab["num_denominator_rows"]) == (0, 3)
 
 
+def test_plausible_gender_and_unit_families_auto_enumerate(spark):
+    """The two concept-level families (reference data_quality.py:209-217
+    drives them from the Concept_Level CSV) enumerate from the built-in
+    seed maps: prostate concepts are male-only, pregnancy female-only;
+    vital signs carry their UCUM units."""
+    person = spark.createDataFrame(
+        [
+            (1, 8507, 1970, dt.datetime(1970, 3, 1), 8527, 38003563),  # male
+            (2, 8532, 1980, dt.datetime(1980, 1, 1), 8527, 38003563),  # female
+        ],
+        "person_id long, gender_concept_id long, year_of_birth long, "
+        "birth_datetime timestamp, race_concept_id long, ethnicity_concept_id long",
+    )
+    condition = spark.createDataFrame(
+        [
+            # prostate neoplasm on the female person → violation
+            (20, 2, 4163261, _d("2020-02-01")),
+            # prostate neoplasm on the male person → fine
+            (21, 1, 4163261, _d("2020-02-01")),
+            # pregnancy on the male person → violation
+            (22, 1, 4299535, _d("2020-03-01")),
+            # gender-neutral concept → exempt
+            (23, 2, 201826, _d("2020-04-01")),
+        ],
+        "condition_occurrence_id long, person_id long, "
+        "condition_concept_id long, condition_start_date date",
+    )
+    measurement = spark.createDataFrame(
+        [
+            # body height in centimeters → fine
+            (30, 1, 3036277, _d("2020-02-01"), 8582),
+            # body height in kilograms → violation
+            (31, 1, 3036277, _d("2020-02-01"), 9529),
+            # heart rate, NULL unit → exempt
+            (32, 2, 3027018, _d("2020-02-01"), None),
+            # concept outside the map → exempt regardless of unit
+            (33, 2, 3027114, _d("2020-02-01"), 9529),
+        ],
+        "measurement_id long, person_id long, measurement_concept_id long, "
+        "measurement_date date, unit_concept_id long",
+    )
+    tables = {
+        "person": person,
+        "condition_occurrence": condition,
+        "measurement": measurement,
+    }
+    res = run_sweep(
+        spark, tables.get, cdm54_registry(), tables=list(tables)
+    )
+    rows = {r["check_name"]: r for r in res.collect()}
+    g = rows["plausibleGenderUseDescendants_condition_occurrence_condition_concept_id"]
+    assert (g["num_violated_rows"], g["num_denominator_rows"]) == (2, 4)
+    assert g["failed"] == 1  # 50% > 1%
+    u = rows["plausibleUnitConceptIds_measurement_measurement_concept_id"]
+    assert (u["num_violated_rows"], u["num_denominator_rows"]) == (1, 4)
+    # measurement concepts aren't in the gender seed map → 0 violations,
+    # but the check itself still enumerates (19/19 families present)
+    gm = rows["plausibleGenderUseDescendants_measurement_measurement_concept_id"]
+    assert gm["num_violated_rows"] == 0
+    fams = {r["check_family"] for r in res.collect()}
+    assert {"plausibleGenderUseDescendants", "plausibleUnitConceptIds"} <= fams
+
+    # empty maps disable the families (production opt-out)
+    res2 = run_sweep(
+        spark, tables.get, cdm54_registry(), tables=list(tables),
+        gender_specific={}, allowed_units={},
+    )
+    fams2 = {r["check_family"] for r in res2.collect()}
+    assert "plausibleGenderUseDescendants" not in fams2
+    assert "plausibleUnitConceptIds" not in fams2
+
+
 def test_sweep_threshold_override_and_family_filter(spark, cdm):
     res = run_sweep(
         spark,
