@@ -30,6 +30,7 @@ _MODULES = (
     "rabbit_in_a_blender_spark.plans.quality",
     "rabbit_in_a_blender_spark.plans.extensions",
     "rabbit_in_a_blender_spark.plans.streaming_batch",
+    "rabbit_in_a_blender_spark.plans.sources",
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}
