@@ -5,6 +5,13 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 
 Each query is forced through the noop sink (full computation, no driver
 collect) — the honest way to time a distributed plan.
+
+Each headline query runs once as warmup (parquet footer reads + codegen
+compilation) then N=3 timed repetitions; the reported per-query number
+is the median and ``queries_reps``/``spread_pct`` expose the raw reps
+and (max-min)/median so noise vs regression is decidable (VERDICT r2
+task 4: r1→r2 single-query swings of ±30% on unchanged code needed a
+variance bar to adjudicate).
 """
 
 from __future__ import annotations
@@ -142,19 +149,37 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    queries_reps: dict[str, list[float]] = {}
+    spread_pct: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        med = sorted(samples)[len(samples) // 2]
+        timings[name] = med
+        queries_reps[name] = samples
+        spread_pct[name] = round(100.0 * (max(samples) - min(samples)) / med, 1)
 
     # ETL warmup at the smallest sf: codegen + committer paths compile
     # once here, so the timed run below measures steady-state execution
     # (same treatment the headline queries get above).
     etl_pipeline_bench(spark, "/root/testdata/sf0.001")
-    etl_sec, etl_rows = etl_pipeline_bench(spark, sf_dir)
-    timings["etl_pipeline_two_stage"] = round(etl_sec, 3)
+    etl_samples: list[float] = []
+    etl_rows = 0
+    for _ in range(reps):
+        etl_sec, etl_rows = etl_pipeline_bench(spark, sf_dir)
+        etl_samples.append(round(etl_sec, 3))
+    etl_med = sorted(etl_samples)[len(etl_samples) // 2]
+    timings["etl_pipeline_two_stage"] = etl_med
+    queries_reps["etl_pipeline_two_stage"] = etl_samples
+    spread_pct["etl_pipeline_two_stage"] = round(
+        100.0 * (max(etl_samples) - min(etl_samples)) / etl_med, 1
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -165,7 +190,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "etl_rows_per_sec": round(etl_rows / etl_sec),
+                "etl_rows_per_sec": round(etl_rows / etl_med),
+                "reps": reps,
+                "queries_reps": queries_reps,
+                "spread_pct": spread_pct,
             }
         )
     )

@@ -254,7 +254,17 @@ class EtlPipeline:
                     f"{spec.name}.{concept_col}: duplicate usagi mappings {dups}"
                 )
 
+        disc_cols = set(spec.event_cols.values())
         for concept_col in spec.concept_cols:
+            # Event discriminators (episode_event_field_concept_id,
+            # cost_type_concept_id) carry the target TABLE NAME string
+            # until stage 2 rewrites them to field-concept ids
+            # (cdm_5.4_events.json routing); zeroing or usagi-mapping
+            # them here would break the polymorphic resolve.  They stay
+            # in concept_cols so they remain part of the swap/dedup
+            # identity key.
+            if concept_col in disc_cols:
+                continue
             usagi = usagi_patched.get(concept_col)
             if usagi is None:
                 upload = upload.withColumn(concept_col, F.lit(0).cast("long"))
@@ -318,6 +328,7 @@ class EtlPipeline:
                 )
 
             # PK swap: persist-or-extend, then replace prequel keys (§2.J).
+            own_swap: DataFrame | None = None
             if spec.pk:
                 event_cols = list(spec.event_cols)
                 prior = self._load_swap(spec.name)
@@ -352,6 +363,7 @@ class EtlPipeline:
                             self._write_keyed, swap, self._swap_name(spec.name), "x"
                         )
                     )
+                own_swap = swap
                 bookkeeping.append(pool.submit(self._record_id_map, spec.name, swap))
                 upload = apply_pk_swap(
                     upload.withColumnRenamed(spec.pk, "x"),
@@ -362,9 +374,16 @@ class EtlPipeline:
                 ).withColumnRenamed("x", spec.pk)
 
             # FK remap through parent swaps (J3); required FKs default to 0.
+            # Self-FKs (preceding/parent_visit_detail_id, episode_parent_id
+            # — reference special routing, merge.sql.jinja:96-112) resolve
+            # against the swap just computed IN MEMORY: on the plain
+            # first-run path its parquet write is still in flight on a
+            # pool thread, so a _load_swap read-back would race it.
             fk_swaps, required = {}, {}
             for fk_col, parent in spec.fks.items():
-                parent_swap = self._load_swap(parent)
+                parent_swap = (
+                    own_swap if parent == spec.name else self._load_swap(parent)
+                )
                 if parent_swap is not None:
                     fk_swaps[fk_col] = parent_swap.select("x", "y")
                     required[fk_col] = any(

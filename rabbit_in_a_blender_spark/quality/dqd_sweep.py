@@ -11,8 +11,9 @@ re-planned Spark-first:
 
 - **one aggregation pass per table** evaluates every column-level check
   of that table simultaneously (each check is a conditional-sum in a
-  shared agg; FK/person/death/concept lookups are broadcast-joined once
-  before the agg).  The reference runs N queries = N scans; this runs
+  shared agg; FK/person/death/concept lookups are key-deduplicated and
+  joined once before the agg, join strategy AQE-decided).  The
+  reference runs N queries = N scans; this runs
   ~1 scan per table regardless of how many checks it carries — the
   difference between 400 jobs and 39 at 100 TB.
 - metadata-level families (cdmTable, cdmField, cdmDatatype) never touch

@@ -506,3 +506,117 @@ def test_bucketed_io_pipeline_matches_plain_and_is_stable(spark, wh):
                   "visit__upload", "note__pk_swap", "note__upload"):
             spark.sql(f"DROP TABLE IF EXISTS work.{t}")
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_visit_detail_episode_cdm54(spark, wh):
+    """CDM 5.4 visit_detail/episode/episode_event through the two-stage
+    flow using the REAL registry specs (VERDICT r2 task 7): exercises the
+    self-FK routing (preceding/parent_visit_detail_id → visit_detail,
+    episode_parent_id → episode — reference merge.sql.jinja:96-112 special
+    cases), the episode_event polymorphic discriminator
+    (cdm_5.4_events.json "episode_event"), and the clustering keys wired
+    by cdm54_registry()."""
+    from rabbit_in_a_blender_spark.core.cdm54 import CLUSTERING_FIELDS, cdm54_registry
+
+    cdm = cdm54_registry()
+    vd_spec, ep_spec, ee_spec = cdm["visit_detail"], cdm["episode"], cdm["episode_event"]
+    # clustering keys reach the specs from the BigQuery CLUSTER BY analog
+    assert vd_spec.cluster_by == CLUSTERING_FIELDS["visit_detail"]
+    assert ep_spec.cluster_by == CLUSTERING_FIELDS["episode"]
+    # the event discriminator is identity (concept col) AND routing col
+    assert ee_spec.event_cols == {"event_id": "episode_event_field_concept_id"}
+
+    person = TableSpec(
+        name="person",
+        columns=[ColumnSpec("person_id", "int64", required=True)],
+        pk="person_id",
+    )
+    visit_occurrence = TableSpec(
+        name="visit_occurrence",
+        columns=[
+            ColumnSpec("visit_occurrence_id", "int64", required=True),
+            ColumnSpec("person_id", "int64", required=True),
+        ],
+        pk="visit_occurrence_id",
+        fks={"person_id": "person"},
+    )
+    registry = SchemaRegistry([person, visit_occurrence, vd_spec, ep_spec, ee_spec])
+    levels = registry.dependency_levels()
+    assert levels[0] == ["person"]  # self-FKs must not cycle the toposort
+
+    person_upload = spark.createDataFrame([("PK_P1",), ("PK_P2",)], "person_id string")
+    vo_upload = spark.createDataFrame(
+        [("PK_V1", "PK_P1")], "visit_occurrence_id string, person_id string"
+    )
+    vd_upload = spark.createDataFrame(
+        [
+            ("PK_VDA", "PK_P1", "PK_V1", None, None),
+            ("PK_VDB", "PK_P1", "PK_V1", "PK_VDA", "PK_VDA"),
+            # required FK miss -> 0; optional self-FK miss -> NULL
+            ("PK_VDC", "PK_P2", "PK_MISSING", None, "PK_GONE"),
+        ],
+        "visit_detail_id string, person_id string, visit_occurrence_id string, "
+        "preceding_visit_detail_id string, parent_visit_detail_id string",
+    )
+    ep_upload = spark.createDataFrame(
+        [("PK_E1", "PK_P1", None), ("PK_E2", "PK_P1", "PK_E1")],
+        "episode_id string, person_id string, episode_parent_id string",
+    )
+    ee_upload = spark.createDataFrame(
+        [
+            ("PK_E1", "PK_VDA", "visit_detail"),
+            ("PK_E2", "PK_P2", "person"),
+        ],
+        "episode_id string, event_id string, episode_event_field_concept_id string",
+    )
+
+    pipe = EtlPipeline(spark, wh, registry)
+    processed = pipe.run(
+        {
+            "person": TableInputs(uploads=[person_upload]),
+            "visit_occurrence": TableInputs(uploads=[vo_upload]),
+            "visit_detail": TableInputs(uploads=[vd_upload]),
+            "episode": TableInputs(uploads=[ep_upload]),
+            "episode_event": TableInputs(uploads=[ee_upload]),
+        }
+    )
+    assert set(processed) == {
+        "person", "visit_occurrence", "visit_detail", "episode", "episode_event"
+    }
+
+    vd_rows = wh.read(spark, "omop", "visit_detail").collect()
+    assert len(vd_rows) == 3
+    by_pid = sorted(vd_rows, key=lambda r: r["visit_detail_id"])
+    ids = [r["visit_detail_id"] for r in by_pid]
+    assert len(set(ids)) == 3 and all(isinstance(i, int) for i in ids)
+    # self-FK remap: exactly one row points at another row's NEW pk
+    child = [r for r in vd_rows if r["parent_visit_detail_id"] is not None
+             and r["parent_visit_detail_id"] in ids]
+    assert len(child) == 1
+    assert child[0]["preceding_visit_detail_id"] == child[0]["parent_visit_detail_id"]
+    # required FK miss -> 0, optional self-FK miss -> NULL
+    misses = [r for r in vd_rows if r["visit_occurrence_id"] == 0]
+    assert len(misses) == 1 and misses[0]["parent_visit_detail_id"] is None
+    resolved_vo = {r["visit_occurrence_id"] for r in vd_rows} - {0}
+    vo_ids = {r["visit_occurrence_id"]
+              for r in wh.read(spark, "omop", "visit_occurrence").collect()}
+    assert resolved_vo == vo_ids
+
+    ep_rows = wh.read(spark, "omop", "episode").collect()
+    assert len(ep_rows) == 2
+    ep_ids = {r["episode_id"] for r in ep_rows}
+    linked = [r for r in ep_rows if r["episode_parent_id"] is not None]
+    assert len(linked) == 1 and linked[0]["episode_parent_id"] in ep_ids
+    root = [r for r in ep_rows if r["episode_parent_id"] is None][0]
+    assert linked[0]["episode_parent_id"] == root["episode_id"]
+
+    # stage 2: episode_event discriminator routed through visit_detail /
+    # person swaps, then rewritten to CDM field concept ids
+    ee_rows = wh.read(spark, "omop", "episode_event").collect()
+    assert len(ee_rows) == 2
+    by_disc = {r["episode_event_field_concept_id"]: r for r in ee_rows}
+    assert set(by_disc) == {1147624, 1147026}  # visit_detail, person
+    assert by_disc[1147624]["event_id"] in ids
+    person_ids = {r["person_id"] for r in wh.read(spark, "omop", "person").collect()}
+    assert by_disc[1147026]["event_id"] in person_ids
+    assert {r["episode_id"] for r in ee_rows} == ep_ids
