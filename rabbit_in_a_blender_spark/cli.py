@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Also map SEMI-APPROVED usagi rows (default: APPROVED only)")
     o.add_argument("--json", metavar="PATH",
                    help="With --data-quality: also write viewer JSON here")
+    o.add_argument("--html", metavar="PATH",
+                   help="With --data-quality / --data-quality-dashboard: write "
+                        "the static self-contained dashboard HTML here")
     o.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -220,6 +223,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.json:
             export_dqd_json(results, args.json, start=start, end=datetime.now())
             print(f"viewer JSON written to {args.json}")
+        if args.html:
+            from .quality.dashboard_html import export_dqd_html
+
+            export_dqd_html(results, args.html, start=start, end=datetime.now())
+            print(f"dashboard HTML written to {args.html}")
         return 0 if failed == 0 else 3
 
     if args.data_quality_dashboard:
@@ -227,9 +235,13 @@ def main(argv: list[str] | None = None) -> int:
 
         if not wh.exists("dqd", "dqdashboard_results"):
             raise SystemExit("no DQD results — run --data-quality first")
-        rows = [
-            r.asDict() for r in wh.read(spark, "dqd", "dqdashboard_results").collect()
-        ]
+        stored = wh.read(spark, "dqd", "dqdashboard_results")
+        if args.html:
+            from .quality.dashboard_html import export_dqd_html
+
+            export_dqd_html(stored, args.html)
+            print(f"dashboard HTML written to {args.html}")
+        rows = [r.asDict() for r in stored.collect()]
         print(json.dumps(summarize_overview(rows), indent=2))
         return 0
 

@@ -99,21 +99,32 @@ def test_run_etl_then_quality_then_achilles_then_cleanup(env, spark, capsys):
     semi = {r["year_of_birth"]: r["gender_concept_id"] for r in person.collect()}
     assert semi[1990] == 8551
 
-    # --data-quality with viewer JSON
+    # --data-quality with viewer JSON + static dashboard HTML
     json_path = os.path.join(env["root"], "dqd.json")
-    rc = main(["--config", ini, "--data-quality", "--json", json_path])
+    html_path = os.path.join(env["root"], "dqd.html")
+    rc = main(
+        ["--config", ini, "--data-quality", "--json", json_path, "--html", html_path]
+    )
     assert rc in (0, 3)  # 3 = some checks failed (absent tables fail cdmTable)
     doc = json.load(open(json_path))
     assert {"Overview", "CheckResults", "Metadata"} <= set(doc)
     assert doc["Overview"]["countTotal"] == len(doc["CheckResults"])
     one = doc["CheckResults"][0]
     assert {"CHECK_NAME", "CATEGORY", "CONTEXT", "NUM_VIOLATED_ROWS"} <= set(one)
+    page = open(html_path).read()
+    assert "Data Quality Dashboard" in page and 'id="dqd-data"' in page
     capsys.readouterr()  # drain the --data-quality progress lines
 
-    # --data-quality-dashboard prints the Overview of the stored run
-    assert main(["--config", ini, "--data-quality-dashboard"]) == 0
-    overview = json.loads(capsys.readouterr().out)
+    # --data-quality-dashboard prints the Overview of the stored run and
+    # can re-render the HTML from the persisted results table
+    html2 = os.path.join(env["root"], "dqd2.html")
+    assert main(
+        ["--config", ini, "--data-quality-dashboard", "--html", html2]
+    ) == 0
+    out = capsys.readouterr().out
+    overview = json.loads(out[out.index("{"):])
     assert overview["countTotal"] > 0
+    assert "Data Quality Dashboard" in open(html2).read()
 
     # --achilles persists both result shapes for the present tables
     assert main(["--config", ini, "--achilles"]) == 0
