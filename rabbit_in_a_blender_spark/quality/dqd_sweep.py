@@ -184,6 +184,28 @@ def _primary_date_col(spec) -> str | None:
     return None
 
 
+class _SharedLookups:
+    """Deduped lookup projections computed ONCE per sweep and persisted.
+
+    Without this, every (table, column) pair re-derives its own
+    ``dropDuplicates`` over the same parent — the concept table alone
+    would be re-scanned and re-shuffled for every concept column of
+    every fact table (20+ identical dedup exchanges per sweep), and the
+    person/death/visit projections once per fact table.  Persisting the
+    shared frame turns all but the first use into a cache read; the
+    frames are lookup-sized (vocab ~7M rows, person keyset is the
+    biggest) so MEMORY_AND_DISK is safe even at production scale."""
+
+    def __init__(self) -> None:
+        self._frames: dict[tuple, DataFrame | None] = {}
+
+    def get(self, key: tuple, build) -> DataFrame | None:
+        if key not in self._frames:
+            frame = build()
+            self._frames[key] = frame.persist() if frame is not None else None
+        return self._frames[key]
+
+
 def _table_checks(
     tname: str,
     spec,
@@ -193,8 +215,11 @@ def _table_checks(
     concept: DataFrame | None,
     gender_specific: Mapping[int, int] | None = None,
     allowed_units: Mapping[int, list[int]] | None = None,
+    lookups: _SharedLookups | None = None,
 ) -> DataFrame | None:
     """All column-level checks of one table, evaluated in ONE agg pass."""
+    if lookups is None:
+        lookups = _SharedLookups()
     cols = set(df.columns)
     checks: list[_Check] = []
     joined = df
@@ -300,7 +325,13 @@ def _table_checks(
         if parent_df is None or parent_pk is None or parent_pk not in parent_df.columns:
             continue
         marker = f"__fk{i}"
-        keys = parent_df.select(F.col(parent_pk).alias(marker)).distinct()
+        # one distinct keyset per PARENT per sweep (person's keyset is
+        # joined by every fact table — share it, don't recompute it)
+        shared = lookups.get(
+            ("fk_keys", parent),
+            lambda: parent_df.select(F.col(parent_pk).alias("__k")).distinct(),
+        )
+        keys = shared.select(F.col("__k").alias(marker))
         joined = joined.join(
             keys, joined[fk_col] == F.col(marker), "left"
         )
@@ -322,10 +353,16 @@ def _table_checks(
             and "person_id" in person.columns
             and "birth_datetime" in person.columns
         ):
-            p = person.select(
-                F.col("person_id").alias("__ab_pid"),
-                F.col("birth_datetime").alias("__birth"),
-            ).dropDuplicates(["__ab_pid"])
+            shared_birth = lookups.get(
+                ("person_birth",),
+                lambda: person.select(
+                    F.col("person_id").alias("__k"),
+                    F.col("birth_datetime").alias("__v"),
+                ).dropDuplicates(["__k"]),
+            )
+            p = shared_birth.select(
+                F.col("__k").alias("__ab_pid"), F.col("__v").alias("__birth")
+            )
             joined = joined.join(
                 p, joined["person_id"] == F.col("__ab_pid"), "left"
             )
@@ -341,10 +378,16 @@ def _table_checks(
             )
         death = read("death")
         if tname != "death" and death is not None and "death_date" in (death.columns if death else []):
-            d = death.select(
-                F.col("person_id").alias("__bd_pid"),
-                F.col("death_date").alias("__dd"),
-            ).dropDuplicates(["__bd_pid"])
+            shared_death = lookups.get(
+                ("death_date",),
+                lambda: death.select(
+                    F.col("person_id").alias("__k"),
+                    F.col("death_date").alias("__v"),
+                ).dropDuplicates(["__k"]),
+            )
+            d = shared_death.select(
+                F.col("__k").alias("__bd_pid"), F.col("__v").alias("__dd")
+            )
             joined = joined.join(
                 d, joined["person_id"] == F.col("__bd_pid"), "left"
             )
@@ -376,11 +419,19 @@ def _table_checks(
             "visit_start_date",
             "visit_end_date",
         } <= set(visit.columns):
-            v = visit.select(
-                F.col("visit_occurrence_id").alias("__wv_id"),
-                F.col("visit_start_date").alias("__wv_s"),
-                F.col("visit_end_date").alias("__wv_e"),
-            ).dropDuplicates(["__wv_id"])
+            shared_visit = lookups.get(
+                ("visit_dates",),
+                lambda: visit.select(
+                    F.col("visit_occurrence_id").alias("__k"),
+                    F.col("visit_start_date").alias("__s"),
+                    F.col("visit_end_date").alias("__e"),
+                ).dropDuplicates(["__k"]),
+            )
+            v = shared_visit.select(
+                F.col("__k").alias("__wv_id"),
+                F.col("__s").alias("__wv_s"),
+                F.col("__e").alias("__wv_e"),
+            )
             joined = joined.join(
                 v,
                 joined["visit_occurrence_id"] == F.col("__wv_id"),
@@ -413,10 +464,16 @@ def _table_checks(
         if person is not None and {"person_id", "gender_concept_id"} <= set(
             person.columns
         ):
-            pg = person.select(
-                F.col("person_id").alias("__pg_pid"),
-                F.col("gender_concept_id").alias("__pgender"),
-            ).dropDuplicates(["__pg_pid"])
+            shared_gender = lookups.get(
+                ("person_gender",),
+                lambda: person.select(
+                    F.col("person_id").alias("__k"),
+                    F.col("gender_concept_id").alias("__v"),
+                ).dropDuplicates(["__k"]),
+            )
+            pg = shared_gender.select(
+                F.col("__k").alias("__pg_pid"), F.col("__v").alias("__pgender")
+            )
             joined = joined.join(
                 pg, joined["person_id"] == F.col("__pg_pid"), "left"
             )
@@ -483,10 +540,16 @@ def _table_checks(
             dom = FK_DOMAINS.get(c)
             if dom is None or c not in cols:
                 continue
-            lk = concept.select(
-                F.col("concept_id").alias(f"__dc{j}"),
-                F.col("domain_id").alias(f"__dom{j}"),
-            ).dropDuplicates([f"__dc{j}"])
+            shared_dom = lookups.get(
+                ("concept_domain",),
+                lambda: concept.select(
+                    F.col("concept_id").alias("__k"),
+                    F.col("domain_id").alias("__v"),
+                ).dropDuplicates(["__k"]),
+            )
+            lk = shared_dom.select(
+                F.col("__k").alias(f"__dc{j}"), F.col("__v").alias(f"__dom{j}")
+            )
             joined = joined.join(
                 lk, joined[c] == F.col(f"__dc{j}"), "left"
             )
@@ -506,10 +569,16 @@ def _table_checks(
         for k, (c, cls) in enumerate(FK_CLASSES.get(tname, {}).items()):
             if c not in cols:
                 continue
-            lk = concept.select(
-                F.col("concept_id").alias(f"__cc{k}"),
-                F.col("concept_class_id").alias(f"__cls{k}"),
-            ).dropDuplicates([f"__cc{k}"])
+            shared_cls = lookups.get(
+                ("concept_class",),
+                lambda: concept.select(
+                    F.col("concept_id").alias("__k"),
+                    F.col("concept_class_id").alias("__v"),
+                ).dropDuplicates(["__k"]),
+            )
+            lk = shared_cls.select(
+                F.col("__k").alias(f"__cc{k}"), F.col("__v").alias(f"__cls{k}")
+            )
             joined = joined.join(lk, joined[c] == F.col(f"__cc{k}"), "left")
             checks.append(
                 _Check(
@@ -689,6 +758,7 @@ def run_sweep(
     if meta:
         frames.append(spark.createDataFrame(meta, RESULT_SCHEMA))
 
+    lookups = _SharedLookups()
     for tname in wanted:
         df = read(tname)
         if df is None:
@@ -702,6 +772,7 @@ def run_sweep(
             concept,
             gender_specific=gender_specific,
             allowed_units=allowed_units,
+            lookups=lookups,
         )
         if per_table is not None:
             frames.append(per_table)
