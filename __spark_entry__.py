@@ -50,12 +50,19 @@ _REVERIFY_FIRST = [
     "j3_fk_swap_routing",
     # mapping/events.py touched in r2
     "j9_polymorphic_event_join",
-    # quality/dqd_sweep.py changed in r3 (lookup-key dedupe fix)
+    # quality/dqd_sweep.py changed in r3 (lookup-key dedupe fix +
+    # shared persisted lookup projections)
     "dq_sweep_detail",
     "dq_sweep_summary",
     "dq_plausible_value_low",
     "dq_fk_orphans",
     "dq_start_before_end",
+    # quality/achilles_catalog.py grew in r3 (221 → 230 analyses); the
+    # r2-green catalog queries run through the changed module
+    "achilles_counts_catalog",
+    "achilles_dists_catalog",
+    "achilles_continuous_obs",
+    "achilles_strata_counts",
 ]
 
 

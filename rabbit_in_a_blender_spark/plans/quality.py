@@ -914,6 +914,79 @@ def achilles_dists_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Public observation-period/visit data-quality + depth slots (round 3):
+# 114 periods starting before their person's birth year, 115 persons
+# with a reversed period, 116 persons with ≥1 observed day per year by
+# gender and age decile, 209 reversed visits.  The zero-violation slots
+# still emit their 1-row count (COUNT over the empty filter), so the
+# hash proves the zero as well as the shape.
+@register(
+    "achilles_obs_quality",
+    oracle=_PSEUDO_CDM_SQL
+    + f"""
+    SELECT 114 AS analysis_id, CAST(NULL AS VARCHAR) AS stratum_1, {_PAD},
+           CAST(COUNT(*) AS BIGINT) AS count_value
+    FROM op JOIN person USING (person_id)
+    WHERE year(op_start) < year_of_birth
+    UNION ALL
+    SELECT 115, CAST(NULL AS VARCHAR), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT person_id FROM op WHERE op_end < op_start)
+    UNION ALL
+    SELECT 116, CAST(yr AS VARCHAR),
+           CAST(gender_concept_id AS VARCHAR) AS stratum_2,
+           CAST(decade AS VARCHAR) AS stratum_3,
+           CAST(NULL AS VARCHAR) AS stratum_4,
+           CAST(NULL AS VARCHAR) AS stratum_5,
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT o.person_id, o.yr, p.gender_concept_id,
+                 CAST(floor((o.yr - p.year_of_birth) / 10.0) AS INTEGER)
+                   AS decade
+          FROM (SELECT person_id,
+                       UNNEST(generate_series(year(op_start), year(op_end)))
+                         AS yr
+                FROM op) o
+          JOIN person p USING (person_id))
+    GROUP BY yr, gender_concept_id, decade
+    UNION ALL
+    SELECT 209, CAST(NULL AS VARCHAR), {_PAD}, CAST(COUNT(*) AS BIGINT)
+    FROM visit WHERE visit_end_date < visit_start_date
+    """,
+)
+def achilles_obs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.achilles_catalog import run_catalog
+
+    read = _pseudo_cdm(spark, sf_dir)
+    out = run_catalog(spark, read, analysis_ids=[114, 115, 116, 209])
+    return out["achilles_results"]
+
+
+# 213: length-of-stay distribution stratified by visit_concept_id.
+@register(
+    "achilles_visit_los_dists",
+    oracle=_PSEUDO_CDM_SQL
+    + f"""
+    SELECT 213 AS analysis_id,
+           CAST(visit_concept_id AS VARCHAR) AS stratum_1, {_PAD},
+           {_DIST_ORACLE_STATS}
+    FROM (SELECT visit_concept_id,
+                 visit_end_date - visit_start_date AS v FROM visit)
+    GROUP BY visit_concept_id
+    """,
+)
+def achilles_visit_los_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.achilles_catalog import run_catalog
+
+    read = _pseudo_cdm(spark, sf_dir)
+    out = run_catalog(spark, read, analysis_ids=[213])
+    dist = out["achilles_results_dist"]
+    return dist.select(
+        "analysis_id",
+        *[f"stratum_{i}" for i in range(1, 6)],
+        "count_value",
+        *[F.round(c, 3).alias(c) for c in _DIST_STATS],
+    )
+
+
 def _run_ext_counts(spark: SparkSession, sf_dir: str, ids: list[int]) -> DataFrame:
     from ..quality.achilles_catalog import run_catalog
 

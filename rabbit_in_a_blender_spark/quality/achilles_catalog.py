@@ -188,6 +188,88 @@ def _continuous_obs_months(
     return prep
 
 
+def _observed_year_gender_decade() -> Prepare:
+    """One row per (person, year with ≥1 observed day) with the person's
+    gender and age decile at that year — public Achilles 116 ("persons
+    with at least one day of observation in each year by gender and age
+    decile").  Same explode-a-year-spine shape as 109, but membership is
+    ≥1 day (every spanned year qualifies), and the person join adds the
+    strata."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        person = read("person")
+        if person is None or not {
+            "person_id", "gender_concept_id", "year_of_birth"
+        } <= set(person.columns):
+            return None
+        s, e = F.col("observation_period_start_date"), F.col(
+            "observation_period_end_date"
+        )
+        years = (
+            df.filter(s.isNotNull() & e.isNotNull())
+            .select(
+                "person_id",
+                F.explode(F.sequence(F.year(s), F.year(e))).alias("__year"),
+            )
+            .distinct()
+        )
+        p = person.select(
+            "person_id",
+            F.col("gender_concept_id").alias("__gender"),
+            F.col("year_of_birth").alias("__yob"),
+        )
+        return years.join(p, "person_id").select(
+            "person_id",
+            "__year",
+            "__gender",
+            F.floor((F.col("__year") - F.col("__yob")) / 10)
+            .cast("int")
+            .alias("__decade"),
+        )
+
+    return prep
+
+
+def _period_before_birth() -> Prepare:
+    """Observation periods that start before their person's year of
+    birth (public Achilles 114 data-quality slot)."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        person = read("person")
+        if person is None or not {"person_id", "year_of_birth"} <= set(
+            person.columns
+        ):
+            return None
+        p = person.select("person_id", F.col("year_of_birth").alias("__yob"))
+        return df.join(p, "person_id").filter(
+            F.col("observation_period_start_date").isNotNull()
+            & (F.year("observation_period_start_date") < F.col("__yob"))
+        )
+
+    return prep
+
+
+def _persons_end_before_start(start_col: str, end_col: str) -> Prepare:
+    """Distinct persons owning a record whose end precedes its start
+    (public Achilles 115 counts persons, where the 107-style slots count
+    records)."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        if start_col not in df.columns or end_col not in df.columns:
+            return None
+        return (
+            df.filter(
+                F.col(start_col).isNotNull()
+                & F.col(end_col).isNotNull()
+                & (F.col(end_col) < F.col(start_col))
+            )
+            .select("person_id")
+            .distinct()
+        )
+
+    return prep
+
+
 def _parent_attr(fk_col: str, parent: str, attr_col: str, alias: str) -> Prepare:
     """Attach one attribute of a dimension parent via an inner broadcast
     join (e.g. person→location.state, visit→care_site.place_of_service).
@@ -270,7 +352,11 @@ def _end_before_start(start_col: str, end_col: str) -> Prepare:
     """Records whose end date precedes their start date (Achilles 107
     data-quality slot)."""
 
-    def prep(df: DataFrame, read: Reader) -> DataFrame:
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        # sources often omit optional end-date columns (e.g. a slim
+        # condition table without condition_end_date): skip, don't fail
+        if start_col not in df.columns or end_col not in df.columns:
+            return None
         return df.filter(
             F.col(start_col).isNotNull()
             & F.col(end_col).isNotNull()
@@ -621,6 +707,34 @@ def _build_specs() -> dict[int, AnalysisSpec]:
             ("__cnt",),
             prepare=_per_person_count(),
         ),
+        AnalysisSpec(
+            114,
+            "Number of observation periods starting before their person's year of birth",
+            "observation_period",
+            "results",
+            (),
+            prepare=_period_before_birth(),
+            requires=("person",),
+        ),
+        AnalysisSpec(
+            115,
+            "Number of persons with an observation period whose end date precedes its start date",
+            "observation_period",
+            "results",
+            (),
+            prepare=_persons_end_before_start(
+                "observation_period_start_date", "observation_period_end_date"
+            ),
+        ),
+        AnalysisSpec(
+            116,
+            "Number of persons with at least one day of observation in each year, by gender and age decile",
+            "observation_period",
+            "results",
+            ("__year", "__gender", "__decade"),
+            prepare=_observed_year_gender_decade(),
+            requires=("person",),
+        ),
     ]
 
     # --- visit occurrence (200-220) ---------------------------------------
@@ -643,11 +757,28 @@ def _build_specs() -> dict[int, AnalysisSpec]:
                 requires=("person",),
             ),
             AnalysisSpec(
+                209,
+                "Number of visit_occurrence records with end date < start date",
+                "visit_occurrence",
+                "results",
+                (),
+                prepare=_end_before_start("visit_start_date", "visit_end_date"),
+            ),
+            AnalysisSpec(
                 211,
                 "Distribution of length of visit (days)",
                 "visit_occurrence",
                 "dist",
                 (),
+                value_col="__days",
+                prepare=_duration("visit_start_date", "visit_end_date"),
+            ),
+            AnalysisSpec(
+                213,
+                "Distribution of length of stay (days), by visit_concept_id",
+                "visit_occurrence",
+                "dist",
+                ("visit_concept_id",),
                 value_col="__days",
                 prepare=_duration("visit_start_date", "visit_end_date"),
             ),
@@ -670,6 +801,18 @@ def _build_specs() -> dict[int, AnalysisSpec]:
     specs += _domain_specs(
         400, "condition_occurrence", "condition_concept_id",
         "condition_start_date", per_person_id=403, month_id=420, type_col="condition_type_concept_id",
+        extra=[
+            AnalysisSpec(
+                409,
+                "Number of condition_occurrence records with end date < start date",
+                "condition_occurrence",
+                "results",
+                (),
+                prepare=_end_before_start(
+                    "condition_start_date", "condition_end_date"
+                ),
+            ),
+        ],
     )
 
     # --- death (500-506) --------------------------------------------------
@@ -728,6 +871,16 @@ def _build_specs() -> dict[int, AnalysisSpec]:
                 ("drug_concept_id",),
                 value_col="quantity",
                 prepare=lambda df, read: df.filter(F.col("quantity").isNotNull()),
+            ),
+            AnalysisSpec(
+                709,
+                "Number of drug_exposure records with end date < start date",
+                "drug_exposure",
+                "results",
+                (),
+                prepare=_end_before_start(
+                    "drug_exposure_start_date", "drug_exposure_end_date"
+                ),
             ),
         ],
     )
@@ -797,6 +950,18 @@ def _build_specs() -> dict[int, AnalysisSpec]:
     specs += _domain_specs(
         2100, "device_exposure", "device_concept_id",
         "device_exposure_start_date", per_person_id=2103, month_id=2120, type_col="device_type_concept_id",
+        extra=[
+            AnalysisSpec(
+                2109,
+                "Number of device_exposure records with end date < start date",
+                "device_exposure",
+                "results",
+                (),
+                prepare=_end_before_start(
+                    "device_exposure_start_date", "device_exposure_end_date"
+                ),
+            ),
+        ],
     )
 
     # --- specimen (2000-2020) / note (2200-2220) --------------------------
@@ -1040,6 +1205,16 @@ def _build_specs() -> dict[int, AnalysisSpec]:
                 1313, "Distribution of length of visit detail (days)",
                 "visit_detail", "dist", (), value_col="__days",
                 prepare=_duration(
+                    "visit_detail_start_date", "visit_detail_end_date"
+                ),
+            ),
+            AnalysisSpec(
+                1309,
+                "Number of visit_detail records with end date < start date",
+                "visit_detail",
+                "results",
+                (),
+                prepare=_end_before_start(
                     "visit_detail_start_date", "visit_detail_end_date"
                 ),
             ),

@@ -357,6 +357,86 @@ def test_new_family_analyses(spark, cdm_extended):
     assert drows[(2415, None)]["count_value"] == 2
 
 
+def test_quality_slots_and_observed_years(spark, cdm):
+    """Round-3 public slots: 114/115 (periods before birth / persons
+    with reversed periods), 116 (observed-year × gender × decile), 209
+    (reversed visits), 213 (LoS by concept), 409 (skips without an end
+    column)."""
+    out = run_catalog(spark, cdm, analysis_ids=[114, 115, 116, 209, 213, 409])
+    res = out["achilles_results"]
+    rows = {
+        (r["analysis_id"], r["stratum_1"], r["stratum_2"], r["stratum_3"]):
+            r["count_value"]
+        for r in res.collect()
+    }
+    # clean fixture: the zero-violation slots still emit their 1-row count
+    assert rows[(114, None, None, None)] == 0
+    assert rows[(115, None, None, None)] == 0
+    assert rows[(209, None, None, None)] == 0
+    # 409 skipped: fixture condition table has no condition_end_date
+    assert not any(k[0] == 409 for k in rows)
+    # 116: person 1 (male b1970) observed 2020 → decade 5; person 3
+    # (male b1990) observed 2019 AND 2020 → decade 2 then 3
+    assert rows[(116, "2020", "8507", "5")] == 1
+    assert rows[(116, "2019", "8507", "2")] == 1
+    assert rows[(116, "2020", "8507", "3")] == 1
+    assert rows[(116, "2021", "8532", "4")] == 1  # person 2 b1980
+    # 213: LoS stats per visit concept (9201: 2 and 9 days)
+    d213 = {
+        r["stratum_1"]: r
+        for r in out["achilles_results_dist"].filter("analysis_id = 213").collect()
+    }
+    assert d213["9201"]["count_value"] == 2
+    assert d213["9201"]["avg_value"] == pytest.approx(5.5)
+    assert d213["9202"]["count_value"] == 1
+
+
+def test_seeded_reversed_dates(spark):
+    """Seeded violations light up 114/115/209/709 with exact counts."""
+    person = spark.createDataFrame(
+        [(1, 8507, 1970), (2, 8532, 2000)],
+        "person_id long, gender_concept_id long, year_of_birth long",
+    )
+    obs = spark.createDataFrame(
+        [
+            # reversed period for person 1
+            (1, 1, _d("2020-12-31"), _d("2020-01-01")),
+            # period starting before person 2's 2000 birth year
+            (2, 2, _d("1995-01-01"), _d("2001-01-01")),
+        ],
+        "observation_period_id long, person_id long, "
+        "observation_period_start_date date, observation_period_end_date date",
+    )
+    visit = spark.createDataFrame(
+        [
+            (10, 1, 9201, _d("2020-05-10"), _d("2020-05-01")),
+            (11, 1, 9201, _d("2020-06-01"), _d("2020-06-02")),
+        ],
+        "visit_occurrence_id long, person_id long, visit_concept_id long, "
+        "visit_start_date date, visit_end_date date",
+    )
+    drug = spark.createDataFrame(
+        [(20, 1, 1125315, _d("2020-03-05"), _d("2020-03-01"))],
+        "drug_exposure_id long, person_id long, drug_concept_id long, "
+        "drug_exposure_start_date date, drug_exposure_end_date date",
+    )
+    cdm = {
+        "person": person,
+        "observation_period": obs,
+        "visit_occurrence": visit,
+        "drug_exposure": drug,
+    }.get
+    out = run_catalog(spark, cdm, analysis_ids=[114, 115, 209, 709])
+    rows = {
+        r["analysis_id"]: r["count_value"]
+        for r in out["achilles_results"].collect()
+    }
+    assert rows[114] == 1  # the 1995 period precedes the 2000 birth year
+    assert rows[115] == 1  # one person owns a reversed period
+    assert rows[209] == 1  # one reversed visit of two
+    assert rows[709] == 1  # the reversed drug exposure
+
+
 def test_run_catalog_id_filters(spark, cdm):
     out = run_catalog(spark, cdm, analysis_ids=[1, 2, 105])
     res_ids = {r["analysis_id"] for r in out["achilles_results"].collect()}
