@@ -60,6 +60,8 @@ def _pseudo_cdm(spark: SparkSession, sf_dir: str):
             .cast("long")
         )
         .alias("unit_concept_id"),
+        F.lit(50000.0).alias("range_low"),
+        F.lit(300000.0).alias("range_high"),
     )
     condition = o.select(
         k.alias("condition_occurrence_id"),
@@ -119,7 +121,9 @@ _PSEUDO_CDM_SQL = """
                   WHEN o_orderkey % 4 = 0 THEN 8582
                   WHEN o_orderkey % 4 = 1 THEN 9529
                   WHEN o_orderkey % 4 = 2 THEN 8541
-                  ELSE 8582 END AS unit_concept_id
+                  ELSE 8582 END AS unit_concept_id,
+             50000.0  AS range_low,
+             300000.0 AS range_high
       FROM orders),
     cond AS (
       SELECT o_orderkey AS condition_occurrence_id,
@@ -957,6 +961,33 @@ def achilles_obs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     read = _pseudo_cdm(spark, sf_dir)
     out = run_catalog(spark, read, analysis_ids=[114, 115, 116, 209])
+    return out["achilles_results"]
+
+
+# 1818/1819: measurement values below/above the record's normal range.
+@register(
+    "achilles_measurement_range",
+    oracle=_PSEUDO_CDM_SQL
+    + f"""
+    SELECT 1818 AS analysis_id,
+           CAST(measurement_concept_id AS VARCHAR) AS stratum_1, {_PAD},
+           CAST(COUNT(*) AS BIGINT) AS count_value
+    FROM measurement
+    WHERE value_as_number IS NOT NULL AND value_as_number < range_low
+    GROUP BY measurement_concept_id
+    UNION ALL
+    SELECT 1819, CAST(measurement_concept_id AS VARCHAR), {_PAD},
+           CAST(COUNT(*) AS BIGINT)
+    FROM measurement
+    WHERE value_as_number IS NOT NULL AND value_as_number > range_high
+    GROUP BY measurement_concept_id
+    """,
+)
+def achilles_measurement_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.achilles_catalog import run_catalog
+
+    read = _pseudo_cdm(spark, sf_dir)
+    out = run_catalog(spark, read, analysis_ids=[1818, 1819])
     return out["achilles_results"]
 
 

@@ -249,6 +249,21 @@ def _period_before_birth() -> Prepare:
     return prep
 
 
+def _value_outside_range(side: str) -> Prepare:
+    """Measurement values outside the record's own normal range (public
+    Achilles 1818/1819): value_as_number < range_low / > range_high."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        bound = "range_low" if side == "below" else "range_high"
+        if "value_as_number" not in df.columns or bound not in df.columns:
+            return None
+        v, b = F.col("value_as_number"), F.col(bound)
+        cond = (v < b) if side == "below" else (v > b)
+        return df.filter(v.isNotNull() & b.isNotNull() & cond)
+
+    return prep
+
+
 def _persons_end_before_start(start_col: str, end_col: str) -> Prepare:
     """Distinct persons owning a record whose end precedes its start
     (public Achilles 115 counts persons, where the 107-style slots count
@@ -942,6 +957,22 @@ def _build_specs() -> dict[int, AnalysisSpec]:
                 prepare=lambda df, read: df.filter(
                     F.col("value_as_number").isNotNull()
                 ),
+            ),
+            AnalysisSpec(
+                1818,
+                "Number of measurement records below the normal range, by measurement_concept_id",
+                "measurement",
+                "results",
+                ("measurement_concept_id",),
+                prepare=_value_outside_range("below"),
+            ),
+            AnalysisSpec(
+                1819,
+                "Number of measurement records above the normal range, by measurement_concept_id",
+                "measurement",
+                "results",
+                ("measurement_concept_id",),
+                prepare=_value_outside_range("above"),
             ),
         ],
     )

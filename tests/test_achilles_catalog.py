@@ -437,6 +437,33 @@ def test_seeded_reversed_dates(spark):
     assert rows[709] == 1  # the reversed drug exposure
 
 
+def test_measurement_range_slots(spark, cdm):
+    """1818/1819: values outside the record's own normal range; skipped
+    when the source has no range columns (the module cdm fixture)."""
+    out = run_catalog(spark, cdm, analysis_ids=[1818, 1819])
+    assert "achilles_results" not in out  # no range cols → both skipped
+
+    meas = spark.createDataFrame(
+        [
+            (1, 1, 3027018, 40.0, 50.0, 100.0),   # below
+            (2, 1, 3027018, 150.0, 50.0, 100.0),  # above
+            (3, 2, 3027018, 70.0, 50.0, 100.0),   # inside
+            (4, 2, 3027018, None, 50.0, 100.0),   # null value ignored
+            (5, 2, 3004249, 30.0, None, None),    # null range ignored
+        ],
+        "measurement_id long, person_id long, measurement_concept_id long, "
+        "value_as_number double, range_low double, range_high double",
+    )
+    out2 = run_catalog(
+        spark, {"measurement": meas}.get, analysis_ids=[1818, 1819]
+    )
+    rows = {
+        (r["analysis_id"], r["stratum_1"]): r["count_value"]
+        for r in out2["achilles_results"].collect()
+    }
+    assert rows == {(1818, "3027018"): 1, (1819, "3027018"): 1}
+
+
 def test_run_catalog_id_filters(spark, cdm):
     out = run_catalog(spark, cdm, analysis_ids=[1, 2, 105])
     res_ids = {r["analysis_id"] for r in out["achilles_results"].collect()}
