@@ -87,6 +87,68 @@ def dist_analysis(
     )
 
 
+def grouped_counts_analyses(
+    df: DataFrame, specs: Sequence[tuple[int, Sequence[str]]]
+) -> DataFrame:
+    """Every no-prepare stratified count of ONE table in a single
+    GROUPING SETS aggregation: one scan + one shuffle regardless of how
+    many analyses share the table (vs one scan+shuffle per analysis).
+
+    Each input (analysis_id, strata) becomes one grouping set;
+    ``grouping_id()`` identifies the set on the way out, and a when-chain
+    projection rebuilds the exact ``counts_analysis`` row shape
+    (analysis_id, stratum_1..5 cast to string, bigint count_value).
+    Callers must pass strata tuples that are pairwise distinct — two
+    analyses with identical strata would share a grouping id.
+    """
+    assert len({tuple(s) for _, s in specs}) == len(specs), "duplicate strata sets"
+    all_cols: list[str] = []
+    for _, strata in specs:
+        for c in strata:
+            if c not in all_cols:
+                all_cols.append(c)
+    n = len(all_cols)
+
+    def gid_of(strata: Sequence[str]) -> int:
+        g = 0
+        for i, c in enumerate(all_cols):
+            if c not in strata:
+                g |= 1 << (n - 1 - i)
+        return g
+
+    agged = df.groupingSets(
+        [[F.col(c) for c in strata] for _, strata in specs],
+        *[F.col(c) for c in all_cols],
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("count_value"),
+        F.grouping_id().alias("__gid"),
+    )
+
+    def chain(value_for_spec) -> "F.Column":
+        expr = None
+        for aid, strata in specs:
+            v = value_for_spec(aid, strata)
+            cond = F.col("__gid") == gid_of(strata)
+            expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+        return expr
+
+    strata_cols = [
+        chain(
+            lambda aid, strata, _i=i: (
+                F.col(strata[_i]).cast("string")
+                if _i < len(strata)
+                else F.lit(None).cast("string")
+            )
+        ).alias(f"stratum_{i + 1}")
+        for i in range(5)
+    ]
+    return agged.select(
+        chain(lambda aid, strata: F.lit(aid)).cast("int").alias("analysis_id"),
+        *strata_cols,
+        "count_value",
+    )
+
+
 def run_analyses(
     spark: SparkSession,
     warehouse: Warehouse | None,

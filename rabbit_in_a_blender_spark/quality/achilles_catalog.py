@@ -1444,15 +1444,56 @@ def run_catalog(
     results land in achilles_results / achilles_results_dist via
     ``run_analyses`` (U4 merge, etl/achilles.py:507-561).
     """
+    from .achilles import grouped_counts_analyses
+
     wanted = set(analysis_ids) if analysis_ids is not None else None
     excluded = set(exclude_analysis_ids or ())
+    selected = [
+        spec
+        for aid, spec in sorted(SPECS.items())
+        if (wanted is None or aid in wanted) and aid not in excluded
+    ]
+
+    # Plain stratified counts (no prepare, no cross-table requirement)
+    # of the same table merge into ONE grouping-sets aggregation — one
+    # scan + one shuffle per table instead of one per analysis (the
+    # person demographics 1-5 alone are 5 scans otherwise).
+    mergeable: dict[str, list] = {}
+    rest: list = []
+    for spec in selected:
+        if spec.shape == "results" and spec.prepare is None and not spec.requires:
+            mergeable.setdefault(spec.table, []).append(spec)
+        else:
+            rest.append(spec)
+
     analyses: dict[int, Callable[[SparkSession], DataFrame]] = {}
-    for aid, spec in sorted(SPECS.items()):
-        if wanted is not None and aid not in wanted:
+    for table, group in mergeable.items():
+        df = read(table)
+        if df is None:
             continue
-        if aid in excluded:
-            continue
+        cols = set(df.columns)
+        applicable, seen_strata = [], set()
+        for spec in group:
+            # same skip-non-applicable semantics as AnalysisSpec.build;
+            # identical strata tuples would collide on grouping_id —
+            # spill duplicates to the per-spec path
+            if set(spec.strata) <= cols and tuple(spec.strata) not in seen_strata:
+                applicable.append(spec)
+                seen_strata.add(tuple(spec.strata))
+            else:
+                rest.append(spec)
+        if len(applicable) >= 2:
+            merged = grouped_counts_analyses(
+                df, [(s.analysis_id, s.strata) for s in applicable]
+            )
+            analyses[applicable[0].analysis_id] = (
+                lambda _spark, _df=merged: _df
+            )
+        else:
+            rest.extend(applicable)
+
+    for spec in rest:
         df = spec.build(read)
         if df is not None:
-            analyses[aid] = lambda _spark, _df=df: _df
+            analyses[spec.analysis_id] = lambda _spark, _df=df: _df
     return run_analyses(spark, warehouse, analyses)

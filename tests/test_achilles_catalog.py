@@ -464,6 +464,33 @@ def test_measurement_range_slots(spark, cdm):
     assert rows == {(1818, "3027018"): 1, (1819, "3027018"): 1}
 
 
+def test_grouped_counts_matches_per_analysis(spark):
+    """The grouping-sets merge must be row-identical to per-analysis
+    groupBys — including NULL DATA values in a stratum, which
+    grouping_id() must not confuse with a column absent from the set."""
+    from rabbit_in_a_blender_spark.quality.achilles import (
+        counts_analysis,
+        grouped_counts_analyses,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 10), (3, None, 10), (4, "b", 20)],
+        "id long, g string, x long",
+    )
+    specs = [(90, ()), (91, ("g",)), (92, ("x",)), (93, ("g", "x"))]
+    merged = {
+        tuple(r) for r in grouped_counts_analyses(df, specs).collect()
+    }
+    separate = set()
+    for aid, strata in specs:
+        for r in counts_analysis(df, aid, strata).collect():
+            separate.add(tuple(r))
+    assert merged == separate
+    # the NULL data value survives as its own group for the right sets
+    assert (91, None, None, None, None, None, 1) in merged
+    assert (93, "a", None, None, None, None, 1) in merged
+
+
 def test_run_catalog_id_filters(spark, cdm):
     out = run_catalog(spark, cdm, analysis_ids=[1, 2, 105])
     res_ids = {r["analysis_id"] for r in out["achilles_results"].collect()}
