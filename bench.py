@@ -1,7 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (VERDICT r3 task 1 — the r3 record failed driver-side
+parsing because the single line outgrew the tail capture): the verbose
+per-rep detail (``queries_reps``/``spread_pct``) prints on its OWN
+earlier line, and the LAST line is the compact headline JSON the driver
+parses: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ..., "etl_rows_per_sec": ..., "dq_sweep_checks": ...,
+"dq_sweep_ms_per_check": ...}.
 
 Each query is forced through the noop sink (full computation, no driver
 collect) — the honest way to time a distributed plan.
@@ -181,7 +187,24 @@ def main() -> None:
         100.0 * (max(etl_samples) - min(etl_samples)) / etl_med, 1
     )
 
+    # The sweep's wall-time moves with its coverage (r3: +45% wall,
+    # -20% per-check as checks grew 53 -> 96); record the check count so
+    # coverage growth and regression stay separable (VERDICT r3 task 5).
+    dq_checks = queries["dq_sweep_detail"](spark, sf_dir).count()
+
     total = round(sum(timings.values()), 3)
+    # Verbose variance detail first, on its own line — the driver's tail
+    # capture only needs the compact LAST line below.
+    print(
+        json.dumps(
+            {
+                "detail": "bench_reps",
+                "reps": reps,
+                "queries_reps": queries_reps,
+                "spread_pct": spread_pct,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -191,9 +214,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "etl_rows_per_sec": round(etl_rows / etl_med),
-                "reps": reps,
-                "queries_reps": queries_reps,
-                "spread_pct": spread_pct,
+                "dq_sweep_checks": int(dq_checks),
+                "dq_sweep_ms_per_check": round(
+                    1000.0 * timings["dq_sweep_detail"] / max(int(dq_checks), 1), 1
+                ),
             }
         )
     )
