@@ -98,10 +98,23 @@ def grouped_counts_analyses(
     ``grouping_id()`` identifies the set on the way out, and a when-chain
     projection rebuilds the exact ``counts_analysis`` row shape
     (analysis_id, stratum_1..5 cast to string, bigint count_value).
-    Callers must pass strata tuples that are pairwise distinct — two
-    analyses with identical strata would share a grouping id.
+    Callers must pass strata whose column SETS are pairwise distinct —
+    ``grouping_id`` depends only on which columns are grouped, so two
+    analyses whose strata are permutations of each other would share a
+    grouping id (first spec duplicated, second starved).  Strata must
+    also be non-empty: a grouping-sets aggregation over an empty table
+    emits no rows, whereas the grand-total ``counts_analysis`` path
+    emits an explicit 0-count row (matching SELECT COUNT(*)), so
+    ()-strata specs must stay on the per-spec path.
     """
-    assert len({tuple(s) for _, s in specs}) == len(specs), "duplicate strata sets"
+    assert len({frozenset(s) for _, s in specs}) == len(specs), (
+        "strata column-sets must be pairwise distinct (grouping_id "
+        "ignores column order)"
+    )
+    assert all(s for _, s in specs), (
+        "()-strata specs lose their empty-table zero row under "
+        "grouping sets; run them via counts_analysis"
+    )
     all_cols: list[str] = []
     for _, strata in specs:
         for c in strata:

@@ -205,8 +205,12 @@ def _observed_year_gender_decade() -> Prepare:
         s, e = F.col("observation_period_start_date"), F.col(
             "observation_period_end_date"
         )
+        # end >= start guard: F.sequence produces a DESCENDING range for
+        # reversed periods (the defect analysis 115 flags), which would
+        # still count as observed years here; generate_series/Achilles
+        # treat a reversed period as contributing nothing.
         years = (
-            df.filter(s.isNotNull() & e.isNotNull())
+            df.filter(s.isNotNull() & e.isNotNull() & (e >= s))
             .select(
                 "person_id",
                 F.explode(F.sequence(F.year(s), F.year(e))).alias("__year"),
@@ -1461,7 +1465,16 @@ def run_catalog(
     mergeable: dict[str, list] = {}
     rest: list = []
     for spec in selected:
-        if spec.shape == "results" and spec.prepare is None and not spec.requires:
+        # ()-strata (grand-total) specs stay per-spec: counts_analysis
+        # emits an explicit 0-count row on an empty table (matching the
+        # reference's SELECT COUNT(*)), which a grouping-sets agg over
+        # empty input would silently drop.
+        if (
+            spec.shape == "results"
+            and spec.prepare is None
+            and not spec.requires
+            and spec.strata
+        ):
             mergeable.setdefault(spec.table, []).append(spec)
         else:
             rest.append(spec)
@@ -1475,11 +1488,12 @@ def run_catalog(
         applicable, seen_strata = [], set()
         for spec in group:
             # same skip-non-applicable semantics as AnalysisSpec.build;
-            # identical strata tuples would collide on grouping_id —
-            # spill duplicates to the per-spec path
-            if set(spec.strata) <= cols and tuple(spec.strata) not in seen_strata:
+            # grouping_id keys on the column SET, so strata that are
+            # permutations of each other collide too — dedupe on
+            # frozenset and spill duplicates to the per-spec path
+            if set(spec.strata) <= cols and frozenset(spec.strata) not in seen_strata:
                 applicable.append(spec)
-                seen_strata.add(tuple(spec.strata))
+                seen_strata.add(frozenset(spec.strata))
             else:
                 rest.append(spec)
         if len(applicable) >= 2:

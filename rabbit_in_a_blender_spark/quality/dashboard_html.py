@@ -62,6 +62,10 @@ const ROWS = DOC.CheckResults.map(r => ({
 let filtered = ROWS, page = 0, sortKey = null, sortDir = 1;
 const PAGE = 10;
 function fmtPct(v){ return v == null ? '' : v.toFixed(2) + '%'; }
+function esc(v){
+  return String(v ?? '').replace(/&/g, '&amp;').replace(/</g, '&lt;')
+    .replace(/>/g, '&gt;').replace(/"/g, '&quot;');
+}
 function render(){
   const tbody = document.querySelector('#results tbody');
   const start = page * PAGE;
@@ -69,7 +73,7 @@ function render(){
   tbody.innerHTML = rows.map(r =>
     `<tr class="${r.status === 'FAILED' ? 'failed' : 'passed'}">` +
     [r.status, r.table, r.field, r.category, r.subcategory, r.level, r.name,
-     fmtPct(r.pct)].map(c => `<td>${c ?? ''}</td>`).join('') + '</tr>').join('');
+     fmtPct(r.pct)].map(c => `<td>${esc(c)}</td>`).join('') + '</tr>').join('');
   document.getElementById('page-info').textContent =
     `${filtered.length ? start + 1 : 0}-${Math.min(start + PAGE, filtered.length)} of ${filtered.length}`;
 }

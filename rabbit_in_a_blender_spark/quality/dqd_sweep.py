@@ -194,7 +194,15 @@ class _SharedLookups:
     person/death/visit projections once per fact table.  Persisting the
     shared frame turns all but the first use into a cache read; the
     frames are lookup-sized (vocab ~7M rows, person keyset is the
-    biggest) so MEMORY_AND_DISK is safe even at production scale."""
+    biggest) so MEMORY_AND_DISK is safe even at production scale.
+
+    Lifecycle: the persisted frames back the LAZY result ``run_sweep``
+    returns, so the sweep cannot unpersist them itself without forcing
+    every downstream action to re-derive each lookup.  Repeated sweeps
+    in one session do NOT stack entries (Spark's CacheManager dedupes
+    by canonicalized plan), but the last set stays cached until session
+    end — long-lived sessions should pass their own instance and call
+    ``unpersist_all()`` once the result is materialized."""
 
     def __init__(self) -> None:
         self._frames: dict[tuple, DataFrame | None] = {}
@@ -204,6 +212,14 @@ class _SharedLookups:
             frame = build()
             self._frames[key] = frame.persist() if frame is not None else None
         return self._frames[key]
+
+    def unpersist_all(self) -> None:
+        """Release every persisted lookup (call after the sweep result
+        has been materialized — collected, written, or checkpointed)."""
+        for frame in self._frames.values():
+            if frame is not None:
+                frame.unpersist()
+        self._frames.clear()
 
 
 def _table_checks(
@@ -734,12 +750,19 @@ def run_sweep(
     warehouse=None,
     gender_specific: Mapping[int, int] | None = None,
     allowed_units: Mapping[int, list[int]] | None = None,
+    lookups: _SharedLookups | None = None,
 ) -> DataFrame:
     """Enumerate and run the whole DQD over the CDM exposed by ``read``.
 
     Returns one row per instantiated check:
     (check_name, check_family, cdm_table, cdm_field, num_violated_rows,
     pct_violated_rows, num_denominator_rows, threshold, failed).
+
+    The result is lazy and backed by persisted shared lookup frames
+    (see ``_SharedLookups``); when ``warehouse`` is given the write
+    materializes the result and the lookups are released before
+    returning.  Without a warehouse, long-lived sessions should pass
+    ``lookups=`` and call ``unpersist_all()`` after materializing.
 
     The concept-level families auto-enumerate from
     ``GENDER_SPECIFIC_DEFAULTS`` / ``ALLOWED_UNIT_DEFAULTS`` (the
@@ -758,7 +781,8 @@ def run_sweep(
     if meta:
         frames.append(spark.createDataFrame(meta, RESULT_SCHEMA))
 
-    lookups = _SharedLookups()
+    if lookups is None:
+        lookups = _SharedLookups()
     for tname in wanted:
         df = read(tname)
         if df is None:
@@ -828,5 +852,10 @@ def run_sweep(
         )
     )
     if warehouse is not None:
+        # The write is an action: the result is now durable parquet, so
+        # the shared lookups can be released and the returned frame
+        # re-read from the warehouse (no cache dependency downstream).
         warehouse.write(out, "dqd", "dqdashboard_results")
+        lookups.unpersist_all()
+        return warehouse.read(spark, "dqd", "dqdashboard_results")
     return out

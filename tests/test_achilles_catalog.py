@@ -477,7 +477,7 @@ def test_grouped_counts_matches_per_analysis(spark):
         [(1, "a", None), (2, "a", 10), (3, None, 10), (4, "b", 20)],
         "id long, g string, x long",
     )
-    specs = [(90, ()), (91, ("g",)), (92, ("x",)), (93, ("g", "x"))]
+    specs = [(91, ("g",)), (92, ("x",)), (93, ("g", "x"))]
     merged = {
         tuple(r) for r in grouped_counts_analyses(df, specs).collect()
     }
@@ -489,6 +489,29 @@ def test_grouped_counts_matches_per_analysis(spark):
     # the NULL data value survives as its own group for the right sets
     assert (91, None, None, None, None, None, 1) in merged
     assert (93, "a", None, None, None, None, 1) in merged
+
+
+def test_grouped_counts_rejects_colliding_and_empty_strata(spark):
+    """grouping_id keys on the column SET: permutations collide, and a
+    ()-strata spec would lose its empty-table zero row — both must be
+    rejected so run_catalog spills them to the per-spec path."""
+    import pytest
+
+    from rabbit_in_a_blender_spark.quality.achilles import (
+        counts_analysis,
+        grouped_counts_analyses,
+    )
+
+    df = spark.createDataFrame([(1, "a", 10)], "id long, g string, x long")
+    with pytest.raises(AssertionError):
+        grouped_counts_analyses(df, [(1, ("g", "x")), (2, ("x", "g"))])
+    with pytest.raises(AssertionError):
+        grouped_counts_analyses(df, [(1, ()), (2, ("g",))])
+    # the per-spec path emits the explicit zero row on an empty table
+    # (SELECT COUNT(*) semantics the merge cannot reproduce)
+    empty = df.filter("id < 0")
+    rows = counts_analysis(empty, 1, ()).collect()
+    assert len(rows) == 1 and rows[0]["count_value"] == 0
 
 
 def test_run_catalog_id_filters(spark, cdm):
