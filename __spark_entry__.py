@@ -16,11 +16,26 @@ queries, so with a 90+ query catalog a fixed order would leave the
 same tail permanently unverified.  ``_verification_order`` therefore
 emits:
 
-1. ``_REVERIFY_FIRST`` — queries whose implementation changed after
-   their last green CORRECTNESS row (maintained by hand each round);
+1. ``_REVERIFY_FIRST`` — manual override for anything the automatic
+   derivation can't see (the hand-only list missed
+   w4_rekey_window_losers in r3; the list now only carries explicit
+   verdict orders and corner cases);
 2. queries with no green row in any committed CORRECTNESS_r*.json
-   (new this round), in catalog registration order;
-3. everything else, stalest green round first.
+   (new this round), in catalog registration order — a first hard
+   signal beats refreshing an old one;
+3. stale queries — their implementation changed after their last green
+   CORRECTNESS row.  Derived automatically (VERDICT r3 task 3) from
+   ``git diff <commit-that-recorded-the-round>``: a query is stale
+   when the diff touches (a) the import closure of an engine module
+   the query function (or a local helper it references) actually
+   pulls in — module granularity inside the engine, reference
+   granularity at the plan layer, so q5 isn't flagged by a change to
+   a sequence op it never calls — or (b) the plan module itself,
+   counted only when the query function's AST fingerprint moved
+   (otherwise adding one query to a plans file would flag every
+   query in it).  plans/catalog.py is excluded: pure registration
+   plumbing whose breakage every query would surface instantly;
+4. everything else, stalest green round first.
 
 The rotation maximizes cumulative oracle coverage across rounds while
 re-earning the hard signal on exactly the code that moved.  The
@@ -31,39 +46,275 @@ belongs to the harness that owns the CORRECTNESS artifacts.
 
 from __future__ import annotations
 
+import ast
 import glob
 import json
 import os
 import re
+import subprocess
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Queries whose source files changed after the round that last proved
-# them (VERDICT r2 "what's wrong" §1 + files edited in round 3).
+# Manual override: verified before everything else regardless of the
+# automatic staleness derivation below.  Kept for cases the import
+# closure can't see (dynamic dispatch, data-file dependencies).
 _REVERIFY_FIRST = [
-    # operators/sequence.py changed in r2 after their r1 green rows
-    "w2_rownumber_ids_strict",
-    "seq_swap_assign",
-    "seq_assign_scalable",
-    # mapping/swap.py changed in r2 (AQE-decided join)
-    "j3_fk_swap_routing",
-    # mapping/events.py touched in r2
-    "j9_polymorphic_event_join",
-    # quality/dqd_sweep.py changed in r3 (lookup-key dedupe fix +
-    # shared persisted lookup projections)
-    "dq_sweep_detail",
-    "dq_sweep_summary",
-    "dq_plausible_value_low",
-    "dq_fk_orphans",
-    "dq_start_before_end",
-    # quality/achilles_catalog.py grew in r3 (221 → 230 analyses); the
-    # r2-green catalog queries run through the changed module
-    "achilles_counts_catalog",
-    "achilles_dists_catalog",
-    "achilles_continuous_obs",
-    "achilles_strata_counts",
+    # r3 verdict "what's wrong" §2: only green row is r1, but its
+    # modules (mapping/events.py, operators/sequence.py) changed in r2.
+    # The automatic derivation also flags it; listed here because the
+    # verdict explicitly ordered it re-earned in r4.
+    "w4_rekey_window_losers",
 ]
+
+_PKG = "rabbit_in_a_blender_spark"
+
+
+def _pkg_file(mod: str, root: str) -> str | None:
+    """Repo-relative file of a package module, if it exists."""
+    rel = mod.replace(".", "/")
+    for cand in (f"{rel}.py", f"{rel}/__init__.py"):
+        if os.path.exists(os.path.join(root, cand)):
+            return cand
+    return None
+
+
+def _import_closure(mod: str, root: str, seen: set[str]) -> set[str]:
+    """Repo-relative files reachable from ``mod`` via package-internal
+    imports (AST walk; handles absolute and relative forms)."""
+    if mod in seen:
+        return set()
+    seen.add(mod)
+    path = _pkg_file(mod, root)
+    if path is None:
+        return set()
+    files = {path}
+    try:
+        with open(os.path.join(root, path)) as f:
+            tree = ast.parse(f.read())
+    except (OSError, SyntaxError):
+        return files
+    targets: list[str] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            targets += [a.name for a in node.names if a.name.startswith(_PKG)]
+        elif isinstance(node, ast.ImportFrom):
+            base = node.module or ""
+            if node.level:
+                parts = mod.split(".")
+                if not path.endswith("__init__.py"):
+                    parts = parts[:-1]
+                parts = parts[: len(parts) - (node.level - 1)]
+                base = ".".join(parts + ([base] if base else []))
+            if base.startswith(_PKG):
+                targets.append(base)
+                # `from pkg.plans import quality` style submodule pulls
+                targets += [f"{base}.{a.name}" for a in node.names]
+    for t in targets:
+        files |= _import_closure(t, root, seen)
+    return files
+
+
+def _round_commit(rnd: int, root: str) -> str | None:
+    """Commit that recorded CORRECTNESS_r{rnd}.json (round-end marker)."""
+    path = f"CORRECTNESS_r{rnd:02d}.json"
+    try:
+        rec = subprocess.run(
+            ["git", "log", "--diff-filter=A", "--format=%H", "-n", "1", "--", path],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        )
+        sha = rec.stdout.strip().splitlines()[0] if rec.stdout.strip() else None
+        return sha if rec.returncode == 0 and sha else None
+    except (OSError, subprocess.SubprocessError, IndexError):
+        return None
+
+
+def _changed_since(sha: str, root: str) -> set[str] | None:
+    """Files changed (committed or working-tree) since ``sha``."""
+    try:
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", sha],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        )
+        if diff.returncode != 0:
+            return None
+        return {ln.strip() for ln in diff.stdout.splitlines() if ln.strip()}
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+# Registration plumbing: every query flows through it equally, so a
+# change there breaks everything loudly rather than silently skewing
+# one query — excluded from per-query staleness.
+_REGISTRY_MODULE = f"{_PKG}.plans.catalog"
+
+
+def _module_defs(tree: ast.Module) -> dict[str, ast.AST]:
+    """Top-level name → defining node (functions, classes, assigns)."""
+    defs: dict[str, ast.AST] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            defs[node.name] = node
+        elif isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name):
+                    defs[tgt.id] = node
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            defs[node.target.id] = node
+    return defs
+
+
+def _reachable_names(defs: dict[str, ast.AST], fn_name: str) -> set[str] | None:
+    """Every Name referenced from ``fn_name``'s def plus the local defs
+    it (transitively) pulls in; None when the function isn't found."""
+    if fn_name not in defs:
+        return None
+    visited: set[str] = set()
+    names: set[str] = set()
+    frontier = [fn_name]
+    while frontier:
+        name = frontier.pop()
+        if name in visited:
+            continue
+        visited.add(name)
+        for ref in ast.walk(defs[name]):
+            if isinstance(ref, ast.Name):
+                names.add(ref.id)
+                if ref.id in defs and ref.id not in visited:
+                    frontier.append(ref.id)
+    return names | visited
+
+
+def _fn_fingerprint(src: str, fn_name: str) -> str | None:
+    """AST fingerprint of a top-level function plus every module-level
+    def/assign it (transitively) references by name.  Comment and
+    formatting changes don't move it; body or helper changes do."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    defs = _module_defs(tree)
+    if fn_name not in defs:
+        return None
+    reach = _reachable_names(defs, fn_name) or set()
+    local = sorted(n for n in reach if n in defs)
+    return "\n".join(ast.dump(defs[n]) for n in local)
+
+
+def _import_map(tree: ast.Module, mod: str, mod_path: str, root: str) -> dict[str, str]:
+    """Local binding name → package module it came from."""
+    imap: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(_PKG):
+                    imap[a.asname or a.name.split(".")[0]] = a.name
+        elif isinstance(node, ast.ImportFrom):
+            base = node.module or ""
+            if node.level:
+                parts = mod.split(".")
+                if not mod_path.endswith("__init__.py"):
+                    parts = parts[:-1]
+                parts = parts[: len(parts) - (node.level - 1)]
+                base = ".".join(parts + ([base] if base else []))
+            if not base.startswith(_PKG):
+                continue
+            for a in node.names:
+                sub = f"{base}.{a.name}"
+                imap[a.asname or a.name] = sub if _pkg_file(sub, root) else base
+    return imap
+
+
+def _fn_deep_files(src: str, fn_name: str, mod: str, root: str) -> set[str] | None:
+    """Repo-relative engine files the query function actually depends
+    on: the import closures of every package module referenced (by
+    imported name) from the function or its local helpers.  None when
+    the function can't be located (caller goes conservative)."""
+    mod_path = _pkg_file(mod, root) or ""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    reach = _reachable_names(_module_defs(tree), fn_name)
+    if reach is None:
+        return None
+    imap = _import_map(tree, mod, mod_path, root)
+    modules = {imap[n] for n in reach if n in imap} - {_REGISTRY_MODULE, mod}
+    files: set[str] = set()
+    seen: set[str] = set()
+    for m in modules:
+        files |= _import_closure(m, root, seen)
+    files.discard(_pkg_file(_REGISTRY_MODULE, root) or "")
+    files.discard(mod_path)
+    return files
+
+
+def _git_show(sha: str, path: str, root: str) -> str | None:
+    try:
+        out = subprocess.run(
+            ["git", "show", f"{sha}:{path}"],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        )
+        return out.stdout if out.returncode == 0 else None
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def _stale_queries(names: list[str], last_green: dict[str, int], root: str) -> list[str]:
+    """Queries whose implementation changed since their last green round
+    was recorded.  A change to a file in the plan module's import
+    closure flags every query of that module (the engine code they run
+    through moved); a change to the plan module ITSELF only flags
+    queries whose function fingerprint moved.  Empty on git failure
+    (the manual override list still applies)."""
+    from rabbit_in_a_blender_spark.plans import catalog
+
+    commits: dict[int, str | None] = {}
+    changed: dict[int, set[str] | None] = {}
+    cur_src: dict[str, str | None] = {}
+    old_src: dict[tuple[int, str], str | None] = {}
+    stale = []
+    for n in names:
+        rnd = last_green.get(n)
+        if rnd is None:
+            continue  # never-green bucket handles these
+        if rnd not in commits:
+            commits[rnd] = _round_commit(rnd, root)
+            changed[rnd] = (
+                _changed_since(commits[rnd], root) if commits[rnd] else None
+            )
+        sha, delta = commits[rnd], changed[rnd]
+        if delta is None:
+            continue
+        fn = catalog.get(n).fn
+        mod = fn.__module__
+        mod_file = _pkg_file(mod, root)
+        if mod_file not in cur_src:
+            try:
+                with open(os.path.join(root, mod_file)) as f:
+                    cur_src[mod_file] = f.read()
+            except (OSError, TypeError):
+                cur_src[mod_file] = None
+        new = cur_src[mod_file]
+        if new is None:
+            stale.append(n)
+            continue
+        deep = _fn_deep_files(new, fn.__name__, mod, root)
+        if deep is None or deep & delta:
+            stale.append(n)
+            continue
+        if mod_file in delta:
+            if (rnd, mod_file) not in old_src:
+                old_src[(rnd, mod_file)] = _git_show(sha, mod_file, root)
+            old = old_src[(rnd, mod_file)]
+            if old is None:
+                stale.append(n)  # can't compare → conservative
+                continue
+            fp_old = _fn_fingerprint(old, fn.__name__)
+            fp_new = _fn_fingerprint(new, fn.__name__)
+            if fp_old is None or fp_new is None or fp_old != fp_new:
+                stale.append(n)
+    return stale
 
 
 def _last_green_rounds(has_oracle: set[str]) -> dict[str, int]:
@@ -82,7 +333,17 @@ def _last_green_rounds(has_oracle: set[str]) -> dict[str, int]:
         except (OSError, json.JSONDecodeError):
             continue
         for name, res in results.items():
-            if not isinstance(res, dict) or res.get("err"):
+            if not isinstance(res, dict):
+                continue
+            err = res.get("err")
+            if err == "no_oracle":
+                # rows-only by design: the driver marks the missing
+                # oracle as an err but the query itself ran — a
+                # non-null row count IS the (weaker) green signal
+                if res.get("spark_rows") is not None:
+                    last_green[name] = max(last_green.get(name, 0), rnd)
+                continue
+            if err:
                 continue
             ok = (
                 res.get("rows_match", res.get("spark_rows") is not None)
@@ -98,10 +359,19 @@ def _last_green_rounds(has_oracle: set[str]) -> dict[str, int]:
 def _verification_order(names: list[str], has_oracle: set[str]) -> list[str]:
     last_green = _last_green_rounds(has_oracle)
     reg_index = {name: i for i, name in enumerate(names)}
-    first = [n for n in _REVERIFY_FIRST if n in reg_index]
-    rest = [n for n in names if n not in set(first)]
+    root = os.path.dirname(os.path.abspath(__file__))
+    manual = [n for n in _REVERIFY_FIRST if n in reg_index]
+    taken = set(manual)
+    new = [n for n in names if n not in last_green and n not in taken]
+    taken |= set(new)
+    stale = sorted(
+        (n for n in _stale_queries(names, last_green, root) if n not in taken),
+        key=lambda n: (last_green.get(n, -1), reg_index[n]),
+    )
+    taken |= set(stale)
+    rest = [n for n in names if n not in taken]
     rest.sort(key=lambda n: (last_green.get(n, -1), reg_index[n]))
-    return first + rest
+    return manual + new + stale + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -51,3 +51,70 @@ def test_sample_queries_match_duckdb(spark, name):
     srows = [r.asDict() for r in sdf.collect()]
     orows = con.sql(all_oracles()[name]).df().to_dict("records")
     assert value_hash(srows) == value_hash(orows), name
+
+
+# ---- driver rotation (harness-side, /root/repo/__spark_entry__.py) ----
+
+
+def _entry_module():
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("spark_entry_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fn_fingerprint_ignores_comments_catches_body_and_helpers():
+    m = _entry_module()
+    base = "HELPER_SQL = 'select 1'\ndef q(spark):\n    return run(HELPER_SQL)\n"
+    commented = "# a new comment\nHELPER_SQL = 'select 1'\ndef q(spark):\n    # noise\n    return run(HELPER_SQL)\n"
+    body_changed = "HELPER_SQL = 'select 1'\ndef q(spark):\n    return run(HELPER_SQL.upper())\n"
+    helper_changed = "HELPER_SQL = 'select 2'\ndef q(spark):\n    return run(HELPER_SQL)\n"
+    unrelated_changed = "HELPER_SQL = 'select 1'\nOTHER = 3\ndef q(spark):\n    return run(HELPER_SQL)\n"
+    fp = m._fn_fingerprint
+    assert fp(base, "q") == fp(commented, "q")
+    assert fp(base, "q") == fp(unrelated_changed, "q")
+    assert fp(base, "q") != fp(body_changed, "q")
+    assert fp(base, "q") != fp(helper_changed, "q")
+    assert fp(base, "missing") is None
+
+
+def test_fn_deep_files_tracks_only_referenced_modules():
+    m = _entry_module()
+    src = (
+        "from rabbit_in_a_blender_spark.operators.sequence import assign_sequence\n"
+        "from rabbit_in_a_blender_spark.core.io import load_tables\n"
+        "from rabbit_in_a_blender_spark.plans.catalog import register\n"
+        "@register('x')\n"
+        "def q(spark, sf_dir):\n"
+        "    return load_tables(spark, sf_dir)\n"
+    )
+    deep = m._fn_deep_files(src, "q", "rabbit_in_a_blender_spark.plans.parity", "/root/repo")
+    assert "rabbit_in_a_blender_spark/core/io.py" in deep
+    # imported but never referenced by q → not a dependency
+    assert "rabbit_in_a_blender_spark/operators/sequence.py" not in deep
+    # registration plumbing excluded by design
+    assert "rabbit_in_a_blender_spark/plans/catalog.py" not in deep
+
+
+def test_last_green_counts_rows_only_queries():
+    """err == no_oracle with a row count IS the green signal for the
+    by-design rows-only queries (they must not squat the rotation)."""
+    m = _entry_module()
+    from rabbit_in_a_blender_spark.plans.catalog import all_oracles
+
+    lg = m._last_green_rounds(set(all_oracles()))
+    assert lg.get("ext_ivf_topk", 0) >= 3
+    assert lg.get("ext_profile_approx", 0) >= 3
+
+
+def test_verification_order_buckets():
+    m = _entry_module()
+    order = list(m.queries())
+    assert set(order) == set(m.__dict__["queries"]().keys())
+    # manual override leads
+    assert order[0] == "w4_rekey_window_losers"
+    # every catalog query appears exactly once
+    assert len(order) == len(set(order))
