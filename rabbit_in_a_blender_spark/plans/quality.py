@@ -1605,3 +1605,1245 @@ def achilles_strata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("count_value")).select(
         F.lit(101).alias("analysis_id"), "stratum_1", "stratum_2", "count_value"
     )
+
+
+# =====================================================================
+# Round 4: clinical-domain pseudo-CDM + the drug / procedure / death /
+# observation / era / specimen / device / note families under the hard
+# oracle signal, plus the round-4 within-family tail slots.
+# =====================================================================
+
+
+def _pseudo_cdm_clinical(spark: SparkSession, sf_dir: str):
+    """Clinical-domain extension of the pseudo-CDM: provider, death,
+    drug/procedure/observation events, eras, specimen, device_exposure
+    and note tables, plus enriched overrides of the base/ext tables
+    (visit provider + discharge, observation-period types, payer plan /
+    stop-reason, cost paid-amount columns, location county, and
+    reversed-date mixes so the end<start slots prove non-zero counts).
+    Pure column arithmetic over customer/orders/lineitem/supplier so
+    ``_PSEUDO_CLIN_SQL`` derives the identical CDM in DuckDB."""
+    ext = _pseudo_cdm_ext(spark, sf_dir)
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "supplier")
+    c, o, li, sup = t["customer"], t["orders"], t["lineitem"], t["supplier"]
+    k = F.col("o_orderkey")
+    odate = F.col("o_orderdate").cast("date")
+    sdate = F.col("l_shipdate").cast("date")
+
+    provider = sup.select(
+        F.col("s_suppkey").alias("provider_id"),
+        (F.lit(38004446) + F.col("s_suppkey") % 5).alias("specialty_concept_id"),
+        (F.lit(8507) + F.col("s_suppkey") % 2).alias("gender_concept_id"),
+        (
+            F.col("s_nationkey") + 1
+            + F.when(F.col("s_suppkey") % 53 == 0, 1000).otherwise(0)
+        ).alias("care_site_id"),
+    )
+    visit = (
+        ext("visit_occurrence")
+        .withColumn("provider_id", F.col("visit_occurrence_id") % 137 + 1)
+        .withColumn(
+            "discharged_to_concept_id",
+            F.lit(8536) + F.col("visit_occurrence_id") % 4,
+        )
+    )
+    obs_period = ext("observation_period").withColumn(
+        "period_type_concept_id", F.lit(44814724) + F.col("person_id") % 2
+    )
+    cid = F.col("condition_occurrence_id")
+    condition = (
+        ext("condition_occurrence")
+        .withColumn(
+            "condition_end_date",
+            F.date_add(
+                F.col("condition_start_date"),
+                (
+                    (cid % 21) - F.when(cid % 31 == 0, 30).otherwise(0)
+                ).cast("int"),
+            ),
+        )
+        .withColumn("condition_status_concept_id", F.lit(32890) + cid % 3)
+        .withColumn(
+            "visit_occurrence_id",
+            cid + F.when(cid % 59 == 0, 900000000).otherwise(0),
+        )
+    )
+    death = c.filter(F.col("c_custkey") % 19 == 0).select(
+        (
+            F.col("c_custkey")
+            + F.when(F.col("c_custkey") % 57 == 0, 10000000).otherwise(0)
+        ).alias("person_id"),
+        F.date_add(
+            F.lit("1997-01-01").cast("date"),
+            (F.col("c_custkey") % 365).cast("int"),
+        ).alias("death_date"),
+        (F.lit(4306655) + F.col("c_custkey") % 3).alias("cause_concept_id"),
+        (F.lit(32817) + F.col("c_custkey") % 2).alias("death_type_concept_id"),
+    )
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    drug = lo.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(
+            "drug_exposure_id"
+        ),
+        F.col("o_custkey").alias("person_id"),
+        (F.lit(1125315) + F.col("l_partkey") % 7).alias("drug_concept_id"),
+        sdate.alias("drug_exposure_start_date"),
+        F.date_add(
+            sdate,
+            (
+                (F.col("l_linenumber") % 30)
+                - F.when(F.col("l_orderkey") % 97 == 0, 45).otherwise(0)
+            ).cast("int"),
+        ).alias("drug_exposure_end_date"),
+        (F.lit(38000177) + F.col("l_suppkey") % 2).alias("drug_type_concept_id"),
+        F.when(F.col("l_linenumber") % 6 == 0, F.lit(None).cast("int"))
+        .otherwise(F.col("l_quantity").cast("int"))
+        .alias("days_supply"),
+        F.when(F.col("l_linenumber") % 11 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("l_suppkey") % 5)
+        .alias("refills"),
+        F.when(F.col("l_partkey") % 13 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("l_quantity").cast("double"))
+        .alias("quantity"),
+        (F.lit(4132161) + F.col("l_partkey") % 3).alias("route_concept_id"),
+        (
+            F.col("l_orderkey")
+            + F.when(F.col("l_suppkey") % 43 == 0, 900000000).otherwise(0)
+        ).alias("visit_occurrence_id"),
+        (F.col("l_suppkey") % 137 + 1).alias("provider_id"),
+    )
+    proc = lo.filter(F.col("l_linenumber") <= 3).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(
+            "procedure_occurrence_id"
+        ),
+        F.col("o_custkey").alias("person_id"),
+        (F.lit(4230911) + F.col("l_partkey") % 5).alias("procedure_concept_id"),
+        F.date_add(sdate, 2).alias("procedure_date"),
+        F.date_add(
+            sdate,
+            (
+                2 + (F.col("l_linenumber") % 3)
+                - F.when(F.col("l_orderkey") % 89 == 0, 10).otherwise(0)
+            ).cast("int"),
+        ).alias("procedure_end_date"),
+        (F.lit(38000275) + F.col("l_suppkey") % 2).alias(
+            "procedure_type_concept_id"
+        ),
+        F.when(F.col("l_suppkey") % 7 == 0, F.lit(None).cast("int"))
+        .otherwise(F.col("l_quantity").cast("int"))
+        .alias("quantity"),
+        (F.lit(42739579) + F.col("l_partkey") % 4).alias("modifier_concept_id"),
+        (
+            F.col("l_orderkey")
+            + F.when(F.col("l_partkey") % 41 == 0, 900000000).otherwise(0)
+        ).alias("visit_occurrence_id"),
+        (F.col("l_partkey") % 137 + 1).alias("provider_id"),
+    )
+    observation = o.filter(k % 2 == 0).select(
+        k.alias("observation_id"),
+        F.col("o_custkey").alias("person_id"),
+        (F.lit(4275495) + k % 4).alias("observation_concept_id"),
+        F.date_add(odate, 3).alias("observation_date"),
+        (F.lit(32817) + k % 2).alias("observation_type_concept_id"),
+        F.when(k % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice") / 100)
+        .alias("value_as_number"),
+        F.when(k % 5 == 0, F.lit(45877994) + k % 2)
+        .otherwise(F.lit(None).cast("long"))
+        .alias("value_as_concept_id"),
+        F.when(k % 7 == 0, F.concat(F.lit("obs-"), (k % 3).cast("string")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("value_as_string"),
+        (k + F.when(k % 71 == 0, 900000000).otherwise(0)).alias(
+            "visit_occurrence_id"
+        ),
+        (k % 137 + 1).alias("provider_id"),
+    )
+    drug_era = o.select(
+        k.alias("drug_era_id"),
+        F.col("o_custkey").alias("person_id"),
+        (F.lit(1125315) + k % 7).alias("drug_concept_id"),
+        odate.alias("drug_era_start_date"),
+        F.date_add(
+            odate,
+            ((k % 180) - F.when(k % 83 == 0, 200).otherwise(0)).cast("int"),
+        ).alias("drug_era_end_date"),
+        (k % 5 + 1).alias("drug_exposure_count"),
+        F.when(k % 9 == 0, F.lit(None).cast("int"))
+        .otherwise((k % 30).cast("int"))
+        .alias("gap_days"),
+    )
+    cond_era = o.filter(k % 3 != 2).select(
+        k.alias("condition_era_id"),
+        F.col("o_custkey").alias("person_id"),
+        (F.lit(201826) + k % 5).alias("condition_concept_id"),
+        F.date_add(odate, 1).alias("condition_era_start_date"),
+        F.date_add(
+            odate,
+            (1 + (k % 120) - F.when(k % 79 == 0, 150).otherwise(0)).cast("int"),
+        ).alias("condition_era_end_date"),
+        (k % 4 + 1).alias("condition_occurrence_count"),
+    )
+    specimen = lo.filter(F.col("l_linenumber") == 1).select(
+        F.col("l_orderkey").alias("specimen_id"),
+        F.col("o_custkey").alias("person_id"),
+        (F.lit(4122248) + F.col("l_partkey") % 3).alias("specimen_concept_id"),
+        F.lit(581378).alias("specimen_type_concept_id"),
+        sdate.alias("specimen_date"),
+        F.when(F.col("l_partkey") % 13 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("l_quantity").cast("double"))
+        .alias("quantity"),
+        (F.lit(8576) + F.col("l_suppkey") % 2).alias("unit_concept_id"),
+        (F.lit(4103420) + F.col("l_suppkey") % 4).alias(
+            "anatomic_site_concept_id"
+        ),
+        (F.lit(4066212) + F.col("l_partkey") % 2).alias(
+            "disease_status_concept_id"
+        ),
+    )
+    device = lo.filter(F.col("l_linenumber") == 2).select(
+        F.col("l_orderkey").alias("device_exposure_id"),
+        F.col("o_custkey").alias("person_id"),
+        (F.lit(4263759) + F.col("l_partkey") % 4).alias("device_concept_id"),
+        sdate.alias("device_exposure_start_date"),
+        F.date_add(
+            sdate,
+            (
+                (F.col("l_suppkey") % 10)
+                - F.when(F.col("l_orderkey") % 61 == 0, 20).otherwise(0)
+            ).cast("int"),
+        ).alias("device_exposure_end_date"),
+        (F.lit(44818707) + F.col("l_partkey") % 2).alias(
+            "device_type_concept_id"
+        ),
+        F.when(F.col("l_suppkey") % 11 == 0, F.lit(None).cast("int"))
+        .otherwise(F.col("l_quantity").cast("int"))
+        .alias("quantity"),
+        (
+            F.col("l_orderkey")
+            + F.when(F.col("l_partkey") % 37 == 0, 900000000).otherwise(0)
+        ).alias("visit_occurrence_id"),
+        (F.col("l_suppkey") % 137 + 1).alias("provider_id"),
+    )
+    note = o.filter(k % 2 == 1).select(
+        k.alias("note_id"),
+        F.col("o_custkey").alias("person_id"),
+        odate.alias("note_date"),
+        (F.lit(44814645) + k % 3).alias("note_class_concept_id"),
+        (F.lit(44814641) + k % 2).alias("note_type_concept_id"),
+        (F.lit(32678) + k % 2).alias("encoding_concept_id"),
+        (F.lit(4180186) + k % 2).alias("language_concept_id"),
+        (k + F.when(k % 67 == 0, 900000000).otherwise(0)).alias(
+            "visit_occurrence_id"
+        ),
+        (k % 137 + 1).alias("provider_id"),
+    )
+    location = ext("location").withColumn(
+        "county", F.concat(F.lit("C"), (F.col("location_id") % 7).cast("string"))
+    )
+    pid = F.col("payer_plan_period_id")
+    payer = (
+        ext("payer_plan_period")
+        .withColumn("plan_concept_id", F.lit(45880001) + pid % 3)
+        .withColumn("stop_reason_concept_id", F.lit(44786665) + pid % 2)
+        .withColumn(
+            "payer_plan_period_end_date",
+            F.when(
+                pid % 73 == 0,
+                F.date_add(F.col("payer_plan_period_start_date"), -10),
+            ).otherwise(F.col("payer_plan_period_end_date")),
+        )
+    )
+    tc = F.col("total_charge")
+    cost = (
+        ext("cost")
+        .withColumn(
+            "paid_patient_copay",
+            F.when(F.col("cost_id") % 4 == 0, F.lit(None).cast("double"))
+            .otherwise(tc * 0.1),
+        )
+        .withColumn(
+            "paid_patient_coinsurance",
+            F.when(F.col("cost_id") % 5 == 0, F.lit(None).cast("double"))
+            .otherwise(tc * 0.2),
+        )
+        .withColumn(
+            "paid_patient_deductible",
+            F.when(F.col("cost_id") % 6 == 0, F.lit(None).cast("double"))
+            .otherwise(tc * 0.05),
+        )
+        .withColumn(
+            "paid_ingredient_cost",
+            F.when(F.col("cost_id") % 7 == 0, F.lit(None).cast("double"))
+            .otherwise(tc * 0.3),
+        )
+    )
+    cstart = F.date_add(
+        F.lit("1995-01-01").cast("date"), (F.col("c_custkey") % 1000).cast("int")
+    )
+    cohort = ext("cohort").unionByName(
+        c.filter(F.col("c_custkey") % 13 == 0).select(
+            (F.col("c_custkey") % 3).alias("cohort_definition_id"),
+            F.col("c_custkey").alias("subject_id"),
+            cstart.alias("cohort_start_date"),
+            F.date_add(cstart, -5).alias("cohort_end_date"),
+        )
+    )
+    vd = ext("visit_detail").withColumn(
+        "discharged_to_concept_id", F.lit(8536) + F.col("visit_detail_id") % 3
+    )
+    episode = ext("episode").withColumn(
+        "episode_end_date",
+        F.when(
+            F.col("episode_id") % 53 == 0,
+            F.date_add(F.col("episode_start_date"), -7),
+        ).otherwise(F.col("episode_end_date")),
+    )
+    extra = {
+        "provider": provider,
+        "visit_occurrence": visit,
+        "observation_period": obs_period,
+        "condition_occurrence": condition,
+        "death": death,
+        "drug_exposure": drug,
+        "procedure_occurrence": proc,
+        "observation": observation,
+        "drug_era": drug_era,
+        "condition_era": cond_era,
+        "specimen": specimen,
+        "device_exposure": device,
+        "note": note,
+        "location": location,
+        "payer_plan_period": payer,
+        "cost": cost,
+        "cohort": cohort,
+        "visit_detail": vd,
+        "episode": episode,
+    }
+    return lambda name: extra[name] if name in extra else ext(name)
+
+
+# DuckDB CTEs deriving the identical clinical pseudo-CDM (appended to
+# _PSEUDO_CDM_SQL + _PSEUDO_EXT_SQL).
+_PSEUDO_CLIN_SQL = """,
+    provider AS (
+      SELECT s_suppkey AS provider_id,
+             38004446 + (s_suppkey % 5) AS specialty_concept_id,
+             8507 + (s_suppkey % 2)     AS gender_concept_id,
+             (s_nationkey + 1)
+               + CASE WHEN s_suppkey % 53 = 0 THEN 1000 ELSE 0 END
+               AS care_site_id
+      FROM supplier),
+    visit_clin AS (
+      SELECT v.*, (visit_occurrence_id % 137) + 1 AS provider_id,
+             8536 + (visit_occurrence_id % 4) AS discharged_to_concept_id
+      FROM visit v),
+    op_clin AS (
+      SELECT op.*, 44814724 + (person_id % 2) AS period_type_concept_id
+      FROM op),
+    cond_clin AS (
+      SELECT cond.*,
+             condition_start_date
+               + CAST((condition_occurrence_id % 21)
+                      - CASE WHEN condition_occurrence_id % 31 = 0
+                             THEN 30 ELSE 0 END AS INTEGER)
+               AS condition_end_date,
+             32890 + (condition_occurrence_id % 3)
+               AS condition_status_concept_id,
+             condition_occurrence_id
+               + CASE WHEN condition_occurrence_id % 59 = 0
+                      THEN 900000000 ELSE 0 END AS visit_occurrence_id
+      FROM cond),
+    death_t AS (
+      SELECT c_custkey + CASE WHEN c_custkey % 57 = 0
+                              THEN 10000000 ELSE 0 END AS person_id,
+             DATE '1997-01-01' + CAST(c_custkey % 365 AS INTEGER)
+               AS death_date,
+             4306655 + (c_custkey % 3) AS cause_concept_id,
+             32817 + (c_custkey % 2)   AS death_type_concept_id
+      FROM customer WHERE c_custkey % 19 = 0),
+    drug AS (
+      SELECT l_orderkey * 10 + l_linenumber AS drug_exposure_id,
+             o_custkey AS person_id,
+             1125315 + (l_partkey % 7) AS drug_concept_id,
+             CAST(l_shipdate AS DATE)  AS drug_exposure_start_date,
+             CAST(l_shipdate AS DATE)
+               + CAST((l_linenumber % 30)
+                      - CASE WHEN l_orderkey % 97 = 0 THEN 45 ELSE 0 END
+                      AS INTEGER) AS drug_exposure_end_date,
+             38000177 + (l_suppkey % 2) AS drug_type_concept_id,
+             CASE WHEN l_linenumber % 6 = 0 THEN NULL
+                  ELSE CAST(l_quantity AS INTEGER) END AS days_supply,
+             CASE WHEN l_linenumber % 11 = 0 THEN NULL
+                  ELSE l_suppkey % 5 END AS refills,
+             CASE WHEN l_partkey % 13 = 0 THEN NULL
+                  ELSE CAST(l_quantity AS DOUBLE) END AS quantity,
+             4132161 + (l_partkey % 3) AS route_concept_id,
+             l_orderkey + CASE WHEN l_suppkey % 43 = 0
+                               THEN 900000000 ELSE 0 END
+               AS visit_occurrence_id,
+             (l_suppkey % 137) + 1 AS provider_id
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    proc AS (
+      SELECT l_orderkey * 10 + l_linenumber AS procedure_occurrence_id,
+             o_custkey AS person_id,
+             4230911 + (l_partkey % 5) AS procedure_concept_id,
+             CAST(l_shipdate AS DATE) + 2 AS procedure_date,
+             CAST(l_shipdate AS DATE)
+               + CAST(2 + (l_linenumber % 3)
+                      - CASE WHEN l_orderkey % 89 = 0 THEN 10 ELSE 0 END
+                      AS INTEGER) AS procedure_end_date,
+             38000275 + (l_suppkey % 2) AS procedure_type_concept_id,
+             CASE WHEN l_suppkey % 7 = 0 THEN NULL
+                  ELSE CAST(l_quantity AS INTEGER) END AS quantity,
+             42739579 + (l_partkey % 4) AS modifier_concept_id,
+             l_orderkey + CASE WHEN l_partkey % 41 = 0
+                               THEN 900000000 ELSE 0 END
+               AS visit_occurrence_id,
+             (l_partkey % 137) + 1 AS provider_id
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber <= 3),
+    obs_t AS (
+      SELECT o_orderkey AS observation_id,
+             o_custkey  AS person_id,
+             4275495 + (o_orderkey % 4) AS observation_concept_id,
+             CAST(o_orderdate AS DATE) + 3 AS observation_date,
+             32817 + (o_orderkey % 2) AS observation_type_concept_id,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE o_totalprice / 100 END AS value_as_number,
+             CASE WHEN o_orderkey % 5 = 0 THEN 45877994 + (o_orderkey % 2)
+                  ELSE NULL END AS value_as_concept_id,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN 'obs-' || CAST(o_orderkey % 3 AS VARCHAR)
+                  ELSE NULL END AS value_as_string,
+             o_orderkey + CASE WHEN o_orderkey % 71 = 0
+                               THEN 900000000 ELSE 0 END
+               AS visit_occurrence_id,
+             (o_orderkey % 137) + 1 AS provider_id
+      FROM orders WHERE o_orderkey % 2 = 0),
+    drug_era AS (
+      SELECT o_orderkey AS drug_era_id,
+             o_custkey  AS person_id,
+             1125315 + (o_orderkey % 7) AS drug_concept_id,
+             CAST(o_orderdate AS DATE)  AS drug_era_start_date,
+             CAST(o_orderdate AS DATE)
+               + CAST((o_orderkey % 180)
+                      - CASE WHEN o_orderkey % 83 = 0 THEN 200 ELSE 0 END
+                      AS INTEGER) AS drug_era_end_date,
+             (o_orderkey % 5) + 1 AS drug_exposure_count,
+             CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 30 AS INTEGER) END AS gap_days
+      FROM orders),
+    cond_era AS (
+      SELECT o_orderkey AS condition_era_id,
+             o_custkey  AS person_id,
+             201826 + (o_orderkey % 5) AS condition_concept_id,
+             CAST(o_orderdate AS DATE) + 1 AS condition_era_start_date,
+             CAST(o_orderdate AS DATE)
+               + CAST(1 + (o_orderkey % 120)
+                      - CASE WHEN o_orderkey % 79 = 0 THEN 150 ELSE 0 END
+                      AS INTEGER) AS condition_era_end_date,
+             (o_orderkey % 4) + 1 AS condition_occurrence_count
+      FROM orders WHERE o_orderkey % 3 != 2),
+    specimen_t AS (
+      SELECT l_orderkey AS specimen_id,
+             o_custkey  AS person_id,
+             4122248 + (l_partkey % 3) AS specimen_concept_id,
+             581378 AS specimen_type_concept_id,
+             CAST(l_shipdate AS DATE) AS specimen_date,
+             CASE WHEN l_partkey % 13 = 0 THEN NULL
+                  ELSE CAST(l_quantity AS DOUBLE) END AS quantity,
+             8576 + (l_suppkey % 2)    AS unit_concept_id,
+             4103420 + (l_suppkey % 4) AS anatomic_site_concept_id,
+             4066212 + (l_partkey % 2) AS disease_status_concept_id
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber = 1),
+    device_t AS (
+      SELECT l_orderkey AS device_exposure_id,
+             o_custkey  AS person_id,
+             4263759 + (l_partkey % 4) AS device_concept_id,
+             CAST(l_shipdate AS DATE)  AS device_exposure_start_date,
+             CAST(l_shipdate AS DATE)
+               + CAST((l_suppkey % 10)
+                      - CASE WHEN l_orderkey % 61 = 0 THEN 20 ELSE 0 END
+                      AS INTEGER) AS device_exposure_end_date,
+             44818707 + (l_partkey % 2) AS device_type_concept_id,
+             CASE WHEN l_suppkey % 11 = 0 THEN NULL
+                  ELSE CAST(l_quantity AS INTEGER) END AS quantity,
+             l_orderkey + CASE WHEN l_partkey % 37 = 0
+                               THEN 900000000 ELSE 0 END
+               AS visit_occurrence_id,
+             (l_suppkey % 137) + 1 AS provider_id
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber = 2),
+    note_t AS (
+      SELECT o_orderkey AS note_id,
+             o_custkey  AS person_id,
+             CAST(o_orderdate AS DATE) AS note_date,
+             44814645 + (o_orderkey % 3) AS note_class_concept_id,
+             44814641 + (o_orderkey % 2) AS note_type_concept_id,
+             32678 + (o_orderkey % 2)    AS encoding_concept_id,
+             4180186 + (o_orderkey % 2)  AS language_concept_id,
+             o_orderkey + CASE WHEN o_orderkey % 67 = 0
+                               THEN 900000000 ELSE 0 END
+               AS visit_occurrence_id,
+             (o_orderkey % 137) + 1 AS provider_id
+      FROM orders WHERE o_orderkey % 2 = 1),
+    loc_clin AS (
+      SELECT loc.*, 'C' || CAST(location_id % 7 AS VARCHAR) AS county
+      FROM loc),
+    payer_clin AS (
+      SELECT payer_plan_period_id, person_id, pstart,
+             CASE WHEN payer_plan_period_id % 73 = 0
+                  THEN pstart - 10 ELSE pend END AS pend,
+             payer_concept_id,
+             45880001 + (payer_plan_period_id % 3) AS plan_concept_id,
+             44786665 + (payer_plan_period_id % 2) AS stop_reason_concept_id
+      FROM payer),
+    cost_clin AS (
+      SELECT cost.*,
+             CASE WHEN cost_id % 4 = 0 THEN NULL
+                  ELSE total_charge * 0.1 END AS paid_patient_copay,
+             CASE WHEN cost_id % 5 = 0 THEN NULL
+                  ELSE total_charge * 0.2 END AS paid_patient_coinsurance,
+             CASE WHEN cost_id % 6 = 0 THEN NULL
+                  ELSE total_charge * 0.05 END AS paid_patient_deductible,
+             CASE WHEN cost_id % 7 = 0 THEN NULL
+                  ELSE total_charge * 0.3 END AS paid_ingredient_cost
+      FROM cost),
+    cohort_clin AS (
+      SELECT * FROM cohort
+      UNION ALL
+      SELECT c_custkey % 3, c_custkey,
+             DATE '1995-01-01' + CAST(c_custkey % 1000 AS INTEGER),
+             DATE '1995-01-01' + CAST(c_custkey % 1000 AS INTEGER) - 5
+      FROM customer WHERE c_custkey % 13 = 0),
+    vd_clin AS (
+      SELECT vdetail.*, 8536 + (visit_detail_id % 3)
+               AS discharged_to_concept_id
+      FROM vdetail),
+    episode_clin AS (
+      SELECT episode_id, person_id, episode_concept_id, ep_start,
+             CASE WHEN episode_id % 53 = 0 THEN ep_start - 7 ELSE ep_end END
+               AS ep_end,
+             episode_object_concept_id, episode_type_concept_id
+      FROM episode)
+"""
+
+_CLIN_SQL = _PSEUDO_CDM_SQL + _PSEUDO_EXT_SQL + _PSEUDO_CLIN_SQL
+
+
+def _frag_count(aid: int, frm: str, strata=(), where: str | None = None) -> str:
+    """One counts-shape oracle member: SELECT analysis_id, stratum_1..5
+    (strata expressions CAST to VARCHAR, padded with NULLs), bigint
+    count — mirroring counts_analysis / the grouping-sets merge."""
+    cols = []
+    for i in range(5):
+        expr = f"CAST({strata[i]} AS VARCHAR)" if i < len(strata) else "CAST(NULL AS VARCHAR)"
+        cols.append(f"{expr} AS stratum_{i + 1}")
+    sel = ", ".join(cols)
+    w = f" WHERE {where}" if where else ""
+    g = (" GROUP BY " + ", ".join(strata)) if strata else ""
+    return (
+        f"SELECT {aid} AS analysis_id, {sel}, "
+        f"CAST(COUNT(*) AS BIGINT) AS count_value FROM {frm}{w}{g}"
+    )
+
+
+def _frag_dist(aid: int, frm: str, strata=()) -> str:
+    """One dist-shape oracle member over a subquery exposing ``v`` (and
+    the strata columns) — mirroring dist_analysis + the round(3)
+    projection of the dist runners."""
+    cols = []
+    for i in range(5):
+        expr = f"CAST({strata[i]} AS VARCHAR)" if i < len(strata) else "CAST(NULL AS VARCHAR)"
+        cols.append(f"{expr} AS stratum_{i + 1}")
+    sel = ", ".join(cols)
+    g = (" GROUP BY " + ", ".join(strata)) if strata else ""
+    return (
+        f"SELECT {aid} AS analysis_id, {sel}, {_DIST_ORACLE_STATS} FROM {frm}{g}"
+    )
+
+
+def _clin_oracle(*frags: str) -> str:
+    return _CLIN_SQL + "\n    " + "\n    UNION ALL\n    ".join(frags)
+
+
+def _run_clin_counts(spark: SparkSession, sf_dir: str, ids: list[int]) -> DataFrame:
+    from ..quality.achilles_catalog import run_catalog
+
+    out = run_catalog(
+        spark, _pseudo_cdm_clinical(spark, sf_dir), analysis_ids=ids
+    )
+    return out["achilles_results"]
+
+
+def _run_clin_dists(spark: SparkSession, sf_dir: str, ids: list[int]) -> DataFrame:
+    from ..quality.achilles_catalog import run_catalog
+
+    out = run_catalog(
+        spark, _pseudo_cdm_clinical(spark, sf_dir), analysis_ids=ids
+    )
+    dist = out["achilles_results_dist"]
+    return dist.select(
+        "analysis_id",
+        *[f"stratum_{i}" for i in range(1, 6)],
+        "count_value",
+        *[F.round(c, 3).alias(c) for c in _DIST_STATS],
+    )
+
+
+_NOT_IN_PERSON = "person_id NOT IN (SELECT person_id FROM person)"
+_BAD_PROVIDER = (
+    "provider_id IS NOT NULL "
+    "AND provider_id NOT IN (SELECT provider_id FROM provider)"
+)
+_BAD_VISIT = (
+    "visit_occurrence_id IS NOT NULL "
+    "AND visit_occurrence_id NOT IN (SELECT visit_occurrence_id FROM visit)"
+)
+
+
+def _outside_op(alias: str, date_col: str) -> str:
+    return (
+        f"{alias}.{date_col} IS NOT NULL AND NOT EXISTS "
+        f"(SELECT 1 FROM op WHERE op.person_id = {alias}.person_id "
+        f"AND {alias}.{date_col} BETWEEN op.op_start AND op.op_end)"
+    )
+
+
+def _domain_count_frags(
+    base: int, cte: str, concept: str, date: str, type_col: str, month_id: int
+) -> list[str]:
+    """The standard x00/x01/x02/x04/x05/x07/x08/x20 oracle members every
+    clinical domain shares (mirrors _domain_specs)."""
+    return [
+        _frag_count(
+            base,
+            f"(SELECT DISTINCT person_id, {concept} FROM {cte})",
+            [concept],
+        ),
+        _frag_count(base + 1, cte, [concept]),
+        _frag_count(
+            base + 2,
+            f"(SELECT DISTINCT d.person_id, d.{concept}, p.gender_concept_id "
+            f"FROM {cte} d JOIN person p USING (person_id))",
+            [concept, "gender_concept_id"],
+        ),
+        _frag_count(
+            base + 4,
+            f"(SELECT DISTINCT d.person_id, d.{concept}, "
+            f"CAST(floor((year(d.{date}) - p.year_of_birth) / 10) AS INTEGER) "
+            f"AS decade FROM {cte} d JOIN person p USING (person_id) "
+            f"WHERE d.{date} IS NOT NULL)",
+            [concept, "decade"],
+        ),
+        _frag_count(base + 5, cte, [concept, type_col]),
+        _frag_count(base + 7, cte, where=_NOT_IN_PERSON),
+        _frag_count(base + 8, f"{cte} d", where=_outside_op("d", date)),
+        _frag_count(month_id, cte, [f"strftime({date}, '%Y%m')"]),
+    ]
+
+
+# --- drug_exposure family under the oracle (700-720) ------------------
+@register(
+    "achilles_drug_catalog",
+    oracle=_clin_oracle(
+        *_domain_count_frags(
+            700, "drug", "drug_concept_id", "drug_exposure_start_date",
+            "drug_type_concept_id", 720,
+        ),
+        _frag_count(
+            709, "drug",
+            where="drug_exposure_end_date < drug_exposure_start_date",
+        ),
+        _frag_count(711, "drug", where=_BAD_PROVIDER),
+        _frag_count(712, "drug", where=_BAD_VISIT),
+        _frag_count(718, "drug", ["route_concept_id"]),
+    ),
+)
+def achilles_drug_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achilles drug_exposure counts family (catalog 700-720) over the
+    clinical pseudo-CDM (reference runs the same ids when the table
+    exists, /root/reference/src/riab/etl/achilles.py:54-227)."""
+    return _run_clin_counts(
+        spark, sf_dir,
+        [700, 701, 702, 704, 705, 707, 708, 709, 711, 712, 718, 720],
+    )
+
+
+@register(
+    "achilles_drug_dists",
+    oracle=_clin_oracle(
+        _frag_dist(
+            703,
+            "(SELECT CAST(COUNT(*) AS BIGINT) AS v FROM drug GROUP BY person_id)",
+        ),
+        _frag_dist(
+            706,
+            "(SELECT d.drug_concept_id, year(d.drug_exposure_start_date) "
+            "- p.year_of_birth AS v FROM drug d JOIN person p USING (person_id) "
+            "WHERE d.drug_exposure_start_date IS NOT NULL)",
+            ["drug_concept_id"],
+        ),
+        _frag_dist(
+            715,
+            "(SELECT drug_concept_id, days_supply AS v FROM drug "
+            "WHERE days_supply IS NOT NULL)",
+            ["drug_concept_id"],
+        ),
+        _frag_dist(
+            716,
+            "(SELECT drug_concept_id, refills AS v FROM drug "
+            "WHERE refills IS NOT NULL)",
+            ["drug_concept_id"],
+        ),
+        _frag_dist(
+            717,
+            "(SELECT drug_concept_id, quantity AS v FROM drug "
+            "WHERE quantity IS NOT NULL)",
+            ["drug_concept_id"],
+        ),
+        _frag_dist(
+            719,
+            "(SELECT drug_exposure_end_date - drug_exposure_start_date AS v "
+            "FROM drug)",
+        ),
+    ),
+)
+def achilles_drug_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drug days-supply/refills/quantity/duration distributions
+    (catalog 703/706/715-717/719)."""
+    return _run_clin_dists(spark, sf_dir, [703, 706, 715, 716, 717, 719])
+
+
+# --- procedure_occurrence family (600-620) ----------------------------
+@register(
+    "achilles_procedure_catalog",
+    oracle=_clin_oracle(
+        *_domain_count_frags(
+            600, "proc", "procedure_concept_id", "procedure_date",
+            "procedure_type_concept_id", 620,
+        ),
+        _frag_count(
+            609, "proc", where="procedure_end_date < procedure_date"
+        ),
+        _frag_count(611, "proc", where=_BAD_PROVIDER),
+        _frag_count(612, "proc", where=_BAD_VISIT),
+        _frag_count(616, "proc", ["modifier_concept_id"]),
+    ),
+)
+def achilles_procedure_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achilles procedure_occurrence counts family (600-620)."""
+    return _run_clin_counts(
+        spark, sf_dir,
+        [600, 601, 602, 604, 605, 607, 608, 609, 611, 612, 616, 620],
+    )
+
+
+@register(
+    "achilles_procedure_dists",
+    oracle=_clin_oracle(
+        _frag_dist(
+            603,
+            "(SELECT CAST(COUNT(*) AS BIGINT) AS v FROM proc GROUP BY person_id)",
+        ),
+        _frag_dist(
+            606,
+            "(SELECT d.procedure_concept_id, year(d.procedure_date) "
+            "- p.year_of_birth AS v FROM proc d JOIN person p USING (person_id) "
+            "WHERE d.procedure_date IS NOT NULL)",
+            ["procedure_concept_id"],
+        ),
+        _frag_dist(
+            615,
+            "(SELECT procedure_concept_id, quantity AS v FROM proc "
+            "WHERE quantity IS NOT NULL)",
+            ["procedure_concept_id"],
+        ),
+    ),
+)
+def achilles_procedure_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procedure per-person/age/quantity distributions (603/606/615)."""
+    return _run_clin_dists(spark, sf_dir, [603, 606, 615])
+
+
+# --- provider + death families (300-306, 500-505) ---------------------
+@register(
+    "achilles_provider_death",
+    oracle=_clin_oracle(
+        _frag_count(300, "provider"),
+        _frag_count(301, "provider", ["specialty_concept_id"]),
+        _frag_count(302, "provider", ["gender_concept_id"]),
+        _frag_count(
+            303, "provider",
+            where="care_site_id IS NOT NULL AND care_site_id NOT IN "
+            "(SELECT care_site_id FROM care_site)",
+        ),
+        _frag_count(
+            304, "provider", ["specialty_concept_id", "gender_concept_id"]
+        ),
+        _frag_count(
+            305,
+            "(SELECT DISTINCT v.person_id, pr.specialty_concept_id "
+            "FROM visit_clin v JOIN provider pr ON v.provider_id = pr.provider_id)",
+            ["specialty_concept_id"],
+        ),
+        _frag_count(
+            306,
+            "(SELECT pr.specialty_concept_id FROM visit_clin v "
+            "JOIN provider pr ON v.provider_id = pr.provider_id)",
+            ["specialty_concept_id"],
+        ),
+        _frag_count(500, "death_t", ["cause_concept_id"]),
+        _frag_count(501, "death_t", ["death_type_concept_id"]),
+        _frag_count(502, "death_t", ["strftime(death_date, '%Y%m')"]),
+        _frag_count(504, "death_t", where=_NOT_IN_PERSON),
+        _frag_count(505, "death_t d", where=_outside_op("d", "death_date")),
+    ),
+)
+def achilles_provider_death(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provider specialty/gender strata (300-306) + death family
+    (500-505) counts."""
+    return _run_clin_counts(
+        spark, sf_dir,
+        [300, 301, 302, 303, 304, 305, 306, 500, 501, 502, 504, 505],
+    )
+
+
+# --- observation family (800-820) -------------------------------------
+@register(
+    "achilles_observation_catalog",
+    oracle=_clin_oracle(
+        *_domain_count_frags(
+            800, "obs_t", "observation_concept_id", "observation_date",
+            "observation_type_concept_id", 820,
+        ),
+        _frag_count(811, "obs_t", where=_BAD_PROVIDER),
+        _frag_count(
+            812, "obs_t",
+            where="value_as_number IS NULL AND value_as_string IS NULL "
+            "AND value_as_concept_id IS NULL",
+        ),
+        _frag_count(813, "obs_t", where=_BAD_VISIT),
+        _frag_count(814, "obs_t", ["value_as_concept_id"]),
+    ),
+)
+def achilles_observation_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achilles observation counts family (800-820) incl. the no-value
+    and value-concept slots."""
+    return _run_clin_counts(
+        spark, sf_dir,
+        [800, 801, 802, 804, 805, 807, 808, 811, 812, 813, 814, 820],
+    )
+
+
+@register(
+    "achilles_observation_dists",
+    oracle=_clin_oracle(
+        _frag_dist(
+            803,
+            "(SELECT CAST(COUNT(*) AS BIGINT) AS v FROM obs_t GROUP BY person_id)",
+        ),
+        _frag_dist(
+            806,
+            "(SELECT d.observation_concept_id, year(d.observation_date) "
+            "- p.year_of_birth AS v FROM obs_t d JOIN person p USING (person_id) "
+            "WHERE d.observation_date IS NOT NULL)",
+            ["observation_concept_id"],
+        ),
+        _frag_dist(
+            815,
+            "(SELECT observation_concept_id, value_as_number AS v FROM obs_t "
+            "WHERE value_as_number IS NOT NULL)",
+            ["observation_concept_id"],
+        ),
+    ),
+)
+def achilles_observation_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation per-person/age/value distributions (803/806/815)."""
+    return _run_clin_dists(spark, sf_dir, [803, 806, 815])
+
+
+# --- era families (900-920, 1000-1020) --------------------------------
+@register(
+    "achilles_era_catalog",
+    oracle=_clin_oracle(
+        _frag_count(
+            900,
+            "(SELECT DISTINCT person_id, drug_concept_id FROM drug_era)",
+            ["drug_concept_id"],
+        ),
+        _frag_count(901, "drug_era", ["drug_concept_id"]),
+        _frag_count(
+            902,
+            "(SELECT DISTINCT d.person_id, d.drug_concept_id, "
+            "p.gender_concept_id FROM drug_era d JOIN person p USING (person_id))",
+            ["drug_concept_id", "gender_concept_id"],
+        ),
+        _frag_count(
+            904,
+            "(SELECT DISTINCT d.person_id, d.drug_concept_id, "
+            "CAST(floor((year(d.drug_era_start_date) - p.year_of_birth) / 10) "
+            "AS INTEGER) AS decade FROM drug_era d "
+            "JOIN person p USING (person_id) "
+            "WHERE d.drug_era_start_date IS NOT NULL)",
+            ["drug_concept_id", "decade"],
+        ),
+        _frag_count(
+            908, "drug_era d", where=_outside_op("d", "drug_era_start_date")
+        ),
+        _frag_count(
+            909, "drug_era", where="drug_era_end_date < drug_era_start_date"
+        ),
+        _frag_count(920, "drug_era", ["strftime(drug_era_start_date, '%Y%m')"]),
+        _frag_count(
+            1000,
+            "(SELECT DISTINCT person_id, condition_concept_id FROM cond_era)",
+            ["condition_concept_id"],
+        ),
+        _frag_count(1001, "cond_era", ["condition_concept_id"]),
+        _frag_count(
+            1002,
+            "(SELECT DISTINCT d.person_id, d.condition_concept_id, "
+            "p.gender_concept_id FROM cond_era d JOIN person p USING (person_id))",
+            ["condition_concept_id", "gender_concept_id"],
+        ),
+        _frag_count(
+            1004,
+            "(SELECT DISTINCT d.person_id, d.condition_concept_id, "
+            "CAST(floor((year(d.condition_era_start_date) - p.year_of_birth) "
+            "/ 10) AS INTEGER) AS decade FROM cond_era d "
+            "JOIN person p USING (person_id) "
+            "WHERE d.condition_era_start_date IS NOT NULL)",
+            ["condition_concept_id", "decade"],
+        ),
+        _frag_count(
+            1008, "cond_era d",
+            where=_outside_op("d", "condition_era_start_date"),
+        ),
+        _frag_count(
+            1009, "cond_era",
+            where="condition_era_end_date < condition_era_start_date",
+        ),
+        _frag_count(
+            1020, "cond_era", ["strftime(condition_era_start_date, '%Y%m')"]
+        ),
+    ),
+)
+def achilles_era_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drug-era + condition-era counts families (900-920, 1000-1020)
+    incl. the new reversed-era slots 909/1009."""
+    return _run_clin_counts(
+        spark, sf_dir,
+        [900, 901, 902, 904, 908, 909, 920,
+         1000, 1001, 1002, 1004, 1008, 1009, 1020],
+    )
+
+
+@register(
+    "achilles_era_dists",
+    oracle=_clin_oracle(
+        _frag_dist(
+            903,
+            "(SELECT CAST(COUNT(*) AS BIGINT) AS v FROM drug_era GROUP BY person_id)",
+        ),
+        _frag_dist(
+            906,
+            "(SELECT d.drug_concept_id, year(d.drug_era_start_date) "
+            "- p.year_of_birth AS v FROM drug_era d "
+            "JOIN person p USING (person_id) "
+            "WHERE d.drug_era_start_date IS NOT NULL)",
+            ["drug_concept_id"],
+        ),
+        _frag_dist(
+            907,
+            "(SELECT drug_era_end_date - drug_era_start_date AS v FROM drug_era)",
+        ),
+        _frag_dist(
+            910,
+            "(SELECT drug_concept_id, drug_era_end_date - drug_era_start_date "
+            "AS v FROM drug_era)",
+            ["drug_concept_id"],
+        ),
+        _frag_dist(
+            911,
+            "(SELECT drug_concept_id, gap_days AS v FROM drug_era "
+            "WHERE gap_days IS NOT NULL)",
+            ["drug_concept_id"],
+        ),
+        _frag_dist(
+            1003,
+            "(SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cond_era GROUP BY person_id)",
+        ),
+        _frag_dist(
+            1006,
+            "(SELECT d.condition_concept_id, year(d.condition_era_start_date) "
+            "- p.year_of_birth AS v FROM cond_era d "
+            "JOIN person p USING (person_id) "
+            "WHERE d.condition_era_start_date IS NOT NULL)",
+            ["condition_concept_id"],
+        ),
+        _frag_dist(
+            1007,
+            "(SELECT condition_era_end_date - condition_era_start_date AS v "
+            "FROM cond_era)",
+        ),
+        _frag_dist(
+            1010,
+            "(SELECT condition_concept_id, condition_era_end_date "
+            "- condition_era_start_date AS v FROM cond_era)",
+            ["condition_concept_id"],
+        ),
+    ),
+)
+def achilles_era_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Era per-person/age/length/gap distributions (903-911, 1003-1010)."""
+    return _run_clin_dists(
+        spark, sf_dir, [903, 906, 907, 910, 911, 1003, 1006, 1007, 1010]
+    )
+
+
+# --- specimen + note families (2000-2020, 2200-2220) ------------------
+@register(
+    "achilles_specimen_note",
+    oracle=_clin_oracle(
+        *_domain_count_frags(
+            2000, "specimen_t", "specimen_concept_id", "specimen_date",
+            "specimen_type_concept_id", 2020,
+        ),
+        _frag_count(2010, "specimen_t", ["unit_concept_id"]),
+        _frag_count(2012, "specimen_t", ["disease_status_concept_id"]),
+        _frag_count(2013, "specimen_t", ["anatomic_site_concept_id"]),
+        *_domain_count_frags(
+            2200, "note_t", "note_class_concept_id", "note_date",
+            "note_type_concept_id", 2220,
+        ),
+        _frag_count(2209, "note_t", ["encoding_concept_id"]),
+        _frag_count(2210, "note_t", ["language_concept_id"]),
+        _frag_count(2211, "note_t", where=_BAD_PROVIDER),
+        _frag_count(2212, "note_t", where=_BAD_VISIT),
+    ),
+)
+def achilles_specimen_note(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Specimen (2000-2020) + note (2200-2220) counts families."""
+    return _run_clin_counts(
+        spark, sf_dir,
+        [2000, 2001, 2002, 2004, 2005, 2007, 2008, 2010, 2012, 2013, 2020,
+         2200, 2201, 2202, 2204, 2205, 2207, 2208, 2209, 2210, 2211, 2212,
+         2220],
+    )
+
+
+# --- device_exposure family (2100-2120) -------------------------------
+@register(
+    "achilles_device_catalog",
+    oracle=_clin_oracle(
+        *_domain_count_frags(
+            2100, "device_t", "device_concept_id",
+            "device_exposure_start_date", "device_type_concept_id", 2120,
+        ),
+        _frag_count(
+            2109, "device_t",
+            where="device_exposure_end_date < device_exposure_start_date",
+        ),
+        _frag_count(2111, "device_t", where=_BAD_PROVIDER),
+        _frag_count(2112, "device_t", where=_BAD_VISIT),
+    ),
+)
+def achilles_device_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Device exposure counts family (2100-2120)."""
+    return _run_clin_counts(
+        spark, sf_dir,
+        [2100, 2101, 2102, 2104, 2105, 2107, 2108, 2109, 2111, 2112, 2120],
+    )
+
+
+# --- death / specimen / device / note distributions -------------------
+@register(
+    "achilles_clinical_dists",
+    oracle=_clin_oracle(
+        _frag_dist(
+            503,
+            "(SELECT year(d.death_date) - p.year_of_birth AS v "
+            "FROM death_t d JOIN person p USING (person_id) "
+            "WHERE d.death_date IS NOT NULL)",
+        ),
+        _frag_dist(
+            506,
+            "(SELECT p.gender_concept_id, year(d.death_date) "
+            "- p.year_of_birth AS v FROM death_t d "
+            "JOIN person p USING (person_id) WHERE d.death_date IS NOT NULL)",
+            ["gender_concept_id"],
+        ),
+        _frag_dist(
+            2003,
+            "(SELECT CAST(COUNT(*) AS BIGINT) AS v FROM specimen_t GROUP BY person_id)",
+        ),
+        _frag_dist(
+            2006,
+            "(SELECT d.specimen_concept_id, year(d.specimen_date) "
+            "- p.year_of_birth AS v FROM specimen_t d "
+            "JOIN person p USING (person_id) WHERE d.specimen_date IS NOT NULL)",
+            ["specimen_concept_id"],
+        ),
+        _frag_dist(
+            2009,
+            "(SELECT quantity AS v FROM specimen_t WHERE quantity IS NOT NULL)",
+        ),
+        _frag_dist(
+            2103,
+            "(SELECT CAST(COUNT(*) AS BIGINT) AS v FROM device_t GROUP BY person_id)",
+        ),
+        _frag_dist(
+            2106,
+            "(SELECT d.device_concept_id, year(d.device_exposure_start_date) "
+            "- p.year_of_birth AS v FROM device_t d "
+            "JOIN person p USING (person_id) "
+            "WHERE d.device_exposure_start_date IS NOT NULL)",
+            ["device_concept_id"],
+        ),
+        _frag_dist(
+            2115,
+            "(SELECT device_concept_id, quantity AS v FROM device_t "
+            "WHERE quantity IS NOT NULL)",
+            ["device_concept_id"],
+        ),
+        _frag_dist(
+            2203,
+            "(SELECT CAST(COUNT(*) AS BIGINT) AS v FROM note_t GROUP BY person_id)",
+        ),
+        _frag_dist(
+            2206,
+            "(SELECT d.note_class_concept_id, year(d.note_date) "
+            "- p.year_of_birth AS v FROM note_t d "
+            "JOIN person p USING (person_id) WHERE d.note_date IS NOT NULL)",
+            ["note_class_concept_id"],
+        ),
+    ),
+)
+def achilles_clinical_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Death-age + specimen/device/note distributions
+    (503/506, 2003/2006/2009, 2103/2106/2115, 2203/2206)."""
+    return _run_clin_dists(
+        spark, sf_dir,
+        [503, 506, 2003, 2006, 2009, 2103, 2106, 2115, 2203, 2206],
+    )
+
+
+# --- round-4 tail slots over the enriched tables ----------------------
+@register(
+    "achilles_tail_slots",
+    oracle=_clin_oracle(
+        _frag_count(
+            117,
+            "(SELECT DISTINCT person_id, strftime(m, '%Y%m') AS ym FROM "
+            "(SELECT person_id, UNNEST(generate_series("
+            "date_trunc('month', op_start), date_trunc('month', op_end), "
+            "INTERVAL 1 MONTH)) AS m FROM op WHERE op_end >= op_start))",
+            ["ym"],
+        ),
+        _frag_count(119, "op_clin", ["period_type_concept_id"]),
+        _frag_count(210, "visit_clin", where=_BAD_PROVIDER),
+        _frag_count(214, "visit_clin", ["discharged_to_concept_id"]),
+        _frag_count(410, "cond_clin", ["condition_status_concept_id"]),
+        _frag_count(412, "cond_clin", where=_BAD_VISIT),
+        _frag_count(
+            1104,
+            "(SELECT l.county FROM person_ext p JOIN loc_clin l USING (location_id))",
+            ["county"],
+        ),
+        _frag_count(
+            1105,
+            "(SELECT l.county FROM care_site cs JOIN loc_clin l USING (location_id))",
+            ["county"],
+        ),
+        _frag_count(1310, "vd_clin", ["discharged_to_concept_id"]),
+        _frag_count(1405, "payer_clin", ["plan_concept_id"]),
+        _frag_count(1414, "payer_clin", where="pend < pstart"),
+        _frag_count(1416, "payer_clin", ["stop_reason_concept_id"]),
+        _frag_count(
+            1703, "cohort_clin",
+            where="cohort_end_date < cohort_start_date",
+        ),
+        _frag_count(1810, "measurement", where="value_as_number IS NULL"),
+        _frag_count(
+            1817, "measurement", ["measurement_concept_id", "unit_concept_id"]
+        ),
+        _frag_count(2409, "episode_clin", where="ep_end < ep_start"),
+    ),
+)
+def achilles_tail_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 within-family tail: observed-months 117, period types
+    119, visit provider/discharge 210/214, condition status/visit-FK
+    410/412, county geo 1104/1105, visit-detail discharge 1310, payer
+    plan/reversed/stop-reason 1405/1414/1416, cohort reversed 1703,
+    measurement no-value / concept-unit 1810/1817, episode reversed
+    2409 — all counts-shape."""
+    return _run_clin_counts(
+        spark, sf_dir,
+        [117, 119, 210, 214, 410, 412, 1104, 1105, 1310, 1405, 1414, 1416,
+         1703, 1810, 1817, 2409],
+    )
+
+
+@register(
+    "achilles_tail_dists",
+    oracle=_clin_oracle(
+        _frag_dist(
+            118,
+            "(SELECT CAST(SUM(op_end - op_start + 1) AS BIGINT) AS v FROM op "
+            "WHERE op_end >= op_start GROUP BY person_id)",
+        ),
+        _frag_dist(
+            415,
+            "(SELECT condition_end_date - condition_start_date AS v "
+            "FROM cond_clin)",
+        ),
+        _frag_dist(
+            1516,
+            "(SELECT paid_patient_copay AS v FROM cost_clin "
+            "WHERE paid_patient_copay IS NOT NULL)",
+        ),
+        _frag_dist(
+            1517,
+            "(SELECT paid_patient_coinsurance AS v FROM cost_clin "
+            "WHERE paid_patient_coinsurance IS NOT NULL)",
+        ),
+        _frag_dist(
+            1518,
+            "(SELECT paid_patient_deductible AS v FROM cost_clin "
+            "WHERE paid_patient_deductible IS NOT NULL)",
+        ),
+        _frag_dist(
+            1519,
+            "(SELECT paid_ingredient_cost AS v FROM cost_clin "
+            "WHERE paid_ingredient_cost IS NOT NULL)",
+        ),
+        _frag_dist(
+            1704,
+            "(SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cohort_clin "
+            "GROUP BY subject_id)",
+        ),
+        _frag_dist(
+            1813,
+            "(SELECT measurement_concept_id, unit_concept_id, range_low AS v "
+            "FROM measurement WHERE range_low IS NOT NULL)",
+            ["measurement_concept_id", "unit_concept_id"],
+        ),
+        _frag_dist(
+            1814,
+            "(SELECT measurement_concept_id, unit_concept_id, range_high AS v "
+            "FROM measurement WHERE range_high IS NOT NULL)",
+            ["measurement_concept_id", "unit_concept_id"],
+        ),
+    ),
+)
+def achilles_tail_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 tail distributions: observed-days 118, condition duration
+    415, cost paid-amount columns 1516-1519, cohort records-per-subject
+    1704, measurement range bounds 1813/1814."""
+    return _run_clin_dists(
+        spark, sf_dir,
+        [118, 415, 1516, 1517, 1518, 1519, 1704, 1813, 1814],
+    )

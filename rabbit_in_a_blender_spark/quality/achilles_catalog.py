@@ -120,7 +120,11 @@ def _month_col(date_col: str) -> Prepare:
 
 
 def _duration(start_col: str, end_col: str) -> Prepare:
-    def prep(df: DataFrame, read: Reader) -> DataFrame:
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        # slim sources may omit the optional end-date column: skip the
+        # analysis (public catalog semantics), don't fail the run
+        if start_col not in df.columns or end_col not in df.columns:
+            return None
         return df.filter(
             F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
         ).withColumn("__days", F.datediff(F.col(end_col), F.col(start_col)))
@@ -166,7 +170,9 @@ def _continuous_obs_months(
 
     def prep(df: DataFrame, read: Reader) -> DataFrame:
         s, e = F.col(start_col), F.col(end_col)
-        months = df.filter(s.isNotNull() & e.isNotNull()).select(
+        # e >= s guard: sequence() with an explicit positive step raises
+        # on a reversed range, so one dirty period would fail the run
+        months = df.filter(s.isNotNull() & e.isNotNull() & (e >= s)).select(
             "person_id",
             s.alias("__s"),
             e.alias("__e"),
@@ -230,6 +236,96 @@ def _observed_year_gender_decade() -> Prepare:
             .cast("int")
             .alias("__decade"),
         )
+
+    return prep
+
+
+def _observed_months() -> Prepare:
+    """One row per (person, month with ≥1 observed day) — the public
+    Achilles 117 slot.  Every month the period touches qualifies
+    (month spine via sequence over month-truncated bounds); reversed
+    periods are excluded, matching generate_series semantics."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame:
+        s = F.col("observation_period_start_date")
+        e = F.col("observation_period_end_date")
+        months = df.filter(s.isNotNull() & e.isNotNull() & (e >= s)).select(
+            "person_id",
+            F.explode(
+                F.expr(
+                    "sequence(trunc(observation_period_start_date, 'MM'), "
+                    "trunc(observation_period_end_date, 'MM'), "
+                    "interval 1 month)"
+                )
+            ).alias("__month_start"),
+        )
+        return months.select(
+            "person_id", F.date_format("__month_start", "yyyyMM").alias("__ym")
+        ).distinct()
+
+    return prep
+
+
+def _total_observed_days() -> Prepare:
+    """Total observed days per person across all their periods (end >=
+    start only), the value column behind the 118 distribution slot."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame:
+        s = F.col("observation_period_start_date")
+        e = F.col("observation_period_end_date")
+        return (
+            df.filter(s.isNotNull() & e.isNotNull() & (e >= s))
+            .groupBy("person_id")
+            .agg(
+                F.sum(F.datediff(e, s) + F.lit(1)).cast("long").alias("__days")
+            )
+        )
+
+    return prep
+
+
+def _nonnull_value(col: str) -> Prepare:
+    """Rows with a non-null ``col`` (skip when the column is absent) —
+    the standard guard in front of every value-column distribution."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        if col not in df.columns:
+            return None
+        return df.filter(F.col(col).isNotNull())
+
+    return prep
+
+
+def _distinct_person_specialty() -> Prepare:
+    """Distinct (person, provider specialty) pairs over an event table —
+    the provider-specialty strata slot (persons with ≥1 event per
+    specialty)."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        joined = _parent_attr(
+            "provider_id", "provider", "specialty_concept_id", "__specialty"
+        )(df, read)
+        if joined is None:
+            return None
+        return joined.select("person_id", "__specialty").distinct()
+
+    return prep
+
+
+def _no_value_records() -> Prepare:
+    """Measurement/observation records carrying no value at all: numeric
+    value NULL and (when the column exists) concept value NULL too —
+    the public 'records with no value' slot."""
+
+    def prep(df: DataFrame, read: Reader) -> DataFrame | None:
+        if "value_as_number" not in df.columns:
+            return None
+        cond = F.col("value_as_number").isNull()
+        if "value_as_concept_id" in df.columns:
+            cond = cond & F.col("value_as_concept_id").isNull()
+        if "value_as_string" in df.columns:
+            cond = cond & F.col("value_as_string").isNull()
+        return df.filter(cond)
 
     return prep
 
@@ -1390,6 +1486,313 @@ def _build_specs() -> dict[int, AnalysisSpec]:
             ),
         ],
     )
+
+    # --- round-4 within-family tail (deeper public-catalog slots) ---------
+    # The remaining long-tail ids inside families the catalog already
+    # covers: deeper measurement value/range slots, drug route/duration,
+    # era length-by-concept tails, provider-specialty strata, payer/cost
+    # columns, and the observed-time 117/118/119 observation-period set.
+    specs += [
+        AnalysisSpec(
+            117,
+            "Number of persons with at least one day of observation in each month (YYYYMM)",
+            "observation_period", "results", ("__ym",),
+            prepare=_observed_months(),
+        ),
+        AnalysisSpec(
+            118,
+            "Distribution of total observed days per person",
+            "observation_period", "dist", (), value_col="__days",
+            prepare=_total_observed_days(),
+        ),
+        AnalysisSpec(
+            119,
+            "Number of observation periods by period_type_concept_id",
+            "observation_period", "results", ("period_type_concept_id",),
+        ),
+        AnalysisSpec(
+            210,
+            "Number of visit_occurrence records with an invalid provider_id",
+            "visit_occurrence", "results", (),
+            prepare=_invalid_fk_records("provider_id", "provider"),
+            requires=("provider",),
+        ),
+        AnalysisSpec(
+            214,
+            "Number of visit_occurrence records by discharged_to_concept_id",
+            "visit_occurrence", "results", ("discharged_to_concept_id",),
+        ),
+        AnalysisSpec(
+            304,
+            "Number of providers by specialty_concept_id and gender_concept_id",
+            "provider", "results",
+            ("specialty_concept_id", "gender_concept_id"),
+        ),
+        AnalysisSpec(
+            305,
+            "Number of persons with at least one visit_occurrence record, by provider specialty",
+            "visit_occurrence", "results", ("__specialty",),
+            prepare=_distinct_person_specialty(),
+            requires=("provider",),
+        ),
+        AnalysisSpec(
+            306,
+            "Number of visit_occurrence records by provider specialty",
+            "visit_occurrence", "results", ("__specialty",),
+            prepare=_parent_attr(
+                "provider_id", "provider", "specialty_concept_id", "__specialty"
+            ),
+            requires=("provider",),
+        ),
+        AnalysisSpec(
+            504,
+            "Number of death records with an invalid person_id",
+            "death", "results", (),
+            prepare=_invalid_person_records(), requires=("person",),
+        ),
+        AnalysisSpec(
+            410,
+            "Number of condition_occurrence records by condition_status_concept_id",
+            "condition_occurrence", "results", ("condition_status_concept_id",),
+        ),
+        AnalysisSpec(
+            415,
+            "Distribution of condition duration (days)",
+            "condition_occurrence", "dist", (), value_col="__days",
+            prepare=_duration("condition_start_date", "condition_end_date"),
+        ),
+        AnalysisSpec(
+            609,
+            "Number of procedure_occurrence records with end date < start date",
+            "procedure_occurrence", "results", (),
+            prepare=_end_before_start("procedure_date", "procedure_end_date"),
+        ),
+        AnalysisSpec(
+            615,
+            "Distribution of quantity by procedure_concept_id",
+            "procedure_occurrence", "dist", ("procedure_concept_id",),
+            value_col="quantity",
+            prepare=_nonnull_value("quantity"),
+        ),
+        AnalysisSpec(
+            616,
+            "Number of procedure_occurrence records by modifier_concept_id",
+            "procedure_occurrence", "results", ("modifier_concept_id",),
+        ),
+        AnalysisSpec(
+            718,
+            "Number of drug_exposure records by route_concept_id",
+            "drug_exposure", "results", ("route_concept_id",),
+        ),
+        AnalysisSpec(
+            719,
+            "Distribution of drug exposure duration (days)",
+            "drug_exposure", "dist", (), value_col="__days",
+            prepare=_duration(
+                "drug_exposure_start_date", "drug_exposure_end_date"
+            ),
+        ),
+        AnalysisSpec(
+            814,
+            "Number of observation records by value_as_concept_id",
+            "observation", "results", ("value_as_concept_id",),
+        ),
+        AnalysisSpec(
+            815,
+            "Distribution of numeric observation values (value_as_number), by observation_concept_id",
+            "observation", "dist", ("observation_concept_id",),
+            value_col="value_as_number",
+            prepare=_nonnull_value("value_as_number"),
+        ),
+        AnalysisSpec(
+            909,
+            "Number of drug_era records with era end < era start",
+            "drug_era", "results", (),
+            prepare=_end_before_start("drug_era_start_date", "drug_era_end_date"),
+        ),
+        AnalysisSpec(
+            910,
+            "Distribution of drug era length (days), by drug_concept_id",
+            "drug_era", "dist", ("drug_concept_id",), value_col="__days",
+            prepare=_duration("drug_era_start_date", "drug_era_end_date"),
+        ),
+        AnalysisSpec(
+            911,
+            "Distribution of gap_days by drug_concept_id",
+            "drug_era", "dist", ("drug_concept_id",), value_col="gap_days",
+            prepare=_nonnull_value("gap_days"),
+        ),
+        AnalysisSpec(
+            1009,
+            "Number of condition_era records with era end < era start",
+            "condition_era", "results", (),
+            prepare=_end_before_start(
+                "condition_era_start_date", "condition_era_end_date"
+            ),
+        ),
+        AnalysisSpec(
+            1010,
+            "Distribution of condition era length (days), by condition_concept_id",
+            "condition_era", "dist", ("condition_concept_id",),
+            value_col="__days",
+            prepare=_duration(
+                "condition_era_start_date", "condition_era_end_date"
+            ),
+        ),
+        AnalysisSpec(
+            1104, "Number of persons by location county", "person",
+            "results", ("__county",),
+            prepare=_parent_attr("location_id", "location", "county", "__county"),
+            requires=("location",),
+        ),
+        AnalysisSpec(
+            1105, "Number of care sites by location county", "care_site",
+            "results", ("__county",),
+            prepare=_parent_attr("location_id", "location", "county", "__county"),
+            requires=("location",),
+        ),
+        AnalysisSpec(
+            1310,
+            "Number of visit_detail records by discharged_to_concept_id",
+            "visit_detail", "results", ("discharged_to_concept_id",),
+        ),
+        AnalysisSpec(
+            1405,
+            "Number of payer_plan_period records by plan_concept_id",
+            "payer_plan_period", "results", ("plan_concept_id",),
+        ),
+        AnalysisSpec(
+            1414,
+            "Number of payer_plan_period records with end date < start date",
+            "payer_plan_period", "results", (),
+            prepare=_end_before_start(
+                "payer_plan_period_start_date", "payer_plan_period_end_date"
+            ),
+        ),
+        AnalysisSpec(
+            1416,
+            "Number of payer_plan_period records by stop_reason_concept_id",
+            "payer_plan_period", "results", ("stop_reason_concept_id",),
+        ),
+        AnalysisSpec(
+            1703,
+            "Number of cohort records with end date < start date",
+            "cohort", "results", (),
+            prepare=_end_before_start("cohort_start_date", "cohort_end_date"),
+        ),
+        AnalysisSpec(
+            1704,
+            "Distribution of number of cohort records per subject",
+            "cohort", "dist", (), value_col="__cnt",
+            prepare=lambda df, read: df.groupBy("subject_id").agg(
+                F.count(F.lit(1)).cast("long").alias("__cnt")
+            ),
+        ),
+        AnalysisSpec(
+            1810,
+            "Number of measurement records with no value (numeric, string, or concept)",
+            "measurement", "results", (),
+            prepare=_no_value_records(),
+        ),
+        AnalysisSpec(
+            1813,
+            "Distribution of range_low, by measurement_concept_id and unit_concept_id",
+            "measurement", "dist",
+            ("measurement_concept_id", "unit_concept_id"),
+            value_col="range_low",
+            prepare=_nonnull_value("range_low"),
+        ),
+        AnalysisSpec(
+            1814,
+            "Distribution of range_high, by measurement_concept_id and unit_concept_id",
+            "measurement", "dist",
+            ("measurement_concept_id", "unit_concept_id"),
+            value_col="range_high",
+            prepare=_nonnull_value("range_high"),
+        ),
+        AnalysisSpec(
+            1817,
+            "Number of measurement records, by measurement_concept_id and unit_concept_id",
+            "measurement", "results",
+            ("measurement_concept_id", "unit_concept_id"),
+        ),
+        AnalysisSpec(
+            2009, "Distribution of specimen quantity", "specimen", "dist",
+            (), value_col="quantity", prepare=_nonnull_value("quantity"),
+        ),
+        AnalysisSpec(
+            2010, "Number of specimen records by unit_concept_id",
+            "specimen", "results", ("unit_concept_id",),
+        ),
+        AnalysisSpec(
+            2012, "Number of specimen records by disease_status_concept_id",
+            "specimen", "results", ("disease_status_concept_id",),
+        ),
+        AnalysisSpec(
+            2013, "Number of specimen records by anatomic_site_concept_id",
+            "specimen", "results", ("anatomic_site_concept_id",),
+        ),
+        AnalysisSpec(
+            2115,
+            "Distribution of quantity by device_concept_id",
+            "device_exposure", "dist", ("device_concept_id",),
+            value_col="quantity", prepare=_nonnull_value("quantity"),
+        ),
+        AnalysisSpec(
+            2209, "Number of note records by encoding_concept_id",
+            "note", "results", ("encoding_concept_id",),
+        ),
+        AnalysisSpec(
+            2210, "Number of note records by language_concept_id",
+            "note", "results", ("language_concept_id",),
+        ),
+        AnalysisSpec(
+            2409,
+            "Number of episode records with end date < start date",
+            "episode", "results", (),
+            prepare=_end_before_start("episode_start_date", "episode_end_date"),
+        ),
+    ]
+
+    # cost paid-amount tail (public 1516-1519 column distributions)
+    for did, vcol in (
+        (1516, "paid_patient_copay"),
+        (1517, "paid_patient_coinsurance"),
+        (1518, "paid_patient_deductible"),
+        (1519, "paid_ingredient_cost"),
+    ):
+        specs.append(
+            AnalysisSpec(
+                did, f"Distribution of {vcol} across cost records", "cost",
+                "dist", (), value_col=vcol,
+                prepare=_nonnull_value(vcol),
+            )
+        )
+
+    # x12-style slot: records with an invalid visit_occurrence_id
+    # (visit_detail's sits at 1312 in its own family block above)
+    for vid, table in (
+        (412, "condition_occurrence"),
+        (612, "procedure_occurrence"),
+        (712, "drug_exposure"),
+        (813, "observation"),
+        (1812, "measurement"),
+        (2112, "device_exposure"),
+        (2212, "note"),
+    ):
+        specs.append(
+            AnalysisSpec(
+                vid,
+                f"Number of {table} records with an invalid visit_occurrence_id",
+                table,
+                "results",
+                (),
+                prepare=_invalid_fk_records(
+                    "visit_occurrence_id", "visit_occurrence"
+                ),
+                requires=("visit_occurrence",),
+            )
+        )
 
     # --- x11 slot: records with an invalid provider_id --------------------
     # (visit_occurrence's 211 slot is the length-of-visit distribution,

@@ -524,3 +524,91 @@ def test_run_catalog_id_filters(spark, cdm):
     out2 = run_catalog(spark, cdm, analysis_ids=[1, 2], exclude_analysis_ids=[2])
     assert {r["analysis_id"] for r in out2["achilles_results"].collect()} == {1}
     assert "achilles_results_dist" not in out2
+
+
+def test_round4_tail_spec_inventory():
+    """The round-4 within-family tail ids are all registered (catalog
+    >= 286 public-slot analyses)."""
+    tail = [117, 118, 119, 210, 214, 304, 305, 306, 410, 412, 415, 504,
+            609, 612, 615, 616, 712, 718, 719, 813, 814, 815, 909, 910,
+            911, 1009, 1010, 1104, 1105, 1310, 1405, 1414, 1416, 1516,
+            1517, 1518, 1519, 1703, 1704, 1810, 1812, 1813, 1814, 1817,
+            2009, 2010, 2012, 2013, 2112, 2115, 2209, 2210, 2212, 2409]
+    missing = [i for i in tail if i not in SPECS]
+    assert not missing, missing
+    assert len(SPECS) >= 286
+
+
+def test_observed_months_117(spark, cdm):
+    """117: every month a period touches counts (≥1 observed day), and
+    persons are distinct per month."""
+    out = run_catalog(spark, cdm, analysis_ids=[117])
+    rows = {
+        (r["stratum_1"], r["count_value"])
+        for r in out["achilles_results"].collect()
+    }
+    # 2020-01: persons 1 (Jan-Dec 2020) and 3 (2019-2020) → 2
+    assert ("202001", 2) in rows
+    # 2021-03: persons 2 (through 2021-05) and 4 (Feb-Mar 2021) → 2
+    assert ("202103", 2) in rows
+
+
+def test_total_observed_days_118(spark, cdm):
+    out = run_catalog(spark, cdm, analysis_ids=[118])
+    rows = out["achilles_results_dist"].collect()
+    assert len(rows) == 1
+    # persons: 366 (2020 leap), 365, 731, 29 days (+1 inclusive)
+    assert rows[0]["count_value"] == 4
+    assert rows[0]["median_value"] is not None
+
+
+def test_no_value_records_1810(spark, cdm):
+    """1810 counts rows with NULL numeric value; the concept/string
+    columns participate only when present."""
+    out = run_catalog(spark, cdm, analysis_ids=[1810])
+    rows = out["achilles_results"].collect()
+    # fixture measurement has no NULL values → explicit zero row
+    assert len(rows) == 1 and rows[0]["count_value"] == 0
+
+
+def test_invalid_visit_fk_412(spark, cdm):
+    """x12 slot: condition rows pointing at a missing visit. The
+    fixture's conditions carry no visit_occurrence_id column, so the
+    spec must skip (prepare returns None) rather than fail."""
+    out = run_catalog(spark, cdm, analysis_ids=[412])
+    res = out.get("achilles_results")
+    assert res is None or res.count() == 0
+
+
+def test_provider_specialty_strata(spark, cdm):
+    """304-306 provider-specialty slots over an explicit provider +
+    visit fixture."""
+    provider = spark.createDataFrame(
+        [(1, 38004446, 8507), (2, 38004447, 8532)],
+        "provider_id long, specialty_concept_id long, gender_concept_id long",
+    )
+    visit = spark.createDataFrame(
+        [
+            (10, 1, 9201, _d("2020-02-01"), 1),
+            (11, 1, 9202, _d("2020-03-01"), 2),
+            (12, 2, 9201, _d("2020-07-01"), 1),
+            (13, 3, 9203, _d("2019-05-01"), 99),  # invalid provider
+        ],
+        "visit_occurrence_id long, person_id long, visit_concept_id long, "
+        "visit_start_date date, provider_id long",
+    )
+    tables = {"provider": provider, "visit_occurrence": visit}
+    read = lambda name: tables.get(name)
+    out = run_catalog(spark, read, analysis_ids=[210, 304, 305, 306])
+    rows = out["achilles_results"].collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["analysis_id"], []).append(r)
+    # 210: exactly one visit with an invalid provider_id
+    assert by_id[210][0]["count_value"] == 1
+    # 306: records per specialty — 2 via provider 1, 1 via provider 2
+    counts_306 = {r["stratum_1"]: r["count_value"] for r in by_id[306]}
+    assert counts_306 == {"38004446": 2, "38004447": 1}
+    # 305: distinct persons per specialty — persons {1,2} and {1}
+    counts_305 = {r["stratum_1"]: r["count_value"] for r in by_id[305]}
+    assert counts_305 == {"38004446": 2, "38004447": 1}
