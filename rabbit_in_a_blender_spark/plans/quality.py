@@ -2847,3 +2847,158 @@ def achilles_tail_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir,
         [118, 415, 1516, 1517, 1518, 1519, 1704, 1813, 1814],
     )
+
+
+# --- the ETL spine under the hard oracle signal (round 4) -------------
+# VERDICT r3 "what's wrong" §3: pipeline/etl.py changed twice in r3 on
+# pytest-only coverage.  This query runs the REAL two-stage pipeline
+# (prequel keys → usagi mapping → PK swap → FK remap → windowed dedup →
+# atomic write) over a deterministic person←customer / visit←orders
+# fixture and returns the final omop rows; the DuckDB oracle re-derives
+# them — swap ids are reproducible because swap_merge assigns
+# row_number() over the identity ordering from offset 0 on a first run
+# (operators/sequence.py assign_ids; reference
+# bq:etl/{primary_key_column}_swap_merge.sql.jinja:50-77).
+@register(
+    "etl_mini_cdm",
+    oracle="""
+    WITH upload AS (
+      SELECT 'PK_' || CAST(c_custkey AS VARCHAR) AS x,
+             c_mktsegment AS seg, c_name AS name
+      FROM customer),
+    seg_map(seg, concept) AS (
+      VALUES ('AUTOMOBILE', 9001), ('BUILDING', 9002),
+             ('FURNITURE', 9003), ('HOUSEHOLD', 9004)),
+    mapped AS (
+      SELECT u.x, u.name, COALESCE(m.concept, 0) AS segment_concept_id
+      FROM upload u LEFT JOIN seg_map m USING (seg)),
+    pswap AS (
+      SELECT x, segment_concept_id,
+             ROW_NUMBER() OVER (ORDER BY x, segment_concept_id) AS y
+      FROM (SELECT DISTINCT x, segment_concept_id FROM mapped)),
+    person AS (
+      SELECT p.y AS person_id, m.segment_concept_id, m.name
+      FROM mapped m JOIN pswap p
+        ON m.x = p.x AND m.segment_concept_id = p.segment_concept_id),
+    vupload AS (
+      SELECT 'PK_' || CAST(o_orderkey AS VARCHAR) AS x,
+             'PK_' || CAST(o_custkey AS VARCHAR) AS px,
+             o_totalprice AS amount
+      FROM orders),
+    vswap AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS y
+      FROM (SELECT DISTINCT x FROM vupload)),
+    visit AS (
+      SELECT v.y AS visit_id, COALESCE(ps.y, 0) AS person_id, u.amount
+      FROM vupload u JOIN vswap v USING (x)
+      LEFT JOIN pswap ps ON u.px = ps.x)
+    SELECT 'person' AS omop_table, CAST(person_id AS BIGINT) AS pk,
+           CAST(-1 AS BIGINT) AS fk,
+           CAST(segment_concept_id AS BIGINT) AS concept,
+           name AS attr, CAST(-1.0 AS DOUBLE) AS amount
+    FROM person
+    UNION ALL
+    SELECT 'visit', CAST(visit_id AS BIGINT), CAST(person_id AS BIGINT),
+           CAST(-1 AS BIGINT), '', amount
+    FROM visit
+    """,
+)
+def etl_mini_cdm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ETL spine over customer/orders (pipeline/etl.py run
+    loop), returning the final omop person+visit rows in one frame.
+
+    The warehouse is a throwaway temp dir (left for the OS to reap: the
+    returned frame reads from it lazily, so it cannot be deleted here).
+    MACHINERY is deliberately unmapped → concept 0 (the reference's
+    unmapped-code path, J2).  Not-applicable cells carry typed
+    sentinels (-1 / '') instead of NULL: the driver's oracle compare
+    round-trips through pandas, which coerces NULL-bearing int columns
+    to float64 and NULL doubles to NaN — sentinels keep both engines'
+    values bit-comparable."""
+    import tempfile
+
+    from ..core.registry import ColumnSpec, SchemaRegistry, TableSpec
+    from ..pipeline.etl import EtlPipeline, TableInputs
+    from ..pipeline.warehouse import Warehouse
+
+    registry = SchemaRegistry(
+        [
+            TableSpec(
+                name="person",
+                columns=[
+                    ColumnSpec("person_id", "int64", required=True),
+                    ColumnSpec("segment_concept_id", "int64", required=True),
+                    ColumnSpec("name", "string"),
+                ],
+                pk="person_id",
+                concept_cols=["segment_concept_id"],
+            ),
+            TableSpec(
+                name="visit",
+                columns=[
+                    ColumnSpec("visit_id", "int64", required=True),
+                    ColumnSpec("person_id", "int64", required=True),
+                    ColumnSpec("amount", "float64"),
+                ],
+                pk="visit_id",
+                fks={"person_id": "person"},
+            ),
+        ]
+    )
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    person_upload = c.select(
+        F.concat(F.lit("PK_"), F.col("c_custkey").cast("string")).alias(
+            "person_id"
+        ),
+        F.col("c_mktsegment").alias("segment_concept_id__source"),
+        F.col("c_name").alias("name"),
+    )
+    visit_upload = o.select(
+        F.concat(F.lit("PK_"), F.col("o_orderkey").cast("string")).alias(
+            "visit_id"
+        ),
+        F.concat(F.lit("PK_"), F.col("o_custkey").cast("string")).alias(
+            "person_id"
+        ),
+        F.col("o_totalprice").alias("amount"),
+    )
+    usagi = spark.createDataFrame(
+        [
+            ("AUTOMOBILE", "automobile", "APPROVED", 9001, "AUTO", "Segment"),
+            ("BUILDING", "building", "APPROVED", 9002, "BUILD", "Segment"),
+            ("FURNITURE", "furniture", "APPROVED", 9003, "FURN", "Segment"),
+            ("HOUSEHOLD", "household", "APPROVED", 9004, "HOUSE", "Segment"),
+        ],
+        "sourceCode string, sourceName string, mappingStatus string, "
+        "conceptId long, conceptName string, domainId string",
+    )
+    whdir = tempfile.mkdtemp(prefix="etl_mini_cdm_")
+    wh = Warehouse(whdir)
+    pipe = EtlPipeline(spark, wh, registry)
+    pipe.run(
+        {
+            "person": TableInputs(
+                uploads=[person_upload],
+                usagi={"segment_concept_id": usagi},
+            ),
+            "visit": TableInputs(uploads=[visit_upload]),
+        }
+    )
+    person = wh.read(spark, "omop", "person").select(
+        F.lit("person").alias("omop_table"),
+        F.col("person_id").cast("long").alias("pk"),
+        F.lit(-1).cast("long").alias("fk"),
+        F.col("segment_concept_id").cast("long").alias("concept"),
+        F.col("name").alias("attr"),
+        F.lit(-1.0).cast("double").alias("amount"),
+    )
+    visit = wh.read(spark, "omop", "visit").select(
+        F.lit("visit").alias("omop_table"),
+        F.col("visit_id").cast("long").alias("pk"),
+        F.col("person_id").cast("long").alias("fk"),
+        F.lit(-1).cast("long").alias("concept"),
+        F.lit("").alias("attr"),
+        F.col("amount").cast("double").alias("amount"),
+    )
+    return person.unionByName(visit)
