@@ -44,6 +44,27 @@ class EtlError(RuntimeError):
 
 
 @dataclass
+class StepMetric:
+    """Per-step cost record: wall-clock plus the rows/bytes Spark's
+    status store attributes to the step's jobs — the Spark analog of the
+    reference's per-query bytes-billed tally
+    (etl/bigquery/gcp.py:106-144, totals at exit etl_base.py:65-67)."""
+
+    name: str
+    seconds: float
+    input_rows: int = 0
+    input_bytes: int = 0
+    output_rows: int = 0
+    output_bytes: int = 0
+    shuffle_read_bytes: int = 0
+    shuffle_write_bytes: int = 0
+
+    def __iter__(self):
+        # (name, seconds) unpacking kept for existing consumers
+        return iter((self.name, self.seconds))
+
+
+@dataclass
 class TableInputs:
     """Everything the user supplies for one OMOP-style table
     (the convention-folder contents — etl/etl.py:95-104)."""
@@ -91,10 +112,13 @@ class EtlPipeline:
         # SURVEY §7 rule 8: keep them behind a flag so 100 TB runs can
         # skip the logging-only materializations the reference always pays.
         self.inline_checks = inline_checks
-        # Per-step wall-clock tally — the Spark analog of the reference's
-        # per-query cost/time accounting (etl/bigquery/gcp.py:106-144,
-        # totals at exit etl_base.py:65-67).
-        self.metrics: list[tuple[str, float]] = []
+        # Per-step wall-clock + rows/bytes tally — the Spark analog of
+        # the reference's per-query cost/time accounting
+        # (etl/bigquery/gcp.py:106-144, totals at exit etl_base.py:65-67).
+        # I/O numbers are attached after run() from Spark's status store
+        # via per-step job groups (thread-local, so the level fan-out
+        # attributes correctly).
+        self.metrics: list[StepMetric] = []
         # Shared-table writes (source_to_concept_map, concept swap,
         # omop.concept) must serialize when tables run concurrently —
         # the reference guards the same sections with a global lock
@@ -103,11 +127,100 @@ class EtlPipeline:
 
     @contextmanager
     def _step(self, name: str):
+        sc = self.spark.sparkContext
         t0 = time.perf_counter()
+        try:
+            # Thread-local job group: every Spark job this step launches
+            # on THIS thread is attributed to it in the status store.
+            # (Jobs launched from prefetch pool threads carry no group
+            # and land in the "untracked" bucket — see _collect_io.)
+            sc.setJobGroup(f"riab:{name}", name, False)
+        except Exception:  # job-group tagging is best-effort
+            pass
         try:
             yield
         finally:
-            self.metrics.append((name, round(time.perf_counter() - t0, 3)))
+            try:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+            except Exception:
+                pass
+            self.metrics.append(StepMetric(name, round(time.perf_counter() - t0, 3)))
+
+    def _next_job_id(self) -> int:
+        """Highest job id the status store has seen + 1 (so a later
+        _collect_io only attributes THIS run's jobs)."""
+        try:
+            store = self.spark.sparkContext._jsc.sc().statusStore()
+            jobs = store.jobsList(None)
+            mx = -1
+            for i in range(jobs.size()):
+                mx = max(mx, int(jobs.apply(i).jobId()))
+            return mx + 1
+        except Exception:
+            return 0
+
+    def _collect_io(self, min_job_id: int) -> dict[str, dict[str, int]]:
+        """step name → summed stage I/O metrics from the status store.
+
+        Py4J access to AppStatusStore (the store behind the UI/REST API;
+        populated with spark.ui.enabled=false too).  Every failure
+        degrades to 'no I/O numbers', never to a run failure."""
+        try:
+            jsc = self.spark.sparkContext._jsc.sc()
+            jsc.listenerBus().waitUntilEmpty()
+            store = jsc.statusStore()
+            jobs = store.jobsList(None)
+            stage_group: dict[int, str] = {}
+            for i in range(jobs.size()):
+                j = jobs.apply(i)
+                if int(j.jobId()) < min_job_id:
+                    continue
+                grp = j.jobGroup()
+                if not grp.isDefined():
+                    continue
+                g = grp.get()
+                if not g.startswith("riab:"):
+                    continue
+                sids = j.stageIds()
+                for x in range(sids.size()):
+                    stage_group[int(sids.apply(x))] = g[len("riab:"):]
+            dflt = lambda n: getattr(store, f"stageList$default${n}")()
+            stages = store.stageList(None, dflt(2), dflt(3), dflt(4), dflt(5))
+            # last attempt per stage id (retries would double-count)
+            latest: dict[int, object] = {}
+            for i in range(stages.size()):
+                s = stages.apply(i)
+                sid = int(s.stageId())
+                if sid not in latest or int(s.attemptId()) > int(
+                    latest[sid].attemptId()
+                ):
+                    latest[sid] = s
+            agg: dict[str, dict[str, int]] = {}
+            for sid, s in latest.items():
+                g = stage_group.get(sid)
+                if g is None:
+                    continue
+                a = agg.setdefault(
+                    g,
+                    {
+                        "input_rows": 0,
+                        "input_bytes": 0,
+                        "output_rows": 0,
+                        "output_bytes": 0,
+                        "shuffle_read_bytes": 0,
+                        "shuffle_write_bytes": 0,
+                    },
+                )
+                a["input_rows"] += int(s.inputRecords())
+                a["input_bytes"] += int(s.inputBytes())
+                a["output_rows"] += int(s.outputRecords())
+                a["output_bytes"] += int(s.outputBytes())
+                a["shuffle_read_bytes"] += int(s.shuffleReadBytes())
+                a["shuffle_write_bytes"] += int(s.shuffleWriteBytes())
+            return agg
+        except Exception:
+            log.debug("status-store I/O metrics unavailable", exc_info=True)
+            return {}
 
     def _check_usagi_concepts(
         self,
@@ -659,6 +772,8 @@ class EtlPipeline:
         """
         processed: list[str] = []
         prefetched: dict[str, object] = {}
+        first_metric = len(self.metrics)
+        min_job_id = self._next_job_id()
 
         with ThreadPoolExecutor(max(4, 2 * max_parallel_tables)) as pool:
 
@@ -709,6 +824,13 @@ class EtlPipeline:
                 self.run_stage2(self.registry[table])
         with self._step("invalidate_stale_mappings"):
             self.invalidate_stale_mappings(etl_start)
+        # Attach rows/bytes from the status store to this run's steps
+        # (jobs from prefetch pool threads carry no group; their I/O is
+        # not attributed to a step — by design, they overlap steps).
+        io = self._collect_io(min_job_id)
+        for m in self.metrics[first_metric:]:
+            for k, v in io.get(m.name, {}).items():
+                setattr(m, k, v)
         total = round(sum(s for _, s in self.metrics), 3)
         log.info("ETL run: %.3fs total; steps: %s", total, self.metrics)
         return processed

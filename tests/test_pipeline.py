@@ -443,6 +443,16 @@ def test_run_records_step_metrics(spark, wh):
     assert any(n.startswith("stage2:note") for n in names)
     assert names[-1] == "invalidate_stale_mappings"
     assert all(s >= 0 for _, s in pipe.metrics)
+    # rows/bytes accounting (reference cost tally parity,
+    # etl/bigquery/gcp.py:106-144): the person stage1 step writes the
+    # omop table, so the status store must attribute output rows+bytes
+    # to it; steps expose all six I/O fields.
+    by_name = {m.name: m for m in pipe.metrics}
+    p = by_name["stage1:person"]
+    assert p.output_rows > 0 and p.output_bytes > 0
+    for f in ("input_rows", "input_bytes", "output_rows", "output_bytes",
+              "shuffle_read_bytes", "shuffle_write_bytes"):
+        assert getattr(p, f) >= 0
 
 
 def test_bucketed_io_pipeline_matches_plain_and_is_stable(spark, wh):
