@@ -108,3 +108,151 @@ def tsv_vocab_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.date_format("valid_end_date", "yyyy-MM-dd").alias("valid_end_date"),
     )
+
+
+@register(
+    "wh_catalog_listing",
+    oracle="""
+    SELECT 'work' AS zone,
+           'upload__' || lower(replace(r_name, ' ', '_')) AS table_name,
+           CAST((SELECT COUNT(*) FROM nation n
+                 WHERE n.n_regionkey = r.r_regionkey) AS BIGINT) AS n_rows
+    FROM region r
+    UNION ALL
+    SELECT 'omop', 'nation_all', CAST(COUNT(*) AS BIGINT) FROM nation
+    """,
+)
+def wh_catalog_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 catalog listing under the oracle: stage one work table per
+    region (bulk append semantics, A5) plus an omop table, then return
+    ``Warehouse.list_tables`` per zone with each table's row count —
+    the reference's dataset/table listing (etl_base.py table
+    enumeration) as a verifiable query."""
+    t = load_tables(spark, sf_dir, "nation", "region")
+    nation, region = t["nation"], t["region"]
+    root = tempfile.mkdtemp(prefix="riab_catalog_")
+    wh = Warehouse(root)
+    regions = sorted(
+        (r["r_regionkey"], r["r_name"]) for r in region.collect()
+    )
+    for rkey, rname in regions:
+        wh.write(
+            nation.filter(F.col("n_regionkey") == rkey),
+            "work",
+            f"upload__{rname.lower().replace(' ', '_')}",
+        )
+    wh.write(nation, "omop", "nation_all")
+    rows = []
+    for zone in ("work", "omop"):
+        for name in wh.list_tables(zone):
+            rows.append(
+                (zone, name, wh.read(spark, zone, name).count())
+            )
+    return spark.createDataFrame(
+        rows, "zone string, table_name string, n_rows long"
+    )
+
+
+@register(
+    "g7_preload_sort",
+    oracle="""
+    SELECT true AS files_sorted,
+           CAST(0 AS BIGINT) AS overlapping_file_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(n_nationkey) AS BIGINT) AS min_id,
+           CAST(MAX(n_nationkey) AS BIGINT) AS max_id
+    FROM nation
+    """,
+)
+def g7_preload_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 pre-load sort under the oracle: write the vocabulary CSV in
+    DESCENDING id order, run ``import_vocabulary_dir`` (which sorts by
+    the id column before load — reference import_vocabularies.py:
+    156-158), then PROVE the physical layout: every parquet file of the
+    loaded table is internally sorted (checked per input_file_name via
+    read-order lag) and file id-ranges are pairwise disjoint.  The
+    oracle states the expected invariant (true / 0 overlaps / row
+    bounds from nation); the Spark side computes it from the actual
+    files, so a missing or broken pre-load sort hash-mismatches."""
+    from pyspark.sql import Window
+
+    from ..sources.readers import import_vocabulary_dir
+
+    nation = load_tables(spark, sf_dir, "nation")["nation"]
+    epoch = F.lit("1970-01-01").cast("date")
+    vocab = nation.select(
+        F.col("n_nationkey").alias("concept_id"),
+        F.concat(F.lit("C"), F.col("n_nationkey").cast("string")).alias(
+            "concept_code"
+        ),
+        F.col("n_name").alias("concept_name"),
+        F.date_format(
+            F.date_add(epoch, (F.col("n_nationkey") * 100).cast("int")),
+            "yyyyMMdd",
+        ).alias("valid_start_date"),
+        F.date_format(
+            F.date_add(epoch, (F.col("n_nationkey") * 150 + 1000).cast("int")),
+            "yyyyMMdd",
+        ).alias("valid_end_date"),
+    )
+    root = tempfile.mkdtemp(prefix="riab_g7_")
+    # deliberately mis-sorted source: DESC by id, single CSV.  The
+    # importer expects a plain Athena-style FILE, so lift the single
+    # part file out of Spark's output directory.
+    import shutil
+
+    outdir = os.path.join(root, "_csv_out")
+    vocab.orderBy(F.desc("concept_id")).coalesce(1).write.option(
+        "sep", "\t"
+    ).csv(outdir, header=True, mode="overwrite")
+    part = next(
+        p for p in sorted(os.listdir(outdir)) if p.startswith("part-")
+    )
+    shutil.move(
+        os.path.join(outdir, part), os.path.join(root, "CONCEPT.csv")
+    )
+    wh = Warehouse(os.path.join(root, "wh"))
+    import_vocabulary_dir(
+        spark, wh, root, {"concept": _VOCAB_SCHEMA}
+    )
+    loaded = wh.read(spark, "omop", "concept").select(
+        "concept_id",
+        F.input_file_name().alias("__f"),
+        F.monotonically_increasing_id().alias("__mid"),
+    )
+    w = Window.partitionBy("__f").orderBy("__mid")
+    flags = loaded.withColumn(
+        "__ok",
+        F.coalesce(
+            F.col("concept_id") >= F.lag("concept_id").over(w), F.lit(True)
+        ),
+    )
+    per_file = flags.groupBy("__f").agg(
+        F.min("__ok").alias("file_sorted"),
+        F.min("concept_id").alias("lo"),
+        F.max("concept_id").alias("hi"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    a, b = per_file.alias("a"), per_file.alias("b")
+    overlaps = (
+        a.join(
+            b,
+            (F.col("a.__f") < F.col("b.__f"))
+            & (F.col("a.lo") <= F.col("b.hi"))
+            & (F.col("b.lo") <= F.col("a.hi")),
+        )
+        .count()
+    )
+    summary = per_file.agg(
+        F.min("file_sorted").alias("files_sorted"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.min("lo").cast("long").alias("min_id"),
+        F.max("hi").cast("long").alias("max_id"),
+    )
+    return summary.select(
+        "files_sorted",
+        F.lit(int(overlaps)).cast("long").alias("overlapping_file_pairs"),
+        "n_rows",
+        "min_id",
+        "max_id",
+    )
