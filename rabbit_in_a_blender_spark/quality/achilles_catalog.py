@@ -976,7 +976,7 @@ def _build_specs() -> dict[int, AnalysisSpec]:
                 "dist",
                 ("drug_concept_id",),
                 value_col="days_supply",
-                prepare=lambda df, read: df.filter(F.col("days_supply").isNotNull()),
+                prepare=_nonnull_value("days_supply"),
             ),
             AnalysisSpec(
                 717,
@@ -985,7 +985,7 @@ def _build_specs() -> dict[int, AnalysisSpec]:
                 "dist",
                 ("drug_concept_id",),
                 value_col="quantity",
-                prepare=lambda df, read: df.filter(F.col("quantity").isNotNull()),
+                prepare=_nonnull_value("quantity"),
             ),
             AnalysisSpec(
                 709,
@@ -1213,7 +1213,7 @@ def _build_specs() -> dict[int, AnalysisSpec]:
             "measurement", "dist",
             ("measurement_concept_id", "unit_concept_id"),
             value_col="value_as_number",
-            prepare=lambda df, read: df.filter(F.col("value_as_number").isNotNull()),
+            prepare=_nonnull_value("value_as_number"),
         ),
         AnalysisSpec(
             1821, "Number of measurement records with no numeric value",
@@ -1241,7 +1241,7 @@ def _build_specs() -> dict[int, AnalysisSpec]:
         AnalysisSpec(
             716, "Distribution of refills by drug_concept_id", "drug_exposure",
             "dist", ("drug_concept_id",), value_col="refills",
-            prepare=lambda df, read: df.filter(F.col("refills").isNotNull()),
+            prepare=_nonnull_value("refills"),
         ),
     ]
 
