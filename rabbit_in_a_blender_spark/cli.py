@@ -197,6 +197,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         processed = pipe.run(inputs)
         print(f"processed tables: {', '.join(processed)}")
+        # Per-step cost tally at exit — the reference prints total
+        # bytes-billed/cost when the ETL finishes (etl/bigquery/
+        # gcp.py:106-144, etl_base.py:65-67); here: wall plus the
+        # rows/bytes Spark's status store attributed to each step.
+        print("step                                   sec    in_rows    out_rows   out_bytes")
+        for m in pipe.metrics:
+            print(
+                f"{m.name:36s} {m.seconds:6.2f} {m.input_rows:10d} "
+                f"{m.output_rows:10d} {m.output_bytes:11d}"
+            )
+        total_s = round(sum(m.seconds for m in pipe.metrics), 2)
+        total_out = sum(m.output_bytes for m in pipe.metrics)
+        print(f"total: {total_s}s, {total_out} output bytes")
         return 0
 
     if args.cleanup:
