@@ -112,3 +112,39 @@ def test_export_from_frame(spark, tmp_path):
     assert doc["Overview"]["countOverallFailed"] == 1
     statuses = {r["CHECK_NAME"]: r["STATUS"] for r in doc["CheckResults"]}
     assert statuses["person.gender domain"] == "FAILED"
+
+
+def test_result_cells_are_html_escaped(spark, tmp_path):
+    """Warehouse data is not guaranteed clean: a check name carrying
+    markup must be escaped by the JS renderer (stored-XSS guard)."""
+    import json
+
+    from pyspark.sql import Row
+
+    from rabbit_in_a_blender_spark.quality.dashboard_html import export_dqd_html
+
+    results = spark.createDataFrame(
+        [
+            (
+                "Completeness", "<script>alert(1)</script>", "person",
+                "gender_concept_id", 0, 100, 0.0, 0.05, 0,
+            ),
+        ],
+        "check_family string, check_name string, cdm_table string, "
+        "cdm_field string, num_violated_rows long, num_denominator_rows long, "
+        "pct_violated_rows double, threshold double, failed int",
+    )
+    out = tmp_path / "dqd.html"
+    page = export_dqd_html(results, str(out))
+    # the embedded JSON payload must not break out of its script tag
+    assert "</script>alert" not in page.split('id="dqd-data"')[1].split("</script>")[0]
+    # the renderer escapes every cell before innerHTML interpolation
+    assert "function esc(" in page
+    assert "${esc(c)}" in page
+    # round-trip: the payload still carries the raw name for filtering
+    doc = json.loads(
+        page.split('id="dqd-data" type="application/json">')[1]
+        .split("</script>")[0]
+        .replace("<\\/", "</")
+    )
+    assert doc["CheckResults"][0]["CHECK_NAME"] == "<script>alert(1)</script>"
