@@ -130,7 +130,9 @@ def _round_commit(rnd: int, root: str) -> str | None:
 
 
 def _changed_since(sha: str, root: str) -> set[str] | None:
-    """Files changed (committed or working-tree) since ``sha``."""
+    """Files changed (committed or working-tree) since ``sha``, plus
+    untracked files — a brand-new not-yet-committed engine module in a
+    query's import closure is a change `git diff` can't see (ADVICE r4)."""
     try:
         diff = subprocess.run(
             ["git", "diff", "--name-only", sha],
@@ -138,7 +140,16 @@ def _changed_since(sha: str, root: str) -> set[str] | None:
         )
         if diff.returncode != 0:
             return None
-        return {ln.strip() for ln in diff.stdout.splitlines() if ln.strip()}
+        changed = {ln.strip() for ln in diff.stdout.splitlines() if ln.strip()}
+        untracked = subprocess.run(
+            ["git", "ls-files", "--others", "--exclude-standard"],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        )
+        if untracked.returncode == 0:
+            changed |= {
+                ln.strip() for ln in untracked.stdout.splitlines() if ln.strip()
+            }
+        return changed
     except (OSError, subprocess.SubprocessError):
         return None
 

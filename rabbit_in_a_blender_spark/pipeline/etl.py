@@ -89,6 +89,7 @@ class EtlPipeline:
         bucketed_io: bool = False,
         buckets: int = 32,
         process_semi_approved_mappings: bool = True,
+        io_metrics: bool = True,
     ):
         self.spark = spark
         self.wh = warehouse
@@ -117,7 +118,11 @@ class EtlPipeline:
         # (etl/bigquery/gcp.py:106-144, totals at exit etl_base.py:65-67).
         # I/O numbers are attached after run() from Spark's status store
         # via per-step job groups (thread-local, so the level fan-out
-        # attributes correctly).
+        # attributes correctly).  ``io_metrics=False`` skips job-group
+        # tagging and the post-run status-store read entirely (wall-clock
+        # is still recorded) — benchmarks use it so the diagnostic tally
+        # never taints the timed path (r4 bench adjudication).
+        self.io_metrics = io_metrics
         self.metrics: list[StepMetric] = []
         # Shared-table writes (source_to_concept_map, concept swap,
         # omop.concept) must serialize when tables run concurrently —
@@ -129,21 +134,25 @@ class EtlPipeline:
     def _step(self, name: str):
         sc = self.spark.sparkContext
         t0 = time.perf_counter()
-        try:
-            # Thread-local job group: every Spark job this step launches
-            # on THIS thread is attributed to it in the status store.
-            # (Jobs launched from prefetch pool threads carry no group
-            # and land in the "untracked" bucket — see _collect_io.)
-            sc.setJobGroup(f"riab:{name}", name, False)
-        except Exception:  # job-group tagging is best-effort
-            pass
+        if self.io_metrics:
+            try:
+                # Thread-local job group: every Spark job this step
+                # launches on THIS thread is attributed to it in the
+                # status store.  (Jobs launched from prefetch pool
+                # threads carry no group and land in the "untracked"
+                # bucket — see _collect_io.)
+                sc.setJobGroup(f"riab:{name}", name, False)
+            except Exception:  # job-group tagging is best-effort
+                pass
         try:
             yield
         finally:
-            try:
-                sc.setLocalProperty("spark.jobGroup.id", None)
-            except Exception:
-                pass
+            if self.io_metrics:
+                try:
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+                    sc.setLocalProperty("spark.job.description", None)
+                except Exception:
+                    pass
             self.metrics.append(StepMetric(name, round(time.perf_counter() - t0, 3)))
 
     def _next_job_id(self) -> int:
@@ -164,7 +173,14 @@ class EtlPipeline:
 
         Py4J access to AppStatusStore (the store behind the UI/REST API;
         populated with spark.ui.enabled=false too).  Every failure
-        degrades to 'no I/O numbers', never to a run failure."""
+        degrades to 'no I/O numbers', never to a run failure.
+
+        Known attribution ambiguity (acceptable for a best-effort
+        diagnostic tally): a stage SHARED between jobs of different
+        riab job groups — e.g. a shuffle stage skipped/reused by a
+        later job — maps to whichever group's job the iteration sees
+        last, so its I/O lands wholly in one arbitrary step rather
+        than being split."""
         try:
             jsc = self.spark.sparkContext._jsc.sc()
             jsc.listenerBus().waitUntilEmpty()
@@ -773,7 +789,7 @@ class EtlPipeline:
         processed: list[str] = []
         prefetched: dict[str, object] = {}
         first_metric = len(self.metrics)
-        min_job_id = self._next_job_id()
+        min_job_id = self._next_job_id() if self.io_metrics else 0
 
         with ThreadPoolExecutor(max(4, 2 * max_parallel_tables)) as pool:
 
@@ -827,7 +843,7 @@ class EtlPipeline:
         # Attach rows/bytes from the status store to this run's steps
         # (jobs from prefetch pool threads carry no group; their I/O is
         # not attributed to a step — by design, they overlap steps).
-        io = self._collect_io(min_job_id)
+        io = self._collect_io(min_job_id) if self.io_metrics else {}
         for m in self.metrics[first_metric:]:
             for k, v in io.get(m.name, {}).items():
                 setattr(m, k, v)

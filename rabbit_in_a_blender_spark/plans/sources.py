@@ -169,8 +169,9 @@ def g7_preload_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     DESCENDING id order, run ``import_vocabulary_dir`` (which sorts by
     the id column before load — reference import_vocabularies.py:
     156-158), then PROVE the physical layout: every parquet file of the
-    loaded table is internally sorted (checked per input_file_name via
-    read-order lag) and file id-ranges are pairwise disjoint.  The
+    loaded table is internally sorted (checked per (input_file_name,
+    spark_partition_id) split via read-order lag) and (file, split)
+    id-ranges are pairwise disjoint.  The
     oracle states the expected invariant (true / 0 overlaps / row
     bounds from nation); the Spark side computes it from the actual
     files, so a missing or broken pre-load sort hash-mismatches."""
@@ -215,19 +216,27 @@ def g7_preload_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     import_vocabulary_dir(
         spark, wh, root, {"concept": _VOCAB_SCHEMA}
     )
+    # Proof granularity is (file, read-partition): monotonically_
+    # increasing_id only reflects physical row order WITHIN one read
+    # partition, and a file large enough to be read as several splits
+    # would interleave ids across split boundaries (ADVICE r4) — so
+    # sortedness is checked per split and the disjointness join runs
+    # over every (file, split) range pair, which together still prove
+    # a global pre-load sort.
     loaded = wh.read(spark, "omop", "concept").select(
         "concept_id",
         F.input_file_name().alias("__f"),
+        F.spark_partition_id().alias("__pid"),
         F.monotonically_increasing_id().alias("__mid"),
     )
-    w = Window.partitionBy("__f").orderBy("__mid")
+    w = Window.partitionBy("__f", "__pid").orderBy("__mid")
     flags = loaded.withColumn(
         "__ok",
         F.coalesce(
             F.col("concept_id") >= F.lag("concept_id").over(w), F.lit(True)
         ),
     )
-    per_file = flags.groupBy("__f").agg(
+    per_file = flags.groupBy("__f", "__pid").agg(
         F.min("__ok").alias("file_sorted"),
         F.min("concept_id").alias("lo"),
         F.max("concept_id").alias("hi"),
@@ -237,7 +246,13 @@ def g7_preload_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlaps = (
         a.join(
             b,
-            (F.col("a.__f") < F.col("b.__f"))
+            (
+                (F.col("a.__f") < F.col("b.__f"))
+                | (
+                    (F.col("a.__f") == F.col("b.__f"))
+                    & (F.col("a.__pid") < F.col("b.__pid"))
+                )
+            )
             & (F.col("a.lo") <= F.col("b.hi"))
             & (F.col("b.lo") <= F.col("a.hi")),
         )

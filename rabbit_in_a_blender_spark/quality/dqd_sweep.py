@@ -760,9 +760,12 @@ def run_sweep(
 
     The result is lazy and backed by persisted shared lookup frames
     (see ``_SharedLookups``); when ``warehouse`` is given the write
-    materializes the result and the lookups are released before
-    returning.  Without a warehouse, long-lived sessions should pass
-    ``lookups=`` and call ``unpersist_all()`` after materializing.
+    materializes the result and lookups THIS call created are released
+    before returning — a caller-supplied ``lookups`` is never
+    unpersisted here (the caller owns its cache lifecycle, e.g. when
+    sharing one instance across several sweeps).  Without a warehouse,
+    long-lived sessions should pass ``lookups=`` and call
+    ``unpersist_all()`` after materializing.
 
     The concept-level families auto-enumerate from
     ``GENDER_SPECIFIC_DEFAULTS`` / ``ALLOWED_UNIT_DEFAULTS`` (the
@@ -781,7 +784,8 @@ def run_sweep(
     if meta:
         frames.append(spark.createDataFrame(meta, RESULT_SCHEMA))
 
-    if lookups is None:
+    owns_lookups = lookups is None
+    if owns_lookups:
         lookups = _SharedLookups()
     for tname in wanted:
         df = read(tname)
@@ -855,7 +859,10 @@ def run_sweep(
         # The write is an action: the result is now durable parquet, so
         # the shared lookups can be released and the returned frame
         # re-read from the warehouse (no cache dependency downstream).
+        # Only lookups THIS call created are released — a caller sharing
+        # one _SharedLookups across sweeps keeps its cache.
         warehouse.write(out, "dqd", "dqdashboard_results")
-        lookups.unpersist_all()
+        if owns_lookups:
+            lookups.unpersist_all()
         return warehouse.read(spark, "dqd", "dqdashboard_results")
     return out
