@@ -58,13 +58,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Manual override: verified before everything else regardless of the
 # automatic staleness derivation below.  Kept for cases the import
-# closure can't see (dynamic dispatch, data-file dependencies).
+# closure can't see (dynamic dispatch, data-file dependencies) and for
+# explicit verdict orders.
 _REVERIFY_FIRST = [
-    # r3 verdict "what's wrong" §2: only green row is r1, but its
-    # modules (mapping/events.py, operators/sequence.py) changed in r2.
-    # The automatic derivation also flags it; listed here because the
-    # verdict explicitly ordered it re-earned in r4.
-    "w4_rekey_window_losers",
+    # r4 verdict task 2: these four r3-green rows predate their
+    # module's r4 diff and "must lead CORRECTNESS_r05".  The automatic
+    # derivation (correctly) does NOT flag them — their actual deep
+    # closures (core/io.py; quality/checks.py) were untouched in r4 and
+    # their function fingerprints didn't move when plans/quality.py
+    # grew around them — so the verdict order is carried here, the
+    # bucket that exists for exactly this.
+    "achilles_strata_counts",
+    "dq_fk_orphans",
+    "dq_plausible_value_low",
+    "dq_start_before_end",
 ]
 
 _PKG = "rabbit_in_a_blender_spark"
@@ -382,7 +389,37 @@ def _verification_order(names: list[str], has_oracle: set[str]) -> list[str]:
     taken |= set(stale)
     rest = [n for n in names if n not in taken]
     rest.sort(key=lambda n: (last_green.get(n, -1), reg_index[n]))
+    _emit_queue_metadata(manual, new, stale, rest, last_green, root)
     return manual + new + stale + rest
+
+
+def _emit_queue_metadata(
+    manual: list[str],
+    new: list[str],
+    stale: list[str],
+    rest: list[str],
+    last_green: dict[str, int],
+    root: str,
+) -> None:
+    """Best-effort sidecar (VERIFY_QUEUE.json next to the CORRECTNESS
+    artifacts) recording the computed buckets, so a driver cap that
+    truncates ``queries()`` is auditable after the fact: anything below
+    the cut line is visible with its bucket and last green round
+    (VERDICT r4 task 8)."""
+    try:
+        payload = {
+            "buckets": {
+                "manual_reverify": manual,
+                "never_green": new,
+                "stale": stale,
+                "rest": rest,
+            },
+            "last_green_round": {n: last_green.get(n) for n in manual + new + stale + rest},
+        }
+        with open(os.path.join(root, "VERIFY_QUEUE.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=False)
+    except OSError:
+        pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
