@@ -216,7 +216,12 @@ def main(argv: list[str] | None = None) -> int:
         from .pipeline.etl import cleanup
 
         dropped = cleanup(
-            wh, None if args.cleanup == "ALL" else args.cleanup, spark=spark
+            wh,
+            None if args.cleanup == "ALL" else args.cleanup,
+            spark=spark,
+            # dependency walk: cleaning a table also cleans every table
+            # of later FK levels (reference etl/cleanup.py:42-48)
+            registry=registry,
         )
         print(f"dropped: {', '.join(dropped) or '(nothing)'}")
         return 0

@@ -856,24 +856,54 @@ def cleanup(
     warehouse: Warehouse,
     table: str | None = None,
     spark: SparkSession | None = None,
+    registry: SchemaRegistry | None = None,
 ) -> list[str]:
     """Reference ``--cleanup``: drop work/omop artifacts for one table
     (or everything), including its swap so ids restart
     (etl/cleanup.py:26-172).  Single-table cleanup additionally:
 
-    - drops the table's partition of the id-map audit table
+    - with ``registry``, walks the FK dependency graph the way the
+      reference does (etl/cleanup.py:42-48: pop dependency levels up to
+      and including the target's, then clean the target plus every
+      table of every LATER level — their rows carry FKs minted against
+      the target's now-invalid swap; same-level siblings survive);
+    - drops each cleaned table's partition of the id-map audit table
       (SOURCE_ID_TO_OMOP_ID_MAP_remove_ids_by_omop_table, M3);
-    - with ``spark``, removes the table's custom concepts from
+    - with ``spark``, removes each cleaned table's custom concepts from
       omop.concept (CONCEPT_remove_custom_concepts_by_..., J6/B8) and
       its mappings from source_to_concept_map
       (SOURCE_TO_CONCEPT_MAP_remove_concepts_by_..., J11) — driven by
       the persisted per-table usagi/custom upload work tables, exactly
       like the reference walks its upload tables.
+
+    The global custom-concept id swap (``concept_id__swap``) is kept,
+    mirroring the reference's ``clear_auto_generated_custom_concept_ids
+    =False`` default (etl/cleanup.py:98-100): re-uploaded custom
+    concepts keep their assigned ids across a cleanup.
     """
+    targets: list[str] | None = None
+    if table is not None:
+        targets = [table]
+        if registry is not None:
+            levels = list(registry.dependency_levels())
+            for i, level in enumerate(levels):
+                if table in level:
+                    targets += [
+                        t for lvl in levels[i + 1 :] for t in lvl
+                    ]
+                    break
+    return _cleanup_tables(warehouse, targets, spark)
+
+
+def _cleanup_tables(
+    warehouse: Warehouse,
+    targets: list[str] | None,
+    spark: SparkSession | None,
+) -> list[str]:
     from ..operators.joins import merge_delete
 
     dropped = []
-    if table is not None and spark is not None:
+    for table in targets if (targets and spark is not None) else []:
         # vocabulary-side removal BEFORE dropping the bookkeeping tables
         # that identify this table's contributions
         prefix = f"{table}__"
@@ -922,13 +952,21 @@ def cleanup(
                 dropped.append(f"omop.{EtlPipeline.STCM}[{wt}]")
     for zone in ("work", "omop"):
         for t in warehouse.list_tables(zone):
-            if table is None or t == table or t.startswith(f"{table}__"):
+            if zone == "work" and t == EtlPipeline.CONCEPT_SWAP:
+                # kept on every cleanup path (reference default
+                # clear_auto_generated_custom_concept_ids=False,
+                # etl/cleanup.py:98-100/146-148): re-uploaded custom
+                # concepts keep their ≥2B ids
+                continue
+            if targets is None or any(
+                t == table or t.startswith(f"{table}__") for table in targets
+            ):
                 warehouse.drop(zone, t)
                 dropped.append(f"{zone}.{t}")
-    if table is not None:
-        part = f"{EtlPipeline.ID_MAP}/omop_table={table}"
-        import os
+    import os
 
+    for table in targets or []:
+        part = f"{EtlPipeline.ID_MAP}/omop_table={table}"
         if os.path.isdir(warehouse.path("work", part)):
             warehouse.drop("work", part)
             dropped.append(f"work.{part}")

@@ -271,3 +271,152 @@ def g7_preload_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_id",
         "max_id",
     )
+
+
+@register(
+    "wh_cleanup_walk",
+    oracle="""
+    SELECT 'omop' AS zone, 'concept' AS table_name,
+           CAST(0 AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'omop', 'site',
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT)
+    UNION ALL
+    SELECT 'omop', 'source_to_concept_map', CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'work', 'concept_id__swap', CAST(2 AS BIGINT)
+    UNION ALL
+    SELECT 'work', 'site__pk_swap',
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT)
+    UNION ALL
+    SELECT 'work', 'site__upload',
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT)
+    UNION ALL
+    SELECT 'work', 'source_id_to_omop_id_map',
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT)
+    """,
+)
+def wh_cleanup_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 TRUNCATE/DELETE/DROP under the oracle: run the real two-stage
+    pipeline over a three-level FK chain (site ← person ← visit, with
+    usagi mappings AND custom concepts on person), then
+    ``cleanup(table='person', registry=...)`` — the reference's
+    dependency-walking delete (etl/cleanup.py:26-172): person AND the
+    later-level visit fall; the earlier-level site survives; person's
+    custom concepts leave omop.concept, its usagi codes leave
+    source_to_concept_map, its id-map partitions drop, and the global
+    concept-id swap is KEPT (clear_auto_generated_custom_concept_ids
+    =False default, etl/cleanup.py:98-100).  Returns the post-cleanup
+    catalog listing with row counts; the DuckDB oracle states the
+    survivor set independently, so a cleanup that under- or
+    over-deletes hash-mismatches."""
+    from ..core.registry import ColumnSpec, SchemaRegistry, TableSpec
+    from ..pipeline.etl import EtlPipeline, TableInputs, cleanup
+
+    registry = SchemaRegistry(
+        [
+            TableSpec(
+                name="site",
+                columns=[
+                    ColumnSpec("site_id", "int64", required=True),
+                    ColumnSpec("name", "string"),
+                ],
+                pk="site_id",
+            ),
+            TableSpec(
+                name="person",
+                columns=[
+                    ColumnSpec("person_id", "int64", required=True),
+                    ColumnSpec("segment_concept_id", "int64", required=True),
+                    ColumnSpec("site_id", "int64", required=True),
+                    ColumnSpec("name", "string"),
+                ],
+                pk="person_id",
+                concept_cols=["segment_concept_id"],
+                fks={"site_id": "site"},
+            ),
+            TableSpec(
+                name="visit",
+                columns=[
+                    ColumnSpec("visit_id", "int64", required=True),
+                    ColumnSpec("person_id", "int64", required=True),
+                    ColumnSpec("amount", "float64"),
+                ],
+                pk="visit_id",
+                fks={"person_id": "person"},
+            ),
+        ]
+    )
+    t = load_tables(spark, sf_dir, "nation", "customer", "orders")
+    n, c, o = t["nation"], t["customer"], t["orders"]
+    site_upload = n.select(
+        F.concat(F.lit("PK_"), F.col("n_nationkey").cast("string")).alias(
+            "site_id"
+        ),
+        F.col("n_name").alias("name"),
+    )
+    person_upload = c.select(
+        F.concat(F.lit("PK_"), F.col("c_custkey").cast("string")).alias(
+            "person_id"
+        ),
+        F.col("c_mktsegment").alias("segment_concept_id__source"),
+        F.concat(F.lit("PK_"), F.col("c_nationkey").cast("string")).alias(
+            "site_id"
+        ),
+        F.col("c_name").alias("name"),
+    )
+    visit_upload = o.select(
+        F.concat(F.lit("PK_"), F.col("o_orderkey").cast("string")).alias(
+            "visit_id"
+        ),
+        F.concat(F.lit("PK_"), F.col("o_custkey").cast("string")).alias(
+            "person_id"
+        ),
+        F.col("o_totalprice").alias("amount"),
+    )
+    usagi = spark.createDataFrame(
+        [
+            ("AUTOMOBILE", "automobile", "APPROVED", 9001, "AUTO", "Segment"),
+            ("BUILDING", "building", "APPROVED", 9002, "BUILD", "Segment"),
+            ("FURNITURE", "furniture", "APPROVED", 9003, "FURN", "Segment"),
+            ("HOUSEHOLD", "household", "APPROVED", 9004, "HOUSE", "Segment"),
+            # unmapped on upload; patched from the custom concept (M2)
+            ("MACHINERY", "machinery", "APPROVED", 0, "MACH", "Segment"),
+        ],
+        "sourceCode string, sourceName string, mappingStatus string, "
+        "conceptId long, conceptName string, domainId string",
+    )
+    custom = spark.createDataFrame(
+        [
+            ("Machinery segment", "MACHINERY", "Segment", "RIAB", "Custom"),
+            ("Spare segment", "SPARE", "Segment", "RIAB", "Custom"),
+        ],
+        "concept_name string, concept_code string, domain_id string, "
+        "vocabulary_id string, concept_class_id string",
+    )
+    whdir = tempfile.mkdtemp(prefix="wh_cleanup_walk_")
+    wh = Warehouse(whdir)
+    pipe = EtlPipeline(spark, wh, registry)
+    pipe.run(
+        {
+            "site": TableInputs(uploads=[site_upload]),
+            "person": TableInputs(
+                uploads=[person_upload],
+                usagi={"segment_concept_id": usagi},
+                custom_concepts={"segment_concept_id": custom},
+            ),
+            "visit": TableInputs(uploads=[visit_upload]),
+        }
+    )
+    cleanup(wh, "person", spark=spark, registry=registry)
+    rows = []
+    for zone in ("work", "omop"):
+        for name in wh.list_tables(zone):
+            try:
+                cnt = wh.read(spark, zone, name).count()
+            except Exception:
+                continue  # dir without readable parquet (all parts dropped)
+            rows.append((zone, name, cnt))
+    return spark.createDataFrame(
+        rows, "zone string, table_name string, n_rows long"
+    )

@@ -205,6 +205,30 @@ def test_cleanup(spark, wh):
     assert wh.exists("work", "source_id_to_omop_id_map/omop_table=visit")
 
 
+def test_cleanup_walks_fk_dependency_levels(spark, wh):
+    """With a registry, cleaning a table also cleans every table of
+    LATER dependency levels (reference etl/cleanup.py:42-48: their rows
+    carry FKs minted against the now-invalid swap); same-level siblings
+    and earlier levels survive, and the global concept-id swap is kept
+    (clear_auto_generated_custom_concept_ids=False default)."""
+    pipe = EtlPipeline(spark, wh, REGISTRY)
+    pipe.run(_inputs(spark))
+    # visit and note are one FK level below person
+    dropped = cleanup(wh, "person", spark=spark, registry=REGISTRY)
+    assert "omop.person" in dropped
+    assert "omop.visit" in dropped and "work.visit__pk_swap" in dropped
+    assert not wh.exists("omop", "visit")
+    assert not wh.exists(
+        "work", "source_id_to_omop_id_map/omop_table=visit"
+    )
+    # cleaning a LEAF table leaves its parent alone
+    pipe2 = EtlPipeline(spark, wh, REGISTRY)
+    pipe2.run(_inputs(spark))
+    dropped2 = cleanup(wh, "visit", spark=spark, registry=REGISTRY)
+    assert "omop.visit" in dropped2 and "omop.person" not in dropped2
+    assert wh.exists("omop", "person")
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Co-located join: same keys + same bucket count → zero exchanges."""
     from rabbit_in_a_blender_spark.operators.skew import explain_shuffle_count
