@@ -74,6 +74,36 @@ class Warehouse:
     def append(self, df: DataFrame, zone: str, table: str) -> None:
         df.write.mode("append").parquet(self.path(zone, table))
 
+    def load(
+        self, df: DataFrame, zone: str, table: str, disposition: str = "append"
+    ) -> None:
+        """Bulk load with BigQuery write-disposition semantics (A5,
+        reference batch_load_from_bucket_into_bigquery_table,
+        etl/bigquery/gcp.py:197-240):
+
+        - ``append``  → WRITE_APPEND: add files to the table;
+        - ``truncate`` → WRITE_TRUNCATE: atomic replace (``write``);
+        - ``write_empty`` → WRITE_EMPTY: succeeds only when the target
+          is absent or has no rows; a populated target raises (BigQuery
+          returns a 'duplicate' error).
+        """
+        if disposition == "truncate":
+            self.write(df, zone, table)
+        elif disposition == "write_empty":
+            if (
+                self.exists(zone, table)
+                and not self.read(df.sparkSession, zone, table).isEmpty()
+            ):
+                raise ValueError(
+                    f"{zone}.{table}: WRITE_EMPTY disposition on a "
+                    "populated table"
+                )
+            self.write(df, zone, table)
+        elif disposition == "append":
+            self.append(df, zone, table)
+        else:
+            raise ValueError(f"unknown write disposition: {disposition!r}")
+
     def write_bucketed(
         self,
         df: DataFrame,

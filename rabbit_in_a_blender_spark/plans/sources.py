@@ -420,3 +420,56 @@ def wh_cleanup_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "zone string, table_name string, n_rows long"
     )
+
+
+@register(
+    "wh_load_dispositions",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS step, 'write_empty' AS disposition,
+           true AS ok,
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+                AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 2, 'append', true,
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey IN (0, 1))
+                AS BIGINT)
+    UNION ALL
+    SELECT 3, 'write_empty', false,
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey IN (0, 1))
+                AS BIGINT)
+    UNION ALL
+    SELECT 4, 'truncate', true,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT)
+    """,
+)
+def wh_load_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 bulk-load disposition matrix under the oracle (reference
+    batch_load semantics, etl/bigquery/gcp.py:197-240): WRITE_EMPTY
+    into an absent table succeeds, WRITE_APPEND adds rows, WRITE_EMPTY
+    into a populated table FAILS (BigQuery 'duplicate' error) leaving
+    the table untouched, WRITE_TRUNCATE replaces.  Each step records
+    (disposition, outcome, table row count after) — the DuckDB oracle
+    states the expected ledger, so wrong disposition semantics (e.g. a
+    write_empty that clobbers, or an append that replaces)
+    hash-mismatch."""
+    nation = load_tables(spark, sf_dir, "nation")["nation"]
+    wh = Warehouse(tempfile.mkdtemp(prefix="riab_dispositions_"))
+    steps = [
+        (1, "write_empty", nation.filter(F.col("n_regionkey") == 0)),
+        (2, "append", nation.filter(F.col("n_regionkey") == 1)),
+        (3, "write_empty", nation.filter(F.col("n_regionkey") == 2)),
+        (4, "truncate", nation),
+    ]
+    rows = []
+    for step, disposition, df in steps:
+        try:
+            wh.load(df, "omop", "nation_load", disposition=disposition)
+            ok = True
+        except ValueError:
+            ok = False
+        rows.append(
+            (step, disposition, ok, wh.read(spark, "omop", "nation_load").count())
+        )
+    return spark.createDataFrame(
+        rows, "step long, disposition string, ok boolean, n_rows long"
+    )

@@ -205,6 +205,28 @@ def test_cleanup(spark, wh):
     assert wh.exists("work", "source_id_to_omop_id_map/omop_table=visit")
 
 
+def test_load_dispositions(spark, wh):
+    """A5: append adds, truncate replaces, write_empty only succeeds on
+    an absent/empty target (reference gcp.py:197-240 semantics)."""
+    a = spark.range(0, 5).select(F.col("id").alias("k"))
+    b = spark.range(5, 8).select(F.col("id").alias("k"))
+    wh.load(a, "work", "t", disposition="write_empty")
+    assert wh.read(spark, "work", "t").count() == 5
+    wh.load(b, "work", "t", disposition="append")
+    assert wh.read(spark, "work", "t").count() == 8
+    with pytest.raises(ValueError, match="WRITE_EMPTY"):
+        wh.load(a, "work", "t", disposition="write_empty")
+    assert wh.read(spark, "work", "t").count() == 8  # untouched on failure
+    wh.load(b, "work", "t", disposition="truncate")
+    assert wh.read(spark, "work", "t").count() == 3
+    # write_empty over a zero-row table succeeds (BigQuery allows it)
+    wh.write(a.filter(F.lit(False)), "work", "empty_t")
+    wh.load(b, "work", "empty_t", disposition="write_empty")
+    assert wh.read(spark, "work", "empty_t").count() == 3
+    with pytest.raises(ValueError, match="unknown write disposition"):
+        wh.load(a, "work", "t", disposition="merge")
+
+
 def test_cleanup_walks_fk_dependency_levels(spark, wh):
     """With a registry, cleaning a table also cleans every table of
     LATER dependency levels (reference etl/cleanup.py:42-48: their rows
