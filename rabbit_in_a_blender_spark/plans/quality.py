@@ -879,14 +879,15 @@ _DIST_ORACLE_STATS = """
 """
 
 
-# Achilles content catalog, distribution shape: ids 102 (age at first
-# observation by gender), 105 (observation length), 203 (visits per
-# person), 211 (visit length) → one achilles_results_dist frame.
+# Achilles content catalog, distribution shape: ids 104 (age at first
+# observation by gender — moved from the catalog's historical slot 102
+# to its true public id in r5), 105 (observation length), 203 (visits
+# per person), 211 (visit length) → one achilles_results_dist frame.
 @register(
     "achilles_dists_catalog",
     oracle=_PSEUDO_CDM_SQL
     + f"""
-    SELECT 102 AS analysis_id,
+    SELECT 104 AS analysis_id,
            CAST(p.gender_concept_id AS VARCHAR) AS stratum_1, {_PAD},
            {_DIST_ORACLE_STATS}
     FROM (SELECT person_id, year(op_start) - year_of_birth AS v
@@ -908,7 +909,7 @@ def achilles_dists_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..quality.achilles_catalog import run_catalog
 
     read = _pseudo_cdm(spark, sf_dir)
-    out = run_catalog(spark, read, analysis_ids=[102, 105, 203, 211])
+    out = run_catalog(spark, read, analysis_ids=[104, 105, 203, 211])
     dist = out["achilles_results_dist"]
     return dist.select(
         "analysis_id",
@@ -3002,3 +3003,52 @@ def etl_mini_cdm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("amount").cast("double").alias("amount"),
     )
     return person.unionByName(visit)
+
+
+# --- round-5 catalog closure: 102 + death quality/time-to-death -------
+@register(
+    "achilles_death_quality",
+    oracle=_clin_oracle(
+        _frag_count(
+            102,
+            "(SELECT p.gender_concept_id, year(op_start) - year_of_birth "
+            "AS age FROM op JOIN person p USING (person_id))",
+            ["gender_concept_id", "age"],
+        ),
+        _frag_count(509, "death_t", where=_NOT_IN_PERSON),
+    ),
+)
+def achilles_death_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 sliver closure, counts shape: public 102 (persons by
+    gender × age at first observation period — the counts complement of
+    dist 103/104) and 509 (death records with an invalid person_id;
+    the fixture seeds them via the c_custkey%57 offset)."""
+    return _run_clin_counts(spark, sf_dir, [102, 509])
+
+
+def _frag_death_dist(aid: int, cte: str, date_col: str) -> str:
+    return _frag_dist(
+        aid,
+        f"(SELECT d.death_date - m.mx AS v FROM death_t d JOIN "
+        f"(SELECT person_id, MAX({date_col}) AS mx FROM {cte} "
+        f"WHERE {date_col} IS NOT NULL GROUP BY person_id) m "
+        f"USING (person_id))",
+    )
+
+
+@register(
+    "achilles_death_time_dists",
+    oracle=_clin_oracle(
+        _frag_death_dist(511, "cond_clin", "condition_start_date"),
+        _frag_death_dist(512, "drug", "drug_exposure_start_date"),
+        _frag_death_dist(513, "visit_clin", "visit_start_date"),
+        _frag_death_dist(514, "proc", "procedure_date"),
+        _frag_death_dist(515, "obs_t", "observation_date"),
+    ),
+)
+def achilles_death_time_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public 511-515: distribution of days from the person's last
+    condition / drug / visit / procedure / observation event to death.
+    Each is one map-side-combined MAX per person on the event table
+    joined to the small death table — no window, one shuffle each."""
+    return _run_clin_dists(spark, sf_dir, [511, 512, 513, 514, 515])

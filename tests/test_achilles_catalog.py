@@ -102,7 +102,15 @@ def test_spec_inventory():
     assert SPECS[401].table == "condition_occurrence"
     assert SPECS[701].table == "drug_exposure"
     assert SPECS[1801].table == "measurement"
-    assert SPECS[102].shape == "dist" and SPECS[102].value_col == "__age"
+    assert SPECS[102].shape == "results" and SPECS[102].strata == (
+        "__gender",
+        "__age",
+    )
+    assert SPECS[104].shape == "dist" and SPECS[104].value_col == "__age"
+    # r5 death tail: quality slot + the five time-to-death dists
+    assert SPECS[509].table == "death"
+    for aid in (511, 512, 513, 514, 515):
+        assert SPECS[aid].shape == "dist" and SPECS[aid].value_col == "__days"
 
 
 def test_run_catalog_over_cdm_fixture(spark, cdm):
@@ -534,6 +542,7 @@ def test_round4_tail_spec_inventory():
             911, 1009, 1010, 1104, 1105, 1310, 1405, 1414, 1416, 1516,
             1517, 1518, 1519, 1703, 1704, 1810, 1812, 1813, 1814, 1817,
             2009, 2010, 2012, 2013, 2112, 2115, 2209, 2210, 2212, 2409]
+    tail += [102, 104, 509, 511, 512, 513, 514, 515]  # round-5 closure
     missing = [i for i in tail if i not in SPECS]
     assert not missing, missing
     assert len(SPECS) >= 286
