@@ -150,11 +150,9 @@ class Warehouse:
         if old_location and os.path.isdir(old_location):
             shutil.rmtree(old_location, ignore_errors=True)
 
-    def _bucketed_location(
+    def _describe_location(
         self, spark: SparkSession, zone: str, table: str
     ) -> str | None:
-        if not self.exists_bucketed(spark, zone, table):
-            return None
         rows = spark.sql(f"DESCRIBE FORMATTED {zone}.{table}").collect()
         for r in rows:
             if r.col_name == "Location":
@@ -169,8 +167,27 @@ class Warehouse:
                 return loc
         return None
 
+    def _bucketed_location(
+        self, spark: SparkSession, zone: str, table: str
+    ) -> str | None:
+        if not self.exists_bucketed(spark, zone, table):
+            return None
+        return self._describe_location(spark, zone, table)
+
     def exists_bucketed(self, spark: SparkSession, zone: str, table: str) -> bool:
-        return spark.catalog.tableExists(f"{zone}.{table}")
+        """True when the catalog has ``zone.table`` AND its location is
+        under THIS warehouse's root.  The Spark catalog is session-global
+        while Warehouse roots are not: a table registered by a previous
+        Warehouse (e.g. an earlier bench/test run whose temp root was
+        deleted) would otherwise read as an existing prior table with
+        dangling files — a phantom swap on the re-run path."""
+        if not spark.catalog.tableExists(f"{zone}.{table}"):
+            return False
+        loc = self._describe_location(spark, zone, table)
+        if loc is None:
+            return True
+        root = os.path.realpath(self.root)
+        return os.path.realpath(loc).startswith(root + os.sep)
 
     def read_bucketed(self, spark: SparkSession, zone: str, table: str) -> DataFrame:
         return spark.table(f"{zone}.{table}")
