@@ -114,7 +114,9 @@ def test_verification_order_buckets():
     m = _entry_module()
     order = list(m.queries())
     assert set(order) == set(m.__dict__["queries"]().keys())
-    # manual override leads
-    assert order[0] == "w4_rekey_window_losers"
+    # the manual reverify pin leads, in its declared order
+    pinned = [n for n in m._REVERIFY_FIRST if n in order]
+    assert pinned, "manual reverify list must pin at least one catalog query"
+    assert order[: len(pinned)] == pinned
     # every catalog query appears exactly once
     assert len(order) == len(set(order))
