@@ -56,7 +56,11 @@ HEADLINE = [
 
 
 def etl_pipeline_bench(
-    spark, sf_dir: str, io_metrics: bool = False, bucketed: bool = False
+    spark,
+    sf_dir: str,
+    io_metrics: bool = False,
+    bucketed: bool = False,
+    metrics_out: list | None = None,
 ) -> tuple[float, int]:
     """End-to-end two-stage ETL over customer(person-like) + orders
     (visit-like): prequel keys → usagi mapping → pk swap → fk remap →
@@ -144,6 +148,8 @@ def etl_pipeline_bench(
             }
         )
         elapsed = time.perf_counter() - t0
+        if metrics_out is not None:
+            metrics_out.extend(pipe.metrics)
     finally:
         shutil.rmtree(whdir, ignore_errors=True)
     return elapsed, n_rows

@@ -1,0 +1,161 @@
+"""Scale curve for the ETL spine + DQD sweep (VERDICT r4 task 6).
+
+The 100 TB design claims (bounded shuffles, broadcast discipline,
+one-scan-per-table sweeps) have so far been argued from plan audits;
+this records one real scaling axis.  It runs `etl_pipeline_two_stage`
+(with per-step rows/bytes via `EtlPipeline(io_metrics=True)`) and
+`dq_sweep_detail` at three data points:
+
+- sf0.01 and sf0.1 — the driver fixtures as-is;
+- "sf0.5eq" — the sandbox holds no sf0.5 fixture, so the largest point
+  is sf0.1's `customer`/`orders` (the only tables either workload
+  reads) replicated 5x with disjoint key ranges (replica i offsets
+  every c_custkey/o_custkey/o_orderkey by i*1e8, preserving the FK
+  graph and per-customer fan-out).  This scales rows and key
+  cardinality together, which is the axis that stresses the shuffle
+  paths; value distributions per customer are unchanged by
+  construction.
+
+Timing is io_metrics=ON at every point so the points are mutually
+comparable (the tally's ~9% tax — PLANS.md round-5 adjudication — is
+constant across scales and cancels out of the curve's shape).
+
+Usage: python tools/scale_curve.py   (writes markdown to stdout)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bench import etl_pipeline_bench
+from rabbit_in_a_blender_spark.core.session import get_spark
+
+KEY_OFFSET = 100_000_000  # far above any sf0.1 key (max o_orderkey ~6e5)
+
+
+def build_replicated(spark, src_dir: str, out_dir: str, k: int) -> None:
+    """Replicate customer/orders k times with disjoint key ranges."""
+    cust = spark.read.parquet(f"{src_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{src_dir}/orders.parquet")
+    parts_c = []
+    parts_o = []
+    for i in range(k):
+        off = i * KEY_OFFSET
+        parts_c.append(cust.withColumn("c_custkey", F.col("c_custkey") + off))
+        parts_o.append(
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + off).withColumn(
+                "o_custkey", F.col("o_custkey") + off
+            )
+        )
+    from functools import reduce
+
+    reduce(lambda a, b: a.unionByName(b), parts_c).write.mode("overwrite").parquet(
+        f"{out_dir}/customer.parquet"
+    )
+    reduce(lambda a, b: a.unionByName(b), parts_o).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet"
+    )
+
+
+def time_dq(spark, sf_dir: str, reps: int) -> list[float]:
+    from rabbit_in_a_blender_spark.plans.catalog import all_queries
+
+    fn = all_queries()["dq_sweep_detail"]
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out.append(round(time.perf_counter() - t0, 3))
+    return out
+
+
+def main() -> None:
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    spark = get_spark("scale_curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()
+
+    scaled_dir = tempfile.mkdtemp(prefix="scale_sf05_")
+    try:
+        build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
+        points = [
+            ("sf0.01", "/root/testdata/sf0.01"),
+            ("sf0.1", "/root/testdata/sf0.1"),
+            ("sf0.5eq", scaled_dir),
+        ]
+        # warmup the ETL codegen/committer paths once at the smallest sf
+        etl_pipeline_bench(spark, "/root/testdata/sf0.001", io_metrics=True)
+
+        results = {}
+        for label, d in points:
+            etl_samples = []
+            metrics = []
+            rows = 0
+            for _ in range(reps):
+                metrics = []  # keep the metrics of the LAST rep
+                sec, rows = etl_pipeline_bench(
+                    spark, d, io_metrics=True, metrics_out=metrics
+                )
+                etl_samples.append(round(sec, 3))
+            dq_samples = time_dq(spark, d, reps)
+            results[label] = {
+                "etl_rows": rows,
+                "etl_reps": etl_samples,
+                "etl_median": sorted(etl_samples)[len(etl_samples) // 2],
+                "dq_reps": dq_samples,
+                "dq_median": sorted(dq_samples)[len(dq_samples) // 2],
+                "steps": [
+                    {
+                        "name": m.name,
+                        "seconds": m.seconds,
+                        "input_rows": m.input_rows,
+                        "input_bytes": m.input_bytes,
+                        "output_rows": m.output_rows,
+                        "shuffle_read_bytes": m.shuffle_read_bytes,
+                        "shuffle_write_bytes": m.shuffle_write_bytes,
+                    }
+                    for m in metrics
+                ],
+            }
+            print(f"## point {label}: etl {etl_samples} dq {dq_samples}", flush=True)
+
+        print(json.dumps(results))
+
+        # Markdown summary for PLANS.md
+        print("\n| point | etl rows | etl median s | rows/s | dq median s |")
+        print("|---|---|---|---|---|")
+        for label, r in results.items():
+            print(
+                f"| {label} | {r['etl_rows']:,} | {r['etl_median']} | "
+                f"{round(r['etl_rows'] / r['etl_median']):,} | {r['dq_median']} |"
+            )
+        big = results["sf0.5eq"]["steps"]
+        mid = {m["name"]: m for m in results["sf0.1"]["steps"]}
+        print("\n| step | s @sf0.1 | s @sf0.5eq | ratio | in rows 0.1→0.5eq | shuf W 0.1→0.5eq |")
+        print("|---|---|---|---|---|---|")
+        for m in big:
+            b = mid.get(m["name"])
+            if not b:
+                continue
+            ratio = round(m["seconds"] / b["seconds"], 2) if b["seconds"] else float("nan")
+            print(
+                f"| {m['name']} | {b['seconds']} | {m['seconds']} | {ratio} | "
+                f"{b['input_rows']:,}→{m['input_rows']:,} | "
+                f"{b['shuffle_write_bytes']:,}→{m['shuffle_write_bytes']:,} |"
+            )
+    finally:
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
