@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--html", metavar="PATH",
                    help="With --data-quality / --data-quality-dashboard: write "
                         "the static self-contained dashboard HTML here")
+    o.add_argument("--port", type=int, metavar="N",
+                   help="With --data-quality-dashboard: serve the live "
+                        "dashboard on this port instead of printing "
+                        "(reference's Dash app, as a stdlib HTTP server)")
     o.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -253,7 +257,25 @@ def main(argv: list[str] | None = None) -> int:
 
         if not wh.exists("dqd", "dqdashboard_results"):
             raise SystemExit("no DQD results — run --data-quality first")
+        if args.port is not None:
+            # Live server (reference's Dash app): pyarrow-backed, so it
+            # never touches the Spark session — serving results must not
+            # hold cluster resources.
+            from .quality.dashboard_server import serve
+
+            serve(wh_root, port=args.port)
+            return 0
+        from pyspark.sql import functions as F
+
         stored = wh.read(spark, "dqd", "dqdashboard_results")
+        if "run_id" in stored.columns:
+            # History accumulates per run (persist_run); the print/HTML
+            # view scopes to the newest run like the reference's
+            # dropdown default (data_quality_dashboard.py:369-377).
+            runs = wh.read(spark, "dqd", "dqdashboard_runs")
+            latest = runs.orderBy(F.col("run_ts").desc()).first()
+            if latest is not None:
+                stored = stored.filter(F.col("run_id") == latest["run_id"])
         if args.html:
             from .quality.dashboard_html import export_dqd_html
 

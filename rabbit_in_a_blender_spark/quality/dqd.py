@@ -23,6 +23,59 @@ from ..pipeline.warehouse import Warehouse
 
 CheckBuilder = Callable[[SparkSession], DataFrame]
 
+# Canonical persisted-results schema: BOTH runners (the ad-hoc
+# ``run_checks`` and the metadata-driven ``dqd_sweep.run_sweep``)
+# append runs into dqd.dqdashboard_results under this single column
+# set, so a warehouse that mixes runners still reads as one table.
+RESULT_COLUMNS = [
+    "check_name",
+    "check_family",
+    "cdm_table",
+    "cdm_field",
+    "num_violated_rows",
+    "pct_violated_rows",
+    "num_denominator_rows",
+    "threshold",
+    "failed",
+    "execution_time_sec",
+    "run_id",
+]
+
+
+def persist_run(
+    warehouse: Warehouse, spark: SparkSession, results: DataFrame, run_id: str
+) -> None:
+    """Append one run's rows (canonical schema, missing columns
+    null-filled) plus its dqd.dqdashboard_runs entry.
+
+    Runs accumulate — the reference keeps every DQD run and its
+    dashboard selects among them (data_quality_dashboard.py:369-377);
+    readers scope to one run_id.
+    """
+    df = results
+    if "check_family" not in df.columns:
+        # DQD naming convention: family is the prefix before the first
+        # underscore (isRequired_person_id → isRequired).
+        df = df.withColumn(
+            "check_family", F.split(F.col("check_name"), "_").getItem(0)
+        )
+    null_fill = {
+        "cdm_table": "string",
+        "cdm_field": "string",
+        "threshold": "double",
+        "failed": "int",
+        "execution_time_sec": "double",
+    }
+    for c, t in null_fill.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(t))
+    df = df.withColumn("run_id", F.lit(run_id)).select(*RESULT_COLUMNS)
+    warehouse.append(df, "dqd", "dqdashboard_results")
+    runs = spark.createDataFrame([(run_id,)], "run_id string").withColumn(
+        "run_ts", F.current_timestamp()
+    )
+    warehouse.append(runs, "dqd", "dqdashboard_runs")
+
 
 def run_checks(
     spark: SparkSession,
@@ -58,11 +111,7 @@ def run_checks(
         out = out.unionByName(r)
     out = out.withColumn("run_id", F.lit(run_id))
     if warehouse is not None:
-        warehouse.write(out, "dqd", "dqdashboard_results")
-        runs = spark.createDataFrame(
-            [(run_id,)], "run_id string"
-        ).withColumn("run_ts", F.current_timestamp())
-        warehouse.append(runs, "dqd", "dqdashboard_runs")
+        persist_run(warehouse, spark, out.drop("run_id"), run_id)
     return out
 
 

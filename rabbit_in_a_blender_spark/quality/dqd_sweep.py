@@ -30,6 +30,7 @@ reference's semantics (data_quality.py:322-347).
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable, Iterable, Mapping
 from dataclasses import dataclass
 
@@ -861,8 +862,21 @@ def run_sweep(
         # re-read from the warehouse (no cache dependency downstream).
         # Only lookups THIS call created are released — a caller sharing
         # one _SharedLookups across sweeps keeps its cache.
-        warehouse.write(out, "dqd", "dqdashboard_results")
+        #
+        # Runs APPEND under a fresh run_id (reference keeps every DQD
+        # run and the dashboard's dropdown selects among them,
+        # data_quality_dashboard.py:369-377); the returned frame is
+        # re-read but scoped to THIS run so the function's contract is
+        # unchanged by history.
+        from .dqd import persist_run
+
+        run_id = str(uuid.uuid4())
+        persist_run(warehouse, spark, out, run_id)
         if owns_lookups:
             lookups.unpersist_all()
-        return warehouse.read(spark, "dqd", "dqdashboard_results")
+        return (
+            warehouse.read(spark, "dqd", "dqdashboard_results")
+            .filter(F.col("run_id") == run_id)
+            .select(*out.columns)
+        )
     return out
