@@ -826,6 +826,72 @@ def dq_sweep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kahn_case_sql() -> tuple[str, str]:
+    """SQL CASE expressions for (category, context), generated from the
+    same FAMILY_KAHN dict the live dashboard classifies with
+    (quality/dashboard.py; reference Kahn rollup data_quality.py:288-299)
+    — one source of truth, so the oracle and the server cannot drift."""
+    from ..quality.dashboard import FAMILY_KAHN
+
+    cat = " ".join(
+        f"WHEN '{fam}' THEN '{v[1]}'" for fam, v in sorted(FAMILY_KAHN.items())
+    )
+    ctx = " ".join(
+        f"WHEN '{fam}' THEN '{v[3]}'" for fam, v in sorted(FAMILY_KAHN.items())
+    )
+    return (
+        f"CASE check_family {cat} ELSE 'Conformance' END",
+        f"CASE check_family {ctx} ELSE 'Verification' END",
+    )
+
+
+def _kahn_rollup_oracle() -> str:
+    cat, ctx = _kahn_case_sql()
+    return f"""
+    SELECT {ctx} AS context, {cat} AS category,
+           CAST(COUNT(*) AS BIGINT)            AS num_checks,
+           CAST(SUM(failed) AS BIGINT)         AS num_failed,
+           CAST(SUM(1 - failed) AS BIGINT)     AS num_passed
+    FROM ({_dq_detail_oracle()}) detail
+    GROUP BY 1, 2
+    """
+
+
+@register("dqd_kahn_rollup", oracle=_kahn_rollup_oracle())
+def dqd_kahn_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's Kahn context x category grid as a query: every
+    sweep check classified by FAMILY_KAHN and rolled up to pass/fail
+    counts (reference run_selected, data_quality_dashboard.py:395-545;
+    Overview rollup data_quality.py:288-318).  The live server's
+    ``kahn_grid`` derives its cells from exactly these numbers."""
+    from ..quality.dashboard import FAMILY_KAHN
+
+    cat_map = F.create_map(
+        *[F.lit(x) for fam, v in sorted(FAMILY_KAHN.items()) for x in (fam, v[1])]
+    )
+    ctx_map = F.create_map(
+        *[F.lit(x) for fam, v in sorted(FAMILY_KAHN.items()) for x in (fam, v[3])]
+    )
+    detail = dq_sweep_detail(spark, sf_dir)
+    return (
+        detail.select(
+            F.coalesce(ctx_map[F.col("check_family")], F.lit("Verification")).alias(
+                "context"
+            ),
+            F.coalesce(cat_map[F.col("check_family")], F.lit("Conformance")).alias(
+                "category"
+            ),
+            "failed",
+        )
+        .groupBy("context", "category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("num_checks"),
+            F.sum("failed").cast("long").alias("num_failed"),
+            F.sum(F.lit(1) - F.col("failed")).cast("long").alias("num_passed"),
+        )
+    )
+
+
 # Achilles 109/110: continuous-observation date spines — persons whose
 # observation period fully covers each year/month.  Spark derives the
 # spine with sequence+explode; DuckDB independently with generate_series.
