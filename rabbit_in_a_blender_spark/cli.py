@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     g = p.add_argument_group("commands")
     g.add_argument("-cd", "--create-db", action="store_true",
                    help="Create the (empty) OMOP CDM tables in the omop zone")
+    g.add_argument("-tdc", "--test-db-connection", action="store_true",
+                   help="Test the Spark session + warehouse root are reachable")
     g.add_argument("-cf", "--create-folders", metavar="PATH",
                    help="Scaffold the ETL folder structure (queries/usagi/custom)")
     g.add_argument("-i", "--import-vocabularies", metavar="ZIP_OR_DIR",
@@ -78,8 +80,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Restrict --run-etl to specific table(s)")
     o.add_argument("-q", "--only-query", action="append", metavar="TABLE/FILE.sql",
                    help="Restrict --run-etl to specific query file(s)")
-    o.add_argument("-se", "--process-semi-approved-mappings", action="store_true",
+    o.add_argument("-sa", "--process-semi-approved-mappings", action="store_true",
                    help="Also map SEMI-APPROVED usagi rows (default: APPROVED only)")
+    o.add_argument("-se", "--skip-event-fks-step", action="store_true",
+                   help="With --run-etl: skip the event foreign-keys step "
+                        "(event id + discriminator columns land as NULL)")
+    o.add_argument("-s", "--skip-usagi-and-custom-concept-upload",
+                   action="store_true",
+                   help="With --run-etl: reuse the usagi/custom-concept work "
+                        "tables persisted by a prior run instead of "
+                        "re-parsing the CSVs (speed boost when mappings "
+                        "are unchanged)")
+    o.add_argument("--clear-auto-generated-custom-concept-ids",
+                   action="store_true",
+                   help="With --cleanup: also drop the custom-concept id "
+                        "swap so ids ≥2B are re-minted on the next run")
     o.add_argument("--json", metavar="PATH",
                    help="With --data-quality: also write viewer JSON here")
     o.add_argument("--html", metavar="PATH",
@@ -141,6 +156,23 @@ def main(argv: list[str] | None = None) -> int:
 
         return read
 
+    if args.test_db_connection:
+        # Reference -tdc/--test-db-connection (cli.py:460-462): prove the
+        # backend answers a trivial query and the warehouse root is
+        # writable before committing to a long ETL run.
+        assert spark.range(1).count() == 1
+        os.makedirs(wh_root, exist_ok=True)
+        probe = os.path.join(wh_root, ".riab_connection_probe")
+        with open(probe, "w") as f:
+            f.write("ok")
+        os.remove(probe)
+        zones = {z: len(wh.list_tables(z)) for z in ("omop", "work", "dqd")}
+        print(
+            f"connection ok: spark {spark.version}, warehouse {wh_root} "
+            f"writable, tables: {zones}"
+        )
+        return 0
+
     if args.create_db:
         created = []
         for tname in sorted(registry.tables):
@@ -198,6 +230,10 @@ def main(argv: list[str] | None = None) -> int:
             wh,
             registry,
             process_semi_approved_mappings=args.process_semi_approved_mappings,
+            skip_usagi_and_custom_concept_upload=(
+                args.skip_usagi_and_custom_concept_upload
+            ),
+            skip_event_fks_step=args.skip_event_fks_step,
         )
         processed = pipe.run(inputs)
         print(f"processed tables: {', '.join(processed)}")
@@ -226,6 +262,9 @@ def main(argv: list[str] | None = None) -> int:
             # dependency walk: cleaning a table also cleans every table
             # of later FK levels (reference etl/cleanup.py:42-48)
             registry=registry,
+            clear_auto_generated_custom_concept_ids=(
+                args.clear_auto_generated_custom_concept_ids
+            ),
         )
         print(f"dropped: {', '.join(dropped) or '(nothing)'}")
         return 0

@@ -90,6 +90,8 @@ class EtlPipeline:
         buckets: int = 32,
         process_semi_approved_mappings: bool = True,
         io_metrics: bool = True,
+        skip_usagi_and_custom_concept_upload: bool = False,
+        skip_event_fks_step: bool = False,
     ):
         self.spark = spark
         self.wh = warehouse
@@ -99,6 +101,18 @@ class EtlPipeline:
         # APPROVED-only; this library defaults to True — documented in
         # COVERAGE.md; the CLI flag mirrors the reference default).
         self.semi = process_semi_approved_mappings
+        # Reference --skip-usagi-and-custom-concept-upload (cli.py:573-580,
+        # etl/etl.py:211): reuse the work-zone usagi/custom tables persisted
+        # by a prior run instead of re-parsing the CSV inputs — the "no
+        # mapping changes, just more data" speed boost.  Implies no STCM
+        # merge and no duplicate/domain re-checks, exactly like the
+        # reference (both live inside the skipped _apply_usagi_mapping).
+        self.skip_upload = skip_usagi_and_custom_concept_upload
+        # Reference --skip-event-fks-step (cli.py:561-566, bq etl.py:525):
+        # stage 2 still promotes work → omop, but with an empty
+        # event-tables map the apply template renders every event FK and
+        # its discriminator as NULL.
+        self.skip_event_fks = skip_event_fks_step
         # Cluster-scale path: materialized uploads and swap tables are
         # written bucketed on the source key, so the pk-swap join (the
         # one fact-fact join in the pipeline) reads two co-partitioned
@@ -356,7 +370,22 @@ class EtlPipeline:
         # omop.concept dimension, patch unmapped usagi rows (M2).
         usagi_patched = dict(inputs.usagi)
         fatal, bookkeeping = [], []
-        for concept_col, custom in inputs.custom_concepts.items():
+        if self.skip_upload:
+            # Reference -s path (etl/etl.py:211): reuse the persisted
+            # work.{t}__{col}__usagi tables from the previous run —
+            # they already carry the custom-concept patches — and do
+            # not touch omop.concept / STCM / the work uploads.
+            for concept_col in spec.concept_cols:
+                wt = f"{spec.name}__{concept_col}__usagi"
+                if self.wh.exists("work", wt):
+                    usagi_patched[concept_col] = self.wh.read(
+                        self.spark, "work", wt
+                    )
+                else:
+                    usagi_patched.pop(concept_col, None)
+        for concept_col, custom in (
+            {} if self.skip_upload else inputs.custom_concepts
+        ).items():
             usagi_patched[concept_col] = self._process_custom_concepts(
                 concept_col, custom, usagi_patched.get(concept_col)
             )
@@ -398,7 +427,11 @@ class EtlPipeline:
             if usagi is None:
                 upload = upload.withColumn(concept_col, F.lit(0).cast("long"))
                 continue
-            if pool is not None:
+            if self.skip_upload:
+                # checks, STCM merge and the work-table write all live
+                # inside the reference's skipped _apply_usagi_mapping
+                pass
+            elif pool is not None:
                 fatal.append(pool.submit(_dup_check, concept_col, usagi))
                 fatal.append(
                     pool.submit(
@@ -418,14 +451,15 @@ class EtlPipeline:
                     spec.name, concept_col, usagi, inputs.allowed_domains.get(concept_col)
                 )
                 self._record_source_to_concept_map(usagi, etl_start)
-            # Persist the usagi upload (reference's work.{t}__{col}_usagi
-            # tables): resumability/audit + per-table cleanup of the
-            # source_to_concept_map.
-            # human-curated CSVs: dimension-sized → single-file write
-            # (repartition, not coalesce — see custom-concepts note)
-            self.wh.write(
-                usagi.repartition(1), "work", f"{spec.name}__{concept_col}__usagi"
-            )
+            if not self.skip_upload:
+                # Persist the usagi upload (reference's work.{t}__{col}_usagi
+                # tables): resumability/audit + per-table cleanup of the
+                # source_to_concept_map.
+                # human-curated CSVs: dimension-sized → single-file write
+                # (repartition, not coalesce — see custom-concepts note)
+                self.wh.write(
+                    usagi.repartition(1), "work", f"{spec.name}__{concept_col}__usagi"
+                )
             upload = apply_usagi(
                 upload,
                 usagi,
@@ -768,7 +802,18 @@ class EtlPipeline:
         if not spec.event_cols:
             return None
         df = self.wh.read(self.spark, "work", spec.name)
-        resolved = resolve_event_columns(df, spec.event_cols, self._load_swap)
+        if self.skip_event_fks:
+            # Reference --skip-event-fks-step: the promote still happens
+            # but with an empty event-tables map, so the apply template
+            # renders the event FK and its discriminator as NULL
+            # (bq etl.py:525 + apply_event_columns.sql.jinja:33-45).
+            resolved = df
+            for event_col, disc_col in spec.event_cols.items():
+                resolved = resolved.withColumn(
+                    event_col, F.lit(None).cast("long")
+                ).withColumn(disc_col, F.lit(None).cast("long"))
+        else:
+            resolved = resolve_event_columns(df, spec.event_cols, self._load_swap)
         self.wh.write(resolved, "omop", spec.name, cluster_by=spec.cluster_by)
         return resolved
 
@@ -857,6 +902,7 @@ def cleanup(
     table: str | None = None,
     spark: SparkSession | None = None,
     registry: SchemaRegistry | None = None,
+    clear_auto_generated_custom_concept_ids: bool = False,
 ) -> list[str]:
     """Reference ``--cleanup``: drop work/omop artifacts for one table
     (or everything), including its swap so ids restart
@@ -892,13 +938,19 @@ def cleanup(
                         t for lvl in levels[i + 1 :] for t in lvl
                     ]
                     break
-    return _cleanup_tables(warehouse, targets, spark)
+    return _cleanup_tables(
+        warehouse,
+        targets,
+        spark,
+        clear_concept_swap=clear_auto_generated_custom_concept_ids,
+    )
 
 
 def _cleanup_tables(
     warehouse: Warehouse,
     targets: list[str] | None,
     spark: SparkSession | None,
+    clear_concept_swap: bool = False,
 ) -> list[str]:
     from ..operators.joins import merge_delete
 
@@ -952,11 +1004,17 @@ def _cleanup_tables(
                 dropped.append(f"omop.{EtlPipeline.STCM}[{wt}]")
     for zone in ("work", "omop"):
         for t in warehouse.list_tables(zone):
-            if zone == "work" and t == EtlPipeline.CONCEPT_SWAP:
-                # kept on every cleanup path (reference default
+            if (
+                zone == "work"
+                and t == EtlPipeline.CONCEPT_SWAP
+                and not clear_concept_swap
+            ):
+                # kept by default (reference
                 # clear_auto_generated_custom_concept_ids=False,
                 # etl/cleanup.py:98-100/146-148): re-uploaded custom
-                # concepts keep their ≥2B ids
+                # concepts keep their ≥2B ids; the
+                # --clear-auto-generated-custom-concept-ids flag drops
+                # the swap so ids are re-minted from 2B
                 continue
             if targets is None or any(
                 t == table or t.startswith(f"{table}__") for table in targets

@@ -180,3 +180,49 @@ def test_create_db(env, spark):
     assert os.path.isdir(vocab)
     df = spark.read.parquet(vocab)
     assert "vocabulary_id" in df.columns and df.count() == 0
+
+
+def test_test_db_connection(env, capsys):
+    assert main(["--config", env["ini"], "--test-db-connection"]) == 0
+    out = capsys.readouterr().out
+    assert "connection ok" in out and "writable" in out
+
+
+def test_run_etl_skip_usagi_upload_reuses_work_tables(env, spark, capsys):
+    """-s/--skip-usagi-and-custom-concept-upload: the rerun must not
+    re-parse the CSVs — delete them and the mapping still applies from
+    the persisted work tables (with -se along for the ride to prove the
+    reference's flag pairing parses)."""
+    ini = env["ini"]
+    assert main(["--config", ini, "--run-etl", env["etl_dir"]]) == 0
+    os.remove(
+        os.path.join(env["etl_dir"], "person", "gender_concept_id", "sex_usagi.csv")
+    )
+    assert main(
+        ["--config", ini, "--run-etl", env["etl_dir"],
+         "--skip-usagi-and-custom-concept-upload", "--skip-event-fks-step"]
+    ) == 0
+    person = spark.read.parquet(
+        os.path.join(env["root"], "warehouse", "omop", "person")
+    )
+    rows = {r["year_of_birth"]: r["gender_concept_id"] for r in person.collect()}
+    assert rows[1970] == 8507  # mapped from the persisted usagi work table
+
+
+def test_cleanup_clear_swap_flag(env, spark, capsys):
+    ini = env["ini"]
+    assert main(["--config", ini, "--run-etl", env["etl_dir"]]) == 0
+    swap = os.path.join(env["root"], "warehouse", "work", "concept_id__swap")
+    # the fixture has no custom concepts, so the global swap may not
+    # exist — stage one so the flag's effect is observable
+    if not os.path.isdir(swap):
+        spark.createDataFrame(
+            [("GENDER_NB", "Custom", 2_000_000_001)],
+            "concept_code string, vocabulary_id string, y long",
+        ).write.parquet(swap)
+    assert main(["--config", ini, "--cleanup"]) == 0
+    assert os.path.isdir(swap)  # default: kept
+    assert main(
+        ["--config", ini, "--cleanup", "--clear-auto-generated-custom-concept-ids"]
+    ) == 0
+    assert not os.path.isdir(swap)

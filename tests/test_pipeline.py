@@ -676,3 +676,97 @@ def test_visit_detail_episode_cdm54(spark, wh):
     person_ids = {r["person_id"] for r in wh.read(spark, "omop", "person").collect()}
     assert by_disc[1147026]["event_id"] in person_ids
     assert {r["episode_id"] for r in ee_rows} == ep_ids
+
+
+def test_skip_usagi_and_custom_concept_upload(spark, wh):
+    """Reference -s/--skip-usagi-and-custom-concept-upload
+    (cli.py:573-580, etl/etl.py:211): a second run whose inputs carry NO
+    usagi CSVs reuses the work-zone usagi tables persisted by the first
+    run — mappings, fan-out, and swapped ids all come out identical."""
+    EtlPipeline(spark, wh, REGISTRY).run(_inputs(spark))
+    first = {
+        (r["name"], r["gender_concept_id"]): r["person_id"]
+        for r in wh.read(spark, "omop", "person").collect()
+    }
+    stcm_before = sorted(
+        (r["source_code"], r["target_concept_id"])
+        for r in wh.read(spark, "omop", "source_to_concept_map").collect()
+    )
+
+    base = _inputs(spark)
+    stripped = {
+        "person": TableInputs(uploads=base["person"].uploads),  # no usagi
+        "visit": base["visit"],
+        "note": base["note"],
+    }
+    pipe2 = EtlPipeline(
+        spark, wh, REGISTRY, skip_usagi_and_custom_concept_upload=True
+    )
+    pipe2.run(stripped)
+    second = {
+        (r["name"], r["gender_concept_id"]): r["person_id"]
+        for r in wh.read(spark, "omop", "person").collect()
+    }
+    assert second == first
+    # the STCM merge lives inside the skipped usagi step: no new rows
+    stcm_after = sorted(
+        (r["source_code"], r["target_concept_id"])
+        for r in wh.read(spark, "omop", "source_to_concept_map").collect()
+    )
+    assert stcm_after == stcm_before
+
+    # without the flag, the same stripped inputs zero every concept —
+    # proving the skip path (not the inputs) carried the mappings
+    EtlPipeline(spark, wh, REGISTRY).run(stripped)
+    zeroed = {
+        r["gender_concept_id"]
+        for r in wh.read(spark, "omop", "person").collect()
+    }
+    assert zeroed == {0}
+
+
+def test_skip_event_fks_step(spark, wh):
+    """Reference -se/--skip-event-fks-step (bq etl.py:525): stage 2
+    still promotes work → omop, but the event FK and its discriminator
+    render as NULL (apply_event_columns.sql.jinja:33-45 empty-map arm)."""
+    pipe = EtlPipeline(spark, wh, REGISTRY, skip_event_fks_step=True)
+    pipe.run(_inputs(spark))
+    note_rows = wh.read(spark, "omop", "note").collect()
+    assert len(note_rows) == 3
+    assert all(
+        r["note_event_id"] is None and r["note_event_field_concept_id"] is None
+        for r in note_rows
+    )
+    # non-event tables are untouched by the flag
+    assert wh.read(spark, "omop", "person").count() == 5
+
+
+def test_cleanup_clear_auto_generated_custom_concept_ids(spark, wh):
+    """Reference --clear-auto-generated-custom-concept-ids
+    (cleanup.py:98-100/146-148): default cleanup keeps the ≥2B concept
+    id swap; the flag drops it so ids are re-minted."""
+    custom = spark.createDataFrame(
+        [("nonbinary", "GENDER_NB", "Gender", "Custom", "Gender")],
+        "concept_name string, concept_code string, domain_id string, "
+        "vocabulary_id string, concept_class_id string",
+    )
+    usagi = _usagi(spark).unionByName(
+        spark.createDataFrame(
+            [("GENDER_NB", "nonbinary", "APPROVED", 0, "NB", "Gender")],
+            "sourceCode string, sourceName string, mappingStatus string, "
+            "conceptId long, conceptName string, domainId string",
+        )
+    )
+    inputs = {
+        "person": TableInputs(
+            uploads=_inputs(spark)["person"].uploads,
+            usagi={"gender_concept_id": usagi},
+            custom_concepts={"gender_concept_id": custom},
+        )
+    }
+    EtlPipeline(spark, wh, REGISTRY).run(inputs)
+    assert wh.exists("work", "concept_id__swap")
+    cleanup(wh, spark=spark)
+    assert wh.exists("work", "concept_id__swap")  # default: kept
+    cleanup(wh, spark=spark, clear_auto_generated_custom_concept_ids=True)
+    assert not wh.exists("work", "concept_id__swap")
