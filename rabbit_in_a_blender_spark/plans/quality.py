@@ -3118,3 +3118,176 @@ def achilles_death_time_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each is one map-side-combined MAX per person on the event table
     joined to the small death table — no window, one shuffle each."""
     return _run_clin_dists(spark, sf_dir, [511, 512, 513, 514, 515])
+
+
+# --- round-5 flag parity under the oracle -----------------------------
+# The reference's --skip-usagi-and-custom-concept-upload and
+# --skip-event-fks-step flags (cli.py:561-580) landed with pytest
+# coverage; this query puts BOTH under the hash oracle: run the mini
+# pipeline normally, then re-run with skip flags on and the usagi input
+# STRIPPED.  If the skip-upload path failed to reuse the persisted work
+# usagi tables, every concept would zero AND every person id would move
+# (the swap identity includes the concept column) — hash mismatch.  If
+# the skip-event path failed, note event columns would carry resolved
+# ids instead of NULL — hash mismatch.
+@register(
+    "etl_skip_flags",
+    oracle="""
+    WITH upload AS (
+      SELECT 'PK_' || CAST(c_custkey AS VARCHAR) AS x,
+             c_mktsegment AS seg, c_name AS name
+      FROM customer),
+    seg_map(seg, concept) AS (
+      VALUES ('AUTOMOBILE', 9001), ('BUILDING', 9002),
+             ('FURNITURE', 9003), ('HOUSEHOLD', 9004)),
+    mapped AS (
+      SELECT u.x, u.name, COALESCE(m.concept, 0) AS segment_concept_id
+      FROM upload u LEFT JOIN seg_map m USING (seg)),
+    pswap AS (
+      SELECT x, segment_concept_id,
+             ROW_NUMBER() OVER (ORDER BY x, segment_concept_id) AS y
+      FROM (SELECT DISTINCT x, segment_concept_id FROM mapped)),
+    person AS (
+      SELECT p.y AS person_id, m.segment_concept_id, m.name
+      FROM mapped m JOIN pswap p
+        ON m.x = p.x AND m.segment_concept_id = p.segment_concept_id),
+    nupload AS (
+      SELECT 'PK_' || CAST(o_orderkey AS VARCHAR) AS x,
+             'PK_' || CAST(o_custkey AS VARCHAR) AS px
+      FROM orders),
+    nswap AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS y
+      FROM (SELECT DISTINCT x FROM nupload)),
+    note AS (
+      SELECT n.y AS note_id, COALESCE(ps.y, 0) AS person_id
+      FROM nupload u JOIN nswap n USING (x)
+      LEFT JOIN pswap ps ON u.px = ps.x)
+    SELECT 'person' AS omop_table, CAST(person_id AS BIGINT) AS pk,
+           CAST(-1 AS BIGINT) AS fk,
+           CAST(segment_concept_id AS BIGINT) AS concept,
+           name AS attr, CAST(-1 AS BIGINT) AS event_id,
+           CAST(-1 AS BIGINT) AS event_disc
+    FROM person
+    UNION ALL
+    SELECT 'note', CAST(note_id AS BIGINT), CAST(person_id AS BIGINT),
+           CAST(-1 AS BIGINT), '', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM note
+    """,
+)
+def etl_skip_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two pipeline runs over customer/orders: a normal run persists the
+    usagi work tables and assigns swap ids; a second run with
+    ``skip_usagi_and_custom_concept_upload=True`` (usagi inputs REMOVED)
+    and ``skip_event_fks_step=True`` must reproduce identical person
+    rows from the persisted mappings while promoting note with NULL
+    event columns (returned as -1 sentinels — see etl_mini_cdm's
+    pandas-coercion note)."""
+    import tempfile
+
+    from ..core.registry import ColumnSpec, SchemaRegistry, TableSpec
+    from ..pipeline.etl import EtlPipeline, TableInputs
+    from ..pipeline.warehouse import Warehouse
+
+    registry = SchemaRegistry(
+        [
+            TableSpec(
+                name="person",
+                columns=[
+                    ColumnSpec("person_id", "int64", required=True),
+                    ColumnSpec("segment_concept_id", "int64", required=True),
+                    ColumnSpec("name", "string"),
+                ],
+                pk="person_id",
+                concept_cols=["segment_concept_id"],
+            ),
+            TableSpec(
+                name="note",
+                columns=[
+                    ColumnSpec("note_id", "int64", required=True),
+                    ColumnSpec("person_id", "int64", required=True),
+                ],
+                pk="note_id",
+                fks={"person_id": "person"},
+                event_cols={"note_event_id": "note_event_field_concept_id"},
+            ),
+        ]
+    )
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    person_upload = c.select(
+        F.concat(F.lit("PK_"), F.col("c_custkey").cast("string")).alias(
+            "person_id"
+        ),
+        F.col("c_mktsegment").alias("segment_concept_id__source"),
+        F.col("c_name").alias("name"),
+    )
+    note_upload = o.select(
+        F.concat(F.lit("PK_"), F.col("o_orderkey").cast("string")).alias(
+            "note_id"
+        ),
+        F.concat(F.lit("PK_"), F.col("o_custkey").cast("string")).alias(
+            "person_id"
+        ),
+        F.concat(F.lit("PK_"), F.col("o_custkey").cast("string")).alias(
+            "note_event_id"
+        ),
+        F.lit("person").alias("note_event_field_concept_id"),
+    )
+    usagi = spark.createDataFrame(
+        [
+            ("AUTOMOBILE", "automobile", "APPROVED", 9001, "AUTO", "Segment"),
+            ("BUILDING", "building", "APPROVED", 9002, "BUILD", "Segment"),
+            ("FURNITURE", "furniture", "APPROVED", 9003, "FURN", "Segment"),
+            ("HOUSEHOLD", "household", "APPROVED", 9004, "HOUSE", "Segment"),
+        ],
+        "sourceCode string, sourceName string, mappingStatus string, "
+        "conceptId long, conceptName string, domainId string",
+    )
+    whdir = tempfile.mkdtemp(prefix="etl_skip_flags_")
+    wh = Warehouse(whdir)
+    EtlPipeline(spark, wh, registry).run(
+        {
+            "person": TableInputs(
+                uploads=[person_upload],
+                usagi={"segment_concept_id": usagi},
+            ),
+            "note": TableInputs(uploads=[note_upload]),
+        }
+    )
+    # second run: no usagi inputs at all — the skip path must find them
+    # in the work zone; skip-event promotes note with NULL event cols
+    EtlPipeline(
+        spark,
+        wh,
+        registry,
+        skip_usagi_and_custom_concept_upload=True,
+        skip_event_fks_step=True,
+    ).run(
+        {
+            "person": TableInputs(uploads=[person_upload]),
+            "note": TableInputs(uploads=[note_upload]),
+        }
+    )
+    person = wh.read(spark, "omop", "person").select(
+        F.lit("person").alias("omop_table"),
+        F.col("person_id").cast("long").alias("pk"),
+        F.lit(-1).cast("long").alias("fk"),
+        F.col("segment_concept_id").cast("long").alias("concept"),
+        F.col("name").alias("attr"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("event_disc"),
+    )
+    note = wh.read(spark, "omop", "note").select(
+        F.lit("note").alias("omop_table"),
+        F.col("note_id").cast("long").alias("pk"),
+        F.col("person_id").cast("long").alias("fk"),
+        F.lit(-1).cast("long").alias("concept"),
+        F.lit("").alias("attr"),
+        F.coalesce(F.col("note_event_id").cast("long"), F.lit(-1)).alias(
+            "event_id"
+        ),
+        F.coalesce(
+            F.col("note_event_field_concept_id").cast("long"), F.lit(-1)
+        ).alias("event_disc"),
+    )
+    return person.unionByName(note)
