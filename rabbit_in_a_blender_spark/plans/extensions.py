@@ -438,3 +438,71 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select(
         "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes")
     )
+
+
+# --- round 5: near-dup CLUSTERING (transitive closure) ----------------
+@register(
+    "ext_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(inter_size / (sa.sz + sb.sz - inter_size), 4) >= 0.05
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           CAST(doc_id = cluster_id AS BIGINT) AS is_canonical
+    FROM lab
+    """,
+    doc="Transitive near-dup clusters: Jaccard>=0.05 pairs -> connected "
+        "components -> canonical-per-cluster labeling.",
+)
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (ext/cluster.py): pairwise dedup only flags
+    edges; curation needs every document labeled with its transitive
+    cluster and one canonical survivor per cluster (A~B, B~C purges C
+    even though A and C never matched).  Engine side runs min-label
+    propagation + pointer jumping; the DuckDB oracle re-derives the
+    same labeling via a recursive-CTE transitive closure.  exact=True
+    pairs here so both engines see the identical edge set; the
+    LSH-candidate default is the 100 TB path (same downstream CC)."""
+    from ..ext.cluster import near_dup_clusters
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return near_dup_clusters(
+        d, "doc_id", "text", n=3, threshold=0.05, exact=True
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("is_canonical").cast("long").alias("is_canonical"),
+    )

@@ -1,0 +1,117 @@
+"""Connected-components near-dup clustering (ext/cluster.py)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rabbit_in_a_blender_spark.ext.cluster import (
+    connected_components,
+    near_dup_clusters,
+)
+
+
+def _cc(spark, edges):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["node"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: every node → min id of its component
+    comp = {}
+    roots = {}
+    for x in list(parent):
+        roots.setdefault(find(x), []).append(x)
+    for members in roots.values():
+        m = min(members)
+        for x in members:
+            comp[x] = m
+    return comp
+
+
+def test_transitive_chain_and_isolated(spark):
+    # A~B, B~C must cluster A,B,C together; D~E separate
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges_under_pointer_jumping(spark):
+    """A 64-node path has diameter 63; plain min-propagation would need
+    63 rounds — pointer jumping must finish within the 30-round cap."""
+    edges = [(i, i + 1) for i in range(64)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 65
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_matches_union_find(spark, edges):
+    canon = [(min(a, b), max(a, b)) for a, b in edges]
+    assert _cc(spark, canon) == _union_find(canon)
+
+
+def test_near_dup_clusters_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "the quick brown fox jumps over the lazy cat tonight"),
+            (4, "completely different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in near_dup_clusters(
+            docs, "doc_id", "text", threshold=0.3, exact=True
+        ).collect()
+    }
+    # 1~2 and 2~3 overlap heavily; 1~3 may fall under the threshold but
+    # transitivity must still cluster all three
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[1]["cluster_size"] == 3
+    assert out[1]["is_canonical"] == 1
+    assert out[2]["is_canonical"] == 0
+    # doc 4 is a singleton canonical
+    assert out[4]["cluster_id"] == 4
+    assert out[4]["cluster_size"] == 1
+    assert out[4]["is_canonical"] == 1
+
+
+def test_default_path_uses_lsh_candidates(spark):
+    """The non-exact path must still produce a full labeling (every doc
+    exactly once) even when LSH yields no candidate pairs."""
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i} with filler words {i * 7}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = near_dup_clusters(docs, "doc_id", "text", threshold=0.9)
+    rows = out.collect()
+    assert len(rows) == 8
+    assert all(r["is_canonical"] == 1 and r["cluster_size"] == 1 for r in rows)
