@@ -51,6 +51,11 @@ def connected_components(
     forest depth halves per round, so 30 rounds covers graphs up to
     ~2^30 diameter.  Raises if convergence isn't reached — a silent
     partial clustering would corrupt a dedup purge.
+
+    Cache ownership: the returned frame IS the final round's persisted
+    label table (node-count rows; all intermediates are unpersisted).
+    It stays cached so downstream joins don't replay the loop — call
+    ``.unpersist()`` on it when done, like any frame you persisted.
     """
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
