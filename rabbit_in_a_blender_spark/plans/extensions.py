@@ -506,3 +506,31 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("long").alias("cluster_size"),
         F.col("is_canonical").cast("long").alias("is_canonical"),
     )
+
+
+@register(
+    "ext_dedup_clusters_lsh",
+    oracle=None,  # LSH candidates are probabilistic (a missed candidate
+    # pair can split a cluster) → rows-only check; the exact-pair
+    # variant ext_dedup_clusters carries the hash oracle for the same
+    # downstream CC, and tests/test_cluster.py proves the labeling
+    # invariants (every doc labeled once, canonical = min id).
+    doc="Scale path of ext_dedup_clusters: LSH-candidate pairs feed the "
+        "same connected-components labeling.",
+)
+def ext_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB path: MinHash-LSH candidate pairs (bounded band join, no
+    all-shared-shingle blowup) → Jaccard filter → connected components.
+    This is what a production curation job runs; the exact twin
+    ext_dedup_clusters proves the CC math under the DuckDB oracle."""
+    from ..ext.cluster import near_dup_clusters
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return near_dup_clusters(
+        d, "doc_id", "text", n=3, threshold=0.05, exact=False
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("is_canonical").cast("long").alias("is_canonical"),
+    )
