@@ -66,6 +66,42 @@ def build_replicated(spark, src_dir: str, out_dir: str, k: int) -> None:
     )
 
 
+def build_replicated_docs(spark, src_dir: str, out_dir: str, k: int) -> None:
+    """Replicate documents k times: disjoint doc_ids AND per-replica
+    salted words.  Salting every word (prefix ``r{i}_``) makes replica
+    shingle sets disjoint, so the near-dup graph is k independent
+    copies of the original — rows and candidate-key cardinality scale
+    together while per-replica cluster structure stays constant, which
+    is the axis that stresses the LSH band join and the CC loop."""
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    parts = []
+    for i in range(k):
+        parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + i * KEY_OFFSET)
+            .withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(^| )", f"$1r{i}_")
+            )
+        )
+    from functools import reduce
+
+    reduce(lambda a, b: a.unionByName(b), parts).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/documents.parquet")
+
+
+def time_clusters(spark, sf_dir: str, reps: int) -> tuple[int, list[float]]:
+    from rabbit_in_a_blender_spark.plans.catalog import all_queries
+
+    fn = all_queries()["ext_dedup_clusters_lsh"]
+    n_docs = fn(spark, sf_dir).count()  # warmup doubles as the doc count
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out.append(round(time.perf_counter() - t0, 3))
+    return n_docs, out
+
+
 def time_dq(spark, sf_dir: str, reps: int) -> list[float]:
     from rabbit_in_a_blender_spark.plans.catalog import all_queries
 
@@ -81,11 +117,17 @@ def time_dq(spark, sf_dir: str, reps: int) -> list[float]:
 
 def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    # SPARK_GRAFT_SCALE_ONLY=etl|clusters runs one section (default: both)
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     spark = get_spark("scale_curve")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).count()
 
     scaled_dir = tempfile.mkdtemp(prefix="scale_sf05_")
+    if only == "clusters":
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _clusters_curve(spark, reps)
+        return
     try:
         build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
         points = [
@@ -155,6 +197,49 @@ def main() -> None:
             )
     finally:
         shutil.rmtree(scaled_dir, ignore_errors=True)
+
+    if only != "etl":
+        _clusters_curve(spark, reps)
+
+
+def _clusters_curve(spark, reps: int) -> None:
+    # --- clustering scale curve (round 5) ----------------------------
+    # Same replication idea for the near-dup clustering pipeline:
+    # sf0.1's 5k docs, then 5x and 10x salted replicas (25k / 50k docs,
+    # k disjoint copies of the same near-dup graph).
+    cl_results = {}
+    for label, src, k in (
+        ("docs-sf0.01", "/root/testdata/sf0.01", 1),
+        ("docs-sf0.1", "/root/testdata/sf0.1", 1),
+        ("docs-x5", "/root/testdata/sf0.1", 5),
+        ("docs-x10", "/root/testdata/sf0.1", 10),
+    ):
+        d = src
+        tmp = None
+        try:
+            if k > 1:
+                tmp = tempfile.mkdtemp(prefix=f"scale_docs{k}_")
+                build_replicated_docs(spark, src, tmp, k)
+                d = tmp
+            n_docs, samples = time_clusters(spark, d, reps)
+            cl_results[label] = {
+                "docs": n_docs,
+                "reps": samples,
+                "median": sorted(samples)[len(samples) // 2],
+            }
+            print(f"## clusters {label}: {n_docs} docs {samples}", flush=True)
+        finally:
+            if tmp:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(cl_results))
+    print("\n| point | docs | clusters_lsh median s | docs/s |")
+    print("|---|---|---|---|")
+    for label, r in cl_results.items():
+        print(
+            f"| {label} | {r['docs']:,} | {r['median']} | "
+            f"{round(r['docs'] / r['median']):,} |"
+        )
 
 
 if __name__ == "__main__":
