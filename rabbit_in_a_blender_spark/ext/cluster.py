@@ -148,7 +148,30 @@ def near_dup_clusters(
         num_hashes=num_hashes,
         bands=bands,
     ).select("id_a", "id_b")
-    comp = connected_components(pairs)
+    return label_clusters(df, id_col, connected_components(pairs))
+
+
+def embed_near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-space twin of :func:`near_dup_clusters`: cosine ≥
+    threshold pairs (sign-LSH candidates by default; ``exact=True`` for
+    the all-pairs oracle baseline) → connected components → per-vector
+    (cluster_id, cluster_size, is_canonical) labeling."""
+    from .similarity import cosine_near_dup_lsh, cosine_near_dup_pairs
+
+    fn = cosine_near_dup_pairs if exact else cosine_near_dup_lsh
+    pairs = fn(df, id_col, vec_col, threshold=threshold).select("id_a", "id_b")
+    return label_clusters(df, id_col, connected_components(pairs))
+
+
+def label_clusters(df: DataFrame, id_col: str, comp: DataFrame) -> DataFrame:
+    """Join a (node, comp) component table back onto every id: unmatched
+    ids become their own singleton cluster; canonical = min id."""
     out = (
         df.select(F.col(id_col))
         .join(comp, F.col(id_col) == comp["node"], "left")

@@ -534,3 +534,61 @@ def ext_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("long").alias("cluster_size"),
         F.col("is_canonical").cast("long").alias("is_canonical"),
     )
+
+
+@register(
+    "ext_embed_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ),
+    comp AS (
+      SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    lab AS (
+      SELECT emb.vec_id, COALESCE(c.cluster_id, emb.vec_id) AS cluster_id
+      FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           CAST(vec_id = cluster_id AS BIGINT) AS is_canonical
+    FROM lab
+    """,
+    doc="Embedding-cosine near-dup clusters: cosine>=0.35 pairs -> "
+        "connected components -> canonical-per-cluster labeling.",
+)
+def ext_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space clustering twin of ext_dedup_clusters
+    (ext/cluster.py::embed_near_dup_clusters): exact cosine pairs here
+    so both engines see the same edge set; production uses the sign-LSH
+    candidate default (same downstream CC)."""
+    from ..ext.cluster import embed_near_dup_clusters
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return embed_near_dup_clusters(
+        e, "vec_id", "embedding", threshold=0.35, exact=True
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("is_canonical").cast("long").alias("is_canonical"),
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from rabbit_in_a_blender_spark.ext.cluster import (
     connected_components,
+    embed_near_dup_clusters,
     near_dup_clusters,
 )
 
@@ -115,3 +116,24 @@ def test_default_path_uses_lsh_candidates(spark):
     rows = out.collect()
     assert len(rows) == 8
     assert all(r["is_canonical"] == 1 and r["cluster_size"] == 1 for r in rows)
+
+
+def test_embed_near_dup_clusters(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0]),   # ~1 with vec 1
+            (3, [0.97, 0.24, 0.0]),    # close to 2, less to 1
+            (4, [0.0, 1.0, 0.0]),      # orthogonal to the 1-2-3 chain
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in embed_near_dup_clusters(
+            vecs, threshold=0.97, exact=True
+        ).collect()
+    }
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[1]["cluster_size"] == 3 and out[1]["is_canonical"] == 1
+    assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
