@@ -61,6 +61,8 @@ HEADLINE = [
 # label propagation; its actions run inside the query function).
 NON_HEADLINE = [
     "ext_dedup_clusters_lsh",
+    "ext_decontam_filter",
+    "ext_corpus_prep",
 ]
 
 

@@ -1,0 +1,74 @@
+"""Benchmark decontamination for training-data pipelines: remove (or
+flag) corpus documents that share word n-grams with an evaluation set.
+
+The standard pretraining hygiene step (GPT-3 §C / PaLM / Llama reports
+describe the same shape): build the set of distinct word n-grams in the
+benchmark, then drop any training document containing one.
+
+Spark-first design:
+- benchmark n-grams are DISTINCT and broadcast — eval sets are tiny
+  (thousands of docs) next to a 100 TB corpus, so the contaminated-doc
+  probe is a broadcast semi/inner join, never a shuffle of the corpus;
+- corpus shingling reuses :func:`..ext.dedup.shingle_sets` (split →
+  transform → explode, all whole-stage-codegen'd JVM expressions);
+- the per-doc overlap count aggregates (doc_id, shingle) pairs AFTER the
+  broadcast join has filtered them to matches only — the shuffle carries
+  matched pairs, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_sets
+
+
+def benchmark_ngrams(bench: DataFrame, text_col: str, n: int = 8) -> DataFrame:
+    """Distinct word n-grams of the benchmark set: one `shingle` column.
+
+    Distinct here (small side) so the broadcast payload and the join
+    fan-out are both minimal.
+    """
+    sh = shingle_sets(
+        bench.select(F.lit(0).alias("__bid"), F.col(text_col)), "__bid", text_col, n=n
+    )
+    return sh.select("shingle").distinct()
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """(id, n_shared_ngrams) for every corpus doc sharing >= 1 distinct
+    word n-gram with the benchmark set."""
+    grams = F.broadcast(benchmark_ngrams(bench, text_col, n=n))
+    matched = shingle_sets(corpus, id_col, text_col, n=n).join(grams, "shingle")
+    return matched.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_ngrams")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Corpus minus contaminated docs (>= min_shared shared n-grams).
+
+    Anti join on the matched-id set.  Contamination rates are typically
+    well under 1%, so AQE turns this into a broadcast anti join at
+    runtime; the explicit hint is deliberately omitted because the hit
+    set's size is data-dependent (a benchmark that leaked wholesale into
+    the corpus could make it large).
+    """
+    hits = contamination_overlap(corpus, bench, id_col, text_col, n=n).filter(
+        F.col("n_shared_ngrams") >= min_shared
+    )
+    return corpus.join(hits.select(id_col), id_col, "left_anti")

@@ -1,0 +1,117 @@
+"""Deterministic sampling and dataset-split operators for training-data
+pipelines: uniform sampling, per-stratum sampling, and train/val/test
+split assignment.
+
+Design: every decision is a pure function of ``md5(key ':' seed)`` — no
+RNG state, no partition-order dependence.  The first 8 hex chars of the
+digest are compared lexicographically against a precomputed hex
+threshold, which keeps the operator
+
+- **reproducible**: the same (key, seed) lands in the same sample/split
+  on any cluster size, any partitioning, any engine;
+- **oracle-checkable**: DuckDB's ``md5()`` produces the identical
+  lowercase hex, so the CORRECTNESS gate can replay the exact decision;
+- **scale-free**: sampling is a narrow ``filter`` and split assignment a
+  narrow ``select`` — zero shuffles, zero driver traffic, pushdown-
+  friendly at 100 TB.  (Contrast ``DataFrame.sample``, whose Bernoulli
+  draw is partition-order dependent and irreproducible across engines.)
+
+The same hash-prefix trick is what production dataset tooling uses for
+stable holdout membership (a row's split must not flicker when the
+corpus is re-sharded or grows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 8 hex chars = 32 bits of the digest: plenty of resolution for
+# per-mille fractions while keeping thresholds human-readable.
+_PREFIX_LEN = 8
+_SPACE = 16**_PREFIX_LEN
+
+
+def hash_bucket(key: Column, seed: str) -> Column:
+    """First 8 hex chars of md5("<key>:<seed>") — a uniform draw in
+    [0, 16^8) encoded as a lexicographically ordered hex string.
+
+    Oracle equivalent: ``substr(md5(CAST(k AS VARCHAR) || ':<seed>'), 1, 8)``.
+    """
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(f":{seed}"))), 1, _PREFIX_LEN
+    )
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex threshold t such that P[hash_bucket < t] == round(fraction * 16^8) / 16^8.
+
+    fraction >= 1.0 returns a sentinel above every hex string so the
+    filter keeps everything.
+    """
+    if fraction >= 1.0:
+        return "g"  # every hex char < 'g'
+    n = max(int(round(fraction * _SPACE)), 0)
+    return format(n, "08x")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = "sample"
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below the fraction threshold.
+
+    A narrow filter: no shuffle, no RNG, stable under re-partitioning and
+    corpus growth (a kept key stays kept when new rows arrive).
+    """
+    return df.filter(
+        hash_bucket(F.col(key_col), seed) < F.lit(fraction_threshold(fraction))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` semantics, but
+    reproducible): each stratum gets its own keep-fraction; strata not
+    listed fall back to ``default_fraction``.
+
+    Still a narrow filter — the stratum threshold is a CASE expression,
+    not a join.
+    """
+    thr = F.lit(fraction_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(fraction_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key_col), seed) < thr)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: str = "split",
+    names: tuple[str, str, str] = ("train", "val", "test"),
+) -> DataFrame:
+    """Assign every row a stable split label from cumulative hash ranges.
+
+    weights are normalized; boundaries are cumulative-fraction hex
+    thresholds, so the three ranges partition the hash space exactly and
+    a row's split never changes when the corpus is re-sharded or grows.
+    Adds a ``split`` string column; narrow projection, zero shuffle.
+    """
+    total = sum(weights)
+    c1 = fraction_threshold(weights[0] / total)
+    c2 = fraction_threshold((weights[0] + weights[1]) / total)
+    b = hash_bucket(F.col(key_col), seed)
+    split = (
+        F.when(b < F.lit(c1), names[0])
+        .when(b < F.lit(c2), names[1])
+        .otherwise(names[2])
+    )
+    return df.withColumn("split", split)

@@ -29,6 +29,7 @@ _MODULES = (
     "rabbit_in_a_blender_spark.plans.extras",
     "rabbit_in_a_blender_spark.plans.quality",
     "rabbit_in_a_blender_spark.plans.extensions",
+    "rabbit_in_a_blender_spark.plans.llmprep",
     "rabbit_in_a_blender_spark.plans.streaming_batch",
     "rabbit_in_a_blender_spark.plans.sources",
 )

@@ -1,0 +1,277 @@
+"""Training-data-preparation queries (SURVEY §2.N extensions): stable
+sampling / split assignment, benchmark decontamination, and sequence
+packing over the documents table.
+
+Every decision in these operators is a pure function of md5 digests or
+of the data itself, so the DuckDB oracles replay the exact algorithm —
+including the next-fit packing fold, expressed as a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.io import load_tables
+from ..ext.decontam import contamination_overlap, decontaminate
+from ..ext.packing import pack_next_fit
+from ..ext.sampling import (
+    deterministic_sample,
+    fraction_threshold,
+    stratified_sample,
+    train_val_test_split,
+)
+from ..ext.text import token_counts
+from .catalog import register
+
+# Thresholds are computed ONCE here and embedded in both engines' plans,
+# so a rounding choice can never diverge between Spark and the oracle.
+_T_QUARTER = fraction_threshold(0.25)
+_STRATA = {"en": 0.1, "fr": 0.5, "zh": 0.3}
+_T_DEFAULT = fraction_threshold(0.2)
+_T_TRAIN = fraction_threshold(0.8)
+_T_VAL = fraction_threshold(0.9)
+
+
+@register(
+    "ext_sample_uniform",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':r5'), 1, 8) < '{_T_QUARTER}'
+    """,
+    doc="Deterministic 25% sample: md5 hash-prefix filter, zero shuffle.",
+)
+def ext_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return deterministic_sample(d, "doc_id", 0.25, seed="r5").select("doc_id", "lang")
+
+
+@register(
+    "ext_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':r5'), 1, 8)
+          < CASE lang
+              WHEN 'zh' THEN '{fraction_threshold(0.3)}'
+              WHEN 'fr' THEN '{fraction_threshold(0.5)}'
+              WHEN 'en' THEN '{fraction_threshold(0.1)}'
+              ELSE '{_T_DEFAULT}'
+            END
+    """,
+    doc="Per-language keep fractions via CASE thresholds; narrow filter.",
+)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return stratified_sample(
+        d, "doc_id", "lang", _STRATA, seed="r5", default_fraction=0.2
+    ).select("doc_id", "lang")
+
+
+@register(
+    "ext_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) < '{_T_TRAIN}'
+               THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) < '{_T_VAL}'
+               THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    doc="80/10/10 train/val/test assignment from cumulative hash ranges.",
+)
+def ext_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return train_val_test_split(d, "doc_id", (0.8, 0.1, 0.1), seed="split").select(
+        "doc_id", "split"
+    )
+
+
+# Benchmark set for the decontamination queries: every 97th document
+# plays the eval set; the rest are the training corpus.  3-grams (not
+# the production default of 8) so the tiny fixture actually overlaps.
+_DECON_SQL = """
+    bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    bgrams AS (
+      SELECT DISTINCT g AS shingle FROM (
+        SELECT unnest(list_distinct(list_transform(
+                 range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')
+               ))) AS g
+        FROM bench
+      ) AS t
+    ),
+    cgrams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')
+             ))) AS shingle
+      FROM corpus
+    ),
+    hits AS (
+      SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+      FROM cgrams c JOIN bgrams b ON c.shingle = b.shingle
+      GROUP BY c.doc_id
+    )
+"""
+
+
+@register(
+    "ext_decontam_overlap",
+    oracle=f"WITH {_DECON_SQL} SELECT doc_id, n_shared_ngrams FROM hits",
+    doc="Per-doc count of word 3-grams shared with the benchmark set "
+    "(broadcast the benchmark grams; corpus never shuffled raw).",
+)
+def ext_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(corpus, bench, "doc_id", "text", n=3)
+
+
+@register(
+    "ext_decontam_filter",
+    oracle=f"""
+    WITH {_DECON_SQL}
+    SELECT c.doc_id, c.lang FROM corpus c
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+    doc="Decontaminated corpus: anti join against contaminated doc ids.",
+)
+def ext_decontam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=3).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "ext_corpus_prep",
+    oracle=f"""
+    WITH bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    rawcorpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    qbase AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS nw,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','of','and','to','in','is','it','that','for'], w)))
+               / len(string_split(text, ' ')) AS stop_r,
+             len(regexp_extract_all(text, '[.,;:!?]'))
+               / greatest(length(text), 1) AS punct_r
+      FROM rawcorpus
+    ),
+    keepq AS (
+      SELECT c.* FROM rawcorpus c JOIN qbase USING (doc_id)
+      WHERE ROUND(least(nw / 64.0, 1.0) * 0.4 + stop_r * 0.4
+                  + (1.0 - punct_r) * 0.2, 4) >= 0.5
+    ),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM keepq GROUP BY md5(text)),
+    dedup AS (SELECT k.* FROM keepq k JOIN canon USING (doc_id)),
+    bgrams AS (
+      SELECT DISTINCT g AS shingle FROM (
+        SELECT unnest(list_distinct(list_transform(
+                 range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')
+               ))) AS g
+        FROM bench
+      ) AS t
+    ),
+    dgrams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')
+             ))) AS shingle
+      FROM dedup
+    ),
+    hits AS (
+      SELECT d.doc_id FROM dgrams d JOIN bgrams b ON d.shingle = b.shingle
+      GROUP BY d.doc_id
+    ),
+    decon AS (
+      SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    )
+    SELECT
+      CASE
+        WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) < '{_T_TRAIN}'
+          THEN 'train'
+        WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) < '{_T_VAL}'
+          THEN 'val'
+        ELSE 'test'
+      END AS split,
+      lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM decon
+    GROUP BY 1, 2
+    """,
+    doc="End-to-end corpus preparation: quality filter (>=0.5) -> exact "
+    "dedup (canonical doc per text hash) -> benchmark decontamination "
+    "(3-gram) -> train/val/test assignment -> per-(split, lang) doc and "
+    "token tallies.  Every stage is an already-proven operator; this row "
+    "proves their composition.",
+)
+def ext_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import exact_dedup_groups
+    from ..ext.text import quality_score
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    keep_ids = (
+        quality_score(corpus, "doc_id", "text")
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id")
+    )
+    keepq = corpus.join(keep_ids, "doc_id", "left_semi")
+    canon = exact_dedup_groups(keepq, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    dedup = keepq.join(canon, "doc_id", "left_semi")
+    decon = decontaminate(dedup, bench, "doc_id", "text", n=3)
+    final = train_val_test_split(decon, "doc_id", (0.8, 0.1, 0.1), seed="split")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    return final.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+    )
+
+
+@register(
+    "ext_pack_nextfit",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             doc_id // 128 AS grp
+      FROM documents
+    ),
+    docs AS (
+      SELECT doc_id, n_ws_tokens, grp,
+             row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+      FROM toks
+    ),
+    pack AS (
+      SELECT grp, rn, doc_id, n_ws_tokens,
+             CAST(0 AS BIGINT) AS bin, n_ws_tokens AS load
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.grp, d.rn, d.doc_id, d.n_ws_tokens,
+             CASE WHEN p.load + d.n_ws_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.load + d.n_ws_tokens > 512
+                  THEN d.n_ws_tokens ELSE p.load + d.n_ws_tokens END
+      FROM pack p JOIN docs d ON d.grp = p.grp AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, n_ws_tokens, grp * 4294967296 + bin AS bin_id FROM pack
+    """,
+    doc="Next-fit sequence packing (budget 512 ws-tokens, id-range groups "
+    "of 128); the oracle replays the fold as a recursive CTE.",
+)
+def ext_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = token_counts(d, "doc_id", "text").select("doc_id", "n_ws_tokens")
+    return pack_next_fit(toks, "doc_id", "n_ws_tokens", budget=512, group_span=128)
