@@ -275,6 +275,32 @@ def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_pq_topk",
+    oracle=None,  # approximate by design → rows-only check; ADC ranking
+    # is asserted lossless on cluster-structured data and the rerank
+    # path >=0.8 recall on the driver fixture in tests/test_pq.py
+    doc="Product-quantization ANN: m=16 subspaces x ksub=32 codes, "
+    "2 Lloyd rounds, ADC shortlist-32 + exact cosine re-rank "
+    "(16x vector compression at d=64).",
+)
+def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.pq import (
+        l2_normalize,
+        pq_encode,
+        pq_search_rerank,
+        train_pq_codebooks,
+    )
+
+    e = l2_normalize(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"], "embedding"
+    )
+    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2)
+    codes = pq_encode(e, books, m=16)
+    queries = e.filter(F.col("vec_id") < 10)
+    return pq_search_rerank(codes, books, e, queries, m=16, k=3, shortlist=32)
+
+
+@register(
     "ext_profile_approx",
     oracle=None,  # HLL estimates differ across engines by design
     doc="approx_count_distinct profile of the orders table.",

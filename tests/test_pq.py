@@ -1,0 +1,92 @@
+"""Product quantization: codebook shapes, zero-information-loss check on
+cluster-structured data, recall vs brute force, encode determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rabbit_in_a_blender_spark.ext.pq import (
+    l2_normalize,
+    pq_encode,
+    pq_search,
+    pq_search_rerank,
+    train_pq_codebooks,
+)
+from rabbit_in_a_blender_spark.ext.similarity import cosine_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return l2_normalize(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), "embedding"
+    )
+
+
+def test_codebook_shape(spark, embeddings):
+    books = train_pq_codebooks(embeddings, m=8, ksub=4, iterations=1)
+    rows = books.collect()
+    assert {r["sub_idx"] for r in rows} == set(range(8))
+    for r in rows:
+        assert 0 <= r["code"] < 4
+        assert len(r["subvec"]) == 8  # 64 dims / 8 subspaces
+
+
+def test_encode_every_vector_once_and_deterministic(spark, embeddings):
+    books = train_pq_codebooks(embeddings, m=8, ksub=4, iterations=1)
+    codes = pq_encode(embeddings, books, m=8)
+    rows = codes.collect()
+    assert len(rows) == embeddings.count()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    again = pq_encode(embeddings.repartition(5), books, m=8).collect()
+    assert sorted((r["vec_id"], tuple(r["codes"])) for r in rows) == sorted(
+        (r["vec_id"], tuple(r["codes"])) for r in again
+    )
+
+
+def test_pq_exact_on_cluster_structured_vectors(spark):
+    """When the data IS ksub distinct subvector patterns, PQ is lossless:
+    ADC ranking must equal exact cosine ranking."""
+    rows = []
+    for i in range(16):
+        vec = []
+        for j in range(8):
+            vec += [float(1 + (i + j) % 4)] * 8
+        rows.append((i, vec))
+    df = l2_normalize(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        "embedding",
+    )
+    books = train_pq_codebooks(df, m=8, ksub=4, iterations=2)
+    codes = pq_encode(df, books, m=8)
+    queries = df.filter(F.col("vec_id") < 4)
+    approx = pq_search(codes, books, queries, m=8, k=3)
+    exact = cosine_topk(df, queries, k=3)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert a == e
+
+
+def test_pq_recall_vs_brute_force(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(embeddings, queries, k=3).collect()
+    }
+    books = train_pq_codebooks(embeddings, m=16, ksub=32, iterations=2)
+    codes = pq_encode(embeddings, books, m=16)
+    # plain ADC: quantized ranking alone (unstructured fixture → modest)
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_search(codes, books, queries, m=16, k=3).collect()
+    }
+    assert len(exact_pairs & adc) / len(exact_pairs) >= 0.2
+    # ADC shortlist + exact re-rank: the production recipe
+    rr = pq_search_rerank(
+        codes, books, embeddings, queries, m=16, k=3, shortlist=32
+    )
+    rr_pairs = {(r["query_id"], r["neighbor_id"]) for r in rr.collect()}
+    recall = len(exact_pairs & rr_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"PQ+rerank recall too low: {recall}"

@@ -117,7 +117,8 @@ def time_dq(spark, sf_dir: str, reps: int) -> list[float]:
 
 def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
-    # SPARK_GRAFT_SCALE_ONLY=etl|clusters runs one section (default: both)
+    # SPARK_GRAFT_SCALE_ONLY=etl|clusters|corpus runs one section
+    # (default: etl + clusters, the r4/r5 verdict-ordered curves)
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     spark = get_spark("scale_curve")
     spark.sparkContext.setLogLevel("ERROR")
@@ -127,6 +128,10 @@ def main() -> None:
     if only == "clusters":
         shutil.rmtree(scaled_dir, ignore_errors=True)
         _clusters_curve(spark, reps)
+        return
+    if only == "corpus":
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _corpus_curve(spark, reps)
         return
     try:
         build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
@@ -239,6 +244,60 @@ def _clusters_curve(spark, reps: int) -> None:
         print(
             f"| {label} | {r['docs']:,} | {r['median']} | "
             f"{round(r['docs'] / r['median']):,} |"
+        )
+
+
+def _corpus_curve(spark, reps: int) -> None:
+    # --- corpus-prep scale curve (round 5) ---------------------------
+    # The training-data prep chain (quality filter → exact dedup →
+    # decontamination → split assign → tallies) on salted doc replicas.
+    # Replica words are salted, so each replica carries its own
+    # benchmark-gram space — bench-gram count grows with k, the axis
+    # that stresses the broadcast + overlap join.
+    from rabbit_in_a_blender_spark.plans.catalog import all_queries
+
+    qs = all_queries()
+    results = {}
+    for label, src, k in (
+        ("docs-sf0.1", "/root/testdata/sf0.1", 1),
+        ("docs-x5", "/root/testdata/sf0.1", 5),
+        ("docs-x10", "/root/testdata/sf0.1", 10),
+    ):
+        d = src
+        tmp = None
+        try:
+            if k > 1:
+                tmp = tempfile.mkdtemp(prefix=f"scale_corpus{k}_")
+                build_replicated_docs(spark, src, tmp, k)
+                d = tmp
+            n_docs = spark.read.parquet(f"{d}/documents.parquet").count()
+            point = {"docs": n_docs}
+            for qname in ("ext_corpus_prep", "ext_decontam_filter"):
+                fn = qs[qname]
+                fn(spark, d).write.format("noop").mode("overwrite").save()  # warmup
+                samples = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    samples.append(round(time.perf_counter() - t0, 3))
+                point[qname] = {
+                    "reps": samples,
+                    "median": sorted(samples)[len(samples) // 2],
+                }
+            results[label] = point
+            print(f"## corpus {label}: {n_docs} docs {point}", flush=True)
+        finally:
+            if tmp:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(results))
+    print("\n| point | docs | corpus_prep median s | docs/s | decontam median s |")
+    print("|---|---|---|---|---|")
+    for label, r in results.items():
+        med = r["ext_corpus_prep"]["median"]
+        print(
+            f"| {label} | {r['docs']:,} | {med} | {round(r['docs'] / med):,} | "
+            f"{r['ext_decontam_filter']['median']} |"
         )
 
 
