@@ -219,3 +219,93 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def signature_bands(
+    signatures: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows — the storable LSH index of a corpus.
+
+    Same banding arithmetic as :func:`lsh_candidate_pairs` (md5 over the
+    '|'-joined band slice of the signature), exposed standalone so the
+    index can be PERSISTED between runs: a continuous-crawl pipeline
+    materializes this once per corpus snapshot and only the daily delta
+    recomputes signatures.  Store bucketed by ``band_hash`` so the
+    incremental probe join co-locates without a corpus-side shuffle.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(
+        F.col(id_col),
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Screen a NEW batch against an existing corpus LSH index.
+
+    Returns ``(clean_docs, clean_bands)``:
+
+    - ``clean_docs`` — batch rows that (a) share no LSH band with the
+      stored corpus index and (b) are not the higher-id member of an
+      intra-batch band collision (lowest id wins, the same canonical
+      rule as exact_dedup_groups; transitive intra-batch chains all
+      collapse to their cluster minimum only if they collide pairwise —
+      run near_dup_clusters on the batch first when that matters);
+    - ``clean_bands`` — the surviving docs' band rows, ready to be
+      appended to the index for the next increment.
+
+    Scale: only the delta is shingled and hashed; the corpus side is a
+    pre-banded table probed with a semi join on (band_idx, band_hash) —
+    bucketed storage makes that a co-located join with no corpus-side
+    shuffle, so cost per increment is O(delta), not O(corpus).
+    """
+    sigs = minhash_signatures(
+        shingle_sets(new_docs, id_col, text_col, n=n), id_col, num_hashes=num_hashes
+    )
+    nb = signature_bands(sigs, id_col, num_hashes=num_hashes, bands=bands).persist()
+    # (a) collides with the stored corpus index
+    if corpus_bands is not None:
+        corpus_hits = (
+            nb.join(
+                corpus_bands.select("band_idx", "band_hash"),
+                ["band_idx", "band_hash"],
+                "left_semi",
+            )
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        corpus_hits = None
+    # (b) intra-batch: the higher id of any colliding pair loses
+    intra_losers = (
+        lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    losers = (
+        intra_losers if corpus_hits is None
+        else corpus_hits.unionByName(intra_losers).distinct()
+    )
+    clean_docs = new_docs.join(losers, id_col, "left_anti")
+    clean_bands = nb.join(losers, id_col, "left_anti")
+    return clean_docs, clean_bands

@@ -74,6 +74,40 @@ class Warehouse:
     def append(self, df: DataFrame, zone: str, table: str) -> None:
         df.write.mode("append").parquet(self.path(zone, table))
 
+    def compact(
+        self,
+        spark: SparkSession,
+        zone: str,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Rewrite a table into ~target-sized parquet files; returns the
+        new file count.
+
+        Append-heavy tables (incremental loads, streaming sinks) decay
+        into thousands of small files, and at scale every scan then pays
+        per-file open/footer costs while losing rowgroup-stat pruning.
+        Compaction reads the table, coalesces to ceil(bytes / target)
+        partitions, and swaps atomically via the staged-rename ``write``
+        path (readers of the old files are unaffected mid-rewrite).
+
+        ``coalesce`` (not ``repartition``): merging files needs no
+        shuffle — each output task reads a few input files sequentially.
+        Row order within files is preserved, so cluster_by key locality
+        from earlier writes survives compaction.
+        """
+        p = self.path(zone, table)
+        total = sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-total // target_file_bytes))  # ceil
+        self.write(self.read(spark, zone, table).coalesce(n_files), zone, table)
+        return sum(
+            1 for f in os.listdir(self.path(zone, table)) if f.endswith(".parquet")
+        )
+
     def load(
         self, df: DataFrame, zone: str, table: str, disposition: str = "append"
     ) -> None:

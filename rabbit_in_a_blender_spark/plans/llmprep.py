@@ -151,6 +151,68 @@ def ext_decontam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_incremental_dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')
+             ))) AS shingle
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id, j,
+             MIN(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS j) js
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, j // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY j)) AS band_hash
+      FROM hashes GROUP BY doc_id, j // 4
+    ),
+    corpus_bands AS (SELECT * FROM bands WHERE doc_id < 250),
+    batch_bands  AS (SELECT * FROM bands WHERE doc_id >= 250),
+    corpus_hits AS (
+      SELECT DISTINCT b.doc_id FROM batch_bands b
+      JOIN corpus_bands c
+        ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+    ),
+    intra_losers AS (
+      SELECT DISTINCT b.doc_id FROM batch_bands a
+      JOIN batch_bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id >= 250
+      AND doc_id NOT IN (SELECT doc_id FROM corpus_hits)
+      AND doc_id NOT IN (SELECT doc_id FROM intra_losers)
+    """,
+    doc="Continuous-crawl dedup: the doc_id>=250 half arrives as a new "
+    "batch and is screened against the <250 half's stored LSH band "
+    "index — only the delta is shingled/hashed; survivors returned.",
+)
+def ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+        shingle_sets,
+        signature_bands,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    corpus = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250)
+    corpus_bands = signature_bands(
+        minhash_signatures(shingle_sets(corpus, "doc_id", "text"), "doc_id"),
+        "doc_id",
+    )
+    clean, _ = incremental_dedup(batch, corpus_bands, "doc_id", "text")
+    return clean.select("doc_id", "lang")
+
+
+@register(
     "ext_corpus_prep",
     oracle=f"""
     WITH bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
@@ -275,3 +337,45 @@ def ext_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     toks = token_counts(d, "doc_id", "text").select("doc_id", "n_ws_tokens")
     return pack_next_fit(toks, "doc_id", "n_ws_tokens", budget=512, group_span=128)
+
+
+@register(
+    "ext_pack_bins",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             doc_id // 128 AS grp
+      FROM documents
+    ),
+    docs AS (
+      SELECT doc_id, n_ws_tokens, grp,
+             row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+      FROM toks
+    ),
+    pack AS (
+      SELECT grp, rn, doc_id, n_ws_tokens,
+             CAST(0 AS BIGINT) AS bin, n_ws_tokens AS load
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.grp, d.rn, d.doc_id, d.n_ws_tokens,
+             CASE WHEN p.load + d.n_ws_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.load + d.n_ws_tokens > 512
+                  THEN d.n_ws_tokens ELSE p.load + d.n_ws_tokens END
+      FROM pack p JOIN docs d ON d.grp = p.grp AND d.rn = p.rn + 1
+    )
+    SELECT grp * 4294967296 + bin AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws_tokens) AS BIGINT) AS bin_tokens
+    FROM pack GROUP BY 1
+    """,
+    doc="Per-bin fill statistics of the next-fit packing — proves "
+    "bin_summary and the budget invariant under the same oracle.",
+)
+def ext_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.packing import bin_summary
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = token_counts(d, "doc_id", "text").select("doc_id", "n_ws_tokens")
+    packed = pack_next_fit(toks, "doc_id", "n_ws_tokens", budget=512, group_span=128)
+    return bin_summary(packed, "n_ws_tokens")

@@ -110,3 +110,33 @@ def import_vocabulary_zip(
             ]
             zf.extractall(scratch, members=names)
         return import_vocabulary_dir(spark, warehouse, scratch, schemas)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """JSON-Lines scan with an explicit schema — the de-facto interchange
+    format for LLM training corpora (one document object per line,
+    usually .jsonl or .jsonl.gz; gzip is decoded transparently).
+
+    Same rule as read_csv_typed: never inferSchema in a pipeline (a
+    sampling pass over 100 TB of gzip is an extra full read).  Malformed
+    lines land in ``_corrupt_record`` when ``keep_corrupt`` (route them
+    to a quarantine sink); otherwise they are dropped (DROPMALFORMED),
+    never a job failure mid-crawl.
+
+    Note gzip is not splittable — one .jsonl.gz file = one task.  Shard
+    the corpus into many files (the upstream crawler's natural output)
+    or repartition right after the scan.
+    """
+    if keep_corrupt:
+        full = T.StructType(
+            list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+        )
+        return spark.read.schema(full).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        ).json(path)
+    return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)

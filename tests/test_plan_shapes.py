@@ -52,3 +52,22 @@ def test_text_ops_are_shuffle_free(spark):
     for name in ("ext_text_stats", "ext_token_count", "ext_quality_score", "ext_langid"):
         plan = _plan(spark, name)
         assert "Exchange hashpartitioning" not in plan, name
+
+
+def test_sampling_and_split_are_shuffle_free(spark):
+    for name in ("ext_sample_uniform", "ext_sample_stratified", "ext_split_assign"):
+        plan = _plan(spark, name)
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_decontam_broadcasts_benchmark_grams(spark):
+    plan = _plan(spark, "ext_decontam_filter")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_nextfit_single_shuffle(spark):
+    plan = _plan(spark, "ext_pack_nextfit")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
