@@ -151,6 +151,76 @@ def ext_decontam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')
+             ))) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(inter_size / (sa.sz + sb.sz - inter_size), 4) >= 0.05
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CASE
+             WHEN substr(md5(CAST(cluster_id AS VARCHAR) || ':split'), 1, 8)
+                  < '{_T_TRAIN}' THEN 'train'
+             WHEN substr(md5(CAST(cluster_id AS VARCHAR) || ':split'), 1, 8)
+                  < '{_T_VAL}' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM lab
+    """,
+    doc="Leakage-safe train/val/test assignment: split is keyed on the "
+    "transitive near-dup CLUSTER id, so no near-duplicate pair can "
+    "straddle train and test (the eval-contamination failure mode of "
+    "naive per-doc splits).",
+)
+def ext_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.cluster import near_dup_clusters
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    clusters = near_dup_clusters(
+        d, "doc_id", "text", n=3, threshold=0.05, exact=True
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    return train_val_test_split(clusters, "cluster_id", (0.8, 0.1, 0.1), seed="split")
+
+
+@register(
     "ext_incremental_dedup",
     oracle="""
     WITH sh AS (

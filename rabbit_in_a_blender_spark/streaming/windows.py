@@ -104,3 +104,26 @@ def windowed_stream(
     if dedup_cols:
         out = out.dropDuplicatesWithinWatermark(list(dedup_cols))
     return tumbling_agg(out, ts_col, size, list(keys))
+
+
+def streaming_dedup_screen(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Exact-dedup screen for a streaming document feed: content-hash
+    the text, drop repeats within the watermark horizon.
+
+    The streaming face of ext/dedup.exact_dedup_groups — a crawler's
+    re-fetches and mirror copies are discarded before they reach the
+    corpus sink, with state bounded by (docs per watermark window):
+    dropDuplicatesWithinWatermark evicts a hash from the state store
+    once the watermark passes it, so an infinite stream runs in finite
+    memory (plain dropDuplicates would grow state forever).
+    """
+    return (
+        docs.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )

@@ -166,3 +166,48 @@ def test_stream_upsert_into_warehouse(spark):
         assert rows[1] == 1.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_dedup_screen(spark):
+    """Exact-dup rows inside the watermark are dropped across micro-batches."""
+    from rabbit_in_a_blender_spark.streaming.windows import streaming_dedup_screen
+
+    tmp = tempfile.mkdtemp(prefix="riab_sdedup_")
+    try:
+        rows = [
+            (1, D(2024, 1, 1, 0, 0), "same text"),
+            (2, D(2024, 1, 1, 0, 10), "other text"),
+        ]
+        dup = [
+            (3, D(2024, 1, 1, 0, 20), "same text"),  # re-fetch → dropped
+            (4, D(2024, 1, 1, 0, 30), "third text"),
+        ]
+        schema = "doc_id int, ts timestamp, text string"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{tmp}/b1")
+        spark.createDataFrame(dup, schema).coalesce(1).write.parquet(f"{tmp}/b2")
+        import os
+
+        for i, sub in enumerate(sorted(os.listdir(tmp))):
+            for f in os.listdir(f"{tmp}/{sub}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{tmp}/{sub}/{f}", f"{tmp}/stream_{i}.parquet")
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        q = (
+            streaming_dedup_screen(src, "ts", "text", watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName("riab_sdedup_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            r["doc_id"] for r in spark.sql("select * from riab_sdedup_test").collect()
+        )
+        assert got == [1, 2, 4]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
