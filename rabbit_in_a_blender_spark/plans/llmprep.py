@@ -151,6 +151,71 @@ def ext_decontam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_redact_pii",
+    oracle="""
+    WITH step0 AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS c0,
+             regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g') AS t0
+      FROM documents
+    ),
+    step1 AS (
+      SELECT doc_id,
+             c0 + len(regexp_extract_all(t0, '\\+?[0-9][0-9()\\-\\. ]{7,}[0-9]')) AS c1,
+             regexp_replace(t0, '\\+?[0-9][0-9()\\-\\. ]{7,}[0-9]', '<PHONE>', 'g') AS t1
+      FROM step0
+    )
+    SELECT doc_id,
+           regexp_replace(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+                          '<IP>', 'g') AS redacted,
+           CAST(c1 + len(regexp_extract_all(
+             t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT)
+             AS n_redactions
+    FROM step1
+    """,
+    doc="PII redaction (email -> phone -> IPv4, count-then-replace per "
+    "step); zero-shuffle narrow projection.",
+)
+def ext_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.scrub import redact_pii
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return redact_pii(d, "doc_id", "text")
+
+
+@register(
+    "ext_repetition_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             list_transform(
+               range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')
+             ) AS grams
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS w FROM base) t
+      GROUP BY doc_id, w
+    ),
+    topw AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_w FROM wc GROUP BY doc_id)
+    SELECT b.doc_id,
+           ROUND(1.0 - len(list_distinct(grams)) / len(grams), 4) AS dup_ngram_ratio,
+           ROUND(t.top_c / t.n_w, 4) AS top_word_ratio
+    FROM base b JOIN topw t ON b.doc_id = t.doc_id
+    """,
+    doc="Gopher-style repetition signals: duplicate word-3-gram fraction "
+    "and top single-word frequency share.",
+)
+def ext_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.scrub import repetition_stats
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return repetition_stats(d, "doc_id", "text", n=3)
+
+
+@register(
     "ext_leakage_safe_split",
     oracle=f"""
     WITH RECURSIVE sh AS (

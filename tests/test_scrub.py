@@ -1,0 +1,40 @@
+"""PII redaction and repetition filters."""
+
+from __future__ import annotations
+
+from rabbit_in_a_blender_spark.ext.scrub import redact_pii, repetition_stats
+
+
+def test_redact_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co or x.y+z@d.org today"),
+            (2, "call +1-555-123-4567 or visit 10.0.0.1 now"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> or <EMAIL> today"
+    assert out[1]["n_redactions"] == 2
+    assert "<PHONE>" in out[2]["redacted"] and "<IP>" in out[2]["redacted"]
+    assert out[2]["n_redactions"] == 2
+    assert out[3]["redacted"] == "nothing sensitive here"
+    assert out[3]["n_redactions"] == 0
+
+
+def test_repetition_stats_boilerplate_vs_clean(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "each word here is used exactly once total"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    # looping doc: all 3-grams identical, one word dominates
+    assert out[1]["dup_ngram_ratio"] > 0.8
+    assert out[1]["top_word_ratio"] == 1.0
+    # repetition-free doc: no dup grams, every word 1/8 of the text
+    assert out[2]["dup_ngram_ratio"] == 0.0
+    assert out[2]["top_word_ratio"] == 0.125
