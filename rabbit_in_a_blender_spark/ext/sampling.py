@@ -115,3 +115,54 @@ def train_val_test_split(
         .otherwise(names[2])
     )
     return df.withColumn("split", split)
+
+
+def balance_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weight_col: str,
+    seed: str = "mix",
+) -> DataFrame:
+    """Rebalance strata to the smallest stratum's total weight: each
+    stratum is deterministically down-sampled with fraction
+    ``min_stratum_weight / stratum_weight`` so every stratum contributes
+    ~the same weight (tokens, bytes) to the output — the source-mixture
+    step of a pretraining pipeline ("equal token budget per domain").
+
+    The per-stratum fractions are DERIVED FROM THE DATA, and the hex
+    thresholds are computed inside the plan (`hex(floor(target / w *
+    16^8))`), so the whole decision remains engine-reproducible and
+    oracle-checkable — no driver-side collect, no RNG.  Cost: one
+    weight aggregation over (strata, weight) pairs + a broadcast of the
+    per-stratum thresholds (stratum-count rows) + the narrow hash
+    filter.
+    """
+    w = df.groupBy(strata_col).agg(F.sum(weight_col).cast("double").alias("__w"))
+    target = w.agg(F.min("__w").alias("__target"))
+    thr = (
+        w.crossJoin(F.broadcast(target))
+        .select(
+            strata_col,
+            F.when(F.col("__w") <= F.col("__target"), F.lit("g"))
+            .otherwise(
+                F.lower(
+                    F.lpad(
+                        F.hex(
+                            F.floor(
+                                F.col("__target") / F.col("__w") * F.lit(float(_SPACE))
+                            ).cast("bigint")
+                        ),
+                        8,
+                        "0",
+                    )
+                )
+            )
+            .alias("__thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .filter(hash_bucket(F.col(key_col), seed) < F.col("__thr"))
+        .drop("__thr")
+    )

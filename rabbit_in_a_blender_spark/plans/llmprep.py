@@ -89,6 +89,58 @@ def ext_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_source_mixture",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    w AS (
+      SELECT source, CAST(SUM(nt) AS DOUBLE) AS w FROM toks GROUP BY source
+    ),
+    t AS (SELECT MIN(w) AS target FROM w),
+    thr AS (
+      SELECT source,
+             CASE WHEN w <= target THEN 'g'
+                  ELSE lower(lpad(to_hex(
+                         CAST(floor(target / w * 4294967296.0) AS BIGINT)
+                       ), 8, '0'))
+             END AS thr
+      FROM w, t
+    ),
+    kept AS (
+      SELECT k.doc_id, k.source, k.nt
+      FROM toks k JOIN thr ON k.source = thr.source
+      WHERE substr(md5(CAST(k.doc_id AS VARCHAR) || ':mix'), 1, 8) < thr.thr
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY source
+    """,
+    doc="Source-mixture rebalancing: every source down-sampled to the "
+    "smallest source's token budget, with thresholds derived from the "
+    "data INSIDE the plan (hex(floor(target/w * 16^8))) — "
+    "data-dependent yet fully engine-reproducible.",
+)
+def ext_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import balance_sample
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
+    )
+    kept = balance_sample(toks, "doc_id", "source", "nt", seed="mix")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+
+
 # Benchmark set for the decontamination queries: every 97th document
 # plays the eval set; the rest are the training corpus.  3-grams (not
 # the production default of 8) so the tiny fixture actually overlaps.

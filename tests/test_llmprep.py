@@ -177,3 +177,29 @@ def test_pack_groups_are_independent(spark):
     assert not (by_grp[0] & by_grp[1])
     # group 1's local bins restart: 64 docs of 40 tokens, 2 per bin → 32 bins
     assert len(by_grp[0]) == 32 and len(by_grp[1]) == 32
+
+
+def test_balance_sample_equalizes_strata(spark):
+    from rabbit_in_a_blender_spark.ext.sampling import balance_sample
+
+    # stratum a: 4000 rows of weight 10; b: 1000 rows; c: 500 rows (the min)
+    df = spark.range(5500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 4000, "a")
+        .when(F.col("id") < 5000, "b")
+        .otherwise("c")
+        .alias("g"),
+        F.lit(10).cast("long").alias("wt"),
+    )
+    out = balance_sample(df, "k", "g", "wt")
+    totals = {
+        r["g"]: r["t"]
+        for r in out.groupBy("g").agg(F.sum("wt").alias("t")).collect()
+    }
+    # c (the smallest) kept whole; a and b down-sampled toward c's 5000
+    assert totals["c"] == 5000
+    assert 4000 < totals["a"] < 6000
+    assert 4000 < totals["b"] < 6000
+    # deterministic under repartitioning
+    again = balance_sample(df.repartition(13), "k", "g", "wt")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
