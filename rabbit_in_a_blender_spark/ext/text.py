@@ -116,3 +116,33 @@ def doc_fingerprint(
         f"i -> md5(concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))))"
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    word distribution — the CCNet-style "perplexity proxy" quality
+    signal (fluent text scores high; gibberish and rare-token spam
+    score low).  Production pipelines use a KenLM n-gram model; the
+    unigram variant keeps the entire computation in-engine and
+    oracle-checkable, and the column contract is the same if a model
+    UDF replaces the scorer later.
+
+    Plan: one (word, count) aggregation builds the vocabulary, its
+    total is attached as a broadcast scalar, and each document averages
+    ln(count/total) over its words via a word-level join.  Two shuffles
+    + the vocab join (broadcast at dimension-like vocab sizes; AQE
+    decides at runtime).
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w")
+    )
+    vocab = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").cast("double").alias("__total"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "__w", F.log(F.col("__c") / F.col("__total")).alias("__lp")
+    )
+    return (
+        words.join(scored, "__w")
+        .groupBy(id_col)
+        .agg(F.round(F.avg("__lp"), 4).alias("mean_logprob"))
+    )

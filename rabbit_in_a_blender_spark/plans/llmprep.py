@@ -90,6 +90,29 @@ def ext_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_unigram_logprob",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    t AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM vocab),
+    scored AS (SELECT w, ln(c / total) AS lp FROM vocab, t)
+    SELECT doc_id, ROUND(AVG(lp), 4) AS mean_logprob
+    FROM words JOIN scored USING (w)
+    GROUP BY doc_id
+    """,
+    doc="CCNet-style perplexity proxy: mean unigram log-probability of "
+    "each document under the corpus's own word distribution.",
+)
+def ext_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import unigram_logprob
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return unigram_logprob(d, "doc_id", "text")
+
+
+@register(
     "ext_source_mixture",
     oracle="""
     WITH toks AS (

@@ -38,3 +38,21 @@ def test_repetition_stats_boilerplate_vs_clean(spark):
     # repetition-free doc: no dup grams, every word 1/8 of the text
     assert out[2]["dup_ngram_ratio"] == 0.0
     assert out[2]["top_word_ratio"] == 0.125
+
+
+def test_unigram_logprob_ranks_fluent_above_rare(spark):
+    from rabbit_in_a_blender_spark.ext.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # most frequent word only
+            (2, "the qzx the wvk"),          # half rare singletons
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(df, "doc_id", "text").collect()}
+    # corpus: the x6, qzx x1, wvk x1 (total 8)
+    import math
+
+    assert abs(out[1] - round(math.log(6 / 8), 4)) < 1e-9
+    assert out[2] < out[1]  # rare words drag the score down
