@@ -1,6 +1,29 @@
-from .dedup import exact_dedup_groups, shingle_sets, minhash_signatures, lsh_candidate_pairs, ngram_jaccard_pairs
+from .decontam import benchmark_ngrams, contamination_overlap, decontaminate
+from .dedup import (
+    exact_dedup_groups,
+    incremental_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_sets,
+    signature_bands,
+)
+from .packing import bin_summary, pack_next_fit
+from .sampling import (
+    balance_sample,
+    deterministic_sample,
+    stratified_sample,
+    train_val_test_split,
+)
+from .scrub import redact_pii, repetition_stats
 from .similarity import cosine_topk
-from .text import text_stats, token_counts, doc_fingerprint, langid_heuristic
+from .text import (
+    doc_fingerprint,
+    langid_heuristic,
+    text_stats,
+    token_counts,
+    unigram_logprob,
+)
 
 __all__ = [
     "exact_dedup_groups",
@@ -8,9 +31,23 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "signature_bands",
+    "incremental_dedup",
+    "benchmark_ngrams",
+    "contamination_overlap",
+    "decontaminate",
+    "pack_next_fit",
+    "bin_summary",
+    "deterministic_sample",
+    "stratified_sample",
+    "train_val_test_split",
+    "balance_sample",
+    "redact_pii",
+    "repetition_stats",
     "cosine_topk",
     "text_stats",
     "token_counts",
     "doc_fingerprint",
     "langid_heuristic",
+    "unigram_logprob",
 ]
