@@ -18,6 +18,7 @@ from .sampling import (
 from .scrub import redact_pii, repetition_stats
 from .similarity import cosine_topk
 from .text import (
+    chunk_documents,
     doc_fingerprint,
     langid_heuristic,
     text_stats,
@@ -50,4 +51,5 @@ __all__ = [
     "doc_fingerprint",
     "langid_heuristic",
     "unigram_logprob",
+    "chunk_documents",
 ]

@@ -146,3 +146,53 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy(id_col)
         .agg(F.round(F.avg("__lp"), 4).alias("mean_logprob"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_words: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split long documents into overlapping word windows — the
+    retrieval/embedding prep step (embedding models cap input length;
+    overlap keeps context at the seams).
+
+    Output: (id, chunk_idx, chunk, n_chunk_words).  Chunk i covers
+    words [i*stride, i*stride + max_words) with stride = max_words -
+    overlap; the last chunk is the remainder (never empty, never
+    duplicated: a doc shorter than max_words yields exactly one chunk).
+
+    Narrow transform + explode — no shuffle; chunk count per doc is
+    ceil((words - max_words) / stride) + 1, a pure function of the data
+    so chunk ids are stable across cluster layouts.
+    """
+    stride = max_words - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than max_words")
+    words = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__ws")
+    )
+    n_chunks = (
+        F.greatest(
+            F.ceil((F.size("__ws") - max_words) / F.lit(float(stride))).cast("long"),
+            F.lit(0),
+        )
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("__ws"), (i * stride + 1).cast("int"), max_words)
+            ).alias("chunk"),
+        ),
+    )
+    return words.select(F.col(id_col), F.explode(chunks).alias("__c")).select(
+        id_col,
+        F.col("__c.chunk_idx").alias("chunk_idx"),
+        F.col("__c.chunk").alias("chunk"),
+        F.size(F.split(F.col("__c.chunk"), " ")).cast("long").alias("n_chunk_words"),
+    )

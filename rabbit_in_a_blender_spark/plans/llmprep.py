@@ -90,6 +90,27 @@ def ext_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_chunk_documents",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(ws[i*24+1:i*24+32], ' ') AS chunk,
+           CAST(len(ws[i*24+1:i*24+32]) AS BIGINT) AS n_chunk_words
+    FROM w, unnest(range(0,
+           greatest(CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT), 0) + 1)) AS t(i)
+    """,
+    doc="Overlapping word-window chunking (32-word windows, stride 24) "
+    "for embedding/retrieval prep; zero shuffle, chunk ids are pure "
+    "functions of the data.",
+)
+def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import chunk_documents
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return chunk_documents(d, "doc_id", "text", max_words=32, overlap=8)
+
+
+@register(
     "ext_unigram_logprob",
     oracle="""
     WITH words AS (

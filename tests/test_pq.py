@@ -90,3 +90,19 @@ def test_pq_recall_vs_brute_force(spark, embeddings):
     rr_pairs = {(r["query_id"], r["neighbor_id"]) for r in rr.collect()}
     recall = len(exact_pairs & rr_pairs) / len(exact_pairs)
     assert recall >= 0.8, f"PQ+rerank recall too low: {recall}"
+
+
+def test_pq_index_survives_parquet_roundtrip(spark, embeddings, tmp_path):
+    """Write-time encode: codes + codebooks persisted to parquet and read
+    back must search identically (the deploy shape — encode once at
+    ingest, search from the compact index)."""
+    books = train_pq_codebooks(embeddings, m=8, ksub=4, iterations=1)
+    codes = pq_encode(embeddings, books, m=8)
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    direct = pq_search(codes, books, queries, m=8, k=3).collect()
+    books.write.parquet(f"{tmp_path}/books")
+    codes.write.parquet(f"{tmp_path}/codes")
+    b2 = spark.read.parquet(f"{tmp_path}/books")
+    c2 = spark.read.parquet(f"{tmp_path}/codes")
+    reloaded = pq_search(c2, b2, queries, m=8, k=3).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, reloaded))

@@ -56,3 +56,30 @@ def test_unigram_logprob_ranks_fluent_above_rare(spark):
 
     assert abs(out[1] - round(math.log(6 / 8), 4)) < 1e-9
     assert out[2] < out[1]  # rare words drag the score down
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from rabbit_in_a_blender_spark.ext.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(17))),  # 17 words
+            (2, "short doc"),                            # shorter than window
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", max_words=8, overlap=2)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk"], r["n_chunk_words"]) for r in out.collect())
+    )
+    # doc 1: stride 6 → chunks at words 0-7, 6-13, 12-16
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2]
+    assert d1[0][2].split(" ") == [f"w{i}" for i in range(8)]
+    assert d1[1][2].split(" ") == [f"w{i}" for i in range(6, 14)]
+    assert d1[2][2].split(" ") == [f"w{i}" for i in range(12, 17)]
+    # overlap: last 2 words of chunk i == first 2 of chunk i+1
+    assert d1[0][2].split(" ")[-2:] == d1[1][2].split(" ")[:2]
+    # short doc: exactly one whole-doc chunk
+    d2 = [r for r in rows if r[0] == 2]
+    assert d2 == [(2, 0, "short doc", 2)]
