@@ -46,12 +46,16 @@ def hash_bucket(key: Column, seed: str) -> Column:
 def fraction_threshold(fraction: float) -> str:
     """Hex threshold t such that P[hash_bucket < t] == round(fraction * 16^8) / 16^8.
 
-    fraction >= 1.0 returns a sentinel above every hex string so the
-    filter keeps everything.
+    A fraction whose rounded threshold covers the whole space returns
+    the sentinel 'g' (sorts above every hex string, keeps everything).
+    The sentinel must also cover fractions that merely ROUND to 16^8
+    (e.g. 1 - 1e-16): formatting 16^8 itself would yield the 9-char
+    '100000000', which sorts lexicographically BELOW most 8-char
+    thresholds and would silently keep ~6% instead of ~100%.
     """
-    if fraction >= 1.0:
-        return "g"  # every hex char < 'g'
     n = max(int(round(fraction * _SPACE)), 0)
+    if n >= _SPACE:
+        return "g"  # every hex char < 'g'
     return format(n, "08x")
 
 

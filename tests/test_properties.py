@@ -114,3 +114,42 @@ def test_dedup_keep_first_is_idempotent_and_minimal(spark, rows):
         (k, min(v for kk, v in data if kk == k)) for k in {k for k, _ in data}
     )
     assert got_once == expect
+
+
+# --- sampling threshold laws (pure Python — no Spark per example) -----
+
+from rabbit_in_a_blender_spark.ext.sampling import fraction_threshold
+
+
+@given(f=st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_fraction_threshold_is_valid_hex_or_sentinel(f):
+    t = fraction_threshold(f)
+    if t == "g":
+        assert f >= 1.0 or round(f * 16**8) >= 16**8
+    else:
+        assert len(t) == 8
+        int(t, 16)  # parses as hex
+        assert t == t.lower()
+
+
+@given(
+    a=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    b=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_fraction_threshold_is_monotone(a, b):
+    """a <= b ⇒ threshold(a) <= threshold(b) lexicographically — the law
+    behind nested-sample subsets ('g' sorts above every hex digit)."""
+    lo, hi = sorted((a, b))
+    assert fraction_threshold(lo) <= fraction_threshold(hi)
+
+
+@given(f=st.floats(min_value=0.0, max_value=0.999999, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_fraction_threshold_keeps_expected_mass(f):
+    """The kept fraction of the hash space equals round(f * 16^8)/16^8
+    exactly — thresholds never silently drift from the requested rate."""
+    t = fraction_threshold(f)
+    kept = int(t, 16) if t != "g" else 16**8
+    assert kept == round(f * 16**8)
