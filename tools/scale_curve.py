@@ -133,6 +133,10 @@ def main() -> None:
         shutil.rmtree(scaled_dir, ignore_errors=True)
         _corpus_curve(spark, reps)
         return
+    if only == "ann":
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _ann_curve(spark, reps)
+        return
     try:
         build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
         points = [
@@ -298,6 +302,75 @@ def _corpus_curve(spark, reps: int) -> None:
         print(
             f"| {label} | {r['docs']:,} | {med} | {round(r['docs'] / med):,} | "
             f"{r['ext_decontam_filter']['median']} |"
+        )
+
+
+def _ann_curve(spark, reps: int) -> None:
+    # --- PQ ANN scale curve (round 5) --------------------------------
+    # Replicated embeddings (disjoint vec_ids, identical vectors — the
+    # codebook geometry is unchanged, so the curve isolates the per-row
+    # encode/search cost, the axis that matters at corpus scale).
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.ext.pq import (
+        l2_normalize,
+        pq_encode,
+        pq_search_rerank,
+        train_pq_codebooks,
+    )
+
+    src = "/root/testdata/sf0.1/embeddings.parquet"
+    base = l2_normalize(spark.read.parquet(src), "embedding")
+    results = {}
+    for label, k in (("emb-sf0.1", 1), ("emb-x5", 5), ("emb-x10", 10)):
+        from functools import reduce
+
+        parts = [
+            base.withColumn("vec_id", F.col("vec_id") + i * KEY_OFFSET)
+            for i in range(k)
+        ]
+        corpus = reduce(lambda a, b: a.unionByName(b), parts)
+        corpus = corpus.persist()
+        n = corpus.count()
+        queries = corpus.filter(F.col("vec_id") < 10)
+        point = {"vectors": n}
+        # train once per point (fixed cost), then time encode and search
+        books = train_pq_codebooks(corpus, m=16, ksub=32, iterations=2)
+        books = books.persist()
+        books.count()
+        for stage, fn in (
+            ("encode", lambda: pq_encode(corpus, books, m=16)),
+            (
+                "search",
+                lambda: pq_search_rerank(
+                    pq_encode(corpus, books, m=16), books, corpus, queries,
+                    m=16, k=3, shortlist=32,
+                ),
+            ),
+        ):
+            fn().write.format("noop").mode("overwrite").save()  # warmup
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - t0, 3))
+            point[stage] = {
+                "reps": samples,
+                "median": sorted(samples)[len(samples) // 2],
+            }
+        corpus.unpersist()
+        books.unpersist()
+        results[label] = point
+        print(f"## ann {label}: {n} vectors {point}", flush=True)
+
+    print(json.dumps(results))
+    print("\n| point | vectors | encode median s | vec/s | search median s |")
+    print("|---|---|---|---|---|")
+    for label, r in results.items():
+        med = r["encode"]["median"]
+        print(
+            f"| {label} | {r['vectors']:,} | {med} | "
+            f"{round(r['vectors'] / med):,} | {r['search']['median']} |"
         )
 
 
