@@ -105,6 +105,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "dashboard on this port instead of printing "
                         "(reference's Dash app, as a stdlib HTTP server)")
     o.add_argument("-v", "--verbose", action="store_true")
+    x = p.add_argument_group("extensions (beyond the reference surface)")
+    x.add_argument("--run-query", metavar="NAME",
+                   help="Run a named catalog query (plans/catalog.py) over "
+                        "--sf-dir; print a sample or write with --out. "
+                        "Use --run-query list to enumerate names")
+    x.add_argument("--sf-dir", metavar="PATH",
+                   default="/root/testdata/sf0.01",
+                   help="Parquet table directory for --run-query "
+                        "(default: %(default)s)")
+    x.add_argument("--out", metavar="PATH",
+                   help="With --run-query: write the full result here "
+                        "instead of printing a sample")
+    x.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
+                   help="With --out: output format (default: %(default)s)")
     return p
 
 
@@ -123,6 +137,41 @@ def main(argv: list[str] | None = None) -> int:
     if args.print_etl_flow:
         for i, level in enumerate(registry.dependency_levels()):
             print(f"level {i}: {', '.join(level)}")
+        return 0
+
+    if args.run_query:
+        from .plans.catalog import all_queries
+
+        qs = all_queries()
+        if args.run_query == "list":
+            for name in sorted(qs):
+                print(name)
+            return 0
+        if args.run_query not in qs:
+            raise SystemExit(
+                f"unknown query {args.run_query!r} "
+                "(use --run-query list to enumerate)"
+            )
+        from .core.session import get_spark as _gs
+
+        spark = _gs(
+            "riab-spark",
+            master=cfg.get("spark", "master", fallback=None),
+            shuffle_partitions=(
+                cfg.getint("spark", "shuffle_partitions")
+                if cfg.has_option("spark", "shuffle_partitions")
+                else None
+            ),
+        )
+        df = qs[args.run_query](spark, args.sf_dir)
+        if args.out:
+            if args.format == "jsonl":
+                df.write.mode("overwrite").json(args.out)
+            else:
+                df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.run_query} -> {args.out} ({args.format})")
+        else:
+            df.show(20, truncate=False)
         return 0
 
     if args.create_folders:

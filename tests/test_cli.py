@@ -226,3 +226,30 @@ def test_cleanup_clear_swap_flag(env, spark, capsys):
         ["--config", ini, "--cleanup", "--clear-auto-generated-custom-concept-ids"]
     ) == 0
     assert not os.path.isdir(swap)
+
+
+def test_run_query_list_and_export(env, capsys, tmpdir_):
+    assert main(["--run-query", "list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in names and "ext_sample_uniform" in names
+    out = os.path.join(str(tmpdir_), "rq_out")
+    rc = main(
+        [
+            "--run-query", "ext_sample_uniform",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", out, "--format", "jsonl",
+            "--config", os.path.join(str(tmpdir_), "riab.ini"),
+        ]
+    )
+    assert rc == 0
+    rows = []
+    for f in os.listdir(out):
+        if f.endswith(".json"):
+            with open(os.path.join(out, f)) as fh:
+                rows += [json.loads(l) for l in fh if l.strip()]
+    assert rows and all(set(r) == {"doc_id", "lang"} for r in rows)
+
+
+def test_run_query_unknown_name_fails(env):
+    with pytest.raises(SystemExit):
+        main(["--run-query", "nope_not_a_query"])
