@@ -49,3 +49,83 @@ def test_resize_images(spark):
     assert len(out[1]["payload"]) == 100  # area ratio 0.25 of 400 bytes
     assert (out[2]["width"], out[2]["height"]) == (100, 50)
     assert len(out[2]["payload"]) == 100  # under the cap: untouched
+
+
+def _ppm(w, h, rgb):
+    """A valid binary P6 blob with constant color."""
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(rgb) * (w * h)
+
+
+def _wav(seconds=0.5, rate=8000, amp=0.5):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        n = int(seconds * rate)
+        frames = b"".join(
+            struct.pack(
+                "<h", int(amp * 32767 * math.sin(2 * math.pi * 440 * i / rate))
+            )
+            for i in range(n)
+        )
+        f.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_ppm_decode(spark):
+    from rabbit_in_a_blender_spark.ext.multimodal import MEDIA_SCHEMA, extract_features
+
+    blob = _ppm(4, 2, (255, 0, 128))
+    df = spark.createDataFrame(
+        [(1, "image", "image/x-portable-pixmap", blob, 4, 2, None)], MEDIA_SCHEMA
+    )
+    [r] = extract_features(df).collect()
+    w, h, mr, mg, mb, _std = r["feature"]
+    assert (w, h) == (4.0, 2.0)
+    assert abs(mr - 1.0) < 1e-5 and abs(mg - 0.0) < 1e-5
+    assert abs(mb - 128 / 255) < 1e-5
+
+
+def test_real_wav_decode(spark):
+    from rabbit_in_a_blender_spark.ext.multimodal import MEDIA_SCHEMA, extract_features
+
+    blob = _wav(seconds=0.25, rate=8000, amp=0.5)
+    df = spark.createDataFrame(
+        [(2, "audio", "audio/wav", blob, None, None, 250)], MEDIA_SCHEMA
+    )
+    [r] = extract_features(df).collect()
+    dur, ch, rate, rms, peak = r["feature"]
+    assert abs(dur - 250.0) < 1.0 and ch == 1.0 and rate == 8000.0
+    # 440 Hz sine at amp .5: rms ≈ .5/sqrt(2), peak ≈ .5
+    assert abs(rms - 0.3536) < 0.01 and abs(peak - 0.5) < 0.01
+
+
+def test_real_ppm_resize_roundtrip(spark):
+    from rabbit_in_a_blender_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+
+    blob = _ppm(64, 32, (10, 200, 30))
+    df = spark.createDataFrame(
+        [(3, "image", "image/x-portable-pixmap", blob, 64, 32, None)], MEDIA_SCHEMA
+    )
+    [r] = resize_images(df, max_w=16, max_h=16).collect()
+    assert (r["width"], r["height"]) == (16, 8)
+    # the resized payload is itself a valid P6 the decoder can re-read
+    out = spark.createDataFrame(
+        [(4, "image", "image/x-portable-pixmap", bytes(r["payload"]), 16, 8, None)],
+        MEDIA_SCHEMA,
+    )
+    [f] = extract_features(out).collect()
+    w, h, mr, mg, mb, _ = f["feature"]
+    assert (w, h) == (16.0, 8.0)
+    # constant-color image: means survive the resample exactly
+    assert abs(mr - 10 / 255) < 1e-5 and abs(mg - 200 / 255) < 1e-5

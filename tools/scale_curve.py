@@ -21,6 +21,9 @@ comparable (the tally's ~9% tax — PLANS.md round-5 adjudication — is
 constant across scales and cancels out of the curve's shape).
 
 Usage: python tools/scale_curve.py   (writes markdown to stdout)
+Sections: default = etl + clusters; SPARK_GRAFT_SCALE_ONLY=etl|clusters
+|corpus|ann selects one (corpus = decontam + corpus-prep chain on
+salted doc replicas; ann = PQ encode/search on replicated embeddings).
 """
 
 from __future__ import annotations
