@@ -42,11 +42,29 @@ def contamination_overlap(
     id_col: str,
     text_col: str,
     n: int = 8,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """(id, n_shared_ngrams) for every corpus doc sharing >= 1 distinct
-    word n-gram with the benchmark set."""
+    word n-gram with the benchmark set.
+
+    ``max_gram_df`` drops benchmark n-grams whose corpus document
+    frequency exceeds the cap before counting overlap.  Two reasons:
+    semantically, an n-gram appearing in thousands of corpus documents
+    is boilerplate ("all rights reserved ..."), not benchmark leakage —
+    the published decontamination recipes match on RARE n-grams for
+    exactly this reason; operationally, a boilerplate gram is also the
+    join's hot key (one broadcast row fanning out to every matching doc
+    row), so the cap removes the skew and the false positives together.
+    Costs one extra aggregation over the matched pairs only.
+    """
     grams = F.broadcast(benchmark_ngrams(bench, text_col, n=n))
     matched = shingle_sets(corpus, id_col, text_col, n=n).join(grams, "shingle")
+    if max_gram_df is not None:
+        df_counts = matched.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        rare = df_counts.filter(F.col("__df") <= max_gram_df).select("shingle")
+        matched = matched.join(F.broadcast(rare), "shingle")
     return matched.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_shared_ngrams")
     )
@@ -59,6 +77,7 @@ def decontaminate(
     text_col: str,
     n: int = 8,
     min_shared: int = 1,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Corpus minus contaminated docs (>= min_shared shared n-grams).
 
@@ -68,7 +87,7 @@ def decontaminate(
     set's size is data-dependent (a benchmark that leaked wholesale into
     the corpus could make it large).
     """
-    hits = contamination_overlap(corpus, bench, id_col, text_col, n=n).filter(
-        F.col("n_shared_ngrams") >= min_shared
-    )
+    hits = contamination_overlap(
+        corpus, bench, id_col, text_col, n=n, max_gram_df=max_gram_df
+    ).filter(F.col("n_shared_ngrams") >= min_shared)
     return corpus.join(hits.select(id_col), id_col, "left_anti")

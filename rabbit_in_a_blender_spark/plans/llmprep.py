@@ -247,6 +247,38 @@ def ext_decontam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_decontam_rare",
+    oracle=f"""
+    WITH {_DECON_SQL},
+    dfcap AS (
+      SELECT c.shingle, COUNT(*) AS df
+      FROM cgrams c JOIN bgrams b ON c.shingle = b.shingle
+      GROUP BY c.shingle
+    ),
+    rare_hits AS (
+      SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+      FROM cgrams c
+      JOIN bgrams b ON c.shingle = b.shingle
+      JOIN dfcap d ON c.shingle = d.shingle AND d.df <= 2
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_shared_ngrams FROM rare_hits
+    """,
+    doc="Rare-gram decontamination: benchmark grams whose corpus document "
+    "frequency exceeds 2 are treated as boilerplate and excluded before "
+    "counting overlap (the published recipes match on RARE n-grams; the "
+    "cap also removes the join's hot keys).",
+)
+def ext_decontam_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(
+        corpus, bench, "doc_id", "text", n=3, max_gram_df=2
+    )
+
+
+@register(
     "ext_redact_pii",
     oracle="""
     WITH step0 AS (

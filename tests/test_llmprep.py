@@ -203,3 +203,35 @@ def test_balance_sample_equalizes_strata(spark):
     # deterministic under repartitioning
     again = balance_sample(df.repartition(13), "k", "g", "wt")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_contamination_gram_df_cap_drops_boilerplate(spark):
+    """A gram shared by many corpus docs is excluded once it exceeds the
+    df cap; rare grams keep matching."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "all rights reserved worldwide x1 y1 z1"),
+            (2, "all rights reserved worldwide x2 y2 z2"),
+            (3, "all rights reserved worldwide x3 y3 z3"),
+            (4, "one unique secret sauce phrase here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "all rights reserved worldwide and one unique secret sauce phrase")],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        r["doc_id"]
+        for r in contamination_overlap(corpus, bench, "doc_id", "text", n=3).collect()
+    }
+    assert uncapped == {1, 2, 3, 4}
+    capped = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in contamination_overlap(
+            corpus, bench, "doc_id", "text", n=3, max_gram_df=2
+        ).collect()
+    }
+    # the boilerplate grams hit 3 docs each → dropped; only doc 4's rare
+    # grams survive
+    assert set(capped) == {4}
