@@ -74,6 +74,96 @@ class Warehouse:
     def append(self, df: DataFrame, zone: str, table: str) -> None:
         df.write.mode("append").parquet(self.path(zone, table))
 
+    # ---- snapshot versioning (poor-man's time travel) -----------------
+    #
+    # A bounded history of table snapshots so a bad ETL run is a rename
+    # away from recovery.  The live table stays at its normal path (every
+    # reader unchanged); snapshots live under <zone>/.snapshots/<table>/
+    # v<NNN>.  Snapshotting the outgoing version is a RENAME of files the
+    # atomic-rebuild path was about to delete — zero extra I/O at any
+    # table size.  (On object stores / for concurrent writers, use Delta
+    # or Iceberg — this covers the single-writer batch warehouse the
+    # reference targets.)
+
+    def _snap_dir(self, zone: str, table: str) -> str:
+        assert zone in ZONES, zone
+        return os.path.join(self.root, zone, ".snapshots", table)
+
+    def versions(self, zone: str, table: str) -> list[int]:
+        """Snapshot version numbers, oldest first."""
+        d = self._snap_dir(zone, table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def write_versioned(
+        self,
+        df: DataFrame,
+        zone: str,
+        table: str,
+        keep: int = 3,
+        cluster_by: list[str] | None = None,
+    ) -> int | None:
+        """Atomic replace that snapshots the outgoing version.
+
+        Returns the snapshot version the previous contents were saved
+        under (None on the first write).  At most ``keep`` snapshots are
+        retained; older ones are pruned.
+        """
+        if cluster_by:
+            keys = [c for c in cluster_by if c in df.columns]
+            if keys:
+                df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+        target = self.path(zone, table)
+        staging = target + ".__staging__"
+        shutil.rmtree(staging, ignore_errors=True)
+        df.write.mode("overwrite").parquet(staging)
+        saved = None
+        if os.path.isdir(target):
+            versions = self.versions(zone, table)
+            saved = (versions[-1] + 1) if versions else 1
+            snap = os.path.join(self._snap_dir(zone, table), f"v{saved}")
+            os.makedirs(os.path.dirname(snap), exist_ok=True)
+            os.rename(target, snap)
+        os.rename(staging, target)
+        versions = self.versions(zone, table)
+        prune = versions if keep <= 0 else versions[:-keep]
+        for v in prune:
+            shutil.rmtree(
+                os.path.join(self._snap_dir(zone, table), f"v{v}"),
+                ignore_errors=True,
+            )
+        return saved
+
+    def read_version(
+        self, spark: SparkSession, zone: str, table: str, version: int
+    ) -> DataFrame:
+        snap = os.path.join(self._snap_dir(zone, table), f"v{version}")
+        if not os.path.isdir(snap):
+            raise ValueError(
+                f"{zone}.{table} has no snapshot v{version}; "
+                f"available: {self.versions(zone, table)}"
+            )
+        return spark.read.parquet(snap)
+
+    def restore_version(
+        self, spark: SparkSession, zone: str, table: str, version: int
+    ) -> int | None:
+        """Make snapshot ``version`` the live table again.
+
+        The current contents are snapshotted first (so a restore is
+        itself undoable); the restored snapshot stays in history.
+        Returns the snapshot version the replaced contents were saved
+        under.
+        """
+        return self.write_versioned(
+            self.read_version(spark, zone, table, version), zone, table
+        )
+
     def compact(
         self,
         spark: SparkSession,
@@ -234,5 +324,8 @@ class Warehouse:
         if not os.path.isdir(zdir):
             return []
         return sorted(
-            d for d in os.listdir(zdir) if os.path.isdir(os.path.join(zdir, d))
+            d
+            for d in os.listdir(zdir)
+            # hidden dirs are warehouse internals (.snapshots), not tables
+            if os.path.isdir(os.path.join(zdir, d)) and not d.startswith(".")
         )

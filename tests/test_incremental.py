@@ -156,3 +156,32 @@ def test_compact_merges_small_files(spark, tmp_path):
     back = wh.read(spark, "work", "events_log")
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_write_versioned_time_travel_and_restore(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "whv"))
+    mk = lambda v: spark.range(3).select(F.col("id"), F.lit(v).alias("ver"))
+    assert wh.write_versioned(mk("a"), "work", "t") is None  # first write
+    assert wh.write_versioned(mk("b"), "work", "t") == 1     # 'a' → v1
+    assert wh.write_versioned(mk("c"), "work", "t") == 2     # 'b' → v2
+    assert wh.versions("work", "t") == [1, 2]
+    # live = newest; snapshots hold history
+    assert {r["ver"] for r in wh.read(spark, "work", "t").collect()} == {"c"}
+    assert {r["ver"] for r in wh.read_version(spark, "work", "t", 1).collect()} == {"a"}
+    # restore v1: current 'c' is itself snapshotted, 'a' is live again
+    saved = wh.restore_version(spark, "work", "t", 1)
+    assert saved == 3
+    assert {r["ver"] for r in wh.read(spark, "work", "t").collect()} == {"a"}
+    assert {r["ver"] for r in wh.read_version(spark, "work", "t", 3).collect()} == {"c"}
+    # .snapshots never leaks into the catalog listing
+    assert wh.list_tables("work") == ["t"]
+
+
+def test_write_versioned_prunes_beyond_keep(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "whp"))
+    for i in range(6):
+        wh.write_versioned(
+            spark.range(2).select(F.col("id"), F.lit(i).alias("ver")),
+            "work", "t", keep=2,
+        )
+    assert wh.versions("work", "t") == [4, 5]  # only the last 2 retained
