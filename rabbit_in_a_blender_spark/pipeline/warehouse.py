@@ -42,6 +42,7 @@ class Warehouse:
         zone: str,
         table: str,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """Atomic rebuild (CREATE OR REPLACE TABLE ... AS semantics).
 
@@ -56,7 +57,18 @@ class Warehouse:
         partitioning samples the data, so skewed keys don't produce
         straggler files the way hash clustering would.
         """
-        if cluster_by:
+        if zorder_by:
+            # multi-dimensional alternative to cluster_by: Morton-
+            # interleaved layout narrows file min/max stats in EVERY
+            # z-ordered column (operators/zorder.py), so scans pruned on
+            # any of them skip files; cluster_by narrows the leading
+            # key only.
+            from ..operators.zorder import zorder_layout
+
+            keys = [c for c in zorder_by if c in df.columns]
+            if keys:
+                df = zorder_layout(df, keys)
+        elif cluster_by:
             keys = [c for c in cluster_by if c in df.columns]
             if keys:
                 df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)

@@ -1,0 +1,78 @@
+"""Z-order clustering: multi-dimensional file-range narrowing, proven
+from the written parquet footers' min/max stats."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from rabbit_in_a_blender_spark.operators.zorder import zorder_key, zorder_layout
+
+N_FILES = 16
+
+
+def _file_ranges(path: str, col: str) -> list[float]:
+    """Per-file (max - min) width of `col`, from parquet footer stats."""
+    widths = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        idx = {md.schema.column(j).name: j for j in range(md.num_columns)}[col]
+        stats = [
+            md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)
+        ]
+        widths.append(float(max(s.max for s in stats) - min(s.min for s in stats)))
+    return widths
+
+
+def _xy(spark, n=40_000):
+    # two independent uniform dimensions (md5-derived, deterministic)
+    return spark.range(n).select(
+        F.col("id"),
+        (F.conv(F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(":x"))), 1, 6), 16, 10).cast("long") % 10_000).alias("x"),
+        (F.conv(F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(":y"))), 1, 6), 16, 10).cast("long") % 10_000).alias("y"),
+    )
+
+
+def test_zorder_narrows_all_dimensions(spark, tmp_path):
+    df = _xy(spark)
+    # baseline: 1-D clustering on x — y stays full-range in every file
+    oned = tmp_path / "oned"
+    df.repartitionByRange(N_FILES, "x").sortWithinPartitions("x").write.parquet(str(oned))
+    zed = tmp_path / "zed"
+    zorder_layout(df, ["x", "y"], num_files=N_FILES).write.parquet(str(zed))
+
+    avg = lambda v: sum(v) / len(v)
+    x_1d, y_1d = avg(_file_ranges(str(oned), "x")), avg(_file_ranges(str(oned), "y"))
+    x_z, y_z = avg(_file_ranges(str(zed), "x")), avg(_file_ranges(str(zed), "y"))
+    # 1-D layout: x narrow, y full-range (~10k)
+    assert x_1d < 1500 and y_1d > 8000
+    # z-order: BOTH dimensions substantially narrowed vs full range —
+    # with 16 files a perfect 2-D split gives ~1/4 of the range per dim
+    assert x_z < 0.55 * y_1d
+    assert y_z < 0.55 * y_1d
+    # and the data is intact
+    back = spark.read.parquet(str(zed))
+    assert back.count() == df.count()
+    assert back.agg(F.sum("x")).collect()[0][0] == df.agg(F.sum("x")).collect()[0][0]
+
+
+def test_zorder_key_is_deterministic_and_bounded(spark):
+    df = _xy(spark, 2_000)
+    z1 = sorted(r["z"] for r in df.select(zorder_key(df, ["x", "y"]).alias("z")).collect())
+    z2 = sorted(r["z"] for r in df.repartition(7).select(zorder_key(df, ["x", "y"]).alias("z")).collect())
+    assert z1 == z2
+    assert 0 <= z1[0] and z1[-1] < 2 ** 16  # 2 dims x 8 bits
+
+
+def test_warehouse_write_zorder_by(spark, tmp_path):
+    from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.write(_xy(spark, 5_000), "work", "zt", zorder_by=["x", "y"])
+    back = wh.read(spark, "work", "zt")
+    assert back.count() == 5_000
+    assert set(back.columns) == {"id", "x", "y"}  # __z never persisted
