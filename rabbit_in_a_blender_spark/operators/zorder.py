@@ -49,30 +49,47 @@ def zorder_key(
     same 8 bits of resolution regardless of its distribution.
     """
     probs = [i / 256 for i in range(1, 256)]
-    casted = df.select(
-        *[F.col(c).cast("double").alias(c) for c in cols]
-    )
+    # Non-numeric dimensions have no meaningful order to preserve, but
+    # equality pruning still wins from grouping equal values: hash them
+    # to a stable numeric proxy first (files then cover few distinct
+    # hash buckets → few distinct strings → min/max still prunes
+    # point lookups after the scan pushes the predicate down).
+    numeric = {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "decimal", "date", "timestamp"}
+    dtypes = dict(df.dtypes)
+
+    def _as_num(c: str):
+        base = dtypes.get(c, "")
+        if base.split("(")[0] in numeric:
+            return F.col(c).cast("double")
+        return (F.abs(F.xxhash64(F.col(c))) % 1_000_000).cast("double")
+
+    casted = df.select(*[_as_num(c).alias(c) for c in cols])
     bucket_cols = []
     for c in cols:
         bounds = casted.approxQuantile(c, probs, rel_err)
-        # width_bucket needs strictly usable boundaries; dedupe while
-        # preserving order so constant-ish columns degrade gracefully
+        # dedupe boundaries so constant-ish columns degrade gracefully
         uniq = sorted(set(bounds))
-        arr = F.array(*[F.lit(b) for b in uniq])
+        arr = F.array(*[F.lit(float(b)) for b in uniq])
+        val = _as_num(c)  # same proxy as the boundary computation
         idx = F.coalesce(
-            F.expr(
-                f"aggregate(filter({_arr_sql(uniq)}, b -> b <= cast({c} as double)),"
-                " 0, (acc, b) -> acc + 1)"
+            F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(b <= val, F.lit(1)).otherwise(F.lit(0)),
             ),
             F.lit(0),
         )
-        del arr
-        bucket_cols.append(F.least(idx, F.lit(255)).cast("long"))
+        # Spread the occupied bucket range over all 8 bits: a
+        # low-cardinality dimension (k distinct values → buckets 0..k)
+        # would otherwise leave its HIGH bits constant zero, and coarse
+        # file splits — which cut on the top interleaved bits — would
+        # ignore it entirely.
+        scale = 255.0 / max(len(uniq), 1)
+        scaled = F.floor(idx * F.lit(scale)).cast("long")
+        bucket_cols.append(F.least(scaled, F.lit(255)))
     return _interleave(bucket_cols)
-
-
-def _arr_sql(vals: list[float]) -> str:
-    return "array(" + ",".join(f"cast({v!r} as double)" for v in vals) + ")"
 
 
 def zorder_layout(

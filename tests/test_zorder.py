@@ -76,3 +76,33 @@ def test_warehouse_write_zorder_by(spark, tmp_path):
     back = wh.read(spark, "work", "zt")
     assert back.count() == 5_000
     assert set(back.columns) == {"id", "x", "y"}  # __z never persisted
+
+
+def test_zorder_with_string_dimension(spark, tmp_path):
+    """String dims hash to a numeric proxy: equal values collapse into
+    few files (point-lookup pruning) while the numeric dim still
+    narrows."""
+    df = spark.range(8_000).select(
+        F.col("id"),
+        (F.col("id") % 9973).alias("x"),
+        F.concat(F.lit("src"), (F.col("id") % 12).cast("string")).alias("s"),
+    )
+    out = tmp_path / "zs"
+    zorder_layout(df, ["x", "s"], num_files=8).write.parquet(str(out))
+    back = spark.read.parquet(str(out))
+    assert back.count() == 8_000
+    # each distinct string value should appear in well under all 8 files
+    import pyarrow.parquet as pq_
+
+    per_value_files = {}
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        vals = set(
+            pq_.read_table(os.path.join(out, f), columns=["s"])["s"].to_pylist()
+        )
+        for v in vals:
+            per_value_files.setdefault(v, 0)
+            per_value_files[v] += 1
+    avg_files = sum(per_value_files.values()) / len(per_value_files)
+    assert avg_files <= 4, per_value_files  # vs 8 with no clustering
