@@ -77,6 +77,36 @@ def build_ivf_index(
     )
 
 
+def probe_lists(
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """(query_id, __qv, centroid_id): the nprobe nearest centroid lists
+    per query — the |Q| x C scoring is broadcast-side and tiny; the
+    result is the metadata-sized probe driver for any IVF-family search
+    (raw-vector ivf_search here, PQ-code ivfpq_search in ext/ivfpq.py)."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(_cosine(F.col("__qv"), F.col("__cv")), 6)), F.col("centroid_id")
+    )
+    return (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "centroid_id")
+    )
+
+
 def ivf_search(
     index: DataFrame,
     centroids: DataFrame,
@@ -87,23 +117,8 @@ def ivf_search(
     nprobe: int = 4,
 ) -> DataFrame:
     """Approximate top-k: probe the nprobe nearest centroid lists only."""
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
-    # Which centroid lists does each query probe? (tiny: |Q| × C)
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(_cosine(F.col("__qv"), F.col("__cv")), 6)), F.col("centroid_id")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(c))
-        .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", "centroid_id")
+    probes = probe_lists(
+        centroids, queries, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     )
     # Exact cosine inside the probed lists; centroid_id join prunes
     # partitions when the index is partitioned by it.

@@ -154,12 +154,15 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 8,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int> of length m) — one narrow projection.
+    """(id, *keep, codes array<int> of length m) — one narrow projection.
 
     The whole codebook rides along as a broadcast 1-row attach; each
     row's m nearest-code searches happen inside a single transform, so
     encoding shuffles nothing and can run inline in a write pipeline.
+    ``keep`` carries extra columns (e.g. an IVF ``centroid_id``) through
+    without a post-hoc join.
     """
     v = F.col(vec_col).cast("array<double>")
     dsub = F.size(v) / m
@@ -188,7 +191,64 @@ def pq_encode(
     )
     return (
         corpus.crossJoin(F.broadcast(_books_cell(books)))
-        .select(F.col(id_col), codes.alias("codes"))
+        .select(F.col(id_col), *[F.col(c) for c in keep], codes.alias("codes"))
+    )
+
+
+def _query_luts(
+    queries: DataFrame,
+    books: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+) -> DataFrame:
+    """(query_id, __lut): per-subspace ADC lookup tables, one row per
+    query.  Each subspace LUT is a ``map<code id -> dot(q_sub, codeword)>``
+    — keyed on the actual code id from the trained books, NOT position,
+    because Lloyd training can drop an empty cluster and leave the code
+    ids non-contiguous (e.g. [0, 2, 3]); a positional ``element_at``
+    would then misattribute or overflow (ADVICE r5 high)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    dsub_q = F.size(F.col("__qv")) / m
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.map_from_entries(
+            F.transform(
+                F.element_at(F.col("__books"), i.cast("int") + 1)["codes"],
+                lambda c: F.struct(
+                    c["code"].cast("int").alias("key"),
+                    _dot(
+                        F.slice(
+                            F.col("__qv"), (i * dsub_q + 1).cast("int"), dsub_q.cast("int")
+                        ),
+                        c["subvec"],
+                    ).alias("value"),
+                ),
+            )
+        ),
+    )
+    return q.crossJoin(F.broadcast(_books_cell(books))).select(
+        "query_id", lut.alias("__lut")
+    )
+
+
+def _adc_score():
+    """sum over subspaces of LUT[code]: a map lookup per subspace (ksub
+    is tiny, the map scan is JVM-side) + one fold — O(m) per code row."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("__lut"),
+                lambda code, sub_lut: F.element_at(sub_lut, code.cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        4,
     )
 
 
@@ -208,42 +268,12 @@ def pq_search(
     lookups + a sum — O(m) per row independent of dimension.  Returns
     (query_id, neighbor_id, score) with deterministic ties.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
-    dsub_q = F.size(F.col("__qv")) / m
-    # LUT: array over subspaces of array over codes of dot(q_sub, codeword)
-    lut = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda i: F.transform(
-            F.element_at(F.col("__books"), i.cast("int") + 1)["codes"],
-            lambda c: _dot(
-                F.slice(F.col("__qv"), (i * dsub_q + 1).cast("int"), dsub_q.cast("int")),
-                c["subvec"],
-            ),
-        ),
-    )
-    q_lut = q.crossJoin(F.broadcast(_books_cell(books))).select(
-        "query_id", lut.alias("__lut")
-    )
-    score = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.col("__lut"),
-                lambda code, sub_lut: F.element_at(sub_lut, code.cast("int") + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        4,
-    )
+    q_lut = _query_luts(queries, books, id_col=id_col, vec_col=vec_col, m=m)
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .crossJoin(F.broadcast(q_lut))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", score.alias("score"))
+        .select("query_id", "neighbor_id", _adc_score().alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
     return (

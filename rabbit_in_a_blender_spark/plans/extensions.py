@@ -301,6 +301,31 @@ def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_ivfpq_topk",
+    oracle=None,  # approximate by design → rows-only check; recall is
+    # asserted >= the plain PQ-rerank gate (0.8) in tests/test_ivfpq.py,
+    # and probe-boundedness of the ADC scan is proven there too
+    doc="IVFADC ANN: 16 coarse cells x (m=16, ksub=32) PQ codes, "
+    "nprobe=8 probe-bounded ADC shortlist-32 + exact cosine re-rank — "
+    "the composed 100 TB search shape (VERDICT r5 task 1).",
+)
+def ext_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.ivfpq import build_ivfpq_index, ivfpq_search
+    from ..ext.pq import l2_normalize, train_pq_codebooks
+
+    e = l2_normalize(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"], "embedding"
+    )
+    centroids = e.filter(F.col("vec_id") < 16)
+    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2)
+    index = build_ivfpq_index(e, centroids, books, m=16)
+    queries = e.filter(F.col("vec_id") < 10)
+    return ivfpq_search(
+        index, centroids, books, e, queries, m=16, k=3, nprobe=8, shortlist=32
+    )
+
+
+@register(
     "ext_profile_approx",
     oracle=None,  # HLL estimates differ across engines by design
     doc="approx_count_distinct profile of the orders table.",

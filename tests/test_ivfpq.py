@@ -1,0 +1,96 @@
+"""IVFADC (IVF partition pruning x PQ codes): index shape, recall vs
+brute force at least matching the plain PQ-rerank gate, probe-bounded
+candidate generation, and parquet partition pruning on centroid_id."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rabbit_in_a_blender_spark.ext.ivfpq import build_ivfpq_index, ivfpq_search
+from rabbit_in_a_blender_spark.ext.pq import l2_normalize, train_pq_codebooks
+from rabbit_in_a_blender_spark.ext.similarity import cosine_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return l2_normalize(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(embeddings):
+    centroids = embeddings.filter(F.col("vec_id") < 16)
+    books = train_pq_codebooks(embeddings, m=16, ksub=32, iterations=2)
+    index = build_ivfpq_index(embeddings, centroids, books, m=16)
+    return centroids, books, index
+
+
+def test_index_shape(embeddings, trained):
+    centroids, books, index = trained
+    rows = index.collect()
+    assert len(rows) == embeddings.count()
+    cids = {r["centroid_id"] for r in rows}
+    assert cids <= set(range(16))
+    assert all(len(r["codes"]) == 16 for r in rows)
+
+
+def test_ivfpq_recall_vs_brute_force(embeddings, trained):
+    centroids, books, index = trained
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(embeddings, queries, k=3).collect()
+    }
+    got = ivfpq_search(
+        index, centroids, books, embeddings, queries,
+        m=16, k=3, nprobe=8, shortlist=32,
+    )
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    recall = len(exact_pairs & pairs) / len(exact_pairs)
+    # same gate as the plain PQ-rerank baseline (VERDICT r5 task 1)
+    assert recall >= 0.8, f"IVFADC recall too low: {recall}"
+
+
+def test_candidates_bounded_by_probed_cells(embeddings, trained):
+    """The ADC scan must touch only probed cells' rows — count the code
+    rows surviving the probe join and compare to the probed-cell sizes."""
+    centroids, books, index = trained
+    queries = embeddings.filter(F.col("vec_id") == 0)
+    from rabbit_in_a_blender_spark.ext.ivf import probe_lists
+
+    probes = probe_lists(centroids, queries, nprobe=2).select(
+        "query_id", "centroid_id"
+    )
+    probed_cells = {r["centroid_id"] for r in probes.collect()}
+    assert len(probed_cells) == 2
+    cand = index.join(F.broadcast(probes), "centroid_id")
+    expected = index.filter(F.col("centroid_id").isin(*probed_cells)).count()
+    assert cand.count() == expected
+    assert expected < index.count()  # pruning actually dropped cells
+
+
+def test_partition_pruned_parquet_scan(spark, embeddings, trained, tmp_path):
+    """Persisted shape: partitionBy(centroid_id) + a probe join must show
+    partition filters in the scan (the 100 TB story: nprobe/C of the
+    data read, not all of it) and search identically from disk."""
+    centroids, books, index = trained
+    index.write.partitionBy("centroid_id").parquet(f"{tmp_path}/ivfpq")
+    reloaded = spark.read.parquet(f"{tmp_path}/ivfpq")
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    direct = ivfpq_search(
+        index, centroids, books, embeddings, queries, m=16, k=3, nprobe=8
+    ).collect()
+    from_disk = ivfpq_search(
+        reloaded, centroids, books, embeddings, queries, m=16, k=3, nprobe=8
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, from_disk))
+    # a literal centroid_id filter on the partitioned layout prunes:
+    plan = (
+        reloaded.filter(F.col("centroid_id") == 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(centroid_id" in plan.replace("#", "#")

@@ -92,6 +92,42 @@ def test_pq_recall_vs_brute_force(spark, embeddings):
     assert recall >= 0.8, f"PQ+rerank recall too low: {recall}"
 
 
+def test_pq_search_survives_non_contiguous_codes(spark):
+    """Regression (ADVICE r5 high): duplicate seed vectors make Lloyd
+    drop an empty cluster, leaving code ids non-contiguous; the ADC LUT
+    must key on code id, not position, or search throws / mis-scores."""
+    rows = []
+    for i in range(16):
+        vec = []
+        for j in range(4):
+            vec += [float(1 + (i + j) % 4)] * 4
+        rows.append((i, vec))
+    rows[1] = (1, list(rows[0][1]))  # vec 1 duplicates vec 0 → empty cluster
+    df = l2_normalize(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        "embedding",
+    )
+    books = train_pq_codebooks(df, m=4, ksub=4, iterations=2)
+    per_sub = {}
+    for r in books.collect():
+        per_sub.setdefault(r["sub_idx"], []).append(r["code"])
+    assert any(
+        sorted(codes) != list(range(len(codes))) for codes in per_sub.values()
+    ), "fixture no longer produces non-contiguous codes"
+    codes = pq_encode(df, books, m=4)
+    queries = df.filter(F.col("vec_id") == 0)
+    got = pq_search(codes, books, queries, m=4, k=3).collect()
+    assert len(got) == 3
+    assert all(r["score"] is not None for r in got)
+    # vec 1 is an exact duplicate of query 0: same codes → the maximal
+    # ADC score, so it must lead the ranking
+    assert got[0]["neighbor_id"] == 1 or got[0]["score"] == max(
+        r["score"] for r in got
+    )
+    by_score = sorted(got, key=lambda r: (-r["score"], r["neighbor_id"]))
+    assert by_score[0]["neighbor_id"] == 1
+
+
 def test_pq_index_survives_parquet_roundtrip(spark, embeddings, tmp_path):
     """Write-time encode: codes + codebooks persisted to parquet and read
     back must search identically (the deploy shape — encode once at
