@@ -60,6 +60,12 @@ def contamination_overlap(
     grams = F.broadcast(benchmark_ngrams(bench, text_col, n=n))
     matched = shingle_sets(corpus, id_col, text_col, n=n).join(grams, "shingle")
     if max_gram_df is not None:
+        # `matched` feeds BOTH the df-count aggregation and the rare-gram
+        # join; without a persist the corpus shingling + broadcast join
+        # (the dominant cost) runs twice (ADVICE r5).  Matched pairs are
+        # (id, shingle) rows, far smaller than the corpus — same persist
+        # rationale as lsh_candidate_pairs.
+        matched = matched.persist()
         df_counts = matched.groupBy("shingle").agg(
             F.count(F.lit(1)).alias("__df")
         )

@@ -28,6 +28,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _track_cache(df: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Record persisted intermediates on the result frame so callers in
+    a long-running loop can release them (ADVICE r5: the continuous-
+    crawl increment loop otherwise accumulates cache entries forever)."""
+    df._graft_cached = list(getattr(df, "_graft_cached", [])) + cached
+    return df
+
+
+def unpersist_intermediates(*dfs: DataFrame, blocking: bool = False) -> int:
+    """Release the persisted intermediates tracked on these result
+    frames (see _track_cache).  Call AFTER materializing the results
+    (collect/write) — the frames stay valid afterwards, they just
+    recompute if re-used.  Returns the number of entries released."""
+    released = 0
+    seen: set[int] = set()
+    for df in dfs:
+        for c in getattr(df, "_graft_cached", []):
+            if id(c) in seen:
+                continue
+            seen.add(id(c))
+            try:
+                c.unpersist(blocking)
+                released += 1
+            except Exception:
+                pass
+        df._graft_cached = []
+    return released
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact-duplicate groups: digest → canonical (min) id + group size."""
     return (
@@ -130,7 +159,7 @@ def lsh_candidate_pairs(
         )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -143,6 +172,7 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    return _track_cache(pairs, [banded])
 
 
 def ngram_jaccard_pairs(
@@ -173,12 +203,15 @@ def ngram_jaccard_pairs(
     with the MinHash stage instead of re-deriving it from the text.
     """
     sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
+    own_caches: list[DataFrame] = []
     if candidates is None and not exact:
         if shingles is None:
             # one shingle pass feeds signatures, sizes AND intersections
             sh = sh.persist()
+            own_caches.append(sh)
         sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
         candidates = lsh_candidate_pairs(sig, id_col, num_hashes=num_hashes, bands=bands)
+        own_caches += getattr(candidates, "_graft_cached", [])
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     if candidates is not None:
         sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -205,7 +238,7 @@ def ngram_jaccard_pairs(
         )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
+    scored = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -219,6 +252,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _track_cache(scored, own_caches)
 
 
 def signature_bands(
@@ -278,6 +312,12 @@ def incremental_dedup(
     pre-banded table probed with a semi join on (band_idx, band_hash) —
     bucketed storage makes that a co-located join with no corpus-side
     shuffle, so cost per increment is O(delta), not O(corpus).
+
+    The increment persists small intermediates (the delta's band rows);
+    in a continuous-crawl loop call
+    ``unpersist_intermediates(clean_docs, clean_bands)`` after writing
+    each increment or cache entries accumulate across increments
+    (ADVICE r5).
     """
     sigs = minhash_signatures(
         shingle_sets(new_docs, id_col, text_col, n=n), id_col, num_hashes=num_hashes
@@ -297,15 +337,13 @@ def incremental_dedup(
     else:
         corpus_hits = None
     # (b) intra-batch: the higher id of any colliding pair loses
-    intra_losers = (
-        lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    intra_pairs = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
+    intra_losers = intra_pairs.select(F.col("id_b").alias(id_col)).distinct()
     losers = (
         intra_losers if corpus_hits is None
         else corpus_hits.unionByName(intra_losers).distinct()
     )
-    clean_docs = new_docs.join(losers, id_col, "left_anti")
-    clean_bands = nb.join(losers, id_col, "left_anti")
+    caches = [nb] + list(getattr(intra_pairs, "_graft_cached", []))
+    clean_docs = _track_cache(new_docs.join(losers, id_col, "left_anti"), caches)
+    clean_bands = _track_cache(nb.join(losers, id_col, "left_anti"), caches)
     return clean_docs, clean_bands

@@ -108,6 +108,29 @@ def test_incremental_dedup_appended_bands_screen_next_batch(spark):
     assert clean2.count() == 0
 
 
+def test_incremental_dedup_caches_released(spark):
+    """Regression (ADVICE r5): the increment loop must be able to
+    release its persisted intermediates, or a continuous crawl pins
+    executor storage memory across increments."""
+    from rabbit_in_a_blender_spark.ext.dedup import unpersist_intermediates
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    batch = spark.createDataFrame(
+        [(50, "one clean doc about cache hygiene in long running loops"),
+         (51, "another clean doc about storage memory and increments")],
+        "doc_id long, text string",
+    )
+    clean, bands = incremental_dedup(batch, None, "doc_id", "text")
+    clean.collect()
+    bands.collect()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > before
+    released = unpersist_intermediates(clean, bands)
+    assert released >= 1
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+    # idempotent: a second call is a no-op
+    assert unpersist_intermediates(clean, bands) == 0
+
+
 DOC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -78,6 +78,31 @@ def test_warehouse_write_zorder_by(spark, tmp_path):
     assert set(back.columns) == {"id", "x", "y"}  # __z never persisted
 
 
+def test_zorder_with_date_dimension(spark, tmp_path):
+    """Regression (ADVICE r5): cast(date as double) is forbidden — date
+    dims must go through days-since-epoch, and files must still narrow
+    on the date dimension (the docstring's 'observation date' case)."""
+    df = spark.range(8_000).select(
+        F.col("id"),
+        (F.col("id") % 9973).alias("x"),
+        F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") % 730).cast("int")).alias("d"),
+    )
+    out = tmp_path / "zd"
+    zorder_layout(df, ["x", "d"], num_files=8).write.parquet(str(out))
+    back = spark.read.parquet(str(out))
+    assert back.count() == 8_000
+    import pyarrow.parquet as pq_
+
+    spans = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        col = pq_.read_table(os.path.join(out, f), columns=["d"])["d"].to_pylist()
+        spans.append((max(col) - min(col)).days)
+    # each file should cover well under the full 730-day range
+    assert sum(spans) / len(spans) <= 500, spans
+
+
 def test_zorder_with_string_dimension(spark, tmp_path):
     """String dims hash to a numeric proxy: equal values collapse into
     few files (point-lookup pruning) while the numeric dim still
