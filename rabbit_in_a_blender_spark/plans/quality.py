@@ -191,6 +191,13 @@ def _pseudo_cdm_ext(spark: SparkSession, sf_dir: str):
         .when(F.col("l_linenumber") % 3 == 1, "Procedure")
         .otherwise("Visit")
         .alias("cost_domain_id"),
+        # cost→event linkage (r6): the costed event's id — Drug rows
+        # bind to drug_exposure, Procedure rows to procedure_occurrence
+        # (both share the lineitem-derived id space below), unblocking
+        # the 1506-1509 per-domain cost-by-event-concept distributions
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(
+            "cost_event_id"
+        ),
         (F.lit(5031) + F.col("l_suppkey") % 2).alias("cost_type_concept_id"),
         (F.lit(44818668) + F.col("l_partkey") % 2).alias("currency_concept_id"),
         F.col("l_extendedprice").alias("total_charge"),
@@ -198,6 +205,23 @@ def _pseudo_cdm_ext(spark: SparkSession, sf_dir: str):
             "total_paid"
         ),
         F.col("l_orderkey").alias("payer_plan_period_id"),
+    )
+    lio = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    drug_exposure = lio.filter(F.col("l_linenumber") % 3 == 0).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(
+            "drug_exposure_id"
+        ),
+        F.col("o_custkey").alias("person_id"),
+        (F.lit(1125315) + F.col("l_partkey") % 4).alias("drug_concept_id"),
+        F.col("l_shipdate").cast("date").alias("drug_exposure_start_date"),
+    )
+    procedure_occurrence = lio.filter(F.col("l_linenumber") % 3 == 1).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(
+            "procedure_occurrence_id"
+        ),
+        F.col("o_custkey").alias("person_id"),
+        (F.lit(4030731) + F.col("l_partkey") % 3).alias("procedure_concept_id"),
+        F.col("l_shipdate").cast("date").alias("procedure_date"),
     )
     cstart = F.date_add(
         F.lit("1995-01-01").cast("date"), (F.col("c_custkey") % 1000).cast("int")
@@ -262,6 +286,8 @@ def _pseudo_cdm_ext(spark: SparkSession, sf_dir: str):
         "cohort": cohort,
         "visit_detail": vd,
         "episode": episode,
+        "drug_exposure": drug_exposure,
+        "procedure_occurrence": procedure_occurrence,
     }
     return lambda name: extra.get(name) if name in extra else base(name)
 
@@ -294,12 +320,27 @@ _PSEUDO_EXT_SQL = """,
              CASE CAST(l_linenumber % 3 AS INTEGER)
                WHEN 0 THEN 'Drug' WHEN 1 THEN 'Procedure' ELSE 'Visit'
              END AS cost_domain_id,
+             l_orderkey * 10 + l_linenumber AS cost_event_id,
              5031 + (l_suppkey % 2)     AS cost_type_concept_id,
              44818668 + (l_partkey % 2) AS currency_concept_id,
              l_extendedprice            AS total_charge,
              l_extendedprice * (1 - l_discount) AS total_paid,
              l_orderkey                 AS payer_plan_period_id
       FROM lineitem),
+    drugex AS (
+      SELECT l_orderkey * 10 + l_linenumber AS drug_exposure_id,
+             o_custkey                  AS person_id,
+             1125315 + (l_partkey % 4)  AS drug_concept_id,
+             CAST(l_shipdate AS DATE)   AS drug_exposure_start_date
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 0),
+    procex AS (
+      SELECT l_orderkey * 10 + l_linenumber AS procedure_occurrence_id,
+             o_custkey                  AS person_id,
+             4030731 + (l_partkey % 3)  AS procedure_concept_id,
+             CAST(l_shipdate AS DATE)   AS procedure_date
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 1),
     cohort AS (
       SELECT c_custkey % 3 AS cohort_definition_id,
              c_custkey     AS subject_id,
@@ -1452,6 +1493,51 @@ def achilles_cost_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 def achilles_cost_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost amount distributions (1510 total_charge, 1512 total_paid)."""
     return _run_ext_dists(spark, sf_dir, [1510, 1512])
+
+
+@register(
+    "achilles_cost_event_dists",
+    oracle=_PSEUDO_CDM_SQL
+    + _PSEUDO_EXT_SQL
+    + f"""
+    SELECT 1506 AS analysis_id, CAST(drug_concept_id AS VARCHAR) AS stratum_1,
+           {_PAD}, {_DIST_ORACLE_STATS}
+    FROM (SELECT d.drug_concept_id, c.total_paid AS v
+          FROM cost c JOIN drugex d ON c.cost_event_id = d.drug_exposure_id
+          WHERE c.cost_domain_id = 'Drug' AND c.total_paid IS NOT NULL)
+    GROUP BY drug_concept_id
+    UNION ALL
+    SELECT 1507, CAST(procedure_concept_id AS VARCHAR), {_PAD},
+           {_DIST_ORACLE_STATS}
+    FROM (SELECT p.procedure_concept_id, c.total_paid AS v
+          FROM cost c
+          JOIN procex p ON c.cost_event_id = p.procedure_occurrence_id
+          WHERE c.cost_domain_id = 'Procedure' AND c.total_paid IS NOT NULL)
+    GROUP BY procedure_concept_id
+    UNION ALL
+    SELECT 1508, CAST(drug_concept_id AS VARCHAR), {_PAD},
+           {_DIST_ORACLE_STATS}
+    FROM (SELECT d.drug_concept_id, c.total_charge AS v
+          FROM cost c JOIN drugex d ON c.cost_event_id = d.drug_exposure_id
+          WHERE c.cost_domain_id = 'Drug' AND c.total_charge IS NOT NULL)
+    GROUP BY drug_concept_id
+    UNION ALL
+    SELECT 1509, CAST(procedure_concept_id AS VARCHAR), {_PAD},
+           {_DIST_ORACLE_STATS}
+    FROM (SELECT p.procedure_concept_id, c.total_charge AS v
+          FROM cost c
+          JOIN procex p ON c.cost_event_id = p.procedure_occurrence_id
+          WHERE c.cost_domain_id = 'Procedure' AND c.total_charge IS NOT NULL)
+    GROUP BY procedure_concept_id
+    """,
+)
+def achilles_cost_event_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The formerly-excluded 1506-1509 (VERDICT r5 task 4): per-domain
+    cost distributions stratified by the COSTED EVENT's concept — cost
+    joins its event table through cost_event_id (Drug → drug_exposure's
+    drug_concept_id, Procedure → procedure_occurrence's
+    procedure_concept_id), closing the 1500-1520 family."""
+    return _run_ext_dists(spark, sf_dir, [1506, 1507, 1508, 1509])
 
 
 # Cohort (17xx) + episode (24xx, CDM 5.4) families.

@@ -423,6 +423,70 @@ def wh_cleanup_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wh_snapshot_travel",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS step, 'write' AS action,
+           CAST(-1 AS BIGINT) AS saved_version,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 2, 'write', 1,
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 3, 'write', 2,
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 1)
+                AS BIGINT)
+    UNION ALL
+    SELECT 4, 'read_version', 2,
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 5, 'restore', 3,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT)
+    UNION ALL
+    SELECT 6, 'versions', 3,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT)
+    """,
+)
+def wh_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning under the oracle (VERDICT r5 task 5): three
+    ``write_versioned`` generations, a ``read_version`` time-travel read
+    of the middle generation, a ``restore_version`` back to the first
+    (which snapshots the outgoing contents, making the restore itself
+    undoable), and the final version listing.  Each step records
+    (action, saved_version, observed row count); the DuckDB oracle
+    states the expected ledger independently from nation, so wrong
+    snapshot rotation, a restore that loses the outgoing table, or a
+    versions list that drifts all hash-mismatch.  saved_version uses a
+    -1 sentinel for 'nothing snapshotted' (typed, not NULL — the
+    checker's pandas round-trip would coerce a NULL BIGINT column)."""
+    nation = load_tables(spark, sf_dir, "nation")["nation"]
+    wh = Warehouse(tempfile.mkdtemp(prefix="riab_snapshots_"))
+    gen1 = nation
+    gen2 = nation.filter(F.col("n_regionkey") != 0)
+    gen3 = nation.filter(F.col("n_regionkey") == 1)
+    rows = []
+
+    def record(step, action, saved, n):
+        rows.append((step, action, -1 if saved is None else saved, n))
+
+    s1 = wh.write_versioned(gen1, "omop", "nation_v")
+    record(1, "write", s1, wh.read(spark, "omop", "nation_v").count())
+    s2 = wh.write_versioned(gen2, "omop", "nation_v")
+    record(2, "write", s2, wh.read(spark, "omop", "nation_v").count())
+    s3 = wh.write_versioned(gen3, "omop", "nation_v")
+    record(3, "write", s3, wh.read(spark, "omop", "nation_v").count())
+    record(4, "read_version", 2, wh.read_version(spark, "omop", "nation_v", 2).count())
+    s5 = wh.restore_version(spark, "omop", "nation_v", 1)
+    record(5, "restore", s5, wh.read(spark, "omop", "nation_v").count())
+    vs = wh.versions("omop", "nation_v")
+    record(6, "versions", len(vs), wh.read(spark, "omop", "nation_v").count())
+    return spark.createDataFrame(
+        rows, "step long, action string, saved_version long, n_rows long"
+    )
+
+
+@register(
     "wh_load_dispositions",
     oracle="""
     SELECT CAST(1 AS BIGINT) AS step, 'write_empty' AS disposition,

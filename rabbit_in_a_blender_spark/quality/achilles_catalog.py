@@ -1482,6 +1482,54 @@ def _build_specs() -> dict[int, AnalysisSpec]:
                      ),
                      requires=("payer_plan_period",)),
     ]
+    # 1506-1509 (r6): per-domain cost distributions stratified by the
+    # COSTED EVENT's concept — cost rows join their event table through
+    # cost_event_id (the CDM 5.4 unified-cost linkage), so a Drug cost
+    # is stratified by the drug_exposure's drug_concept_id and a
+    # Procedure cost by the procedure_occurrence's procedure_concept_id.
+    # Skips (returns None) on sources without the cost_event_id column —
+    # the pre-r6 fixture shape — matching the reference's non-applicable
+    # analysis behavior.
+    def _cost_event_prepare(domain, event_table, event_pk, concept_col, vcol):
+        def prep(df, read, _d=domain, _t=event_table, _pk=event_pk,
+                 _cc=concept_col, _v=vcol):
+            if "cost_event_id" not in df.columns or _v not in df.columns:
+                return None
+            ev = read(_t)
+            if ev is None or _cc not in ev.columns:
+                return None
+            return (
+                df.filter(
+                    (F.col("cost_domain_id") == _d) & F.col(_v).isNotNull()
+                )
+                .join(
+                    ev.select(F.col(_pk).alias("cost_event_id"), _cc),
+                    "cost_event_id",
+                )
+            )
+        return prep
+
+    for did, domain, etable, epk, ccol, vcol in (
+        (1506, "Drug", "drug_exposure", "drug_exposure_id",
+         "drug_concept_id", "total_paid"),
+        (1507, "Procedure", "procedure_occurrence", "procedure_occurrence_id",
+         "procedure_concept_id", "total_paid"),
+        (1508, "Drug", "drug_exposure", "drug_exposure_id",
+         "drug_concept_id", "total_charge"),
+        (1509, "Procedure", "procedure_occurrence", "procedure_occurrence_id",
+         "procedure_concept_id", "total_charge"),
+    ):
+        specs.append(
+            AnalysisSpec(
+                did,
+                f"Distribution of {vcol} for {domain} cost records by the "
+                f"costed event's {ccol}",
+                "cost", "dist", (ccol,), value_col=vcol,
+                prepare=_cost_event_prepare(domain, etable, epk, ccol, vcol),
+                requires=(etable,),
+            )
+        )
+
     for did, vcol in (
         (1510, "total_charge"),
         (1511, "total_cost"),
@@ -1895,13 +1943,13 @@ def _build_specs() -> dict[int, AnalysisSpec]:
 #    1809, 2011/2014-2019, 2110/2113/2114/2116-2119, 2213-2219,
 #    2410-2412/2414/2416-2419) — slot numbers the public catalog skips
 #    within its own numbering.
-# 2. EXCLUDED — inexpressible on the fixture: 1506-1509, the per-domain
-#    cost distributions stratified by the costed event's concept
-#    (drug/procedure cost joined through cost_event_id to the event
-#    table).  The unified-cost fixture carries cost_domain_id +
-#    payer_plan_period_id but no cost_event_id linkage, so the
-#    cost→event concept join has nothing deterministic to bind to;
-#    every other cost slot (1500-1505, 1510-1520) is implemented.
+# 2. (closed r6) 1506-1509 — the per-domain cost distributions
+#    stratified by the costed event's concept — are now IMPLEMENTED:
+#    the fixture gained a cost_event_id linkage (Drug → drug_exposure,
+#    Procedure → procedure_occurrence) per VERDICT r5 task 4, and the
+#    specs join cost→event through it.  The whole cost family
+#    (1500-1520) is covered; sources without cost_event_id skip them
+#    as non-applicable.
 # 3. Covered under a NEIGHBORING id where this catalog's historical
 #    numbering diverges from the public CSV by one slot: the
 #    death-outside-observation-period check sits at 505 here (public

@@ -621,3 +621,51 @@ def test_provider_specialty_strata(spark, cdm):
     # 305: distinct persons per specialty — persons {1,2} and {1}
     counts_305 = {r["stratum_1"]: r["count_value"] for r in by_id[305]}
     assert counts_305 == {"38004446": 2, "38004447": 1}
+
+
+def test_cost_event_dists_1506_1509(spark):
+    """r6: per-domain cost distributions by the costed event's concept.
+    Drug costs stratify by drug_concept_id via cost_event_id; a cost
+    table WITHOUT cost_event_id skips all four (non-applicable)."""
+    cost = spark.createDataFrame(
+        [
+            (1, "Drug", 101, 10.0, 20.0),
+            (2, "Drug", 102, 30.0, 40.0),
+            (3, "Drug", 103, 50.0, 60.0),  # event 103 has concept B
+            (4, "Procedure", 201, 70.0, 80.0),
+            (5, "Visit", 301, 90.0, 99.0),  # never joined
+            (6, "Drug", 999, 1.0, 2.0),  # dangling event id → dropped
+        ],
+        "cost_id long, cost_domain_id string, cost_event_id long, "
+        "total_paid double, total_charge double",
+    )
+    drug = spark.createDataFrame(
+        [(101, 7001), (102, 7001), (103, 7002)],
+        "drug_exposure_id long, drug_concept_id long",
+    )
+    proc = spark.createDataFrame(
+        [(201, 8001)], "procedure_occurrence_id long, procedure_concept_id long"
+    )
+    tables = {"cost": cost, "drug_exposure": drug, "procedure_occurrence": proc}
+    out = run_catalog(
+        spark, lambda n: tables.get(n), analysis_ids=[1506, 1507, 1508, 1509]
+    )
+    rows = out["achilles_results_dist"].collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["analysis_id"], []).append(r)
+    counts_1506 = {r["stratum_1"]: r["count_value"] for r in by_id[1506]}
+    assert counts_1506 == {"7001": 2, "7002": 1}
+    avg_7001 = [r for r in by_id[1506] if r["stratum_1"] == "7001"][0]["avg_value"]
+    assert abs(avg_7001 - 20.0) < 1e-9  # (10+30)/2
+    assert {r["stratum_1"] for r in by_id[1507]} == {"8001"}
+    assert by_id[1508][0]["analysis_id"] == 1508
+    assert {r["stratum_1"]: r["count_value"] for r in by_id[1509]} == {"8001": 1}
+    # no cost_event_id column → all four skip
+    slim = {"cost": cost.drop("cost_event_id"), "drug_exposure": drug,
+            "procedure_occurrence": proc}
+    out2 = run_catalog(
+        spark, lambda n: slim.get(n), analysis_ids=[1506, 1507, 1508, 1509]
+    )
+    res2 = out2.get("achilles_results_dist")
+    assert res2 is None or res2.count() == 0
