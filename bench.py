@@ -1,6 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
+``--ab <git-ref> [--queries a,b] [--rounds N]`` switches to interleaved
+A/B mode: the ref tree (git archive) and HEAD alternate full suite
+passes in ONE session and the RATIO is reported — the recording
+protocol for adjudicating wall-time drift vs real regression
+(VERDICT r5 task 8; this host ambiently drifts 1.1-1.4x between
+rounds).
+
 Output contract (VERDICT r3 task 1 — the r3 record failed driver-side
 parsing because the single line outgrew the tail capture): the verbose
 per-rep detail (``queries_reps``/``spread_pct``) prints on its OWN
@@ -166,6 +173,125 @@ def etl_pipeline_bench(
     return elapsed, n_rows
 
 
+def _purge_pkg_modules() -> None:
+    for mod in list(sys.modules):
+        if mod.startswith("rabbit_in_a_blender_spark"):
+            del sys.modules[mod]
+
+
+def _time_suite(
+    root: str, names: list[str], spark, sf_dir: str
+) -> dict[str, float]:
+    """Import the plans catalog of the tree at ``root`` (isolated: the
+    package modules are purged before AND after, so trees never mix) and
+    run each query once through the noop sink, timed."""
+    import importlib
+
+    _purge_pkg_modules()
+    sys.path.insert(0, root)
+    try:
+        cat = importlib.import_module("rabbit_in_a_blender_spark.plans.catalog")
+        queries = cat.all_queries()
+        out: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+    finally:
+        sys.path.remove(root)
+        _purge_pkg_modules()
+
+
+def ab_main(ref: str, only: list[str] | None, rounds: int) -> None:
+    """Interleaved A/B: HEAD tree vs ``git archive <ref>`` in ONE Spark
+    session, alternating full suite passes (ref, head, ref, head, ...)
+    so ambient host drift hits both sides equally.  Ratios, not
+    absolutes, are the recorded signal — this is the bench protocol
+    hardening from VERDICT r5 task 8 (three rounds of 1.1-1.4x
+    wall-time drift between rounds on unchanged code).
+    """
+    import shutil
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = only or [n for n in HEADLINE]
+    refdir = tempfile.mkdtemp(prefix=f"bench_ab_{re.sub(r'[^A-Za-z0-9]', '_', ref)}_")
+    try:
+        tar = subprocess.run(
+            ["git", "archive", ref], cwd=here, capture_output=True, timeout=120
+        )
+        if tar.returncode != 0:
+            sys.exit(f"git archive {ref} failed: {tar.stderr.decode()[:500]}")
+        subprocess.run(
+            ["tar", "-x", "-C", refdir], input=tar.stdout, check=True, timeout=120
+        )
+        spark = get_spark("bench-ab")
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1000).count()
+        # Queries present in both trees only (a new query has no ref side).
+        ref_names = set(
+            _ab_catalog_names(refdir)
+        )
+        missing = [n for n in names if n not in ref_names]
+        names = [n for n in names if n in ref_names]
+        # one untimed warmup pass per tree (codegen + footer reads)
+        _time_suite(refdir, names, spark, sf_dir)
+        _time_suite(here, names, spark, sf_dir)
+        ref_reps: dict[str, list[float]] = {n: [] for n in names}
+        head_reps: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(rounds):
+            for t in _time_suite(refdir, names, spark, sf_dir).items():
+                ref_reps[t[0]].append(t[1])
+            for t in _time_suite(here, names, spark, sf_dir).items():
+                head_reps[t[0]].append(t[1])
+        med = lambda xs: sorted(xs)[len(xs) // 2]
+        per_query = {
+            n: {
+                "ref": ref_reps[n],
+                "head": head_reps[n],
+                "ratio": round(med(head_reps[n]) / med(ref_reps[n]), 3),
+            }
+            for n in names
+        }
+        total_ref = round(sum(med(ref_reps[n]) for n in names), 3)
+        total_head = round(sum(med(head_reps[n]) for n in names), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "ab_head_over_ref_ratio",
+                    "ref": ref,
+                    "rounds": rounds,
+                    "value": round(total_head / total_ref, 3),
+                    "total_head_sec": total_head,
+                    "total_ref_sec": total_ref,
+                    "queries": per_query,
+                    "skipped_not_in_ref": missing,
+                    "sf_dir": sf_dir,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(refdir, ignore_errors=True)
+
+
+def _ab_catalog_names(root: str) -> list[str]:
+    import importlib
+
+    _purge_pkg_modules()
+    sys.path.insert(0, root)
+    try:
+        cat = importlib.import_module("rabbit_in_a_blender_spark.plans.catalog")
+        return list(cat.all_queries())
+    finally:
+        sys.path.remove(root)
+        _purge_pkg_modules()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -276,4 +402,17 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--ab" in sys.argv:
+        i = sys.argv.index("--ab")
+        ab_ref = sys.argv[i + 1]
+        ab_only = None
+        if "--queries" in sys.argv:
+            ab_only = sys.argv[sys.argv.index("--queries") + 1].split(",")
+        ab_rounds = int(
+            sys.argv[sys.argv.index("--rounds") + 1]
+            if "--rounds" in sys.argv
+            else 3
+        )
+        ab_main(ab_ref, ab_only, ab_rounds)
+    else:
+        main()
