@@ -60,18 +60,12 @@ from pyspark.sql import DataFrame, SparkSession
 # automatic staleness derivation below.  Kept for cases the import
 # closure can't see (dynamic dispatch, data-file dependencies) and for
 # explicit verdict orders.
-_REVERIFY_FIRST = [
-    # r4 verdict task 2: these four r3-green rows predate their
-    # module's r4 diff and "must lead CORRECTNESS_r05".  The automatic
-    # derivation (correctly) does NOT flag them — their actual deep
-    # closures (core/io.py; quality/checks.py) were untouched in r4 and
-    # their function fingerprints didn't move when plans/quality.py
-    # grew around them — so the verdict order is carried here, the
-    # bucket that exists for exactly this.
-    "achilles_strata_counts",
-    "dq_fk_orphans",
-    "dq_plausible_value_low",
-    "dq_start_before_end",
+_REVERIFY_FIRST: list[str] = [
+    # (r6: emptied.)  The r4 verdict's four-query order was satisfied —
+    # they led CORRECTNESS_r05 and re-earned green — and the r5 verdict
+    # issues no manual orders (its task-2 rows are all flagged by the
+    # automatic staleness derivation), so every slot under the driver's
+    # ~50-query cap goes to the never-green + stale buckets this round.
 ]
 
 _PKG = "rabbit_in_a_blender_spark"
