@@ -292,6 +292,67 @@ def _ab_catalog_names(root: str) -> list[str]:
         _purge_pkg_modules()
 
 
+def _latest_round_marker() -> str | None:
+    """Commit that recorded the most recent BENCH_r{N}.json — the
+    previous round's closing tree, the natural A/B reference."""
+    import glob
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    markers = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not markers:
+        return None
+    newest = os.path.basename(markers[-1])
+    out = subprocess.run(
+        ["git", "log", "--diff-filter=A", "--format=%H", "-n", "1", "--", newest],
+        cwd=here, capture_output=True, text=True, timeout=30,
+    )
+    sha = out.stdout.strip().splitlines()
+    return sha[0] if out.returncode == 0 and sha else None
+
+
+def _quick_ab(ref: str, spark, sf_dir: str, rounds: int = 2) -> dict | None:
+    """Interleaved HEAD-vs-ref headline passes appended to the normal
+    bench record, so every BENCH_r{N} carries its own drift adjudication
+    (VERDICT r5 task 8): cross-round comparisons read the RATIO, not the
+    absolute totals this host drifts by 1.1-1.4x."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    refdir = tempfile.mkdtemp(prefix="bench_ab_auto_")
+    try:
+        tar = subprocess.run(
+            ["git", "archive", ref], cwd=here, capture_output=True, timeout=120
+        )
+        if tar.returncode != 0:
+            return None
+        subprocess.run(
+            ["tar", "-x", "-C", refdir], input=tar.stdout, check=True, timeout=120
+        )
+        names = [n for n in HEADLINE if n in set(_ab_catalog_names(refdir))]
+        if not names:
+            return None
+        _time_suite(refdir, names, spark, sf_dir)  # ref-side warmup
+        ref_tot = head_tot = 0.0
+        for _ in range(rounds):
+            ref_tot += sum(_time_suite(refdir, names, spark, sf_dir).values())
+            head_tot += sum(_time_suite(here, names, spark, sf_dir).values())
+        return {
+            "ref": ref[:9],
+            "rounds": rounds,
+            "n_queries": len(names),
+            "total_ref_sec": round(ref_tot, 3),
+            "total_head_sec": round(head_tot, 3),
+            "head_over_ref": round(head_tot / ref_tot, 3),
+        }
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(refdir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -383,22 +444,29 @@ def main() -> None:
             }
         )
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "etl_rows_per_sec": round(etl_rows / etl_med),
-                "dq_sweep_checks": int(dq_checks),
-                "dq_sweep_ms_per_check": round(
-                    1000.0 * timings["dq_sweep_detail"] / max(int(dq_checks), 1), 1
-                ),
-            }
-        )
-    )
+    # Self-adjudicating record: interleave headline passes of the
+    # previous round's tree with HEAD in this same session and carry
+    # the ratio (skipped silently outside a git checkout).
+    ab = None
+    marker = _latest_round_marker()
+    if marker and os.environ.get("SPARK_GRAFT_BENCH_AB", "1") != "0":
+        ab = _quick_ab(marker, spark, sf_dir)
+
+    record = {
+        "metric": "headline_queries_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "etl_rows_per_sec": round(etl_rows / etl_med),
+        "dq_sweep_checks": int(dq_checks),
+        "dq_sweep_ms_per_check": round(
+            1000.0 * timings["dq_sweep_detail"] / max(int(dq_checks), 1), 1
+        ),
+    }
+    if ab is not None:
+        record["ab"] = ab
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
