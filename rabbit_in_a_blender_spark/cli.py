@@ -115,11 +115,147 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Parquet table directory for --run-query "
                         "(default: %(default)s)")
     x.add_argument("--out", metavar="PATH",
-                   help="With --run-query: write the full result here "
-                        "instead of printing a sample")
+                   help="With --run-query / --corpus-dedup: write the "
+                        "result here instead of printing a sample")
     x.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
                    help="With --out: output format (default: %(default)s)")
+    x.add_argument("--corpus-dedup", metavar="DOCS",
+                   help="Near-duplicate dedup of a document corpus "
+                        "(parquet dir/file or .jsonl[.gz]): exact + "
+                        "MinHash-LSH clustering, keeps one canonical doc "
+                        "per near-dup group.  With --index: incremental "
+                        "mode — screen DOCS against the stored LSH band "
+                        "index, append survivors' bands")
+    x.add_argument("--index", metavar="PATH",
+                   help="With --corpus-dedup: persistable LSH band index "
+                        "directory.  Absent/empty → bootstrap it from "
+                        "this batch; existing → O(delta) incremental "
+                        "screen against the stored corpus")
+    x.add_argument("--id-col", default="doc_id",
+                   help="With --corpus-dedup: id column (default %(default)s)")
+    x.add_argument("--text-col", default="text",
+                   help="With --corpus-dedup: text column (default %(default)s)")
+    x.add_argument("--threshold", type=float, default=0.2,
+                   help="With --corpus-dedup (full mode): n-gram Jaccard "
+                        "cluster threshold (default %(default)s)")
     return p
+
+
+def _corpus_dedup(args, cfg) -> int:
+    """The user-facing entry point for the dedup operators (VERDICT r5
+    task 9): full-corpus exact + LSH near-dup clustering, or — with a
+    stored band index — the O(delta) incremental screen.
+
+    Full mode: exact dedup collapses byte-identical docs, then
+    near_dup_clusters keeps one canonical doc per transitive near-dup
+    group.  If --index names an absent/empty directory the surviving
+    docs' band rows are written there, bootstrapping incremental runs.
+    Incremental mode (--index exists): incremental_dedup screens the
+    batch against the stored index with a band-key semi join (the
+    corpus itself is never read), appends the survivors' bands, and
+    releases the loop's persisted intermediates.
+    """
+    from pyspark.sql import functions as F
+
+    from .core.session import get_spark
+    from .ext.dedup import (
+        exact_dedup_groups,
+        incremental_dedup,
+        minhash_signatures,
+        shingle_sets,
+        signature_bands,
+        unpersist_intermediates,
+    )
+
+    if not args.out:
+        raise SystemExit("--corpus-dedup requires --out")
+    spark = get_spark(
+        "riab-spark",
+        master=cfg.get("spark", "master", fallback=None),
+        shuffle_partitions=(
+            cfg.getint("spark", "shuffle_partitions")
+            if cfg.has_option("spark", "shuffle_partitions")
+            else None
+        ),
+    )
+    src = args.corpus_dedup
+    if src.endswith((".jsonl", ".jsonl.gz", ".json")):
+        from .sources.readers import read_jsonl
+
+        docs = read_jsonl(spark, src)
+    else:
+        docs = spark.read.parquet(src)
+    id_col, text_col = args.id_col, args.text_col
+    for c in (id_col, text_col):
+        if c not in docs.columns:
+            raise SystemExit(f"column {c!r} not in {src} ({docs.columns})")
+    n_in = docs.count()
+
+    index_exists = bool(args.index) and os.path.isdir(args.index) and any(
+        f.endswith(".parquet") for f in os.listdir(args.index)
+    )
+    if index_exists:
+        corpus_bands = spark.read.parquet(args.index)
+        clean, clean_bands = incremental_dedup(
+            docs, corpus_bands, id_col, text_col
+        )
+        _write_docs(clean, args.out, args.format)
+        clean_bands.write.mode("append").parquet(args.index)
+        n_out = spark.read.parquet(
+            args.out
+        ).count() if args.format == "parquet" else clean.count()
+        unpersist_intermediates(clean, clean_bands)
+        print(
+            f"incremental dedup: {n_in} in -> {n_out} clean "
+            f"({n_in - n_out} screened); bands appended to {args.index}"
+        )
+        return 0
+
+    # Full mode: exact first (cheap digest groupBy), then LSH clustering.
+    from .ext.cluster import near_dup_clusters
+
+    canon = exact_dedup_groups(docs, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    uniq = docs.join(canon, id_col, "left_semi")
+    labeled = near_dup_clusters(
+        uniq, id_col, text_col, threshold=args.threshold
+    )
+    # labels carry (id, cluster_id, cluster_size, is_canonical) only —
+    # semi-join back so the output keeps the full document rows
+    clean = uniq.join(
+        labeled.filter(F.col("is_canonical") == 1).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    _write_docs(clean, args.out, args.format)
+    out_read = (
+        spark.read.parquet(args.out) if args.format == "parquet" else clean
+    )
+    n_out = out_read.count()
+    if args.index:
+        keep = clean if args.format != "parquet" else out_read
+        bands = signature_bands(
+            minhash_signatures(
+                shingle_sets(keep, id_col, text_col), id_col
+            ),
+            id_col,
+        )
+        os.makedirs(args.index, exist_ok=True)
+        bands.write.mode("overwrite").parquet(args.index)
+        print(f"band index bootstrapped at {args.index}")
+    print(
+        f"corpus dedup: {n_in} in -> {n_out} canonical "
+        f"({n_in - n_out} removed as exact/near dups)"
+    )
+    return 0
+
+
+def _write_docs(df, out: str, fmt: str) -> None:
+    if fmt == "jsonl":
+        df.write.mode("overwrite").json(out)
+    else:
+        df.write.mode("overwrite").parquet(out)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -173,6 +309,9 @@ def main(argv: list[str] | None = None) -> int:
         else:
             df.show(20, truncate=False)
         return 0
+
+    if args.corpus_dedup:
+        return _corpus_dedup(args, cfg)
 
     if args.create_folders:
         from .folders import create_cdm_folders

@@ -253,3 +253,71 @@ def test_run_query_list_and_export(env, capsys, tmpdir_):
 def test_run_query_unknown_name_fails(env):
     with pytest.raises(SystemExit):
         main(["--run-query", "nope_not_a_query"])
+
+
+def test_corpus_dedup_full_then_incremental(env, spark, capsys, tmpdir_):
+    """--corpus-dedup end-to-end: full mode collapses exact + near dups
+    and bootstraps the band index; a second incremental run screens a
+    new batch against it in O(delta)."""
+    root = str(tmpdir_)
+    docs = os.path.join(root, "docs")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+            (3, "the quick brown fox jumps over the lazy dog tonight"),  # near dup
+            (4, "completely different text about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    out1 = os.path.join(root, "clean1")
+    index = os.path.join(root, "band_index")
+    cfg = os.path.join(root, "riab.ini")
+    rc = main(
+        ["--corpus-dedup", docs, "--out", out1, "--index", index,
+         "--config", cfg]
+    )
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out1).collect()}
+    assert kept == {1, 4}  # 2 exact-dups into 1, 3 near-dups into 1
+    assert os.path.isdir(index)
+    msg = capsys.readouterr().out
+    assert "4 in -> 2 canonical" in msg and "bootstrapped" in msg
+
+    # incremental batch: one near-dup of the stored corpus, one new
+    batch = os.path.join(root, "batch")
+    spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "an entirely novel document about z-order clustering"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(batch)
+    out2 = os.path.join(root, "clean2")
+    rc = main(
+        ["--corpus-dedup", batch, "--out", out2, "--index", index,
+         "--config", cfg]
+    )
+    assert rc == 0
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert kept2 == {11}
+    assert "incremental dedup: 2 in -> 1 clean" in capsys.readouterr().out
+    # survivor's bands were appended: a re-run of the same novel doc
+    # under a different id is now screened too
+    batch2 = os.path.join(root, "batch2")
+    spark.createDataFrame(
+        [(20, "an entirely novel document about z-order clustering")],
+        "doc_id long, text string",
+    ).write.parquet(batch2)
+    out3 = os.path.join(root, "clean3")
+    assert main(
+        ["--corpus-dedup", batch2, "--out", out3, "--index", index,
+         "--config", cfg]
+    ) == 0
+    assert spark.read.parquet(out3).count() == 0
+
+
+def test_corpus_dedup_requires_out(env, tmpdir_):
+    with pytest.raises(SystemExit):
+        main(["--corpus-dedup", "/tmp/nope", "--config",
+              os.path.join(str(tmpdir_), "riab.ini")])
