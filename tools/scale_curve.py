@@ -341,6 +341,17 @@ def _ann_curve(spark, reps: int) -> None:
         books = train_pq_codebooks(corpus, m=16, ksub=32, iterations=2)
         books = books.persist()
         books.count()
+        # IVFADC (r6): probe-bounded ADC over a prebuilt index — the
+        # composed search path whose cost should grow with the PROBED
+        # cells (nprobe/C of the corpus), not the corpus
+        from rabbit_in_a_blender_spark.ext.ivfpq import (
+            build_ivfpq_index,
+            ivfpq_search,
+        )
+
+        centroids = corpus.filter(F.col("vec_id") < 16)
+        ivf_index = build_ivfpq_index(corpus, centroids, books, m=16).persist()
+        ivf_index.count()
         for stage, fn in (
             ("encode", lambda: pq_encode(corpus, books, m=16)),
             (
@@ -348,6 +359,13 @@ def _ann_curve(spark, reps: int) -> None:
                 lambda: pq_search_rerank(
                     pq_encode(corpus, books, m=16), books, corpus, queries,
                     m=16, k=3, shortlist=32,
+                ),
+            ),
+            (
+                "ivfpq_search",
+                lambda: ivfpq_search(
+                    ivf_index, centroids, books, corpus, queries,
+                    m=16, k=3, nprobe=4, shortlist=32,
                 ),
             ),
         ):
@@ -363,17 +381,22 @@ def _ann_curve(spark, reps: int) -> None:
             }
         corpus.unpersist()
         books.unpersist()
+        ivf_index.unpersist()
         results[label] = point
         print(f"## ann {label}: {n} vectors {point}", flush=True)
 
     print(json.dumps(results))
-    print("\n| point | vectors | encode median s | vec/s | search median s |")
-    print("|---|---|---|---|---|")
+    print(
+        "\n| point | vectors | encode median s | vec/s | search median s "
+        "| ivfpq_search median s |"
+    )
+    print("|---|---|---|---|---|---|")
     for label, r in results.items():
         med = r["encode"]["median"]
         print(
             f"| {label} | {r['vectors']:,} | {med} | "
-            f"{round(r['vectors'] / med):,} | {r['search']['median']} |"
+            f"{round(r['vectors'] / med):,} | {r['search']['median']} | "
+            f"{r['ivfpq_search']['median']} |"
         )
 
 
