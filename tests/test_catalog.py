@@ -114,9 +114,19 @@ def test_verification_order_buckets():
     m = _entry_module()
     order = list(m.queries())
     assert set(order) == set(m.__dict__["queries"]().keys())
-    # the manual reverify pin leads, in its declared order
+    # any manual reverify pins lead, in their declared order (the list
+    # is emptied when no verdict order is outstanding — r6 state)
     pinned = [n for n in m._REVERIFY_FIRST if n in order]
-    assert pinned, "manual reverify list must pin at least one catalog query"
     assert order[: len(pinned)] == pinned
+    # never-green queries precede everything not pinned
+    from rabbit_in_a_blender_spark.plans.catalog import all_oracles
+
+    lg = m._last_green_rounds(set(all_oracles()))
+    never = [n for n in order if n not in lg and n not in pinned]
+    if never:
+        first_green_pos = min(
+            order.index(n) for n in order if n in lg and n not in pinned
+        )
+        assert max(order.index(n) for n in never) < first_green_pos
     # every catalog query appears exactly once
     assert len(order) == len(set(order))
