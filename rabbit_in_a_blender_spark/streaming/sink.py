@@ -51,3 +51,67 @@ def stream_upsert_query(
         stream_df.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def stream_corpus_dedup(
+    stream_docs: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+):
+    """Build (not start) a writeStream that NEAR-dup-screens each
+    micro-batch against the persistable LSH band index and grows both
+    the corpus and the index — the streaming face of the CLI's
+    incremental ``--corpus-dedup`` (continuous-crawl ingestion).
+
+    Per micro-batch: ``incremental_dedup`` shingles and hashes ONLY the
+    batch, probes the stored index with a band-key semi join (the
+    corpus itself is never read), appends surviving docs to ``out_dir``
+    and their band rows to ``index_dir``, then releases the loop's
+    persisted intermediates — per-batch cost is O(batch), state lives
+    entirely in the index table, not executor memory (contrast
+    streaming_dedup_screen, whose exact-hash state store handles only
+    byte-identical repeats within the watermark horizon).
+
+    Replay semantics: docs append BEFORE bands, so a crash between the
+    two writes re-appends the batch's docs on replay (duplicates to
+    compact later) rather than silently dropping them (bands-first
+    would make the replayed batch collide with its own bands).  For
+    exactly-once swap both appends for Delta MERGE — the call-site
+    contract is unchanged.
+
+    Returns the DataStreamWriter; callers pick the trigger
+    (availableNow for backfill, processingTime for continuous).
+    """
+    import os
+
+    from ..ext.dedup import incremental_dedup, unpersist_intermediates
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        have_index = os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        )
+        corpus_bands = spark.read.parquet(index_dir) if have_index else None
+        clean, clean_bands = incremental_dedup(
+            batch_df,
+            corpus_bands,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        clean.write.mode("append").parquet(out_dir)
+        clean_bands.write.mode("append").parquet(index_dir)
+        unpersist_intermediates(clean, clean_bands)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )

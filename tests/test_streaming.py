@@ -211,3 +211,77 @@ def test_streaming_dedup_screen(spark):
         assert got == [1, 2, 4]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_corpus_dedup_screens_across_batches(spark):
+    """foreachBatch near-dup screen: micro-batch 2's near-dup of a
+    batch-1 survivor is screened via the band index the stream itself
+    grew — continuous-crawl ingestion with state in a table, not
+    executor memory."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from rabbit_in_a_blender_spark.streaming.sink import stream_corpus_dedup
+
+    tmp = tempfile.mkdtemp(prefix="riab_scd_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        base = (
+            "a long report about shuffle partitioning and skew mitigation "
+            "strategies on very large production spark clusters"
+        )
+        b1 = spark.createDataFrame(
+            [
+                (1, base),
+                (2, "an unrelated essay about parquet footer statistics pruning"),
+            ],
+            schema,
+        )
+        b2 = spark.createDataFrame(
+            [
+                # near-dup of doc 1: appended word, all leading shingles
+                # shared -> deterministic LSH band collision (verified)
+                (10, base + " appendix"),
+                (11, "completely fresh content never seen in any earlier batch"),
+            ],
+            schema,
+        )
+        srcdir = f"{tmp}/src"
+        os.makedirs(srcdir)
+        i = 0
+        for b, sub in ((b1, "in1"), (b2, "in2")):
+            b.coalesce(1).write.parquet(f"{tmp}/{sub}")
+            for f in os.listdir(f"{tmp}/{sub}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{tmp}/{sub}/{f}", f"{srcdir}/stream_{i}.parquet")
+                    i += 1
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcdir)
+        )
+        q = (
+            stream_corpus_dedup(
+                src, f"{tmp}/corpus", f"{tmp}/index", f"{tmp}/ckpt"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        kept = {r["doc_id"] for r in spark.read.parquet(f"{tmp}/corpus").collect()}
+        assert kept == {1, 2, 11}, kept  # 10 screened against batch-1 bands
+        # the index holds bands for every survivor
+        idx_ids = {
+            r["doc_id"] for r in spark.read.parquet(f"{tmp}/index").collect()
+        }
+        assert idx_ids == {1, 2, 11}
+        # no cache entries leaked across micro-batches
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
