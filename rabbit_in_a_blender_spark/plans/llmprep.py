@@ -33,6 +33,70 @@ _T_TRAIN = fraction_threshold(0.8)
 _T_VAL = fraction_threshold(0.9)
 
 
+_SHARD_BOUNDS = [fraction_threshold(i / 8) for i in range(1, 8)]
+_SHARD_SQL = " + ".join(
+    f"(CASE WHEN substr(shuffle_key, 1, 8) >= '{b}' THEN 1 ELSE 0 END)"
+    for b in _SHARD_BOUNDS
+)
+
+
+@register(
+    "ext_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 50000
+    """,
+    doc="Greedy token-budget selection (longest-first, 50k-token cap): "
+    "the scalable range-partitioned cumsum reproduces the oracle's "
+    "global-order SUM OVER bit-for-bit.",
+)
+def ext_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.budget import token_budget_select
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    scored = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return token_budget_select(
+        scored,
+        "n_tokens",
+        50_000,
+        [F.desc("n_tokens"), F.asc("doc_id")],
+        mode="scalable",
+    ).select("doc_id", "n_tokens", "cum_tokens")
+
+
+@register(
+    "ext_deterministic_shuffle",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':r6') AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key, CAST({_SHARD_SQL} AS INTEGER) AS shard_id
+    FROM k
+    """,
+    doc="Reshard-stable corpus shuffle: md5 order key + 8 equal hash-"
+    "range shards; narrow projection, zero shuffle.",
+)
+def ext_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.budget import deterministic_shuffle
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return deterministic_shuffle(d, "doc_id", seed="r6", shards=8).select(
+        "doc_id", "shuffle_key", "shard_id"
+    )
+
+
 @register(
     "ext_sample_uniform",
     oracle=f"""

@@ -1,0 +1,90 @@
+"""Token-budget selection + deterministic shuffle: strict/scalable
+equivalence, budget edge cases, reshard-stable shard membership."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rabbit_in_a_blender_spark.ext.budget import (
+    deterministic_shuffle,
+    token_budget_select,
+)
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 100 + 1).alias("n_tokens"),
+    )
+
+
+def test_strict_and_scalable_agree(spark):
+    df = _docs(spark)
+    order = [F.desc("n_tokens"), F.asc("doc_id")]
+    strict = token_budget_select(df, "n_tokens", 3_000, order, mode="strict")
+    scalable = token_budget_select(df, "n_tokens", 3_000, order, mode="scalable")
+    s = sorted((r["doc_id"], r["cum_tokens"]) for r in strict.collect())
+    c = sorted((r["doc_id"], r["cum_tokens"]) for r in scalable.collect())
+    assert s == c and s, "twins diverged or selected nothing"
+
+
+def test_budget_is_inclusive_prefix(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "doc_id long, n_tokens long"
+    )
+    out = token_budget_select(
+        df, "n_tokens", 60, [F.asc("doc_id")], mode="scalable"
+    ).collect()
+    got = {r["doc_id"]: r["cum_tokens"] for r in out}
+    assert got == {1: 10, 2: 30, 3: 60}  # 4 would overflow to 100
+
+
+def test_budget_partition_independence(spark):
+    df = _docs(spark, 500)
+    order = [F.desc("n_tokens"), F.asc("doc_id")]
+    a = token_budget_select(df, "n_tokens", 8_000, order).collect()
+    b = token_budget_select(
+        df.repartition(13), "n_tokens", 8_000, order
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_budget_zero_and_empty(spark):
+    df = _docs(spark, 10)
+    assert token_budget_select(df, "n_tokens", 0, [F.asc("doc_id")]).count() == 0
+    empty = df.filter("doc_id < 0")
+    assert token_budget_select(empty, "n_tokens", 100, [F.asc("doc_id")]).count() == 0
+
+
+def test_shuffle_shards_balanced_and_reshard_stable(spark):
+    df = spark.range(4_000).select(F.col("id").alias("doc_id"))
+    out = deterministic_shuffle(df, "doc_id", seed="t", shards=8)
+    rows = {r["doc_id"]: (r["shuffle_key"], r["shard_id"]) for r in out.collect()}
+    counts = {}
+    for _, (_, s) in rows.items():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) < 2 * min(counts.values())  # roughly uniform
+    # membership is a pure function of (key, seed): a grown, re-sharded
+    # corpus assigns the SAME shard to every old doc
+    grown = spark.range(8_000).select(F.col("id").alias("doc_id")).repartition(7)
+    out2 = {
+        r["doc_id"]: (r["shuffle_key"], r["shard_id"])
+        for r in deterministic_shuffle(grown, "doc_id", seed="t", shards=8).collect()
+    }
+    assert all(out2[k] == v for k, v in rows.items())
+
+
+def test_shuffle_key_orders_identically_across_engines(spark):
+    import duckdb
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    got = sorted(
+        (r["shuffle_key"], r["doc_id"])
+        for r in deterministic_shuffle(df, "doc_id", seed="x").collect()
+    )
+    want = duckdb.sql(
+        "SELECT md5(CAST(r AS VARCHAR) || ':x') AS k, r FROM range(100) t(r) ORDER BY k"
+    ).fetchall()
+    assert [(k, i) for k, i in want] == got
