@@ -487,6 +487,60 @@ def wh_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wh_compact_roundtrip",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS step, 'seed' AS action, true AS many_files,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(DISTINCT n_regionkey) FROM nation) AS BIGINT)
+             AS n_regions
+    UNION ALL
+    SELECT 2, 'compact', false,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT n_regionkey) FROM nation) AS BIGINT)
+    """,
+)
+def wh_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the oracle: seed a table via many
+    single-slice appends (one parquet file each — the streaming-sink
+    decay shape), then ``compact``.  The ledger records whether the
+    table is fragmented (>= 5 files) plus row and distinct-region
+    counts before and after; the oracle states fragmentation must be
+    GONE after compaction while the contents are untouched.  A compact
+    that drops/duplicates rows or fails to merge files hash-mismatches.
+    """
+    nation = load_tables(spark, sf_dir, "nation")["nation"]
+    wh = Warehouse(tempfile.mkdtemp(prefix="riab_compact_"))
+    for rk in range(5):
+        wh.load(
+            nation.filter(F.col("n_regionkey") == rk).coalesce(1),
+            "omop", "nation_frag", disposition="append",
+        )
+
+    def files():
+        p = wh.path("omop", "nation_frag")
+        return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+
+    def stats():
+        df = wh.read(spark, "omop", "nation_frag")
+        return (
+            df.count(),
+            df.select("n_regionkey").distinct().count(),
+        )
+
+    rows = []
+    n, reg = stats()
+    rows.append((1, "seed", files() >= 5, n, reg))
+    wh.compact(spark, "omop", "nation_frag")
+    n, reg = stats()
+    rows.append((2, "compact", files() >= 5, n, reg))
+    return spark.createDataFrame(
+        rows,
+        "step long, action string, many_files boolean, n_rows long, "
+        "n_regions long",
+    )
+
+
+@register(
     "wh_load_dispositions",
     oracle="""
     SELECT CAST(1 AS BIGINT) AS step, 'write_empty' AS disposition,
