@@ -1,3 +1,4 @@
+from .budget import deterministic_shuffle, token_budget_select
 from .decontam import benchmark_ngrams, contamination_overlap, decontaminate
 from .dedup import (
     exact_dedup_groups,
@@ -7,6 +8,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     shingle_sets,
     signature_bands,
+    unpersist_intermediates,
 )
 from .packing import bin_summary, pack_next_fit
 from .sampling import (
@@ -16,6 +18,7 @@ from .sampling import (
     train_val_test_split,
 )
 from .scrub import redact_pii, repetition_stats
+from .ivfpq import build_ivfpq_index, ivfpq_search, train_residual_books
 from .similarity import cosine_topk
 from .text import (
     chunk_documents,
@@ -34,6 +37,12 @@ __all__ = [
     "ngram_jaccard_pairs",
     "signature_bands",
     "incremental_dedup",
+    "unpersist_intermediates",
+    "token_budget_select",
+    "deterministic_shuffle",
+    "build_ivfpq_index",
+    "ivfpq_search",
+    "train_residual_books",
     "benchmark_ngrams",
     "contamination_overlap",
     "decontaminate",

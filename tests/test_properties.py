@@ -153,3 +153,38 @@ def test_fraction_threshold_keeps_expected_mass(f):
     t = fraction_threshold(f)
     kept = int(t, 16) if t != "g" else 16**8
     assert kept == round(f * 16**8)
+
+
+from rabbit_in_a_blender_spark.ext.budget import token_budget_select  # noqa: E402
+
+tokens_strategy = st.lists(
+    st.integers(min_value=1, max_value=500), min_size=1, max_size=40
+)
+
+
+@given(tokens=tokens_strategy, budget=st.integers(min_value=0, max_value=5_000))
+@_SLOW
+def test_token_budget_scalable_matches_strict(spark, tokens, budget):
+    rows = [(i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    order = [F.desc("n_tokens"), F.asc("doc_id")]
+    a = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in token_budget_select(df, "n_tokens", budget, order).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in token_budget_select(
+            df, "n_tokens", budget, order, mode="strict"
+        ).collect()
+    )
+    assert a == b
+    # greedy-prefix law: the kept set is exactly the maximal prefix of
+    # the (tokens desc, id asc) order whose running total fits
+    prefix, run = [], 0
+    for i, t in sorted(enumerate(tokens), key=lambda p: (-p[1], p[0])):
+        if run + t > budget:
+            break
+        run += t
+        prefix.append(i)
+    assert {d for d, _ in a} == set(prefix)
