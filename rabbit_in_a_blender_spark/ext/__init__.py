@@ -16,6 +16,7 @@ from .sampling import (
     deterministic_sample,
     stratified_sample,
     train_val_test_split,
+    upsample_epochs,
 )
 from .scrub import redact_pii, repetition_stats
 from .ivfpq import build_ivfpq_index, ivfpq_search, train_residual_books
@@ -52,6 +53,7 @@ __all__ = [
     "stratified_sample",
     "train_val_test_split",
     "balance_sample",
+    "upsample_epochs",
     "redact_pii",
     "repetition_stats",
     "cosine_topk",

@@ -95,6 +95,56 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col), seed) < thr)
 
 
+def upsample_epochs(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    epochs: dict[str, float],
+    seed: str = "epochs",
+    default_epochs: float = 1.0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic fractional upsampling: repeat each row
+    floor(epochs[stratum]) times, plus one more copy iff the row's hash
+    falls under the fractional remainder — so a source weighted 2.3
+    contributes every doc twice and a stable, reproducible 30% of its
+    docs a third time (the standard LLM data-mixing recipe when
+    high-quality sources run for >1 epoch).
+
+    Adds ``copy_col`` (1-based repeat index) so downstream shuffling can
+    spread copies apart.  Spark shape: one ``explode(sequence(...))`` —
+    a narrow fan-out, no shuffle, no RNG; the same (key, stratum, seed)
+    always yields the same copy count on any engine or partitioning.
+
+    ``epochs`` values must be >= 0; a stratum at 0 drops out entirely
+    (its fractional threshold keeps ~nothing and floor is 0).
+    """
+    floor_e = F.lit(int(default_epochs))
+    thr = F.lit(fraction_threshold(default_epochs - int(default_epochs)))
+    for value, e in sorted(epochs.items()):
+        if e < 0:
+            raise ValueError(f"epochs for {value!r} must be >= 0, got {e}")
+        floor_e = F.when(F.col(strata_col) == value, F.lit(int(e))).otherwise(
+            floor_e
+        )
+        thr = F.when(
+            F.col(strata_col) == value,
+            F.lit(fraction_threshold(e - int(e))),
+        ).otherwise(thr)
+    extra = F.when(
+        hash_bucket(F.col(key_col), seed) < thr, F.lit(1)
+    ).otherwise(F.lit(0))
+    n_copies = (floor_e + extra).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            copy_col, F.explode(F.sequence(F.lit(1), F.col("__n")))
+        )
+        .drop("__n")
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     key_col: str,

@@ -33,6 +33,44 @@ _T_TRAIN = fraction_threshold(0.8)
 _T_VAL = fraction_threshold(0.9)
 
 
+_EPOCHS = {"en": 2.3, "fr": 0.5, "zh": 1.0}
+_EPOCH_CASE = " ".join(
+    f"WHEN '{lang}' THEN {int(e)} + (CASE WHEN "
+    f"substr(md5(CAST(doc_id AS VARCHAR) || ':r6e'), 1, 8) < "
+    f"'{fraction_threshold(e - int(e))}' THEN 1 ELSE 0 END)"
+    for lang, e in sorted(_EPOCHS.items())
+)
+
+
+@register(
+    "ext_upsample_epochs",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, lang,
+             CASE lang {_EPOCH_CASE}
+               ELSE 1 + (CASE WHEN
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':r6e'), 1, 8) < '{fraction_threshold(0.0)}'
+                 THEN 1 ELSE 0 END)
+             END AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS INTEGER)
+             AS copy_idx
+    FROM n WHERE n_copies > 0
+    """,
+    doc="Deterministic fractional upsampling (en 2.3 epochs, fr 0.5, "
+    "zh 1.0): floor copies for everyone + one stable hash-gated extra "
+    "for the remainder; explode fan-out, zero shuffle.",
+)
+def ext_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import upsample_epochs
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return upsample_epochs(d, "doc_id", "lang", _EPOCHS, seed="r6e").select(
+        "doc_id", "lang", "copy_idx"
+    )
+
+
 _SHARD_BOUNDS = [fraction_threshold(i / 8) for i in range(1, 8)]
 _SHARD_SQL = " + ".join(
     f"(CASE WHEN substr(shuffle_key, 1, 8) >= '{b}' THEN 1 ELSE 0 END)"

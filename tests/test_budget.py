@@ -88,3 +88,49 @@ def test_shuffle_key_orders_identically_across_engines(spark):
         "SELECT md5(CAST(r AS VARCHAR) || ':x') AS k, r FROM range(100) t(r) ORDER BY k"
     ).fetchall()
     assert [(k, i) for k, i in want] == got
+
+
+def test_upsample_epochs_counts_and_determinism(spark):
+    from rabbit_in_a_blender_spark.ext.sampling import upsample_epochs
+
+    df = spark.range(1_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "fr")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+    out = upsample_epochs(
+        df, "doc_id", "lang", {"en": 2.5, "fr": 0.25, "zh": 1.0}, seed="t"
+    )
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault((r["doc_id"], r["lang"]), []).append(r["copy_idx"])
+    # copy_idx is a dense 1..n per doc
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_doc.values())
+    by_lang = {}
+    for (d, lang), v in per_doc.items():
+        by_lang.setdefault(lang, []).append(len(v))
+    # en: every doc 2 or 3 copies, ~50% get 3 → mean ~2.5
+    assert set(by_lang["en"]) <= {2, 3}
+    assert 2.3 < sum(by_lang["en"]) / len(by_lang["en"]) < 2.7
+    # fr: docs appear 0 or 1 times; ~25% kept of 334 source docs
+    assert set(by_lang["fr"]) == {1}
+    assert 50 < len(by_lang["fr"]) < 120
+    # zh: exactly one copy each
+    assert set(by_lang["zh"]) == {1} and len(by_lang["zh"]) == 333
+    # deterministic under repartitioning
+    again = upsample_epochs(
+        df.repartition(11), "doc_id", "lang",
+        {"en": 2.5, "fr": 0.25, "zh": 1.0}, seed="t",
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_upsample_epochs_rejects_negative(spark):
+    from rabbit_in_a_blender_spark.ext.sampling import upsample_epochs
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    with pytest.raises(ValueError):
+        upsample_epochs(df, "doc_id", "lang", {"en": -1.0})
