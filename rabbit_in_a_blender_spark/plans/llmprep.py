@@ -77,6 +77,67 @@ _SHARD_SQL = " + ".join(
     for b in _SHARD_BOUNDS
 )
 
+_SHARD4_SQL = " + ".join(
+    f"(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':r6s'), 1, 8) "
+    f">= '{fraction_threshold(i / 4)}' THEN 1 ELSE 0 END)"
+    for i in range(1, 4)
+)
+
+
+@register(
+    "ext_curation_chain",
+    oracle=f"""
+    WITH canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    uniq AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN canon c ON d.doc_id = c.doc_id
+    ),
+    t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM uniq
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id) AS cum_tokens
+      FROM t
+    ),
+    kept AS (SELECT * FROM cum WHERE cum_tokens <= 30000)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':r6c'), 1, 8)
+                     < '{_T_TRAIN}' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':r6c'), 1, 8)
+                     < '{_T_VAL}' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST({_SHARD4_SQL} AS INTEGER) AS shard_id
+    FROM kept
+    """,
+    doc="Curation capstone: exact dedup → longest-first 30k-token "
+    "budget → stable train/val/test split → 4-way shuffle shards.  "
+    "Distinct seeds for split ('r6c') and shard ('r6s') so membership "
+    "decisions are uncorrelated.",
+)
+def ext_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.budget import deterministic_shuffle, token_budget_select
+    from ..ext.dedup import exact_dedup_groups
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    canon = exact_dedup_groups(d, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    uniq = d.join(canon, "doc_id", "left_semi")
+    scored = uniq.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    kept = token_budget_select(
+        scored, "n_tokens", 30_000, [F.desc("n_tokens"), F.asc("doc_id")]
+    )
+    split = train_val_test_split(kept, "doc_id", seed="r6c")
+    sharded = deterministic_shuffle(split, "doc_id", seed="r6s", shards=4)
+    return sharded.select("doc_id", "n_tokens", "cum_tokens", "split", "shard_id")
+
 
 @register(
     "ext_token_budget",
