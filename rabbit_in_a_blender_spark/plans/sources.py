@@ -487,6 +487,99 @@ def wh_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wh_zorder_layout",
+    oracle="""
+    SELECT 'plain' AS layout,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+           false AS cust_clustered, false AS date_clustered
+    UNION ALL
+    SELECT 'zorder',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           true, true
+    """,
+)
+def wh_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering under the oracle: orders written plain
+    (round-robin 8 files) vs ``zorder_layout(["o_custkey",
+    "o_orderdate"])`` — including a DATE dimension, the ADVICE r5
+    regression surface.  For each layout the parquet footers yield the
+    average per-file min/max span as a fraction of the global range in
+    BOTH dimensions (median over files — robust to the one file that
+    straddles a Morton quadrant boundary); a dimension counts as
+    clustered when the z-ordered median span is under 0.6x the plain
+    layout's.  The oracle states plain
+    must cluster in neither dimension and z-order in both — a Morton
+    interleave that silently degrades to 1-D sorting (or none) flips a
+    boolean and hash-mismatches.  Footer reads are driver-side metadata
+    (32 files); rows never leave the executors.
+    """
+    import pyarrow.parquet as pq_
+
+    from ..operators.zorder import zorder_layout
+
+    o = load_tables(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("o_orderdate")
+    )
+    n_rows = o.count()
+    base = tempfile.mkdtemp(prefix="riab_zorder_")
+    layouts = {
+        "plain": lambda df: df.repartition(16),
+        "zorder": lambda df: zorder_layout(
+            df, ["o_custkey", "o_orderdate"], num_files=16
+        ),
+    }
+    span = {}
+    for name, fn in layouts.items():
+        path = os.path.join(base, name)
+        fn(o).write.parquet(path)
+        ratios = {"o_custkey": [], "o_orderdate": []}
+        glo = {
+            c: (r["lo"], r["hi"])
+            for c, r in (
+                (c, o.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0])
+                for c in ratios
+            )
+        }
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq_.read_metadata(os.path.join(path, f))
+            schema_names = md.schema.to_arrow_schema().names
+            for c in ratios:
+                idx = schema_names.index(c)
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                width = (hi - lo).days if c == "o_orderdate" else hi - lo
+                gw = (
+                    (glo[c][1] - glo[c][0]).days
+                    if c == "o_orderdate"
+                    else glo[c][1] - glo[c][0]
+                )
+                ratios[c].append(width / max(gw, 1))
+        span[name] = {
+            c: sorted(v)[len(v) // 2] for c, v in ratios.items()
+        }
+    rows = [
+        ("plain", n_rows, False, False),
+        (
+            "zorder",
+            n_rows,
+            bool(span["zorder"]["o_custkey"] < 0.6 * span["plain"]["o_custkey"]),
+            bool(
+                span["zorder"]["o_orderdate"] < 0.6 * span["plain"]["o_orderdate"]
+            ),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "layout string, n_rows long, cust_clustered boolean, "
+        "date_clustered boolean"
+    )
+
+
+@register(
     "wh_compact_roundtrip",
     oracle="""
     SELECT CAST(1 AS BIGINT) AS step, 'seed' AS action, true AS many_files,
