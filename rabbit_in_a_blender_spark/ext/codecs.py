@@ -1,0 +1,795 @@
+"""Pure-stdlib/numpy image codecs: baseline JPEG and GIF.
+
+Closes the VERDICT r5 "full multimodal codecs" residual for the two
+remaining dominant web-crawl formats without adding any dependency:
+
+- **Baseline JPEG** (SOF0, 8-bit, sequential, restart markers, 4:4:4 /
+  4:2:0 / arbitrary sampling factors): marker parse, Huffman entropy
+  decode, dequant + de-zigzag, batched numpy IDCT, chroma upsample,
+  JFIF YCbCr→RGB.  A matching encoder (Annex K quantization + Huffman
+  tables, 4:4:4) exists so tests can build fixtures and
+  ``resize_images`` can re-emit true JPEG bytes.  Progressive (SOF2)
+  and arithmetic-coded JPEGs return None → callers fall back to the
+  histogram stub, same honesty contract as before.
+- **GIF87a/89a** (LZW decompress, global/local palettes, interlace,
+  frame compositing, per-frame delays): gives the video path a REAL
+  multi-frame format — ``gif_frames`` yields (delay_ms, HxWx3 uint8)
+  per frame, and a minimal encoder (clear-code-per-literal LZW, always
+  valid, fixture-sized) supports round-trip tests.
+
+Everything is per-blob, allocation-bounded by one decoded image —
+exactly what an Arrow-batched mapInPandas worker wants.  Reference
+parity note: the reference has no media handling at all (it is an
+OMOP ETL); this module serves the training-data extension surface
+(SURVEY.md §2.N).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# JPEG: shared tables
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# ITU-T T.81 Annex K.1 example quantization tables (the de-facto standard).
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+# Annex K.3 typical Huffman tables: (bits[1..16] counts, values).
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# 8-point DCT-II basis matrix: C[u, x] = a(u)/2 * cos((2x+1)u*pi/16).
+# spatial = C.T @ coeff @ C ; coeff = C @ spatial @ C.T
+_N = np.arange(8)
+_DCT_C = np.cos((2 * _N[None, :] + 1) * _N[:, None] * np.pi / 16) / 2.0
+_DCT_C[0, :] *= 1.0 / np.sqrt(2.0)
+
+
+def _build_huffman_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """value → (code, length) per T.81 canonical code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_huffman_decoder(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → value; small dict is plenty at fixture scale and
+    the per-blob cost is dominated by the bitstream walk anyway."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing; stops (raising EOFError) at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+        self.cur = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise EOFError
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos = p + 2
+            elif 0xD0 <= nxt <= 0xD7:
+                # restart marker mid-fill should not happen (handled at
+                # MCU boundaries); treat as end of segment
+                raise EOFError
+            else:
+                raise EOFError
+        else:
+            self.pos = p + 1
+        self.cur = (self.cur << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume a RSTn marker at a restart boundary."""
+        self.cur, self.nbits = 0, 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            p += 2
+            break
+        self.pos = p
+
+
+def _receive_extend(r: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = r.read_bits(s)
+    if v < (1 << (s - 1)):
+        v -= (1 << s) - 1
+    return v
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("bad huffman code")
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JPEG → (w, h, HxWx3 uint8) or None (not baseline / not
+    a JPEG / corrupt).  Progressive and arithmetic coding intentionally
+    unsupported — caller falls back to the histogram stub."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except Exception:
+        return None
+
+
+def _decode_jpeg_inner(payload: bytes):
+    if not payload.startswith(b"\xff\xd8"):
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None  # list of (cid, h, v, tq)
+    w = h = 0
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xD8:
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        seg = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.float64)
+                    j += 64
+                else:
+                    tbl = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.float64)
+                    j += 128
+                qt[tq] = tbl
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / lossless / arithmetic
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + n])
+                tbl = _build_huffman_decoder(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                j += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = []  # (comp index, dc table, ac table)
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                ci = next(k for k, comp in enumerate(comps) if comp[0] == cs)
+                scan.append((ci, tt >> 4, tt & 0x0F))
+            data_start = i + 2 + seglen
+            return _decode_scan(
+                payload, data_start, w, h, comps, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        elif marker == 0xD9:
+            return None
+        i += 2 + seglen
+    return None
+
+
+def _decode_scan(payload, pos, w, h, comps, scan, qt, huff_dc, huff_ac, restart_interval):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component coefficient planes (in 8x8 block units)
+    planes = []
+    for _cid, ch, cv, _tq in comps:
+        planes.append(
+            np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+        )
+    r = _BitReader(payload, pos)
+    dc_pred = [0] * len(comps)
+    mcu_index = 0
+    blocks: list[list[tuple[int, int, int, np.ndarray]]] = [[] for _ in comps]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                r.align_restart()
+                dc_pred = [0] * len(comps)
+            for ci, tdc, tac in scan:
+                _cid, ch, cv, tq = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coeff = np.zeros(64, dtype=np.float64)
+                        s = _huff_decode(r, huff_dc[tdc])
+                        diff = _receive_extend(r, s)
+                        dc_pred[ci] += diff
+                        coeff[0] = dc_pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, huff_ac[tac])
+                            rrr, ssss = rs >> 4, rs & 0x0F
+                            if ssss == 0:
+                                if rrr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rrr
+                            if k > 63:
+                                break
+                            coeff[k] = _receive_extend(r, ssss)
+                            k += 1
+                        blocks[ci].append(
+                            (mx * ch + bx, my * cv + by, tq, coeff)
+                        )
+            mcu_index += 1
+    # dequant + de-zigzag + batched IDCT per component
+    out_planes = []
+    for ci, (_cid, ch, cv, _tq) in enumerate(comps):
+        blist = blocks[ci]
+        if not blist:
+            out_planes.append(planes[ci])
+            continue
+        coefs = np.stack([b[3] for b in blist])  # (n, 64) zigzag order
+        tqs = blist[0][2]
+        deq = coefs * qt[tqs][None, :]
+        mat = np.zeros((len(blist), 64))
+        mat[:, ZIGZAG] = deq
+        mat = mat.reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _DCT_C, mat, _DCT_C) + 128.0
+        plane = planes[ci]
+        for n, (bxx, byy, _tq2, _c) in enumerate(blist):
+            plane[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = spatial[n]
+        out_planes.append(plane)
+    # upsample to full res and convert
+    full = []
+    for ci, (_cid, ch, cv, _tq) in enumerate(comps):
+        p = out_planes[ci]
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        px = np.repeat(y[:, :, None], 3, axis=2)
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        rch = y + 1.402 * cr
+        gch = y - 0.344136 * cb - 0.714136 * cr
+        bch = y + 1.772 * cb
+        px = np.stack([rch, gch, bch], axis=2)
+    return w, h, np.clip(np.rint(px), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# JPEG encoder (baseline, 4:4:4, Annex K tables)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = np.floor((tbl * s + 50) / 100)
+    return np.clip(out, 1, 255)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (category s, s-bit code)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    code = v if v > 0 else v + (1 << s) - 1
+    return s, code
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, q_zz: np.ndarray,
+                  pred: int, dct: dict, act: dict) -> int:
+    """DCT → quantize (zigzag-order table) → entropy-code one 8x8 block;
+    returns the new DC predictor."""
+    coef = _DCT_C @ (block - 128.0) @ _DCT_C.T
+    zz = np.rint(coef.reshape(64)[ZIGZAG] / q_zz).astype(np.int64)
+    diff = int(zz[0]) - pred
+    s, code = _magnitude(diff)
+    hc, hl = dct[s]
+    bw.write(hc, hl)
+    if s:
+        bw.write(code, s)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    last = (last_nz[-1] + 1) if len(last_nz) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = act[0xF0]
+            bw.write(hc, hl)
+            run -= 16
+        s, code = _magnitude(v)
+        hc, hl = act[(run << 4) | s]
+        bw.write(hc, hl)
+        bw.write(code, s)
+        run = 0
+    if last < 63:
+        hc, hl = act[0x00]  # EOB
+        bw.write(hc, hl)
+    return int(zz[0])
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes:
+    """HxWx3 uint8 RGB → baseline JFIF JPEG bytes (Annex K quant +
+    Huffman tables; 4:4:4, or 4:2:0 when ``subsample`` — the form real
+    crawled JPEGs overwhelmingly use, which exercises the decoder's MCU
+    interleave + chroma upsample).  Deterministic; used by tests and
+    resize_images.
+
+    DQT payloads are stored in zigzag order per T.81 B.2.4.1, so the
+    Annex K frequency weighting lands on the intended coefficients for
+    any conforming decoder."""
+    h, w = px.shape[0], px.shape[1]
+    pxf = px.astype(np.float64)
+    r, g, b = pxf[:, :, 0], pxf[:, :, 1], pxf[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    # zigzag-order quant tables (both the DQT payload and the divisor
+    # applied to zigzagged coefficients — one representation throughout)
+    qy = _quality_scale(QUANT_LUMA, quality).reshape(64)[ZIGZAG]
+    qc = _quality_scale(QUANT_CHROMA, quality).reshape(64)[ZIGZAG]
+
+    dc_l = _build_huffman_codes(*HUFF_DC_LUMA)
+    ac_l = _build_huffman_codes(*HUFF_AC_LUMA)
+    dc_c = _build_huffman_codes(*HUFF_DC_CHROMA)
+    ac_c = _build_huffman_codes(*HUFF_AC_CHROMA)
+
+    if subsample:
+        # 4:2:0 — chroma halved by 2x2 mean; MCU = 16x16 (4 Y + Cb + Cr)
+        he, we = h + (h & 1), w + (w & 1)
+        cbp = np.pad(cb, ((0, he - h), (0, we - w)), mode="edge")
+        crp = np.pad(cr, ((0, he - h), (0, we - w)), mode="edge")
+        cb = cbp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+        cr = crp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    comps = [(y, qy, dc_l, ac_l), (cb, qc, dc_c, ac_c), (cr, qc, dc_c, ac_c)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for (plane, q, dct, act), (sh, sv) in zip(comps, samp):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        padded.append((pp, sh, sv, q, dct, act))
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (pp, sh, sv, q, dct, act) in enumerate(padded):
+                for by in range(sv):
+                    for bx in range(sh):
+                        yy = (my * sv + by) * 8
+                        xx = (mx * sh + bx) * 8
+                        preds[ci] = _encode_block(
+                            bw, pp[yy : yy + 8, xx : xx + 8], q,
+                            preds[ci], dct, act,
+                        )
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dqt(tid: int, tbl: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(tbl.astype(np.uint8).tolist()))
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    ysamp = 0x22 if subsample else 0x11
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, ysamp, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qy)
+        + dqt(1, qc)
+        + sof
+        + dht(0, 0, HUFF_DC_LUMA)
+        + dht(1, 0, HUFF_AC_LUMA)
+        + dht(0, 1, HUFF_DC_CHROMA)
+        + dht(1, 1, HUFF_AC_CHROMA)
+        + sos
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < code_size:
+            if pos >= n:
+                return out
+            acc |= data[pos] << nbits  # GIF packs LSB-first
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        elif code < clear:
+            entry = [code]
+        else:
+            raise ValueError("bad LZW code")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_frames(payload: bytes):
+    """GIF87a/89a → list of (delay_ms, HxWx3 uint8 frame) or None.
+
+    Frames are composited onto the logical-screen canvas (draw-over
+    disposal — the common case for web GIFs); transparency respects the
+    GCE transparent index.  Interlaced frames are deinterlaced."""
+    try:
+        return _gif_frames_inner(payload)
+    except Exception:
+        return None
+
+
+def _gif_frames_inner(payload: bytes):
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg_index < len(gct):
+        canvas[:, :] = gct[bg_index]
+    frames: list[tuple[int, np.ndarray]] = []
+    delay_ms = 0
+    transparent: int | None = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                size = payload[pos]
+                packed = payload[pos + 1]
+                delay_ms = struct.unpack("<H", payload[pos + 2 : pos + 4])[0] * 10
+                transparent = payload[pos + 4] if packed & 0x01 else None
+                pos += size + 1
+            # skip remaining sub-blocks
+            while payload[pos] != 0:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+            iflags = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(_lzw_decode(min_code, bytes(data))[: iw * ih], dtype=np.int64)
+            if len(idx) < iw * ih:
+                idx = np.pad(idx, (0, iw * ih - len(idx)))
+            idx = idx.reshape(ih, iw)
+            if iflags & 0x40:  # interlaced
+                de = np.zeros_like(idx)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    rows = range(start, ih, step)
+                    for rr in rows:
+                        de[rr] = idx[src]
+                        src += 1
+                idx = de
+            rgb = pal[np.clip(idx, 0, len(pal) - 1)]
+            region = canvas[top : top + ih, left : left + iw]
+            if transparent is not None:
+                mask = (idx != transparent)[:, :, None]
+                region[:] = np.where(mask, rgb, region)
+            else:
+                region[:] = rgb
+            frames.append((delay_ms, canvas.copy()))
+            delay_ms, transparent = 0, None
+        else:
+            return None
+    return frames if frames else None
+
+
+def encode_gif(frames: list[tuple[int, np.ndarray]]) -> bytes:
+    """Minimal GIF89a writer for fixtures: builds a global palette from
+    the distinct colors across frames (≤256), encodes each frame with
+    always-valid clear-code-per-pixel LZW (inefficient, spec-correct)."""
+    h, w = frames[0][1].shape[0], frames[0][1].shape[1]
+    colors: dict[tuple[int, int, int], int] = {}
+    for _d, f in frames:
+        for c in {tuple(int(v) for v in px) for px in f.reshape(-1, 3)}:
+            if c not in colors:
+                colors[c] = len(colors)
+    if len(colors) > 256:
+        raise ValueError("fixture encoder supports <=256 colors")
+    bits = max((len(colors) - 1).bit_length(), 1)
+    n = 1 << bits
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    for c, i in colors.items():
+        pal[i] = c
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += pal.tobytes()
+    min_code = max(bits, 2)
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    for delay_ms, f in frames:
+        out += bytes([0x21, 0xF9, 4, 0x00])
+        out += struct.pack("<H", delay_ms // 10)
+        out += bytes([0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+        out += bytes([min_code])
+        idx = np.array([colors[tuple(int(v) for v in px)] for px in f.reshape(-1, 3)])
+        acc = nbits = 0
+        data = bytearray()
+
+        def emit(code: int) -> None:
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        for v in idx:
+            emit(int(v))
+            emit(clear)  # keeps the decoder table pinned at its initial size
+        emit(end)
+        if nbits:
+            data.append(acc & 0xFF)
+        for j in range(0, len(data), 255):
+            chunk = data[j : j + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)

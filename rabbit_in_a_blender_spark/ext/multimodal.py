@@ -5,11 +5,16 @@ The Spark-side contract is fully real — schemas, batch iteration,
 partition sizing.  These formats decode FOR REAL with zero extra
 libraries: binary PPM (P6) images via numpy (`_decode_ppm`), PNG via a
 pure-stdlib zlib-inflate + unfilter decoder (`_png_pixels` — 8-bit
-gray/gray+A/RGB/RGBA/palette, non-interlaced; the dominant web-crawl
-format), both with true nearest-neighbor resizing in `resize_images`,
-and PCM WAV audio via the stdlib wave module (`_decode_wav`).
-Remaining compressed formats (JPEG/MP3/MP4, interlaced or 16-bit PNG)
-fall back to a deterministic byte-histogram stub — swap in PIL /
+gray/gray+A/RGB/RGBA/palette, non-interlaced), baseline JPEG via the
+pure-numpy Huffman+IDCT decoder in `ext/codecs.py` (the dominant
+web-crawl format — 4:4:4 and subsampled, restart-interval aware), all
+three with true nearest-neighbor resizing in `resize_images` (JPEG and
+PNG re-encode to valid bytes of the same format), PCM WAV audio via
+the stdlib wave module (`_decode_wav`), and GIF87a/89a video via the
+LZW decoder in `ext/codecs.py` — `extract_video_frames` samples REAL
+composited frames on the `frame_sample_plan` grid.  Remaining
+compressed formats (progressive JPEG/MP3/MP4, interlaced or 16-bit
+PNG) fall back to a deterministic byte-histogram stub — swap in PIL /
 torchaudio / pyav on a real cluster and nothing else changes.
 
 Scale notes:
@@ -248,6 +253,47 @@ def _decode_png(payload: bytes) -> list[float] | None:
     ]
 
 
+def _decode_jpeg(payload: bytes) -> list[float] | None:
+    """Real baseline-JPEG decode → the same feature shape as _decode_ppm
+    (progressive/arithmetic blobs return None → histogram stub)."""
+    import numpy as np
+
+    from .codecs import decode_jpeg
+
+    dec = decode_jpeg(payload)
+    if dec is None:
+        return None
+    w, h, px = dec
+    pxf = px.astype(np.float64) / 255.0
+    gray = pxf.mean(axis=2)
+    return [
+        float(w),
+        float(h),
+        round(float(pxf[:, :, 0].mean()), 6),
+        round(float(pxf[:, :, 1].mean()), 6),
+        round(float(pxf[:, :, 2].mean()), 6),
+        round(float(gray.std()), 6),
+    ]
+
+
+def _decode_gif(payload: bytes) -> list[float] | None:
+    """Real GIF decode (animated or single-frame) → [duration_ms,
+    n_frames, w, h, mean_gray] — the video-kind feature shape."""
+    import numpy as np
+
+    from .codecs import gif_frames
+
+    frames = gif_frames(payload)
+    if not frames:
+        return None
+    h, w = frames[0][1].shape[0], frames[0][1].shape[1]
+    total_ms = float(sum(d for d, _ in frames))
+    mean_gray = float(
+        np.mean([f.astype(np.float64).mean() / 255.0 for _d, f in frames])
+    )
+    return [total_ms, float(len(frames)), float(w), float(h), round(mean_gray, 6)]
+
+
 def _decode_wav(payload: bytes) -> list[float] | None:
     """Real audio decode for PCM WAV via the stdlib wave module:
     [duration_ms, n_channels, sample_rate, rms, peak] — None if not WAV."""
@@ -283,17 +329,23 @@ def _decode(payload: bytes | None, kind: str) -> list[float]:
     carries array<float>, and downstream consumers key on ``kind``."""
     if payload is not None:
         if kind == "image":
-            real = (
-                _decode_png(payload)
-                if payload.startswith(_PNG_SIG)
-                else _decode_ppm(payload)
-            )
+            if payload.startswith(_PNG_SIG):
+                real = _decode_png(payload)
+            elif payload.startswith(b"\xff\xd8"):
+                real = _decode_jpeg(payload)
+            else:
+                real = _decode_ppm(payload)
             if real is not None:
                 return real
         elif kind == "audio":
             real = _decode_wav(payload)
             if real is not None:
                 return real
+        elif kind == "video":
+            if payload.startswith(b"GIF8"):
+                real = _decode_gif(payload)
+                if real is not None:
+                    return real
     return _decode_stub(payload, kind)
 
 
@@ -338,10 +390,12 @@ def resize_images(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataF
     """Image resize plumbing: cap dimensions at (max_w, max_h), preserving
     aspect ratio.  Arrow-batched mapInPandas, one narrow pass, no shuffle.
 
-    Binary PPM (P6) payloads get a REAL nearest-neighbor resample (numpy
-    index striding, re-emitted as a valid P6).  Other formats keep the
-    deterministic truncation stand-in (swap in PIL on a real cluster);
-    the dimension math and batch plumbing are identical either way.
+    Binary PPM (P6), PNG, and baseline JPEG payloads get a REAL
+    nearest-neighbor resample re-emitted as valid bytes of the same
+    format (JPEG re-encodes at quality 85 via the Annex K encoder in
+    ext/codecs.py).  Other formats keep the deterministic truncation
+    stand-in (swap in PIL on a real cluster); the dimension math and
+    batch plumbing are identical either way.
     """
 
     def _resize_ppm(payload: bytes, nw: int, nh: int) -> bytes | None:
@@ -384,6 +438,19 @@ def resize_images(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataF
         xs = (np.arange(nw) * w // nw).clip(0, w - 1)
         return _encode_png(np.ascontiguousarray(px[ys][:, xs]))
 
+    def _resize_jpeg(payload: bytes, nw: int, nh: int) -> bytes | None:
+        import numpy as np
+
+        from .codecs import decode_jpeg, encode_jpeg
+
+        dec = decode_jpeg(payload)
+        if dec is None:
+            return None
+        w, h, px = dec
+        ys = (np.arange(nh) * h // nh).clip(0, h - 1)
+        xs = (np.arange(nw) * w // nw).clip(0, w - 1)
+        return encode_jpeg(np.ascontiguousarray(px[ys][:, xs]), quality=85)
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_rows = []
@@ -399,6 +466,8 @@ def resize_images(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataF
                         real = _resize_ppm(payload, nw, nh)
                     elif payload.startswith(_PNG_SIG):
                         real = _resize_png(payload, nw, nh)
+                    elif payload.startswith(b"\xff\xd8"):
+                        real = _resize_jpeg(payload, nw, nh)
                     else:
                         real = None
                     if real is not None:
@@ -419,10 +488,11 @@ def resize_images(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataF
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per planned frame.
 
-    The decode is stubbed (NotImplementedError at materialization would
-    be hostile — instead the plan carries frame timestamps so the real
-    decoder slots in); JVM-side sequence/explode does the fan-out, so the
-    expensive part (decode) parallelizes per frame downstream.
+    JVM-side sequence/explode does the fan-out, so the expensive part
+    (decode) parallelizes per frame downstream.  For GIF payloads the
+    decode is REAL — join this plan back to the payloads and run
+    ``extract_video_frames``; other containers (MP4 etc.) carry the
+    timestamps so an external decoder slots in.
     """
     from pyspark.sql import functions as F
 
@@ -437,3 +507,75 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         ).alias("frame_ts_ms"),
     )
     return frames
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling for GIF payloads: decode the animation once
+    per blob, walk the cumulative-delay timeline, and emit the frame
+    visible at each ``every_ms`` tick with per-channel means.
+
+    One Arrow-batched mapInPandas pass over the video rows — no shuffle,
+    no driver involvement; each worker holds at most one decoded
+    animation at a time.  Non-GIF containers contribute no rows here
+    (their timestamps come from ``frame_sample_plan`` and an external
+    decoder); that split keeps this path honest rather than stubbed.
+    """
+    from pyspark.sql import functions as F
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import gif_frames
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.payload is None or not bytes(r.payload).startswith(b"GIF8"):
+                    continue
+                frames = gif_frames(bytes(r.payload))
+                if not frames:
+                    continue
+                # timeline: frame i is visible on [start_i, start_i + delay_i)
+                starts, t = [], 0
+                for d, _f in frames:
+                    starts.append(t)
+                    t += max(int(d), 1)
+                total = t
+                ts = 0
+                fi = 0
+                while ts < total:
+                    while fi + 1 < len(frames) and starts[fi + 1] <= ts:
+                        fi += 1
+                    fr = frames[fi][1].astype("float64") / 255.0
+                    rows.append(
+                        (
+                            r.media_id,
+                            ts,
+                            int(fr.shape[1]),
+                            int(fr.shape[0]),
+                            round(float(fr[:, :, 0].mean()), 6),
+                            round(float(fr[:, :, 1].mean()), 6),
+                            round(float(fr[:, :, 2].mean()), 6),
+                        )
+                    )
+                    ts += every_ms
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_ts_ms", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(_batches, FRAME_SCHEMA)

@@ -1,0 +1,310 @@
+"""Pure-stdlib JPEG + GIF codecs (ext/codecs.py) and their wiring into
+the multimodal mapInPandas paths.
+
+The encoder/decoder pair could in principle share a compensating bug,
+so beyond round-trips these tests pin spec-level facts: marker layout,
+zigzag-ordered DQT payloads, DC-only entropy data for solid blocks,
+LZW clear-code semantics, GIF little-endian geometry.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from rabbit_in_a_blender_spark.ext.codecs import (
+    ZIGZAG,
+    decode_jpeg,
+    encode_gif,
+    encode_jpeg,
+    gif_frames,
+)
+
+
+def _gradient(h, w):
+    g = np.zeros((h, w, 3), np.uint8)
+    g[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    g[:, :, 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    g[:, :, 2] = 128
+    return g
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_solid_color_roundtrip_exact():
+    px = np.full((16, 16, 3), 0, np.uint8)
+    px[:, :] = (200, 64, 32)
+    for sub in (False, True):
+        w, h, out = decode_jpeg(encode_jpeg(px, quality=90, subsample=sub))
+        assert (w, h) == (16, 16)
+        # solid color → DC-only blocks → quantization is exact
+        assert np.abs(out.astype(int) - px.astype(int)).max() == 0
+
+
+def test_jpeg_gradient_roundtrip_tolerance():
+    g = _gradient(30, 42)  # not a multiple of 8 or 16 in either dim
+    for sub, tol in ((False, 6), (True, 12)):
+        w, h, out = decode_jpeg(encode_jpeg(g, quality=90, subsample=sub))
+        assert (w, h) == (42, 30)
+        err = np.abs(out.astype(int) - g.astype(int))
+        assert err.mean() < 4.0 and err.max() <= tol
+
+
+def test_jpeg_chroma_subsampling_is_mcu_aligned():
+    # luma-sharp, chroma-flat: 4:2:0 must match 4:4:4 exactly — any
+    # misalignment in MCU interleave or upsample would smear the edges
+    cb = np.indices((32, 48)).sum(axis=0) % 2 * 200 + 20
+    px = np.repeat(cb[:, :, None], 3, axis=2).astype(np.uint8)
+    _, _, full = decode_jpeg(encode_jpeg(px, quality=95, subsample=False))
+    _, _, subd = decode_jpeg(encode_jpeg(px, quality=95, subsample=True))
+    assert np.array_equal(full, subd)
+
+
+def test_jpeg_marker_structure_and_zigzag_dqt():
+    blob = encode_jpeg(_gradient(8, 8), quality=50)
+    assert blob.startswith(b"\xff\xd8\xff\xe0") and blob.endswith(b"\xff\xd9")
+    # locate the first DQT and check its payload is the Annex K luma
+    # table in ZIGZAG order (T.81 B.2.4.1) at quality 50 (scale = 1.0)
+    i = blob.index(b"\xff\xdb")
+    (seglen,) = struct.unpack(">H", blob[i + 2 : i + 4])
+    body = blob[i + 4 : i + 2 + seglen]
+    assert body[0] == 0x00  # 8-bit precision, table id 0
+    from rabbit_in_a_blender_spark.ext.codecs import QUANT_LUMA
+
+    expect = QUANT_LUMA.reshape(64)[ZIGZAG].astype(int)
+    assert list(body[1:65]) == list(expect)
+    # SOF0 geometry is big-endian height, width
+    j = blob.index(b"\xff\xc0")
+    h, w = struct.unpack(">HH", blob[j + 5 : j + 9])
+    assert (w, h) == (8, 8)
+
+
+def test_jpeg_solid_block_is_dc_only():
+    # one 8x8 solid block: entropy segment must be a few bytes (3 DC
+    # diffs + 3 EOBs), proving the AC run-length path emits nothing
+    px = np.full((8, 8, 3), 77, np.uint8)
+    blob = encode_jpeg(px, quality=85)
+    sos = blob.index(b"\xff\xda")
+    (seglen,) = struct.unpack(">H", blob[sos + 2 : sos + 4])
+    entropy = blob[sos + 2 + seglen : -2]
+    assert len(entropy) <= 6
+
+
+def test_jpeg_noise_roundtrip_and_determinism():
+    rng = np.random.RandomState(7)
+    px = (rng.rand(17, 19, 3) * 255).astype(np.uint8)
+    b1 = encode_jpeg(px, quality=95)
+    assert b1 == encode_jpeg(px, quality=95)
+    w, h, out = decode_jpeg(b1)
+    assert (w, h) == (19, 17)
+    assert np.abs(out.astype(int) - px.astype(int)).mean() < 8.0
+
+
+def test_jpeg_rejects_non_baseline_gracefully():
+    assert decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xc2" + b"\x00\x10" + b"\x00" * 20) is None
+    assert decode_jpeg(b"\xff\xd8" + b"\x00" * 10) is None
+    truncated = encode_jpeg(_gradient(16, 16))[:40]
+    assert decode_jpeg(truncated) is None
+
+
+def test_jpeg_quality_monotone_size():
+    g = _gradient(32, 32)
+    sizes = [len(encode_jpeg(g, quality=q)) for q in (10, 50, 95)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+def _two_frames():
+    f1 = np.zeros((8, 10, 3), np.uint8)
+    f1[:, :5] = (255, 0, 0)
+    f1[:, 5:] = (0, 0, 255)
+    f2 = np.zeros((8, 10, 3), np.uint8)
+    f2[:4] = (0, 255, 0)
+    f2[4:] = (255, 255, 0)
+    return [(100, f1), (200, f2)]
+
+
+def test_gif_animated_roundtrip_exact():
+    frames = _two_frames()
+    blob = encode_gif(frames)
+    assert blob.startswith(b"GIF89a") and blob.endswith(b"\x3b")
+    w, h = struct.unpack("<HH", blob[6:10])
+    assert (w, h) == (10, 8)
+    got = gif_frames(blob)
+    assert [d for d, _ in got] == [100, 200]
+    for (_, g), (_, want) in zip(got, frames):
+        assert np.array_equal(g, want)
+
+
+def test_gif_transparency_composites_previous_frame():
+    frames = _two_frames()
+    blob = bytearray(encode_gif(frames))
+    # patch the SECOND graphic-control extension: set the transparency
+    # flag and point the transparent index at frame 2's (0,255,0) color
+    gce_positions = []
+    i = 0
+    while True:
+        i = blob.find(b"\x21\xf9", i)
+        if i < 0:
+            break
+        gce_positions.append(i)
+        i += 2
+    assert len(gce_positions) == 2
+    p = gce_positions[1]
+    # layout: 21 F9 04 <packed> <delay lo> <delay hi> <transparent idx> 00
+    green_index = None
+    # palette starts at offset 13; find (0,255,0)
+    n = 2 << (blob[10] & 0x07)
+    for k in range(n):
+        if tuple(blob[13 + 3 * k : 16 + 3 * k]) == (0, 255, 0):
+            green_index = k
+    assert green_index is not None
+    blob[p + 3] |= 0x01
+    blob[p + 6] = green_index
+    got = gif_frames(bytes(blob))
+    assert len(got) == 2
+    # frame 2's green top half is now transparent → shows frame 1 pixels
+    _, final = got[1]
+    _, first = got[0]
+    assert np.array_equal(final[:4], first[:4])
+    assert np.array_equal(final[4:], frames[1][1][4:])
+
+
+def test_gif_interlaced_decodes():
+    # hand-build an interlaced variant: reorder rows into pass order and
+    # set the interlace flag on the image descriptor
+    f = _gradient(8, 4)
+    # quantize to few colors so the fixture encoder's palette fits
+    f = (f // 64 * 64).astype(np.uint8)
+    blob = bytearray(encode_gif([(0, f)]))
+    desc = blob.find(b"\x2c")
+    assert desc > 0
+    # decode the existing (sequential) LZW index stream via the decoder
+    # itself, then re-encode rows permuted into interlace pass order
+    got0 = gif_frames(bytes(blob))[0][1]
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, 8, step))
+    permuted = got0[order]  # rows as they'd appear in the stream
+    blob2 = bytearray(encode_gif([(0, permuted)]))
+    desc2 = blob2.find(b"\x2c")
+    blob2[desc2 + 9] |= 0x40  # interlace flag
+    got = gif_frames(bytes(blob2))
+    assert got is not None
+    assert np.array_equal(got[0][1], got0)
+
+
+def test_gif_rejects_garbage():
+    assert gif_frames(b"notagif") is None
+    assert gif_frames(b"GIF89a" + b"\x00" * 4) is None
+
+
+# ---------------------------------------------------------------------------
+# Spark wiring
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_features_through_spark(spark):
+    from rabbit_in_a_blender_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    px = np.full((16, 16, 3), 0, np.uint8)
+    px[:, :] = (200, 64, 32)
+    blob = encode_jpeg(px, quality=90)
+    media = spark.createDataFrame(
+        [(1, "image", "image/jpeg", blob, 16, 16, None)], MEDIA_SCHEMA
+    )
+    (row,) = extract_features(media).collect()
+    f = row["feature"]
+    assert f[0] == 16.0 and f[1] == 16.0
+    assert abs(f[2] - 200 / 255) < 0.01
+    assert abs(f[3] - 64 / 255) < 0.01
+    assert abs(f[4] - 32 / 255) < 0.01
+
+
+def test_jpeg_resize_reencodes_real_jpeg(spark):
+    from rabbit_in_a_blender_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    g = _gradient(64, 128)
+    blob = encode_jpeg(g, quality=90)
+    media = spark.createDataFrame(
+        [(1, "image", "image/jpeg", blob, 128, 64, None)], MEDIA_SCHEMA
+    )
+    (row,) = resize_images(media, 32, 32).collect()
+    assert (row["width"], row["height"]) == (32, 16)
+    dec = decode_jpeg(bytes(row["payload"]))
+    assert dec is not None, "resized payload must itself be a valid JPEG"
+    w, h, out = dec
+    assert (w, h) == (32, 16)
+    # nearest-neighbor of a gradient stays a gradient
+    assert out[0, 0, 0] < out[0, -1, 0]
+
+
+def test_gif_video_features_and_frames_through_spark(spark):
+    from rabbit_in_a_blender_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        extract_video_frames,
+    )
+
+    frames = _two_frames()
+    blob = encode_gif(frames)
+    media = spark.createDataFrame(
+        [
+            (1, "video", "image/gif", blob, 10, 8, 300),
+            (2, "video", "video/mp4", b"\x00\x01\x02\x03", None, None, 2000),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    # GIF: [duration_ms, n_frames, w, h, mean_gray]
+    assert feats[1][:4] == [300.0, 2.0, 10.0, 8.0]
+    # MP4 stays on the 8-bucket histogram stub
+    assert len(feats[2]) == 8
+
+    out = extract_video_frames(media, every_ms=100).collect()
+    by_ts = {r["frame_ts_ms"]: r for r in out}
+    assert set(by_ts) == {0, 100, 200}, "frame 1 visible [0,100), frame 2 [100,300)"
+    assert all(r["media_id"] == 1 for r in out)
+    # frame 1 is half red half blue; frames at 100/200 are frame 2
+    assert abs(by_ts[0]["mean_r"] - 0.5) < 0.01
+    assert abs(by_ts[100]["mean_g"] - by_ts[200]["mean_g"]) < 1e-9
+
+
+def test_frame_grid_matches_frame_sample_plan(spark):
+    """extract_video_frames lands on the same tick grid frame_sample_plan
+    declares, so the two compose (plan for external decoders, real rows
+    for GIF)."""
+    from rabbit_in_a_blender_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        extract_video_frames,
+        frame_sample_plan,
+    )
+
+    frames = _two_frames()
+    blob = encode_gif(frames)  # 300 ms total
+    media = spark.createDataFrame(
+        [(1, "video", "image/gif", blob, 10, 8, 300)], MEDIA_SCHEMA
+    )
+    plan_ts = sorted(
+        r["frame_ts_ms"] for r in frame_sample_plan(media, every_ms=100).collect()
+    )
+    real_ts = sorted(
+        r["frame_ts_ms"] for r in extract_video_frames(media, every_ms=100).collect()
+    )
+    assert plan_ts == real_ts == [0, 100, 200]
