@@ -1,3 +1,4 @@
+from .bpe import bpe_token_counts, bpe_tokenize, train_bpe, word_frequencies
 from .budget import deterministic_shuffle, token_budget_select
 from .decontam import benchmark_ngrams, contamination_overlap, decontaminate
 from .dedup import (
@@ -63,4 +64,8 @@ __all__ = [
     "langid_heuristic",
     "unigram_logprob",
     "chunk_documents",
+    "word_frequencies",
+    "train_bpe",
+    "bpe_tokenize",
+    "bpe_token_counts",
 ]

@@ -1,0 +1,253 @@
+"""Byte-pair-encoding tokenizer: distributed training stats, exact
+JVM-side application.
+
+The training-data pipelines this engine serves (SURVEY.md §2.N) need
+real subword tokenization — `ext/text.py::token_counts` gives the
+whitespace/regex estimate; this module gives an actual trained BPE.
+
+Scale shape (the part that matters at 100 TB):
+
+- **Word-frequency aggregation is the distributed step** —
+  ``word_frequencies`` is one explode + groupBy(word) with map-side
+  partial aggregation, so the shuffle carries (word, count) rows
+  bounded by the vocabulary, not the corpus.
+- **Merge training runs on the word-frequency table, not the corpus**
+  — the standard formulation (Sennrich et al. 2016, "Neural Machine
+  Translation of Rare Words with Subword Units"; same shape as the
+  public HuggingFace/fastBPE trainers): vocabulary size grows ~O(n^β)
+  (Heaps' law) and is additionally capped by ``max_words``, so the
+  driver-side loop is corpus-size-independent.  100 TB of text trains
+  from the same few-hundred-thousand-row frequency table as 1 GB.
+- **Application is pure JVM** — each merge becomes one lookbehind
+  ``regexp_replace`` over a ``|``-delimited symbol string, chained in
+  rank order inside ``transform`` over the word array: whole-stage
+  codegen, zero Python in the hot path, embarrassingly parallel.  For
+  merge lists past ``EXPR_MERGE_LIMIT`` the same algorithm runs as an
+  Arrow-batched mapInPandas fallback (one compiled regex pass per
+  merge per batch).
+
+Correctness notes baked into the representation:
+
+- Symbols are delimited as ``|s1|s2|...|>|`` (``>`` is the
+  end-of-word marker; the pre-tokenizer alphabet ``[a-z0-9]`` can
+  never produce ``|`` or ``>``).
+- A merge (a, b) is the regex ``(?<=\\|)a\\|b\\|`` → ``ab|``: the
+  lookbehind asserts the left boundary WITHOUT consuming it, so runs
+  like ``a a a a`` merge left-to-right greedily (``aa aa``), exactly
+  like the reference algorithm — a plain string replace would consume
+  the shared delimiter and miss every other occurrence.
+- Applying merges strictly in rank order is equivalent to the
+  min-rank-first priority loop, because any pair a merge creates
+  involves the newly merged symbol and therefore has a higher rank
+  than the merge that created it.
+
+No reference-repo counterpart (the OMOP ETL has no tokenizer); this
+is extension surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: above this many merges the chained-expression tree gets unwieldy for
+#: codegen; the mapInPandas fallback runs the identical algorithm.
+EXPR_MERGE_LIMIT = 512
+
+_WORD_RE = "[a-z0-9]+"
+
+
+def _words(text: Column) -> Column:
+    """Pre-tokenizer: lowercase, extract ``[a-z0-9]+`` runs."""
+    return F.regexp_extract_all(F.lower(text), F.lit(_WORD_RE), 0)
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, freq), the sufficient statistic for BPE training.
+
+    One shuffle, keyed on word with partial (map-side) aggregation; the
+    exchanged rows are vocabulary-bounded.
+    """
+    return (
+        df.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def train_bpe(
+    word_freqs,
+    num_merges: int = 200,
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a word-frequency table.
+
+    ``word_freqs`` is either the DataFrame from :func:`word_frequencies`
+    or an iterable of ``(word, freq)``.  The DataFrame path collects at
+    most ``max_words`` rows (highest-frequency first — the only
+    driver-side materialization, explicitly bounded).  Ties on pair
+    count break lexicographically so training is deterministic across
+    partitionings and engines.
+    """
+    if isinstance(word_freqs, DataFrame):
+        rows = (
+            word_freqs.orderBy(F.desc("freq"), F.asc("word"))
+            .limit(max_words)
+            .collect()
+        )
+        pairs_in = [(r["word"], r["freq"]) for r in rows]
+    else:
+        pairs_in = list(word_freqs)
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, freq in pairs_in:
+        syms = tuple(list(word) + [">"])
+        vocab[syms] = vocab.get(syms, 0) + int(freq)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < 2:
+            break  # nothing left that actually repeats
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def _merge_regexes(merges: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """merges → [(java_regex, replacement)] in rank order."""
+    out = []
+    for a, b in merges:
+        pat = r"(?<=\|)" + re.escape(a) + r"\|" + re.escape(b) + r"\|"
+        rep = (a + b).replace("\\", "\\\\").replace("$", "\\$") + "|"
+        out.append((pat, rep))
+    return out
+
+
+def _word_to_symbols(word: Column) -> Column:
+    """'hello' → '|h|e|l|l|o|>|' (delimited symbol string)."""
+    return F.concat(F.lit("|"), F.concat_ws("|", F.split(word, "")), F.lit("|>|"))
+
+
+def _apply_merges_expr(sym: Column, merges: list[tuple[str, str]]) -> Column:
+    for pat, rep in _merge_regexes(merges):
+        sym = F.regexp_replace(sym, pat, rep)
+    return sym
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Append ``out_col`` (array<string> of BPE tokens, end-of-word
+    marker ``>`` attached) and ``n_tokens`` to ``df``.
+
+    Merge count ≤ EXPR_MERGE_LIMIT runs as a pure JVM expression chain;
+    larger vocabularies use the Arrow fallback with identical output.
+    """
+    if len(merges) > EXPR_MERGE_LIMIT:
+        return _bpe_tokenize_arrow(df, merges, text_col, out_col)
+    tokens = F.flatten(
+        F.transform(
+            _words(F.col(text_col)),
+            lambda w: F.filter(
+                F.split(_apply_merges_expr(_word_to_symbols(w), merges), r"\|"),
+                lambda t: t != "",
+            ),
+        )
+    )
+    return df.withColumn(out_col, tokens).withColumn(
+        "n_tokens", F.size(F.col(out_col))
+    )
+
+
+def _bpe_tokenize_arrow(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Same algorithm for large merge lists: one compiled regex per
+    merge, applied per Arrow batch (still no shuffle, no driver)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(out_col, T.ArrayType(T.StringType()), True),
+            T.StructField("n_tokens", T.IntegerType(), True),
+        ]
+    )
+    # build the Python-dialect twins of _merge_regexes directly from the
+    # merges (the [a-z0-9>] symbol alphabet needs no replacement
+    # escaping; a lambda replacement sidesteps re.sub's backslash rules
+    # entirely should that ever change)
+    compiled = [
+        (
+            re.compile(r"(?<=\|)" + re.escape(a) + r"\|" + re.escape(b) + r"\|"),
+            a + b + "|",
+        )
+        for a, b in merges
+    ]
+    word_re = re.compile(_WORD_RE)
+
+    def _tok(text: str | None) -> list[str]:
+        if text is None:
+            return []
+        toks: list[str] = []
+        for w in word_re.findall(text.lower()):
+            s = "|" + "|".join(list(w)) + "|>|"
+            for rx, rep in compiled:
+                s = rx.sub(rep, s)
+            toks.extend(t for t in s.split("|") if t)
+        return toks
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            toks = pdf[text_col].map(_tok)
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            pdf["n_tokens"] = toks.map(len).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(_batches, schema)
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens) per document — the budget/packing input of
+    `ext/budget.py` / `ext/packing.py` computed with a real tokenizer
+    instead of the whitespace estimate."""
+    return bpe_tokenize(df, merges, text_col).select(
+        id_col, "n_tokens"
+    )

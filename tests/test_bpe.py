@@ -1,0 +1,176 @@
+"""BPE trainer + tokenizer (ext/bpe.py).
+
+The Spark application path (chained lookbehind regexp_replace) is
+cross-checked against an INDEPENDENT implementation of the published
+algorithm — the Sennrich-style min-rank-first priority loop over
+symbol lists, no regexes, no shared code — so a representation bug
+can't cancel out.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from rabbit_in_a_blender_spark.ext.bpe import (
+    EXPR_MERGE_LIMIT,
+    bpe_token_counts,
+    bpe_tokenize,
+    train_bpe,
+    word_frequencies,
+)
+
+CORPUS = [
+    (1, "the lowest lower low"),
+    (2, "newest newer new news"),
+    (3, "the widest wider wide"),
+    (4, "aaaa aa aaaaaa"),  # repeated-symbol runs: the classic trap
+    (5, "The LOWEST, newest!  wide-open low?"),
+    (6, ""),
+]
+
+
+def _reference_tokenize(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Independent oracle: priority application on symbol lists."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+    out: list[str] = []
+    for w in re.findall("[a-z0-9]+", text.lower()):
+        syms = list(w) + [">"]
+        while len(syms) > 1:
+            pairs = [(rank.get((a, b)), i) for i, (a, b) in enumerate(zip(syms, syms[1:]))]
+            ranked = [(r, i) for r, i in pairs if r is not None]
+            if not ranked:
+                break
+            best_rank = min(r for r, _ in ranked)
+            a, b = merges[best_rank]
+            # merge every occurrence left-to-right
+            merged: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        out.extend(syms)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def merges(corpus_df):
+    return train_bpe(word_frequencies(corpus_df), num_merges=40)
+
+
+def test_word_frequencies(corpus_df):
+    wf = {r["word"]: r["freq"] for r in word_frequencies(corpus_df).collect()}
+    assert wf["the"] == 3  # doc 1, 3, and lowercased doc 5
+    assert wf["newest"] == 2
+    assert wf["aaaa"] == 1
+    assert "" not in wf
+
+
+def test_train_bpe_deterministic_and_ordered(corpus_df):
+    m1 = train_bpe(word_frequencies(corpus_df), num_merges=40)
+    m2 = train_bpe(word_frequencies(corpus_df), num_merges=40)
+    assert m1 == m2
+    assert 0 < len(m1) <= 40
+    # every merged symbol that appears on the left of a later merge must
+    # have been produced by an earlier merge (rank-order well-formedness)
+    produced = set("abcdefghijklmnopqrstuvwxyz0123456789>")
+    for a, b in m1:
+        assert a in produced and b in produced, (a, b)
+        produced.add(a + b)
+
+
+def test_train_bpe_learns_shared_suffixes(merges):
+    # 'est>' or at least 'st>' should emerge from lowest/newest/widest
+    formed = {a + b for a, b in merges}
+    assert any(s in formed for s in ("est>", "st>", "est"))
+
+
+def test_spark_matches_independent_reference(spark, corpus_df, merges):
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_tokenize(corpus_df, merges).collect()
+    }
+    for doc_id, text in CORPUS:
+        assert got[doc_id] == _reference_tokenize(text, merges), (doc_id, text)
+
+
+def test_arrow_fallback_identical(spark, corpus_df, merges):
+    from rabbit_in_a_blender_spark.ext.bpe import _bpe_tokenize_arrow
+
+    expr = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_tokenize(corpus_df, merges).collect()
+    }
+    arrow = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in _bpe_tokenize_arrow(corpus_df, merges, "text", "tokens").collect()
+    }
+    assert expr == arrow
+
+
+def test_repeated_symbol_runs_merge_greedily(spark, corpus_df):
+    # merge ('a','a') alone: 'aaaa' → [aa, aa, >], 'aaaaaa' → [aa,aa,aa,>]
+    # a consuming (non-lookbehind) replace would yield [aa, a, a, >]
+    out = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_tokenize(corpus_df, [("a", "a")]).collect()
+    }
+    assert out[4] == ["aa", "aa", ">", "aa", ">", "aa", "aa", "aa", ">"]
+
+
+def test_detokenization_roundtrip(spark, corpus_df, merges):
+    # stripping '>' and concatenating tokens reconstructs the normalized
+    # words — no characters created or lost by the regex chain
+    rows = bpe_tokenize(corpus_df, merges).collect()
+    for r in rows:
+        doc_text = dict(CORPUS)[r["doc_id"]]
+        words = re.findall("[a-z0-9]+", doc_text.lower())
+        rebuilt = "".join(r["tokens"]).split(">")
+        assert [w for w in rebuilt if w] == words
+
+
+def test_more_merges_never_increase_token_count(corpus_df):
+    wf = word_frequencies(corpus_df)
+    prev = None
+    for n in (0, 5, 20, 40):
+        merges = train_bpe(wf, num_merges=n)
+        total = (
+            bpe_tokenize(corpus_df, merges)
+            .groupBy()
+            .sum("n_tokens")
+            .collect()[0][0]
+        )
+        if prev is not None:
+            assert total <= prev
+        prev = total
+
+
+def test_token_counts_shape(corpus_df, merges):
+    out = {r["doc_id"]: r["n_tokens"] for r in bpe_token_counts(corpus_df, merges).collect()}
+    assert out[6] == 0  # empty doc
+    assert all(v >= 0 for v in out.values())
+
+
+def test_training_from_plain_pairs_matches_dataframe_path(corpus_df):
+    wf_df = word_frequencies(corpus_df)
+    pairs = [(r["word"], r["freq"]) for r in wf_df.collect()]
+    assert train_bpe(pairs, num_merges=25) == train_bpe(wf_df, num_merges=25)
+
+
+def test_expr_path_plan_is_jvm_only(corpus_df, merges):
+    """The ≤EXPR_MERGE_LIMIT path must stay in whole-stage codegen —
+    no BatchEvalPython / ArrowEvalPython / mapInPandas in the plan."""
+    assert len(merges) <= EXPR_MERGE_LIMIT
+    plan = bpe_tokenize(corpus_df, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
