@@ -52,9 +52,11 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: above this many merges the chained-expression tree gets unwieldy for
-#: codegen; the mapInPandas fallback runs the identical algorithm.
-EXPR_MERGE_LIMIT = 512
+#: above this many merges the chained-expression tree breaks Spark's
+#: column-node conversion (measured: JVM StackOverflowError at 512
+#: nested regexp_replace on Spark 4.1; 256 plans in <1s) — the
+#: mapInPandas fallback runs the identical algorithm past this point.
+EXPR_MERGE_LIMIT = 256
 
 _WORD_RE = "[a-z0-9]+"
 

@@ -168,6 +168,73 @@ def test_training_from_plain_pairs_matches_dataframe_path(corpus_df):
     assert train_bpe(pairs, num_merges=25) == train_bpe(wf_df, num_merges=25)
 
 
+def _synthetic_merges(n):
+    """n structurally valid merges over the [a-z0-9] alphabet (pair
+    coverage, not linguistic sense — exercises plan depth)."""
+    import itertools
+
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    return list(itertools.islice(itertools.product(alpha, alpha), n))
+
+
+def test_property_regex_chain_matches_priority_loop():
+    """Hypothesis sweep, no Spark: the regex-chain formulation (the
+    exact Python-dialect twin of the Spark expression, via the arrow
+    path's _tok) must equal the independent priority-loop reference on
+    random corpora and their trained merges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc0", min_size=1, max_size=8)
+    corpus = st.lists(st.lists(word, min_size=1, max_size=12), min_size=1, max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(corpus)
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        freqs: dict[str, int] = {}
+        for ws in docs:
+            for w in ws:
+                freqs[w] = freqs.get(w, 0) + 1
+        merges = train_bpe(list(freqs.items()), num_merges=15)
+        compiled = [
+            (
+                re.compile(r"(?<=\|)" + re.escape(a) + r"\|" + re.escape(b) + r"\|"),
+                a + b + "|",
+            )
+            for a, b in merges
+        ]
+
+        def regex_chain(text):
+            toks = []
+            for w in re.findall("[a-z0-9]+", text.lower()):
+                s = "|" + "|".join(list(w)) + "|>|"
+                for rx, rep in compiled:
+                    s = rx.sub(rep, s)
+                toks.extend(t for t in s.split("|") if t)
+            return toks
+
+        for t in texts:
+            assert regex_chain(t) == _reference_tokenize(t, merges)
+
+    check()
+
+
+def test_expr_merge_limit_actually_plans_and_runs(spark, corpus_df):
+    """EXPR_MERGE_LIMIT must stay below the measured JVM
+    StackOverflowError point (512 on Spark 4.1): the limit-sized chain
+    has to both convert and execute."""
+    merges = [(a, b) for a, b in _synthetic_merges(EXPR_MERGE_LIMIT)]
+    out = bpe_tokenize(corpus_df, merges)
+    assert out.count() == len(CORPUS)
+
+
+def test_over_limit_switches_to_arrow(spark, corpus_df):
+    merges = [(a, b) for a, b in _synthetic_merges(EXPR_MERGE_LIMIT + 1)]
+    plan = bpe_tokenize(corpus_df, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
 def test_expr_path_plan_is_jvm_only(corpus_df, merges):
     """The ≤EXPR_MERGE_LIMIT path must stay in whole-stage codegen —
     no BatchEvalPython / ArrowEvalPython / mapInPandas in the plan."""
