@@ -217,12 +217,17 @@ class _BitReader:
         return v
 
     def align_restart(self) -> None:
-        """Consume a RSTn marker at a restart boundary."""
+        """Discard pad bits and consume the RSTn marker at a restart
+        boundary.  Skips over unconsumed pad bytes — including a
+        stuffed FF 00 produced when the 1-padding fills a byte — until
+        the marker itself."""
         self.cur, self.nbits = 0, 0
         d, p = self.data, self.pos
-        while p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
-            p += 2
-            break
+        while p + 1 < len(d):
+            if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                p += 2
+                break
+            p += 1
         self.pos = p
 
 
@@ -491,7 +496,12 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, q_zz: np.ndarray,
     return int(zz[0])
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """HxWx3 uint8 RGB → baseline JFIF JPEG bytes (Annex K quant +
     Huffman tables; 4:4:4, or 4:2:0 when ``subsample`` — the form real
     crawled JPEGs overwhelmingly use, which exercises the decoder's MCU
@@ -543,8 +553,21 @@ def encode_jpeg(px: np.ndarray, quality: int = 85, subsample: bool = False) -> b
         padded.append((pp, sh, sv, q, dct, act))
     bw = _BitWriter()
     preds = [0, 0, 0]
+    mcu_index = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                bw.flush()
+                # markers are emitted raw — never byte-stuffed
+                n = (mcu_index // restart_interval - 1) % 8
+                bw.out.append(0xFF)
+                bw.out.append(0xD0 + n)
+                preds = [0, 0, 0]
+            mcu_index += 1
             for ci, (pp, sh, sv, q, dct, act) in enumerate(padded):
                 for by in range(sv):
                     for bx in range(sh):
@@ -574,6 +597,9 @@ def encode_jpeg(px: np.ndarray, quality: int = 85, subsample: bool = False) -> b
     )
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     return (
         b"\xff\xd8"
         + app0
@@ -584,6 +610,7 @@ def encode_jpeg(px: np.ndarray, quality: int = 85, subsample: bool = False) -> b
         + dht(1, 0, HUFF_AC_LUMA)
         + dht(0, 1, HUFF_DC_CHROMA)
         + dht(1, 1, HUFF_AC_CHROMA)
+        + dri
         + sos
         + bytes(bw.out)
         + b"\xff\xd9"

@@ -105,6 +105,23 @@ def test_jpeg_noise_roundtrip_and_determinism():
     assert np.abs(out.astype(int) - px.astype(int)).mean() < 8.0
 
 
+def test_jpeg_restart_markers_roundtrip_identically():
+    """DRI/RSTn path: every restart interval must reconstruct the exact
+    same pixels as the marker-free encode — this exercises the decoder's
+    DC-predictor reset and the pad-byte skip in align_restart (a stuffed
+    FF 00 can sit between the entropy data and the marker)."""
+    g = _gradient(48, 64)
+    for sub in (False, True):
+        base = decode_jpeg(encode_jpeg(g, quality=90, subsample=sub))[2]
+        for ri in (1, 2, 3, 7):
+            blob = encode_jpeg(g, quality=90, subsample=sub, restart_interval=ri)
+            assert b"\xff\xdd" in blob  # DRI emitted
+            assert any(bytes([0xFF, 0xD0 + k]) in blob for k in range(8))
+            dec = decode_jpeg(blob)
+            assert dec is not None, (sub, ri)
+            assert np.array_equal(dec[2], base), (sub, ri)
+
+
 def test_jpeg_rejects_non_baseline_gracefully():
     assert decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
     assert decode_jpeg(b"\xff\xd8\xff\xc2" + b"\x00\x10" + b"\x00" * 20) is None
