@@ -34,6 +34,12 @@ import numpy as np
 # JPEG: shared tables
 # ---------------------------------------------------------------------------
 
+#: decoders reject images/screens larger than this many pixels — a
+#: mutated dimension field must fail fast, not drive a 67M-iteration
+#: Python MCU loop or a multi-GB canvas allocation (found by the
+#: hypothesis fuzz in tests/test_codecs.py)
+MAX_PIXELS = 1 << 26
+
 ZIGZAG = np.array(
     [
         0, 1, 8, 16, 9, 2, 3, 10,
@@ -314,6 +320,8 @@ def _decode_jpeg_inner(payload: bytes):
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
+            if not comps or w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+                return None
             ns = seg[0]
             scan = []  # (comp index, dc table, ac table)
             for c in range(ns):
@@ -622,7 +630,11 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 
-def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+def _lzw_decode(min_code_size: int, data: bytes, limit: int) -> list[int]:
+    """LZW decompress at most ``limit`` indices (the frame's pixel
+    count).  The table stops growing at the spec's 4096-entry ceiling —
+    a stream that never sends a clear code must not grow entries (and
+    output) quadratically."""
     clear = 1 << min_code_size
     end = clear + 1
     code_size = min_code_size + 1
@@ -632,7 +644,7 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
     acc = nbits = 0
     pos = 0
     n = len(data)
-    while True:
+    while len(out) < limit:
         while nbits < code_size:
             if pos >= n:
                 return out
@@ -658,11 +670,12 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
         else:
             raise ValueError("bad LZW code")
         out.extend(entry)
-        if prev is not None:
+        if prev is not None and len(table) < 4096:
             table.append(prev + [entry[0]])
             if len(table) == (1 << code_size) and code_size < 12:
                 code_size += 1
         prev = entry
+    return out
 
 
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
@@ -684,6 +697,8 @@ def _gif_frames_inner(payload: bytes):
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w, h = struct.unpack("<HH", payload[6:10])
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        return None
     flags = payload[10]
     bg_index = payload[11]
     pos = 13
@@ -717,6 +732,8 @@ def _gif_frames_inner(payload: bytes):
             pos += 1
         elif b == 0x2C:  # image descriptor
             left, top, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+            if iw <= 0 or ih <= 0 or left + iw > w or top + ih > h:
+                return None
             iflags = payload[pos + 9]
             pos += 10
             pal = gct
@@ -736,7 +753,7 @@ def _gif_frames_inner(payload: bytes):
                 data += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
-            idx = np.array(_lzw_decode(min_code, bytes(data))[: iw * ih], dtype=np.int64)
+            idx = np.array(_lzw_decode(min_code, bytes(data), iw * ih), dtype=np.int64)
             if len(idx) < iw * ih:
                 idx = np.pad(idx, (0, iw * ih - len(idx)))
             idx = idx.reshape(ih, iw)
@@ -749,6 +766,8 @@ def _gif_frames_inner(payload: bytes):
                         de[rr] = idx[src]
                         src += 1
                 idx = de
+            if (len(frames) + 1) * w * h > (1 << 28):
+                return None  # decoded-volume cap: composited frames are full-canvas copies
             rgb = pal[np.clip(idx, 0, len(pal) - 1)]
             region = canvas[top : top + ih, left : left + iw]
             if transparent is not None:

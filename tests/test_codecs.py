@@ -226,6 +226,44 @@ def test_gif_rejects_garbage():
     assert gif_frames(b"GIF89a" + b"\x00" * 4) is None
 
 
+def test_fuzz_decoders_never_raise():
+    """Hypothesis sweep: arbitrary bytes — including mutated valid
+    blobs, the adversarial case — must yield a clean None or a decoded
+    result, never an exception (the mapInPandas workers rely on it)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid_jpeg = encode_jpeg(_gradient(16, 16), quality=70)
+    valid_gif = encode_gif(_two_frames())
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.one_of(
+            st.binary(max_size=200),
+            st.binary(max_size=200).map(lambda b: b"\xff\xd8" + b),
+            st.binary(max_size=200).map(lambda b: b"GIF89a" + b),
+            st.tuples(
+                st.integers(0, len(valid_jpeg) - 1), st.integers(0, 255)
+            ).map(
+                lambda t: valid_jpeg[: t[0]]
+                + bytes([t[1]])
+                + valid_jpeg[t[0] + 1 :]
+            ),
+            st.tuples(
+                st.integers(0, len(valid_gif) - 1), st.integers(0, 255)
+            ).map(
+                lambda t: valid_gif[: t[0]] + bytes([t[1]]) + valid_gif[t[0] + 1 :]
+            ),
+        )
+    )
+    def check(blob):
+        for dec in (decode_jpeg, gif_frames):
+            out = dec(blob)
+            assert out is None or out  # decoded or clean rejection
+
+    check()
+
+
 # ---------------------------------------------------------------------------
 # Spark wiring
 # ---------------------------------------------------------------------------
