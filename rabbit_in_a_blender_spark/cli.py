@@ -138,7 +138,67 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--threshold", type=float, default=0.2,
                    help="With --corpus-dedup (full mode): n-gram Jaccard "
                         "cluster threshold (default %(default)s)")
+    x.add_argument("--corpus-tokenize", metavar="DOCS",
+                   help="BPE-tokenize a document corpus (parquet dir/file "
+                        "or .jsonl[.gz]): appends tokens + n_tokens. "
+                        "--merges names the merge table — existing file → "
+                        "apply it; absent → train on this corpus and save "
+                        "it there (reusable across corpora/engines)")
+    x.add_argument("--merges", metavar="PATH",
+                   help="With --corpus-tokenize: merge table file "
+                        "(one 'left right' pair per line, rank order)")
+    x.add_argument("--num-merges", type=int, default=200,
+                   help="With --corpus-tokenize (training): merges to "
+                        "learn (default %(default)s)")
     return p
+
+
+def _corpus_tokenize(args, cfg) -> int:
+    """User-facing BPE entry point (`ext/bpe.py`): one vocabulary-
+    bounded aggregation to train, pure-JVM chained-regex application."""
+    from .core.session import get_spark
+    from .ext.bpe import bpe_tokenize, train_bpe, word_frequencies
+
+    if not args.out:
+        raise SystemExit("--corpus-tokenize requires --out")
+    if not args.merges:
+        raise SystemExit("--corpus-tokenize requires --merges")
+    spark = get_spark(
+        "riab-spark",
+        master=cfg.get("spark", "master", fallback=None),
+        shuffle_partitions=(
+            cfg.getint("spark", "shuffle_partitions")
+            if cfg.has_option("spark", "shuffle_partitions")
+            else None
+        ),
+    )
+    src = args.corpus_tokenize
+    if src.endswith((".jsonl", ".jsonl.gz", ".json")):
+        from .sources.readers import read_jsonl
+
+        docs = read_jsonl(spark, src)
+    else:
+        docs = spark.read.parquet(src)
+    if args.text_col not in docs.columns:
+        raise SystemExit(f"column {args.text_col!r} not in {src} ({docs.columns})")
+
+    if os.path.isfile(args.merges):
+        with open(args.merges) as f:
+            merges = [tuple(line.split()) for line in f if line.strip()]
+        bad = [m for m in merges if len(m) != 2]
+        if bad:
+            raise SystemExit(f"malformed merge lines in {args.merges}: {bad[:3]}")
+        print(f"applying {len(merges)} merges from {args.merges}")
+    else:
+        merges = train_bpe(word_frequencies(docs, args.text_col), args.num_merges)
+        with open(args.merges, "w") as f:
+            f.writelines(f"{a} {b}\n" for a, b in merges)
+        print(f"trained {len(merges)} merges -> {args.merges}")
+    out = bpe_tokenize(docs, merges, args.text_col)
+    _write_docs(out, args.out, args.format)
+    total = out.groupBy().sum("n_tokens").collect()[0][0] or 0
+    print(f"tokenized {out.count()} docs, {total} tokens -> {args.out}")
+    return 0
 
 
 def _corpus_dedup(args, cfg) -> int:
@@ -312,6 +372,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.corpus_dedup:
         return _corpus_dedup(args, cfg)
+
+    if args.corpus_tokenize:
+        return _corpus_tokenize(args, cfg)
 
     if args.create_folders:
         from .folders import create_cdm_folders

@@ -317,6 +317,55 @@ def test_corpus_dedup_full_then_incremental(env, spark, capsys, tmpdir_):
     assert spark.read.parquet(out3).count() == 0
 
 
+def test_corpus_tokenize_trains_then_reapplies(env, spark, capsys, tmpdir_):
+    """--corpus-tokenize: first run trains merges on the corpus and
+    saves the merge table; second run loads it and produces identical
+    tokenization (the merges file is the portable artifact)."""
+    root = str(tmpdir_)
+    docs = os.path.join(root, "docs")
+    spark.createDataFrame(
+        [
+            (1, "the lowest lower low"),
+            (2, "newest newer new news"),
+            (3, "the widest wider wide"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    merges = os.path.join(root, "merges.txt")
+    out1 = os.path.join(root, "toks1")
+    cfg = os.path.join(root, "riab.ini")
+    rc = main(
+        ["--corpus-tokenize", docs, "--merges", merges, "--out", out1,
+         "--num-merges", "30", "--config", cfg]
+    )
+    assert rc == 0
+    assert "trained" in capsys.readouterr().out
+    lines = [ln.split() for ln in open(merges) if ln.strip()]
+    assert lines and all(len(ln) == 2 for ln in lines)
+
+    out2 = os.path.join(root, "toks2")
+    rc = main(
+        ["--corpus-tokenize", docs, "--merges", merges, "--out", out2,
+         "--config", cfg]
+    )
+    assert rc == 0
+    assert "applying" in capsys.readouterr().out
+    t1 = {r["doc_id"]: list(r["tokens"]) for r in spark.read.parquet(out1).collect()}
+    t2 = {r["doc_id"]: list(r["tokens"]) for r in spark.read.parquet(out2).collect()}
+    assert t1 == t2 and len(t1) == 3
+    assert all(r["n_tokens"] == len(t1[r["doc_id"]])
+               for r in spark.read.parquet(out2).collect())
+
+
+def test_corpus_tokenize_requires_merges_and_out(env, tmpdir_):
+    cfg = os.path.join(str(tmpdir_), "riab.ini")
+    with pytest.raises(SystemExit):
+        main(["--corpus-tokenize", "/tmp/nope", "--config", cfg])
+    with pytest.raises(SystemExit):
+        main(["--corpus-tokenize", "/tmp/nope", "--out", "/tmp/o",
+              "--config", cfg])
+
+
 def test_corpus_dedup_requires_out(env, tmpdir_):
     with pytest.raises(SystemExit):
         main(["--corpus-dedup", "/tmp/nope", "--config",
