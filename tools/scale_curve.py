@@ -140,6 +140,10 @@ def main() -> None:
         shutil.rmtree(scaled_dir, ignore_errors=True)
         _ann_curve(spark, reps)
         return
+    if only == "bpe":
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _bpe_curve(spark, reps)
+        return
     try:
         build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
         points = [
@@ -251,6 +255,65 @@ def _clusters_curve(spark, reps: int) -> None:
         print(
             f"| {label} | {r['docs']:,} | {r['median']} | "
             f"{round(r['docs'] / r['median']):,} |"
+        )
+
+
+def _bpe_curve(spark, reps: int) -> None:
+    # --- BPE tokenizer scale curve (round 6) -------------------------
+    # Train once on sf0.1 (the merge table is the corpus-size-
+    # independent artifact), then time the pure-JVM application on
+    # salted doc replicas: the expression chain is embarrassingly
+    # parallel with no shuffle, so wall time should track doc volume
+    # ~linearly with zero superlinear terms.
+    from rabbit_in_a_blender_spark.ext.bpe import (
+        bpe_tokenize,
+        train_bpe,
+        word_frequencies,
+    )
+
+    src = "/root/testdata/sf0.1"
+    docs01 = spark.read.parquet(f"{src}/documents.parquet")
+    t0 = time.perf_counter()
+    merges = train_bpe(word_frequencies(docs01), num_merges=200)
+    train_s = round(time.perf_counter() - t0, 3)
+    print(f"## bpe train: {len(merges)} merges in {train_s}s on sf0.1")
+
+    results = {"train_seconds": train_s, "n_merges": len(merges)}
+    for label, k in (("docs-sf0.1", 1), ("docs-x5", 5), ("docs-x10", 10)):
+        d, tmp = src, None
+        try:
+            if k > 1:
+                tmp = tempfile.mkdtemp(prefix=f"scale_bpe{k}_")
+                build_replicated_docs(spark, src, tmp, k)
+                d = tmp
+            docs = spark.read.parquet(f"{d}/documents.parquet")
+            n_docs = docs.count()
+            out = bpe_tokenize(docs, merges).select("n_tokens")
+            out.groupBy().sum("n_tokens").collect()  # warmup
+            samples, total = [], 0
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                total = out.groupBy().sum("n_tokens").collect()[0][0]
+                samples.append(round(time.perf_counter() - t0, 3))
+            results[label] = {
+                "docs": n_docs,
+                "tokens": int(total),
+                "reps": samples,
+                "median": sorted(samples)[len(samples) // 2],
+            }
+            print(f"## bpe {label}: {n_docs} docs {samples}", flush=True)
+        finally:
+            if tmp:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(results))
+    print("\n| point | docs | tokens | tokenize median s | tokens/s |")
+    print("|---|---|---|---|---|")
+    for label in ("docs-sf0.1", "docs-x5", "docs-x10"):
+        r = results[label]
+        print(
+            f"| {label} | {r['docs']:,} | {r['tokens']:,} | {r['median']} | "
+            f"{round(r['tokens'] / r['median']):,} |"
         )
 
 
