@@ -18,24 +18,32 @@ Scale shape (the part that matters at 100 TB):
   (Heaps' law) and is additionally capped by ``max_words``, so the
   driver-side loop is corpus-size-independent.  100 TB of text trains
   from the same few-hundred-thousand-row frequency table as 1 GB.
-- **Application is pure JVM** — each merge becomes one lookbehind
-  ``regexp_replace`` over a ``|``-delimited symbol string, chained in
-  rank order inside ``transform`` over the word array: whole-stage
-  codegen, zero Python in the hot path, embarrassingly parallel.  For
-  merge lists past ``EXPR_MERGE_LIMIT`` the same algorithm runs as an
-  Arrow-batched mapInPandas fallback (one compiled regex pass per
-  merge per batch).
+- **Application is pure JVM, literal replaces only** — each merge
+  becomes one non-regex ``replace`` over a DOUBLE-delimited symbol
+  string, chained in rank order inside ``transform`` over the word
+  array: whole-stage codegen, zero Python and zero regex engines in
+  the hot path, embarrassingly parallel.  For merge lists past
+  ``EXPR_MERGE_LIMIT`` the same algorithm runs as an Arrow-batched
+  mapInPandas fallback (``str.replace`` per merge per batch).
 
 Correctness notes baked into the representation:
 
-- Symbols are delimited as ``|s1|s2|...|>|`` (``>`` is the
+- Symbols are double-delimited as ``|s1||s2||...||>|`` (``>`` is the
   end-of-word marker; the pre-tokenizer alphabet ``[a-z0-9]`` can
-  never produce ``|`` or ``>``).
-- A merge (a, b) is the regex ``(?<=\\|)a\\|b\\|`` → ``ab|``: the
-  lookbehind asserts the left boundary WITHOUT consuming it, so runs
-  like ``a a a a`` merge left-to-right greedily (``aa aa``), exactly
-  like the reference algorithm — a plain string replace would consume
-  the shared delimiter and miss every other occurrence.
+  never produce ``|`` or ``>``).  A merge (a, b) is the LITERAL
+  replace ``|a||b|`` → ``|ab|``: each side of the pattern consumes
+  only the pair's own delimiters, so the neighbours' delimiters
+  survive and runs like ``a a a a`` merge left-to-right greedily
+  (``aa aa``) exactly like the reference algorithm — with a
+  single-delimiter scheme the shared separator is consumed and every
+  other occurrence is missed.  The doubled boundary also blocks
+  symbol-suffix false matches (``|xa||b|`` does not contain
+  ``|a||b|``).
+- Plain left-to-right non-overlapping substring replace has identical
+  semantics in the JVM, Python, and DuckDB — :func:`bpe_tokens_sql`
+  emits the exact same chain as ANSI ``replace()`` calls, so the
+  tokenizer is DuckDB-oracle-replayable (proven side-by-side in
+  tests/test_bpe.py).
 - Applying merges strictly in rank order is equivalent to the
   min-rank-first priority loop, because any pair a merge creates
   involves the newly merged symbol and therefore has a higher rank
@@ -137,24 +145,21 @@ def train_bpe(
     return merges
 
 
-def _merge_regexes(merges: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    """merges → [(java_regex, replacement)] in rank order."""
-    out = []
-    for a, b in merges:
-        pat = r"(?<=\|)" + re.escape(a) + r"\|" + re.escape(b) + r"\|"
-        rep = (a + b).replace("\\", "\\\\").replace("$", "\\$") + "|"
-        out.append((pat, rep))
-    return out
+def _merge_replacements(merges: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """merges → [(literal_pattern, literal_replacement)] in rank order."""
+    return [(f"|{a}||{b}|", f"|{a}{b}|") for a, b in merges]
 
 
 def _word_to_symbols(word: Column) -> Column:
-    """'hello' → '|h|e|l|l|o|>|' (delimited symbol string)."""
-    return F.concat(F.lit("|"), F.concat_ws("|", F.split(word, "")), F.lit("|>|"))
+    """'hello' → '|h||e||l||l||o||>|' (double-delimited symbol string)."""
+    return F.concat(
+        F.lit("|"), F.concat_ws("||", F.split(word, "")), F.lit("||>|")
+    )
 
 
 def _apply_merges_expr(sym: Column, merges: list[tuple[str, str]]) -> Column:
-    for pat, rep in _merge_regexes(merges):
-        sym = F.regexp_replace(sym, pat, rep)
+    for pat, rep in _merge_replacements(merges):
+        sym = F.replace(sym, F.lit(pat), F.lit(rep))
     return sym
 
 
@@ -192,7 +197,7 @@ def _bpe_tokenize_arrow(
     text_col: str,
     out_col: str,
 ) -> DataFrame:
-    """Same algorithm for large merge lists: one compiled regex per
+    """Same algorithm for large merge lists: one literal str.replace per
     merge, applied per Arrow batch (still no shuffle, no driver)."""
     from collections.abc import Iterator
 
@@ -206,17 +211,7 @@ def _bpe_tokenize_arrow(
             T.StructField("n_tokens", T.IntegerType(), True),
         ]
     )
-    # build the Python-dialect twins of _merge_regexes directly from the
-    # merges (the [a-z0-9>] symbol alphabet needs no replacement
-    # escaping; a lambda replacement sidesteps re.sub's backslash rules
-    # entirely should that ever change)
-    compiled = [
-        (
-            re.compile(r"(?<=\|)" + re.escape(a) + r"\|" + re.escape(b) + r"\|"),
-            a + b + "|",
-        )
-        for a, b in merges
-    ]
+    replacements = _merge_replacements(merges)
     word_re = re.compile(_WORD_RE)
 
     def _tok(text: str | None) -> list[str]:
@@ -224,9 +219,9 @@ def _bpe_tokenize_arrow(
             return []
         toks: list[str] = []
         for w in word_re.findall(text.lower()):
-            s = "|" + "|".join(list(w)) + "|>|"
-            for rx, rep in compiled:
-                s = rx.sub(rep, s)
+            s = "|" + "||".join(list(w)) + "||>|"
+            for pat, rep in replacements:
+                s = s.replace(pat, rep)
             toks.extend(t for t in s.split("|") if t)
         return toks
 
@@ -252,4 +247,39 @@ def bpe_token_counts(
     instead of the whitespace estimate."""
     return bpe_tokenize(df, merges, text_col).select(
         id_col, "n_tokens"
+    )
+
+
+def bpe_token_count_sql(merges: list[tuple[str, str]], text_expr: str = "text") -> str:
+    """ANSI-SQL expression computing the SAME per-row BPE token count as
+    :func:`bpe_tokenize`'s ``n_tokens`` — the DuckDB-oracle twin.
+
+    One source of truth: the replace chain comes from the identical
+    ``_merge_replacements`` list the Spark expression uses; plain
+    ``replace()`` has the same left-to-right non-overlap semantics in
+    both engines.  Per word, a token carries exactly two ``|``
+    delimiters, so ``n_tokens = count('|') / 2`` summed over words —
+    expressible without any array lambda, which keeps the generated SQL
+    portable.  Generated shape::
+
+        (length(x) - length(replace(x, '|', ''))) / 2
+
+    over ``x = replace(...(replace('|w1||w2|...', '|a||b|', '|ab|'))...)``
+    of the document's words joined as one delimited string (words are
+    separated by ``#`` — outside the symbol alphabet — so merges can
+    never bridge two words).
+    """
+    # words joined with a '#' boundary the merges can never cross:
+    #   '|h||i||>|#|y||o||>|'
+    sym = (
+        "'|' || array_to_string("
+        "list_transform(regexp_extract_all(lower(" + text_expr + "), '[a-z0-9]+'),"
+        " w -> array_to_string(string_split(w, ''), '||') || '||>'"
+        "), '|#|') || '|'"
+    )
+    for pat, rep in _merge_replacements(merges):
+        sym = f"replace({sym}, '{pat}', '{rep}')"
+    return (
+        f"CAST(CASE WHEN length(regexp_extract_all(lower({text_expr}), '[a-z0-9]+')) = 0 "
+        f"THEN 0 ELSE (length({sym}) - length(replace({sym}, '|', ''))) // 2 END AS INTEGER)"
     )

@@ -121,7 +121,8 @@ def test_arrow_fallback_identical(spark, corpus_df, merges):
 
 def test_repeated_symbol_runs_merge_greedily(spark, corpus_df):
     # merge ('a','a') alone: 'aaaa' → [aa, aa, >], 'aaaaaa' → [aa,aa,aa,>]
-    # a consuming (non-lookbehind) replace would yield [aa, a, a, >]
+    # a single-delimiter replace scheme would consume the shared
+    # separator and yield [aa, a, a, >]
     out = {
         r["doc_id"]: list(r["tokens"])
         for r in bpe_tokenize(corpus_df, [("a", "a")]).collect()
@@ -177,13 +178,15 @@ def _synthetic_merges(n):
     return list(itertools.islice(itertools.product(alpha, alpha), n))
 
 
-def test_property_regex_chain_matches_priority_loop():
-    """Hypothesis sweep, no Spark: the regex-chain formulation (the
-    exact Python-dialect twin of the Spark expression, via the arrow
-    path's _tok) must equal the independent priority-loop reference on
-    random corpora and their trained merges."""
+def test_property_replace_chain_matches_priority_loop():
+    """Hypothesis sweep, no Spark: the literal replace-chain formulation
+    (the exact Python-dialect twin of the Spark expression) must equal
+    the independent priority-loop reference on random corpora and their
+    trained merges."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
+
+    from rabbit_in_a_blender_spark.ext.bpe import _merge_replacements
 
     word = st.text(alphabet="abc0", min_size=1, max_size=8)
     corpus = st.lists(st.lists(word, min_size=1, max_size=12), min_size=1, max_size=8)
@@ -197,27 +200,65 @@ def test_property_regex_chain_matches_priority_loop():
             for w in ws:
                 freqs[w] = freqs.get(w, 0) + 1
         merges = train_bpe(list(freqs.items()), num_merges=15)
-        compiled = [
-            (
-                re.compile(r"(?<=\|)" + re.escape(a) + r"\|" + re.escape(b) + r"\|"),
-                a + b + "|",
-            )
-            for a, b in merges
-        ]
+        replacements = _merge_replacements(merges)
 
-        def regex_chain(text):
+        def replace_chain(text):
             toks = []
             for w in re.findall("[a-z0-9]+", text.lower()):
-                s = "|" + "|".join(list(w)) + "|>|"
-                for rx, rep in compiled:
-                    s = rx.sub(rep, s)
+                s = "|" + "||".join(list(w)) + "||>|"
+                for pat, rep in replacements:
+                    s = s.replace(pat, rep)
                 toks.extend(t for t in s.split("|") if t)
             return toks
 
         for t in texts:
-            assert regex_chain(t) == _reference_tokenize(t, merges)
+            assert replace_chain(t) == _reference_tokenize(t, merges)
 
     check()
+
+
+def test_oracle_sql_matches_spark_on_duckdb(spark, corpus_df, merges):
+    """bpe_token_count_sql generates the DuckDB twin of n_tokens from
+    the same merge list — run both engines side by side on the corpus
+    AND on the real sf0.001 documents table with its own trained
+    merges.  This is the r7 catalog-query oracle, proven early."""
+    import duckdb
+
+    from rabbit_in_a_blender_spark.ext.bpe import bpe_token_count_sql
+
+    con = duckdb.connect()
+
+    # synthetic corpus (covers empty docs, punctuation, case, runs)
+    spark_counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(corpus_df, merges).collect()
+    }
+    con.execute(
+        "CREATE TABLE corpus AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in CORPUS)  # no quotes in CORPUS
+        + ") AS t(doc_id, text)"
+    )
+    expr = bpe_token_count_sql(merges)
+    duck_counts = dict(
+        con.execute(f"SELECT doc_id, {expr} FROM corpus").fetchall()
+    )
+    assert duck_counts == spark_counts
+
+    # real fixture table, merges trained on it
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m2 = train_bpe(word_frequencies(docs), num_merges=60)
+    got = {
+        r["doc_id"]: r["n_tokens"] for r in bpe_token_counts(docs, m2).collect()
+    }
+    expr2 = bpe_token_count_sql(m2)
+    want = dict(
+        con.execute(
+            "SELECT doc_id, "
+            + expr2
+            + " FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchall()
+    )
+    assert got == want and len(got) == 500
 
 
 def test_expr_merge_limit_actually_plans_and_runs(spark, corpus_df):
