@@ -782,6 +782,146 @@ def _gif_frames_inner(payload: bytes):
     return frames if frames else None
 
 
+# ---------------------------------------------------------------------------
+# Container probing: MP4 (ISO BMFF) and MP3 — metadata without codecs
+# ---------------------------------------------------------------------------
+
+
+def probe_jpeg(payload: bytes) -> dict | None:
+    """Marker walk → {'width','height','progressive'} without entropy
+    decode — works for progressive JPEGs too (whose full decode this
+    module honestly declines)."""
+    try:
+        if not payload.startswith(b"\xff\xd8"):
+            return None
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return {"width": w, "height": h, "progressive": marker == 0xC2}
+            if marker in (0xDA, 0xD9):
+                return None
+            i += 2 + seglen
+        return None
+    except Exception:
+        return None
+
+
+def probe_mp4(payload: bytes) -> dict | None:
+    """ISO BMFF box walk → {'duration_ms', 'width', 'height', 'brand'}
+    or None.  Frame DECODE stays honestly stubbed (no codec libs in
+    this container), but the moov/mvhd timescale+duration and tkhd
+    track dimensions are plain struct fields — a 100 TB crawl pipeline
+    can partition/filter/sample on real video metadata without ever
+    touching a decoder."""
+    try:
+        if len(payload) < 16 or payload[4:8] != b"ftyp":
+            return None
+        out: dict = {"brand": payload[8:12].decode("latin-1")}
+
+        def walk(lo: int, hi: int, depth: int) -> None:
+            pos = lo
+            while pos + 8 <= hi and depth < 8:
+                (size,) = struct.unpack(">I", payload[pos : pos + 4])
+                btype = payload[pos + 4 : pos + 8]
+                body = pos + 8
+                if size == 1:  # 64-bit largesize
+                    (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+                    body = pos + 16
+                if size < 8 or pos + size > hi:
+                    return
+                if btype in (b"moov", b"trak"):
+                    walk(body, pos + size, depth + 1)
+                elif btype == b"mvhd" and "duration_ms" not in out:
+                    ver = payload[body]
+                    if ver == 1:
+                        ts, dur = struct.unpack(
+                            ">IQ", payload[body + 20 : body + 32]
+                        )
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", payload[body + 12 : body + 20]
+                        )
+                    if ts:
+                        out["duration_ms"] = int(dur * 1000 // ts)
+                elif btype == b"tkhd" and "width" not in out:
+                    # v0: 4 ver/flags + 4+4 times + 4 id + 4 res + 4 dur
+                    #     + 8 res + 2+2+2+2 + 36 matrix = 76 to width
+                    # v1: the three times/duration widen to 8 bytes = 88
+                    ver = payload[body]
+                    off = body + (88 if ver == 1 else 76)
+                    w16, h16 = struct.unpack(">II", payload[off : off + 8])
+                    if w16 and h16:  # 16.16 fixed point; 0 for audio tracks
+                        out["width"] = w16 >> 16
+                        out["height"] = h16 >> 16
+                pos += size
+
+        walk(0, len(payload), 0)
+        return out if "duration_ms" in out else None
+    except Exception:
+        return None
+
+
+# MPEG-1 Layer III bitrate (kbps) and sample-rate tables (index 0b1111
+# and 0b11 are invalid per spec)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def probe_mp3(payload: bytes) -> dict | None:
+    """MP3 frame-header scan → {'bitrate_kbps', 'sample_rate',
+    'duration_ms' (filesize/bitrate estimate, the standard CBR
+    heuristic)} or None.  Skips an ID3v2 tag if present; requires two
+    consecutive valid MPEG-1 Layer III sync frames so random 0xFFE
+    bytes don't false-positive."""
+    try:
+        pos = 0
+        if payload[:3] == b"ID3":
+            sz = payload[6:10]
+            pos = 10 + (
+                (sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3]
+            )
+
+        def frame_at(p: int) -> tuple[int, int, int] | None:
+            if p + 4 > len(payload):
+                return None
+            b0, b1, b2 = payload[p], payload[p + 1], payload[p + 2]
+            if b0 != 0xFF or (b1 & 0xFE) != 0xFA:  # MPEG-1 Layer III
+                return None
+            br_idx = b2 >> 4
+            sr_idx = (b2 >> 2) & 0x03
+            if br_idx in (0, 15) or sr_idx == 3:
+                return None
+            br = _MP3_BITRATES[br_idx] * 1000
+            sr = _MP3_RATES[sr_idx]
+            pad = (b2 >> 1) & 0x01
+            return br, sr, 144 * br // sr + pad
+
+        f1 = frame_at(pos)
+        if f1 is None:
+            return None
+        f2 = frame_at(pos + f1[2])
+        if f2 is None:
+            return None
+        br, sr, _flen = f1
+        audio_bytes = len(payload) - pos
+        return {
+            "bitrate_kbps": br // 1000,
+            "sample_rate": sr,
+            "duration_ms": int(audio_bytes * 8000 // br),
+        }
+    except Exception:
+        return None
+
+
 def encode_gif(frames: list[tuple[int, np.ndarray]]) -> bytes:
     """Minimal GIF89a writer for fixtures: builds a global palette from
     the distinct colors across frames (≤256), encodes each frame with

@@ -509,6 +509,94 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return frames
 
 
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Sniff REAL typed metadata from every payload — format label,
+    dimensions, duration — without running any full decode.
+
+    Covers the formats whose frame/sample decode is stubbed too:
+    MP4 duration/dimensions come from the ISO BMFF box fields,
+    MP3 duration from the frame-header bitrate, progressive-JPEG
+    dimensions from the SOF marker.  A crawl pipeline can therefore
+    filter/partition/sample on honest media metadata at 100 TB while
+    the heavy decoders remain external.  One mapInPandas pass, blob
+    dropped from the output schema.
+    """
+
+    def _probe(payload, declared_w, declared_h, declared_dur):
+        import struct as _struct
+
+        from .codecs import gif_frames, probe_jpeg, probe_mp3, probe_mp4
+
+        if payload is None:
+            return ("empty", None, None, None)
+        p = bytes(payload)
+        if p.startswith(_PNG_SIG):
+            try:
+                w, h = _struct.unpack(">II", p[16:24])
+                return ("png", w, h, None)
+            except Exception:
+                return ("png", None, None, None)
+        if p.startswith(b"\xff\xd8"):
+            j = probe_jpeg(p)
+            if j:
+                fmt = "jpeg_progressive" if j["progressive"] else "jpeg"
+                return (fmt, j["width"], j["height"], None)
+            return ("jpeg", None, None, None)
+        if p.startswith(b"P6"):
+            meta = _decode_ppm(p)
+            if meta:
+                return ("ppm", int(meta[0]), int(meta[1]), None)
+            return ("ppm", None, None, None)
+        if p.startswith(b"GIF8"):
+            frames = gif_frames(p)
+            if frames:
+                h, w = frames[0][1].shape[0], frames[0][1].shape[1]
+                return ("gif", w, h, sum(d for d, _f in frames))
+            return ("gif", None, None, None)
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            meta = _decode_wav(p)
+            if meta:
+                return ("wav", None, None, int(meta[0]))
+            return ("wav", None, None, None)
+        m4 = probe_mp4(p)
+        if m4:
+            return ("mp4", m4.get("width"), m4.get("height"), m4["duration_ms"])
+        m3 = probe_mp3(p)
+        if m3:
+            return ("mp3", None, None, m3["duration_ms"])
+        return ("unknown", declared_w, declared_h, declared_dur)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                fmt, w, h, dur = _probe(
+                    r.payload, r.width, r.height, r.duration_ms
+                )
+                rows.append((r.media_id, r.kind, fmt, w, h, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "format", "width", "height",
+                    "duration_ms",
+                ],
+            )
+
+    return media.mapInPandas(_batches, PROBE_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

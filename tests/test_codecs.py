@@ -257,11 +257,123 @@ def test_fuzz_decoders_never_raise():
         )
     )
     def check(blob):
-        for dec in (decode_jpeg, gif_frames):
+        from rabbit_in_a_blender_spark.ext.codecs import (
+            probe_jpeg,
+            probe_mp3,
+            probe_mp4,
+        )
+
+        for dec in (decode_jpeg, gif_frames, probe_jpeg, probe_mp3, probe_mp4):
             out = dec(blob)
             assert out is None or out  # decoded or clean rejection
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Container probing (MP4 / MP3 / progressive JPEG)
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _mp4_fixture(timescale=1000, duration=5400, w=640, h=360, v1=False) -> bytes:
+    if v1:
+        mvhd = b"\x01" + b"\x00" * 3 + b"\x00" * 16 + struct.pack(
+            ">IQ", timescale, duration
+        ) + b"\x00" * 80
+        tkhd = b"\x01" + b"\x00" * 3 + b"\x00" * 84 + struct.pack(
+            ">II", w << 16, h << 16
+        )
+    else:
+        mvhd = b"\x00" * 12 + struct.pack(">II", timescale, duration) + b"\x00" * 80
+        tkhd = b"\x00" * 76 + struct.pack(">II", w << 16, h << 16)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd)))
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + _box(
+        b"mdat", b"\x00" * 32
+    )
+
+
+def _mp3_fixture(n_frames=40, bitrate_idx=9, rate_idx=0, id3=False) -> bytes:
+    """Valid consecutive MPEG-1 Layer III frames (header + zero data)."""
+    from rabbit_in_a_blender_spark.ext.codecs import _MP3_BITRATES, _MP3_RATES
+
+    br = _MP3_BITRATES[bitrate_idx] * 1000
+    sr = _MP3_RATES[rate_idx]
+    flen = 144 * br // sr
+    hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (rate_idx << 2), 0x00])
+    body = (hdr + b"\x00" * (flen - 4)) * n_frames
+    if id3:
+        tag = b"TAG DATA" * 4
+        body = b"ID3\x04\x00\x00" + bytes(
+            [(len(tag) >> 21) & 0x7F, (len(tag) >> 14) & 0x7F,
+             (len(tag) >> 7) & 0x7F, len(tag) & 0x7F]
+        ) + tag + body
+    return body
+
+
+def test_probe_mp4_v0_and_v1():
+    from rabbit_in_a_blender_spark.ext.codecs import probe_mp4
+
+    for v1 in (False, True):
+        got = probe_mp4(_mp4_fixture(timescale=600, duration=3000, w=1280,
+                                     h=720, v1=v1))
+        assert got == {
+            "brand": "isom", "duration_ms": 5000, "width": 1280, "height": 720,
+        }, (v1, got)
+    assert probe_mp4(b"\x00\x00\x00\x08free") is None
+    assert probe_mp4(encode_gif(_two_frames())) is None
+
+
+def test_probe_mp3_with_and_without_id3():
+    from rabbit_in_a_blender_spark.ext.codecs import probe_mp3
+
+    blob = _mp3_fixture(n_frames=40, bitrate_idx=9, rate_idx=0)
+    got = probe_mp3(blob)
+    assert got["bitrate_kbps"] == 128 and got["sample_rate"] == 44100
+    # CBR estimate: bytes*8/bitrate
+    assert got["duration_ms"] == len(blob) * 8000 // 128000
+    tagged = probe_mp3(_mp3_fixture(id3=True))
+    assert tagged is not None and tagged["bitrate_kbps"] == 128
+    # a lone sync byte is not an MP3 (needs two consecutive frames)
+    assert probe_mp3(b"\xff\xfb\x90\x00" + b"\x00" * 10) is None
+    assert probe_mp3(b"garbage") is None
+
+
+def test_probe_jpeg_reads_progressive_dims():
+    from rabbit_in_a_blender_spark.ext.codecs import probe_jpeg
+
+    blob = encode_jpeg(_gradient(24, 56))
+    assert probe_jpeg(blob) == {"width": 56, "height": 24, "progressive": False}
+    # craft a progressive header: swap SOF0 for SOF2
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert probe_jpeg(prog) == {"width": 56, "height": 24, "progressive": True}
+    assert decode_jpeg(prog) is None  # full decode still declines
+
+
+def test_probe_media_through_spark(spark):
+    from rabbit_in_a_blender_spark.ext.multimodal import MEDIA_SCHEMA, probe_media
+
+    rows = [
+        (1, "image", None, encode_jpeg(_gradient(8, 8)), None, None, None),
+        (2, "video", None, _mp4_fixture(), None, None, None),
+        (3, "audio", None, _mp3_fixture(), None, None, None),
+        (4, "video", None, encode_gif(_two_frames()), None, None, None),
+        (5, "video", None, b"\x00mystery", 99, 88, 1234),
+        (6, "image", None, None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in probe_media(media).collect()}
+    assert out[1]["format"] == "jpeg" and out[1]["width"] == 8
+    assert out[2]["format"] == "mp4" and out[2]["duration_ms"] == 5400
+    assert out[2]["width"] == 640 and out[2]["height"] == 360
+    assert out[3]["format"] == "mp3" and out[3]["duration_ms"] > 0
+    assert out[4]["format"] == "gif" and out[4]["duration_ms"] == 300
+    # unknown formats keep the declared metadata
+    assert out[5]["format"] == "unknown" and (out[5]["width"], out[5]["duration_ms"]) == (99, 1234)
+    assert out[6]["format"] == "empty"
 
 
 # ---------------------------------------------------------------------------
