@@ -145,8 +145,21 @@ def train_bpe(
     return merges
 
 
+_SYMBOL_RE = re.compile(r"^[a-z0-9>]+$")
+
+
 def _merge_replacements(merges: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    """merges → [(literal_pattern, literal_replacement)] in rank order."""
+    """merges → [(literal_pattern, literal_replacement)] in rank order.
+
+    Symbols are validated against the tokenizer alphabet: anything
+    outside ``[a-z0-9>]`` (a hand-edited merges file, say) would break
+    the delimiter scheme — and the generated oracle SQL — silently.
+    """
+    for a, b in merges:
+        if not (_SYMBOL_RE.match(a) and _SYMBOL_RE.match(b)):
+            raise ValueError(
+                f"merge symbols must match [a-z0-9>]+: {(a, b)!r}"
+            )
     return [(f"|{a}||{b}|", f"|{a}{b}|") for a, b in merges]
 
 

@@ -157,6 +157,12 @@ def test_more_merges_never_increase_token_count(corpus_df):
         prev = total
 
 
+def test_malformed_merge_symbols_rejected(corpus_df):
+    for bad in [("a|", "b"), ("a", "B"), ("a'", "b"), ("", "b"), ("a", "b c")]:
+        with pytest.raises(ValueError):
+            bpe_tokenize(corpus_df, [bad])
+
+
 def test_token_counts_shape(corpus_df, merges):
     out = {r["doc_id"]: r["n_tokens"] for r in bpe_token_counts(corpus_df, merges).collect()}
     assert out[6] == 0  # empty doc
