@@ -1,4 +1,11 @@
-from .bpe import bpe_token_counts, bpe_tokenize, train_bpe, word_frequencies
+from .bpe import (
+    bpe_encode_ids,
+    bpe_token_counts,
+    bpe_tokenize,
+    bpe_vocab,
+    train_bpe,
+    word_frequencies,
+)
 from .budget import deterministic_shuffle, token_budget_select
 from .decontam import benchmark_ngrams, contamination_overlap, decontaminate
 from .dedup import (
@@ -68,4 +75,6 @@ __all__ = [
     "train_bpe",
     "bpe_tokenize",
     "bpe_token_counts",
+    "bpe_vocab",
+    "bpe_encode_ids",
 ]

@@ -263,6 +263,56 @@ def bpe_token_counts(
     )
 
 
+#: base symbol alphabet, id order fixed: 0-25 letters, 26-35 digits,
+#: 36 the end-of-word marker
+_BASE_VOCAB = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [
+    str(d) for d in range(10)
+] + [">"]
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic token → id table: the 37-symbol base alphabet
+    first, then each merge's product in rank order.  Every token
+    :func:`bpe_tokenize` can emit is covered by construction (a token
+    is either a base symbol or the product of an applied merge)."""
+    vocab = {s: i for i, s in enumerate(_BASE_VOCAB)}
+    for a, b in _validated(merges):
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def _validated(merges: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    _merge_replacements(merges)  # runs the alphabet validation
+    return merges
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Append ``out_col`` (array<int> of vocabulary ids) and
+    ``n_tokens`` — the form sequence packing / shard export consumes.
+
+    The vocab rides into the plan as one literal ``map`` expression
+    (≤ 37 + len(merges) entries — metadata-sized, no join, no
+    broadcast variable), so the lookup stays inside whole-stage
+    codegen like the merge chain itself.
+    """
+    vocab = bpe_vocab(merges)
+    entries: list[Column] = []
+    for tok, tid in vocab.items():
+        entries.append(F.lit(tok))
+        entries.append(F.lit(tid))
+    vmap = F.create_map(*entries)
+    toks = bpe_tokenize(df, merges, text_col, out_col="__tokens")
+    return toks.withColumn(
+        out_col,
+        F.transform(F.col("__tokens"), lambda t: F.element_at(vmap, t)),
+    ).drop("__tokens")
+
+
 def bpe_token_count_sql(merges: list[tuple[str, str]], text_expr: str = "text") -> str:
     """ANSI-SQL expression computing the SAME per-row BPE token count as
     :func:`bpe_tokenize`'s ``n_tokens`` — the DuckDB-oracle twin.

@@ -169,6 +169,29 @@ def test_token_counts_shape(corpus_df, merges):
     assert all(v >= 0 for v in out.values())
 
 
+def test_encode_ids_roundtrip_and_coverage(spark, corpus_df, merges):
+    from rabbit_in_a_blender_spark.ext.bpe import bpe_encode_ids, bpe_vocab
+
+    vocab = bpe_vocab(merges)
+    assert vocab["a"] == 0 and vocab["0"] == 26 and vocab[">"] == 36
+    assert len(vocab) <= 37 + len(merges)
+    inv = {i: t for t, i in vocab.items()}
+    toks = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_tokenize(corpus_df, merges).collect()
+    }
+    out = bpe_encode_ids(corpus_df, merges)
+    rows = out.collect()
+    for r in rows:
+        ids = list(r["token_ids"])
+        assert None not in ids, "every emitted token must be in vocab"
+        assert [inv[i] for i in ids] == toks[r["doc_id"]]
+        assert r["n_tokens"] == len(ids)
+    # ids plan is JVM-only too (map literal, no python)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_training_from_plain_pairs_matches_dataframe_path(corpus_df):
     wf_df = word_frequencies(corpus_df)
     pairs = [(r["word"], r["freq"]) for r in wf_df.collect()]
