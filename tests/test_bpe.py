@@ -290,6 +290,33 @@ def test_oracle_sql_matches_spark_on_duckdb(spark, corpus_df, merges):
     assert got == want and len(got) == 500
 
 
+def test_tokenize_then_pack_composition(spark):
+    """The real training-prep path: documents → BPE token counts →
+    next-fit packing into budget-bounded bins.  Composition check on
+    the sf0.001 fixture with merges trained on it."""
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.ext.bpe import bpe_token_counts
+    from rabbit_in_a_blender_spark.ext.packing import pack_next_fit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = train_bpe(word_frequencies(docs), num_merges=60)
+    counts = bpe_token_counts(docs, merges).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long")
+    )
+    budget = 512
+    packed = pack_next_fit(counts, "doc_id", "n_tokens", budget=budget)
+    loads = (
+        packed.groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("load"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(loads) > 1
+    for r in loads:
+        assert r["load"] <= budget or r["n"] == 1  # oversize docs solo
+    assert packed.count() == docs.count()  # every doc placed exactly once
+
+
 def test_expr_merge_limit_actually_plans_and_runs(spark, corpus_df):
     """EXPR_MERGE_LIMIT must stay below the measured JVM
     StackOverflowError point (512 on Spark 4.1): the limit-sized chain
