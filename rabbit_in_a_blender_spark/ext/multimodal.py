@@ -349,7 +349,7 @@ def _decode(payload: bytes | None, kind: str) -> list[float]:
     return _decode_stub(payload, kind)
 
 
-def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def extract_features(media: DataFrame) -> DataFrame:
     """Binary payload → fixed-width feature vector via mapInPandas.
 
     One narrow pass, no shuffle; the blob column does not survive into
