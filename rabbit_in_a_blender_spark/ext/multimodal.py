@@ -509,6 +509,86 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return frames
 
 
+def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media test patterns: one REAL blob per input row,
+    format and metadata derived from the id in closed form.
+
+    ``id % 4``: 0 → solid-color PNG of ``(8 + id%16) x (8 + id%8)``;
+    1 → mono 8 kHz PCM WAV of ``100 + (id%10)*50`` ms; 2 → MP4
+    container (ISO BMFF, no media data) of ``1000 + (id%20)*250`` ms at
+    ``320x(180 + (id%4)*60)``; 3 → CBR MP3 of ``5 + id%15`` frames at
+    128 kbps/44.1 kHz.  Because every probe-able field is arithmetic on
+    the id, ``probe_media ∘ synth_media`` is replayable as plain SQL —
+    the oracle shape for a driver-gated catalog row — and users get a
+    self-contained smoke source for media pipelines.  Generation is one
+    mapInPandas pass (no shuffle, blobs never leave the worker).
+    """
+    import struct
+
+    import numpy as np
+
+    def _wav_blob(ms: int) -> bytes:
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(8000)
+            n = 8000 * ms // 1000
+            t = np.arange(n)
+            f.writeframes(
+                (np.sin(t * 0.1) * 16000).astype("<i2").tobytes()
+            )
+        return buf.getvalue()
+
+    def _mp4_blob(ms: int, w: int, h: int) -> bytes:
+        def box(btype: bytes, body: bytes) -> bytes:
+            return struct.pack(">I", len(body) + 8) + btype + body
+
+        mvhd = b"\x00" * 12 + struct.pack(">II", 1000, ms) + b"\x00" * 80
+        tkhd = b"\x00" * 76 + struct.pack(">II", w << 16, h << 16)
+        moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+        return box(b"ftyp", b"isom\x00\x00\x02\x00isom") + moov
+
+    def _mp3_blob(n_frames: int) -> bytes:
+        # 128 kbps @ 44.1 kHz → 417-byte frames (pad bit 0)
+        hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+        return (hdr + b"\x00" * (417 - 4)) * n_frames
+
+    def _build(i: int):
+        m = i % 4
+        if m == 0:
+            w, h = 8 + i % 16, 8 + i % 8
+            px = np.full((h, w, 3), (i * 37) % 256, dtype=np.uint8)
+            return "image", _encode_png(px), w, h, None
+        if m == 1:
+            ms = 100 + (i % 10) * 50
+            return "audio", _wav_blob(ms), None, None, ms
+        if m == 2:
+            ms = 1000 + (i % 20) * 250
+            w, h = 320, 180 + (i % 4) * 60
+            return "video", _mp4_blob(ms, w, h), w, h, ms
+        return "audio", _mp3_blob(5 + i % 15), None, None, None
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].astype("int64"):
+                kind, blob, w, h, dur = _build(int(i))
+                rows.append((int(i), kind, None, blob, w, h, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "payload", "width",
+                    "height", "duration_ms",
+                ],
+            )
+
+    return df.select(id_col).mapInPandas(_batches, MEDIA_SCHEMA)
+
+
 PROBE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -376,6 +376,37 @@ def test_probe_media_through_spark(spark):
     assert out[6]["format"] == "empty"
 
 
+def test_synth_media_probe_closed_form(spark):
+    """probe_media ∘ synth_media must reproduce the documented
+    closed-form metadata for every id — the r7 ext_media_probe oracle
+    shape, proven over the sf0.001 documents ids."""
+    from rabbit_in_a_blender_spark.ext.multimodal import probe_media, synth_media
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {
+        r["media_id"]: r
+        for r in probe_media(synth_media(docs)).collect()
+    }
+    assert len(out) == docs.count()
+    for i, r in out.items():
+        m = i % 4
+        if m == 0:
+            assert r["format"] == "png"
+            assert (r["width"], r["height"]) == (8 + i % 16, 8 + i % 8)
+        elif m == 1:
+            assert r["format"] == "wav"
+            assert r["duration_ms"] == 100 + (i % 10) * 50
+        elif m == 2:
+            assert r["format"] == "mp4"
+            assert r["duration_ms"] == 1000 + (i % 20) * 250
+            assert (r["width"], r["height"]) == (320, 180 + (i % 4) * 60)
+        else:
+            assert r["format"] == "mp3"
+            # CBR estimate over 417-byte frames at 128 kbps
+            n = 5 + i % 15
+            assert r["duration_ms"] == n * 417 * 8000 // 128000
+
+
 # ---------------------------------------------------------------------------
 # Spark wiring
 # ---------------------------------------------------------------------------
