@@ -66,6 +66,14 @@ from pyspark.sql import functions as F
 #: mapInPandas fallback runs the identical algorithm past this point.
 EXPR_MERGE_LIMIT = 256
 
+#: The pre-tokenizer scope is deliberately ASCII: ``[a-z0-9]`` means
+#: the same thing in Java regex (Spark), Python re (the Arrow
+#: fallback), and RE2 (DuckDB), which is what keeps the three
+#: implementations and the generated oracle SQL bit-identical.
+#: Non-Latin text contributes no tokens — route by
+#: `ext/text.py::langid_heuristic` and train per-language merge tables
+#: rather than widening this class (unicode word classes diverge
+#: between the engines' regex dialects).
 _WORD_RE = "[a-z0-9]+"
 
 
