@@ -635,6 +635,12 @@ def _lzw_decode(min_code_size: int, data: bytes, limit: int) -> list[int]:
     count).  The table stops growing at the spec's 4096-entry ceiling —
     a stream that never sends a clear code must not grow entries (and
     output) quadratically."""
+    # spec bound (GIF89a appendix F): root size 2..8 — a corrupt byte
+    # here would otherwise size the initial table at 1 << N for
+    # arbitrary N, a multi-GB allocation before any decode error could
+    # surface (found by the hypothesis fuzz as a memory-exhaustion hang)
+    if not 2 <= min_code_size <= 8:
+        raise ValueError("bad LZW minimum code size")
     clear = 1 << min_code_size
     end = clear + 1
     code_size = min_code_size + 1

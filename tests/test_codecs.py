@@ -226,6 +226,33 @@ def test_gif_rejects_garbage():
     assert gif_frames(b"GIF89a" + b"\x00" * 4) is None
 
 
+def test_gif_corrupt_lzw_root_size_rejected_fast():
+    """Regression: a mutated LZW minimum-code-size byte (here 0x3d = 61)
+    must be rejected, not size the initial code table at 1 << 61 — that
+    allocation loop ate tens of GB before any decode error could fire
+    (caught live by the fuzz during a full-suite run)."""
+    culprit = bytes.fromhex(
+        "4749463839610a000800810000ff00000000ffffff0000ff0021f904000a00"
+        "00002c000000000a00080000023d04411004c3300c43100441300cc3300441"
+        "1004"
+    )
+    import resource
+    import time
+
+    t0 = time.time()
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert gif_frames(culprit) is None
+    # also the general field sweep: every out-of-spec root size rejects
+    base = encode_gif(_two_frames())
+    lzw_pos = base.find(b"\x2c") + 10  # descriptor + no LCT → min-code byte
+    for bad in (0, 1, 9, 61, 93, 255):
+        mut = base[:lzw_pos] + bytes([bad]) + base[lzw_pos + 1 :]
+        assert gif_frames(mut) is None, bad
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert time.time() - t0 < 5.0
+    assert after - before < 1_000_000  # <1GB growth (ru_maxrss is KB)
+
+
 def test_fuzz_decoders_never_raise():
     """Hypothesis sweep: arbitrary bytes — including mutated valid
     blobs, the adversarial case — must yield a clean None or a decoded
