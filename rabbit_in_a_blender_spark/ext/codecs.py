@@ -164,62 +164,100 @@ def _build_huffman_codes(bits: list[int], values: list[int]) -> dict[int, tuple[
     return out
 
 
-def _build_huffman_decoder(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → value; small dict is plenty at fixture scale and
-    the per-blob cost is dominated by the bitstream walk anyway."""
-    table: dict[tuple[int, int], int] = {}
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _build_huffman_lut(
+    bits: tuple[int, ...], values: tuple[int, ...]
+) -> tuple[list[int], list[int]]:
+    """16-bit peek lookup: index by the next 16 bits of the stream,
+    read (value, code_length) in O(1).  Real JPEGs overwhelmingly ship
+    the Annex K tables, so the cache makes the 65k-slot build a
+    once-per-worker cost rather than once per blob."""
+    val_lut = [0] * 65536
+    len_lut = [0] * 65536
     code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
+            if code >= (1 << length) or k >= len(values):
+                # corrupt DHT: canonical code space overflow — without
+                # this check the slice arithmetic below would multiply
+                # out attacker-sized lists (same class as the LZW
+                # root-size bomb)
+                raise ValueError("bad huffman table")
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            val_lut[lo:hi] = [values[k]] * (hi - lo)
+            len_lut[lo:hi] = [length] * (hi - lo)
             code += 1
             k += 1
         code <<= 1
-    return table
+    return val_lut, len_lut
 
 
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment with 0xFF00
-    byte-unstuffing; stops (raising EOFError) at any real marker."""
+    byte-unstuffing; stops (raising EOFError when the stream tries to
+    CONSUME past the end) at any real marker.
+
+    Holds a growing accumulator with ``nbits`` valid low bits, of which
+    the bottom ``pad`` are synthetic 1-padding appended so ``peek16``
+    can always window 16 bits near the end of the segment — peeking at
+    pad is fine (Huffman codes shorter than the window resolve without
+    touching it), consuming it is the EOF condition.
+    """
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
-        self.bit = 0
-        self.cur = 0
+        self.acc = 0
         self.nbits = 0
+        self.pad = 0
 
-    def _fill(self) -> None:
+    def _fill_byte(self) -> bool:
+        """Shift in one unstuffed data byte; False at segment end."""
         d = self.data
         p = self.pos
         if p >= len(d):
-            raise EOFError
+            return False
         b = d[p]
         if b == 0xFF:
-            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
-            if nxt == 0x00:
+            if p + 1 < len(d) and d[p + 1] == 0x00:
                 self.pos = p + 2
-            elif 0xD0 <= nxt <= 0xD7:
-                # restart marker mid-fill should not happen (handled at
-                # MCU boundaries); treat as end of segment
-                raise EOFError
             else:
-                raise EOFError
+                return False  # a real marker (RST/EOI/...) ends the segment
         else:
             self.pos = p + 1
-        self.cur = (self.cur << 8) | b
+        self.acc = (self.acc << 8) | b
         self.nbits += 8
+        return True
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.cur >> self.nbits) & 1
+    def peek16(self) -> int:
+        while self.nbits < 16:
+            if not self._fill_byte():
+                k = 16 - self.nbits
+                self.acc = (self.acc << k) | ((1 << k) - 1)
+                self.nbits = 16
+                self.pad += k
+                break
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits - self.pad:
+            raise EOFError
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        while self.nbits - self.pad < n:
+            if not self._fill_byte():
+                raise EOFError
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def align_restart(self) -> None:
@@ -227,7 +265,7 @@ class _BitReader:
         boundary.  Skips over unconsumed pad bytes — including a
         stuffed FF 00 produced when the 1-padding fills a byte — until
         the marker itself."""
-        self.cur, self.nbits = 0, 0
+        self.acc, self.nbits, self.pad = 0, 0, 0
         d, p = self.data, self.pos
         while p + 1 < len(d):
             if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
@@ -246,15 +284,14 @@ def _receive_extend(r: _BitReader, s: int) -> int:
     return v
 
 
-def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length < 17:
-        code = (code << 1) | r.read_bit()
-        length += 1
-        v = table.get((length, code))
-        if v is not None:
-            return v
-    raise ValueError("bad huffman code")
+def _huff_decode(r: _BitReader, lut: tuple[list[int], list[int]]) -> int:
+    val_lut, len_lut = lut
+    idx = r.peek16()
+    length = len_lut[idx]
+    if length == 0:
+        raise ValueError("bad huffman code")
+    r.consume(length)
+    return val_lut[idx]
 
 
 def decode_jpeg(payload: bytes):
@@ -311,10 +348,10 @@ def _decode_jpeg_inner(payload: bytes):
             j = 0
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0x0F
-                bits = list(seg[j + 1 : j + 17])
+                bits = tuple(seg[j + 1 : j + 17])
                 n = sum(bits)
-                vals = list(seg[j + 17 : j + 17 + n])
-                tbl = _build_huffman_decoder(bits, vals)
+                vals = tuple(seg[j + 17 : j + 17 + n])
+                tbl = _build_huffman_lut(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 j += 17 + n
         elif marker == 0xDD:  # DRI
