@@ -504,12 +504,23 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, code
 
 
-def _encode_block(bw: _BitWriter, block: np.ndarray, q_zz: np.ndarray,
+def _dct_quantize_plane(pp: np.ndarray, q_zz: np.ndarray) -> np.ndarray:
+    """Padded plane → (block_rows, block_cols, 64) quantized zigzag
+    coefficients, DCT'd for ALL blocks in one einsum (the per-block
+    matmul loop was the encoder's hot spot)."""
+    bh, bw = pp.shape[0] // 8, pp.shape[1] // 8
+    blocks = (
+        pp.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(np.float64) - 128.0
+    )
+    coef = np.einsum("ux,rcxy,vy->rcuv", _DCT_C, blocks, _DCT_C)
+    zz = coef.reshape(bh, bw, 64)[:, :, ZIGZAG] / q_zz
+    return np.rint(zz).astype(np.int64)
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray,
                   pred: int, dct: dict, act: dict) -> int:
-    """DCT → quantize (zigzag-order table) → entropy-code one 8x8 block;
-    returns the new DC predictor."""
-    coef = _DCT_C @ (block - 128.0) @ _DCT_C.T
-    zz = np.rint(coef.reshape(64)[ZIGZAG] / q_zz).astype(np.int64)
+    """Entropy-code one pre-quantized zigzag block; returns the new DC
+    predictor."""
     diff = int(zz[0]) - pred
     s, code = _magnitude(diff)
     hc, hl = dct[s]
@@ -595,7 +606,7 @@ def encode_jpeg(
             ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
             mode="edge",
         )
-        padded.append((pp, sh, sv, q, dct, act))
+        padded.append((_dct_quantize_plane(pp, q), sh, sv, dct, act))
     bw = _BitWriter()
     preds = [0, 0, 0]
     mcu_index = 0
@@ -613,13 +624,11 @@ def encode_jpeg(
                 bw.out.append(0xD0 + n)
                 preds = [0, 0, 0]
             mcu_index += 1
-            for ci, (pp, sh, sv, q, dct, act) in enumerate(padded):
+            for ci, (zz_grid, sh, sv, dct, act) in enumerate(padded):
                 for by in range(sv):
                     for bx in range(sh):
-                        yy = (my * sv + by) * 8
-                        xx = (mx * sh + bx) * 8
                         preds[ci] = _encode_block(
-                            bw, pp[yy : yy + 8, xx : xx + 8], q,
+                            bw, zz_grid[my * sv + by, mx * sh + bx],
                             preds[ci], dct, act,
                         )
     bw.flush()
