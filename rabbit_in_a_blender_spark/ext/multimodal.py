@@ -646,10 +646,16 @@ def probe_media(media: DataFrame) -> DataFrame:
                 return ("gif", w, h, sum(d for d, _f in frames))
             return ("gif", None, None, None)
         if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-            meta = _decode_wav(p)
-            if meta:
-                return ("wav", None, None, int(meta[0]))
-            return ("wav", None, None, None)
+            # header-only: probing must not decode every sample frame
+            try:
+                import io
+                import wave
+
+                with wave.open(io.BytesIO(p)) as f:
+                    ms = f.getnframes() * 1000 // f.getframerate()
+                return ("wav", None, None, int(ms))
+            except Exception:
+                return ("wav", None, None, None)
         m4 = probe_mp4(p)
         if m4:
             return ("mp4", m4.get("width"), m4.get("height"), m4["duration_ms"])
