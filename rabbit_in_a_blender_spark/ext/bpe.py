@@ -122,22 +122,54 @@ def train_bpe(
     for word, freq in pairs_in:
         syms = tuple(list(word) + [">"])
         vocab[syms] = vocab.get(syms, 0) + int(freq)
+    # incremental pair bookkeeping: a merge only changes the pair
+    # multisets of words that CONTAIN it, so track counts and a
+    # pair → words index and update just those — O(affected) per merge
+    # instead of a full O(vocab) recount (what makes 32k-merge
+    # vocabularies feasible driver-side; equality with the naive
+    # full-recount loop is property-tested in tests/test_bpe.py)
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set] = {}
+    for syms, freq in vocab.items():
+        for p, k in _pair_multiset(syms).items():
+            counts[p] = counts.get(p, 0) + k * freq
+            where.setdefault(p, set()).add(syms)
+    # lazy-deletion heap for argmax selection: a linear min() scan over
+    # the pair dict per merge dominates at 32k-merge scale; stale heap
+    # entries (count changed since push) are skipped on pop.  Ordering
+    # (-count, pair) reproduces the deterministic tie-break exactly.
+    import heapq
+
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, freq in vocab.items():
-            for a, b in zip(syms, syms[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + freq
-        if not counts:
-            break
-        best = min(counts, key=lambda p: (-counts[p], p))
-        if counts[best] < 2:
+        best = None
+        while heap:
+            negc, p = heap[0]
+            if counts.get(p) == -negc:
+                best = p
+                break
+            heapq.heappop(heap)
+        if best is None or counts[best] < 2:
             break  # nothing left that actually repeats
         merges.append(best)
         a, b = best
         ab = a + b
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for syms, freq in vocab.items():
+        for syms in list(where.get(best, ())):
+            freq = vocab.pop(syms, None)
+            if freq is None:
+                continue  # stale index entry from an earlier rewrite
+            for p, k in _pair_multiset(syms).items():
+                c = counts[p] - k * freq
+                if c:
+                    counts[p] = c
+                    heapq.heappush(heap, (-c, p))
+                else:
+                    del counts[p]
+                s = where.get(p)
+                if s is not None:
+                    s.discard(syms)
             out: list[str] = []
             i = 0
             while i < len(syms):
@@ -147,10 +179,21 @@ def train_bpe(
                 else:
                     out.append(syms[i])
                     i += 1
-            key = tuple(out)
-            new_vocab[key] = new_vocab.get(key, 0) + freq
-        vocab = new_vocab
+            new_syms = tuple(out)
+            vocab[new_syms] = vocab.get(new_syms, 0) + freq
+            for p, k in _pair_multiset(new_syms).items():
+                c = counts.get(p, 0) + k * freq
+                counts[p] = c
+                heapq.heappush(heap, (-c, p))
+                where.setdefault(p, set()).add(new_syms)
     return merges
+
+
+def _pair_multiset(syms: tuple[str, ...]) -> dict[tuple[str, str], int]:
+    d: dict[tuple[str, str], int] = {}
+    for a, b in zip(syms, syms[1:]):
+        d[(a, b)] = d.get((a, b), 0) + 1
+    return d
 
 
 _SYMBOL_RE = re.compile(r"^[a-z0-9>]+$")

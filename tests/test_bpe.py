@@ -220,6 +220,40 @@ def test_property_replace_chain_matches_priority_loop():
     word = st.text(alphabet="abc0", min_size=1, max_size=8)
     corpus = st.lists(st.lists(word, min_size=1, max_size=12), min_size=1, max_size=8)
 
+    def naive_train(pairs_in, num_merges):
+        """Full-recount reference trainer (the original formulation) —
+        the incremental engine trainer must match it exactly."""
+        vocab: dict[tuple, int] = {}
+        for word, freq in pairs_in:
+            syms = tuple(list(word) + [">"])
+            vocab[syms] = vocab.get(syms, 0) + int(freq)
+        merges = []
+        for _ in range(num_merges):
+            counts: dict[tuple, int] = {}
+            for syms, freq in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + freq
+            if not counts:
+                break
+            best = min(counts, key=lambda p: (-counts[p], p))
+            if counts[best] < 2:
+                break
+            merges.append(best)
+            a, b = best
+            new_vocab: dict[tuple, int] = {}
+            for syms, freq in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+            vocab = new_vocab
+        return merges
+
     @settings(max_examples=60, deadline=None)
     @given(corpus)
     def check(docs):
@@ -229,6 +263,7 @@ def test_property_replace_chain_matches_priority_loop():
             for w in ws:
                 freqs[w] = freqs.get(w, 0) + 1
         merges = train_bpe(list(freqs.items()), num_merges=15)
+        assert merges == naive_train(list(freqs.items()), 15)
         replacements = _merge_replacements(merges)
 
         def replace_chain(text):
