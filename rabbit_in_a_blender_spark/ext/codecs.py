@@ -736,9 +736,10 @@ _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 def gif_frames(payload: bytes):
     """GIF87a/89a → list of (delay_ms, HxWx3 uint8 frame) or None.
 
-    Frames are composited onto the logical-screen canvas (draw-over
-    disposal — the common case for web GIFs); transparency respects the
-    GCE transparent index.  Interlaced frames are deinterlaced."""
+    Frames are composited onto the logical-screen canvas honoring the
+    GCE disposal method (keep / restore-to-background /
+    restore-to-previous); transparency respects the GCE transparent
+    index.  Interlaced frames are deinterlaced."""
     try:
         return _gif_frames_inner(payload)
     except Exception:
@@ -760,11 +761,14 @@ def _gif_frames_inner(payload: bytes):
         gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    bg_rgb = (0, 0, 0)
     if gct is not None and bg_index < len(gct):
         canvas[:, :] = gct[bg_index]
+        bg_rgb = gct[bg_index]
     frames: list[tuple[int, np.ndarray]] = []
     delay_ms = 0
     transparent: int | None = None
+    disposal = 0
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
@@ -777,6 +781,7 @@ def _gif_frames_inner(payload: bytes):
                 packed = payload[pos + 1]
                 delay_ms = struct.unpack("<H", payload[pos + 2 : pos + 4])[0] * 10
                 transparent = payload[pos + 4] if packed & 0x01 else None
+                disposal = (packed >> 2) & 0x07
                 pos += size + 1
             # skip remaining sub-blocks
             while payload[pos] != 0:
@@ -821,6 +826,7 @@ def _gif_frames_inner(payload: bytes):
             if (len(frames) + 1) * w * h > (1 << 28):
                 return None  # decoded-volume cap: composited frames are full-canvas copies
             rgb = pal[np.clip(idx, 0, len(pal) - 1)]
+            before = canvas.copy() if disposal == 3 else None
             region = canvas[top : top + ih, left : left + iw]
             if transparent is not None:
                 mask = (idx != transparent)[:, :, None]
@@ -828,7 +834,15 @@ def _gif_frames_inner(payload: bytes):
             else:
                 region[:] = rgb
             frames.append((delay_ms, canvas.copy()))
-            delay_ms, transparent = 0, None
+            # GCE disposal applies AFTER this frame is displayed:
+            # 2 = restore the frame's rectangle to the background
+            # color, 3 = restore the canvas as it was before drawing
+            # (0/1 = leave in place, the draw-over default)
+            if disposal == 2:
+                region[:] = bg_rgb
+            elif disposal == 3 and before is not None:
+                canvas = before
+            delay_ms, transparent, disposal = 0, None, 0
         else:
             return None
     return frames if frames else None

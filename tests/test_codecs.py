@@ -197,6 +197,53 @@ def test_gif_transparency_composites_previous_frame():
     assert np.array_equal(final[4:], frames[1][1][4:])
 
 
+def test_gif_disposal_modes():
+    """Disposal 2 (restore-to-background) and 3 (restore-to-previous)
+    change what the NEXT frame composites onto; the fixture draws a
+    small patch over frame 1 with transparency so the difference is
+    observable in frame 3."""
+    import numpy as np
+
+    f1 = np.zeros((6, 6, 3), np.uint8)
+    f1[:, :] = (255, 0, 0)
+    patch = np.zeros((6, 6, 3), np.uint8)
+    patch[:, :] = (0, 0, 255)
+    all_trans = np.zeros((6, 6, 3), np.uint8)
+    all_trans[:, :] = (0, 255, 0)  # will be marked fully transparent
+    blob = bytearray(encode_gif([(10, f1), (10, patch), (10, all_trans)]))
+    # find the three GCEs; set frame-2 disposal + frame-3 transparency
+    gces = []
+    i = 0
+    while True:
+        i = blob.find(b"\x21\xf9", i)
+        if i < 0:
+            break
+        gces.append(i)
+        i += 2
+    assert len(gces) == 3
+    n = 2 << (blob[10] & 0x07)
+    green = next(
+        k for k in range(n) if tuple(blob[13 + 3 * k : 16 + 3 * k]) == (0, 255, 0)
+    )
+    for mode in (2, 3):
+        mut = bytearray(blob)
+        mut[gces[1] + 3] |= mode << 2  # frame 2 disposal
+        mut[gces[2] + 3] |= 0x01  # frame 3: transparency on
+        mut[gces[2] + 6] = green  # everything transparent → shows canvas
+        got = gif_frames(bytes(mut))
+        assert got is not None and len(got) == 3
+        # frame 2 itself always shows the blue patch
+        assert tuple(got[1][1][3, 3]) == (0, 0, 255)
+        final = got[2][1]
+        if mode == 2:
+            # restored to background color before frame 3
+            bg = tuple(blob[13 + 3 * blob[11] : 16 + 3 * blob[11]])
+            assert tuple(final[3, 3]) == bg
+        else:
+            # restored to the pre-patch canvas: frame 1's red
+            assert tuple(final[3, 3]) == (255, 0, 0)
+
+
 def test_gif_interlaced_decodes():
     # hand-build an interlaced variant: reorder rows into pass order and
     # set the interlace flag on the image descriptor
