@@ -140,7 +140,11 @@ def train_bpe(
     # (-count, pair) reproduces the deterministic tie-break exactly.
     import heapq
 
-    heap = [(-c, p) for p, c in counts.items()]
+    # only pairs with count >= 2 are ever eligible (the merge
+    # threshold), so entries below that stay out of the heap — every
+    # count change that reaches 2 pushes at that moment, keeping the
+    # invariant that an eligible pair always has a live entry
+    heap = [(-c, p) for p, c in counts.items() if c >= 2]
     heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -164,7 +168,8 @@ def train_bpe(
                 c = counts[p] - k * freq
                 if c:
                     counts[p] = c
-                    heapq.heappush(heap, (-c, p))
+                    if c >= 2:
+                        heapq.heappush(heap, (-c, p))
                 else:
                     del counts[p]
                 s = where.get(p)
@@ -184,7 +189,8 @@ def train_bpe(
             for p, k in _pair_multiset(new_syms).items():
                 c = counts.get(p, 0) + k * freq
                 counts[p] = c
-                heapq.heappush(heap, (-c, p))
+                if c >= 2:
+                    heapq.heappush(heap, (-c, p))
                 where.setdefault(p, set()).add(new_syms)
     return merges
 
