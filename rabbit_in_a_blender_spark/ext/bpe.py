@@ -370,6 +370,24 @@ def bpe_encode_ids(
     ).drop("__tokens")
 
 
+def _symbol_chain_sql(merges: list[tuple[str, str]], text_expr: str) -> str:
+    """The DuckDB expression for the fully-merged symbol string of a
+    document: words double-delimited and ``#``-joined, then the SAME
+    literal replace chain :func:`bpe_tokenize` applies (one source of
+    truth — ``_merge_replacements``)."""
+    # words joined with a '#' boundary the merges can never cross:
+    #   '|h||i||>|#|y||o||>|'
+    sym = (
+        "'|' || array_to_string("
+        "list_transform(regexp_extract_all(lower(" + text_expr + "), '[a-z0-9]+'),"
+        " w -> array_to_string(string_split(w, ''), '||') || '||>'"
+        "), '|#|') || '|'"
+    )
+    for pat, rep in _merge_replacements(merges):
+        sym = f"replace({sym}, '{pat}', '{rep}')"
+    return sym
+
+
 def bpe_token_count_sql(merges: list[tuple[str, str]], text_expr: str = "text") -> str:
     """ANSI-SQL expression computing the SAME per-row BPE token count as
     :func:`bpe_tokenize`'s ``n_tokens`` — the DuckDB-oracle twin.
@@ -389,17 +407,35 @@ def bpe_token_count_sql(merges: list[tuple[str, str]], text_expr: str = "text") 
     separated by ``#`` — outside the symbol alphabet — so merges can
     never bridge two words).
     """
-    # words joined with a '#' boundary the merges can never cross:
-    #   '|h||i||>|#|y||o||>|'
-    sym = (
-        "'|' || array_to_string("
-        "list_transform(regexp_extract_all(lower(" + text_expr + "), '[a-z0-9]+'),"
-        " w -> array_to_string(string_split(w, ''), '||') || '||>'"
-        "), '|#|') || '|'"
-    )
-    for pat, rep in _merge_replacements(merges):
-        sym = f"replace({sym}, '{pat}', '{rep}')"
+    sym = _symbol_chain_sql(merges, text_expr)
     return (
         f"CAST(CASE WHEN length(regexp_extract_all(lower({text_expr}), '[a-z0-9]+')) = 0 "
         f"THEN 0 ELSE (length({sym}) - length(replace({sym}, '|', ''))) // 2 END AS INTEGER)"
+    )
+
+
+def bpe_token_ids_sql(
+    merges: list[tuple[str, str]], text_expr: str = "text"
+) -> str:
+    """ANSI-SQL expression for the comma-joined vocabulary ids of a
+    document's BPE tokens — the DuckDB twin of :func:`bpe_encode_ids`
+    (ids rendered as one string so the hash compare is array-free).
+
+    Splitting the merged symbol string on ``|`` yields the tokens plus
+    empty fragments (each token carries its own two delimiters) and the
+    ``#`` word boundaries — both filtered out.  The token → id CASE is
+    generated from the same :func:`bpe_vocab` table the Spark literal
+    map uses.
+    """
+    sym = _symbol_chain_sql(merges, text_expr)
+    case = " ".join(
+        f"WHEN '{tok}' THEN {tid}" for tok, tid in bpe_vocab(merges).items()
+    )
+    toks = (
+        f"list_filter(string_split({sym}, '|'), "
+        "t -> t <> '' AND t <> '#')"
+    )
+    return (
+        f"array_to_string(list_transform({toks}, "
+        f"t -> CAST(CASE t {case} END AS VARCHAR)), ',')"
     )

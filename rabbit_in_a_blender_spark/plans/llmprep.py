@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.io import load_tables
+from ..ext.bpe import bpe_token_count_sql, bpe_token_ids_sql
 from ..ext.decontam import contamination_overlap, decontaminate
 from ..ext.packing import pack_next_fit
 from ..ext.sampling import (
@@ -726,6 +727,78 @@ def ext_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("split", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(toks).alias("total_tokens"),
+    )
+
+
+# Fixed BPE merge table for the tokenizer catalog rows: trained once
+# with train_bpe(word_frequencies(sf0.001 documents), num_merges=60)
+# and embedded as a literal so the oracle SQL (generated from the SAME
+# list) is static.  59 merges — training stops early when no pair
+# repeats.  Catalog rows must be pure functions of (sf_dir, code);
+# re-training at query time would bake the training data into the
+# oracle string, which registration-time SQL cannot express.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", ">"), ("n", ">"), ("o", "r"), ("t", ">"),
+    ("er", ">"), ("o", "w"), ("ow", ">"), ("l", "u"), ("i", "n"),
+    ("y", ">"), ("a", "r"), ("p", "ar"), ("g", ">"), ("a", "s"),
+    ("h", ">"), ("a", ">"), ("s", "t"), ("a", "t"), ("a", "n>"),
+    ("c", "an>"), ("s", "can>"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n>"), ("d", "ow>"), ("in", "dow>"),
+    ("w", "indow>"), ("d", "er>"), ("or", "der>"), ("or", "t>"),
+    ("s", "ort>"), ("p", ">"), ("par", "t>"), ("u", "p>"),
+    ("a", "g"), ("ag", "g>"), ("a", "lu"), ("alu", "e>"),
+    ("v", "alue>"), ("in", "e>"), ("l", "ine>"), ("e", "y>"),
+    ("k", "ey>"), ("i", "n>"), ("j", "o"), ("jo", "in>"),
+    ("er", "g"), ("erg", "e>"), ("m", "erge>"), ("er", "y>"),
+    ("g", "r"), ("gr", "o"), ("gro", "up>"), ("q", "u"),
+    ("qu", "ery>"), ("c", "t"), ("ct", "or"), ("ctor", ">"),
+]
+
+
+@register(
+    "ext_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id, {bpe_token_count_sql(_BPE_MERGES)} AS n_tokens
+    FROM documents
+    """,
+    doc="Real BPE tokenization under the hash gate: the 59-merge table "
+    "(trained on the fixture corpus, embedded as a literal) applied as "
+    "a pure-JVM literal-replace chain; the oracle replays the IDENTICAL "
+    "chain as ANSI replace() calls generated from the same merge list "
+    "(ext/bpe.py::bpe_token_count_sql).",
+)
+def ext_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.bpe import bpe_token_counts
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return bpe_token_counts(d, _BPE_MERGES)
+
+
+@register(
+    "ext_bpe_encode_ids",
+    oracle=f"""
+    SELECT doc_id,
+           {bpe_token_ids_sql(_BPE_MERGES)} AS token_ids,
+           {bpe_token_count_sql(_BPE_MERGES)} AS n_tokens
+    FROM documents
+    """,
+    doc="BPE id encoding (the shard-export form): tokens mapped through "
+    "the deterministic 37+59-entry vocab as one literal map expression "
+    "(codegen, no join); ids comma-joined so the oracle compare is "
+    "array-free.  DuckDB twin generates the token→id CASE from the "
+    "same bpe_vocab table.",
+)
+def ext_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.bpe import bpe_encode_ids
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    enc = bpe_encode_ids(d, _BPE_MERGES)
+    return enc.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(F.col("token_ids"), lambda x: x.cast("string"))
+        ).alias("token_ids"),
+        "n_tokens",
     )
 
 
