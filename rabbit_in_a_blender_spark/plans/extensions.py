@@ -491,6 +491,52 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_media_probe",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 2 THEN 'video'
+                ELSE 'audio' END AS kind,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                WHEN 2 THEN 'mp4' ELSE 'mp3' END AS format,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8 + doc_id % 16
+                WHEN 2 THEN 320 ELSE -1 END AS INTEGER) AS width,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8 + doc_id % 8
+                WHEN 2 THEN 180 + (doc_id % 4) * 60 ELSE -1 END
+                AS INTEGER) AS height,
+           CAST(CASE doc_id % 4
+                WHEN 1 THEN 100 + (doc_id % 10) * 50
+                WHEN 2 THEN 1000 + (doc_id % 20) * 250
+                WHEN 3 THEN (417 * (5 + doc_id % 15) * 8000) // 128000
+                ELSE -1 END AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    doc="Media metadata probing end-to-end under the hash gate: "
+    "synth_media builds one REAL blob per doc_id (PNG header, WAV "
+    "header, ISO-BMFF mvhd/tkhd boxes, CBR MP3 frames) with every "
+    "probe-able field closed-form in the id; probe_media re-derives "
+    "format/dimensions/duration by parsing the actual bytes (box walk, "
+    "frame-header scan — ext/codecs.py), so the oracle checks real "
+    "container parsing, not arithmetic.  -1 sentinels replace NULLs "
+    "(mixed NULL/int columns coerce to float in the compare).",
+)
+def ext_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.multimodal import probe_media, synth_media
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    probed = probe_media(synth_media(d.select("doc_id")))
+    return probed.select(
+        "media_id",
+        "kind",
+        "format",
+        F.coalesce(F.col("width"), F.lit(-1)).cast("int").alias("width"),
+        F.coalesce(F.col("height"), F.lit(-1)).cast("int").alias("height"),
+        F.coalesce(F.col("duration_ms"), F.lit(-1))
+        .cast("long")
+        .alias("duration_ms"),
+    )
+
+
 # --- round 5: near-dup CLUSTERING (transitive closure) ----------------
 @register(
     "ext_dedup_clusters",
