@@ -1,0 +1,49 @@
+"""Release contract for load-bearing persists.
+
+Several operators MUST pin an intermediate before running a second job
+over it (range-partitioned frames re-sample their boundaries per
+execution — without the pin, the numbering job and the caller's
+materialization could see different partitionings).  In a batch job the
+pin dies with the session; in a long-lived SparkSession (a notebook,
+the dashboard server) repeated calls would accumulate cached RDDs
+forever.
+
+The contract: the operator records its persisted intermediates on the
+RESULT frame via :func:`track_cache`; loop callers release them with
+:func:`unpersist_intermediates` after materializing (collect/write).
+The result frames stay valid afterwards — they just recompute if
+re-used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def track_cache(df: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Record persisted intermediates on the result frame so callers in
+    a long-running loop can release them (ADVICE r5/r6: the continuous-
+    crawl increment loop otherwise accumulates cache entries forever)."""
+    df._graft_cached = list(getattr(df, "_graft_cached", [])) + cached
+    return df
+
+
+def unpersist_intermediates(*dfs: DataFrame, blocking: bool = False) -> int:
+    """Release the persisted intermediates tracked on these result
+    frames (see track_cache).  Call AFTER materializing the results
+    (collect/write) — the frames stay valid afterwards, they just
+    recompute if re-used.  Returns the number of entries released."""
+    released = 0
+    seen: set[int] = set()
+    for df in dfs:
+        for c in getattr(df, "_graft_cached", []):
+            if id(c) in seen:
+                continue
+            seen.add(id(c))
+            try:
+                c.unpersist(blocking)
+                released += 1
+            except Exception:
+                pass
+        df._graft_cached = []
+    return released

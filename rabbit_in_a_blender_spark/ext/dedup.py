@@ -28,33 +28,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _track_cache(df: DataFrame, cached: list[DataFrame]) -> DataFrame:
-    """Record persisted intermediates on the result frame so callers in
-    a long-running loop can release them (ADVICE r5: the continuous-
-    crawl increment loop otherwise accumulates cache entries forever)."""
-    df._graft_cached = list(getattr(df, "_graft_cached", [])) + cached
-    return df
-
-
-def unpersist_intermediates(*dfs: DataFrame, blocking: bool = False) -> int:
-    """Release the persisted intermediates tracked on these result
-    frames (see _track_cache).  Call AFTER materializing the results
-    (collect/write) — the frames stay valid afterwards, they just
-    recompute if re-used.  Returns the number of entries released."""
-    released = 0
-    seen: set[int] = set()
-    for df in dfs:
-        for c in getattr(df, "_graft_cached", []):
-            if id(c) in seen:
-                continue
-            seen.add(id(c))
-            try:
-                c.unpersist(blocking)
-                released += 1
-            except Exception:
-                pass
-        df._graft_cached = []
-    return released
+# Shared release contract (core/caching.py) — re-exported here because
+# this module introduced the pattern and existing callers import from it.
+from ..core.caching import track_cache as _track_cache  # noqa: E402
+from ..core.caching import unpersist_intermediates  # noqa: F401
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

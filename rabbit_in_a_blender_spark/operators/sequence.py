@@ -25,6 +25,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.caching import track_cache
+
 
 def _disk_only():
     from pyspark import StorageLevel
@@ -78,12 +80,15 @@ def assign_ids(
         part_offset = F.coalesce(mapping[F.col("__pid")], F.lit(0))
     else:  # empty input (e.g. re-run with no unseen keys)
         part_offset = F.lit(0)
-    return (
+    # Release contract: the pin is load-bearing for id stability, but a
+    # long-lived session can drop it after materializing via
+    # core/caching.unpersist_intermediates(result).
+    return track_cache(
         numbered.withColumn(
             out_col,
             (F.col("__rn") + part_offset + F.lit(offset)).cast("long"),
-        )
-        .drop("__pid", "__rn")
+        ).drop("__pid", "__rn"),
+        [numbered],
     )
 
 

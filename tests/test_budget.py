@@ -134,3 +134,67 @@ def test_upsample_epochs_rejects_negative(spark):
     df = spark.range(3).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
     with pytest.raises(ValueError):
         upsample_epochs(df, "doc_id", "lang", {"en": -1.0})
+
+
+def test_shard_closed_form_matches_threshold_count():
+    """The O(1) shard arithmetic must reproduce the hex-threshold count
+    EXACTLY (the DuckDB oracles still spell out the threshold CASEs)."""
+    import random
+
+    from rabbit_in_a_blender_spark.ext.sampling import fraction_threshold
+
+    rng = random.Random(7)
+    for n in (2, 3, 4, 5, 7, 8, 13, 16, 100, 1000, 4096, 99_991):
+        bounds = [fraction_threshold(i / n) for i in range(1, n)]
+        vs = [0, 1, (1 << 32) - 1] + [rng.randrange(1 << 32) for _ in range(200)]
+        # hit the threshold boundaries themselves, and one off each side
+        for i in (1, n // 2, n - 1):
+            t = int(bounds[i - 1], 16) if bounds[i - 1] != "g" else (1 << 32)
+            vs += [max(t - 1, 0), t % (1 << 32), min(t + 1, (1 << 32) - 1)]
+        for v in vs:
+            hexv = format(v, "08x")
+            want = sum(1 for b in bounds if hexv >= b)
+            got = min(n - 1, (n * (2 * v + 1) - 1) >> 33)
+            assert got == want, (n, v, got, want)
+
+
+def test_shard_spark_matches_python_closed_form(spark):
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    for n in (3, 8, 10):
+        rows = deterministic_shuffle(df, "doc_id", seed="s7", shards=n).collect()
+        for r in rows:
+            v = int(r["shuffle_key"][:8], 16)
+            assert r["shard_id"] == min(n - 1, (n * (2 * v + 1) - 1) >> 33)
+
+
+def test_budget_select_release_contract(spark):
+    """token_budget_select pins an intermediate (load-bearing); the
+    caller must be able to release it (VERDICT r6 wrong-#1)."""
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    # distinct row count so the CacheManager can't alias this plan to a
+    # pin left behind by an earlier test
+    out = token_budget_select(
+        _docs(spark, 123), "n_tokens", 999, [F.desc("n_tokens"), F.asc("doc_id")]
+    )
+    out.count()  # materialize
+    assert len(sc._jsc.getPersistentRDDs()) > before
+    assert unpersist_intermediates(out) == 1
+    assert len(sc._jsc.getPersistentRDDs()) == before
+    assert unpersist_intermediates(out) == 0  # idempotent
+    assert out.count() > 0  # frame stays valid (recomputes)
+
+
+def test_assign_ids_release_contract(spark):
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.operators.sequence import assign_ids
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    out = assign_ids(_docs(spark, 77), ["doc_id"])
+    ids = [r["assigned_id"] for r in out.collect()]
+    assert sorted(ids) == list(range(1, 78))
+    assert unpersist_intermediates(out) == 1
+    assert len(sc._jsc.getPersistentRDDs()) == before
