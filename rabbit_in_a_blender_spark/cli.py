@@ -196,8 +196,20 @@ def _corpus_tokenize(args, cfg) -> int:
         print(f"trained {len(merges)} merges -> {args.merges}")
     out = bpe_tokenize(docs, merges, args.text_col)
     _write_docs(out, args.out, args.format)
-    total = out.groupBy().sum("n_tokens").collect()[0][0] or 0
-    print(f"tokenized {out.count()} docs, {total} tokens -> {args.out}")
+    # One aggregation over the WRITTEN output for both totals (ADVICE
+    # r6: re-running the tokenization chain for the doc and token
+    # counts tripled the dominant cost on a large corpus).
+    spark_out = (
+        spark.read.parquet(args.out) if args.format == "parquet"
+        else spark.read.json(args.out)
+    )
+    from pyspark.sql import functions as F
+
+    stats = spark_out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("toks"),
+    ).collect()[0]
+    print(f"tokenized {stats['docs']} docs, {stats['toks']} tokens -> {args.out}")
     return 0
 
 
@@ -251,9 +263,10 @@ def _corpus_dedup(args, cfg) -> int:
             raise SystemExit(f"column {c!r} not in {src} ({docs.columns})")
     n_in = docs.count()
 
-    index_exists = bool(args.index) and os.path.isdir(args.index) and any(
-        f.endswith(".parquet") for f in os.listdir(args.index)
-    )
+    from .core.io import parquet_exists
+
+    # Hadoop-FS-aware (ADVICE r6): os.path probes lie on HDFS/S3 URIs.
+    index_exists = bool(args.index) and parquet_exists(spark, args.index)
     if index_exists:
         corpus_bands = spark.read.parquet(args.index)
         clean, clean_bands = incremental_dedup(

@@ -944,10 +944,17 @@ _MP3_RATES = (44100, 48000, 32000)
 
 def probe_mp3(payload: bytes) -> dict | None:
     """MP3 frame-header scan → {'bitrate_kbps', 'sample_rate',
-    'duration_ms' (filesize/bitrate estimate, the standard CBR
-    heuristic)} or None.  Skips an ID3v2 tag if present; requires two
-    consecutive valid MPEG-1 Layer III sync frames so random 0xFFE
-    bytes don't false-positive."""
+    'duration_ms', 'duration_exact'} or None.  Skips an ID3v2 tag if
+    present; requires two consecutive valid MPEG-1 Layer III sync
+    frames so random 0xFFE bytes don't false-positive.
+
+    Duration: a Xing/Info or VBRI header in the first frame (what VBR
+    encoders write precisely because the filesize/bitrate heuristic is
+    2-3x off for them — ADVICE r6) carries the total frame count, so
+    duration is exact (frames x 1152 samples / rate).  Without one, the
+    standard CBR estimate is returned with ``duration_exact: False`` so
+    consumers can tell the approximate field from real container
+    durations."""
     try:
         pos = 0
         if payload[:3] == b"ID3":
@@ -978,11 +985,36 @@ def probe_mp3(payload: bytes) -> dict | None:
         if f2 is None:
             return None
         br, sr, _flen = f1
-        audio_bytes = len(payload) - pos
+        # Xing/Info (after the 4-byte header + MPEG-1 side info: 17
+        # bytes mono, 32 stereo) or VBRI (fixed 32-byte offset) carry
+        # the total frame count — exact duration for VBR streams.
+        n_frames = None
+        mode = payload[pos + 3] >> 6 if pos + 3 < len(payload) else 0
+        xing_off = pos + 4 + (17 if mode == 3 else 32)
+        if payload[xing_off : xing_off + 4] in (b"Xing", b"Info"):
+            (flags,) = struct.unpack(
+                ">I", payload[xing_off + 4 : xing_off + 8]
+            )
+            if flags & 0x1:
+                (n_frames,) = struct.unpack(
+                    ">I", payload[xing_off + 8 : xing_off + 12]
+                )
+        elif payload[pos + 36 : pos + 40] == b"VBRI":
+            (n_frames,) = struct.unpack(
+                ">I", payload[pos + 50 : pos + 54]
+            )
+        if n_frames:
+            duration_ms = n_frames * 1152 * 1000 // sr
+            exact = True
+        else:
+            audio_bytes = len(payload) - pos
+            duration_ms = int(audio_bytes * 8000 // br)
+            exact = False
         return {
             "bitrate_kbps": br // 1000,
             "sample_rate": sr,
-            "duration_ms": int(audio_bytes * 8000 // br),
+            "duration_ms": duration_ms,
+            "duration_exact": exact,
         }
     except Exception:
         return None

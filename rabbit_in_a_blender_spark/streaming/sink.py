@@ -87,17 +87,17 @@ def stream_corpus_dedup(
     Returns the DataStreamWriter; callers pick the trigger
     (availableNow for backfill, processingTime for continuous).
     """
-    import os
-
+    from ..core.io import parquet_exists
     from ..ext.dedup import incremental_dedup, unpersist_intermediates
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        have_index = os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        )
+        # Hadoop-FS-aware probe (ADVICE r6): os.path checks lie on
+        # HDFS/S3 — the continuous-crawl deployment this sink targets —
+        # and would silently skip the corpus screen every batch.
+        have_index = parquet_exists(spark, index_dir)
         corpus_bands = spark.read.parquet(index_dir) if have_index else None
         clean, clean_bands = incremental_dedup(
             batch_df,

@@ -411,9 +411,42 @@ def test_probe_mp3_with_and_without_id3():
     assert got["duration_ms"] == len(blob) * 8000 // 128000
     tagged = probe_mp3(_mp3_fixture(id3=True))
     assert tagged is not None and tagged["bitrate_kbps"] == 128
+    assert got["duration_exact"] is False  # CBR heuristic, flagged
     # a lone sync byte is not an MP3 (needs two consecutive frames)
     assert probe_mp3(b"\xff\xfb\x90\x00" + b"\x00" * 10) is None
     assert probe_mp3(b"garbage") is None
+
+
+def test_probe_mp3_xing_and_vbri_exact_duration():
+    """A Xing/Info or VBRI header overrides the filesize estimate with
+    the encoder-written frame count (2-3x off for VBR otherwise)."""
+    import struct
+
+    from rabbit_in_a_blender_spark.ext.codecs import probe_mp3
+
+    def with_header(tag: bytes, n_frames: int, vbri=False) -> bytes:
+        blob = bytearray(_mp3_fixture(n_frames=4))
+        if vbri:
+            blob[36:40] = tag
+            blob[50:54] = struct.pack(">I", n_frames)
+        else:
+            # stereo (mode bits 00) → side info 32 bytes, Xing at 4+32
+            off = 36
+            blob[off : off + 4] = tag
+            blob[off + 4 : off + 8] = struct.pack(">I", 1)  # frames flag
+            blob[off + 8 : off + 12] = struct.pack(">I", n_frames)
+        return bytes(blob)
+
+    for tag, vbri in ((b"Xing", False), (b"Info", False), (b"VBRI", True)):
+        got = probe_mp3(with_header(tag, 1000, vbri=vbri))
+        assert got["duration_exact"] is True, tag
+        assert got["duration_ms"] == 1000 * 1152 * 1000 // 44100, tag
+
+    # Xing present but frames flag unset → fall back to the estimate
+    blob = bytearray(_mp3_fixture(n_frames=4))
+    blob[36:40] = b"Xing"
+    got = probe_mp3(bytes(blob))
+    assert got["duration_exact"] is False
 
 
 def test_probe_jpeg_reads_progressive_dims():
