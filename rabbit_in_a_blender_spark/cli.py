@@ -150,6 +150,31 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--num-merges", type=int, default=200,
                    help="With --corpus-tokenize (training): merges to "
                         "learn (default %(default)s)")
+    x.add_argument("--corpus-mix", metavar="DOCS",
+                   help="Curate a training mixture from a document corpus "
+                        "(parquet dir/file or .jsonl[.gz]): per-stratum "
+                        "fractional upsampling (--weights), optional "
+                        "--token-budget cap, deterministic shuffle key + "
+                        "--shards assignment, written shard-partitioned "
+                        "to --out")
+    x.add_argument("--weights", metavar="JSON",
+                   help="With --corpus-mix: JSON file of stratum -> epochs "
+                        "(e.g. {\"web\": 1.0, \"books\": 2.3}); strata not "
+                        "listed default to 1.0")
+    x.add_argument("--strata-col", default="source",
+                   help="With --corpus-mix: stratum column "
+                        "(default %(default)s)")
+    x.add_argument("--token-budget", type=int, metavar="N",
+                   help="With --corpus-mix: cap the mixture at N "
+                        "whitespace tokens (random prefix in shuffle-key "
+                        "order, so the cap keeps the mixture's "
+                        "proportions)")
+    x.add_argument("--shards", type=int, default=8,
+                   help="With --corpus-mix: training shards "
+                        "(default %(default)s)")
+    x.add_argument("--seed", default="mix",
+                   help="With --corpus-mix: seed for the upsample and "
+                        "shuffle hashes (default %(default)s)")
     return p
 
 
@@ -324,6 +349,97 @@ def _corpus_dedup(args, cfg) -> int:
     return 0
 
 
+def _corpus_mix(args, cfg) -> int:
+    """The user-facing curation-chain pipeline (VERDICT r6 task 8):
+    weights -> fractional upsampling -> optional token budget ->
+    deterministic shuffle/shard -> shard-partitioned write.
+
+    Every stage is an already-oracle-proven operator
+    (ext/sampling.upsample_epochs, ext/budget.token_budget_select,
+    ext/budget.deterministic_shuffle — the ext_curation_chain catalog
+    row proves their composition); this verb wires them to files.  The
+    output is partitioned by shard_id so training loaders consume
+    shards independently, pre-shuffled by shuffle_key.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .core.caching import unpersist_intermediates
+    from .core.session import get_spark
+    from .ext.budget import deterministic_shuffle, token_budget_select
+    from .ext.sampling import upsample_epochs
+
+    if not args.out:
+        raise SystemExit("--corpus-mix requires --out")
+    weights: dict[str, float] = {}
+    if args.weights:
+        with open(args.weights) as f:
+            weights = {str(k): float(v) for k, v in _json.load(f).items()}
+    spark = get_spark(
+        "riab-spark",
+        master=cfg.get("spark", "master", fallback=None),
+        shuffle_partitions=(
+            cfg.getint("spark", "shuffle_partitions")
+            if cfg.has_option("spark", "shuffle_partitions")
+            else None
+        ),
+    )
+    src = args.corpus_mix
+    if src.endswith((".jsonl", ".jsonl.gz", ".json")):
+        from .sources.readers import read_jsonl
+
+        docs = read_jsonl(spark, src)
+    else:
+        docs = spark.read.parquet(src)
+    for c in (args.id_col, args.text_col, args.strata_col):
+        if c not in docs.columns:
+            raise SystemExit(f"column {c!r} not in {src} ({docs.columns})")
+
+    up = upsample_epochs(
+        docs, args.id_col, args.strata_col, weights, seed=args.seed
+    )
+    # copies get distinct shuffle keys (and budget rank) via a composite
+    # key, so epoch repeats of one doc land in different shards
+    mixed = up.withColumn(
+        "__mix_key",
+        F.concat_ws(":", F.col(args.id_col).cast("string"), F.col("copy_idx")),
+    )
+    shuffled = deterministic_shuffle(
+        mixed, "__mix_key", seed=f"{args.seed}:order", shards=args.shards
+    ).drop("__mix_key")
+    budgeted = None
+    if args.token_budget:
+        shuffled = shuffled.withColumn(
+            "n_ws_tokens", F.size(F.split(F.col(args.text_col), " ")).cast("long")
+        )
+        # shuffle-key order = uniform random prefix: the budget cap
+        # scales the whole mixture down without biasing any stratum
+        budgeted = token_budget_select(
+            shuffled, "n_ws_tokens", args.token_budget,
+            [F.asc("shuffle_key")], cum_col="cum_tokens",
+        )
+        shuffled = budgeted
+    shuffled.write.mode("overwrite").partitionBy("shard_id").parquet(args.out)
+    if budgeted is not None:
+        unpersist_intermediates(budgeted)
+    written = spark.read.parquet(args.out)
+    stats = written.groupBy(args.strata_col).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct(args.id_col).alias("docs"),
+    ).collect()
+    total = sum(r["rows"] for r in stats)
+    per = ", ".join(
+        f"{r[args.strata_col]}: {r['rows']} rows/{r['docs']} docs"
+        for r in sorted(stats, key=lambda r: str(r[args.strata_col]))
+    )
+    print(
+        f"corpus mix: {total} rows across {args.shards} shards -> "
+        f"{args.out} ({per})"
+    )
+    return 0
+
+
 def _write_docs(df, out: str, fmt: str) -> None:
     if fmt == "jsonl":
         df.write.mode("overwrite").json(out)
@@ -388,6 +504,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.corpus_tokenize:
         return _corpus_tokenize(args, cfg)
+
+    if args.corpus_mix:
+        return _corpus_mix(args, cfg)
 
     if args.create_folders:
         from .folders import create_cdm_folders
