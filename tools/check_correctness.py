@@ -6,11 +6,19 @@ order-insensitive value hash (columns sorted by name, rows sorted by
 their stringified tuple).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --json OUT.json [sf_dir] [query ...]
+
+--json additionally writes the per-query results in the driver's
+CORRECTNESS_r{N}.json row format — the committed FULLGATE_r{N}.json
+artifact (VERDICT r6 task 3): the driver's per-round cap (~50 rows)
+structurally leaves a stale tail, so the builder's own full-catalog
+run is recorded for the judge to audit instead of re-run.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 import traceback
@@ -47,8 +55,13 @@ def value_hash(rows: list[dict]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
@@ -59,6 +72,7 @@ def main() -> int:
 
     queries, oracles = all_queries(), all_oracles()
     failed = []
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -80,9 +94,19 @@ def main() -> int:
                     f"cols={'OK' if ok_c else f'{scols}!={ocols}'}",
                     f"hash={'OK' if ok_h else 'MISMATCH'}",
                 ]
+                results[name] = {
+                    "rows_match": ok_n, "schema_match": ok_c,
+                    "hash_match": ok_h, "spark_rows": len(srows),
+                    "oracle_rows": len(orows), "err": None,
+                }
             else:
                 ok = True
                 status = [f"rows-only n={len(srows)}"]
+                results[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": len(srows),
+                    "oracle_rows": None, "err": "no_oracle",
+                }
             dt = time.time() - t0
             print(f"{'PASS' if ok else 'FAIL'} {name:32s} {dt:5.1f}s  {' '.join(status)}")
             if not ok:
@@ -92,10 +116,19 @@ def main() -> int:
                     sset, oset = set(sn), set(on)
                     print(f"  spark-only: {list(sset - oset)[:3]}")
                     print(f"  oracle-only: {list(oset - sset)[:3]}")
-        except Exception:
+        except Exception as exc:
             failed.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"{type(exc).__name__}: {exc}"[:300],
+            }
             print(f"ERROR {name}")
             traceback.print_exc(limit=5)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {len(results)} rows -> {json_out}")
     print(f"\n{len(failed)} failures: {failed}")
     return 1 if failed else 0
 
