@@ -8,9 +8,17 @@ remaining dominant web-crawl formats without adding any dependency:
   decode, dequant + de-zigzag, batched numpy IDCT, chroma upsample,
   JFIF YCbCr→RGB.  A matching encoder (Annex K quantization + Huffman
   tables, 4:4:4) exists so tests can build fixtures and
-  ``resize_images`` can re-emit true JPEG bytes.  Progressive (SOF2)
-  and arithmetic-coded JPEGs return None → callers fall back to the
-  histogram stub, same honesty contract as before.
+  ``resize_images`` can re-emit true JPEG bytes.
+- **Progressive JPEG** (SOF2, spectral selection + successive
+  approximation per T.81 G.1.2 — the double-digit share of web-crawl
+  JPEGs that previously fell to the histogram stub): coefficient
+  planes accumulate across DC/AC first and refinement scans (EOBRUN,
+  correction-bit crossing), one batched IDCT at EOI.  A progressive
+  encoder (arbitrary band splits and approximation depths, EOB0-only
+  so Annex K tables suffice) exists purely to pin the decoder:
+  progressive decode must be bit-identical to baseline decode of the
+  same pixels.  Arithmetic-coded and lossless JPEGs still return
+  None → histogram stub, same honesty contract as before.
 - **GIF87a/89a** (LZW decompress, global/local palettes, interlace,
   frame compositing, per-frame delays): gives the video path a REAL
   multi-frame format — ``gif_frames`` yields (delay_ms, HxWx3 uint8)
@@ -295,13 +303,29 @@ def _huff_decode(r: _BitReader, lut: tuple[list[int], list[int]]) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline JPEG → (w, h, HxWx3 uint8) or None (not baseline / not
-    a JPEG / corrupt).  Progressive and arithmetic coding intentionally
+    """JPEG → (w, h, HxWx3 uint8) or None (not a JPEG / corrupt /
+    unsupported coding).  Baseline (SOF0/1) and progressive (SOF2,
+    spectral selection + successive approximation per T.81 G.1.2) are
+    fully decoded; lossless and arithmetic coding intentionally
     unsupported — caller falls back to the histogram stub."""
     try:
         return _decode_jpeg_inner(payload)
     except Exception:
         return None
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Position of the next real marker's 0xFF at/after ``pos`` —
+    skipping stuffed FF00 and RSTn (a truncated scan can leave the bit
+    reader before a stray restart)."""
+    p = pos
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+            0xD0 <= payload[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(payload)
 
 
 def _decode_jpeg_inner(payload: bytes):
@@ -313,6 +337,8 @@ def _decode_jpeg_inner(payload: bytes):
     comps = None  # list of (cid, h, v, tq)
     w = h = 0
     restart_interval = 0
+    progressive = False
+    coef = None  # progressive: per-comp (block_rows, block_cols, 64) int32
     i = 2
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
@@ -335,15 +361,16 @@ def _decode_jpeg_inner(payload: bytes):
                     tbl = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.float64)
                     j += 128
                 qt[tq] = tbl
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / lossless / arithmetic
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless / differential / arithmetic
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(seg):
@@ -366,13 +393,29 @@ def _decode_jpeg_inner(payload: bytes):
                 ci = next(k for k, comp in enumerate(comps) if comp[0] == cs)
                 scan.append((ci, tt >> 4, tt & 0x0F))
             data_start = i + 2 + seglen
-            return _decode_scan(
-                payload, data_start, w, h, comps, scan, qt, huff_dc, huff_ac,
+            if not progressive:
+                return _decode_scan(
+                    payload, data_start, w, h, comps, scan, qt, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coef is None:
+                coef = _alloc_prog_coef(w, h, comps)
+            pos = _decode_prog_scan(
+                payload, data_start, w, h, comps, scan, ss, se,
+                ahal >> 4, ahal & 0x0F, huff_dc, huff_ac, coef,
                 restart_interval,
             )
+            i = _next_marker(payload, pos)
+            continue
         elif marker == 0xD9:
+            if progressive and coef is not None:
+                return _finish_progressive(w, h, comps, coef, qt)
             return None
         i += 2 + seglen
+    if progressive and coef is not None:  # EOI lost but scans decoded
+        return _finish_progressive(w, h, comps, coef, qt)
     return None
 
 
@@ -448,6 +491,197 @@ def _decode_scan(payload, pos, w, h, comps, scan, qt, huff_dc, huff_ac, restart_
         if ch != hmax or cv != vmax:
             p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        px = np.repeat(y[:, :, None], 3, axis=2)
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        rch = y + 1.402 * cr
+        gch = y - 0.344136 * cb - 0.714136 * cr
+        bch = y + 1.772 * cb
+        px = np.stack([rch, gch, bch], axis=2)
+    return w, h, np.clip(np.rint(px), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — spectral selection + successive approximation
+# per ITU T.81 G.1.2; coefficient planes accumulate across scans and the
+# batched dequant/IDCT runs once at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _alloc_prog_coef(w: int, h: int, comps) -> list[np.ndarray]:
+    """Per-component zigzag coefficient stores, padded to whole MCUs
+    (int32: successive approximation needs exact bitwise refinement)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+        for _cid, ch, cv, _tq in comps
+    ]
+
+
+def _prog_dc(r, block, ci, dc_pred, lut, ah, al) -> None:
+    if ah == 0:  # first DC scan: huffman diffs, point-transformed
+        s = _huff_decode(r, lut)
+        dc_pred[ci] += _receive_extend(r, s)
+        block[0] = dc_pred[ci] << al
+    elif r.read_bits(1):  # refinement: one raw bit per block
+        block[0] |= 1 << al
+    # else: refinement bit 0 — |= 0 is a no-op
+
+
+def _prog_ac_first(r, block, ss, se, al, lut, eobrun) -> int:
+    """First scan of an AC band: T.81 G.1.2.2 with EOBRUN (end-of-band
+    runs span blocks).  Returns the remaining eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, lut)
+        rr, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if rr != 15:  # EOBn: run of 2^rr (+ appended bits) blocks
+                eobrun = (1 << rr) - 1  # current block is a member
+                if rr:
+                    eobrun += r.read_bits(rr)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += rr
+        if k > se:
+            raise ValueError("AC run past band end")
+        block[k] = _receive_extend(r, s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(r, block, ss, se, al, lut, eobrun) -> int:
+    """Refinement scan of an AC band: T.81 G.1.2.3.  Runs count only
+    zero-history coefficients; every nonzero coefficient crossed eats a
+    correction bit; newly-nonzero values are +-1<<al."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, lut)
+            rr, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if rr != 15:
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.read_bits(rr)
+                    break  # tail handled under eobrun below
+                # ZRL: rr = 15 → skip 16 zero-history coefficients
+            else:  # s must be 1 in a refinement scan
+                val = p1 if r.read_bits(1) else m1
+            while k <= se:
+                if block[k] != 0:
+                    if r.read_bits(1) and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0 and r.read_bits(1) and (block[k] & p1) == 0:
+                block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    payload, pos, w, h, comps, scan, ss, se, ah, al, huff_dc, huff_ac,
+    coef, restart_interval,
+):
+    """Decode one progressive scan into the coefficient stores; returns
+    the byte position where the entropy data ended."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    r = _BitReader(payload, pos)
+    dc_pred = [0] * len(comps)
+    eobrun = 0
+    mcu_index = 0
+    if ss == 0 and len(scan) > 1:  # interleaved DC scan over the MCU grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                    r.align_restart()
+                    dc_pred = [0] * len(comps)
+                for ci, tdc, _tac in scan:
+                    _cid, ch, cv, _tq = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            _prog_dc(
+                                r, coef[ci][my * cv + by, mx * ch + bx],
+                                ci, dc_pred, huff_dc.get(tdc), ah, al,
+                            )
+                mcu_index += 1
+    else:  # non-interleaved: one component, its REAL block grid
+        ci, tdc, tac = scan[0]
+        _cid, ch, cv, _tq = comps[ci]
+        bw_real = (w * ch + 8 * hmax - 1) // (8 * hmax)
+        bh_real = (h * cv + 8 * vmax - 1) // (8 * vmax)
+        for by in range(bh_real):
+            for bx in range(bw_real):
+                if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                    r.align_restart()
+                    dc_pred = [0] * len(comps)
+                    eobrun = 0
+                block = coef[ci][by, bx]
+                if ss == 0:
+                    _prog_dc(r, block, ci, dc_pred, huff_dc.get(tdc), ah, al)
+                elif ah == 0:
+                    eobrun = _prog_ac_first(
+                        r, block, ss, se, al, huff_ac[tac], eobrun
+                    )
+                else:
+                    eobrun = _prog_ac_refine(
+                        r, block, ss, se, al, huff_ac[tac], eobrun
+                    )
+                mcu_index += 1
+    return r.pos
+
+
+def _finish_progressive(w, h, comps, coef, qt):
+    """Accumulated coefficient stores → RGB: batched dequant + IDCT per
+    component (same einsum shape as the baseline path), then upsample,
+    crop, color-convert."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for ci, (_cid, ch, cv, tq) in enumerate(comps):
+        grid = coef[ci]
+        bh, bw_ = grid.shape[0], grid.shape[1]
+        deq = grid.reshape(-1, 64).astype(np.float64) * qt[tq][None, :]
+        mat = np.zeros((bh * bw_, 64))
+        mat[:, ZIGZAG] = deq
+        spatial = (
+            np.einsum("ux,nuv,vy->nxy", _DCT_C, mat.reshape(-1, 8, 8), _DCT_C)
+            + 128.0
+        )
+        plane = (
+            spatial.reshape(bh, bw_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw_ * 8)
+        )
+        if ch != hmax or cv != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+            )
+        full.append(plane[:h, :w])
     if len(full) == 1:
         y = np.clip(full[0], 0, 255)
         px = np.repeat(y[:, :, None], 3, axis=2)
@@ -552,21 +786,9 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray,
     return int(zz[0])
 
 
-def encode_jpeg(
-    px: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """HxWx3 uint8 RGB → baseline JFIF JPEG bytes (Annex K quant +
-    Huffman tables; 4:4:4, or 4:2:0 when ``subsample`` — the form real
-    crawled JPEGs overwhelmingly use, which exercises the decoder's MCU
-    interleave + chroma upsample).  Deterministic; used by tests and
-    resize_images.
-
-    DQT payloads are stored in zigzag order per T.81 B.2.4.1, so the
-    Annex K frequency weighting lands on the intended coefficients for
-    any conforming decoder."""
+def _encode_prep(px: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front end: RGB → YCbCr planes → padded, DCT'd,
+    quantized zigzag block grids with their Huffman code tables."""
     h, w = px.shape[0], px.shape[1]
     pxf = px.astype(np.float64)
     r, g, b = pxf[:, :, 0], pxf[:, :, 1], pxf[:, :, 2]
@@ -607,6 +829,27 @@ def encode_jpeg(
             mode="edge",
         )
         padded.append((_dct_quantize_plane(pp, q), sh, sv, dct, act))
+    return h, w, qy, qc, samp, padded, mcux, mcuy
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 uint8 RGB → baseline JFIF JPEG bytes (Annex K quant +
+    Huffman tables; 4:4:4, or 4:2:0 when ``subsample`` — the form real
+    crawled JPEGs overwhelmingly use, which exercises the decoder's MCU
+    interleave + chroma upsample).  Deterministic; used by tests and
+    resize_images.
+
+    DQT payloads are stored in zigzag order per T.81 B.2.4.1, so the
+    Annex K frequency weighting lands on the intended coefficients for
+    any conforming decoder."""
+    h, w, qy, qc, samp, padded, mcux, mcuy = _encode_prep(
+        px, quality, subsample
+    )
     bw = _BitWriter()
     preds = [0, 0, 0]
     mcu_index = 0
@@ -669,6 +912,199 @@ def encode_jpeg(
         + bytes(bw.out)
         + b"\xff\xd9"
     )
+
+
+def _enc_prog_dc_first(bw, padded, mcux, mcuy, al) -> None:
+    preds = [0] * len(padded)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (zz, sh, sv, dct, _act) in enumerate(padded):
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(zz[my * sv + by, mx * sh + bx, 0]) >> al
+                        s, code = _magnitude(v - preds[ci])
+                        preds[ci] = v
+                        hc, hl = dct[s]
+                        bw.write(hc, hl)
+                        if s:
+                            bw.write(code, s)
+
+
+def _enc_prog_dc_refine(bw, padded, mcux, mcuy, al) -> None:
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for zz, sh, sv, _dct, _act in padded:
+                for by in range(sv):
+                    for bx in range(sh):
+                        bw.write(
+                            (int(zz[my * sv + by, mx * sh + bx, 0]) >> al) & 1,
+                            1,
+                        )
+
+
+def _enc_prog_ac_first(bw, zzgrid, act, ss, se, al, bh, bwid) -> None:
+    """First AC scan of the band Ss..Se: magnitudes point-transformed
+    by ``al`` (truncation toward zero).  EOB runs are never accumulated
+    past one block (EOB0 only) so the standard Annex K tables suffice —
+    EOBn symbols (0x10..0xE0) are not in them."""
+    for by in range(bh):
+        for bx in range(bwid):
+            blk = zzgrid[by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                t = int(blk[k])
+                a = abs(t) >> al
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, hl = act[0xF0]
+                    bw.write(hc, hl)
+                    run -= 16
+                s, code = _magnitude(a if t > 0 else -a)
+                hc, hl = act[(run << 4) | s]
+                bw.write(hc, hl)
+                bw.write(code, s)
+                run = 0
+            if run:
+                hc, hl = act[0x00]  # EOB0
+                bw.write(hc, hl)
+
+
+def _enc_prog_ac_refine(bw, zzgrid, act, ss, se, al, bh, bwid) -> None:
+    """AC refinement scan (Ah=al+1, Al=al) of the band Ss..Se:
+    newly-nonzero coefficients (abs>>al == 1) are coded as
+    runs-of-zero-history + sign; correction bits of history-nonzero
+    coefficients crossed by a symbol are appended right after it
+    (T.81 G.1.2.3 / figure G.7 buffering)."""
+    for by in range(bh):
+        for bx in range(bwid):
+            blk = zzgrid[by, bx]
+            absv = {k: abs(int(blk[k])) >> al for k in range(ss, se + 1)}
+            eobpos = 0
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eobpos = k
+            run = 0
+            pending: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                # ZRLs only when they can't fold into the final EOB;
+                # emitting upon REACHING any nonzero keeps every
+                # buffered bit inside its symbol's 16-zero window
+                while run > 15 and k <= eobpos:
+                    hc, hl = act[0xF0]
+                    bw.write(hc, hl)
+                    run -= 16
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                if t > 1:  # history-nonzero: correction bit only
+                    pending.append(t & 1)
+                    continue
+                hc, hl = act[(run << 4) | 1]
+                bw.write(hc, hl)
+                bw.write(1 if int(blk[k]) > 0 else 0, 1)
+                for bit in pending:
+                    bw.write(bit, 1)
+                pending = []
+                run = 0
+            if run > 0 or pending:
+                hc, hl = act[0x00]  # EOB0 + its buffered correction bits
+                bw.write(hc, hl)
+                for bit in pending:
+                    bw.write(bit, 1)
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    bands: tuple = ((1, 63),),
+    levels: int = 1,
+) -> bytes:
+    """HxWx3 uint8 RGB → progressive (SOF2) JPEG bytes.
+
+    Scan script exercises every progressive scan type: interleaved DC
+    first scan at Al=levels then one raw-bit refinement per level,
+    per-component AC first scans over each spectral band at Al=levels,
+    then per-component AC refinements stepping Al down to 0.  Because
+    successive approximation is exact once the last refinement lands,
+    decoding this stream yields bit-identical pixels to decoding
+    ``encode_jpeg(px, quality, subsample)`` — the parity property the
+    tests pin (for any band split and approximation depth)."""
+    h, w, qy, qc, samp, padded, mcux, mcuy = _encode_prep(
+        px, quality, subsample
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos(comps: list[tuple[int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(comps)])
+        for cid, tables in comps:
+            body += bytes([cid, tables])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qy.astype(np.uint8).tolist()))
+    out += seg(0xDB, bytes([1]) + bytes(qc.astype(np.uint8).tolist()))
+    ysamp = 0x22 if subsample else 0x11
+    out += seg(
+        0xC2,  # SOF2
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, ysamp, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += dht(0, 0, HUFF_DC_LUMA)
+    out += dht(1, 0, HUFF_AC_LUMA)
+    out += dht(0, 1, HUFF_DC_CHROMA)
+    out += dht(1, 1, HUFF_AC_CHROMA)
+
+    all_dc = [(1, 0x00), (2, 0x10), (3, 0x10)]
+    # DC first (Al=levels), then one raw-bit refinement per level
+    bw = _BitWriter()
+    _enc_prog_dc_first(bw, padded, mcux, mcuy, levels)
+    bw.flush()
+    out += sos(all_dc, 0, 0, 0, levels) + bw.out
+    for al in range(levels - 1, -1, -1):
+        bw = _BitWriter()
+        _enc_prog_dc_refine(bw, padded, mcux, mcuy, al)
+        bw.flush()
+        out += sos(all_dc, 0, 0, al + 1, al) + bw.out
+    # per-component AC first scans per band (Al=levels), then
+    # refinements stepping Al down to 0; non-interleaved scans cover
+    # the component's REAL block grid
+    grids = []
+    for ci, (zz, sh, sv, _dct, act) in enumerate(padded):
+        bwid = (w * sh + 8 * hmax - 1) // (8 * hmax)
+        bh = (h * sv + 8 * vmax - 1) // (8 * vmax)
+        tabs = 0x01 if ci else 0x00
+        grids.append((ci, zz, act, bwid, bh, tabs))
+    for ci, zz, act, bwid, bh, tabs in grids:
+        for ss, se in bands:
+            bw = _BitWriter()
+            _enc_prog_ac_first(bw, zz, act, ss, se, levels, bh, bwid)
+            bw.flush()
+            out += sos([(ci + 1, tabs)], ss, se, 0, levels) + bw.out
+    for al in range(levels - 1, -1, -1):
+        for ci, zz, act, bwid, bh, tabs in grids:
+            for ss, se in bands:
+                bw = _BitWriter()
+                _enc_prog_ac_refine(bw, zz, act, ss, se, al, bh, bwid)
+                bw.flush()
+                out += sos([(ci + 1, tabs)], ss, se, al + 1, al) + bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

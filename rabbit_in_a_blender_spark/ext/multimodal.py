@@ -12,10 +12,11 @@ three with true nearest-neighbor resizing in `resize_images` (JPEG and
 PNG re-encode to valid bytes of the same format), PCM WAV audio via
 the stdlib wave module (`_decode_wav`), and GIF87a/89a video via the
 LZW decoder in `ext/codecs.py` — `extract_video_frames` samples REAL
-composited frames on the `frame_sample_plan` grid.  Remaining
-compressed formats (progressive JPEG/MP3/MP4, interlaced or 16-bit
-PNG) fall back to a deterministic byte-histogram stub — swap in PIL /
-torchaudio / pyav on a real cluster and nothing else changes.
+composited frames on the `frame_sample_plan` grid.  Progressive JPEG
+(SOF2) decodes for real too since r7.  Remaining compressed formats
+(MP3/MP4 frames, interlaced or 16-bit PNG) fall back to a
+deterministic byte-histogram stub — swap in torchaudio / pyav on a
+real cluster and nothing else changes.
 
 Scale notes:
 - binary payloads ride the columnar path (Arrow) driver-free; keep
@@ -254,8 +255,9 @@ def _decode_png(payload: bytes) -> list[float] | None:
 
 
 def _decode_jpeg(payload: bytes) -> list[float] | None:
-    """Real baseline-JPEG decode → the same feature shape as _decode_ppm
-    (progressive/arithmetic blobs return None → histogram stub)."""
+    """Real JPEG decode (baseline AND progressive, ext/codecs.py) → the
+    same feature shape as _decode_ppm (arithmetic/lossless blobs return
+    None → histogram stub)."""
     import numpy as np
 
     from .codecs import decode_jpeg

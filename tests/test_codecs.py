@@ -307,7 +307,10 @@ def test_fuzz_decoders_never_raise():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
+    from rabbit_in_a_blender_spark.ext.codecs import encode_jpeg_progressive
+
     valid_jpeg = encode_jpeg(_gradient(16, 16), quality=70)
+    valid_prog = encode_jpeg_progressive(_gradient(16, 16), quality=70)
     valid_gif = encode_gif(_two_frames())
 
     @settings(max_examples=150, deadline=None)
@@ -322,6 +325,13 @@ def test_fuzz_decoders_never_raise():
                 lambda t: valid_jpeg[: t[0]]
                 + bytes([t[1]])
                 + valid_jpeg[t[0] + 1 :]
+            ),
+            st.tuples(
+                st.integers(0, len(valid_prog) - 1), st.integers(0, 255)
+            ).map(
+                lambda t: valid_prog[: t[0]]
+                + bytes([t[1]])
+                + valid_prog[t[0] + 1 :]
             ),
             st.tuples(
                 st.integers(0, len(valid_gif) - 1), st.integers(0, 255)
@@ -449,6 +459,70 @@ def test_probe_mp3_xing_and_vbri_exact_duration():
     assert got["duration_exact"] is False
 
 
+def _prog_parity(px, sub=False, bands=((1, 63),), levels=1, quality=85):
+    from rabbit_in_a_blender_spark.ext.codecs import encode_jpeg_progressive
+
+    base = decode_jpeg(encode_jpeg(px, quality=quality, subsample=sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            px, quality=quality, subsample=sub, bands=bands, levels=levels
+        )
+    )
+    assert prog is not None, (sub, bands, levels)
+    assert base[:2] == prog[:2]
+    assert np.array_equal(base[2], prog[2]), (
+        sub, bands, levels,
+        int(np.abs(base[2].astype(int) - prog[2].astype(int)).max()),
+    )
+
+
+def test_progressive_decode_bit_identical_to_baseline():
+    """Successive approximation is exact after the last refinement, so
+    progressive decode of the same quantized coefficients must equal
+    baseline decode bit-for-bit — any bitstream or scan-logic bug in
+    either direction breaks this."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (24, 56, 3), dtype=np.uint8)
+    _prog_parity(px)
+    _prog_parity(px, sub=True)
+
+
+def test_progressive_band_splits_and_approx_depths():
+    """Spectral-selection band boundaries and multi-level refinements
+    (history bits at several magnitudes) all reconstruct exactly."""
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (19, 37, 3), dtype=np.uint8)
+    for bands in (((1, 63),), ((1, 5), (6, 63)), ((1, 2), (3, 9), (10, 63))):
+        for levels in (1, 2, 3):
+            _prog_parity(px, bands=bands, levels=levels)
+            _prog_parity(px, sub=True, bands=bands, levels=levels)
+
+
+def test_progressive_structured_content():
+    """Gradients and solids drive long zero runs: ZRL-in-refinement,
+    EOB correction-bit tails, DC-only blocks."""
+    g = (np.mgrid[0:40, 0:72][0] * 3 % 256).astype(np.uint8)
+    g2 = (np.mgrid[0:40, 0:72][1] * 2 % 256).astype(np.uint8)
+    grad = np.stack([g, g2, ((g.astype(int) + g2) % 256).astype(np.uint8)], axis=2)
+    solid = np.full((16, 24, 3), 77, np.uint8)
+    for px in (grad, solid):
+        _prog_parity(px, bands=((1, 5), (6, 63)), levels=2)
+    # high quality → larger magnitudes → deeper correction-bit history
+    _prog_parity(grad, quality=97, bands=((1, 63),), levels=2)
+
+
+def test_progressive_features_through_multimodal():
+    """extract_features no longer falls back to the histogram stub for
+    SOF2: the decoded means must match the baseline encoding's."""
+    from rabbit_in_a_blender_spark.ext.codecs import encode_jpeg_progressive
+    from rabbit_in_a_blender_spark.ext.multimodal import _decode_jpeg
+
+    px = _gradient(24, 32)
+    fb = _decode_jpeg(encode_jpeg(px))
+    fp = _decode_jpeg(encode_jpeg_progressive(px))
+    assert fp is not None and fb == fp
+
+
 def test_probe_jpeg_reads_progressive_dims():
     from rabbit_in_a_blender_spark.ext.codecs import probe_jpeg
 
@@ -457,7 +531,9 @@ def test_probe_jpeg_reads_progressive_dims():
     # craft a progressive header: swap SOF0 for SOF2
     prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert probe_jpeg(prog) == {"width": 56, "height": 24, "progressive": True}
-    assert decode_jpeg(prog) is None  # full decode still declines
+    # the payload is a LYING frankenstream (baseline entropy data under
+    # an SOF2 header) — decode output is undefined, but must not raise
+    decode_jpeg(prog)
 
 
 def test_probe_media_through_spark(spark):
