@@ -326,6 +326,40 @@ def ext_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_ivfpq_persisted",
+    oracle=None,  # approximate by design → rows-only check; exact
+    # equality of reloaded-index results vs in-memory-index results is
+    # asserted in tests/test_ivfpq.py::test_persisted_roundtrip_same_results
+    doc="IVFADC index persistence round-trip (VERDICT r6 polish): build "
+    "-> write partitionBy(centroid_id) -> reload -> probe-bounded "
+    "search.  The partition layout makes the nprobe cell filter a "
+    "parquet partition-pruning predicate (proven by plan assert in "
+    "tests/test_ivfpq.py); this row proves the full disk round-trip "
+    "end-to-end under the driver.",
+)
+def ext_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..ext.ivfpq import build_ivfpq_index, ivfpq_search
+    from ..ext.pq import l2_normalize, train_pq_codebooks
+
+    e = l2_normalize(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"], "embedding"
+    )
+    centroids = e.filter(F.col("vec_id") < 16)
+    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2)
+    index = build_ivfpq_index(e, centroids, books, m=16)
+    path = tempfile.mkdtemp(prefix="riab_ivfpq_") + "/index"
+    index.write.partitionBy("centroid_id").parquet(path)
+    reloaded = spark.read.parquet(path)
+    queries = e.filter(F.col("vec_id") < 10)
+    return ivfpq_search(
+        reloaded, centroids, books, e, queries, m=16, k=3, nprobe=8,
+        shortlist=32,
+    )
+
+
+@register(
     "ext_profile_approx",
     oracle=None,  # HLL estimates differ across engines by design
     doc="approx_count_distinct profile of the orders table.",

@@ -77,3 +77,100 @@ def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
     return session_agg(e, "ts", "30 minutes", ["user_id"])
+
+
+@register(
+    "stream_corpus_dedup_batch",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')
+             ))) AS shingle
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS j) js
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, j // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY j)) AS band_hash
+      FROM hashes GROUP BY doc_id, j // 4
+    ),
+    a_bands AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    b_bands AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    a_losers AS (
+      SELECT DISTINCT y.doc_id FROM a_bands x
+      JOIN a_bands y ON x.band_idx = y.band_idx
+       AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+    ),
+    sa AS (
+      SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM a_losers)
+    ),
+    index_bands AS (SELECT b.* FROM bands b JOIN sa USING (doc_id)),
+    b_corpus_hits AS (
+      SELECT DISTINCT b.doc_id FROM b_bands b
+      JOIN index_bands c ON b.band_idx = c.band_idx
+       AND b.band_hash = c.band_hash
+    ),
+    b_losers AS (
+      SELECT DISTINCT y.doc_id FROM b_bands x
+      JOIN b_bands y ON x.band_idx = y.band_idx
+       AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id % 2 = 0
+           AND doc_id NOT IN (SELECT doc_id FROM a_losers))
+       OR (doc_id % 2 = 1
+           AND doc_id NOT IN (SELECT doc_id FROM b_corpus_hits)
+           AND doc_id NOT IN (SELECT doc_id FROM b_losers))
+    """,
+    doc="The streaming corpus screen (streaming/sink.py) under the hash "
+    "gate: documents split into two single-file micro-batches "
+    "(doc_id parity; availableNow + maxFilesPerTrigger=1), batch 1 "
+    "bootstraps the LSH band index, batch 2 is screened against batch "
+    "1's SURVIVORS and itself.  The oracle replays the exact band "
+    "arithmetic and batch sequencing; the Spark side runs the real "
+    "foreachBatch sink with checkpointing.",
+)
+def stream_corpus_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.sink import stream_corpus_dedup
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    root = tempfile.mkdtemp(prefix="riab_scd_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    # two deterministic single-file micro-batches, mtime-ordered (the
+    # file source processes oldest first with maxFilesPerTrigger=1)
+    for i, half in enumerate(
+        (d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1))
+    ):
+        tmp = os.path.join(root, f"half{i}")
+        half.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    out_dir = os.path.join(root, "out")
+    query = (
+        stream_corpus_dedup(
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            out_dir=out_dir,
+            index_dir=os.path.join(root, "index"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).select("doc_id", "lang")

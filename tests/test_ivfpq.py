@@ -143,3 +143,20 @@ def test_residual_subtraction_is_exact(spark):
     assert out[5][0] == 0 and out[6][0] == 1
     assert out[5][1] == pytest.approx([-0.1, 0.1])
     assert out[6][1] == pytest.approx([0.2, -0.2])
+
+
+def test_persisted_roundtrip_same_results(spark, embeddings, trained, tmp_path):
+    """Searching the reloaded partitionBy(centroid_id) index returns
+    EXACTLY the results of searching the in-memory index — persistence
+    must be lossless including the code arrays (the catalog row
+    ext_ivfpq_persisted runs this shape under the driver)."""
+    centroids, books, index = trained
+    path = f"{tmp_path}/ivfpq_rt"
+    index.write.partitionBy("centroid_id").parquet(path)
+    reloaded = spark.read.parquet(path)
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    kw = dict(m=16, k=3, nprobe=8, shortlist=32)
+    mem = ivfpq_search(index, centroids, books, embeddings, queries, **kw)
+    disk = ivfpq_search(reloaded, centroids, books, embeddings, queries, **kw)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(disk) == key(mem) and disk.count() > 0
