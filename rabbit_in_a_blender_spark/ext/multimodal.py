@@ -117,12 +117,81 @@ def _decode_ppm(payload: bytes) -> list[float] | None:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Undo per-scanline PNG filters over ``h`` rows of ``stride``
+    filtered bytes each (+1 filter-type byte); returns (h, stride)
+    uint8 or None on an unknown filter type."""
+    import numpy as np
+
+    lines = np.frombuffer(raw, dtype=np.uint8)[: (stride + 1) * h].reshape(
+        h, stride + 1
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-pixel-unit cumulative sum mod 256
+            rec = np.cumsum(cur.reshape(-1, bpp), axis=0).reshape(stride)
+        elif f == 2:  # Up
+            rec = cur + prior
+        elif f in (3, 4):  # Average / Paeth: sequential left-dependency
+            rec = cur.copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) & 0xFF if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] += pred
+        else:
+            return None
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out
+
+
+def _png_samples(rows, w: int, h: int, channels: int, depth: int, scale: bool):
+    """(h, stride) unfiltered bytes → (h, w, channels) uint8 samples.
+    16-bit takes the high byte (the standard 8-bit reduction); sub-byte
+    depths unpack MSB-first and — unless the values are palette
+    indices — rescale to 0..255 by 255/(2^depth - 1)."""
+    import numpy as np
+
+    n = w * channels
+    if depth == 8:
+        return rows[:, :n].reshape(h, w, channels)
+    if depth == 16:
+        return rows[:, : 2 * n].reshape(h, w, channels, 2)[:, :, :, 0]
+    bits = np.unpackbits(rows, axis=1)
+    usable = (bits.shape[1] // depth) * depth
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits[:, :usable].reshape(h, -1, depth) * weights).sum(axis=2)
+    vals = vals[:, :n].astype(np.uint16)
+    if scale:
+        vals = vals * 255 // ((1 << depth) - 1)
+    return vals.astype(np.uint8).reshape(h, w, channels)
+
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec 8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _png_pixels(payload: bytes):
     """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter):
-    → (w, h, HxWx3 uint8 ndarray) or None when the blob isn't a
-    non-interlaced 8-bit-depth PNG this decoder handles (gray, gray+A,
-    RGB, RGBA, palette).  VERDICT r5 task 7: the dominant web-crawl
-    format decodes for real without PIL."""
+    → (w, h, HxWx3 uint8 ndarray) or None when the blob isn't a PNG
+    this decoder handles (gray, gray+A, RGB, RGBA, palette at depths
+    1/2/4/8/16, Adam7 interlaced or not; 16-bit reduces to the high
+    byte).  VERDICT r5 task 7 + the r6 'interlaced or 16-bit' residual:
+    the dominant web-crawl format decodes for real without PIL."""
     import struct
     import zlib
 
@@ -148,48 +217,47 @@ def _png_pixels(payload: bytes):
             elif ctype == b"IEND":
                 break
             i += 12 + length
-        if w is None or interlace != 0 or depth != 8:
+        if w is None or interlace not in (0, 1):
+            return None
+        if depth not in (1, 2, 4, 8, 16):
             return None
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
         if channels is None:
             return None
-        stride = w * channels
+        scale = color_type != 3  # palette samples are indices, not levels
+        bpp = max(1, channels * depth // 8)
         raw = zlib.decompress(idat)
-        if len(raw) < (stride + 1) * h:
-            return None
-        lines = np.frombuffer(raw, dtype=np.uint8)[: (stride + 1) * h].reshape(
-            h, stride + 1
-        )
-        out = np.zeros((h, stride), dtype=np.uint8)
-        bpp = channels
-        for y in range(h):
-            f = int(lines[y, 0])
-            cur = lines[y, 1:].astype(np.int32)
-            prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
-            if f == 0:
-                rec = cur
-            elif f == 1:  # Sub: per-channel cumulative sum mod 256
-                cols = cur.reshape(w, bpp)
-                rec = np.cumsum(cols, axis=0).reshape(stride)
-            elif f == 2:  # Up
-                rec = cur + prior
-            elif f in (3, 4):  # Average / Paeth: sequential left-dependency
-                rec = cur.copy()
-                for x in range(stride):
-                    a = int(rec[x - bpp]) & 0xFF if x >= bpp else 0
-                    b = int(prior[x])
-                    c = int(prior[x - bpp]) if x >= bpp else 0
-                    if f == 3:
-                        pred = (a + b) >> 1
-                    else:
-                        p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                    rec[x] += pred
-            else:
+
+        def stride_of(width: int) -> int:
+            return (width * channels * depth + 7) // 8
+
+        if interlace == 0:
+            stride = stride_of(w)
+            if len(raw) < (stride + 1) * h:
                 return None
-            out[y] = (rec & 0xFF).astype(np.uint8)
-        px = out.reshape(h, w, channels)
+            rows = _png_unfilter(raw, h, stride, bpp)
+            if rows is None:
+                return None
+            px = _png_samples(rows, w, h, channels, depth, scale)
+        else:  # Adam7: seven independently filtered sub-images
+            px = np.zeros((h, w, channels), dtype=np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = stride_of(pw)
+                need = (stride + 1) * ph
+                if len(raw) - pos < need:
+                    return None
+                rows = _png_unfilter(raw[pos : pos + need], ph, stride, bpp)
+                if rows is None:
+                    return None
+                pos += need
+                px[y0::dy, x0::dx] = _png_samples(
+                    rows, pw, ph, channels, depth, scale
+                )
         if color_type == 3:
             if palette is None:
                 return None

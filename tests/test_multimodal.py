@@ -234,3 +234,117 @@ def test_real_ppm_resize_roundtrip(spark):
     assert (w, h) == (16.0, 8.0)
     # constant-color image: means survive the resample exactly
     assert abs(mr - 10 / 255) < 1e-5 and abs(mg - 200 / 255) < 1e-5
+
+
+def _png_chunks(ihdr_body, idat_raw, plte=None):
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_body)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(idat_raw)) + chunk(b"IEND", b"")
+
+
+def test_png_16bit_reduces_to_high_byte():
+    import struct
+
+    import numpy as np
+
+    from rabbit_in_a_blender_spark.ext.multimodal import _png_pixels
+
+    rng = np.random.default_rng(3)
+    px16 = rng.integers(0, 65536, size=(4, 7, 3), dtype=np.uint16)
+    raw = b"".join(
+        b"\x00" + px16[y].astype(">u2").tobytes() for y in range(4)
+    )
+    blob = _png_chunks(struct.pack(">IIBBBBB", 7, 4, 16, 2, 0, 0, 0), raw)
+    w, h, back = _png_pixels(blob)
+    assert (w, h) == (7, 4)
+    assert (back == (px16 >> 8).astype(np.uint8)).all()
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7: seven independently filtered sub-images reassemble to the
+    exact original (mixed filter types across passes)."""
+    import struct
+
+    import numpy as np
+
+    from rabbit_in_a_blender_spark.ext.multimodal import _ADAM7, _png_pixels
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    parts = []
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            line = sub[y].tobytes()
+            if pi % 2 == 0 or y == 0:  # filter 0
+                parts.append(b"\x00" + line)
+            else:  # filter 2 (Up) against the previous pass row
+                prev = sub[y - 1].astype(np.int32)
+                cur = sub[y].astype(np.int32)
+                parts.append(
+                    b"\x02"
+                    + ((cur - prev) & 0xFF).astype(np.uint8).tobytes()
+                )
+    blob = _png_chunks(
+        struct.pack(">IIBBBBB", 13, 11, 8, 2, 0, 0, 1), b"".join(parts)
+    )
+    w, h, back = _png_pixels(blob)
+    assert (w, h) == (13, 11)
+    assert (back == px).all()
+
+
+def test_png_4bit_palette_and_1bit_gray():
+    import struct
+
+    import numpy as np
+
+    from rabbit_in_a_blender_spark.ext.multimodal import _png_pixels
+
+    # 4-bit palette, 5 px wide (odd → padded nibble at row end)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7]) + bytes(12)
+    idx = [[0, 1, 2, 3, 0], [3, 2, 1, 0, 1]]
+    raw = b""
+    for row in idx:
+        packed = bytearray([0])  # filter 0
+        for i in range(0, len(row), 2):
+            hi = row[i] << 4
+            lo = row[i + 1] if i + 1 < len(row) else 0
+            packed.append(hi | lo)
+        raw += bytes(packed)
+    blob = _png_chunks(
+        struct.pack(">IIBBBBB", 5, 2, 4, 3, 0, 0, 0), raw, plte=pal
+    )
+    w, h, back = _png_pixels(blob)
+    assert (w, h) == (5, 2)
+    assert tuple(back[0, 1]) == (0, 255, 0) and tuple(back[1, 0]) == (7, 7, 7)
+
+    # 1-bit grayscale, 10 px wide: bit 1 → 255, bit 0 → 0
+    bits = [1, 0, 1, 1, 0, 0, 1, 0, 1, 1]
+    packed = bytearray([0])
+    acc = 0
+    for i, b in enumerate(bits):
+        acc = (acc << 1) | b
+        if i % 8 == 7:
+            packed.append(acc)
+            acc = 0
+    packed.append(acc << 6)  # 10 % 8 = 2 leftover bits, left-aligned
+    blob = _png_chunks(
+        struct.pack(">IIBBBBB", 10, 1, 1, 0, 0, 0, 0), bytes(packed)
+    )
+    w, h, back = _png_pixels(blob)
+    assert (w, h) == (10, 1)
+    assert [int(v) for v in back[0, :, 0]] == [b * 255 for b in bits]
