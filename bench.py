@@ -70,6 +70,10 @@ NON_HEADLINE = [
     "ext_dedup_clusters_lsh",
     "ext_decontam_filter",
     "ext_corpus_prep",
+    # r7 additions — timed for trend visibility, excluded from the
+    # same-set headline total
+    "ext_bpe_token_counts",
+    "stream_corpus_dedup_batch",
 ]
 
 

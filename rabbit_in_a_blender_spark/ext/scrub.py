@@ -90,3 +90,87 @@ def repetition_stats(
         F.round(F.lit(1.0) - distinct / total, 4).alias("dup_ngram_ratio"),
         F.round(top / F.size(words), 4).alias("top_word_ratio"),
     )
+
+
+def duplicated_window_fraction(
+    df: DataFrame, id_col: str, text_col: str, w: int = 8
+) -> DataFrame:
+    """Substring-level duplication signal: the share of each document's
+    distinct ``w``-word windows that also appear in ANOTHER document —
+    the document-granular form of the suffix-substring dedup used by
+    the published LLM corpus pipelines (duplicated long substrings mark
+    boilerplate and cross-site mirror text that document-level MinHash
+    misses).
+
+    Returns (id, n_windows, n_dup_windows, dup_window_fraction).
+
+    Scale shape: windows are md5-hashed BEFORE the aggregation, so the
+    two shuffles (window-df groupBy, hash join back) carry 16-byte
+    digests, never text.  (id, hash) rows are distinct by construction
+    so COUNT(*) per hash IS the document frequency — no countDistinct
+    re-shuffle.
+    """
+    from .dedup import shingle_sets
+
+    sh = shingle_sets(df, id_col, text_col, n=w).select(
+        F.col(id_col), F.md5(F.col("shingle")).alias("__h")
+    )
+    wdf = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    dup = F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        sh.join(wdf, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            dup.alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_window_fraction",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4),
+        )
+    )
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_line_df: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style corpus-level line dedup: drop every line that occurs
+    in more than ``max_line_df`` distinct documents (navigation chrome,
+    cookie banners, boilerplate headers — the lines whose document
+    frequency explodes), preserving the surviving lines' order.
+
+    Returns (id, cleaned text, n_lines, n_removed).
+
+    Scale shape: lines are md5-hashed for the df aggregation (digest
+    shuffle); the rebuild is one groupBy(id) with an array sort over
+    (pos, line) structs — per-document-sized state, no window.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__h", F.md5(F.col("__line")))
+    ldf = (
+        lines.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    flagged = lines.join(ldf, "__h").select(
+        F.col(id_col),
+        F.struct(
+            F.col("__pos").alias("pos"),
+            F.col("__line").alias("line"),
+            (F.col("__df") <= max_line_df).alias("keep"),
+        ).alias("__e"),
+    )
+    sorted_e = F.array_sort(F.collect_list("__e"))
+    kept = F.filter(sorted_e, lambda x: x["keep"])
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(sep, F.transform(kept, lambda x: x["line"])).alias(text_col),
+        F.size(sorted_e).cast("long").alias("n_lines"),
+        (F.size(sorted_e) - F.size(kept)).cast("long").alias("n_removed"),
+    )

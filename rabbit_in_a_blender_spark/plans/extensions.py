@@ -326,6 +326,90 @@ def ext_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_dup_window_fraction",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(string_split(text, ' ')) - 8, 0) + 1),
+               i -> md5(array_to_string(string_split(text, ' ')[i+1:i+8], ' '))
+             ))) AS h
+      FROM documents
+    ),
+    wdf AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS dup_window_fraction
+    FROM sh JOIN wdf USING (h)
+    GROUP BY doc_id
+    """,
+    doc="Substring-level duplication signal (the document-granular form "
+    "of suffix-substring dedup): share of each doc's distinct 8-word "
+    "windows that appear in another document.  Digest-only shuffles.",
+)
+def ext_dup_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.scrub import duplicated_window_fraction
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return duplicated_window_fraction(d, "doc_id", "text", w=8)
+
+
+@register(
+    "ext_line_dedup",
+    oracle="""
+    WITH lined AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT)),
+               i -> array_to_string(string_split(text, ' ')[i*8+1:i*8+8], ' ')
+             ) AS lns
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, unnest(lns) AS line,
+             unnest(range(0, len(lns))) AS pos
+      FROM lined
+    ),
+    ldf AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN df <= 2 THEN line END,
+                               chr(10) ORDER BY pos), '') AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM lines JOIN ldf USING (line)
+    GROUP BY doc_id
+    """,
+    doc="CCNet-style corpus-level line dedup: documents reshaped into "
+    "8-word pseudo-lines (the fixture corpus is single-line), lines "
+    "occurring in >2 distinct docs dropped everywhere, order preserved "
+    "in the rebuilt text.  Digest-df shuffle + one groupBy(id) rebuild "
+    "with array-domain sort — no window.",
+)
+def ext_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.scrub import remove_repeated_lines
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), nlines - 1),
+                lambda i: F.concat_ws(" ", F.slice(ws, i * 8 + 1, 8)),
+            ),
+        ).alias("text"),
+    )
+    return remove_repeated_lines(lined, "doc_id", "text", max_line_df=2)
+
+
+@register(
     "ext_ivfpq_persisted",
     oracle=None,  # approximate by design → rows-only check; exact
     # equality of reloaded-index results vs in-memory-index results is

@@ -83,3 +83,54 @@ def test_chunk_documents_windows_and_edges(spark):
     # short doc: exactly one whole-doc chunk
     d2 = [r for r in rows if r[0] == 2]
     assert d2 == [(2, 0, "short doc", 2)]
+
+
+def test_duplicated_window_fraction(spark):
+    from rabbit_in_a_blender_spark.ext.scrub import duplicated_window_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # shares the first window with 2
+            (2, "a b c d e f g h x y"),
+            (3, "z z z z z z z z z z"),   # self-repeats collapse (distinct)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_window_fraction"])
+        for r in duplicated_window_fraction(df, "doc_id", "text", w=8).collect()
+    }
+    assert got[1] == (3, 1, 0.3333)
+    assert got[2] == (3, 1, 0.3333)
+    assert got[3] == (1, 0, 0.0)  # within-doc repeats are not corpus dups
+
+
+def test_remove_repeated_lines_preserves_order(spark):
+    from rabbit_in_a_blender_spark.ext.scrub import remove_repeated_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal one\nmiddle\ncookie banner\nreal two"),
+            (2, "cookie banner\nother content"),
+            (3, "unique only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in remove_repeated_lines(df, "doc_id", "text", max_line_df=1).collect()
+    }
+    # both occurrences inside doc 1 drop; survivors keep document order
+    assert got[1] == ("real one\nmiddle\nreal two", 5, 2)
+    assert got[2] == ("other content", 2, 1)
+    assert got[3] == ("unique only", 1, 0)
+
+    # a doc that is ALL boilerplate comes back empty, not missing
+    all_boiler = spark.createDataFrame(
+        [(1, "x\nx"), (2, "x")], "doc_id long, text string"
+    )
+    got2 = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_lines(all_boiler, "doc_id", "text").collect()
+    }
+    assert got2 == {1: "", 2: ""}
