@@ -1317,6 +1317,63 @@ def probe_jpeg(payload: bytes) -> dict | None:
         return None
 
 
+def probe_gif(payload: bytes) -> dict | None:
+    """Header/block walk → {'width', 'height', 'n_frames',
+    'duration_ms'} WITHOUT LZW-decoding any frame — probing a 100 TB
+    crawl must not pay the decode (``gif_frames`` exists for that).
+    Per-frame delays come from the graphic-control extensions; image
+    data sub-blocks are skipped by their length bytes."""
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        w, h = struct.unpack("<HH", payload[6:10])
+        if w <= 0 or h <= 0:
+            return None
+        flags = payload[10]
+        pos = 13
+        if flags & 0x80:
+            pos += 3 * (2 << (flags & 0x07))
+        n_frames = 0
+        total_ms = 0
+        delay_ms = 0
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x3B:
+                break
+            if b == 0x21:  # extension
+                label = payload[pos + 1]
+                pos += 2
+                if label == 0xF9:
+                    delay_ms = (
+                        struct.unpack("<H", payload[pos + 2 : pos + 4])[0] * 10
+                    )
+                while payload[pos] != 0:
+                    pos += payload[pos] + 1
+                pos += 1
+            elif b == 0x2C:  # image descriptor — skip, don't decode
+                iflags = payload[pos + 9]
+                pos += 10
+                if iflags & 0x80:
+                    pos += 3 * (2 << (iflags & 0x07))
+                pos += 1  # LZW min code size
+                while payload[pos] != 0:
+                    pos += payload[pos] + 1
+                pos += 1
+                n_frames += 1
+                total_ms += delay_ms  # raw sum, same as probing gif_frames
+                delay_ms = 0
+            else:
+                return None
+        if n_frames == 0:
+            return None
+        return {
+            "width": int(w), "height": int(h),
+            "n_frames": n_frames, "duration_ms": int(total_ms),
+        }
+    except Exception:
+        return None
+
+
 def probe_mp4(payload: bytes) -> dict | None:
     """ISO BMFF box walk → {'duration_ms', 'width', 'height', 'brand'}
     or None.  Frame DECODE stays honestly stubbed (no codec libs in

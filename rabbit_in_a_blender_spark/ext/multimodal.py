@@ -687,7 +687,7 @@ def probe_media(media: DataFrame) -> DataFrame:
     def _probe(payload, declared_w, declared_h, declared_dur):
         import struct as _struct
 
-        from .codecs import gif_frames, probe_jpeg, probe_mp3, probe_mp4
+        from .codecs import probe_gif, probe_jpeg, probe_mp3, probe_mp4
 
         if payload is None:
             return ("empty", None, None, None)
@@ -710,10 +710,11 @@ def probe_media(media: DataFrame) -> DataFrame:
                 return ("ppm", int(meta[0]), int(meta[1]), None)
             return ("ppm", None, None, None)
         if p.startswith(b"GIF8"):
-            frames = gif_frames(p)
-            if frames:
-                h, w = frames[0][1].shape[0], frames[0][1].shape[1]
-                return ("gif", w, h, sum(d for d, _f in frames))
+            # header/block walk only — probing must not LZW-decode the
+            # animation (gif_frames exists for the decode path)
+            g = probe_gif(p)
+            if g:
+                return ("gif", g["width"], g["height"], g["duration_ms"])
             return ("gif", None, None, None)
         if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
             # header-only: probing must not decode every sample frame

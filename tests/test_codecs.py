@@ -689,3 +689,27 @@ def test_frame_grid_matches_frame_sample_plan(spark):
         r["frame_ts_ms"] for r in extract_video_frames(media, every_ms=100).collect()
     )
     assert plan_ts == real_ts == [0, 100, 200]
+
+
+def test_probe_gif_matches_decode_without_decoding():
+    """probe_gif reads dims/frames/duration from the block structure
+    alone; its numbers must match the full decoder's on real blobs,
+    and it must survive the never-raise contract on garbage."""
+    from rabbit_in_a_blender_spark.ext.codecs import gif_frames, probe_gif
+
+    blob = encode_gif(_two_frames())
+    frames = gif_frames(blob)
+    got = probe_gif(blob)
+    assert got["n_frames"] == len(frames)
+    assert got["duration_ms"] == sum(d for d, _f in frames)
+    assert (got["width"], got["height"]) == (
+        frames[0][1].shape[1], frames[0][1].shape[0]
+    )
+    assert probe_gif(b"GIF89a" + b"\x01" * 4) is None
+    assert probe_gif(b"garbage") is None
+    # a corrupt LZW stream still probes (no decode happens) as long as
+    # the block structure is intact
+    corrupt = bytearray(blob)
+    i = blob.index(bytes([0x2C]))  # first image descriptor
+    corrupt[i + 12] ^= 0xFF  # flip a byte inside the first data sub-block
+    assert probe_gif(bytes(corrupt)) is not None
