@@ -326,6 +326,47 @@ def ext_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_media_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(8 + doc_id % 16 AS DOUBLE) AS width_px,
+           CAST(8 + doc_id % 8 AS DOUBLE) AS height_px,
+           ROUND(((doc_id * 37) % 256) / 255.0, 6) AS mean_r,
+           ROUND(((doc_id * 37) % 256) / 255.0, 6) AS mean_g,
+           ROUND(((doc_id * 37) % 256) / 255.0, 6) AS mean_b,
+           CAST(0.0 AS DOUBLE) AS gray_std
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+    doc="The REAL image-decode path under the hash gate (the byte-count "
+    "row ext_multimodal_features only proves plumbing): synth_media's "
+    "solid-color PNGs have closed-form per-channel means ((id*37)%256 "
+    "over 255) and zero gray deviation, so extract_features' actual "
+    "PNG inflate -> unfilter -> channel-mean pipeline is checked "
+    "value-by-value.  Feature floats re-rounded after the float32 "
+    "array round-trip so both engines emit the same 6-dp doubles.",
+)
+def ext_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.multimodal import extract_features, synth_media
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    media = synth_media(d.select("doc_id")).filter(F.col("kind") == "image")
+    feats = extract_features(media)
+
+    def fp(i: int):
+        return F.round(F.element_at("feature", i).cast("double"), 6)
+
+    return feats.select(
+        "media_id",
+        fp(1).alias("width_px"),
+        fp(2).alias("height_px"),
+        fp(3).alias("mean_r"),
+        fp(4).alias("mean_g"),
+        fp(5).alias("mean_b"),
+        fp(6).alias("gray_std"),
+    )
+
+
+@register(
     "ext_dup_window_fraction",
     oracle="""
     WITH sh AS (
