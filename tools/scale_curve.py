@@ -144,6 +144,10 @@ def main() -> None:
         shutil.rmtree(scaled_dir, ignore_errors=True)
         _bpe_curve(spark, reps)
         return
+    if only == "media":
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _media_curve(spark, reps)
+        return
     try:
         build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
         points = [
@@ -460,6 +464,67 @@ def _ann_curve(spark, reps: int) -> None:
             f"| {label} | {r['vectors']:,} | {med} | "
             f"{round(r['vectors'] / med):,} | {r['search']['median']} | "
             f"{r['ivfpq_search']['median']} |"
+        )
+
+
+def _media_curve(spark, reps: int) -> None:
+    # --- media probe/feature scale curve (round 7) -------------------
+    # synth_media builds one REAL blob per id (PNG/WAV/MP4/MP3 by id%4),
+    # probe_media parses container metadata, extract_features runs the
+    # real decoders (PNG inflate, WAV PCM, histogram for the rest).
+    # All three are single-pass mapInPandas with no shuffle, so wall
+    # time should track blob count linearly; the generate+probe and
+    # generate+features pipelines are timed end-to-end per point.
+    from rabbit_in_a_blender_spark.ext.multimodal import (
+        extract_features,
+        probe_media,
+        synth_media,
+    )
+
+    results = {}
+    for label, n in (("blobs-5k", 5_000), ("blobs-25k", 25_000), ("blobs-50k", 50_000)):
+        # Fresh plans per rep: re-collecting one DataFrame object reuses
+        # its shuffle outputs and times nothing but the fetch.
+        def media_df():
+            return synth_media(spark.range(n).select(F.col("id").alias("doc_id")))
+
+        def probe_q():
+            return probe_media(media_df()).groupBy("format").count()
+
+        def feat_q():
+            return extract_features(media_df()).agg(
+                F.sum("n_bytes").alias("b"),
+                F.sum(F.element_at("feature", 1)).alias("f"),
+            )
+
+        probe_q().collect()  # warmup (codegen + Arrow init)
+        feat_q().collect()
+        probes, feats = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            probe_q().collect()
+            probes.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            feat_q().collect()
+            feats.append(round(time.perf_counter() - t0, 3))
+        results[label] = {
+            "blobs": n,
+            "probe_reps": probes,
+            "probe_median": sorted(probes)[len(probes) // 2],
+            "features_reps": feats,
+            "features_median": sorted(feats)[len(feats) // 2],
+        }
+        print(f"## media {label}: probe {probes} features {feats}", flush=True)
+
+    print(json.dumps(results))
+    print("\n| point | blobs | probe median s | blobs/s | features median s | blobs/s |")
+    print("|---|---|---|---|---|---|")
+    for label, r in results.items():
+        print(
+            f"| {label} | {r['blobs']:,} | {r['probe_median']} | "
+            f"{round(r['blobs'] / r['probe_median']):,} | "
+            f"{r['features_median']} | "
+            f"{round(r['blobs'] / r['features_median']):,} |"
         )
 
 
