@@ -71,3 +71,33 @@ def test_pack_nextfit_single_shuffle(spark):
     plan = _plan(spark, "ext_pack_nextfit")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_bpe_rows_are_shuffle_free_codegen(spark):
+    """The literal-replace chain and the vocab-id map must stay inside
+    whole-stage codegen with zero exchanges (PLANS.md r7 note)."""
+    for name in ("ext_bpe_token_counts", "ext_bpe_encode_ids"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert "*(1)" in plan, name  # codegen stage markers in executedPlan
+
+
+def test_deterministic_shuffle_is_shuffle_free(spark):
+    """The O(1) closed-form shard assignment must not change the
+    zero-exchange narrow-projection shape."""
+    plan = _plan(spark, "ext_deterministic_shuffle")
+    assert "Exchange" not in plan
+
+
+def test_dup_window_fraction_shuffles_digests_only(spark):
+    """Two digest-keyed shuffles (window-df groupBy + join back + final
+    id groupBy); the raw text column must not survive past the scan
+    projection into any exchange."""
+    plan = _plan(spark, "ext_dup_window_fraction")
+    assert 2 <= plan.count("Exchange hashpartitioning") <= 3
+    # every exchange is keyed on the md5 digest or the doc id
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        key = m.group(1)
+        assert "__h" in key or "doc_id" in key, key
