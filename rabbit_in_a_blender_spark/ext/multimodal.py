@@ -583,19 +583,24 @@ def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic media test patterns: one REAL blob per input row,
     format and metadata derived from the id in closed form.
 
-    ``id % 4``: 0 → solid-color PNG of ``(8 + id%16) x (8 + id%8)``;
-    1 → mono 8 kHz PCM WAV of ``100 + (id%10)*50`` ms; 2 → MP4
-    container (ISO BMFF, no media data) of ``1000 + (id%20)*250`` ms at
-    ``320x(180 + (id%4)*60)``; 3 → CBR MP3 of ``5 + id%15`` frames at
-    128 kbps/44.1 kHz.  Because every probe-able field is arithmetic on
-    the id, ``probe_media ∘ synth_media`` is replayable as plain SQL —
-    the oracle shape for a driver-gated catalog row — and users get a
-    self-contained smoke source for media pipelines.  Generation is one
-    mapInPandas pass (no shuffle, blobs never leave the worker).
+    ``id % 4``: 0 → solid-color image of ``(8 + id%16) x (8 + id%8)``
+    — a PNG when ``(id//4) % 2 == 0``, a PROGRESSIVE (SOF2) JPEG
+    otherwise, so SOF-marker probing of the web's progressive share is
+    exercised end-to-end; 1 → mono 8 kHz PCM WAV of ``100 + (id%10)*50``
+    ms; 2 → MP4 container (ISO BMFF, no media data) of
+    ``1000 + (id%20)*250`` ms at ``320x(180 + (id%4)*60)``; 3 → CBR MP3
+    of ``5 + id%15`` frames at 128 kbps/44.1 kHz.  Because every
+    probe-able field is arithmetic on the id, ``probe_media ∘
+    synth_media`` is replayable as plain SQL — the oracle shape for a
+    driver-gated catalog row — and users get a self-contained smoke
+    source for media pipelines.  Generation is one mapInPandas pass
+    (no shuffle, blobs never leave the worker).
     """
     import struct
 
     import numpy as np
+
+    from .codecs import encode_jpeg_progressive
 
     def _wav_blob(ms: int) -> bytes:
         import io
@@ -632,6 +637,8 @@ def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         if m == 0:
             w, h = 8 + i % 16, 8 + i % 8
             px = np.full((h, w, 3), (i * 37) % 256, dtype=np.uint8)
+            if (i >> 2) & 1:
+                return "image", encode_jpeg_progressive(px), w, h, None
             return "image", _encode_png(px), w, h, None
         if m == 1:
             ms = 100 + (i % 10) * 50

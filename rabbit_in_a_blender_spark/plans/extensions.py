@@ -335,21 +335,25 @@ def ext_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(((doc_id * 37) % 256) / 255.0, 6) AS mean_g,
            ROUND(((doc_id * 37) % 256) / 255.0, 6) AS mean_b,
            CAST(0.0 AS DOUBLE) AS gray_std
-    FROM documents WHERE doc_id % 4 = 0
+    FROM documents WHERE doc_id % 8 = 0
     """,
     doc="The REAL image-decode path under the hash gate (the byte-count "
     "row ext_multimodal_features only proves plumbing): synth_media's "
-    "solid-color PNGs have closed-form per-channel means ((id*37)%256 "
-    "over 255) and zero gray deviation, so extract_features' actual "
-    "PNG inflate -> unfilter -> channel-mean pipeline is checked "
-    "value-by-value.  Feature floats re-rounded after the float32 "
-    "array round-trip so both engines emit the same 6-dp doubles.",
+    "solid-color PNGs (doc_id %% 8 = 0; the %% 8 = 4 images are "
+    "progressive JPEGs whose decode is lossy-exact only for DC) have "
+    "closed-form per-channel means ((id*37)%256 over 255) and zero "
+    "gray deviation, so extract_features' actual PNG inflate -> "
+    "unfilter -> channel-mean pipeline is checked value-by-value.  "
+    "Feature floats re-rounded after the float32 array round-trip so "
+    "both engines emit the same 6-dp doubles.",
 )
 def ext_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.multimodal import extract_features, synth_media
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    media = synth_media(d.select("doc_id")).filter(F.col("kind") == "image")
+    media = synth_media(d.select("doc_id")).filter(
+        (F.col("kind") == "image") & (F.col("media_id") % 8 == 0)
+    )
     feats = extract_features(media)
 
     def fp(i: int):
@@ -656,8 +660,9 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(doc_id AS BIGINT) AS media_id,
            CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 2 THEN 'video'
                 ELSE 'audio' END AS kind,
-           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
-                WHEN 2 THEN 'mp4' ELSE 'mp3' END AS format,
+           CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 4 THEN 'jpeg_progressive'
+                ELSE CASE doc_id % 4 WHEN 1 THEN 'wav'
+                     WHEN 2 THEN 'mp4' ELSE 'mp3' END END AS format,
            CAST(CASE doc_id % 4 WHEN 0 THEN 8 + doc_id % 16
                 WHEN 2 THEN 320 ELSE -1 END AS INTEGER) AS width,
            CAST(CASE doc_id % 4 WHEN 0 THEN 8 + doc_id % 8
@@ -671,13 +676,14 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     doc="Media metadata probing end-to-end under the hash gate: "
-    "synth_media builds one REAL blob per doc_id (PNG header, WAV "
-    "header, ISO-BMFF mvhd/tkhd boxes, CBR MP3 frames) with every "
-    "probe-able field closed-form in the id; probe_media re-derives "
-    "format/dimensions/duration by parsing the actual bytes (box walk, "
-    "frame-header scan — ext/codecs.py), so the oracle checks real "
-    "container parsing, not arithmetic.  -1 sentinels replace NULLs "
-    "(mixed NULL/int columns coerce to float in the compare).",
+    "synth_media builds one REAL blob per doc_id (PNG header, "
+    "progressive-JPEG SOF2 marker, WAV header, ISO-BMFF mvhd/tkhd "
+    "boxes, CBR MP3 frames) with every probe-able field closed-form "
+    "in the id; probe_media re-derives format/dimensions/duration by "
+    "parsing the actual bytes (box walk, marker walk, frame-header "
+    "scan — ext/codecs.py), so the oracle checks real container "
+    "parsing, not arithmetic.  -1 sentinels replace NULLs (mixed "
+    "NULL/int columns coerce to float in the compare).",
 )
 def ext_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.multimodal import probe_media, synth_media

@@ -574,7 +574,9 @@ def test_synth_media_probe_closed_form(spark):
     for i, r in out.items():
         m = i % 4
         if m == 0:
-            assert r["format"] == "png"
+            # PNG and progressive JPEG alternate on bit 2 of the id; the
+            # JPEG dims come from the real SOF2 marker walk
+            assert r["format"] == ("jpeg_progressive" if (i >> 2) & 1 else "png")
             assert (r["width"], r["height"]) == (8 + i % 16, 8 + i % 8)
         elif m == 1:
             assert r["format"] == "wav"
