@@ -61,11 +61,36 @@ from pyspark.sql import DataFrame, SparkSession
 # closure can't see (dynamic dispatch, data-file dependencies) and for
 # explicit verdict orders.
 _REVERIFY_FIRST: list[str] = [
-    # (r6: emptied.)  The r4 verdict's four-query order was satisfied —
-    # they led CORRECTNESS_r05 and re-earned green — and the r5 verdict
-    # issues no manual orders (its task-2 rows are all flagged by the
-    # automatic staleness derivation), so every slot under the driver's
-    # ~50-query cap goes to the never-green + stale buckets this round.
+    # VERDICT r6 task 2: the 22 rows left stale at r6 close (judge-
+    # verified on HEAD, driver row wanted) must re-earn this round.
+    # The automatic derivation WOULD flag them — but r7 touched
+    # core/io.py (parquet_exists), which sits in the import closure of
+    # nearly every query, so the stale bucket floods to ~150 names and
+    # registration order would push several of these past the ~50-query
+    # cap.  Pinning them keeps the verdict's order ahead of the flood;
+    # the full-catalog run is committed as FULLGATE_r07.json either way.
+    "ext_dedup_exact",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_minhash_lsh",
+    "ext_pq_topk",
+    "ext_dedup_pipeline",
+    "ext_multimodal_features",
+    "ext_dedup_clusters",
+    "ext_dedup_clusters_lsh",
+    "ext_embed_clusters",
+    "ext_sample_uniform",
+    "ext_sample_stratified",
+    "ext_split_assign",
+    "ext_source_mixture",
+    "ext_decontam_overlap",
+    "ext_decontam_filter",
+    "ext_decontam_rare",
+    "ext_leakage_safe_split",
+    "ext_incremental_dedup",
+    "ext_corpus_prep",
+    "tsv_vocab_ingest",
+    "wh_cleanup_walk",
+    "wh_load_dispositions",
 ]
 
 _PKG = "rabbit_in_a_blender_spark"
