@@ -715,3 +715,43 @@ def test_probe_gif_matches_decode_without_decoding():
     i = blob.index(bytes([0x2C]))  # first image descriptor
     corrupt[i + 12] ^= 0xFF  # flip a byte inside the first data sub-block
     assert probe_gif(bytes(corrupt)) is not None
+
+
+def test_progressive_parity_hypothesis():
+    """Randomized parity sweep: arbitrary small images, band splits and
+    refinement depths — progressive decode must equal baseline decode
+    bit-for-bit on every draw (the deterministic matrix pins known
+    corners; this hunts unknown ones)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rabbit_in_a_blender_spark.ext.codecs import encode_jpeg_progressive
+
+    band_options = (
+        ((1, 63),),
+        ((1, 5), (6, 63)),
+        ((1, 1), (2, 8), (9, 30), (31, 63)),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(8, 24),
+        st.integers(8, 24),
+        st.booleans(),
+        st.sampled_from(band_options),
+        st.integers(1, 2),
+        st.integers(0, 2**32 - 1),
+    )
+    def check(h, w, sub, bands, levels, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(px, quality=85, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                px, quality=85, subsample=sub, bands=bands, levels=levels
+            )
+        )
+        assert prog is not None
+        assert np.array_equal(base[2], prog[2]), (h, w, sub, bands, levels, seed)
+
+    check()
