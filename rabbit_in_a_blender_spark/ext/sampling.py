@@ -220,3 +220,65 @@ def balance_sample(
         .filter(hash_bucket(F.col(key_col), seed) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def temperature_epochs(
+    totals: dict[str, int], alpha: float = 0.5, total: int | None = None
+) -> dict[str, float]:
+    """Per-stratum epoch factors for temperature-weighted mixing: the
+    standard multilingual/multi-source recipe p_i ∝ n_i^alpha (alpha<1
+    flattens the distribution toward small sources).
+
+    ``totals`` maps stratum → token count; the returned factor e_i =
+    (n_i^alpha / Σ n^alpha) · T / n_i feeds :func:`upsample_epochs`
+    directly — e_i < 1 downsamples, e_i > 1 repeats epochs, both via
+    the same hash-gated copies.  T defaults to Σ n (re-mix at the same
+    size).  The weight sum accumulates in sorted-stratum order so an
+    engine replaying the arithmetic (the DuckDB oracle uses
+    ``SUM(... ORDER BY ...)``) adds the same doubles in the same
+    sequence.
+    """
+    import math
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+
+    def w(n: float) -> float:
+        # alpha 0.5 via sqrt: correctly rounded in IEEE 754, so an SQL
+        # oracle using sqrt() reproduces the double bit-for-bit (pow's
+        # rounding is not guaranteed across libms)
+        return math.sqrt(n) if alpha == 0.5 else math.pow(n, alpha)
+
+    wsum = 0.0
+    for s in sorted(totals):
+        wsum += w(float(totals[s]))
+    t = float(total if total is not None else sum(totals.values()))
+    return {
+        s: (w(float(n)) / wsum) * t / float(n)
+        for s, n in totals.items()
+        if n > 0
+    }
+
+
+def temperature_mixture(
+    df,
+    key_col: str,
+    strata_col: str,
+    token_col,
+    alpha: float = 0.5,
+    total: int | None = None,
+    seed: str = "temp",
+):
+    """Temperature-sampled corpus mix in one pass: aggregate per-stratum
+    token totals (driver-side #strata rows — metadata), derive epoch
+    factors via :func:`temperature_epochs`, and apply them with
+    :func:`upsample_epochs` (floor copies + one stable hash-gated
+    extra; explode fan-out, zero shuffle beyond the totals agg)."""
+    rows = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("__n"))
+        .collect()
+    )
+    totals = {r[strata_col]: int(r["__n"] or 0) for r in rows}
+    epochs = temperature_epochs(totals, alpha=alpha, total=total)
+    return upsample_epochs(df, key_col, strata_col, epochs, seed=seed)

@@ -730,6 +730,62 @@ def ext_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_temperature_mixture",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    n AS (SELECT source, CAST(SUM(nt) AS DOUBLE) AS n FROM toks GROUP BY source),
+    agg AS (
+      SELECT SUM(sqrt(n) ORDER BY source) AS wsum, SUM(n) AS t FROM n
+    ),
+    e AS (SELECT source, (sqrt(n) / wsum) * t / n AS e FROM n, agg),
+    cfg AS (
+      SELECT source, CAST(floor(e) AS INTEGER) AS fl,
+             CASE WHEN CAST(round((e - floor(e)) * 4294967296.0) AS BIGINT)
+                       >= 4294967296
+                  THEN 'g'
+                  ELSE lower(lpad(to_hex(CAST(round((e - floor(e))
+                       * 4294967296.0) AS BIGINT)), 8, '0'))
+             END AS thr
+      FROM e
+    ),
+    c AS (
+      SELECT t.doc_id, t.source,
+             cfg.fl + (CASE WHEN substr(md5(CAST(t.doc_id AS VARCHAR)
+                            || ':temp'), 1, 8) < cfg.thr
+                       THEN 1 ELSE 0 END) AS n_copies
+      FROM toks t JOIN cfg USING (source)
+    )
+    SELECT doc_id, source,
+           CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_idx
+    FROM c WHERE n_copies > 0
+    """,
+    doc="Temperature-weighted source mixing (p_i ∝ n_i^0.5, the "
+    "standard multilingual flattening recipe): per-source token totals "
+    "-> epoch factors -> hash-gated fractional copies, all derived "
+    "from the data.  alpha=0.5 runs through sqrt (correctly rounded in "
+    "IEEE 754) and the weight sum accumulates in sorted-source order "
+    "on both engines, so the double arithmetic — and therefore every "
+    "copy decision — replays bit-for-bit in the oracle.",
+)
+def ext_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import temperature_mixture
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
+    )
+    return temperature_mixture(
+        toks, "doc_id", "source", "nt", alpha=0.5, seed="temp"
+    ).select("doc_id", "source", "copy_idx")
+
+
 # Fixed BPE merge table for the tokenizer catalog rows: trained once
 # with train_bpe(word_frequencies(sf0.001 documents), num_merges=60)
 # and embedded as a literal so the oracle SQL (generated from the SAME

@@ -198,3 +198,44 @@ def test_assign_ids_release_contract(spark):
     assert sorted(ids) == list(range(1, 78))
     assert unpersist_intermediates(out) == 1
     assert len(sc._jsc.getPersistentRDDs()) == before
+
+
+def test_temperature_epochs_flattens_toward_small_sources():
+    from rabbit_in_a_blender_spark.ext.sampling import temperature_epochs
+
+    totals = {"big": 900_000, "small": 100_000}
+    # alpha=1 → identity mix (every source ~1 epoch)
+    e1 = temperature_epochs(totals, alpha=1.0)
+    assert abs(e1["big"] - 1.0) < 1e-12 and abs(e1["small"] - 1.0) < 1e-12
+    # alpha=0.5 → small source upsampled, big downsampled, total preserved
+    e5 = temperature_epochs(totals, alpha=0.5)
+    assert e5["small"] > 1.0 > e5["big"]
+    mixed = sum(e5[s] * n for s, n in totals.items())
+    assert abs(mixed - sum(totals.values())) < 1e-3
+    # alpha=0 → equal token budgets per source
+    e0 = temperature_epochs(totals, alpha=0.0)
+    t0 = {s: e0[s] * n for s, n in totals.items()}
+    assert abs(t0["big"] - t0["small"]) < 1e-3
+    # explicit budget scales linearly
+    eb = temperature_epochs(totals, alpha=0.5, total=500_000)
+    assert all(abs(eb[s] - e5[s] / 2) < 1e-12 for s in totals)
+
+
+def test_temperature_mixture_deterministic_and_proportional(spark):
+    from rabbit_in_a_blender_spark.ext.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small", 100) for i in range(1000)],
+        "doc_id long, source string, nt long",
+    )
+    out = temperature_mixture(df, "doc_id", "source", "nt", alpha=0.5)
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == sorted(map(tuple, temperature_mixture(
+        df, "doc_id", "source", "nt", alpha=0.5).collect()))
+    from collections import Counter
+
+    got = Counter(r[1] for r in rows)
+    # weights sqrt(90000)=300, sqrt(10000)=100 → p = (0.75, 0.25);
+    # epochs e_i = p_i * T / n_i: big 75000/90000 = 0.833 → ~750 rows,
+    # small 25000/10000 = 2.5 → ~250 rows
+    assert abs(got["big"] - 750) < 40 and abs(got["small"] - 250) < 25
