@@ -1,0 +1,133 @@
+"""Lexical retrieval over the documents table: inverted term
+statistics + BM25 top-k scoring — the search side of a training-data
+pipeline (dataset exploration, decontamination triage, eval-set
+mining) without any external index service.
+
+Everything is declarative DataFrame algebra: the "inverted index" IS
+the (term, doc, tf) aggregate, built by one explode + groupBy, and a
+query batch is a small dimension joined against it.  At 100 TB the
+postings table shuffles once on the term key and then serves any
+number of query batches; ultra-common terms (stopwords) are both a
+skew hazard and noise, so ``max_df_fraction`` prunes them exactly like
+a production stopword list — the hot keys are dropped, not salted,
+because their IDF contribution is ~0 anyway.
+
+Determinism contract (oracle-checkable): tf / dl / df / N are exact
+integers, avgdl = sum(dl)/N is one double division, and the per-term
+BM25 contribution is a pure function of those — bit-identical in Spark
+and DuckDB.  The per-(query, doc) SUM over matched terms is FP-order
+sensitive, so scores are ROUNDed to 4 decimals before ranking and ties
+break on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def term_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, doc, tf) postings from whitespace tokenization — the
+    inverted-index relation every scorer here joins against."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    qid_col: str,
+    qtext_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_fraction: float = 0.5,
+) -> DataFrame:
+    """Top-k documents per query under BM25 (Lucene's non-negative IDF).
+
+    score(q, d) = sum over distinct matched terms t of
+        ln(1 + (N - df + 0.5) / (df + 0.5))
+        * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    Distinct query terms (no query-side tf weighting) keep the oracle
+    and the semantics simple; terms present in more than
+    ``max_df_fraction`` of documents are pruned from scoring.
+
+    Output: (qid, doc_id, rank, score) with rank 1..k per query —
+    deterministic via the rounded-score + doc_id ordering.
+
+    Plan shape: postings groupBy is the only wide stage over the
+    corpus; doc lengths ride the same scan; df/N/avgdl are tiny
+    aggregates of the postings; the query-term dimension broadcasts,
+    so scoring is a map-side join + one (qid, doc) reduction + a
+    per-query window over at most |matched docs| rows.
+    """
+    # (doc, dl, term, tf) in ONE wide stage: dl is functional on the
+    # doc id, so grouping by (id, dl, term) folds the length in without
+    # a separate doc-length join.
+    postings = (
+        docs.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # N and avgdl come from a narrow second pass over docs (map-side
+    # partial agg, one scalar row) — cheaper than re-grouping postings.
+    scalars = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(F.split(F.col(text_col), " "))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        queries.select(
+            F.col(qid_col), F.explode(F.split(F.col(qtext_col), " ")).alias("term")
+        )
+        .distinct()
+    )
+    # Corpus-sized vocabulary stats never broadcast: the small query-term
+    # dimension broadcasts INTO the dfreq join, and only the resulting
+    # |query terms|-row stats table is broadcast to the postings scan.
+    qstats = (
+        dfreq.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(scalars))
+        .filter(F.col("df") <= F.col("n_docs") * max_df_fraction)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(qstats), "term")
+        .groupBy(qid_col, id_col)
+        .agg(F.round(F.sum(idf * tf_part), 4).alias("score"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            qid_col,
+            F.col(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            "score",
+        )
+    )

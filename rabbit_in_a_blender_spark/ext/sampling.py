@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # 8 hex chars = 32 bits of the digest: plenty of resolution for
 # per-mille fractions while keeping thresholds human-readable.
@@ -282,3 +283,35 @@ def temperature_mixture(
     totals = {r[strata_col]: int(r["__n"] or 0) for r in rows}
     epochs = temperature_epochs(totals, alpha=alpha, total=total)
     return upsample_epochs(df, key_col, strata_col, epochs, seed=seed)
+
+
+def per_group_cap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    cap: int,
+    seed: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by deterministic hash
+    order — the FineWeb/C4-style per-domain cap that stops a single
+    crawler-friendly host from dominating the corpus.
+
+    Selection ranks rows inside each group by (hash_bucket(key), key):
+    reproducible across runs and layouts, unbiased w.r.t. document
+    content, and stable under corpus growth in the sense that a
+    dropped key can only be displaced by a lower-hashing newcomer.
+
+    Plan: one hash-partitioned window per group (the shuffle is on
+    group_col); skew-prone giant groups are exactly the rows the cap
+    discards, and the rank short-circuits at cap so the window state
+    is bounded.  Oracle: ROW_NUMBER() OVER (PARTITION BY g ORDER BY
+    md5-prefix, key) <= cap.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -174,3 +174,37 @@ def remove_repeated_lines(
         F.size(sorted_e).cast("long").alias("n_lines"),
         (F.size(sorted_e) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklist: list[str],
+    max_hits: int = 0,
+) -> DataFrame:
+    """UT1/LDNOOBW-style blocklist screening: per-document counts of
+    blocklisted tokens plus a keep flag.
+
+    Output columns: (id, n_hits — total occurrences of any blocklisted
+    token, n_distinct_hits — how many distinct blocklist entries
+    matched, keep — n_hits <= max_hits).
+
+    Token-exact matching against whitespace words (the standard list
+    semantics — substring matching false-positives on e.g. 'class').
+    The list ships as a broadcast array literal: a narrow, zero-shuffle
+    projection with whole-stage codegen; word-boundary regex
+    alternation would be quadratic in list size, array_contains over a
+    sorted literal is not.  For 10k+ entry production lists swap the
+    literal for a broadcast join against an exploded token table —
+    the output contract stays the same.
+    """
+    arr = F.array(*[F.lit(t) for t in sorted(set(blocklist))])
+    words = F.split(F.col(text_col), " ")
+    hits = F.filter(words, lambda w: F.array_contains(arr, w))
+    return df.select(
+        F.col(id_col),
+        F.size(hits).cast("long").alias("n_hits"),
+        F.size(F.array_distinct(hits)).cast("long").alias("n_distinct_hits"),
+        (F.size(hits) <= max_hits).alias("keep"),
+    )

@@ -196,3 +196,69 @@ def chunk_documents(
         F.col("__c.chunk").alias("chunk"),
         F.size(F.split(F.col("__c.chunk"), " ")).cast("long").alias("n_chunk_words"),
     )
+
+
+# Bigram-key separator: ASCII unit separator, never present in
+# whitespace-split tokens.  DuckDB side spells it chr(31).
+_BG_SEP = "\u001f"
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, k: float = 0.5
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under an
+    add-k-smoothed LM trained on the corpus itself — the step up from
+    :func:`unigram_logprob` toward the KenLM-style fluency signal
+    production pipelines use (word-salad spam that survives a unigram
+    screen has improbable TRANSITIONS, which this catches).
+
+    p(w2 | w1) = (C(w1 w2) + k) / (C(w1 .) + k*V)
+
+    where C(w1 .) counts w1 occurrences that have a successor and V is
+    the number of distinct bigram types.  Every count is an exact
+    integer, so the per-bigram double ratio is bit-identical across
+    engines; the per-doc mean is rounded to 4 decimals to absorb FP
+    sum order.
+
+    Plan: the doc-to-bigram explode feeds one (bigram -> count)
+    shuffle; the context totals and vocab size derive from the bigram
+    counts (already tiny), and scoring is one join back on the bigram
+    key — the same shape as the unigram scorer with one extra
+    reduction.  No Python in the path; at 100 TB the bigram-count
+    table is the only wide state and it shrinks with Zipf.
+    """
+    bigram_expr = (
+        "transform(sequence(1, size(__ws) - 1), "
+        "i -> concat(element_at(__ws, i), '\\u001F', element_at(__ws, i + 1)))"
+    )
+    ws = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ws"))
+    bigrams = ws.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size("__ws") >= 2, F.expr(bigram_expr)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("__bg"),
+    )
+    bg_counts = bigrams.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c2"))
+    w1 = F.split(F.col("__bg"), _BG_SEP).getItem(0)
+    ctx_counts = bg_counts.groupBy(w1.alias("__w1")).agg(
+        F.sum("__c2").alias("__c1")
+    )
+    vocab = bg_counts.agg(F.count(F.lit(1)).cast("double").alias("__v"))
+    scored = (
+        bg_counts.join(ctx_counts, w1 == F.col("__w1"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__bg",
+            F.log(
+                (F.col("__c2") + F.lit(k))
+                / (F.col("__c1") + F.lit(k) * F.col("__v"))
+            ).alias("__lp"),
+        )
+    )
+    return (
+        bigrams.join(scored, "__bg")
+        .groupBy(id_col)
+        .agg(F.round(F.avg("__lp"), 4).alias("mean_bigram_logprob"))
+    )

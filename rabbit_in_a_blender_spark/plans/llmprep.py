@@ -934,3 +934,155 @@ def ext_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = token_counts(d, "doc_id", "text").select("doc_id", "n_ws_tokens")
     packed = pack_next_fit(toks, "doc_id", "n_ws_tokens", budget=512, group_span=128)
     return bin_summary(packed, "n_ws_tokens")
+
+
+@register(
+    "ext_bigram_logprob",
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || chr(31) || w[i+1])) AS bg
+      FROM ws
+    ),
+    bc AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+    cc AS (SELECT string_split(bg, chr(31))[1] AS w1, SUM(c2) AS c1
+           FROM bc GROUP BY 1),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM bc),
+    sc AS (SELECT bg, ln((c2 + 0.5) / (c1 + 0.5 * v)) AS lp
+           FROM bc JOIN cc ON string_split(bg, chr(31))[1] = w1, v)
+    SELECT doc_id, ROUND(AVG(lp), 4) AS mean_bigram_logprob
+    FROM bi JOIN sc USING (bg)
+    GROUP BY doc_id
+    """,
+    doc="Add-k-smoothed bigram LM fluency signal: mean conditional "
+    "log-probability per document under the corpus's own transitions "
+    "(the step from the unigram perplexity proxy toward KenLM).",
+)
+def ext_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import bigram_logprob
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return bigram_logprob(d, "doc_id", "text", k=0.5)
+
+
+@register(
+    "ext_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 8),
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 7
+    """,
+    doc="FineWeb-style per-domain cap: at most N documents per source, "
+    "selected by deterministic hash order so the cap is reproducible "
+    "and unbiased by document content.",
+)
+def ext_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import per_group_cap
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return per_group_cap(d, "doc_id", "source", cap=7, seed="cap").select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "ext_blocklist_filter",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         t -> list_contains(['bug', 'slow', 'spark'], t)) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(h) AS BIGINT) AS n_hits,
+           CAST(len(list_distinct(h)) AS BIGINT) AS n_distinct_hits,
+           len(h) <= 2 AS keep
+    FROM hits
+    """,
+    doc="UT1/LDNOOBW-style blocklist screen: token-exact hit counts per "
+    "document plus the keep decision, as one zero-shuffle projection.",
+)
+def ext_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.scrub import blocklist_filter
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return blocklist_filter(
+        d, "doc_id", "text", blocklist=["bug", "slow", "spark"], max_hits=2
+    )
+
+
+@register(
+    "ext_bm25_topk",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id AS qid,
+             array_to_string(string_split(text, ' ')[3:8], ' ') AS qtext
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    postings AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      GROUP BY doc_id, dl, term
+    ),
+    scalars AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM documents
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term),
+    qterms AS (
+      SELECT DISTINCT qid, t AS term
+      FROM q, unnest(string_split(qtext, ' ')) AS u(t)
+    ),
+    qstats AS (
+      SELECT qid, term, df, n_docs, avgdl
+      FROM dfreq JOIN qterms USING (term), scalars
+      WHERE df <= n_docs * 0.5
+    ),
+    scored AS (
+      SELECT qid, doc_id,
+             ROUND(SUM(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ), 4) AS score
+      FROM postings JOIN qstats USING (term)
+      GROUP BY qid, doc_id
+    ),
+    ranked AS (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rank,
+             score
+      FROM scored
+    )
+    SELECT qid, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="BM25 top-10 per query over the postings aggregate: query terms "
+    "broadcast into the term-stats join, stopword-frequency terms "
+    "pruned (df cap), deterministic rounded-score ranking.",
+)
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.retrieval import bm25_topk
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    q = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 3, 6)).alias(
+            "qtext"
+        ),
+    )
+    return bm25_topk(
+        d, q, "doc_id", "text", "qid", "qtext",
+        k=10, k1=1.2, b=0.75, max_df_fraction=0.5,
+    )

@@ -1,0 +1,124 @@
+"""BM25 retrieval, bigram LM, per-group cap, blocklist screen."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from rabbit_in_a_blender_spark.ext.retrieval import bm25_topk, term_stats
+from rabbit_in_a_blender_spark.ext.sampling import per_group_cap
+from rabbit_in_a_blender_spark.ext.scrub import blocklist_filter
+from rabbit_in_a_blender_spark.ext.text import bigram_logprob
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple"),
+            (2, "banana cherry durian"),
+            (3, "apple apple apple apple"),
+            (4, "elderberry fig grape"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_term_stats_tf(spark):
+    tf = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in term_stats(_docs(spark), "doc_id", "text").collect()
+    }
+    assert tf[(1, "apple")] == 2
+    assert tf[(3, "apple")] == 4
+    assert (4, "apple") not in tf
+
+
+def test_bm25_exact_match_ranks_first(spark):
+    docs = _docs(spark)
+    q = spark.createDataFrame([(100, "elderberry fig")], "qid int, qtext string")
+    out = bm25_topk(docs, q, "doc_id", "text", "qid", "qtext", k=3).collect()
+    assert out[0]["doc_id"] == 4 and out[0]["rank"] == 1
+    # no other doc contains either term
+    assert len(out) == 1
+
+
+def test_bm25_df_pruning_drops_ubiquitous_terms(spark):
+    docs = spark.createDataFrame(
+        [(i, "common rare" if i == 1 else "common other") for i in range(1, 5)],
+        "doc_id int, text string",
+    )
+    q = spark.createDataFrame([(9, "common rare")], "qid int, qtext string")
+    # 'common' is in 4/4 docs -> pruned at max_df_fraction=0.5; only
+    # 'rare' scores, so doc 1 is the single hit.
+    out = bm25_topk(docs, q, "doc_id", "text", "qid", "qtext", k=10).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_bm25_k_bound_and_rank_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "word filler%d" % i) for i in range(20)], "doc_id int, text string"
+    )
+    q = spark.createDataFrame([(0, "word")], "qid int, qtext string")
+    out = bm25_topk(
+        docs, q, "doc_id", "text", "qid", "qtext", k=5, max_df_fraction=1.0
+    ).collect()
+    assert len(out) == 5
+    # identical scores everywhere -> doc_id ascending tie-break
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3, 4]
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_bigram_logprob_matches_hand_computation(spark):
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b")], "doc_id int, text string")
+    out = {r["doc_id"]: r["mean_bigram_logprob"] for r in
+           bigram_logprob(df, "doc_id", "text", k=0.5).collect()}
+    # bigrams: doc1 [ab, ba, ab], doc2 [ab] -> C(ab)=3, C(ba)=1
+    # contexts: C(a.)=3? no: context a has ab(3) -> 3; context b has ba(1)
+    # V = 2 distinct bigram types
+    lp_ab = math.log((3 + 0.5) / (3 + 0.5 * 2))
+    lp_ba = math.log((1 + 0.5) / (1 + 0.5 * 2))
+    assert out[2] == round(lp_ab, 4) or abs(out[2] - lp_ab) < 5e-4
+    expected1 = (2 * lp_ab + lp_ba) / 3
+    assert abs(out[1] - expected1) < 5e-4
+
+
+def test_bigram_logprob_single_word_doc_has_no_row(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "a b")], "doc_id int, text string")
+    ids = {r["doc_id"] for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert ids == {2}
+
+
+def test_per_group_cap_bounds_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(30)], "doc_id int, source string"
+    )
+    out = per_group_cap(df, "doc_id", "source", cap=4)
+    counts = {r["source"]: r["cnt"] for r in
+              out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"g0": 4, "g1": 4, "g2": 4}
+    # stable under repartitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in per_group_cap(df.repartition(7), "doc_id", "source", cap=4).collect()
+    )
+    assert a == b
+
+
+def test_per_group_cap_keeps_small_groups_whole(spark):
+    df = spark.createDataFrame([(1, "g"), (2, "g")], "doc_id int, source string")
+    assert per_group_cap(df, "doc_id", "source", cap=10).count() == 2
+
+
+def test_blocklist_token_exact_not_substring(spark):
+    df = spark.createDataFrame(
+        [(1, "the class is classy"), (2, "class class ass")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           blocklist_filter(df, "doc_id", "text", ["ass", "class"], max_hits=1).collect()}
+    # 'classy' must NOT match 'class' or 'ass'
+    assert out[1]["n_hits"] == 1 and out[1]["keep"]
+    assert out[2]["n_hits"] == 3 and out[2]["n_distinct_hits"] == 2
+    assert not out[2]["keep"]
