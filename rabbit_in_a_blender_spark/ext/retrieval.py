@@ -131,3 +131,48 @@ def bm25_topk(
             "score",
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the keyword
+    signal corpus browsers and topic-drift monitors run over training
+    shards.
+
+    score(t, d) = tf * ln((1 + N) / (1 + df))      (smoothed IDF > 0)
+
+    tf/df/N are exact integers so the per-term double is bit-identical
+    across engines; ranking is (rounded score desc, term asc) inside
+    each document, making the top-k fully deterministic.
+
+    Plan: the postings aggregate (one wide stage) self-derives df; the
+    (term -> df) table joins back on the term key, and the per-doc
+    window ranks at most |distinct terms in doc| rows — partitioned by
+    document, so no global window appears at any scale.
+    """
+    postings = term_stats(docs, id_col, text_col)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("long").alias("rank"), "term", "tfidf")
+    )

@@ -262,3 +262,66 @@ def bigram_logprob(
         .groupBy(id_col)
         .agg(F.round(F.avg("__lp"), 4).alias("mean_bigram_logprob"))
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    min_pmi: float = 1.0,
+) -> DataFrame:
+    """Corpus-level collocation mining: adjacent word pairs whose
+    pointwise mutual information exceeds a threshold — the classic
+    phrase-detection pass (word2vec's phrase step, tokenizer-merge
+    candidates, glossary extraction).
+
+    PMI(w1, w2) = ln( C(w1 w2) * B / (C(w1 .) * C(. w2)) )
+
+    with B = total bigram tokens and the marginals counted over bigram
+    slots (so the identity sums hold exactly).  All counts are exact
+    integers -> the double ratio is engine-identical; output keeps
+    every pair with C >= min_count and rounded PMI >= min_pmi
+    (threshold, not top-N: no tie-prone global LIMIT).
+
+    Plan: reuses the bigram-count aggregation shape of
+    :func:`bigram_logprob`; both marginals derive from the (already
+    Zipf-shrunk) bigram table, joined back on the two word keys.  Two
+    corpus-wide shuffles total, marginal tables broadcast-sized.
+    """
+    bigram_expr = (
+        "transform(sequence(1, size(__ws) - 1), "
+        "i -> concat(element_at(__ws, i), '\\u001F', element_at(__ws, i + 1)))"
+    )
+    ws = df.select(F.split(F.col(text_col), " ").alias("__ws"))
+    bigrams = ws.select(
+        F.explode(
+            F.when(F.size("__ws") >= 2, F.expr(bigram_expr)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("__bg")
+    )
+    bc = bigrams.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c12"))
+    w1 = F.split(F.col("__bg"), _BG_SEP).getItem(0)
+    w2 = F.split(F.col("__bg"), _BG_SEP).getItem(1)
+    left = bc.groupBy(w1.alias("__w1")).agg(F.sum("__c12").alias("__c1"))
+    right = bc.groupBy(w2.alias("__w2")).agg(F.sum("__c12").alias("__c2"))
+    total = bc.agg(F.sum("__c12").cast("double").alias("__b"))
+    return (
+        bc.filter(F.col("__c12") >= min_count)
+        .join(left, w1 == F.col("__w1"))
+        .join(right, w2 == F.col("__w2"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            w1.alias("word1"),
+            w2.alias("word2"),
+            F.col("__c12").alias("pair_count"),
+            F.round(
+                F.log(
+                    F.col("__c12") * F.col("__b") / (F.col("__c1") * F.col("__c2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .filter(F.col("pmi") >= min_pmi)
+    )

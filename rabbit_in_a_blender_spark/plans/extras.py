@@ -417,3 +417,41 @@ def ext_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.from_json(F.col("props"), "k BIGINT").alias("__j")
     )
     return parsed.select("event_id", F.col("__j.k").alias("k_typed"))
+
+
+@register(
+    "ext_interval_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS win_id, user_id, ts AS win_start,
+             ts + INTERVAL 2 HOUR AS win_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, win_id, e.event_id AS click_id
+    FROM events e
+    JOIN purchases p
+      ON e.user_id = p.user_id
+     AND e.ts >= p.win_start AND e.ts <= p.win_end
+    WHERE e.event_type = 'click'
+    """,
+    doc="Bucketized interval join (operators/interval.py): clicks inside "
+    "each purchase's 2-hour window meet on (user, time-bucket) instead "
+    "of fanning out the full per-user cross product.",
+)
+def ext_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.interval import interval_join
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts")
+    )
+    wins = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    return interval_join(
+        clicks, wins, ["user_id"], "ts", "win_start", "win_end",
+        bucket_seconds=3600,
+    ).select("user_id", "win_id", "click_id")

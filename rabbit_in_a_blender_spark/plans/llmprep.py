@@ -1086,3 +1086,74 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, q, "doc_id", "text", "qid", "qtext",
         k=10, k1=1.2, b=0.75, max_df_fraction=0.5,
     )
+
+
+@register(
+    "ext_tfidf_top_terms",
+    oracle="""
+    WITH postings AS (
+      SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      GROUP BY doc_id, term
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term),
+    scored AS (
+      SELECT doc_id, term,
+             ROUND(tf * ln((1.0 + n_docs) / (1.0 + df)), 4) AS tfidf
+      FROM postings JOIN dfreq USING (term), nd
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Per-document top-3 TF-IDF keywords: postings + df join-back + "
+    "a per-doc window (never global), deterministic tie-break on term.",
+)
+def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.retrieval import tfidf_top_terms
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+@register(
+    "ext_pmi_collocations",
+    oracle="""
+    WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || chr(31) || w[i+1])) AS bg
+      FROM ws
+    ),
+    bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY bg),
+    lm AS (SELECT string_split(bg, chr(31))[1] AS w1, SUM(c12) AS c1
+           FROM bc GROUP BY 1),
+    rm AS (SELECT string_split(bg, chr(31))[2] AS w2, SUM(c12) AS c2
+           FROM bc GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c12) AS DOUBLE) AS b FROM bc),
+    out AS (
+      SELECT string_split(bg, chr(31))[1] AS word1,
+             string_split(bg, chr(31))[2] AS word2,
+             c12 AS pair_count,
+             ROUND(ln(c12 * b / (c1 * c2)), 4) AS pmi
+      FROM bc
+      JOIN lm ON string_split(bg, chr(31))[1] = w1
+      JOIN rm ON string_split(bg, chr(31))[2] = w2, tot
+      WHERE c12 >= 5
+    )
+    SELECT word1, word2, pair_count, pmi FROM out WHERE pmi >= 0.02
+    """,
+    doc="PMI collocation mining over the shared bigram-count aggregate; "
+    "count + PMI thresholds instead of a tie-prone global top-N.",
+)
+def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import pmi_collocations
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return pmi_collocations(d, "doc_id", "text", min_count=5, min_pmi=0.02)
