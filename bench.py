@@ -74,6 +74,13 @@ NON_HEADLINE = [
     # same-set headline total
     "ext_bpe_token_counts",
     "stream_corpus_dedup_batch",
+    # r7 late additions: the two heaviest adapted TPC-H shapes and the
+    # retrieval/LM/interval operators
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "ext_bm25_topk",
+    "ext_bigram_logprob",
+    "ext_interval_join",
 ]
 
 

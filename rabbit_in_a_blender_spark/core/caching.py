@@ -47,3 +47,24 @@ def unpersist_intermediates(*dfs: DataFrame, blocking: bool = False) -> int:
                 pass
         df._graft_cached = []
     return released
+
+
+class CheckpointPin:
+    """Release handle for a ``localCheckpoint(eager=False)``-pinned RDD.
+
+    ``DataFrame.unpersist()`` only clears the CACHE entry; the
+    checkpoint's truncated-lineage RDD stays in ``getPersistentRDDs``
+    forever — the same long-session leak class as an unreleased
+    persist.  The pinned RDD is reachable through the checkpointed
+    frame's LogicalRDD node; this adapter exposes it through the same
+    ``unpersist`` surface track_cache expects.
+
+    Only release AFTER the checkpoint's consumers are materialized: a
+    locally-checkpointed RDD cannot be recomputed once dropped.
+    """
+
+    def __init__(self, checkpointed_df: DataFrame):
+        self._jrdd = checkpointed_df._jdf.queryExecution().analyzed().rdd()
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self._jrdd.unpersist(blocking)

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.caching import CheckpointPin, track_cache
+
 
 def connected_components(
     pairs: DataFrame,
@@ -53,9 +55,12 @@ def connected_components(
     partial clustering would corrupt a dedup purge.
 
     Cache ownership: the returned frame IS the final round's persisted
-    label table (node-count rows; all intermediates are unpersisted).
-    It stays cached so downstream joins don't replay the loop — call
-    ``.unpersist()`` on it when done, like any frame you persisted.
+    label table (node-count rows; every superseded round's cache entry
+    AND checkpoint pin are released inside the loop).  It stays cached
+    so downstream joins don't replay the loop; it carries its own
+    release handles per the core/caching contract —
+    ``unpersist_intermediates(result)`` drops both the cache entry and
+    the final checkpoint pin when done.
     """
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -68,6 +73,7 @@ def connected_components(
     )
     labels = labels.persist()
     labels.count()
+    prev_pin = None
     try:
         for _ in range(max_rounds):
             # propagate: min over self + neighbor labels
@@ -104,10 +110,17 @@ def connected_components(
                 .filter(F.col("j.comp") != F.col("p.comp"))
                 .count()
             )
+            # previous round's cache entry AND checkpoint pin are both
+            # superseded now that the new checkpoint is materialized
+            # (DataFrame.unpersist alone leaves the truncated-lineage
+            # RDD in getPersistentRDDs forever — core/caching.py)
             labels.unpersist()
+            if prev_pin is not None:
+                prev_pin.unpersist()
+            prev_pin = CheckpointPin(jumped)
             labels = jumped
             if changed == 0:
-                return labels
+                return track_cache(labels, [labels, prev_pin])
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )

@@ -854,3 +854,73 @@ def ext_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("long").alias("cluster_size"),
         F.col("is_canonical").cast("long").alias("is_canonical"),
     )
+
+
+def _pagerank_oracle(damping: float = 0.85, iterations: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (recursive CTEs
+    can't aggregate over their own recursive reference, so each power
+    step is spelled out — same trick as the generated BPE replace
+    chain).  Must mirror ext/graph.py:pagerank exactly: per-iteration
+    ROUND to 8 decimals, dangling mass folded back uniformly."""
+    parts = [
+        """
+    WITH edges AS (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    odeg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+    deg AS (
+      SELECT node, COALESCE(d, 0) AS out_deg
+      FROM nodes LEFT JOIN odeg USING (node)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    pr0 AS (SELECT node, out_deg, 1.0 / n AS rank FROM deg, nn)
+        """.strip()
+    ]
+    for i in range(iterations):
+        prev, cur = f"pr{i}", f"pr{i + 1}"
+        parts.append(
+            f"""
+    dm{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev} WHERE out_deg = 0),
+    c{i} AS (
+      SELECT dst AS node, SUM(p.rank / p.out_deg) AS cin
+      FROM edges e JOIN {prev} p ON e.src = p.node
+      WHERE p.out_deg > 0 GROUP BY dst
+    ),
+    {cur} AS (
+      SELECT d.node, d.out_deg,
+             ROUND((1 - {damping}) / n
+                   + {damping} * (COALESCE(cin, 0.0) + dm / n), 8) AS rank
+      FROM deg d LEFT JOIN c{i} USING (node), nn, dm{i}
+    )
+            """.strip()
+        )
+    final = f"SELECT node, ROUND(rank, 6) AS rank FROM pr{iterations}"
+    return ",\n".join(parts) + "\n" + final
+
+
+@register(
+    "ext_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="Fixed-iteration damped PageRank over the supplier-to-customer "
+    "shipment graph (customers are all sinks, so the dangling-mass "
+    "redistribution is fully exercised); the oracle unrolls the same "
+    "five power steps as chained CTEs.",
+)
+def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.graph import pagerank
+
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, "src", "dst", damping=0.85, iterations=5,
+                  round_decimals=8)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
