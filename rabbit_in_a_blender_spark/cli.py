@@ -175,6 +175,22 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--seed", default="mix",
                    help="With --corpus-mix: seed for the upsample and "
                         "shuffle hashes (default %(default)s)")
+    x.add_argument("--corpus-search", metavar="DOCS",
+                   help="BM25 keyword search over a document corpus "
+                        "(parquet dir/file or .jsonl[.gz]): builds the "
+                        "postings aggregate in-session and ranks --query "
+                        "strings against it")
+    x.add_argument("--query", action="append", metavar="TEXT",
+                   help="With --corpus-search: query string (repeatable; "
+                        "at least one required)")
+    x.add_argument("--topk", type=int, default=10,
+                   help="With --corpus-search: results per query "
+                        "(default %(default)s)")
+    x.add_argument("--max-df", type=float, default=0.5, metavar="FRAC",
+                   help="With --corpus-search: prune terms present in "
+                        "more than this fraction of documents — the "
+                        "stopword screen (default %(default)s; raise "
+                        "toward 1.0 for tiny-vocabulary corpora)")
     return p
 
 
@@ -440,6 +456,58 @@ def _corpus_mix(args, cfg) -> int:
     return 0
 
 
+def _corpus_search(args, cfg) -> int:
+    """User-facing BM25 search (`ext/retrieval.py`): the postings
+    aggregate is the index, built in-session — no external service."""
+    from .core.session import get_spark
+    from .ext.retrieval import bm25_topk
+
+    if not args.query:
+        raise SystemExit("--corpus-search requires at least one --query")
+    spark = get_spark(
+        "riab-spark",
+        master=cfg.get("spark", "master", fallback=None),
+        shuffle_partitions=(
+            cfg.getint("spark", "shuffle_partitions")
+            if cfg.has_option("spark", "shuffle_partitions")
+            else None
+        ),
+    )
+    src = args.corpus_search
+    if src.endswith((".jsonl", ".jsonl.gz", ".json")):
+        from .sources.readers import read_jsonl
+
+        docs = read_jsonl(spark, src)
+    else:
+        docs = spark.read.parquet(src)
+    for c in (args.id_col, args.text_col):
+        if c not in docs.columns:
+            raise SystemExit(f"column {c!r} not in {src} ({docs.columns})")
+
+    queries = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(args.query)], "qid int, qtext string"
+    )
+    hits = bm25_topk(
+        docs, queries, args.id_col, args.text_col, "qid", "qtext",
+        k=args.topk, max_df_fraction=args.max_df,
+    )
+    if args.out:
+        _write_docs(hits, args.out, args.format)
+        print(f"wrote search results -> {args.out} ({args.format})")
+        return 0
+    rows = hits.orderBy("qid", "rank").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for i, q in enumerate(args.query):
+        print(f"query {i}: {q!r}")
+        for r in by_q.get(i, []):
+            print(f"  {r['rank']:>3}. {r[args.id_col]}  score={r['score']}")
+        if i not in by_q:
+            print("  (no matches)")
+    return 0
+
+
 def _write_docs(df, out: str, fmt: str) -> None:
     if fmt == "jsonl":
         df.write.mode("overwrite").json(out)
@@ -507,6 +575,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.corpus_mix:
         return _corpus_mix(args, cfg)
+
+    if args.corpus_search:
+        return _corpus_search(args, cfg)
 
     if args.create_folders:
         from .folders import create_cdm_folders

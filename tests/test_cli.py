@@ -434,3 +434,47 @@ def test_corpus_mix_upsamples_shards_and_budgets(spark, capsys, tmpdir_):
     assert capped.count() > 0
     assert capped.agg({"cum_tokens": "max"}).collect()[0][0] <= 120
     assert len(sc._jsc.getPersistentRDDs()) == before
+
+
+def test_corpus_search_ranks_and_writes(spark, capsys, tmpdir_):
+    """--corpus-search end-to-end: exact-match doc ranks first; --out
+    writes parquet; the df screen prunes ubiquitous terms."""
+    root = str(tmpdir_)
+    docs = os.path.join(root, "docs")
+    rows = [
+        (1, "apple banana cherry"),
+        (2, "banana cherry durian"),
+        (3, "elderberry fig grape"),
+        (4, "apple apple banana"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    rc = main(
+        ["--corpus-search", docs, "--id-col", "doc_id", "--text-col", "text",
+         "--query", "elderberry grape", "--topk", "2", "--max-df", "1.0",
+         "--config", cfg]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "query 0: 'elderberry grape'" in printed
+    assert "  1. 3  score=" in printed
+    # --out path
+    out = os.path.join(root, "hits")
+    rc = main(
+        ["--corpus-search", docs, "--id-col", "doc_id", "--text-col", "text",
+         "--query", "apple", "--out", out, "--max-df", "1.0", "--config", cfg]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    by_rank = {r["rank"]: r["doc_id"] for r in got.collect()}
+    # doc 4 has tf=2 for 'apple' and shortest length -> rank 1
+    assert by_rank[1] == 4
+    # a query of only ubiquitous terms yields no matches at a strict cap
+    rc = main(
+        ["--corpus-search", docs, "--id-col", "doc_id", "--text-col", "text",
+         "--query", "banana", "--max-df", "0.5", "--config", cfg]
+    )
+    assert rc == 0
+    assert "(no matches)" in capsys.readouterr().out
