@@ -315,3 +315,48 @@ def per_group_cap(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def weighted_group_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: k rows per group, where a
+    row's selection probability is proportional to ``weight_col`` —
+    the Efraimidis-Spirakis A-ES scheme on deterministic draws
+    (quality-weighted corpus selection: sample harder from high-quality
+    strata without ever fully dropping the tail).
+
+    Each row gets priority ln(u) / w with u a uniform draw derived from
+    the md5 hash prefix (u in (0, 1], never 0 — +1 on the integer
+    prefix) and w its weight; the k HIGHEST priorities per group win —
+    equivalent to u^(1/w) ranking but cheaper and monotone-identical.
+    Non-positive weights never win against any positive weight (their
+    priority is forced to -infinity via the weight guard); a group with
+    fewer than k positive-weight rows keeps only those.
+
+    Deterministic across engines: the md5 prefix -> integer -> double
+    division and ln are bit-identical IEEE ops in Spark and DuckDB, so
+    the priority ORDER (ties broken by key) reproduces exactly.  One
+    shuffle on the group key, rank short-circuits at k.
+    """
+    u = (
+        F.conv(hash_bucket(F.col(key_col), seed), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(_SPACE))
+    priority = F.when(
+        F.col(weight_col) > 0, F.log(u) / F.col(weight_col)
+    ).otherwise(F.lit(float("-inf")))
+    w = Window.partitionBy(group_col).orderBy(
+        priority.desc(), F.col(key_col)
+    )
+    return (
+        df.withColumn("__pri", priority)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") <= k) & (F.col(weight_col) > 0))
+        .drop("__rn", "__pri")
+    )

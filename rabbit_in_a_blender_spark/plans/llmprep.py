@@ -1161,3 +1161,34 @@ def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
     return pmi_collocations(d, "doc_id", "text", min_count=5, min_pmi=0.02)
+
+
+@register(
+    "ext_weighted_sample",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, lang,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'),
+                                 1, 8))::BIGINT + 1.0) / 4294967296.0)
+             / n_chars AS p
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY p DESC, doc_id) AS rn
+      FROM pri
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= 20
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis on "
+    "deterministic hash draws): 20 docs per language, selection "
+    "probability proportional to n_chars — the quality-weighted "
+    "corpus-selection primitive, reproducible across engines.",
+)
+def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.sampling import weighted_group_sample
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return weighted_group_sample(
+        d, "doc_id", "lang", "n_chars", k=20, seed="wsample"
+    ).select("doc_id", "lang")

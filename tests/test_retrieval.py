@@ -122,3 +122,42 @@ def test_blocklist_token_exact_not_substring(spark):
     assert out[1]["n_hits"] == 1 and out[1]["keep"]
     assert out[2]["n_hits"] == 3 and out[2]["n_distinct_hits"] == 2
     assert not out[2]["keep"]
+
+
+def test_weighted_sample_respects_weights_and_cap(spark):
+    from rabbit_in_a_blender_spark.ext.sampling import weighted_group_sample
+
+    rows = [(i, "g", 1000.0 if i < 5 else 0.001) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, grp string, w double")
+    out = [r["doc_id"] for r in
+           weighted_group_sample(df, "doc_id", "grp", "w", k=5).collect()]
+    assert len(out) == 5
+    # weight ratio 1e6: the five heavy rows should dominate the sample
+    assert len(set(out) & {0, 1, 2, 3, 4}) >= 4
+
+
+def test_weighted_sample_excludes_nonpositive_and_short_groups(spark):
+    from rabbit_in_a_blender_spark.ext.sampling import weighted_group_sample
+
+    df = spark.createDataFrame(
+        [(1, "g", 2.0), (2, "g", 0.0), (3, "g", -1.0), (4, "h", 1.0)],
+        "doc_id int, grp string, w double",
+    )
+    out = {(r["doc_id"], r["grp"]) for r in
+           weighted_group_sample(df, "doc_id", "grp", "w", k=3).collect()}
+    # zero/negative weights never selected; group h has 1 < k rows
+    assert out == {(1, "g"), (4, "h")}
+
+
+def test_weighted_sample_deterministic_across_repartition(spark):
+    from rabbit_in_a_blender_spark.ext.sampling import weighted_group_sample
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i + 1)) for i in range(40)],
+        "doc_id int, grp string, w double",
+    )
+    a = sorted(r["doc_id"] for r in
+               weighted_group_sample(df, "doc_id", "grp", "w", k=4).collect())
+    b = sorted(r["doc_id"] for r in
+               weighted_group_sample(df.repartition(9), "doc_id", "grp", "w", k=4).collect())
+    assert a == b and len(a) == 8
