@@ -1,0 +1,136 @@
+"""PCA fitting + whitening for embedding columns — the preprocessing
+step in front of the ANN stack (``ext/ivf.py`` / ``ext/pq.py``): a
+variance-aligned rotation is the "OPQ-lite" trick that makes
+per-subspace PQ codebooks meaningfully better, and whitening feeds
+cosine/L2 pipelines that assume isotropic noise.
+
+Execution model (how you fit PCA on 100 TB of vectors):
+
+- the d×d second-moment matrix is a SUM of per-row outer products —
+  an associative/commutative reduction, so each partition computes
+  its local (count, sum_x, sum_xxT) in ONE Arrow batch pass
+  (``mapInPandas``, numpy matmul per batch) and only those
+  d²+d+1-float partials cross the wire: a few KB per partition,
+  regardless of row count;
+- the eigendecomposition runs on the driver over the d×d matrix —
+  microseconds for embedding-sized d, and NOT a distributed problem;
+- the projection back over the corpus is a stateless Arrow-batched
+  matmul (broadcast components), one narrow pass.
+
+Numpy here is the documented Arrow escape hatch (same seam as
+``ext/multimodal.py``): per-row JVM expressions for a d×k matmul
+would be d·k expression nodes — the batch BLAS call is the honest
+fast path.
+
+Determinism: partial sums are float64 and the final reduce happens on
+the driver in partition order; eigh eigenvectors get a sign
+convention (largest-|component| coordinate positive).  The catalog
+row is rows-only by design (no SQL engine eigendecomposes); the
+numerics are pinned by numpy cross-checks in ``tests/test_pca.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_pca(df: DataFrame, vec_col: str, k: int) -> dict:
+    """Fit a k-component PCA on an array<float|double> column.
+
+    Returns {"mean": (d,), "components": (k, d) row-major eigvecs sorted
+    by descending eigenvalue, "eigenvalues": (k,), "n": int} — plain
+    numpy/python, broadcastable to the transform.
+    """
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            ss = g if ss is None else ss + g
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+        )
+
+    parts = (
+        df.select(F.col(vec_col).alias("v"))
+        .mapInPandas(_partials, "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    if not parts:
+        raise ValueError("fit_pca: empty input")
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for p in parts:
+        s += np.asarray(p["s"])
+        ss += np.asarray(p["ss"]).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    evals = np.maximum(evals[order], 0.0)
+    # sign convention: the largest-|x| coordinate of each component is
+    # positive, so the fit is unique and replays bit-stably
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean,
+        "components": comps,
+        "eigenvalues": evals,
+        "n": int(n),
+    }
+
+
+def transform_pca(
+    df: DataFrame,
+    vec_col: str,
+    model: dict,
+    out_col: str = "projected",
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project vectors onto the fitted components; ``whiten=True``
+    scales each output dimension to unit variance (1/sqrt(eigenvalue)).
+
+    Stateless Arrow-batched matmul over broadcast (k, d) weights — one
+    narrow pass, any corpus size.  All input columns are preserved.
+    """
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+    if whiten:
+        scale = 1.0 / np.sqrt(np.asarray(model["eigenvalues"]) + eps)
+        comps = comps * scale[:, None]
+    in_cols = df.columns
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in in_cols]
+        + [f"{out_col} array<double>"]
+    )
+
+    def _project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            y = (x - mean) @ comps.T
+            pdf = pdf.copy()
+            pdf[out_col] = list(y)
+            yield pdf
+
+    return df.mapInPandas(_project, out_schema)

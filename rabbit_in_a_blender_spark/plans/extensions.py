@@ -924,3 +924,32 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(edges, "src", "dst", damping=0.85, iterations=5,
                   round_decimals=8)
     return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "ext_pca_whiten",
+    oracle=None,  # rows-only BY DESIGN: no SQL engine eigendecomposes;
+    # the numerics are pinned by numpy cross-checks in tests/test_pca.py
+    doc="PCA fit (Arrow-batched partial moment matrices, driver eigh, "
+    "sign-conventioned components) + whitening projection of the "
+    "embeddings table to 8 dims; returns per-dimension projected "
+    "variances so the rows-only check still sees the whitening "
+    "contract (all ~1.0) rather than opaque vectors.",
+)
+def ext_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.pca import fit_pca, transform_pca
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    model = fit_pca(emb, "embedding", k=8)
+    proj = transform_pca(emb, "embedding", model, whiten=True)
+    # per-dimension mean/variance of the whitened projection: d rows,
+    # each variance ~1.0 — the verifiable surface of the transform
+    pos = proj.select(F.posexplode("projected").alias("dim", "val"))
+    return (
+        pos.groupBy("dim")
+        .agg(
+            F.round(F.avg("val"), 4).alias("mean"),
+            F.round(F.var_pop("val"), 4).alias("variance"),
+        )
+        .orderBy("dim")
+    )

@@ -1,0 +1,87 @@
+"""PCA fit/transform: numpy cross-check, whitening contract, Arrow
+partials correctness across partitionings."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rabbit_in_a_blender_spark.ext.pca import fit_pca, transform_pca
+
+
+def _vectors(seed=7, n=200, d=6):
+    rng = np.random.RandomState(seed)
+    # anisotropic: stretch two directions so the top components are
+    # unambiguous
+    base = rng.randn(n, d)
+    base[:, 0] *= 5.0
+    base[:, 1] *= 2.0
+    return base + rng.randn(d) * 0.3
+
+
+def _df(spark, x, parts=1):
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.repartition(parts) if parts > 1 else df
+
+
+def test_fit_matches_numpy_eigh(spark):
+    x = _vectors()
+    m = fit_pca(_df(spark, x), "embedding", k=3)
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    assert np.allclose(m["mean"], mean, atol=1e-9)
+    assert np.allclose(m["eigenvalues"], evals[order], atol=1e-9)
+    for i, j in enumerate(order):
+        v = evecs[:, j]
+        sign_fix = np.sign(v[np.argmax(np.abs(v))])
+        assert np.allclose(m["components"][i], v * sign_fix, atol=1e-9), i
+
+
+def test_fit_is_partitioning_invariant(spark):
+    x = _vectors(seed=11)
+    a = fit_pca(_df(spark, x, parts=1), "embedding", k=2)
+    b = fit_pca(_df(spark, x, parts=13), "embedding", k=2)
+    # partials reduce is float64 sum over partitions; allow ulp-level play
+    assert np.allclose(a["components"], b["components"], atol=1e-12)
+    assert np.allclose(a["eigenvalues"], b["eigenvalues"], atol=1e-12)
+
+
+def test_whitened_projection_has_identity_covariance(spark):
+    x = _vectors(seed=3)
+    df = _df(spark, x, parts=4)
+    m = fit_pca(df, "embedding", k=4)
+    out = transform_pca(df, "embedding", m, whiten=True)
+    y = np.stack([r["projected"] for r in out.collect()])
+    assert y.shape == (len(x), 4)
+    assert np.allclose(y.mean(axis=0), 0, atol=1e-9)
+    assert np.allclose(np.cov(y, rowvar=False, bias=True), np.eye(4), atol=1e-6)
+
+
+def test_unwhitened_projection_preserves_variance_ordering(spark):
+    x = _vectors(seed=5)
+    df = _df(spark, x)
+    m = fit_pca(df, "embedding", k=3)
+    y = np.stack(
+        [r["projected"] for r in transform_pca(df, "embedding", m).collect()]
+    )
+    var = y.var(axis=0)
+    assert var[0] > var[1] > var[2]
+    assert np.allclose(var, m["eigenvalues"], atol=1e-9)
+
+
+def test_transform_preserves_input_columns(spark):
+    x = _vectors(seed=9, n=20)
+    df = _df(spark, x)
+    m = fit_pca(df, "embedding", k=2)
+    out = transform_pca(df, "embedding", m)
+    assert set(out.columns) == {"vec_id", "embedding", "projected"}
+    assert out.count() == 20
+
+
+def test_fit_empty_input_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception):
+        fit_pca(df, "embedding", k=2)
