@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from rabbit_in_a_blender_spark.ext.pca import fit_pca, transform_pca
 
@@ -85,3 +86,52 @@ def test_fit_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(Exception):
         fit_pca(df, "embedding", k=2)
+
+
+def _pq_mse(spark, df, m=4, ksub=8):
+    """Reconstruction MSE of PQ codes (numpy decode at test scale)."""
+    from rabbit_in_a_blender_spark.ext.pq import pq_encode, train_pq_codebooks
+
+    books = train_pq_codebooks(df, "vec_id", "embedding", m=m, ksub=ksub,
+                               iterations=2)
+    codes = pq_encode(df, books, "vec_id", "embedding", m=m)
+    bk = {(r["sub_idx"], r["code"]): np.asarray(r["subvec"])
+          for r in books.collect()}
+    x = {r["vec_id"]: np.asarray(r["embedding"])
+         for r in df.collect()}
+    err, n = 0.0, 0
+    for r in codes.collect():
+        v = x[r["vec_id"]]
+        rec = np.concatenate([bk[(i, c)] for i, c in enumerate(r["codes"])])
+        err += float(((v - rec) ** 2).sum())
+        n += 1
+    return err / n
+
+
+def test_balanced_pca_rotation_reduces_pq_quantization_error(spark):
+    # Cross-subspace correlated, anisotropic data.  The honest result:
+    # a NAIVE PCA rotation makes PQ WORSE (all variance lands in the
+    # first subspace, overloading its ksub codes), while the OPQ
+    # eigenvalue-balanced allocation beats both.  Recorded values at
+    # seed 42: raw 35.6, naive 41.8, balanced 25.8.
+    from rabbit_in_a_blender_spark.ext.pca import balanced_subspace_model
+
+    rng = np.random.RandomState(42)
+    n, d = 256, 16
+    z = rng.randn(n, d) * np.linspace(4.0, 0.1, d)
+    mix = np.linalg.qr(rng.randn(d, d))[0]
+    x = z @ mix.T
+    df = _df(spark, x, parts=2)
+    mse_raw = _pq_mse(spark, df)
+
+    model = fit_pca(df, "embedding", k=d)
+    naive = transform_pca(df, "embedding", model).select(
+        "vec_id", F.col("projected").alias("embedding")
+    )
+    mse_naive = _pq_mse(spark, naive)
+    bal = transform_pca(
+        df, "embedding", balanced_subspace_model(model, m=4)
+    ).select("vec_id", F.col("projected").alias("embedding"))
+    mse_bal = _pq_mse(spark, bal)
+    assert mse_naive > mse_raw          # the trap, pinned
+    assert mse_bal < mse_raw * 0.8, (mse_raw, mse_naive, mse_bal)
