@@ -33,6 +33,14 @@ to 0.63 (ties at shortlist-8+); with unrefined seed centroids it
 HURTS (0.47 → 0.43 at shortlist-4) because residuals against a
 badly-fit coarse quantizer have higher variance than the normalized
 vectors themselves.  Rule: pair residual=True with refine_centroids.
+
+OPQ-lite preprocessing (r7): for anisotropic embeddings, rotate the
+corpus AND queries with ``ext/pca.py::balanced_subspace_model`` +
+``transform_pca`` before build/search — orthonormal rotation preserves
+cosine exactly, while eigenvalue-balanced subspaces cut PQ
+quantization MSE 27% in the measured test (and the NAIVE unbalanced
+PCA rotation measurably HURTS — see balanced_subspace_model's
+docstring).
 """
 
 from __future__ import annotations
