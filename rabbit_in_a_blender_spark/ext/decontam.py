@@ -97,3 +97,51 @@ def decontaminate(
         corpus, bench, id_col, text_col, n=n, max_gram_df=max_gram_df
     ).filter(F.col("n_shared_ngrams") >= min_shared)
     return corpus.join(hits.select(id_col), id_col, "left_anti")
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose max
+    cosine to ANY benchmark vector reaches the threshold — the
+    semantic companion to the n-gram overlap screen (paraphrased or
+    reformatted eval items share no 8-gram but sit next to the
+    original in embedding space).
+
+    Output: (id, max_bench_cosine, contaminated).  Every corpus row is
+    kept (the caller filters) so the screen doubles as a similarity
+    audit.
+
+    Scale shape: the benchmark side is eval-set-sized and broadcasts;
+    scoring is a map-side |corpus| x |bench| loop with no shuffle until
+    the per-id MAX — and MAX over exact per-pair doubles is
+    order-insensitive, so the whole screen is oracle-reproducible.  For
+    benchmark sets too big to broadcast, pre-bucket both sides with
+    ``cosine_near_dup_lsh``'s hyperplanes and reuse this under the
+    bucket join.
+    """
+    from .similarity import _dot, _norm
+
+    b = bench.select(F.col(vec_col).cast("array<double>").alias("__vb"))
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vc")
+    )
+    cos = _dot(F.col("__vc"), F.col("__vb")) / (
+        _norm(F.col("__vc")) * _norm(F.col("__vb"))
+    )
+    return (
+        c.crossJoin(F.broadcast(b))
+        .select(F.col(id_col), cos.alias("__cos"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("__cos"), round_digits).alias("max_bench_cosine"))
+        .select(
+            id_col,
+            "max_bench_cosine",
+            (F.col("max_bench_cosine") >= threshold).alias("contaminated"),
+        )
+    )

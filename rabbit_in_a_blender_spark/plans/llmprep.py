@@ -1192,3 +1192,43 @@ def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_group_sample(
         d, "doc_id", "lang", "n_chars", k=20, seed="wsample"
     ).select("doc_id", "lang")
+
+
+@register(
+    "ext_embed_decontam",
+    oracle="""
+    WITH bench AS (
+      SELECT embedding::DOUBLE[] AS vb FROM embeddings WHERE label = 0
+    ),
+    corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vc FROM embeddings WHERE label <> 0
+    ),
+    scored AS (
+      SELECT vec_id,
+             ROUND(MAX(list_dot_product(vc, vb)
+                       / (sqrt(list_dot_product(vc, vc))
+                          * sqrt(list_dot_product(vb, vb)))), 4)
+               AS max_bench_cosine
+      FROM corpus, bench
+      GROUP BY vec_id
+    )
+    SELECT vec_id, max_bench_cosine,
+           max_bench_cosine >= 0.35 AS contaminated
+    FROM scored
+    """,
+    doc="Embedding-space decontamination: corpus vectors' max cosine to "
+    "the broadcast benchmark set (label 0), flagged at the threshold — "
+    "the semantic companion to the n-gram overlap screen (MAX over "
+    "exact per-pair doubles is order-insensitive, so fully hash-checkable).",
+)
+def ext_embed_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.decontam import embedding_decontaminate
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_decontaminate(
+        e.filter(F.col("label") != 0),
+        e.filter(F.col("label") == 0),
+        "vec_id",
+        "embedding",
+        threshold=0.35,
+    )

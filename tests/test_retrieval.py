@@ -161,3 +161,28 @@ def test_weighted_sample_deterministic_across_repartition(spark):
     b = sorted(r["doc_id"] for r in
                weighted_group_sample(df.repartition(9), "doc_id", "grp", "w", k=4).collect())
     assert a == b and len(a) == 8
+
+
+def test_embedding_decontaminate_flags_semantic_copies(spark):
+    from rabbit_in_a_blender_spark.ext.decontam import embedding_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),    # same direction, different norm -> 1.0
+            (2, [0.0, 1.0, 0.0]),    # orthogonal -> 0.0
+            (3, [1.0, 1.0, 0.0]),    # 45 degrees -> ~0.7071
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in embedding_decontaminate(
+        corpus, bench, "vec_id", "embedding", threshold=0.9
+    ).collect()}
+    assert out[1]["max_bench_cosine"] == 1.0 and out[1]["contaminated"]
+    assert out[2]["max_bench_cosine"] == 0.0 and not out[2]["contaminated"]
+    assert abs(out[3]["max_bench_cosine"] - 0.7071) < 1e-9
+    assert not out[3]["contaminated"]
+    # every corpus row kept (audit surface), none dropped
+    assert set(out) == {1, 2, 3}
