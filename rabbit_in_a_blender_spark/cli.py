@@ -191,6 +191,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "more than this fraction of documents — the "
                         "stopword screen (default %(default)s; raise "
                         "toward 1.0 for tiny-vocabulary corpora)")
+    x.add_argument("--graph-rank", metavar="EDGES",
+                   help="PageRank over an edge table (parquet dir/file "
+                        "or .jsonl[.gz] with --src-col/--dst-col "
+                        "columns): the FineWeb-style source-authority "
+                        "signal; prints the top 20 or writes --out")
+    x.add_argument("--src-col", default="src",
+                   help="With --graph-rank: source column (default %(default)s)")
+    x.add_argument("--dst-col", default="dst",
+                   help="With --graph-rank: destination column "
+                        "(default %(default)s)")
+    x.add_argument("--iterations", type=int, default=10,
+                   help="With --graph-rank: damped power steps "
+                        "(default %(default)s)")
+    x.add_argument("--damping", type=float, default=0.85,
+                   help="With --graph-rank: damping factor "
+                        "(default %(default)s)")
     return p
 
 
@@ -508,6 +524,51 @@ def _corpus_search(args, cfg) -> int:
     return 0
 
 
+def _graph_rank(args, cfg) -> int:
+    """User-facing PageRank (`ext/graph.py`): rank sources/domains by
+    link authority over an edge table."""
+    from pyspark.sql import functions as F
+
+    from .core.caching import unpersist_intermediates
+    from .core.session import get_spark
+    from .ext.graph import pagerank
+
+    spark = get_spark(
+        "riab-spark",
+        master=cfg.get("spark", "master", fallback=None),
+        shuffle_partitions=(
+            cfg.getint("spark", "shuffle_partitions")
+            if cfg.has_option("spark", "shuffle_partitions")
+            else None
+        ),
+    )
+    src = args.graph_rank
+    if src.endswith((".jsonl", ".jsonl.gz", ".json")):
+        from .sources.readers import read_jsonl
+
+        edges = read_jsonl(spark, src)
+    else:
+        edges = spark.read.parquet(src)
+    for c in (args.src_col, args.dst_col):
+        if c not in edges.columns:
+            raise SystemExit(f"column {c!r} not in {src} ({edges.columns})")
+
+    ranks = pagerank(
+        edges, args.src_col, args.dst_col,
+        damping=args.damping, iterations=args.iterations,
+    )
+    if args.out:
+        _write_docs(ranks, args.out, args.format)
+        unpersist_intermediates(ranks)
+        print(f"wrote node ranks -> {args.out} ({args.format})")
+        return 0
+    top = ranks.orderBy(F.col("rank").desc(), "node").limit(20).collect()
+    unpersist_intermediates(ranks)
+    for r in top:
+        print(f"  {r['rank']:.8f}  {r['node']}")
+    return 0
+
+
 def _write_docs(df, out: str, fmt: str) -> None:
     if fmt == "jsonl":
         df.write.mode("overwrite").json(out)
@@ -578,6 +639,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.corpus_search:
         return _corpus_search(args, cfg)
+
+    if args.graph_rank:
+        return _graph_rank(args, cfg)
 
     if args.create_folders:
         from .folders import create_cdm_folders

@@ -478,3 +478,29 @@ def test_corpus_search_ranks_and_writes(spark, capsys, tmpdir_):
     )
     assert rc == 0
     assert "(no matches)" in capsys.readouterr().out
+
+
+def test_graph_rank_prints_and_writes(spark, capsys, tmpdir_):
+    """--graph-rank end-to-end: hub node ranks first; --out writes
+    parquet; no persistent RDDs leak."""
+    root = str(tmpdir_)
+    edges = os.path.join(root, "edges")
+    # pure star: hub is a dangling authority, everyone else a source
+    rows = [(f"u{i}", "hub") for i in range(6)]
+    spark.createDataFrame(rows, "src string, dst string").write.parquet(edges)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    rc = main(["--graph-rank", edges, "--iterations", "4", "--config", cfg])
+    assert rc == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert printed[0].split()[-1] == "hub"
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+    out = os.path.join(root, "ranks")
+    rc = main(["--graph-rank", edges, "--iterations", "4", "--out", out,
+               "--config", cfg])
+    assert rc == 0
+    got = {r["node"]: r["rank"] for r in spark.read.parquet(out).collect()}
+    assert max(got, key=got.get) == "hub"
+    assert abs(sum(got.values()) - 1.0) < 1e-5
