@@ -397,10 +397,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS numcust,
            CAST(ROUND(SUM(c_acctbal::DECIMAL(18,4)), 2) AS DOUBLE) AS totacctbal
     FROM rich
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     GROUP BY c_nationkey
     """,
-    doc="Scalar-avg filter + anti join + grouped agg (TPC-H Q22 shape).",
+    doc="Scalar-avg filter + anti join + grouped agg (TPC-H Q22 shape; "
+    "'no orders' is date-restricted to dormant-since-1999 because every "
+    "fixture customer has SOME order — the unrestricted row passed "
+    "vacuously on 0 rows).",
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "customer", "orders")
@@ -411,8 +416,11 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = cust.join(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("__avg")
     )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
     no_orders = rich.join(
-        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     )
     # acctbal sums: values have 2 decimals; decimal cast keeps the sum
     # exact under reordering like the revenue terms elsewhere

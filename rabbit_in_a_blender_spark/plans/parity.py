@@ -229,14 +229,24 @@ def j4_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j5_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     """,
+    doc="Anti join (keys without a matching recent order).  The orders "
+    "side is date-restricted so the result is non-empty on the driver "
+    "fixture — the unrestricted variant matched every customer and "
+    "passed vacuously on 0 rows (the hash gate proves nothing about an "
+    "empty result).",
 )
 def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "customer", "orders")
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 
