@@ -31,6 +31,7 @@ _MODULES = (
     "rabbit_in_a_blender_spark.plans.extensions",
     "rabbit_in_a_blender_spark.plans.llmprep",
     "rabbit_in_a_blender_spark.plans.streaming_batch",
+    "rabbit_in_a_blender_spark.plans.timeseries",
     "rabbit_in_a_blender_spark.plans.sources",
 )
 

@@ -1,0 +1,158 @@
+"""Catalog rows for the time-series rollup and closed-form regression
+extensions (`ext/timeseries.py`, `ext/regress.py`).
+
+Time-series rows run over `events` on a 6-hour epoch-aligned UTC grid;
+regression rows fit characters-per-word models per language over
+`documents`.  Oracles replay the identical formulas (epoch-grid
+bucketing, running-count LOCF carry groups, covar/var closed form) in
+DuckDB SQL — see plans/catalog.py for the rounding/format conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.io import load_tables
+from ..ext.regress import grouped_linreg, residual_outliers
+from ..ext.timeseries import rollup_gapfill, rolling_zscore
+from .catalog import register
+
+_BUCKET_SQL = "make_timestamp(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)*1000000)"
+
+
+@register(
+    "ext_ts_rollup_gapfill",
+    oracle=f"""
+    WITH roll AS (
+      SELECT event_type, {_BUCKET_SQL} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             FLOOR(SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100 / COUNT(*)) / 10000.0
+               AS avg_v,
+             ROUND(MAX(value), 4) AS max_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM roll GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.event_type, s.bucket,
+             COALESCE(r.n_events, 0) AS n_events, r.avg_v, r.max_value,
+             COUNT(r.avg_v) OVER (PARTITION BY s.event_type ORDER BY s.bucket) AS grp
+      FROM spine s LEFT JOIN roll r
+        ON s.event_type = r.event_type AND s.bucket = r.bucket
+    )
+    SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           CAST(n_events AS BIGINT) AS n_events,
+           MAX(avg_v) OVER (PARTITION BY event_type, grp) AS avg_value_locf,
+           max_value
+    FROM joined
+    """,
+    doc="Hypertable rollup: 6h downsample, dense bucket spine, LOCF gap fill.",
+)
+def ext_ts_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return rollup_gapfill(e, "event_type", "ts", "value", width_s=21600)
+
+
+@register(
+    "ext_ts_rolling_zscore",
+    oracle=f"""
+    WITH roll AS (
+      SELECT event_type, {_BUCKET_SQL} AS bucket,
+             (SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0) / COUNT(*) AS avg_v
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, bucket, avg_v,
+             FLOOR(avg_v * 10000) / 10000.0 AS avg4,
+             COUNT(avg_v) OVER w AS n_prev,
+             AVG(avg_v) OVER w AS mu,
+             stddev_pop(avg_v) OVER w AS sigma
+      FROM roll
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           avg4 AS avg_value,
+           ROUND((avg_v - mu) / sigma, 3) AS zscore,
+           abs(ROUND((avg_v - mu) / sigma, 3)) > 2 AS is_anomaly
+    FROM scored WHERE n_prev >= 4 AND sigma > 0
+    """,
+    doc="Trailing-window z-score anomaly flags over 6h bucket averages.",
+)
+def ext_ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return rolling_zscore(e, "event_type", "ts", "value", width_s=21600)
+
+
+_XY_SQL = """
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS x,
+         CAST(n_chars AS DOUBLE) AS y
+  FROM documents
+"""
+
+
+@register(
+    "ext_regr_fit",
+    oracle=f"""
+    WITH xy AS ({_XY_SQL}),
+    agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             covar_pop(y, x) AS cov, var_pop(x) AS varx,
+             AVG(x) AS mx, AVG(y) AS my, var_pop(y) AS vary
+      FROM xy GROUP BY lang
+    )
+    SELECT lang, n, ROUND(cov / varx, 4) AS slope,
+           ROUND(my - (cov / varx) * mx, 4) AS intercept,
+           ROUND(CASE WHEN varx * vary > 0 THEN cov * cov / (varx * vary) END, 4) AS r2
+    FROM agg WHERE varx > 0
+    """,
+    doc="Per-language OLS fit of n_chars on word count (closed form, one agg pass).",
+)
+def ext_regr_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return grouped_linreg(
+        d.withColumn("n_words", F.size(F.split("text", " "))), "lang", "n_words", "n_chars"
+    )
+
+
+@register(
+    "ext_regr_outliers",
+    oracle=f"""
+    WITH xy AS ({_XY_SQL}),
+    model AS (
+      SELECT lang, covar_pop(y, x) / var_pop(x) AS slope,
+             AVG(y) - (covar_pop(y, x) / var_pop(x)) * AVG(x) AS icept
+      FROM xy GROUP BY lang HAVING var_pop(x) > 0
+    ),
+    scored AS (
+      SELECT xy.lang, xy.doc_id, xy.x, xy.y,
+             ROUND(xy.y - (m.icept + m.slope * xy.x), 4) AS resid
+      FROM xy JOIN model m ON xy.lang = m.lang
+    )
+    SELECT lang, doc_id, CAST(x AS BIGINT) AS x_value, CAST(y AS BIGINT) AS y_value,
+           resid, CAST(rn AS BIGINT) AS rank_in_group
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY abs(resid) DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="Top-5 docs per language by |OLS residual|; broadcast model, rounded rank key.",
+)
+def ext_regr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return residual_outliers(
+        d.withColumn("n_words", F.size(F.split("text", " "))),
+        "lang",
+        "doc_id",
+        "n_words",
+        "n_chars",
+        k=5,
+    )
