@@ -207,6 +207,26 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--damping", type=float, default=0.85,
                    help="With --graph-rank: damping factor "
                         "(default %(default)s)")
+    x.add_argument("--events-rollup", metavar="EVENTS",
+                   help="Hypertable rollup over an event table (parquet "
+                        "dir/file or .jsonl[.gz]): downsample onto a "
+                        "dense gap-filled LOCF bucket grid, written to "
+                        "--out; see --bucket-seconds/--with-anomalies")
+    x.add_argument("--group-col", default="event_type",
+                   help="With --events-rollup: series column "
+                        "(default %(default)s)")
+    x.add_argument("--ts-col", default="ts",
+                   help="With --events-rollup: timestamp column "
+                        "(default %(default)s)")
+    x.add_argument("--value-col", default="value",
+                   help="With --events-rollup: value column "
+                        "(default %(default)s)")
+    x.add_argument("--bucket-seconds", type=int, default=21600,
+                   help="With --events-rollup: bucket width in seconds "
+                        "(default %(default)s)")
+    x.add_argument("--with-anomalies", action="store_true",
+                   help="With --events-rollup: also write trailing-window "
+                        "z-score anomaly flags to <out>_anomalies")
     return p
 
 
@@ -524,6 +544,65 @@ def _corpus_search(args, cfg) -> int:
     return 0
 
 
+def _events_rollup(args, cfg) -> int:
+    """User-facing hypertable rollup (`ext/timeseries.py`): downsample an
+    event stream onto a dense, gap-filled LOCF bucket grid; optionally
+    write trailing-window z-score anomaly flags alongside."""
+    from pyspark.sql import functions as F
+
+    from .core.session import get_spark
+    from .ext.timeseries import rollup_gapfill, rolling_zscore
+
+    spark = get_spark(
+        "riab-spark",
+        master=cfg.get("spark", "master", fallback=None),
+        shuffle_partitions=(
+            cfg.getint("spark", "shuffle_partitions")
+            if cfg.has_option("spark", "shuffle_partitions")
+            else None
+        ),
+    )
+    src = args.events_rollup
+    if src.endswith((".jsonl", ".jsonl.gz", ".json")):
+        from .sources.readers import read_jsonl
+
+        events = read_jsonl(spark, src)
+    else:
+        # tolerate TIMESTAMP(NANOS) sources the same way core.io does
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001 — conf may be static on some builds
+            pass
+        events = spark.read.parquet(src)
+        if dict(events.dtypes).get(args.ts_col) == "bigint":
+            events = events.withColumn(
+                args.ts_col, F.timestamp_micros(F.expr(f"{args.ts_col} DIV 1000"))
+            )
+    for c in (args.group_col, args.ts_col, args.value_col):
+        if c not in events.columns:
+            raise SystemExit(f"column {c!r} not in {src} ({events.columns})")
+    if not args.out:
+        raise SystemExit("--events-rollup requires --out")
+
+    rolled = rollup_gapfill(
+        events, args.group_col, args.ts_col, args.value_col,
+        width_s=args.bucket_seconds,
+    )
+    _write_docs(rolled, args.out, args.format)
+    n_buckets = rolled.count()
+    print(f"wrote {n_buckets} bucket rows -> {args.out} ({args.format})")
+    if args.with_anomalies:
+        flags = rolling_zscore(
+            events, args.group_col, args.ts_col, args.value_col,
+            width_s=args.bucket_seconds,
+        )
+        anom_out = args.out.rstrip("/") + "_anomalies"
+        _write_docs(flags, anom_out, args.format)
+        n_anom = flags.where(F.col("is_anomaly")).count()
+        print(f"wrote z-scores -> {anom_out} ({n_anom} anomalous buckets)")
+    return 0
+
+
 def _graph_rank(args, cfg) -> int:
     """User-facing PageRank (`ext/graph.py`): rank sources/domains by
     link authority over an edge table."""
@@ -642,6 +721,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.graph_rank:
         return _graph_rank(args, cfg)
+
+    if args.events_rollup:
+        return _events_rollup(args, cfg)
 
     if args.create_folders:
         from .folders import create_cdm_folders

@@ -90,6 +90,33 @@ def ext_ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore(e, "event_type", "ts", "value", width_s=21600)
 
 
+@register(
+    "ext_percentile_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Exact interpolated percentiles per event_type (Spark percentile == "
+        "DuckDB quantile_cont). Exact percentile sorts each group — fine for "
+        "low-cardinality telemetry groups; at 100 TB with huge groups swap in "
+        "approx_percentile (same call shape, sketch-merged, no sort)."
+    ),
+)
+def ext_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
 _XY_SQL = """
   SELECT lang, doc_id,
          CAST(len(string_split(text, ' ')) AS DOUBLE) AS x,

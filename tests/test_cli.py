@@ -504,3 +504,49 @@ def test_graph_rank_prints_and_writes(spark, capsys, tmpdir_):
     got = {r["node"]: r["rank"] for r in spark.read.parquet(out).collect()}
     assert max(got, key=got.get) == "hub"
     assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+def test_events_rollup_writes_dense_grid(spark, capsys, tmpdir_):
+    """--events-rollup end-to-end: dense gap-filled grid written to --out;
+    --with-anomalies writes the z-score table alongside."""
+    import datetime as dt
+
+    root = str(tmpdir_)
+    events = os.path.join(root, "events")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(minutes=m), 10.0) for m in (5, 50)]
+    rows.append(("a", t0 + dt.timedelta(hours=3), 40.0))  # 2 gap hours
+    spark.createDataFrame(rows, "event_type string, ts timestamp, value double") \
+        .write.parquet(events)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    out = os.path.join(root, "rolled")
+    rc = main(
+        ["--events-rollup", events, "--bucket-seconds", "3600",
+         "--out", out, "--with-anomalies", "--config", cfg]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "wrote 4 bucket rows" in printed  # hours 0-3 densified
+    got = {r["bucket_ts"]: r for r in spark.read.parquet(out).collect()}
+    assert got["2024-01-01 01:00:00"]["n_events"] == 0
+    assert got["2024-01-01 01:00:00"]["avg_value_locf"] == 10.0
+    anom = spark.read.parquet(out + "_anomalies")
+    assert set(anom.columns) == {
+        "event_type", "bucket_ts", "avg_value", "zscore", "is_anomaly"
+    }
+
+
+def test_events_rollup_requires_out_and_columns(spark, tmpdir_):
+    root = str(tmpdir_)
+    events = os.path.join(root, "ev2")
+    spark.createDataFrame(
+        [("a",)], "event_type string"
+    ).write.parquet(events)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\n")
+    with pytest.raises(SystemExit):
+        main(["--events-rollup", events, "--out", os.path.join(root, "x"),
+              "--config", cfg])
