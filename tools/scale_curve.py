@@ -148,6 +148,10 @@ def main() -> None:
         shutil.rmtree(scaled_dir, ignore_errors=True)
         _media_curve(spark, reps)
         return
+    if only == "timeseries":
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _timeseries_curve(spark, reps)
+        return
     try:
         build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
         points = [
@@ -525,6 +529,62 @@ def _media_curve(spark, reps: int) -> None:
             f"{round(r['blobs'] / r['probe_median']):,} | "
             f"{r['features_median']} | "
             f"{round(r['blobs'] / r['features_median']):,} |"
+        )
+
+
+def _timeseries_curve(spark, reps: int) -> None:
+    # --- hypertable rollup scale curve (round 7) ---------------------
+    # Scales rows AND group cardinality together (each replica gets
+    # suffixed event_type values), which is the axis that stresses the
+    # (group, bucket) shuffle, the spine explode, and the LOCF window —
+    # the window runs per group over already-aggregated rows, so wall
+    # time should track the rollup shuffle, not the window.
+    from rabbit_in_a_blender_spark.core.io import load_tables
+    from rabbit_in_a_blender_spark.ext.timeseries import rollup_gapfill, rolling_zscore
+
+    base = load_tables(spark, "/root/testdata/sf0.1", "events")["events"]
+    results = {}
+    for label, copies in (("events-sf0.1", 1), ("events-x5", 5), ("events-x10", 10)):
+        def ev():
+            reps_df = spark.range(copies).select(F.col("id").alias("__r"))
+            return base.crossJoin(F.broadcast(reps_df)).withColumn(
+                "event_type", F.concat_ws("_", "event_type", F.col("__r").cast("string"))
+            )
+
+        def roll_q():
+            return rollup_gapfill(ev(), "event_type", "ts", "value")
+
+        def z_q():
+            return rolling_zscore(ev(), "event_type", "ts", "value")
+
+        n_rows = ev().count()
+        roll_q().count()  # warmup
+        z_q().count()
+        rolls, zs = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rolls_rows = roll_q().count()
+            rolls.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            z_q().count()
+            zs.append(round(time.perf_counter() - t0, 3))
+        results[label] = {
+            "rows": n_rows,
+            "bucket_rows": rolls_rows,
+            "rollup_reps": rolls,
+            "rollup_median": sorted(rolls)[len(rolls) // 2],
+            "zscore_reps": zs,
+            "zscore_median": sorted(zs)[len(zs) // 2],
+        }
+        print(f"## timeseries {label}: rollup {rolls} zscore {zs}", flush=True)
+
+    print(json.dumps(results))
+    print("\n| point | rows | rollup median s | rows/s | zscore median s |")
+    print("|---|---|---|---|---|")
+    for label, r in results.items():
+        print(
+            f"| {label} | {r['rows']:,} | {r['rollup_median']} | "
+            f"{round(r['rows'] / r['rollup_median']):,} | {r['zscore_median']} |"
         )
 
 
