@@ -81,6 +81,9 @@ NON_HEADLINE = [
     "ext_bm25_topk",
     "ext_bigram_logprob",
     "ext_interval_join",
+    # r7 third-session additions: hypertable rollup + anomaly scoring
+    "ext_ts_rollup_gapfill",
+    "ext_ts_rolling_zscore",
 ]
 
 
