@@ -1232,3 +1232,86 @@ def ext_embed_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         threshold=0.35,
     )
+
+
+@register(
+    "ext_psi_drift",
+    oracle="""
+    WITH base AS (
+      SELECT source AS s, CAST(n_chars AS DOUBLE) AS v FROM documents
+    ),
+    edges AS (
+      SELECT quantile_cont(v, [0.25, 0.5, 0.75]) AS e FROM base WHERE s = 'src0'
+    ),
+    binned AS (
+      SELECT s, len(list_filter((SELECT e FROM edges), x -> v >= x)) AS bin,
+             COUNT(*) AS c
+      FROM base GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT DISTINCT base.s, b.bin
+      FROM base, (SELECT UNNEST(range(4)) AS bin) b
+    ),
+    cells AS (
+      SELECT g.s, g.bin, COALESCE(binned.c, 0) AS c
+      FROM grid g LEFT JOIN binned ON g.s = binned.s AND g.bin = binned.bin
+    ),
+    shares AS (
+      SELECT s, bin, c,
+             (c + 0.5) / (SUM(c) OVER (PARTITION BY s) + 2.0) AS p
+      FROM cells
+    ),
+    ref AS (SELECT bin, p AS pr FROM shares WHERE s = 'src0')
+    SELECT s AS source, CAST(SUM(c) AS BIGINT) AS n_docs,
+           ROUND(SUM((p - pr) * ln(p / pr)), 4) AS psi
+    FROM shares JOIN ref USING (bin) WHERE s <> 'src0' GROUP BY s
+    """,
+    doc="Population Stability Index of n_chars per source vs src0: "
+    "reference-quantile bins, dense grid, add-half smoothing.",
+)
+def ext_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.drift import psi_drift
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return psi_drift(d, "source", "n_chars", "src0", n_bins=4)
+
+
+@register(
+    "ext_ks_drift",
+    oracle="""
+    WITH base AS (
+      SELECT source AS s, CAST(n_chars AS DOUBLE) AS v FROM documents
+    ),
+    cand AS (SELECT * FROM base WHERE s <> 'src0'),
+    refv AS (SELECT v FROM base WHERE s = 'src0'),
+    strata AS (SELECT DISTINCT s FROM cand),
+    merged AS (
+      SELECT s, v, SUM(ic) AS c, SUM(ir) AS r FROM (
+        SELECT s, v, 1 AS ic, 0 AS ir FROM cand
+        UNION ALL
+        SELECT strata.s, refv.v, 0, 1 FROM strata, refv
+      ) GROUP BY 1, 2
+    ),
+    ecdf AS (
+      SELECT s,
+             SUM(c) OVER (PARTITION BY s ORDER BY v) * 1.0
+               / SUM(c) OVER (PARTITION BY s) AS ec,
+             SUM(r) OVER (PARTITION BY s ORDER BY v) * 1.0
+               / SUM(r) OVER (PARTITION BY s) AS er,
+             SUM(c) OVER (PARTITION BY s) AS nc,
+             SUM(r) OVER (PARTITION BY s) AS nr
+      FROM merged
+    )
+    SELECT s AS source, CAST(MAX(nc) AS BIGINT) AS n_cand,
+           CAST(MAX(nr) AS BIGINT) AS n_ref,
+           ROUND(MAX(ABS(ec - er)), 4) AS ks
+    FROM ecdf GROUP BY s
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic of n_chars per source "
+    "vs src0 (tie-safe ECDF over per-value mass).",
+)
+def ext_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.drift import ks_statistic
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return ks_statistic(d, "source", "n_chars", "src0")
