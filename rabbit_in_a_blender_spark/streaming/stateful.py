@@ -62,3 +62,129 @@ def running_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --- streaming trailing-window z-score ---------------------------------
+#
+# The streaming twin of ext/timeseries.py::rolling_zscore: per group, an
+# epoch-aligned bucket accumulates (cents, n) until an event from a LATER
+# bucket arrives; closing a bucket scores its average against the ring of
+# previously-closed bucket averages and pushes it onto the ring.  State is
+# (current bucket, its partials, a bounded ring) — a few dozen doubles per
+# group regardless of event volume, the applyInPandasWithState sweet spot.
+#
+# Semantics (documented, test-pinned):
+# - events are processed in ts order within each micro-batch (sorted);
+# - an event for a bucket older than the current one is LATE and dropped
+#   (the bucket already closed — same contract as a watermark);
+# - the newest bucket per group stays open until a later event closes it,
+#   so a finite replay emits one fewer row per group than the batch twin.
+# - averages sit on the same exact cents grid as the batch operator, so
+#   closed-bucket rows match rolling_zscore bit-for-bit.
+
+ZSCORE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_cents", T.LongType()),
+        T.StructField("cur_n", T.LongType()),
+        T.StructField("ring", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+ZSCORE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("bucket_ts", T.StringType()),
+        T.StructField("avg_value", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+
+def _make_zscore_update(width_s: int, lookback: int, min_prev: int, threshold: float):
+    import datetime as _dt
+    import math as _math
+
+    def _close(key, bucket, cents, n, ring, out_rows):
+        avg = (cents / 100.0) / n
+        if len(ring) >= min_prev:
+            window = ring[-lookback:]
+            mu = sum(window) / len(window)
+            var = sum((x - mu) ** 2 for x in window) / len(window)
+            sigma = _math.sqrt(var)
+            if sigma > 0:
+                z = round((avg - mu) / sigma, 3)
+                ts = _dt.datetime.utcfromtimestamp(bucket * width_s).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                )
+                out_rows.append(
+                    (
+                        key,
+                        ts,
+                        _math.floor(avg * 10000) / 10000.0,
+                        z,
+                        abs(z) > threshold,
+                    )
+                )
+        ring.append(avg)
+        del ring[:-lookback]
+
+    def _update_z(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_bucket, cur_cents, cur_n, ring = state.get
+            ring = list(ring)
+        else:
+            cur_bucket, cur_cents, cur_n, ring = -1, 0, 0, []
+        out_rows: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            secs = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+            cents = pdf["value"].round(2).mul(100).round().astype("int64").to_numpy()
+            for sec, c in zip(secs, cents):
+                b = int(sec) // width_s
+                if b < cur_bucket:
+                    continue  # late event for a closed bucket: dropped
+                if b > cur_bucket:
+                    if cur_n > 0:
+                        _close(key[0], cur_bucket, cur_cents, cur_n, ring, out_rows)
+                    cur_bucket, cur_cents, cur_n = b, 0, 0
+                cur_cents += int(c)
+                cur_n += 1
+        state.update((cur_bucket, cur_cents, cur_n, ring))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["group_key", "bucket_ts", "avg_value", "zscore", "is_anomaly"],
+            )
+
+    return _update_z
+
+
+def stream_zscore(
+    events: DataFrame,
+    group_col: str,
+    width_s: int = 21600,
+    lookback: int = 8,
+    min_prev: int = 4,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Streaming trailing-window z-score over per-group time buckets.
+
+    ``events`` must be a streaming DataFrame with ``group_col``, ``ts``
+    (timestamp) and ``value`` (double).  Emits one row per CLOSED bucket
+    that has enough history; matches the batch
+    ``ext.timeseries.rolling_zscore`` on ordered replays (pytest-pinned).
+    """
+    keyed = events.selectExpr(
+        f"CAST({group_col} AS STRING) AS group_key", "ts", "value"
+    )
+    return keyed.groupBy("group_key").applyInPandasWithState(
+        _make_zscore_update(width_s, lookback, min_prev, threshold),
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

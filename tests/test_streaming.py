@@ -292,3 +292,104 @@ def test_stream_corpus_dedup_screens_across_batches(spark):
         assert post_cached <= pre_cached, post_cached - pre_cached
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_zscore_matches_batch_twin(spark):
+    """stream_zscore over two micro-batches == batch rolling_zscore on the
+    same events, minus the final (still-open) bucket per group."""
+    import os
+
+    from rabbit_in_a_blender_spark.ext.timeseries import rolling_zscore
+    from rabbit_in_a_blender_spark.streaming.stateful import stream_zscore
+    from rabbit_in_a_blender_spark.streaming.windows import streaming_events_source
+
+    rows = []
+    # 11 hourly buckets for group "a": calm 10/11 alternation then a spike
+    for h in range(10):
+        rows.append((h, D(2024, 1, 1, h, 10), 1, "a", 10.0 + (h % 2)))
+    rows.append((10, D(2024, 1, 1, 10, 10), 1, "a", 100.0))  # spike bucket
+    rows.append((11, D(2024, 1, 1, 11, 10), 1, "a", 10.0))   # closes the spike
+    df = spark.createDataFrame(
+        rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+    )
+
+    tmp = tempfile.mkdtemp(prefix="riab_zs_")
+    try:
+        # two micro-batches, split mid-history so state must carry over
+        df.filter("event_id <= 5").coalesce(1).write.parquet(f"{tmp}/in/b1")
+        df.filter("event_id > 5").coalesce(1).write.parquet(f"{tmp}/in/b2")
+        for i, sub in enumerate(sorted(os.listdir(f"{tmp}/in"))):
+            for f in os.listdir(f"{tmp}/in/{sub}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{tmp}/in/{sub}/{f}", f"{tmp}/stream_{i}.parquet")
+        src = streaming_events_source(spark, tmp, schema=df.schema, max_files=1)
+        q = (
+            stream_zscore(src, "event_type", width_s=3600)
+            .writeStream.format("memory")
+            .queryName("riab_zscore_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["bucket_ts"]: r
+            for r in spark.sql("select * from riab_zscore_test").collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    batch = {
+        r["bucket_ts"]: r
+        for r in rolling_zscore(df, "event_type", "ts", "value", width_s=3600).collect()
+    }
+    # the stream never closes the newest bucket (11:00), batch scores it
+    open_bucket = "2024-01-01 11:00:00"
+    assert set(got) == set(batch) - {open_bucket}
+    for ts, s in got.items():
+        b = batch[ts]
+        assert s["avg_value"] == b["avg_value"]           # exact cents grid
+        assert abs(s["zscore"] - b["zscore"]) <= 0.001    # stddev algo ulps
+        assert s["is_anomaly"] == b["is_anomaly"]
+    spike = got["2024-01-01 10:00:00"]
+    assert spike["is_anomaly"] is True and spike["zscore"] > 2
+
+
+def test_stream_zscore_drops_late_events(spark):
+    """An event for an already-closed bucket is dropped, not re-opened."""
+    import os
+
+    from rabbit_in_a_blender_spark.streaming.stateful import stream_zscore
+    from rabbit_in_a_blender_spark.streaming.windows import streaming_events_source
+
+    rows = [(h, D(2024, 1, 1, h, 10), 1, "a", 10.0 + (h % 2)) for h in range(7)]
+    df = spark.createDataFrame(
+        rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+    )
+    late = spark.createDataFrame(
+        [(99, D(2024, 1, 1, 0, 50), 1, "a", 1000.0)], df.schema
+    )
+    tmp = tempfile.mkdtemp(prefix="riab_zs_late_")
+    try:
+        df.coalesce(1).write.parquet(f"{tmp}/in/b1")
+        late.coalesce(1).write.parquet(f"{tmp}/in/b2")
+        for i, sub in enumerate(sorted(os.listdir(f"{tmp}/in"))):
+            for f in os.listdir(f"{tmp}/in/{sub}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{tmp}/in/{sub}/{f}", f"{tmp}/stream_{i}.parquet")
+        src = streaming_events_source(spark, tmp, schema=df.schema, max_files=1)
+        q = (
+            stream_zscore(src, "event_type", width_s=3600)
+            .writeStream.format("memory")
+            .queryName("riab_zscore_late_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from riab_zscore_late_test").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # the late 1000.0 for hour 0 never perturbs any emitted bucket
+    assert all(r["avg_value"] < 100 for r in got)
+    assert all(not r["is_anomaly"] for r in got)
