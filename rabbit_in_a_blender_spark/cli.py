@@ -587,18 +587,24 @@ def _events_rollup(args, cfg) -> int:
     rolled = rollup_gapfill(
         events, args.group_col, args.ts_col, args.value_col,
         width_s=args.bucket_seconds,
-    )
-    _write_docs(rolled, args.out, args.format)
-    n_buckets = rolled.count()
+    ).persist()  # one materialization feeds both the write and the count
+    try:
+        _write_docs(rolled, args.out, args.format)
+        n_buckets = rolled.count()
+    finally:
+        rolled.unpersist()
     print(f"wrote {n_buckets} bucket rows -> {args.out} ({args.format})")
     if args.with_anomalies:
         flags = rolling_zscore(
             events, args.group_col, args.ts_col, args.value_col,
             width_s=args.bucket_seconds,
-        )
-        anom_out = args.out.rstrip("/") + "_anomalies"
-        _write_docs(flags, anom_out, args.format)
-        n_anom = flags.where(F.col("is_anomaly")).count()
+        ).persist()
+        try:
+            anom_out = args.out.rstrip("/") + "_anomalies"
+            _write_docs(flags, anom_out, args.format)
+            n_anom = flags.where(F.col("is_anomaly")).count()
+        finally:
+            flags.unpersist()
         print(f"wrote z-scores -> {anom_out} ({n_anom} anomalous buckets)")
     return 0
 
