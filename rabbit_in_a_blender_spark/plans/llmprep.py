@@ -1315,3 +1315,25 @@ def ext_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
     return ks_statistic(d, "source", "n_chars", "src0")
+
+
+@register(
+    "ext_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks GROUP BY token
+    HAVING COUNT(*) * 30 > (SELECT COUNT(*) FROM toks)
+    """,
+    doc="Tokens with exact global frequency > n/30 via the Misra-Gries "
+    "screen + exact re-count two-pass (final answer identical to the "
+    "full groupBy — only the WORK is approximate).",
+)
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.heavy import heavy_hitters
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    return heavy_hitters(toks, "token", 30)
