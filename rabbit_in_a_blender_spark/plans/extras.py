@@ -455,3 +455,49 @@ def ext_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, wins, ["user_id"], "ts", "win_start", "win_end",
         bucket_seconds=3600,
     ).select("user_id", "win_id", "click_id")
+
+
+@register(
+    "ev_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    counts AS (
+      SELECT prev AS prev_type, event_type AS next_type, COUNT(*) AS c
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(c AS BIGINT) AS n_transitions,
+           ROUND(c * 1.0 / SUM(c) OVER (PARTITION BY prev_type), 4) AS prob
+    FROM counts
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (lag window keyed on the user, counts + row-normalized "
+    "probabilities; id tie-break makes the sequence deterministic). "
+    "The lag window shuffles once on user_id; the matrix itself is "
+    "|event_types|^2 rows — metadata-sized at any scale.",
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(tot), 4
+        ).alias("prob"),
+    )
