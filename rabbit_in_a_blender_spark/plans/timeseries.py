@@ -183,3 +183,89 @@ def ext_regr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         k=5,
     )
+
+
+@register(
+    "ext_ts_qc_chain",
+    oracle=f"""
+    WITH roll AS (
+      SELECT event_type, {_BUCKET_SQL} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             (SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0) / COUNT(*) AS avg_v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM roll GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket
+      FROM bounds
+    ),
+    dense AS (
+      SELECT s.event_type, s.bucket, COALESCE(r.n_events, 0) AS n_events
+      FROM spine s LEFT JOIN roll r
+        ON s.event_type = r.event_type AND s.bucket = r.bucket
+    ),
+    grid_stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(COUNT(*) FILTER (n_events = 0) AS BIGINT) AS n_gaps,
+             ROUND(COUNT(*) FILTER (n_events = 0) * 1.0 / COUNT(*), 4) AS gap_frac
+      FROM dense GROUP BY event_type
+    ),
+    scored AS (
+      SELECT event_type, avg_v,
+             COUNT(avg_v) OVER w AS n_prev,
+             AVG(avg_v) OVER w AS mu,
+             stddev_pop(avg_v) OVER w AS sigma
+      FROM roll
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+    ),
+    anom AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (abs(ROUND((avg_v - mu) / sigma, 3)) > 2)
+                  AS BIGINT) AS n_anomalies,
+             MAX(abs(ROUND((avg_v - mu) / sigma, 3))) AS max_abs_z
+      FROM scored WHERE n_prev >= 4 AND sigma > 0 GROUP BY event_type
+    )
+    SELECT g.event_type, g.n_buckets, g.n_gaps, g.gap_frac,
+           COALESCE(a.n_anomalies, 0) AS n_anomalies, a.max_abs_z
+    FROM grid_stats g LEFT JOIN anom a ON g.event_type = a.event_type
+    """,
+    doc="Per-series QC capstone composing the rollup grid and the "
+    "anomaly screen: bucket/gap tallies + anomaly counts in one row "
+    "per series (both inputs are already-aggregated bucket frames).",
+)
+def ext_ts_qc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    grid = (
+        rollup_gapfill(e, "event_type", "ts", "value", width_s=21600)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.when(F.col("n_events") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_gaps"),
+        )
+        .withColumn(
+            "gap_frac", F.round(F.col("n_gaps") / F.col("n_buckets"), 4)
+        )
+    )
+    anom = (
+        rolling_zscore(e, "event_type", "ts", "value", width_s=21600)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies"),
+            F.max(F.abs(F.col("zscore"))).alias("max_abs_z"),
+        )
+    )
+    return grid.join(anom, "event_type", "left").select(
+        "event_type",
+        "n_buckets",
+        "n_gaps",
+        "gap_frac",
+        F.coalesce("n_anomalies", F.lit(0)).cast("long").alias("n_anomalies"),
+        "max_abs_z",
+    )
