@@ -207,6 +207,19 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--damping", type=float, default=0.85,
                    help="With --graph-rank: damping factor "
                         "(default %(default)s)")
+    x.add_argument("--corpus-drift", metavar="DOCS",
+                   help="Distribution-drift QC per stratum vs a reference "
+                        "stratum: PSI + KS on --numeric-col, JSD on "
+                        "--category-col; prints a table or writes --out")
+    x.add_argument("--ref-stratum", metavar="NAME",
+                   help="With --corpus-drift: the reference stratum value "
+                        "(required)")
+    x.add_argument("--numeric-col", default="n_chars",
+                   help="With --corpus-drift: numeric column for PSI/KS "
+                        "(default %(default)s)")
+    x.add_argument("--category-col", default="lang",
+                   help="With --corpus-drift: categorical column for JSD "
+                        "(default %(default)s)")
     x.add_argument("--events-rollup", metavar="EVENTS",
                    help="Hypertable rollup over an event table (parquet "
                         "dir/file or .jsonl[.gz]): downsample onto a "
@@ -544,6 +557,62 @@ def _corpus_search(args, cfg) -> int:
     return 0
 
 
+def _corpus_drift(args, cfg) -> int:
+    """User-facing drift QC (`ext/drift.py`): PSI + KS over a numeric
+    column and JSD over a categorical column, per stratum vs a
+    reference stratum."""
+    from pyspark.sql import functions as F
+
+    from .core.session import get_spark
+    from .ext.drift import jsd_drift, ks_statistic, psi_drift
+
+    if not args.ref_stratum:
+        raise SystemExit("--corpus-drift requires --ref-stratum")
+    spark = get_spark(
+        "riab-spark",
+        master=cfg.get("spark", "master", fallback=None),
+        shuffle_partitions=(
+            cfg.getint("spark", "shuffle_partitions")
+            if cfg.has_option("spark", "shuffle_partitions")
+            else None
+        ),
+    )
+    src = args.corpus_drift
+    if src.endswith((".jsonl", ".jsonl.gz", ".json")):
+        from .sources.readers import read_jsonl
+
+        docs = read_jsonl(spark, src)
+    else:
+        docs = spark.read.parquet(src)
+    for c in (args.strata_col, args.numeric_col, args.category_col):
+        if c not in docs.columns:
+            raise SystemExit(f"column {c!r} not in {src} ({docs.columns})")
+    if docs.where(F.col(args.strata_col) == args.ref_stratum).limit(1).count() == 0:
+        raise SystemExit(
+            f"reference stratum {args.ref_stratum!r} has no rows in {src}"
+        )
+
+    s = args.strata_col
+    psi = psi_drift(docs, s, args.numeric_col, args.ref_stratum)
+    ks = ks_statistic(docs, s, args.numeric_col, args.ref_stratum).drop(
+        "n_cand", "n_ref"
+    )
+    jsd = jsd_drift(docs, s, args.category_col, args.ref_stratum).drop("n_docs")
+    report = psi.join(ks, s).join(jsd, s)
+    if args.out:
+        _write_docs(report, args.out, args.format)
+        print(f"wrote drift report -> {args.out} ({args.format})")
+        return 0
+    rows = report.orderBy(F.col("psi").desc()).collect()
+    print(f"{'stratum':<16} {'n_docs':>8} {'psi':>8} {'ks':>8} {'jsd':>8}")
+    for r in rows:
+        print(
+            f"{r[s]:<16} {r['n_docs']:>8} {r['psi']:>8.4f} "
+            f"{r['ks']:>8.4f} {r['jsd']:>8.4f}"
+        )
+    return 0
+
+
 def _events_rollup(args, cfg) -> int:
     """User-facing hypertable rollup (`ext/timeseries.py`): downsample an
     event stream onto a dense, gap-filled LOCF bucket grid; optionally
@@ -727,6 +796,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.graph_rank:
         return _graph_rank(args, cfg)
+
+    if args.corpus_drift:
+        return _corpus_drift(args, cfg)
 
     if args.events_rollup:
         return _events_rollup(args, cfg)

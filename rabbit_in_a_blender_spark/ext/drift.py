@@ -107,6 +107,55 @@ def psi_drift(
     )
 
 
+def jsd_drift(
+    df: DataFrame,
+    stratum_col: str,
+    category_col: str,
+    ref_stratum: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence of a CATEGORICAL column per stratum vs
+    the reference stratum (the categorical sibling of ``psi_drift``).
+
+    JSD = 0.5*KL(p||m) + 0.5*KL(q||m) with m = (p+q)/2, natural log —
+    bounded by ln(2), symmetric, finite on disjoint supports (unlike
+    PSI/KL, no smoothing needed: a category absent on one side
+    contributes only through the other's ``x*ln(2)`` term).  Categories
+    are densified onto the union grid per stratum so zero cells exist.
+
+    Returns ``stratum, n_docs, jsd`` (4 decimals).
+    """
+    base = df.select(
+        F.col(stratum_col).alias("__s"), F.col(category_col).alias("__c")
+    )
+    counts = base.groupBy("__s", "__c").agg(F.count(F.lit(1)).alias("__n"))
+    cats = counts.select("__c").distinct()
+    grid = counts.select("__s").distinct().crossJoin(F.broadcast(cats))
+    cells = grid.join(counts, ["__s", "__c"], "left").withColumn(
+        "__n", F.coalesce(F.col("__n"), F.lit(0))
+    )
+    tot = Window.partitionBy("__s")
+    shares = cells.withColumn("__p", F.col("__n") / F.sum("__n").over(tot))
+    ref = shares.where(F.col("__s") == ref_stratum).select(
+        F.col("__c"), F.col("__p").alias("__q")
+    )
+    paired = shares.where(F.col("__s") != ref_stratum).join(
+        F.broadcast(ref), "__c"
+    )
+    m = (F.col("__p") + F.col("__q")) / 2
+    # x * ln(x/m) with the 0*ln(0) := 0 convention
+    term = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))  # noqa: E731
+    return (
+        paired.groupBy("__s")
+        .agg(
+            F.sum("__n").cast("long").alias("n_docs"),
+            F.round(F.sum(0.5 * term(F.col("__p")) + 0.5 * term(F.col("__q"))), 4).alias(
+                "jsd"
+            ),
+        )
+        .select(F.col("__s").alias(stratum_col), "n_docs", "jsd")
+    )
+
+
 def ks_statistic(
     df: DataFrame,
     stratum_col: str,

@@ -1337,3 +1337,42 @@ def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     toks = d.select(F.explode(F.split("text", " ")).alias("token"))
     return heavy_hitters(toks, "token", 30)
+
+
+@register(
+    "ext_jsd_drift",
+    oracle="""
+    WITH counts AS (
+      SELECT source AS s, lang AS c, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT st.s, ca.c
+      FROM (SELECT DISTINCT s FROM counts) st, (SELECT DISTINCT c FROM counts) ca
+    ),
+    cells AS (
+      SELECT g.s, g.c, COALESCE(counts.n, 0) AS n
+      FROM grid g LEFT JOIN counts ON g.s = counts.s AND g.c = counts.c
+    ),
+    shares AS (
+      SELECT s, c, n, n * 1.0 / SUM(n) OVER (PARTITION BY s) AS p FROM cells
+    ),
+    ref AS (SELECT c, p AS q FROM shares WHERE s = 'src0'),
+    paired AS (
+      SELECT shares.s, shares.n, shares.p, ref.q, (shares.p + ref.q) / 2 AS m
+      FROM shares JOIN ref USING (c) WHERE shares.s <> 'src0'
+    )
+    SELECT s AS source, CAST(SUM(n) AS BIGINT) AS n_docs,
+           ROUND(SUM(0.5 * (CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END)
+                   + 0.5 * (CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END)), 4)
+             AS jsd
+    FROM paired GROUP BY s
+    """,
+    doc="Jensen-Shannon divergence of the language mix per source vs "
+    "src0 — the categorical sibling of ext_psi_drift (finite on "
+    "disjoint supports, no smoothing needed).",
+)
+def ext_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.drift import jsd_drift
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return jsd_drift(d, "source", "lang", "src0")

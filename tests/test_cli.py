@@ -550,3 +550,36 @@ def test_events_rollup_requires_out_and_columns(spark, tmpdir_):
     with pytest.raises(SystemExit):
         main(["--events-rollup", events, "--out", os.path.join(root, "x"),
               "--config", cfg])
+
+
+def test_corpus_drift_reports_and_writes(spark, capsys, tmpdir_):
+    """--corpus-drift end-to-end: shifted stratum ranks above the clone;
+    --out writes the joined report."""
+    root = str(tmpdir_)
+    docs = os.path.join(root, "docs_drift")
+    rows = []
+    for i in range(20):
+        rows.append((i, "ref", 100 + i, "en"))
+        rows.append((100 + i, "clone", 100 + i, "en"))
+        rows.append((200 + i, "shifted", 500 + i, "zh"))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long, lang string"
+    ).write.parquet(docs)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    rc = main(["--corpus-drift", docs, "--ref-stratum", "ref", "--config", cfg])
+    assert rc == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert printed[1].split()[0] == "shifted"  # largest PSI first
+    clone = [ln for ln in printed if ln.startswith("clone")][0].split()
+    assert float(clone[2]) == 0.0 and float(clone[3]) == 0.0 and float(clone[4]) == 0.0
+    out = os.path.join(root, "drift_report")
+    rc = main(["--corpus-drift", docs, "--ref-stratum", "ref",
+               "--out", out, "--config", cfg])
+    assert rc == 0
+    report = {r["source"]: r for r in spark.read.parquet(out).collect()}
+    assert report["shifted"]["ks"] == 1.0
+    # unknown reference stratum → explicit error
+    with pytest.raises(SystemExit):
+        main(["--corpus-drift", docs, "--ref-stratum", "nope", "--config", cfg])

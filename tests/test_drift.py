@@ -58,3 +58,31 @@ def test_ks_tie_safe(spark):
     rows = [("ref", 5.0)] * 5 + [("ref", 10.0)] * 5 + [("tied", 5.0)] * 8
     out = ks_statistic(_df(spark, rows), "s", "v", "ref").collect()
     assert out[0]["ks"] == 0.5
+
+
+def _cat(spark, rows):
+    return spark.createDataFrame(rows, "s string, c string")
+
+
+def test_jsd_zero_identical_and_ln2_disjoint(spark):
+    from math import log
+
+    from rabbit_in_a_blender_spark.ext.drift import jsd_drift
+
+    rows = [("ref", x) for x in ("a", "a", "b", "c")]
+    rows += [("same", x) for x in ("a", "a", "b", "c")]
+    rows += [("disj", x) for x in ("d", "d", "e", "e")]
+    out = {r["s"]: r for r in jsd_drift(_cat(spark, rows), "s", "c", "ref").collect()}
+    assert out["same"]["jsd"] == 0.0
+    assert out["disj"]["jsd"] == round(log(2), 4)  # disjoint supports → ln 2
+    assert out["same"]["n_docs"] == 4
+
+
+def test_jsd_symmetric_in_magnitude_ordering(spark):
+    from rabbit_in_a_blender_spark.ext.drift import jsd_drift
+
+    rows = [("ref", "a")] * 8 + [("ref", "b")] * 2
+    rows += [("mild", "a")] * 7 + [("mild", "b")] * 3
+    rows += [("wild", "a")] * 1 + [("wild", "b")] * 9
+    out = {r["s"]: r["jsd"] for r in jsd_drift(_cat(spark, rows), "s", "c", "ref").collect()}
+    assert 0 < out["mild"] < out["wild"]
