@@ -131,3 +131,13 @@ def test_residual_outliers_k_bound_per_group(spark):
     out = residual_outliers(df, "lang", "doc_id", "x", "y", k=4)
     counts = dict(out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect())
     assert counts == {"a": 4, "b": 4}
+
+
+def test_rollup_handles_negative_values(spark):
+    # floor-grid semantics hold for negatives too: cents sum -1075,
+    # floor(-1075*100/2)/10000 = floor(-53750)/10000 = -5.375 exactly
+    rows = [("a", T0, -10.50), ("a", T0 + dt.timedelta(minutes=5), -0.25)]
+    out = rollup_gapfill(_events(spark, rows), "g", "ts", "v", width_s=3600).collect()
+    assert len(out) == 1
+    assert out[0]["avg_value_locf"] == -5.375
+    assert out[0]["max_value"] == -0.25
