@@ -101,3 +101,45 @@ def test_dup_window_fraction_shuffles_digests_only(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
         key = m.group(1)
         assert "__h" in key or "doc_id" in key, key
+
+
+def test_ts_rollup_bounded_shuffles_spine_broadcast(spark):
+    # 2 hash exchanges (rollup agg + LOCF window); the per-group spine
+    # arrives by broadcast; never a cartesian
+    plan = _plan(spark, "ext_ts_rollup_gapfill")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_regr_outliers_model_broadcasts(spark):
+    # the |groups|-row model joins back by broadcast, not SMJ
+    plan = _plan(spark, "ext_regr_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_screen_is_narrow(spark):
+    # the MG screen (mapInPandas) runs BEFORE any exchange: candidates are
+    # produced without shuffling the token stream; the verify join
+    # broadcasts the candidate set
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.heavy import heavy_hitters
+    from rabbit_in_a_blender_spark.plans.catalog import all_queries
+
+    df = all_queries()["ext_heavy_hitters"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    unpersist_intermediates(df)
+    assert "BroadcastHashJoin" in plan
+    # two hash exchanges only: the candidate distinct (over the
+    # screen's ≤(k+1)×partitions rows, never the token stream) and the
+    # exact re-count of the candidate-pruned stream
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_psi_drift_edges_and_ref_broadcast(spark):
+    plan = _plan(spark, "ext_psi_drift")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # edge array + ref shares
