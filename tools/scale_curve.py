@@ -152,6 +152,10 @@ def main() -> None:
         shutil.rmtree(scaled_dir, ignore_errors=True)
         _timeseries_curve(spark, reps)
         return
+    if only == "drift":
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _drift_curve(spark, reps)
+        return
     try:
         build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
         points = [
@@ -585,6 +589,73 @@ def _timeseries_curve(spark, reps: int) -> None:
         print(
             f"| {label} | {r['rows']:,} | {r['rollup_median']} | "
             f"{round(r['rows'] / r['rollup_median']):,} | {r['zscore_median']} |"
+        )
+
+
+def _drift_curve(spark, reps: int) -> None:
+    # --- drift + heavy-hitter scale curve (round 7) ------------------
+    # Replicas multiply rows AND strata (suffixed source, replica 0
+    # unsuffixed so the 'src0' reference stratum survives) — the axis
+    # that stresses PSI's (stratum, bin) shuffle and the MG screen's
+    # candidate volume.  heavy_hitters is expected scan-bound: the
+    # screen is narrow, the verify join candidate-pruned.
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.core.io import load_tables
+    from rabbit_in_a_blender_spark.ext.drift import psi_drift
+    from rabbit_in_a_blender_spark.ext.heavy import heavy_hitters
+
+    base = load_tables(spark, "/root/testdata/sf0.1", "documents")["documents"]
+    results = {}
+    for label, copies in (("docs-sf0.1", 1), ("docs-x5", 5), ("docs-x10", 10)):
+        def docs():
+            reps_df = spark.range(copies).select(F.col("id").alias("__r"))
+            return base.crossJoin(F.broadcast(reps_df)).withColumn(
+                "source",
+                F.when(F.col("__r") == 0, F.col("source")).otherwise(
+                    F.concat_ws("_", "source", F.col("__r").cast("string"))
+                ),
+            )
+
+        def psi_q():
+            return psi_drift(docs(), "source", "n_chars", "src0", n_bins=4)
+
+        def hh_q():
+            toks = docs().select(F.explode(F.split("text", " ")).alias("token"))
+            return heavy_hitters(toks, "token", 30)
+
+        n_rows = docs().count()
+        psi_q().count()  # warmup
+        r0 = hh_q()
+        r0.count()
+        unpersist_intermediates(r0)
+        psis, hhs = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n_strata = psi_q().count()
+            psis.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            r = hh_q()
+            n_hh = r.count()
+            hhs.append(round(time.perf_counter() - t0, 3))
+            unpersist_intermediates(r)
+        results[label] = {
+            "rows": n_rows,
+            "strata": n_strata,
+            "heavy_hitters": n_hh,
+            "psi_reps": psis,
+            "psi_median": sorted(psis)[len(psis) // 2],
+            "hh_reps": hhs,
+            "hh_median": sorted(hhs)[len(hhs) // 2],
+        }
+        print(f"## drift {label}: psi {psis} heavy {hhs}", flush=True)
+
+    print(json.dumps(results))
+    print("\n| point | rows | strata | psi median s | hh median s | docs/s (hh) |")
+    print("|---|---|---|---|---|---|")
+    for label, r in results.items():
+        print(
+            f"| {label} | {r['rows']:,} | {r['strata']} | {r['psi_median']} | "
+            f"{r['hh_median']} | {round(r['rows'] / r['hh_median']):,} |"
         )
 
 
