@@ -75,3 +75,19 @@ def test_nulls_ignored_and_release_contract(spark):
     unpersist_intermediates(res)
     after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     assert after <= before  # the pinned screen was released
+
+
+def test_heavy_hitters_partitioning_independent(spark):
+    """MG survivors vary with partitioning; the exact verify pass makes
+    the FINAL answer invariant."""
+    rng = random.Random(11)
+    items = [f"t{rng.randint(0, 40)}" for _ in range(3000)] + ["big"] * 300
+    rng.shuffle(items)
+    outs = []
+    for parts in (1, 3, 16):
+        df = _stream(spark, items, parts)
+        res = heavy_hitters(df, "item", 15)
+        outs.append({(r["item"], r["freq"]) for r in res.collect()})
+        unpersist_intermediates(res)
+    assert outs[0] == outs[1] == outs[2]
+    assert ("big", 300) in outs[0]
