@@ -81,9 +81,13 @@ NON_HEADLINE = [
     "ext_bm25_topk",
     "ext_bigram_logprob",
     "ext_interval_join",
-    # r7 third-session additions: hypertable rollup + anomaly scoring
+    # r7 third-session additions: hypertable rollup + anomaly scoring,
+    # drift QC, and the MG-screened heavy hitters (a mapInPandas scan
+    # shape the other entries don't exercise)
     "ext_ts_rollup_gapfill",
     "ext_ts_rolling_zscore",
+    "ext_psi_drift",
+    "ext_heavy_hitters",
 ]
 
 
@@ -193,6 +197,17 @@ def _purge_pkg_modules() -> None:
             del sys.modules[mod]
 
 
+def _release_tracked(df) -> None:
+    """Release track_cache-pinned intermediates after a timed run
+    (tree-agnostic: reads the attribute instead of importing
+    core.caching, so the A/B's archived ref trees work too)."""
+    for c in getattr(df, "_graft_cached", []):
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+
+
 def _time_suite(
     root: str, names: list[str], spark, sf_dir: str
 ) -> dict[str, float]:
@@ -209,10 +224,10 @@ def _time_suite(
         out: dict[str, float] = {}
         for name in names:
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             out[name] = round(time.perf_counter() - t0, 3)
+            _release_tracked(df)
         return out
     finally:
         sys.path.remove(root)
@@ -393,6 +408,7 @@ def main() -> None:
             dq_checks = df.count()
         else:
             df.write.format("noop").mode("overwrite").save()
+        _release_tracked(df)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
@@ -403,8 +419,10 @@ def main() -> None:
         samples: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
+            _release_tracked(df)
         med = sorted(samples)[len(samples) // 2]
         timings[name] = med
         queries_reps[name] = samples
