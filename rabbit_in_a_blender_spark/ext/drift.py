@@ -107,6 +107,39 @@ def psi_drift(
     )
 
 
+def fit_reference_profile(
+    ref: DataFrame, value_col: str, n_bins: int = 4
+) -> tuple[list[float], list[float]]:
+    """Fit the fixed reference profile a continuous drift monitor scores
+    against: (quantile bin edges, add-half-smoothed bin shares).
+
+    Both results are n_bins-sized driver lists (metadata, not data) —
+    the smoothing matches ``psi_drift`` exactly, so a monitor fed this
+    profile converges to the same PSI the batch operator computes.
+    """
+    probs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    v = F.col(value_col).cast("double")
+    edges = ref.agg(F.percentile(v, probs)).collect()[0][0]
+    binned = (
+        ref.select(
+            F.aggregate(
+                F.array(*[F.lit(float(e)) for e in edges]),
+                F.lit(0),
+                lambda acc, e: acc + F.when(v >= e, 1).otherwise(0),
+            ).alias("__bin")
+        )
+        .groupBy("__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    counts = {r["__bin"]: r["__c"] for r in binned}
+    total = sum(counts.values())
+    shares = [
+        (counts.get(b, 0) + 0.5) / (total + 0.5 * n_bins) for b in range(n_bins)
+    ]
+    return [float(e) for e in edges], shares
+
+
 def jsd_drift(
     df: DataFrame,
     stratum_col: str,

@@ -393,3 +393,57 @@ def test_stream_zscore_drops_late_events(spark):
     # the late 1000.0 for hour 0 never perturbs any emitted bucket
     assert all(r["avg_value"] < 100 for r in got)
     assert all(not r["is_anomaly"] for r in got)
+
+
+def test_stream_drift_monitor_converges_to_batch_psi(spark):
+    """Two micro-batches of candidate docs against a fixed reference
+    profile: the final streaming PSI report equals batch psi_drift over
+    reference + all candidates."""
+    import os
+
+    from rabbit_in_a_blender_spark.ext.drift import fit_reference_profile, psi_drift
+    from rabbit_in_a_blender_spark.streaming.monitor import stream_drift_monitor
+    from rabbit_in_a_blender_spark.streaming.windows import streaming_events_source
+
+    ref_rows = [(i, "ref", 100 + i) for i in range(40)]
+    cand_rows = [(100 + i, "steady", 100 + i) for i in range(40)]
+    cand_rows += [(200 + i, "drifted", 400 + i) for i in range(40)]
+    schema = "doc_id long, source string, n_chars long"
+    ref = spark.createDataFrame(ref_rows, schema)
+    cand = spark.createDataFrame(cand_rows, schema)
+
+    edges, shares = fit_reference_profile(ref, "n_chars", n_bins=4)
+    assert len(edges) == 3 and len(shares) == 4
+    assert abs(sum(shares) - 1.0) < 1e-9
+
+    tmp = tempfile.mkdtemp(prefix="riab_drift_mon_")
+    try:
+        # interleave strata across the two batches so cumulative counts matter
+        cand.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f"{tmp}/in/b1")
+        cand.filter("doc_id % 2 = 1").coalesce(1).write.parquet(f"{tmp}/in/b2")
+        for i, sub in enumerate(sorted(os.listdir(f"{tmp}/in"))):
+            for f in os.listdir(f"{tmp}/in/{sub}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{tmp}/in/{sub}/{f}", f"{tmp}/stream_{i}.parquet")
+        src = streaming_events_source(spark, tmp, schema=cand.schema, max_files=1)
+        q = stream_drift_monitor(
+            src, "source", "n_chars", edges, shares,
+            counts_dir=f"{tmp}/counts", report_dir=f"{tmp}/report",
+            checkpoint_dir=f"{tmp}/ckpt",
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        report = {r["stratum"]: r for r in spark.read.parquet(f"{tmp}/report").collect()}
+        counts = spark.read.parquet(f"{tmp}/counts")
+        assert counts.select("batch_id").distinct().count() == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    batch = {
+        r["source"]: r
+        for r in psi_drift(ref.unionByName(cand), "source", "n_chars", "ref").collect()
+    }
+    assert set(report) == {"steady", "drifted"}
+    for s in report:
+        assert report[s]["n_docs"] == batch[s]["n_docs"] == 40
+        assert report[s]["psi"] == batch[s]["psi"]
+    assert report["drifted"]["psi"] > 0.25 > report["steady"]["psi"]
