@@ -174,3 +174,88 @@ def stream_corpus_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.read.parquet(out_dir).select("doc_id", "lang")
+
+
+@register(
+    "stream_drift_batch",
+    oracle="""
+    WITH base AS (
+      SELECT source AS s, CAST(n_chars AS DOUBLE) AS v FROM documents
+    ),
+    edges AS (
+      SELECT quantile_cont(v, [0.25, 0.5, 0.75]) AS e FROM base WHERE s = 'src0'
+    ),
+    binned AS (
+      SELECT s, len(list_filter((SELECT e FROM edges), x -> v >= x)) AS bin,
+             COUNT(*) AS c
+      FROM base GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT DISTINCT base.s, b.bin
+      FROM base, (SELECT UNNEST(range(4)) AS bin) b
+    ),
+    cells AS (
+      SELECT g.s, g.bin, COALESCE(binned.c, 0) AS c
+      FROM grid g LEFT JOIN binned ON g.s = binned.s AND g.bin = binned.bin
+    ),
+    shares AS (
+      SELECT s, bin, c,
+             (c + 0.5) / (SUM(c) OVER (PARTITION BY s) + 2.0) AS p
+      FROM cells
+    ),
+    ref AS (SELECT bin, p AS pr FROM shares WHERE s = 'src0')
+    SELECT s AS stratum, CAST(SUM(c) AS BIGINT) AS n_docs,
+           ROUND(SUM((p - pr) * ln(p / pr)), 4) AS psi
+    FROM shares JOIN ref USING (bin) WHERE s <> 'src0' GROUP BY s
+    """,
+    doc="The streaming drift monitor (streaming/monitor.py) under the "
+    "hash gate: the reference profile is fit on src0, the remaining "
+    "strata stream in as two single-file micro-batches (doc_id parity; "
+    "availableNow + maxFilesPerTrigger=1), and the monitor's CUMULATIVE "
+    "report after the replay must equal the batch psi_drift over the "
+    "whole table — which is exactly the ext_psi_drift oracle.",
+)
+def stream_drift_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..ext.drift import fit_reference_profile
+    from ..streaming.monitor import stream_drift_monitor
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    ref = d.filter(F.col("source") == "src0")
+    cand = d.filter(F.col("source") != "src0")
+    edges, shares = fit_reference_profile(ref, "n_chars", n_bins=4)
+    root = tempfile.mkdtemp(prefix="riab_sdrift_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    for i, half in enumerate(
+        (cand.filter(F.col("doc_id") % 2 == 0), cand.filter(F.col("doc_id") % 2 == 1))
+    ):
+        tmp = os.path.join(root, f"half{i}")
+        half.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    report_dir = os.path.join(root, "report")
+    query = (
+        stream_drift_monitor(
+            spark.readStream.schema(cand.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            "source",
+            "n_chars",
+            edges,
+            shares,
+            counts_dir=os.path.join(root, "counts"),
+            report_dir=report_dir,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(report_dir).select("stratum", "n_docs", "psi")
