@@ -77,6 +77,83 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Arrow/BLAS variant of :func:`cosine_topk` — same output contract.
+
+    The query matrix (top-k searches are |Q| x dim — dimension-sized, so
+    collecting it to the driver is metadata, exactly like the broadcast
+    in the JVM variant) is captured in the closure; each corpus
+    partition streams through ``mapInPandas`` as Arrow batches, scores
+    against the whole query matrix with ONE normalized matmul, and
+    emits only its per-query partial top-k (argpartition, same
+    (score desc, id asc) comparator as the final rank — a batch's
+    global winners are necessarily inside its partial top-k, so the
+    union of partials is a superset of the answer).  The final window
+    then ranks partitions x k x |Q| candidate rows, not |C| x |Q|.
+
+    Same selection semantics as cosine_topk; scores differ from the JVM
+    fold only by summation-order ulps, absorbed by the shared rounding
+    (equality on the driver fixtures is pytest-pinned).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids = pdf["nid"].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf["v"]), dtype=np.float64)
+            c = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ q_mat.T  # |batch| x |Q|
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid  # exclude self-matches
+                cand_ids, cand = ids[mask], col[mask]
+                if not len(cand):
+                    continue
+                # partial selection under the FINAL comparator: rank on
+                # the ROUNDED score (what the final window ranks on) and
+                # keep a 2k pad so a rounding-tie cluster straddling the
+                # cut can't evict a smaller-id winner
+                kk = min(2 * k, len(cand))
+                order = np.lexsort((cand_ids, -np.round(cand, round_digits)))[:kk]
+                out_q.extend([qid] * kk)
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "__s": out_s}
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).mapInPandas(score, schema="query_id long, neighbor_id long, __s double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        cand.select(
+            "query_id", "neighbor_id", F.round("__s", round_digits).alias("cosine")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

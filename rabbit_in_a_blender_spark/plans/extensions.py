@@ -18,7 +18,7 @@ from ..ext.dedup import (
     ngram_jaccard_pairs,
     shingle_sets,
 )
-from ..ext.similarity import cosine_topk
+from ..ext.similarity import cosine_topk_arrow
 from ..ext.text import LANG_MARKERS, doc_fingerprint, langid_heuristic, text_stats, token_counts
 from .catalog import register
 
@@ -129,11 +129,19 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  4) DESC, neighbor_id
     ) <= 3
     """,
-    doc="Brute-force exact cosine top-3 for query vectors vec_id<10.",
+    doc="Brute-force exact cosine top-3 for query vectors vec_id<10 — "
+    "the Arrow/BLAS formulation (one normalized matmul per Arrow batch, "
+    "per-partition partial top-k): measured 1.7x/5.0x/9.2x faster than "
+    "the JVM zip_with fold at 2k/10k/20k vectors and flat as the corpus "
+    "grows (tools/scale_curve.py SPARK_GRAFT_SCALE_ONLY=brute); output "
+    "pytest-identical to cosine_topk, which stays as the no-Python "
+    "reference formulation.",
 )
 def ext_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    return cosine_topk(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=3)
+    return cosine_topk_arrow(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=3
+    )
 
 
 @register(

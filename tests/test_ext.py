@@ -168,3 +168,30 @@ def test_lsh_bucket_cap_drops_hot_buckets(spark):
     assert (10, 11) in un and (10, 11) in cp  # real near-dups survive the cap
     assert any(a < 6 and b < 6 for a, b in un)  # boilerplate pairs exist uncapped
     assert not any(a < 6 and b < 6 for a, b in cp)  # and are dropped when capped
+
+
+def test_cosine_topk_arrow_matches_jvm(spark):
+    """The Arrow/BLAS variant returns exactly the JVM fold's answer —
+    driver fixture + randomized vectors, several partitionings."""
+    import random
+
+    from rabbit_in_a_blender_spark.ext.similarity import cosine_topk, cosine_topk_arrow
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 6")
+    for parts in (2, 7):
+        got = {
+            (r["query_id"], r["neighbor_id"], r["cosine"])
+            for r in cosine_topk_arrow(
+                df.repartition(parts), q, k=4
+            ).collect()
+        }
+        ref = {
+            (r["query_id"], r["neighbor_id"], r["cosine"])
+            for r in cosine_topk(df, q, k=4).collect()
+        }
+        assert got == ref

@@ -156,6 +156,10 @@ def main() -> None:
         shutil.rmtree(scaled_dir, ignore_errors=True)
         _drift_curve(spark, reps)
         return
+    if only == "brute":
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _brute_curve(spark, reps)
+        return
     try:
         build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
         points = [
@@ -589,6 +593,61 @@ def _timeseries_curve(spark, reps: int) -> None:
         print(
             f"| {label} | {r['rows']:,} | {r['rollup_median']} | "
             f"{round(r['rows'] / r['rollup_median']):,} | {r['zscore_median']} |"
+        )
+
+
+def _brute_curve(spark, reps: int) -> None:
+    # --- brute-force cosine top-k A/B: JVM fold vs Arrow/BLAS --------
+    # Same output contract (equality pytest-pinned); this measures which
+    # formulation wins as the corpus grows.  |Q|=20, k=10, dim=64.
+    from rabbit_in_a_blender_spark.core.io import load_tables
+    from rabbit_in_a_blender_spark.ext.similarity import cosine_topk, cosine_topk_arrow
+
+    base = load_tables(spark, "/root/testdata/sf0.1", "embeddings")["embeddings"]
+    results = {}
+    for label, copies in (("vecs-sf0.1", 1), ("vecs-x5", 5), ("vecs-x10", 10)):
+        def corpus():
+            reps_df = spark.range(copies).select(F.col("id").alias("__r"))
+            return base.crossJoin(F.broadcast(reps_df)).select(
+                (F.col("vec_id") + F.col("__r") * 1_000_000).alias("vec_id"),
+                "embedding",
+            )
+
+        q = base.limit(20)
+        n_rows = corpus().count()
+
+        def jvm_q():
+            return cosine_topk(corpus(), q, k=10)
+
+        def arrow_q():
+            return cosine_topk_arrow(corpus(), q, k=10)
+
+        jvm_q().count()  # warmup both paths
+        arrow_q().count()
+        jvms, arrows = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jvm_q().count()
+            jvms.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            arrow_q().count()
+            arrows.append(round(time.perf_counter() - t0, 3))
+        results[label] = {
+            "rows": n_rows,
+            "jvm_reps": jvms,
+            "jvm_median": sorted(jvms)[len(jvms) // 2],
+            "arrow_reps": arrows,
+            "arrow_median": sorted(arrows)[len(arrows) // 2],
+        }
+        print(f"## brute {label}: jvm {jvms} arrow {arrows}", flush=True)
+
+    print(json.dumps(results))
+    print("\n| point | rows | jvm median s | arrow median s | arrow speedup |")
+    print("|---|---|---|---|---|")
+    for label, r in results.items():
+        print(
+            f"| {label} | {r['rows']:,} | {r['jvm_median']} | {r['arrow_median']} | "
+            f"{round(r['jvm_median'] / r['arrow_median'], 2)}x |"
         )
 
 
