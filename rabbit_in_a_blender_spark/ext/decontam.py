@@ -145,3 +145,53 @@ def embedding_decontaminate(
             (F.col("max_bench_cosine") >= threshold).alias("contaminated"),
         )
     )
+
+
+def embedding_decontaminate_arrow(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Arrow/BLAS formulation of :func:`embedding_decontaminate` — same
+    output contract (pytest-pinned equality).
+
+    The benchmark matrix is eval-set-sized and rides in the closure
+    (the same "broadcast" the JVM variant does); each corpus Arrow
+    batch takes ONE normalized matmul and a row-max — the per-pair
+    crossJoin rows never materialize at all, which is where the JVM
+    fold spends its time (measured in tools/scale_curve.py
+    SPARK_GRAFT_SCALE_ONLY=brute, same shape as cosine top-k).
+    """
+    import numpy as np
+    import pandas as pd
+
+    b_rows = bench.select(F.col(vec_col).cast("array<double>").alias("v")).collect()
+    b_mat = np.array([r["v"] for r in b_rows], dtype=np.float64)
+    b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+
+    def score(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            c = np.array(list(pdf["v"]), dtype=np.float64)
+            c = c / np.linalg.norm(c, axis=1, keepdims=True)
+            best = np.round((c @ b_mat.T).max(axis=1), round_digits)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy(),
+                    "max_bench_cosine": best,
+                    "contaminated": best >= threshold,
+                }
+            )
+
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return c.mapInPandas(
+        score,
+        schema="__id long, max_bench_cosine double, contaminated boolean",
+    ).withColumnRenamed("__id", id_col)

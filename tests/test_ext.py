@@ -195,3 +195,22 @@ def test_cosine_topk_arrow_matches_jvm(spark):
             for r in cosine_topk(df, q, k=4).collect()
         }
         assert got == ref
+
+
+def test_embedding_decontaminate_arrow_matches_jvm(spark):
+    import random
+
+    from rabbit_in_a_blender_spark.ext.decontam import (
+        embedding_decontaminate,
+        embedding_decontaminate_arrow,
+    )
+
+    rng = random.Random(9)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)], i % 5) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    corpus, bench = df.filter("label != 0"), df.filter("label = 0")
+    a = {tuple(r) for r in embedding_decontaminate(
+        corpus, bench, "vec_id", "embedding", 0.3).collect()}
+    b = {tuple(r) for r in embedding_decontaminate_arrow(
+        corpus.repartition(5), bench, "vec_id", "embedding", 0.3).collect()}
+    assert a == b and len(a) == 120
