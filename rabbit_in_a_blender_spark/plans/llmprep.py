@@ -1376,3 +1376,43 @@ def ext_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
     return jsd_drift(d, "source", "lang", "src0")
+
+
+_LOGREG_XY_SQL = """
+  SELECT len(string_split(text, ' ')) / 100.0 AS x1,
+         (n_chars / (len(string_split(text, ' ')) * 1.0)) / 10.0 AS x2,
+         CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+"""
+
+
+def _logreg_oracle() -> str:
+    from ..ext.mlfit import logreg_oracle_sql
+
+    return logreg_oracle_sql(_LOGREG_XY_SQL, n_features=2, steps=8, lr=2.0)
+
+
+@register(
+    "ext_logreg_quality",
+    oracle=_logreg_oracle(),
+    doc="Distributed logistic-regression training (8 full-batch GD "
+    "steps, one aggregation each, weights on a 1e-8 decimal grid like "
+    "the PageRank iteration), distilling the n_chars>=300 quality rule "
+    "into a smooth scorer over word count + chars-per-word (the "
+    "filter-distillation shape: mimic a heuristic screen with a "
+    "calibrated model); the row returns the confusion matrix + "
+    "accuracy + learned weights, hash-checked against an unrolled "
+    "chained-CTE DuckDB replay.",
+)
+def ext_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.mlfit import logreg_fit, logreg_metrics
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_words = F.size(F.split("text", " "))
+    feats = d.select(
+        (n_words / F.lit(100.0)).alias("x1"),
+        ((F.col("n_chars") / (n_words * F.lit(1.0))) / F.lit(10.0)).alias("x2"),
+        F.when(F.col("n_chars") >= 300, 1.0).otherwise(0.0).alias("y"),
+    )
+    w = logreg_fit(feats, ["x1", "x2"], "y", steps=8, lr=2.0)
+    return logreg_metrics(feats, ["x1", "x2"], "y", w)
