@@ -146,6 +146,7 @@ def refine_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iterations: int = 2,
+    grid: int | None = None,
 ) -> DataFrame:
     """Lloyd (k-means) refinement of the coarse centroids, pure DataFrame.
 
@@ -155,6 +156,12 @@ def refine_centroids(
     (centroid, dim, value), one groupBy, and an ordered re-assembly.
     Shuffle width is (centroid_id, dim_index, double): dimensions ×
     centroids rows, never corpus-sized payloads.
+
+    ``grid`` (decimals) rounds every recomputed mean per step; with the
+    assignment's own 1e-6 cosine rounding that makes the ENTIRE Lloyd
+    iteration engine-reproducible — an unrolled SQL replay lands on
+    identical centroids (the PageRank/logreg decimal-grid recipe), so
+    k-means earns a hash gate instead of a recall bound.
 
     Returns a frame in the same (id_col, vec_col) shape as ``centroids``
     so it feeds straight back into build_ivf_index / ivf_search.
@@ -168,9 +175,12 @@ def refine_centroids(
             "centroid_id",
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val"),
         )
+        mean_expr = F.avg("__val")
+        if grid is not None:
+            mean_expr = F.round(mean_expr, grid)
         means = (
             dims.groupBy("centroid_id", "__pos")
-            .agg(F.avg("__val").alias("__mean"))
+            .agg(mean_expr.alias("__mean"))
             .groupBy("centroid_id")
             .agg(
                 F.transform(

@@ -961,3 +961,70 @@ def ext_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+def _kmeans_oracle(iterations: int = 3, c: int = 4, grid: int = 6) -> str:
+    """Unrolled DuckDB replay of refine_centroids(grid=6): per step, a
+    rounded-cosine nearest-centroid assignment (ties to the smaller
+    centroid id — the same comparator build_ivf_index encodes in its
+    max-struct) and grid-rounded per-dimension means."""
+    cos = (
+        "ROUND(list_dot_product(e.v, c.cv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+    )
+    parts = [
+        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv "
+        f"FROM embeddings WHERE vec_id < {c})",
+    ]
+    for s in range(iterations):
+        parts.append(
+            f"""a{s} AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {cos} DESC, c.cid) AS rn
+              FROM vecs e, cents{s} c)"""
+        )
+        parts.append(
+            f"""m{s} AS (
+              SELECT cid, pos, ROUND(AVG(val), {grid}) AS mv FROM (
+                SELECT cid, unnest(v) AS val,
+                       unnest(range(len(v))) AS pos
+                FROM a{s} WHERE rn = 1
+              ) GROUP BY cid, pos)"""
+        )
+        parts.append(
+            f"cents{s + 1} AS (SELECT cid, list(mv ORDER BY pos) AS cv "
+            f"FROM m{s} GROUP BY cid)"
+        )
+    return f"""
+    WITH {", ".join(parts)}
+    SELECT cid AS centroid_id, pos AS dim, mv AS value
+    FROM (
+      SELECT cid, unnest(cv) AS mv, unnest(range(len(cv))) AS pos
+      FROM cents{iterations}
+    ) t(cid, mv, pos)
+    """
+
+
+@register(
+    "ext_kmeans_centroids",
+    oracle=_kmeans_oracle(),
+    doc="Lloyd k-means (3 iterations, C=4 seeded from vec_id<4) over the "
+    "embeddings, with per-step grid rounding (assignment cosine 1e-6, "
+    "means 1e-6) so the whole iteration hash-matches an unrolled DuckDB "
+    "replay — upgrading the clustering primitive from rows-only+recall "
+    "to oracle-proven. Output: (centroid_id, dim, value) of the final "
+    "centroids.",
+)
+def ext_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.ivf import refine_centroids
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = refine_centroids(
+        e, e.filter(F.col("vec_id") < 4), iterations=3, grid=6
+    )
+    return cents.select(
+        F.col("vec_id").cast("long").alias("centroid_id"),
+        F.posexplode("embedding").alias("dim", "value"),
+    )

@@ -57,3 +57,24 @@ def test_refine_centroids_shape_and_search(spark):
     got = out.collect()
     assert {r["query_id"] for r in got} == {0, 1, 2}
     assert all(len([x for x in got if x["query_id"] == q]) == 3 for q in (0, 1, 2))
+
+
+def test_refine_centroids_grid_partitioning_invariant(spark):
+    """grid rounding makes the Lloyd iteration reproducible across
+    partitionings — the property the k-means hash oracle relies on."""
+    import random
+
+    from rabbit_in_a_blender_spark.ext.ivf import refine_centroids
+
+    rng = random.Random(4)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = df.filter("vec_id < 3")
+
+    def run(parts):
+        out = refine_centroids(
+            df.repartition(parts), seeds, iterations=3, grid=6
+        ).collect()
+        return sorted((r["vec_id"], tuple(r["embedding"])) for r in out)
+
+    assert run(2) == run(11)
