@@ -1028,3 +1028,67 @@ def ext_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("centroid_id"),
         F.posexplode("embedding").alias("dim", "value"),
     )
+
+
+@register(
+    "ext_kmeans_profile",
+    oracle=_kmeans_oracle().replace(
+        """
+    SELECT cid AS centroid_id, pos AS dim, mv AS value
+    FROM (
+      SELECT cid, unnest(cv) AS mv, unnest(range(len(cv))) AS pos
+      FROM cents3
+    ) t(cid, mv, pos)
+    """,
+        """
+    SELECT c.cid AS centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(AVG(ROUND(list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 6)), 4) AS avg_cosine
+    FROM (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid) AS rn
+      FROM vecs e, cents3 c) a
+    JOIN vecs e ON a.vec_id = e.vec_id
+    JOIN cents3 c ON a.cid = c.cid
+    WHERE a.rn = 1
+    GROUP BY c.cid
+    """,
+    ),
+    doc="Cluster profile after the oracle-proven Lloyd run: member count "
+    "and mean (rounded) cosine-to-own-centroid per cluster — the "
+    "cohesion readout a curation pipeline tracks per re-clustering.",
+)
+def ext_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.ivf import build_ivf_index, refine_centroids
+    from ..ext.similarity import _dot, _norm
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = refine_centroids(
+        e, e.filter(F.col("vec_id") < 4), iterations=3, grid=6
+    )
+    assigned = build_ivf_index(e, cents).select(
+        "centroid_id", F.col("embedding").cast("array<double>").alias("__v")
+    )
+    cvecs = cents.select(
+        F.col("vec_id").cast("long").alias("centroid_id"),
+        F.col("embedding").alias("__cv"),
+    )
+    cos = F.round(
+        _dot(F.col("__v"), F.col("__cv"))
+        / (_norm(F.col("__v")) * _norm(F.col("__cv"))),
+        6,
+    )
+    return (
+        assigned.join(F.broadcast(cvecs), "centroid_id")
+        .select("centroid_id", cos.alias("__cos"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.avg("__cos"), 4).alias("avg_cosine"),
+        )
+    )
