@@ -207,6 +207,17 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--damping", type=float, default=0.85,
                    help="With --graph-rank: damping factor "
                         "(default %(default)s)")
+    x.add_argument("--embed-cluster", metavar="VECS",
+                   help="Lloyd k-means over an embedding table (parquet "
+                        "dir/file with --id-col / --vec-col): writes "
+                        "<out>/centroids and <out>/assignments "
+                        "(partitioned by centroid_id, IVF-ready)")
+    x.add_argument("--vec-col", default="embedding",
+                   help="With --embed-cluster: vector column "
+                        "(default %(default)s)")
+    x.add_argument("--clusters", type=int, default=8,
+                   help="With --embed-cluster: number of centroids "
+                        "(default %(default)s)")
     x.add_argument("--corpus-drift", metavar="DOCS",
                    help="Distribution-drift QC per stratum vs a reference "
                         "stratum: PSI + KS on --numeric-col, JSD on "
@@ -557,6 +568,65 @@ def _corpus_search(args, cfg) -> int:
     return 0
 
 
+def _embed_cluster(args, cfg) -> int:
+    """User-facing Lloyd k-means (`ext/ivf.py::refine_centroids`):
+    cluster an embedding table, write centroids + an IVF-ready
+    assignment layout.  Seeds are the first --clusters ids (hash-order
+    deterministic); --iterations (shared with --graph-rank) sets the
+    Lloyd rounds."""
+    from pyspark.sql import functions as F
+
+    from .core.session import get_spark
+    from .ext.ivf import build_ivf_index, refine_centroids
+
+    if not args.out:
+        raise SystemExit("--embed-cluster requires --out")
+    spark = get_spark(
+        "riab-spark",
+        master=cfg.get("spark", "master", fallback=None),
+        shuffle_partitions=(
+            cfg.getint("spark", "shuffle_partitions")
+            if cfg.has_option("spark", "shuffle_partitions")
+            else None
+        ),
+    )
+    src = args.embed_cluster
+    vecs = spark.read.parquet(src)
+    for c in (args.id_col, args.vec_col):
+        if c not in vecs.columns:
+            raise SystemExit(f"column {c!r} not in {src} ({vecs.columns})")
+    vecs = vecs.select(args.id_col, args.vec_col)
+    seeds = vecs.orderBy(args.id_col).limit(args.clusters)
+    cents = refine_centroids(
+        vecs, seeds, id_col=args.id_col, vec_col=args.vec_col,
+        iterations=args.iterations, grid=6,
+    )
+    cents_out = args.out.rstrip("/") + "/centroids"
+    cents.withColumnRenamed(args.id_col, "centroid_id").write.mode(
+        "overwrite"
+    ).parquet(cents_out)
+    assigned = build_ivf_index(
+        vecs, spark.read.parquet(cents_out).withColumnRenamed(
+            "centroid_id", args.id_col
+        ),
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    assign_out = args.out.rstrip("/") + "/assignments"
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(assign_out)
+    sizes = (
+        spark.read.parquet(assign_out)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    print(f"wrote {len(sizes)} centroids -> {cents_out}")
+    print(f"wrote assignments (partitioned by centroid_id) -> {assign_out}")
+    for r in sizes:
+        print(f"  centroid {r['centroid_id']}: {r['n']} vectors")
+    return 0
+
+
 def _corpus_drift(args, cfg) -> int:
     """User-facing drift QC (`ext/drift.py`): PSI + KS over a numeric
     column and JSD over a categorical column, per stratum vs a
@@ -796,6 +866,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.graph_rank:
         return _graph_rank(args, cfg)
+
+    if args.embed_cluster:
+        return _embed_cluster(args, cfg)
 
     if args.corpus_drift:
         return _corpus_drift(args, cfg)

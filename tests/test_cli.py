@@ -583,3 +583,40 @@ def test_corpus_drift_reports_and_writes(spark, capsys, tmpdir_):
     # unknown reference stratum → explicit error
     with pytest.raises(SystemExit):
         main(["--corpus-drift", docs, "--ref-stratum", "nope", "--config", cfg])
+
+
+def test_embed_cluster_writes_centroids_and_assignments(spark, capsys, tmpdir_):
+    """--embed-cluster end-to-end: separable blobs land in distinct
+    clusters; assignments are partitioned by centroid_id."""
+    import random
+
+    root = str(tmpdir_)
+    vecs = os.path.join(root, "vecs")
+    rng = random.Random(6)
+    rows = []
+    for i in range(60):
+        mu = 3.0 if i % 2 else -3.0
+        rows.append((i, [mu + rng.gauss(0, 0.3) for _ in range(8)]))
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .write.parquet(vecs)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    out = os.path.join(root, "clusters")
+    rc = main(["--embed-cluster", vecs, "--id-col", "vec_id", "--clusters", "2",
+               "--iterations", "4", "--out", out, "--config", cfg])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "wrote 2 centroids" in printed
+    from pyspark.sql import functions as F
+
+    assigned = spark.read.parquet(out + "/assignments")
+    sizes = dict(
+        (r["centroid_id"], r["n"])
+        for r in assigned.groupBy("centroid_id")
+        .agg(F.count("vec_id").alias("n"))
+        .collect()
+    )
+    assert sorted(sizes.values()) == [30, 30]  # the two planted blobs
+    # partition layout on disk
+    assert any(d.startswith("centroid_id=") for d in os.listdir(out + "/assignments"))
