@@ -1092,3 +1092,98 @@ def ext_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("__cos"), 4).alias("avg_cosine"),
         )
     )
+
+
+@register(
+    "ext_kmeans_separation",
+    oracle=_kmeans_oracle().replace(
+        """
+    SELECT cid AS centroid_id, pos AS dim, mv AS value
+    FROM (
+      SELECT cid, unnest(cv) AS mv, unnest(range(len(cv))) AS pos
+      FROM cents3
+    ) t(cid, mv, pos)
+    """,
+        """
+    , ranked AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid) AS rn
+      FROM vecs e, cents3 c
+    ),
+    pivoted AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rn = 1 THEN cid END) AS own_cid,
+             MAX(CASE WHEN rn = 1 THEN cos END) AS c1,
+             MAX(CASE WHEN rn = 2 THEN cos END) AS c2
+      FROM ranked WHERE rn <= 2 GROUP BY vec_id
+    )
+    SELECT own_cid AS centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(AVG(ROUND((c1 - c2) / (1 - c2), 6)), 4) AS avg_margin,
+           ROUND(MIN(ROUND((c1 - c2) / (1 - c2), 6)), 4) AS min_margin
+    FROM pivoted WHERE c2 < 1 GROUP BY own_cid
+    """,
+    ),
+    doc="Cluster separation after the oracle-proven Lloyd run: the "
+    "centroid-silhouette margin (cos_own - cos_next) / (1 - cos_next) "
+    "per vector, averaged and min'd per cluster — how far each member "
+    "sits from the decision boundary.  Same broadcast max-struct, "
+    "sorted once for the top-2 centroids, no |corpus| x C explosion.",
+)
+def ext_kmeans_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.ivf import refine_centroids
+    from ..ext.similarity import _dot, _norm
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = refine_centroids(
+        e, e.filter(F.col("vec_id") < 4), iterations=3, grid=6
+    )
+    cents_row = cents.agg(
+        F.collect_list(
+            F.struct(
+                F.col("vec_id").cast("long").alias("cid"),
+                F.col("embedding").alias("cv"),
+            )
+        ).alias("__cents")
+    )
+    scored = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("__v"))
+        .crossJoin(F.broadcast(cents_row))
+        .withColumn(
+            "__ranked",
+            F.array_sort(  # ascending by (cos, -cid): last = best, same
+                F.transform(  # comparator as the assignment max-struct
+                    "__cents",
+                    lambda s: F.struct(
+                        F.round(
+                            _dot(F.col("__v"), s["cv"])
+                            / (_norm(F.col("__v")) * _norm(s["cv"])),
+                            6,
+                        ).alias("cos"),
+                        (-s["cid"]).alias("neg_cid"),
+                    ),
+                )
+            ),
+        )
+        .select(
+            (-F.element_at("__ranked", -1)["neg_cid"]).alias("centroid_id"),
+            F.element_at("__ranked", -1)["cos"].alias("__c1"),
+            F.element_at("__ranked", -2)["cos"].alias("__c2"),
+        )
+        .where(F.col("__c2") < 1)
+        .withColumn(
+            "__m",
+            F.round((F.col("__c1") - F.col("__c2")) / (F.lit(1.0) - F.col("__c2")), 6),
+        )
+    )
+    return scored.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.avg("__m"), 4).alias("avg_margin"),
+        F.round(F.min("__m"), 4).alias("min_margin"),
+    )
