@@ -115,7 +115,9 @@ def _make_zscore_update(width_s: int, lookback: int, min_prev: int, threshold: f
             sigma = _math.sqrt(var)
             if sigma > 0:
                 z = round((avg - mu) / sigma, 3)
-                ts = _dt.datetime.utcfromtimestamp(bucket * width_s).strftime(
+                ts = _dt.datetime.fromtimestamp(
+                    bucket * width_s, tz=_dt.timezone.utc
+                ).strftime(
                     "%Y-%m-%d %H:%M:%S"
                 )
                 out_rows.append(
