@@ -61,36 +61,27 @@ from pyspark.sql import DataFrame, SparkSession
 # closure can't see (dynamic dispatch, data-file dependencies) and for
 # explicit verdict orders.
 _REVERIFY_FIRST: list[str] = [
-    # VERDICT r6 task 2: the 22 rows left stale at r6 close (judge-
-    # verified on HEAD, driver row wanted) must re-earn this round.
-    # The automatic derivation WOULD flag them — but r7 touched
-    # core/io.py (parquet_exists), which sits in the import closure of
-    # nearly every query, so the stale bucket floods to ~150 names and
-    # registration order would push several of these past the ~50-query
-    # cap.  Pinning them keeps the verdict's order ahead of the flood;
-    # the full-catalog run is committed as FULLGATE_r07.json either way.
-    "ext_dedup_exact",
-    "ext_dedup_ngram_jaccard",
-    "ext_dedup_minhash_lsh",
-    "ext_pq_topk",
-    "ext_dedup_pipeline",
-    "ext_multimodal_features",
-    "ext_dedup_clusters",
-    "ext_dedup_clusters_lsh",
-    "ext_embed_clusters",
-    "ext_sample_uniform",
-    "ext_sample_stratified",
-    "ext_split_assign",
-    "ext_source_mixture",
-    "ext_decontam_overlap",
-    "ext_decontam_filter",
-    "ext_decontam_rare",
-    "ext_leakage_safe_split",
-    "ext_incremental_dedup",
-    "ext_corpus_prep",
-    "tsv_vocab_ingest",
-    "wh_cleanup_walk",
-    "wh_load_dispositions",
+    # VERDICT r7 task 1: the 16 queries that landed late in r7 and have
+    # never earned a driver CORRECTNESS row (FULLGATE-green only).  The
+    # never-green bucket would surface them anyway, but the pin
+    # guarantees order ahead of any stale-bucket flood so all 16 land
+    # inside the driver's ~50-query cap.
+    "ext_psi_drift",
+    "ext_ks_drift",
+    "ext_jsd_drift",
+    "ext_heavy_hitters",
+    "ext_ts_rollup_gapfill",
+    "ext_ts_rolling_zscore",
+    "ext_ts_qc_chain",
+    "ext_percentile_rollup",
+    "ext_regr_fit",
+    "ext_regr_outliers",
+    "ext_logreg_quality",
+    "ext_pmi_collocations",
+    "ext_weighted_sample",
+    "ext_embed_decontam",
+    "stream_corpus_dedup_batch",
+    "stream_drift_batch",
 ]
 
 _PKG = "rabbit_in_a_blender_spark"

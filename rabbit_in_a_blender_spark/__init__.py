@@ -24,4 +24,4 @@ Nothing here is a port: the reference tells us WHAT to compute (see
 /root/repo/SURVEY.md); the HOW is idiomatic PySpark DataFrame/SQL.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # kept in sync with pyproject.toml

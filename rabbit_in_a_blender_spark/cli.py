@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="riab-spark",
         description="PySpark-native OMOP CDM ETL (Rabbit-in-a-Blender capabilities)",
     )
+    # flag-parity with the reference CLI (/root/reference/src/riab/cli.py:387)
+    from rabbit_in_a_blender_spark import __version__
+
+    p.add_argument(
+        "--version", action="version", version=f"%(prog)s {__version__}"
+    )
     g = p.add_argument_group("commands")
     g.add_argument("-cd", "--create-db", action="store_true",
                    help="Create the (empty) OMOP CDM tables in the omop zone")
@@ -211,7 +217,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Lloyd k-means over an embedding table (parquet "
                         "dir/file with --id-col / --vec-col): writes "
                         "<out>/centroids and <out>/assignments "
-                        "(partitioned by centroid_id, IVF-ready)")
+                        "(partitioned by centroid_id, IVF-ready). "
+                        "NOTE: --id-col defaults to 'doc_id'; for a "
+                        "standard embeddings table pass --id-col vec_id")
     x.add_argument("--vec-col", default="embedding",
                    help="With --embed-cluster: vector column "
                         "(default %(default)s)")
@@ -364,7 +372,7 @@ def _corpus_dedup(args, cfg) -> int:
             raise SystemExit(f"column {c!r} not in {src} ({docs.columns})")
     n_in = docs.count()
 
-    from .core.io import parquet_exists
+    from .core.fsio import parquet_exists
 
     # Hadoop-FS-aware (ADVICE r6): os.path probes lie on HDFS/S3 URIs.
     index_exists = bool(args.index) and parquet_exists(spark, args.index)
@@ -581,6 +589,26 @@ def _embed_cluster(args, cfg) -> int:
 
     if not args.out:
         raise SystemExit("--embed-cluster requires --out")
+    # Validate columns from the parquet footer BEFORE spinning up a
+    # session when the source is a local path (ADVICE r7: --id-col
+    # defaults to 'doc_id', so a standard embeddings table needs
+    # --id-col vec_id — fail in milliseconds, not after session start).
+    src = args.embed_cluster
+    if os.path.exists(src):
+        try:
+            import pyarrow.dataset as _ds
+
+            cols = set(_ds.dataset(src, format="parquet").schema.names)
+        except Exception:
+            cols = None
+        if cols is not None:
+            for c in (args.id_col, args.vec_col):
+                if c not in cols:
+                    raise SystemExit(
+                        f"column {c!r} not in {src} (has {sorted(cols)}); "
+                        "hint: --id-col defaults to 'doc_id', pass "
+                        "--id-col vec_id for a standard embeddings table"
+                    )
     spark = get_spark(
         "riab-spark",
         master=cfg.get("spark", "master", fallback=None),
@@ -590,7 +618,6 @@ def _embed_cluster(args, cfg) -> int:
             else None
         ),
     )
-    src = args.embed_cluster
     vecs = spark.read.parquet(src)
     for c in (args.id_col, args.vec_col):
         if c not in vecs.columns:

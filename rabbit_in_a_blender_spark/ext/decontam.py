@@ -167,6 +167,9 @@ def embedding_decontaminate_arrow(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
+
+    from rabbit_in_a_blender_spark.ext._rounding import round_half_up
 
     b_rows = bench.select(F.col(vec_col).cast("array<double>").alias("v")).collect()
     b_mat = np.array([r["v"] for r in b_rows], dtype=np.float64)
@@ -178,7 +181,9 @@ def embedding_decontaminate_arrow(
                 continue
             c = np.array(list(pdf["v"]), dtype=np.float64)
             c = c / np.linalg.norm(c, axis=1, keepdims=True)
-            best = np.round((c @ b_mat.T).max(axis=1), round_digits)
+            # HALF_UP like the JVM twin's F.round — np.round (half-even)
+            # would flip the contaminated flag on a representable .5 tie
+            best = round_half_up((c @ b_mat.T).max(axis=1), round_digits)
             yield pd.DataFrame(
                 {
                     "__id": pdf["__id"].to_numpy(),
@@ -191,7 +196,14 @@ def embedding_decontaminate_arrow(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    return c.mapInPandas(
-        score,
-        schema="__id long, max_bench_cosine double, contaminated boolean",
-    ).withColumnRenamed("__id", id_col)
+    # The id keeps its source type (string doc ids work like the JVM path)
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", corpus.schema[id_col].dataType),
+            T.StructField("max_bench_cosine", T.DoubleType()),
+            T.StructField("contaminated", T.BooleanType()),
+        ]
+    )
+    return c.mapInPandas(score, schema=out_schema).withColumnRenamed(
+        "__id", id_col
+    )

@@ -105,6 +105,8 @@ def cosine_topk_arrow(
     import numpy as np
     import pandas as pd
 
+    from rabbit_in_a_blender_spark.ext._rounding import round_half_up
+
     q_rows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
     ).collect()
@@ -128,11 +130,15 @@ def cosine_topk_arrow(
                 if not len(cand):
                     continue
                 # partial selection under the FINAL comparator: rank on
-                # the ROUNDED score (what the final window ranks on) and
+                # the ROUNDED score (what the final window ranks on,
+                # HALF_UP like Spark F.round — np.round is half-even and
+                # would order a representable .5 tie differently) and
                 # keep a 2k pad so a rounding-tie cluster straddling the
                 # cut can't evict a smaller-id winner
                 kk = min(2 * k, len(cand))
-                order = np.lexsort((cand_ids, -np.round(cand, round_digits)))[:kk]
+                order = np.lexsort(
+                    (cand_ids, -round_half_up(cand, round_digits))
+                )[:kk]
                 out_q.extend([qid] * kk)
                 out_n.extend(cand_ids[order])
                 out_s.extend(cand[order])
@@ -211,12 +217,15 @@ def cosine_near_dup_lsh(
     Each vector gets a ``planes``-bit signature (sign of the dot product
     with fixed random hyperplanes), split into ``bands`` bands; vectors
     sharing any band bucket become candidates, then the exact cosine
-    filter re-checks.  Cost: one narrow signature pass + a bucket
-    equi-join that shuffles only (band, bucket, id, vec) — never the
-    full cross product.  Recall is tunable via planes/bands (more bands
-    of fewer bits → higher recall); banding is probabilistic, so this is
-    the approximate variant — validated against the exact pairs in
-    tests, not against a SQL oracle.
+    filter re-checks.  Two-phase candidate join (VERDICT r7 task 5): the
+    bucket self-join shuffles only (bucket, id) — at billions of vectors
+    carrying the embedding through both sides of that exchange would
+    shuffle the whole matrix twice — and the vectors are joined back for
+    exactly the deduplicated candidate pairs.  Recall is tunable via
+    planes/bands (more bands of fewer bits → higher recall); banding is
+    probabilistic, so this is the approximate variant — validated
+    against the exact pairs in tests (LSH-pairs ⊆ exact-pairs), not
+    against a SQL oracle.
     """
     v = F.col(vec_col).cast("array<double>")
     plane_arrays = [
@@ -235,9 +244,10 @@ def cosine_near_dup_lsh(
             for i in range(bands)
         ],
     )
+    # Phase 1: candidate ids only — the self-join exchange carries
+    # (bucket, id), never the embedding.
     buckets = sig.select(
         "__id",
-        "__vec",
         F.explode(
             F.array(
                 *[
@@ -247,27 +257,22 @@ def cosine_near_dup_lsh(
             )
         ).alias("__bucket"),
     )
-    left = buckets.select(
-        F.col("__bucket"),
-        F.col("__id").alias("id_a"),
-        F.col("__vec").alias("__va"),
-    )
-    right = buckets.select(
-        F.col("__bucket"),
-        F.col("__id").alias("id_b"),
-        F.col("__vec").alias("__vb"),
-    )
     cand = (
-        left.join(right, ["__bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__va", "__vb")
+        buckets.alias("l")
+        .join(buckets.alias("r"), ["__bucket"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Phase 2: fetch vectors for exactly the candidate pairs.
+    va = sig.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
+    vb = sig.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     cos = F.round(
         _dot(F.col("__va"), F.col("__vb"))
         / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
         round_digits,
     )
-    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.io import parquet_exists
+from ..core.fsio import parquet_exists
 
 
 def _bin_counts(

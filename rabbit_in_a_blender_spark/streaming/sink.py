@@ -87,7 +87,7 @@ def stream_corpus_dedup(
     Returns the DataStreamWriter; callers pick the trigger
     (availableNow for backfill, processingTime for continuous).
     """
-    from ..core.io import parquet_exists
+    from ..core.fsio import parquet_exists
     from ..ext.dedup import incremental_dedup, unpersist_intermediates
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -141,10 +141,15 @@ def _make_zscore_update(width_s: int, lookback: int, min_prev: int, threshold: f
         else:
             cur_bucket, cur_cents, cur_n, ring = -1, 0, 0, []
         out_rows: list[tuple] = []
+        from rabbit_in_a_blender_spark.ext._rounding import to_cents_half_up
+
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
             secs = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
-            cents = pdf["value"].round(2).mul(100).round().astype("int64").to_numpy()
+            # HALF_UP cents, same grid as the batch twin's
+            # F.round(value*100, 0) — pandas .round is half-even and the
+            # old pre-round(2) diverged on half-ties (ADVICE r7)
+            cents = to_cents_half_up(pdf["value"].to_numpy())
             for sec, c in zip(secs, cents):
                 b = int(sec) // width_s
                 if b < cur_bucket:
