@@ -177,6 +177,90 @@ def stream_corpus_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_zscore_batch",
+    oracle="""
+    WITH roll AS (
+      SELECT event_type,
+             make_timestamp(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)*1000000)
+               AS bucket,
+             (SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0) / COUNT(*) AS avg_v
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT event_type, MAX(bucket) AS mb FROM roll GROUP BY event_type
+    ),
+    scored AS (
+      SELECT event_type, bucket, avg_v,
+             FLOOR(avg_v * 10000) / 10000.0 AS avg4,
+             COUNT(avg_v) OVER w AS n_prev,
+             AVG(avg_v) OVER w AS mu,
+             stddev_pop(avg_v) OVER w AS sigma
+      FROM roll
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT s.event_type,
+           strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           avg4 AS avg_value,
+           ROUND((avg_v - mu) / sigma, 3) AS zscore,
+           abs(ROUND((avg_v - mu) / sigma, 3)) > 2 AS is_anomaly
+    FROM scored s JOIN mx USING (event_type)
+    WHERE n_prev >= 4 AND sigma > 0 AND s.bucket < mx.mb
+    """,
+    doc="The stateful streaming z-score (streaming/stateful.py "
+    "stream_zscore) under the hash gate: events replay as two "
+    "time-ordered single-file micro-batches (split at the midpoint "
+    "timestamp, so nothing arrives late) through the real "
+    "applyInPandasWithState operator with a parquet sink.  Closed "
+    "buckets must match the batch rolling_zscore bit-for-bit — the "
+    "oracle is the ext_ts_rolling_zscore oracle minus each group's "
+    "newest bucket, which never closes in a finite replay.",
+)
+def stream_zscore_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import stream_zscore
+
+    e = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_type", "ts", "value"
+    )
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    root = tempfile.mkdtemp(prefix="riab_szs_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    for i, half in enumerate(
+        (e.filter(F.col("ts") <= F.lit(mid)), e.filter(F.col("ts") > F.lit(mid)))
+    ):
+        tmp = os.path.join(root, f"half{i}")
+        half.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    out_dir = os.path.join(root, "out")
+    query = (
+        stream_zscore(
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            "event_type",
+            width_s=21600,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).withColumnRenamed("group_key", "event_type")
+
+
+@register(
     "stream_drift_batch",
     oracle="""
     WITH base AS (

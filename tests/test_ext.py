@@ -214,3 +214,54 @@ def test_embedding_decontaminate_arrow_matches_jvm(spark):
     b = {tuple(r) for r in embedding_decontaminate_arrow(
         corpus.repartition(5), bench, "vec_id", "embedding", 0.3).collect()}
     assert a == b and len(a) == 120
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """The numpy HALF_UP helper must agree with Spark F.round on exact
+    .5 ties — np.round (half-even) diverges there (ADVICE r7)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.ext._rounding import (
+        round_half_up,
+        to_cents_half_up,
+    )
+
+    vals = [0.125, -0.125, 0.135, 2.5, -2.5, 0.5, 1.5, 10.005, -10.005,
+            0.12345, 99.995, -0.0625, 3.14159, 0.0]
+    for digits in (0, 2, 3, 4):
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        jvm = [r[0] for r in df.select(F.round("v", digits)).collect()]
+        np_side = round_half_up(np.array(vals), digits)
+        assert jvm == list(np_side), (digits, jvm, list(np_side))
+    cents_jvm = [
+        r[0]
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(F.round(F.col("v") * 100, 0).cast("long"))
+        .collect()
+    ]
+    assert cents_jvm == list(to_cents_half_up(np.array(vals)))
+
+
+def test_embedding_decontaminate_arrow_string_ids(spark):
+    """The Arrow variant derives the id type from the input schema, so
+    string doc ids work like the JVM path (ADVICE r7)."""
+    import random
+
+    from rabbit_in_a_blender_spark.ext.decontam import (
+        embedding_decontaminate,
+        embedding_decontaminate_arrow,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (f"doc-{i}", [rng.gauss(0, 1) for _ in range(8)], i % 4)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>, label int")
+    corpus, bench = df.filter("label != 0"), df.filter("label = 0")
+    a = {tuple(r) for r in embedding_decontaminate(
+        corpus, bench, "doc_id", "embedding", 0.3).collect()}
+    b = {tuple(r) for r in embedding_decontaminate_arrow(
+        corpus.repartition(3), bench, "doc_id", "embedding", 0.3).collect()}
+    assert a == b and len(a) == 60

@@ -447,3 +447,61 @@ def test_stream_drift_monitor_converges_to_batch_psi(spark):
         assert report[s]["n_docs"] == batch[s]["n_docs"] == 40
         assert report[s]["psi"] == batch[s]["psi"]
     assert report["drifted"]["psi"] > 0.25 > report["steady"]["psi"]
+
+
+def test_stream_zscore_half_tie_cents_match_batch(spark):
+    """Values landing exactly on a .5 cents tie (e.g. 10.125 → 1012.5)
+    must round HALF_UP like the batch twin's F.round(value*100, 0) —
+    pandas .round is half-even and diverged here (ADVICE r7)."""
+    import os
+
+    from rabbit_in_a_blender_spark.ext.timeseries import rolling_zscore
+    from rabbit_in_a_blender_spark.streaming.stateful import stream_zscore
+    from rabbit_in_a_blender_spark.streaming.windows import streaming_events_source
+
+    rows = []
+    # every value sits on an exact .5 cents tie (three binary decimals)
+    for h in range(10):
+        rows.append((h, D(2024, 1, 1, h, 10), 1, "a", 10.125 + (h % 2) * 1.25))
+    rows.append((10, D(2024, 1, 1, 10, 10), 1, "a", 100.005))  # tie spike
+    rows.append((11, D(2024, 1, 1, 11, 10), 1, "a", 10.125))   # closes it
+    df = spark.createDataFrame(
+        rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+    )
+
+    tmp = tempfile.mkdtemp(prefix="riab_zs_tie_")
+    try:
+        df.filter("event_id <= 5").coalesce(1).write.parquet(f"{tmp}/in/b1")
+        df.filter("event_id > 5").coalesce(1).write.parquet(f"{tmp}/in/b2")
+        for i, sub in enumerate(sorted(os.listdir(f"{tmp}/in"))):
+            for f in os.listdir(f"{tmp}/in/{sub}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{tmp}/in/{sub}/{f}", f"{tmp}/stream_{i}.parquet")
+        src = streaming_events_source(spark, tmp, schema=df.schema, max_files=1)
+        q = (
+            stream_zscore(src, "event_type", width_s=3600)
+            .writeStream.format("memory")
+            .queryName("riab_zscore_tie_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["bucket_ts"]: r
+            for r in spark.sql("select * from riab_zscore_tie_test").collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    batch = {
+        r["bucket_ts"]: r
+        for r in rolling_zscore(df, "event_type", "ts", "value", width_s=3600).collect()
+    }
+    assert set(got) == set(batch) - {"2024-01-01 11:00:00"}
+    for ts, s in got.items():
+        b = batch[ts]
+        # bit-for-bit: HALF_UP ties put both sides on the identical grid
+        assert s["avg_value"] == b["avg_value"], ts
+        assert abs(s["zscore"] - b["zscore"]) <= 0.001
+        assert s["is_anomaly"] == b["is_anomaly"]
