@@ -63,6 +63,7 @@ def train_pq_codebooks(
     m: int = 8,
     ksub: int = 16,
     iterations: int = 2,
+    grid: int | None = None,
 ) -> DataFrame:
     """Per-subspace k-means codebooks: (sub_idx, code, subvec).
 
@@ -70,6 +71,12 @@ def train_pq_codebooks(
     then ``iterations`` Lloyd rounds run over all subspaces at once —
     each round is one broadcast assignment plus one metadata-sized
     groupBy; adding subspaces does not add rounds.
+
+    ``grid`` (decimals) rounds every recomputed mean per step, exactly
+    like ``ext/ivf.py::refine_centroids(grid=...)``: with the
+    assignment's own 1e-9 distance rounding that makes the whole Lloyd
+    iteration engine-reproducible, so a PQ pipeline can be replayed by
+    an unrolled SQL oracle (the k-means decimal-grid recipe).
     """
     subs = _subvectors(corpus, id_col, vec_col, m)
     seeds = _subvectors(
@@ -80,6 +87,9 @@ def train_pq_codebooks(
         seeds.withColumn("code", F.row_number().over(w) - 1)
         .select("sub_idx", "code", "subvec")
     )
+    mean_expr = F.avg("__val")
+    if grid is not None:
+        mean_expr = F.round(mean_expr, grid)
     for _ in range(iterations):
         assigned = _assign_codes(subs, books)
         books = (
@@ -89,7 +99,7 @@ def train_pq_codebooks(
                 F.posexplode("subvec").alias("__pos", "__val"),
             )
             .groupBy("sub_idx", "code", "__pos")
-            .agg(F.avg("__val").alias("__mean"))
+            .agg(mean_expr.alias("__mean"))
             .groupBy("sub_idx", "code")
             .agg(
                 F.transform(

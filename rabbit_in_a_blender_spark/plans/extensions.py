@@ -266,11 +266,72 @@ def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, "doc_id", "text")
 
 
+_COS6 = (
+    "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b}))), 6)"
+)
+_COS4 = (
+    "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+
+def _ivf_oracle(c: int = 16, nq: int = 10, k: int = 3, nprobe: int = 4) -> str:
+    """Full DuckDB replay of ivf_search (VERDICT r7 task 3): the whole
+    pipeline is deterministic (seed centroids = vec_id < c, rounded-
+    cosine argmax assignment with min-id ties, rounded-cosine probe
+    ranking, exact rerank), so the approximate search earns a hash gate
+    instead of a recall bound — the same upgrade the k-means rows got."""
+    acos = _COS6.format(a="e.v", b="c.cv")
+    pcos = _COS6.format(a="q.v", b="c.cv")
+    scos = _COS4.format(a="e.v", b="q.v")
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < {c}
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {acos} DESC, c.cid) AS rn
+        FROM vecs e, cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {pcos} DESC, c.cid) AS rn
+        FROM vecs q, cents c WHERE q.vec_id < {nq}
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {scos} AS cosine
+      FROM probes p
+      JOIN assign a ON a.cid = p.cid
+      JOIN vecs e ON e.vec_id = a.vec_id
+      JOIN vecs q ON q.vec_id = p.query_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
 @register(
     "ext_ivf_topk",
-    oracle=None,  # approximate by design → rows-only check; recall is
-    # asserted against brute force in tests/test_ivf.py
-    doc="IVF-Flat ANN: 16 coarse centroids, nprobe=4, exact rerank.",
+    oracle=_ivf_oracle(),
+    doc="IVF-Flat ANN: 16 coarse centroids, nprobe=4, exact rerank — "
+    "under a full-replay hash oracle (deterministic seed centroids + "
+    "rounded-cosine assignment/probing make the 'approximate' search "
+    "exactly reproducible in SQL); recall vs brute force is separately "
+    "asserted in tests/test_ivf.py.",
 )
 def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.ivf import build_ivf_index, ivf_search
@@ -282,14 +343,139 @@ def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(index, centroids, queries, k=3, nprobe=4)
 
 
+def _pq_oracle(
+    m: int = 16,
+    ksub: int = 32,
+    iterations: int = 2,
+    nq: int = 10,
+    k: int = 3,
+    shortlist: int = 32,
+    dsub: int = 4,
+    grid: int = 6,
+    ivf_c: int | None = None,
+    nprobe: int = 8,
+) -> str:
+    """Unrolled DuckDB replay of the PQ / IVFADC search (VERDICT r7
+    task 3): with the codebook means on the decimal grid (the k-means
+    recipe, now a ``grid`` option of train_pq_codebooks) the whole
+    pipeline — L2 normalize, per-subspace Lloyd training, encoding, ADC
+    shortlist, exact re-rank, plus IVF cell assignment/probing when
+    ``ivf_c`` is set — is engine-reproducible, so the 'approximate'
+    searches earn hash gates.  Recall bounds stay in tests/test_pq.py /
+    test_ivfpq.py."""
+    l2dist = (
+        "ROUND(list_sum(list_transform(list_zip(t.sv, b.cv), "
+        "p -> (p[1]-p[2])*(p[1]-p[2]))), 9)"
+    )
+    parts = [
+        "vraw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)",
+        "vecs AS (SELECT vec_id, list_transform(v0, x -> x / "
+        "(CASE WHEN sqrt(list_dot_product(v0, v0)) = 0 THEN 1.0 "
+        "ELSE sqrt(list_dot_product(v0, v0)) END)) AS v FROM vraw)",
+        f"subs AS (SELECT vec_id, s, v[s*{dsub}+1 : s*{dsub}+{dsub}] AS sv "
+        f"FROM vecs, (SELECT unnest(range({m})) AS s) ss)",
+        f"books0 AS (SELECT s AS sub_idx, "
+        f"ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code, "
+        f"sv AS cv FROM subs WHERE vec_id IN "
+        f"(SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {ksub}))",
+    ]
+    for it in range(iterations):
+        parts.append(
+            f"a{it} AS (SELECT t.vec_id, t.s, t.sv, b.code, "
+            f"ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.s "
+            f"ORDER BY {l2dist} ASC, b.code) AS rn "
+            f"FROM subs t JOIN books{it} b ON b.sub_idx = t.s)"
+        )
+        parts.append(
+            f"m{it} AS (SELECT s AS sub_idx, code, pos, "
+            f"ROUND(AVG(val), {grid}) AS mv FROM ("
+            f"SELECT s, code, unnest(sv) AS val, "
+            f"unnest(range(len(sv))) AS pos FROM a{it} WHERE rn = 1"
+            f") GROUP BY s, code, pos)"
+        )
+        parts.append(
+            f"books{it + 1} AS (SELECT sub_idx, code, "
+            f"list(mv ORDER BY pos) AS cv FROM m{it} GROUP BY sub_idx, code)"
+        )
+    bk = f"books{iterations}"
+    parts.append(
+        f"enc AS (SELECT vec_id, s, code FROM ("
+        f"SELECT t.vec_id, t.s, b.code, "
+        f"ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.s "
+        f"ORDER BY {l2dist} ASC, b.code) AS rn "
+        f"FROM subs t JOIN {bk} b ON b.sub_idx = t.s) WHERE rn = 1)"
+    )
+    parts.append(
+        f"qsubs AS (SELECT vec_id AS query_id, s, sv AS qv "
+        f"FROM subs WHERE vec_id < {nq})"
+    )
+    if ivf_c is not None:
+        acos = _COS6.format(a="e.v", b="c.cv")
+        pcos = _COS6.format(a="q.v", b="c.cv")
+        parts.append(
+            f"cents AS (SELECT vec_id AS cid, v AS cv FROM vecs "
+            f"WHERE vec_id < {ivf_c})"
+        )
+        parts.append(
+            f"cellassign AS (SELECT vec_id, cid FROM ("
+            f"SELECT e.vec_id, c.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {acos} DESC, c.cid) AS rn "
+            f"FROM vecs e, cents c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"probes AS (SELECT query_id, cid FROM ("
+            f"SELECT q.vec_id AS query_id, c.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+            f"ORDER BY {pcos} DESC, c.cid) AS rn "
+            f"FROM vecs q, cents c WHERE q.vec_id < {nq}) "
+            f"WHERE rn <= {nprobe})"
+        )
+        cand_join = (
+            " JOIN cellassign ca ON ca.vec_id = e.vec_id"
+            " JOIN probes p ON p.cid = ca.cid AND p.query_id = q.query_id"
+        )
+    else:
+        cand_join = ""
+    parts.append(
+        f"scores AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        f"ROUND(SUM(list_dot_product(q.qv, b.cv)), 4) AS score "
+        f"FROM enc e JOIN {bk} b ON b.sub_idx = e.s AND b.code = e.code "
+        f"JOIN qsubs q ON q.s = e.s{cand_join} "
+        f"WHERE e.vec_id <> q.query_id GROUP BY q.query_id, e.vec_id)"
+    )
+    parts.append(
+        f"short AS (SELECT query_id, neighbor_id FROM ("
+        f"SELECT query_id, neighbor_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY score DESC, neighbor_id) AS rn FROM scores) "
+        f"WHERE rn <= {shortlist})"
+    )
+    rcos = _COS4.format(a="x.v", b="y.v")
+    parts.append(
+        f"rer AS (SELECT s.query_id, s.neighbor_id, {rcos} AS cosine "
+        f"FROM short s JOIN vecs x ON x.vec_id = s.neighbor_id "
+        f"JOIN vecs y ON y.vec_id = s.query_id)"
+    )
+    return f"""
+    WITH {", ".join(parts)}
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM rer
+    ) WHERE rn <= {k}
+    """
+
+
 @register(
     "ext_pq_topk",
-    oracle=None,  # approximate by design → rows-only check; ADC ranking
-    # is asserted lossless on cluster-structured data and the rerank
-    # path >=0.8 recall on the driver fixture in tests/test_pq.py
+    oracle=_pq_oracle(),
     doc="Product-quantization ANN: m=16 subspaces x ksub=32 codes, "
-    "2 Lloyd rounds, ADC shortlist-32 + exact cosine re-rank "
-    "(16x vector compression at d=64).",
+    "2 grid-rounded Lloyd rounds, ADC shortlist-32 + exact cosine "
+    "re-rank (16x vector compression at d=64) — under a full-replay "
+    "hash oracle (see _pq_oracle); ADC losslessness and recall stay "
+    "asserted in tests/test_pq.py.",
 )
 def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.pq import (
@@ -302,7 +488,7 @@ def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = l2_normalize(
         load_tables(spark, sf_dir, "embeddings")["embeddings"], "embedding"
     )
-    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2)
+    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2, grid=6)
     codes = pq_encode(e, books, m=16)
     queries = e.filter(F.col("vec_id") < 10)
     return pq_search_rerank(codes, books, e, queries, m=16, k=3, shortlist=32)
@@ -310,12 +496,12 @@ def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_ivfpq_topk",
-    oracle=None,  # approximate by design → rows-only check; recall is
-    # asserted >= the plain PQ-rerank gate (0.8) in tests/test_ivfpq.py,
-    # and probe-boundedness of the ADC scan is proven there too
+    oracle=_pq_oracle(ivf_c=16, nprobe=8),
     doc="IVFADC ANN: 16 coarse cells x (m=16, ksub=32) PQ codes, "
     "nprobe=8 probe-bounded ADC shortlist-32 + exact cosine re-rank — "
-    "the composed 100 TB search shape (VERDICT r5 task 1).",
+    "the composed 100 TB search shape (VERDICT r5 task 1), under a "
+    "full-replay hash oracle; probe-boundedness of the ADC scan stays "
+    "proven in tests/test_ivfpq.py.",
 )
 def ext_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.ivfpq import build_ivfpq_index, ivfpq_search
@@ -325,7 +511,7 @@ def ext_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "embeddings")["embeddings"], "embedding"
     )
     centroids = e.filter(F.col("vec_id") < 16)
-    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2)
+    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2, grid=6)
     index = build_ivfpq_index(e, centroids, books, m=16)
     queries = e.filter(F.col("vec_id") < 10)
     return ivfpq_search(
@@ -464,15 +650,17 @@ def ext_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_ivfpq_persisted",
-    oracle=None,  # approximate by design → rows-only check; exact
-    # equality of reloaded-index results vs in-memory-index results is
-    # asserted in tests/test_ivfpq.py::test_persisted_roundtrip_same_results
+    oracle=_pq_oracle(ivf_c=16, nprobe=8),  # identical to ext_ivfpq_topk:
+    # the disk round-trip must be a no-op on results, so the same
+    # full-replay oracle gates it (plus the roundtrip-equality pytest in
+    # tests/test_ivfpq.py::test_persisted_roundtrip_same_results)
     doc="IVFADC index persistence round-trip (VERDICT r6 polish): build "
     "-> write partitionBy(centroid_id) -> reload -> probe-bounded "
     "search.  The partition layout makes the nprobe cell filter a "
     "parquet partition-pruning predicate (proven by plan assert in "
     "tests/test_ivfpq.py); this row proves the full disk round-trip "
-    "end-to-end under the driver.",
+    "end-to-end under the driver, hash-gated by the same oracle as "
+    "ext_ivfpq_topk.",
 )
 def ext_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -484,7 +672,7 @@ def ext_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "embeddings")["embeddings"], "embedding"
     )
     centroids = e.filter(F.col("vec_id") < 16)
-    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2)
+    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2, grid=6)
     index = build_ivfpq_index(e, centroids, books, m=16)
     path = tempfile.mkdtemp(prefix="riab_ivfpq_") + "/index"
     index.write.partitionBy("centroid_id").parquet(path)
@@ -498,14 +686,50 @@ def ext_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_profile_approx",
-    oracle=None,  # HLL estimates differ across engines by design
-    doc="approx_count_distinct profile of the orders table.",
+    oracle="""
+    WITH cols AS (
+      SELECT 'o_orderkey' AS column_name, COUNT(DISTINCT o_orderkey) AS d FROM orders
+      UNION ALL SELECT 'o_custkey', COUNT(DISTINCT o_custkey) FROM orders
+      UNION ALL SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus) FROM orders
+      UNION ALL SELECT 'o_totalprice', COUNT(DISTINCT o_totalprice) FROM orders
+      UNION ALL SELECT 'o_orderdate', COUNT(DISTINCT o_orderdate) FROM orders
+      UNION ALL SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority) FROM orders
+    )
+    SELECT column_name, CAST(d AS BIGINT) AS exact_distinct,
+           TRUE AS hll_within_bound
+    FROM cols
+    """,
+    doc="approx_count_distinct (HLL) profile of the orders table, under "
+    "an invariant oracle (VERDICT r7 task 3): HLL estimates can't "
+    "hash-match across engines, but |approx - exact| <= 3*rsd*exact "
+    "is a checkable error bound — the row emits the exact count plus "
+    "the bound flag per column, and the oracle pins the flag TRUE with "
+    "DuckDB's own exact counts.  A broken sketch (or a sketch whose "
+    "error blows past 3 sigma) flips the hash.",
 )
 def ext_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.profile import approx_distinct_profile
 
     o = load_tables(spark, sf_dir, "orders")["orders"]
-    return approx_distinct_profile(o)
+    rsd = 0.05
+    approx = approx_distinct_profile(o, rsd=rsd).select(
+        "column_name", "approx_distinct"
+    )
+    exact = None
+    for c in o.columns:
+        row = o.agg(
+            F.lit(c).alias("column_name"),
+            F.count_distinct(F.col(c)).cast("long").alias("exact_distinct"),
+        )
+        exact = row if exact is None else exact.unionByName(row)
+    return approx.join(exact, "column_name").select(
+        "column_name",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 3 * rsd * F.col("exact_distinct")
+        ).alias("hll_within_bound"),
+    )
 
 
 _STOPWORDS_SQL = "['the','a','of','and','to','in','is','it','that','for']"
@@ -563,11 +787,56 @@ def ext_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
 
 
+def _embed_lsh_oracle(
+    threshold: float = 0.35, dim: int = 64, planes: int = 12, bands: int = 6
+) -> str:
+    """Full DuckDB replay of cosine_near_dup_lsh (VERDICT r7 task 3).
+
+    'Probabilistic' was the wrong frame: the hyperplanes come from a
+    seeded PRNG, so the banding is pseudorandom but fully deterministic
+    — embedding the plane constants as SQL literals (repr round-trips
+    float64 exactly) makes every bucket, candidate pair, and verified
+    cosine replayable, and the scale path earns a hash gate."""
+    from ..ext.similarity import _hyperplanes
+
+    hp = _hyperplanes(dim, planes)
+    per_band = planes // bands
+    bits = [
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(w) for w in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for p in hp
+    ]
+    band_exprs = [
+        f"'{i}:' || " + " || ".join(bits[i * per_band : (i + 1) * per_band])
+        for i in range(bands)
+    ]
+    vcos = _COS4.format(a="x.v", b="y.v")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+      SELECT vec_id, unnest([{", ".join(band_exprs)}]) AS bucket FROM e
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {vcos} AS cosine
+    FROM cand c
+    JOIN e x ON x.vec_id = c.id_a
+    JOIN e y ON y.vec_id = c.id_b
+    WHERE {vcos} >= {threshold}
+    """
+
+
 @register(
     "ext_dedup_embed_lsh",
-    oracle=None,  # banding is probabilistic → rows-only check; recall vs
-    # the exact pairs is asserted in tests/test_ext.py
-    doc="Sign-LSH bucketed embedding near-dup (scale path, exact verify).",
+    oracle=_embed_lsh_oracle(),
+    doc="Sign-LSH bucketed embedding near-dup (scale path, exact verify) "
+    "— under a full-replay hash oracle with the seeded hyperplanes "
+    "embedded as literals; recall vs the exact pairs stays asserted in "
+    "tests/test_ext.py.",
 )
 def ext_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.similarity import cosine_near_dup_lsh
@@ -780,13 +1049,72 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_dedup_clusters_lsh",
-    oracle=None,  # LSH candidates are probabilistic (a missed candidate
-    # pair can split a cluster) → rows-only check; the exact-pair
-    # variant ext_dedup_clusters carries the hash oracle for the same
-    # downstream CC, and tests/test_cluster.py proves the labeling
-    # invariants (every doc labeled once, canonical = min id).
-    doc="Scale path of ext_dedup_clusters: LSH-candidate pairs feed the "
-        "same connected-components labeling.",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    hashes AS (
+      SELECT doc_id, j,
+             MIN(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS j) js
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, j // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY j)) AS band_hash
+      FROM hashes GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter_size
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(inter_size / (sa.sz + sb.sz - inter_size), 4) >= 0.05
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           CAST(doc_id = cluster_id AS BIGINT) AS is_canonical
+    FROM lab
+    """,
+    doc="Scale path of ext_dedup_clusters: MinHash-LSH candidate pairs "
+        "feed the same connected-components labeling — under a "
+        "full-replay hash oracle (VERDICT r7 task 3): the banding is "
+        "md5-deterministic, so the oracle re-derives the candidate set, "
+        "the candidate-bounded Jaccard filter, and the recursive-CTE "
+        "transitive closure; tests/test_cluster.py keeps the labeling "
+        "invariants.",
 )
 def ext_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB path: MinHash-LSH candidate pairs (bounded band join, no
@@ -936,13 +1264,19 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_pca_whiten",
-    oracle=None,  # rows-only BY DESIGN: no SQL engine eigendecomposes;
-    # the numerics are pinned by numpy cross-checks in tests/test_pca.py
+    oracle="""
+    SELECT CAST(dim AS BIGINT) AS dim, 0.0 AS mean, 1.0 AS variance
+    FROM range(8) t(dim)
+    """,
     doc="PCA fit (Arrow-batched partial moment matrices, driver eigh, "
     "sign-conventioned components) + whitening projection of the "
-    "embeddings table to 8 dims; returns per-dimension projected "
-    "variances so the rows-only check still sees the whitening "
-    "contract (all ~1.0) rather than opaque vectors.",
+    "embeddings table to 8 dims.  Invariant oracle (VERDICT r7 task 3): "
+    "no SQL engine eigendecomposes, but the whitening CONTRACT is a "
+    "hashable constant — every projected dimension must have mean 0 and "
+    "population variance 1 on the 1e-4 grid.  A broken center, a wrong "
+    "eigenvalue scale, or a sample/population variance mixup all flip "
+    "the hash; the component numerics themselves are pinned by numpy "
+    "cross-checks in tests/test_pca.py.",
 )
 def ext_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.pca import fit_pca, transform_pca
@@ -951,16 +1285,46 @@ def ext_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = fit_pca(emb, "embedding", k=8)
     proj = transform_pca(emb, "embedding", model, whiten=True)
     # per-dimension mean/variance of the whitened projection: d rows,
-    # each variance ~1.0 — the verifiable surface of the transform
+    # each mean 0.0 / variance 1.0 — the verifiable surface of the
+    # transform.  `+ 0.0` collapses IEEE -0.0 (round of a tiny negative
+    # mean) onto +0.0 so the hash formatting matches the oracle literal.
     pos = proj.select(F.posexplode("projected").alias("dim", "val"))
     return (
         pos.groupBy("dim")
         .agg(
-            F.round(F.avg("val"), 4).alias("mean"),
-            F.round(F.var_pop("val"), 4).alias("variance"),
+            (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("mean"),
+            (F.round(F.var_pop("val"), 4) + F.lit(0.0)).alias("variance"),
         )
+        .select(F.col("dim").cast("long").alias("dim"), "mean", "variance")
         .orderBy("dim")
     )
+
+
+@register(
+    "ext_pca_orthonormal",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CASE WHEN i = j THEN 1.0 ELSE 0.0 END AS gram
+    FROM range(8) a(i), range(8) b(j)
+    """,
+    doc="Second PCA invariant (VERDICT r7 task 3): the fitted components "
+    "must be orthonormal — their Gram matrix is the identity on the "
+    "1e-4 grid.  Computed Spark-side from the same fit the whitening "
+    "row uses; a drifting eigh, a broken sign convention, or a "
+    "mis-shaped component matrix flips the hash.",
+)
+def ext_pca_orthonormal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.pca import fit_pca
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    comps = fit_pca(emb, "embedding", k=8)["components"]
+    gram = comps @ comps.T  # (k, k), ~identity
+    rows = [
+        (int(i), int(j), round(float(gram[i, j]), 4) + 0.0)
+        for i in range(gram.shape[0])
+        for j in range(gram.shape[1])
+    ]
+    return spark.createDataFrame(rows, "i long, j long, gram double")
 
 
 def _kmeans_oracle(iterations: int = 3, c: int = 4, grid: int = 6) -> str:
