@@ -82,6 +82,17 @@ _REVERIFY_FIRST: list[str] = [
     "ext_embed_decontam",
     "stream_corpus_dedup_batch",
     "stream_drift_batch",
+    # VERDICT r7 task 3: the 8 former rows-only queries now carry real
+    # oracles (full SQL replays / invariant pins) — their first
+    # hash-green driver row must land this round.
+    "ext_ivf_topk",
+    "ext_pq_topk",
+    "ext_ivfpq_topk",
+    "ext_ivfpq_persisted",
+    "ext_profile_approx",
+    "ext_dedup_embed_lsh",
+    "ext_dedup_clusters_lsh",
+    "ext_pca_whiten",
 ]
 
 _PKG = "rabbit_in_a_blender_spark"

@@ -107,6 +107,152 @@ def langid_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# Seed text per language for the char-n-gram profiles (common-word
+# sentences composed for this module; the classifier only needs the
+# n-gram RANK ORDER of ordinary running text, not any specific corpus).
+LANG_SEED_TEXT = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and it was the best "
+        "of times it was the worst of times all happy families are alike "
+        "this is a test of the language identification system with common "
+        "english words that appear in most texts and the words are chosen "
+        "to be frequent in everyday writing with the usual letters"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und es war "
+        "die beste aller zeiten alle glücklichen familien sind einander "
+        "ähnlich dies ist ein test des systems zur erkennung der sprache "
+        "mit häufigen deutschen wörtern die in den meisten texten vorkommen "
+        "und die wörter sind so gewählt dass sie im alltag häufig sind"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et c "
+        "était le meilleur des temps toutes les familles heureuses se "
+        "ressemblent ceci est un test du système d identification de la "
+        "langue avec des mots français courants qui apparaissent dans la "
+        "plupart des textes et les mots sont choisis pour être fréquents"
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y era el "
+        "mejor de los tiempos todas las familias felices se parecen esta "
+        "es una prueba del sistema de identificación del idioma con "
+        "palabras españolas comunes que aparecen en la mayoría de los "
+        "textos y las palabras son elegidas por ser frecuentes"
+    ),
+}
+
+
+def _seed_char_ngrams(s: str, max_n: int = 3):
+    """Char 1..max_n-grams of the normalized string (lower, spaces→_)."""
+    s = s.lower().replace(" ", "_")
+    for n in range(1, max_n + 1):
+        for i in range(len(s) - n + 1):
+            yield s[i : i + n]
+
+
+def langid_profiles(top_n: int = 100, max_n: int = 3) -> dict[str, dict[str, int]]:
+    """lang → {ngram: rank 1..top_n} — Cavnar-Trenkle rank profiles from
+    the embedded seed text.  Ties rank by (count desc, ngram asc), the
+    same comparator the per-document ranking uses, so the whole
+    classifier is engine-reproducible."""
+    from collections import Counter
+
+    out: dict[str, dict[str, int]] = {}
+    for lang, seed in LANG_SEED_TEXT.items():
+        counts = Counter(_seed_char_ngrams(seed, max_n))
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+        out[lang] = {g: r + 1 for r, (g, _) in enumerate(ranked)}
+    return out
+
+
+def langid_ngram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 100,
+    max_n: int = 3,
+) -> DataFrame:
+    """Char-n-gram language ID (Cavnar-Trenkle out-of-place distance) —
+    the accuracy upgrade over :func:`langid_heuristic` (VERDICT r7 task
+    7; "N-Gram-Based Text Categorization", Cavnar & Trenkle 1994).
+
+    Each document's top-``top_n`` char 1..3-grams (rank by count desc,
+    gram asc) are compared against fixed per-language rank profiles;
+    distance = Σ |doc_rank − profile_rank| with ``top_n`` penalty for
+    grams absent from the profile; predicted = argmin (ties → smaller
+    language code).  Everything is integer arithmetic over JVM-side
+    expressions: per doc the work is O(text length + top_n·|langs|),
+    no shuffle wider than (id, gram) rows — and the whole pipeline
+    replays exactly in SQL, so the catalog row carries a hash oracle.
+
+    Measured on the held-out accuracy fixtures (tests/test_ext.py):
+    the marker-word heuristic misses function-word-free sentences; the
+    n-gram profile classifies them from character statistics alone.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), " ", "_"))
+    t = df.select(F.col(id_col).alias("__id"), norm.alias("__t"))
+    gram_arrays = []
+    for n in range(1, max_n + 1):
+        gram_arrays.append(
+            F.when(
+                F.length("__t") >= n,
+                F.expr(
+                    f"transform(sequence(1, length(__t) - {n} + 1), "
+                    f"i -> substring(__t, i, {n}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    grams = t.select(
+        "__id", F.explode(F.concat(*gram_arrays)).alias("__g")
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("__id").orderBy(F.desc("__n"), F.col("__g"))
+    doc_prof = (
+        grams.groupBy("__id", "__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__drank", F.row_number().over(wd))
+        .filter(F.col("__drank") <= top_n)
+        .select("__id", "__g", "__drank")
+    )
+    profiles = langid_profiles(top_n=top_n, max_n=max_n)
+    prof_rows = [
+        (lang, g, r) for lang, pm in profiles.items() for g, r in pm.items()
+    ]
+    spark = df.sparkSession
+    prof = spark.createDataFrame(prof_rows, "__lang string, __g string, __lrank int")
+    langs = spark.createDataFrame(
+        [(lang,) for lang in sorted(profiles)], "__lang string"
+    )
+    dists = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prof), ["__lang", "__g"], "left")
+        .groupBy("__id", "__lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("__drank") - F.col("__lrank")), F.lit(top_n)
+                )
+            ).alias("__dist")
+        )
+    )
+    wmin = Window.partitionBy("__id").orderBy(F.col("__dist"), F.col("__lang"))
+    best = (
+        dists.withColumn("__rn", F.row_number().over(wmin))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "__lang", "__dist")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(best, F.col(id_col) == best["__id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__lang", F.lit("und")).alias("predicted_lang"),
+            F.coalesce("__dist", F.lit(-1)).cast("long").alias("oop_distance"),
+        )
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str, text_col: str, n: int = 4
 ) -> DataFrame:

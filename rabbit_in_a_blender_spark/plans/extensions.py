@@ -201,6 +201,78 @@ def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_heuristic(d, "doc_id", "text")
 
 
+def _langid_ngram_oracle(top_n: int = 100, max_n: int = 3) -> str:
+    """Full DuckDB replay of langid_ngram (VERDICT r7 task 7): the
+    Cavnar-Trenkle rank profiles embed as literal VALUES, the per-doc
+    char-n-gram ranking and the out-of-place distance are pure integer
+    arithmetic, so the upgraded classifier hash-matches exactly."""
+    from ..ext.text import langid_profiles
+
+    profiles = langid_profiles(top_n=top_n, max_n=max_n)
+    rows = []
+    for lang in sorted(profiles):
+        for g, r in sorted(profiles[lang].items()):
+            esc = g.replace("'", "''")
+            rows.append(f"('{lang}', '{esc}', {r})")
+    gram_parts = [
+        f"list_transform(range(1, greatest(length(s) - {n} + 2, 1)), "
+        f"i -> substring(s, i, {n}))"
+        for n in range(1, max_n + 1)
+    ]
+    return f"""
+    WITH prof(lang, g, lrank) AS (VALUES {", ".join(rows)}),
+    langs AS (SELECT DISTINCT lang FROM prof),
+    t AS (SELECT doc_id, replace(lower(text), ' ', '_') AS s FROM documents),
+    grams AS (
+      SELECT doc_id, unnest({" || ".join(gram_parts)}) AS g FROM t
+    ),
+    counts AS (SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY doc_id, g),
+    docprof AS (
+      SELECT doc_id, g, drank FROM (
+        SELECT doc_id, g,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, g) AS drank
+        FROM counts
+      ) WHERE drank <= {top_n}
+    ),
+    dists AS (
+      SELECT d.doc_id, l.lang,
+             SUM(COALESCE(abs(d.drank - p.lrank), {top_n})) AS dist
+      FROM docprof d CROSS JOIN langs l
+      LEFT JOIN prof p ON p.lang = l.lang AND p.g = d.g
+      GROUP BY d.doc_id, l.lang
+    ),
+    best AS (
+      SELECT doc_id, lang, dist FROM (
+        SELECT doc_id, lang, dist,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY dist, lang) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT doc.doc_id,
+           COALESCE(b.lang, 'und') AS predicted_lang,
+           CAST(COALESCE(b.dist, -1) AS BIGINT) AS oop_distance
+    FROM documents doc LEFT JOIN best b ON b.doc_id = doc.doc_id
+    """
+
+
+@register(
+    "ext_langid_ngram",
+    oracle=_langid_ngram_oracle(),
+    doc="Char-n-gram language ID (Cavnar-Trenkle out-of-place distance "
+    "against embedded rank profiles) — the accuracy upgrade over the "
+    "marker-word heuristic (VERDICT r7 task 7), integer-exact under a "
+    "full-replay oracle; the accuracy A/B vs the heuristic is pinned "
+    "in tests/test_ext.py.",
+)
+def ext_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import langid_ngram
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return langid_ngram(d, "doc_id", "text")
+
+
 @register(
     "ext_fingerprint",
     oracle="""

@@ -265,3 +265,52 @@ def test_embedding_decontaminate_arrow_string_ids(spark):
     b = {tuple(r) for r in embedding_decontaminate_arrow(
         corpus.repartition(3), bench, "doc_id", "embedding", 0.3).collect()}
     assert a == b and len(a) == 60
+
+
+def test_langid_ngram_beats_marker_heuristic(spark):
+    """A/B on held-out sentences (VERDICT r7 task 7): the char-n-gram
+    profile classifier must beat the marker-word heuristic, which goes
+    'und' (or wrong) whenever a sentence avoids the 5 marker words."""
+    from rabbit_in_a_blender_spark.ext.text import langid_heuristic, langid_ngram
+
+    fixtures = [
+        # (id, text, true lang) — none of these sentences appear in the
+        # seed profiles; several avoid the heuristic's marker words
+        (1, "she walked home through quiet streets past closed shops", "en"),
+        (2, "we should finish this work before winter comes again", "en"),
+        (3, "my brother keeps three old bicycles in his garage", "en"),
+        (4, "heute scheint wieder einmal überall warme helle sonne", "de"),
+        (5, "mein bruder wohnt seit jahren in einem kleinen dorf", "de"),
+        (6, "wir möchten morgen früh zusammen frische brötchen holen", "de"),
+        (7, "demain matin nous irons chercher du pain frais ensemble", "fr"),
+        (8, "mon frère habite depuis longtemps dans un petit village", "fr"),
+        (9, "elle marche chaque soir au bord de cette rivière calme", "fr"),
+        (10, "mañana por la mañana iremos juntos a comprar pan fresco", "es"),
+        (11, "mi hermano vive desde hace años en un pueblo pequeño", "es"),
+        (12, "ella camina cada tarde por la orilla del río tranquilo", "es"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in fixtures], "doc_id long, text string"
+    )
+    truth = {i: lang for i, _, lang in fixtures}
+    heur = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in langid_heuristic(df, "doc_id", "text").collect()
+    }
+    ngram = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in langid_ngram(df, "doc_id", "text").collect()
+    }
+    acc = lambda pred: sum(pred[i] == truth[i] for i in truth) / len(truth)
+    assert acc(ngram) >= 0.9, (acc(ngram), ngram)
+    assert acc(ngram) > acc(heur), (acc(ngram), acc(heur))
+
+
+def test_langid_ngram_empty_text_is_und(spark):
+    from rabbit_in_a_blender_spark.ext.text import langid_ngram
+
+    df = spark.createDataFrame([(1, ""), (2, "hello there friend")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in langid_ngram(df, "doc_id", "text").collect()}
+    assert out[1]["predicted_lang"] == "und" and out[1]["oop_distance"] == -1
+    assert out[2]["predicted_lang"] == "en"

@@ -160,6 +160,10 @@ def main() -> None:
         shutil.rmtree(scaled_dir, ignore_errors=True)
         _brute_curve(spark, reps)
         return
+    if only == "fit":
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _fit_curve(spark, reps)
+        return
     try:
         build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
         points = [
@@ -715,6 +719,103 @@ def _drift_curve(spark, reps: int) -> None:
         print(
             f"| {label} | {r['rows']:,} | {r['strata']} | {r['psi_median']} | "
             f"{r['hh_median']} | {round(r['rows'] / r['hh_median']):,} |"
+        )
+
+
+def _fit_curve(spark, reps: int) -> None:
+    # --- iterative-fit + KS/JSD scale curve (round 8, VERDICT r7 task 6)
+    # k-means: replicated embeddings with disjoint vec_ids — rows scale,
+    #   C=4 seeds stay replica-0's vec_id<4, so per-iteration cost is the
+    #   O(N*C*d) assignment plus a (C x d)-row means groupBy: linear in N.
+    # logreg: replicated documents — each GD step is ONE agg pass over
+    #   the feature frame (d+1 float partials per partition): linear.
+    # ks/jsd: the drift-section replica recipe (suffixed source, replica
+    #   0 keeps 'src0') — stresses KS's per-stratum ECDF window and
+    #   JSD's densified (stratum x category) grid.
+    from rabbit_in_a_blender_spark.core.io import load_tables
+    from rabbit_in_a_blender_spark.ext.drift import jsd_drift, ks_statistic
+    from rabbit_in_a_blender_spark.ext.ivf import refine_centroids
+    from rabbit_in_a_blender_spark.ext.mlfit import logreg_fit
+
+    emb = load_tables(spark, "/root/testdata/sf0.1", "embeddings")["embeddings"]
+    docs = load_tables(spark, "/root/testdata/sf0.1", "documents")["documents"]
+    results = {}
+    for label, copies in (("x1", 1), ("x5", 5), ("x10", 10)):
+        def emb_rep():
+            reps_df = spark.range(copies).select(F.col("id").alias("__r"))
+            return emb.crossJoin(F.broadcast(reps_df)).select(
+                (F.col("vec_id") + F.col("__r") * 10_000_000).alias("vec_id"),
+                "embedding",
+            )
+
+        def docs_rep(suffix_source: bool):
+            reps_df = spark.range(copies).select(F.col("id").alias("__r"))
+            d = docs.crossJoin(F.broadcast(reps_df))
+            if suffix_source:
+                d = d.withColumn(
+                    "source",
+                    F.when(F.col("__r") == 0, F.col("source")).otherwise(
+                        F.concat_ws("_", "source", F.col("__r").cast("string"))
+                    ),
+                )
+            return d
+
+        def kmeans_q():
+            return refine_centroids(
+                emb_rep(), emb.filter(F.col("vec_id") < 4), iterations=3, grid=6
+            )
+
+        def feats():
+            n_words = F.size(F.split("text", " "))
+            return docs_rep(False).select(
+                (n_words / F.lit(100.0)).alias("x1"),
+                ((F.col("n_chars") / (n_words * F.lit(1.0))) / F.lit(10.0)).alias("x2"),
+                F.when(F.col("n_chars") >= 300, 1.0).otherwise(0.0).alias("y"),
+            )
+
+        n_emb = emb_rep().count()
+        n_docs = docs_rep(False).count()
+        kmeans_q().count()  # warmup
+        logreg_fit(feats(), ["x1", "x2"], "y", steps=2, lr=2.0)
+        ks_statistic(docs_rep(True), "source", "n_chars", "src0").count()
+        jsd_drift(docs_rep(True), "source", "lang", "src0").count()
+        km, lg, ks, js = [], [], [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            kmeans_q().count()
+            km.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            logreg_fit(feats(), ["x1", "x2"], "y", steps=8, lr=2.0)
+            lg.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            ks_statistic(docs_rep(True), "source", "n_chars", "src0").count()
+            ks.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            jsd_drift(docs_rep(True), "source", "lang", "src0").count()
+            js.append(round(time.perf_counter() - t0, 3))
+        med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+        results[label] = {
+            "emb_rows": n_emb,
+            "doc_rows": n_docs,
+            "kmeans_median": med(km),
+            "logreg_median": med(lg),
+            "ks_median": med(ks),
+            "jsd_median": med(js),
+            "kmeans_reps": km,
+            "logreg_reps": lg,
+            "ks_reps": ks,
+            "jsd_reps": js,
+        }
+        print(f"## fit {label}: kmeans {km} logreg {lg} ks {ks} jsd {js}", flush=True)
+
+    print(json.dumps(results))
+    print("\n| point | emb rows | kmeans s | doc rows | logreg s | ks s | jsd s |")
+    print("|---|---|---|---|---|---|---|")
+    for label, r in results.items():
+        print(
+            f"| {label} | {r['emb_rows']:,} | {r['kmeans_median']} | "
+            f"{r['doc_rows']:,} | {r['logreg_median']} | {r['ks_median']} | "
+            f"{r['jsd_median']} |"
         )
 
 
