@@ -107,9 +107,20 @@ def _pkg_file(mod: str, root: str) -> str | None:
     return None
 
 
-def _import_closure(mod: str, root: str, seen: set[str]) -> set[str]:
+def _import_closure(
+    mod: str,
+    root: str,
+    seen: set[str],
+    edges: dict[str, set[str]] | None = None,
+) -> set[str]:
     """Repo-relative files reachable from ``mod`` via package-internal
-    imports (AST walk; handles absolute and relative forms)."""
+    imports (AST walk; handles absolute and relative forms).
+
+    When ``edges`` is given, it accumulates target module → the set of
+    SYMBOL names imported from it across the whole closure ("*" for
+    whole-module imports) — the input for symbol-level staleness
+    (VERDICT r7 task 4: a one-function change to a hot module must not
+    flood every query whose closure merely contains the file)."""
     if mod in seen:
         return set()
     seen.add(mod)
@@ -123,9 +134,17 @@ def _import_closure(mod: str, root: str, seen: set[str]) -> set[str]:
     except (OSError, SyntaxError):
         return files
     targets: list[str] = []
+
+    def _edge(target: str, name: str) -> None:
+        if edges is not None:
+            edges.setdefault(target, set()).add(name)
+
     for node in ast.walk(tree):
         if isinstance(node, ast.Import):
-            targets += [a.name for a in node.names if a.name.startswith(_PKG)]
+            for a in node.names:
+                if a.name.startswith(_PKG):
+                    targets.append(a.name)
+                    _edge(a.name, "*")  # module-object usage: untrackable
         elif isinstance(node, ast.ImportFrom):
             base = node.module or ""
             if node.level:
@@ -136,10 +155,18 @@ def _import_closure(mod: str, root: str, seen: set[str]) -> set[str]:
                 base = ".".join(parts + ([base] if base else []))
             if base.startswith(_PKG):
                 targets.append(base)
-                # `from pkg.plans import quality` style submodule pulls
-                targets += [f"{base}.{a.name}" for a in node.names]
+                for a in node.names:
+                    sub = f"{base}.{a.name}"
+                    if a.name == "*":
+                        _edge(base, "*")
+                    elif _pkg_file(sub, root):
+                        # `from pkg.plans import quality` submodule pull
+                        targets.append(sub)
+                        _edge(sub, "*")
+                    else:
+                        _edge(base, a.name)
     for t in targets:
-        files |= _import_closure(t, root, seen)
+        files |= _import_closure(t, root, seen, edges)
     return files
 
 
@@ -264,10 +291,14 @@ def _import_map(tree: ast.Module, mod: str, mod_path: str, root: str) -> dict[st
     return imap
 
 
-def _fn_deep_files(src: str, fn_name: str, mod: str, root: str) -> set[str] | None:
+def _fn_deep_files(
+    src: str, fn_name: str, mod: str, root: str
+) -> tuple[set[str], dict[str, set[str]]] | None:
     """Repo-relative engine files the query function actually depends
-    on: the import closures of every package module referenced (by
-    imported name) from the function or its local helpers.  None when
+    on — the import closures of every package module referenced (by
+    imported name) from the function or its local helpers — plus the
+    module → imported-symbol-names edge map across that closure, so a
+    changed file can be adjudicated at symbol granularity.  None when
     the function can't be located (caller goes conservative)."""
     mod_path = _pkg_file(mod, root) or ""
     try:
@@ -278,14 +309,27 @@ def _fn_deep_files(src: str, fn_name: str, mod: str, root: str) -> set[str] | No
     if reach is None:
         return None
     imap = _import_map(tree, mod, mod_path, root)
-    modules = {imap[n] for n in reach if n in imap} - {_REGISTRY_MODULE, mod}
+    edges: dict[str, set[str]] = {}
+    modules: set[str] = set()
+    for n in reach:
+        if n not in imap:
+            continue
+        target = imap[n]
+        if target in (_REGISTRY_MODULE, mod):
+            continue
+        modules.add(target)
+        if _pkg_file(f"{target}.{n}", root) or target.endswith(f".{n}"):
+            # the binding IS a module object: symbol usage untrackable
+            edges.setdefault(target, set()).add("*")
+        else:
+            edges.setdefault(target, set()).add(n)
     files: set[str] = set()
     seen: set[str] = set()
     for m in modules:
-        files |= _import_closure(m, root, seen)
+        files |= _import_closure(m, root, seen, edges)
     files.discard(_pkg_file(_REGISTRY_MODULE, root) or "")
     files.discard(mod_path)
-    return files
+    return files, edges
 
 
 def _git_show(sha: str, path: str, root: str) -> str | None:
@@ -299,19 +343,71 @@ def _git_show(sha: str, path: str, root: str) -> str | None:
         return None
 
 
+def _file_module(path: str) -> str:
+    """Repo-relative package file → dotted module name."""
+    mod = path[:-3] if path.endswith(".py") else path
+    if mod.endswith("/__init__"):
+        mod = mod[: -len("/__init__")]
+    return mod.replace("/", ".")
+
+
+def _symbols_changed(
+    files: set[str],
+    edges: dict[str, set[str]],
+    sha: str,
+    root: str,
+    cur_src: dict[str, str | None],
+    old_src: dict[tuple[str, str], str | None],
+    fp_cache: dict[tuple[str, str, str], bool],
+) -> bool:
+    """True when any symbol the closure imports from a CHANGED file has
+    a moved fingerprint (VERDICT r7 task 4: symbol-level staleness).
+    Whole-module imports ("*"), missing sources (e.g. a brand-new
+    untracked file), and un-fingerprintable names stay conservative."""
+    for path in files:
+        names = edges.get(_file_module(path))
+        if not names or "*" in names:
+            return True
+        if path not in cur_src:
+            try:
+                with open(os.path.join(root, path)) as f:
+                    cur_src[path] = f.read()
+            except OSError:
+                cur_src[path] = None
+        if (sha, path) not in old_src:
+            old_src[(sha, path)] = _git_show(sha, path, root)
+        new, old = cur_src[path], old_src[(sha, path)]
+        if new is None or old is None:
+            return True
+        for name in names:
+            key = (sha, path, name)
+            if key not in fp_cache:
+                fp_old = _fn_fingerprint(old, name)
+                fp_new = _fn_fingerprint(new, name)
+                fp_cache[key] = (
+                    fp_old is None or fp_new is None or fp_old != fp_new
+                )
+            if fp_cache[key]:
+                return True
+    return False
+
+
 def _stale_queries(names: list[str], last_green: dict[str, int], root: str) -> list[str]:
     """Queries whose implementation changed since their last green round
     was recorded.  A change to a file in the plan module's import
-    closure flags every query of that module (the engine code they run
-    through moved); a change to the plan module ITSELF only flags
-    queries whose function fingerprint moved.  Empty on git failure
-    (the manual override list still applies)."""
+    closure flags a query only when a SYMBOL it (transitively) imports
+    from that file moved — module-file granularity flooded ~150 queries
+    whenever a hot helper module was touched (VERDICT r7 task 4); a
+    change to the plan module ITSELF only flags queries whose function
+    fingerprint moved.  Empty on git failure (the manual override list
+    still applies)."""
     from rabbit_in_a_blender_spark.plans import catalog
 
     commits: dict[int, str | None] = {}
     changed: dict[int, set[str] | None] = {}
     cur_src: dict[str, str | None] = {}
-    old_src: dict[tuple[int, str], str | None] = {}
+    old_src: dict[tuple[str, str], str | None] = {}
+    fp_cache: dict[tuple[str, str, str], bool] = {}
     stale = []
     for n in names:
         rnd = last_green.get(n)
@@ -338,14 +434,21 @@ def _stale_queries(names: list[str], last_green: dict[str, int], root: str) -> l
         if new is None:
             stale.append(n)
             continue
-        deep = _fn_deep_files(new, fn.__name__, mod, root)
-        if deep is None or deep & delta:
+        res = _fn_deep_files(new, fn.__name__, mod, root)
+        if res is None:
+            stale.append(n)
+            continue
+        deep, edges = res
+        hit = deep & delta
+        if hit and _symbols_changed(
+            hit, edges, sha, root, cur_src, old_src, fp_cache
+        ):
             stale.append(n)
             continue
         if mod_file in delta:
-            if (rnd, mod_file) not in old_src:
-                old_src[(rnd, mod_file)] = _git_show(sha, mod_file, root)
-            old = old_src[(rnd, mod_file)]
+            if (sha, mod_file) not in old_src:
+                old_src[(sha, mod_file)] = _git_show(sha, mod_file, root)
+            old = old_src[(sha, mod_file)]
             if old is None:
                 stale.append(n)  # can't compare → conservative
                 continue

@@ -91,12 +91,63 @@ def test_fn_deep_files_tracks_only_referenced_modules():
         "def q(spark, sf_dir):\n"
         "    return load_tables(spark, sf_dir)\n"
     )
-    deep = m._fn_deep_files(src, "q", "rabbit_in_a_blender_spark.plans.parity", "/root/repo")
+    deep, edges = m._fn_deep_files(
+        src, "q", "rabbit_in_a_blender_spark.plans.parity", "/root/repo"
+    )
     assert "rabbit_in_a_blender_spark/core/io.py" in deep
     # imported but never referenced by q → not a dependency
     assert "rabbit_in_a_blender_spark/operators/sequence.py" not in deep
     # registration plumbing excluded by design
     assert "rabbit_in_a_blender_spark/plans/catalog.py" not in deep
+    # symbol-level edge: q imports load_tables (and nothing else) from io
+    assert "load_tables" in edges["rabbit_in_a_blender_spark.core.io"]
+
+
+def test_symbol_level_staleness_ignores_unrelated_function_change():
+    """VERDICT r7 task 4: a change to a module in the closure flags a
+    query only when a symbol the closure actually imports from it
+    moved — removing/adding an UNUSED function must not flood."""
+    m = _entry_module()
+    path = "rabbit_in_a_blender_spark/core/io.py"
+    with open(f"/root/repo/{path}") as f:
+        new = f.read()
+    old_unrelated = new + "\n\ndef _brand_new_helper():\n    return 1\n"
+    old_touched = new.replace(
+        "names = names or TPCH_TABLES", "names = tuple(names) or TPCH_TABLES"
+    )
+    assert old_touched != new
+    edges = {"rabbit_in_a_blender_spark.core.io": {"load_tables"}}
+
+    class _Probe:
+        def __init__(self, old_src):
+            self.old = old_src
+
+        def show(self, sha, p, root):
+            return self.old
+
+    orig = m._git_show
+    try:
+        m._git_show = _Probe(old_unrelated).show
+        assert not m._symbols_changed(
+            {path}, edges, "deadbeef", "/root/repo", {}, {}, {}
+        )
+        m._git_show = _Probe(old_touched).show
+        assert m._symbols_changed(
+            {path}, edges, "deadbeef", "/root/repo", {}, {}, {}
+        )
+        # whole-module import stays conservative
+        m._git_show = _Probe(old_unrelated).show
+        assert m._symbols_changed(
+            {path},
+            {"rabbit_in_a_blender_spark.core.io": {"*"}},
+            "deadbeef",
+            "/root/repo",
+            {},
+            {},
+            {},
+        )
+    finally:
+        m._git_show = orig
 
 
 def test_last_green_counts_rows_only_queries():
