@@ -88,6 +88,11 @@ NON_HEADLINE = [
     "ext_ts_rolling_zscore",
     "ext_psi_drift",
     "ext_heavy_hitters",
+    # r8 additions: the composed ANN path and the char-n-gram langid
+    # (both newly hash-gated), and the stateful-streaming z-score twin
+    "ext_ivfpq_topk",
+    "ext_langid_ngram",
+    "stream_zscore_batch",
 ]
 
 

@@ -1,0 +1,136 @@
+"""Cross-document duplicate-PASSAGE detection and removal.
+
+Document-level dedup (ext/dedup.py) misses the dominant contamination
+mode in web corpora: boilerplate passages repeated across otherwise
+distinct documents (licenses, navigation, quoted snippets).  Removing
+repeated substrings of >= k tokens measurably improves LM training
+(public recipe: Lee et al., "Deduplicating Training Data Makes
+Language Models Better", ACL 2022 — they use suffix arrays offline;
+the distributed equivalent below finds exactly the same >= k-token
+repeats via rolling word k-grams).
+
+Semantics: a k-gram (k consecutive words) occurring >= min_total times
+across the corpus (same-document repeats count) is duplicated; every
+word position covered by any duplicated k-gram occurrence is removed,
+and the surviving words re-join in order.  A span of j >= k repeated
+words is covered by its j-k+1 overlapping k-grams, so whole repeated
+passages vanish, not just their first k words.
+
+Scale shape (100 TB):
+- the explode is |doc| rows per doc — same budget as the minhash
+  shingle pass, and the shuffle key is a 32-hex md5 of the gram, never
+  the gram text;
+- duplicated-gram filtering is one groupBy(hash) count; occurrences
+  join back via left_semi on the hash (AQE handles the skewed
+  boilerplate hashes — exactly the LSH band-join discipline);
+- coverage/rebuild shuffles (id, pos) int pairs only; reassembly is a
+  per-doc sort of surviving positions (array_sort over a collected
+  struct list — bounded by document length, not corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, pos, gram_hash) for every word k-gram; docs shorter than k
+    words yield no rows."""
+    words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+    grams = F.when(
+        F.size("__w") >= k,
+        F.expr(
+            f"transform(sequence(0, size(__w) - {k}), "
+            f"i -> md5(concat_ws(' ', slice(__w, i + 1, {k}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return words.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram_hash")
+    )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_total: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated k-gram inventory: one row per k-gram hash
+    occurring >= ``min_total`` times, with total occurrences and the
+    number of distinct documents — the survey a curation run reads
+    before deciding a removal pass is worth it."""
+    grams = _gram_rows(df, id_col, text_col, k)
+    return (
+        grams.groupBy("gram_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_total)
+    )
+
+
+def remove_duplicate_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_total: int = 2,
+) -> DataFrame:
+    """Cut every >= k-word repeated span out of every document.
+
+    Returns (id, n_words, n_removed, text_clean); a fully-boilerplate
+    document survives with ``text_clean = ''`` (curation drops it with
+    a length filter, keeping the accounting explicit).
+    """
+    grams = _gram_rows(df, id_col, text_col, k).persist()
+    dup_hashes = (
+        grams.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_total)
+        .select("gram_hash")
+    )
+    covered = (
+        grams.join(dup_hashes, "gram_hash", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "__word")
+    )
+    surviving = words.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = surviving.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__word"))),
+                lambda s: s["__word"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words"),
+    )
+    out = (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            (F.col("n_words") - F.coalesce("__kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+    from ..core.caching import track_cache
+
+    return track_cache(out, [grams])

@@ -33,6 +33,7 @@ _MODULES = (
     "rabbit_in_a_blender_spark.plans.streaming_batch",
     "rabbit_in_a_blender_spark.plans.timeseries",
     "rabbit_in_a_blender_spark.plans.sources",
+    "rabbit_in_a_blender_spark.plans.passages",
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}

@@ -1,0 +1,70 @@
+"""Duplicate-passage detection/removal (ext/passages.py)."""
+
+from __future__ import annotations
+
+from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+from rabbit_in_a_blender_spark.ext.passages import (
+    duplicate_passages,
+    remove_duplicate_passages,
+)
+
+BOILER = "all rights reserved by the site owner"  # 7 words
+
+
+def _corpus(spark):
+    rows = [
+        (1, f"unique alpha words one {BOILER} trailing tail"),
+        (2, f"different beta content two {BOILER} other ending"),
+        (3, "completely original document with no repeats at all"),
+        (4, BOILER),  # fully-boilerplate doc
+        (5, "short doc"),  # fewer than k words: no grams, untouched
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_passages_finds_boilerplate(spark):
+    inv = duplicate_passages(_corpus(spark), "doc_id", "text", k=4).collect()
+    # the 7-word boilerplate in 3 docs yields 4 duplicated 4-grams,
+    # each occurring 3 times across 3 distinct docs
+    assert len(inv) == 4
+    assert all(r["n_occurrences"] == 3 and r["n_docs"] == 3 for r in inv)
+
+
+def test_remove_duplicate_passages_cuts_whole_span(spark):
+    out = remove_duplicate_passages(_corpus(spark), "doc_id", "text", k=4)
+    got = {r["doc_id"]: r for r in out.collect()}
+    unpersist_intermediates(out)
+    # the whole 7-word boilerplate vanishes, not just its first 4 words
+    assert got[1]["text_clean"] == "unique alpha words one trailing tail"
+    assert got[1]["n_removed"] == 7 and got[1]["n_words"] == 13
+    assert got[2]["text_clean"] == "different beta content two other ending"
+    # untouched docs keep their text verbatim
+    assert got[3]["n_removed"] == 0
+    assert got[3]["text_clean"] == "completely original document with no repeats at all"
+    # fully-boilerplate doc survives as '' with explicit accounting
+    assert got[4]["text_clean"] == "" and got[4]["n_removed"] == 7
+    # sub-k docs yield no grams and pass through
+    assert got[5]["text_clean"] == "short doc" and got[5]["n_removed"] == 0
+
+
+def test_remove_duplicate_passages_within_doc_repeats(spark):
+    # the SAME doc repeating a k-gram counts toward min_total
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam unique closing words here")],
+        "doc_id long, text string",
+    )
+    out = remove_duplicate_passages(df, "doc_id", "text", k=4)
+    row = out.collect()[0]
+    unpersist_intermediates(out)
+    assert row["text_clean"] == "unique closing words here"
+    assert row["n_removed"] == 6
+
+
+def test_remove_duplicate_passages_releases_caches(spark):
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    out = remove_duplicate_passages(_corpus(spark), "doc_id", "text", k=4)
+    out.collect()
+    assert len(sc._jsc.getPersistentRDDs()) > before
+    unpersist_intermediates(out)
+    assert len(sc._jsc.getPersistentRDDs()) == before
