@@ -93,6 +93,7 @@ NON_HEADLINE = [
     "ext_ivfpq_topk",
     "ext_langid_ngram",
     "stream_zscore_batch",
+    "ext_dup_passage_removal",
 ]
 
 
