@@ -201,7 +201,9 @@ def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_heuristic(d, "doc_id", "text")
 
 
-def _langid_ngram_oracle(top_n: int = 100, max_n: int = 3) -> str:
+def _langid_ngram_oracle(
+    top_n: int = 100, max_n: int = 3, max_chars: int = 512
+) -> str:
     """Full DuckDB replay of langid_ngram (VERDICT r7 task 7): the
     Cavnar-Trenkle rank profiles embed as literal VALUES, the per-doc
     char-n-gram ranking and the out-of-place distance are pure integer
@@ -222,7 +224,9 @@ def _langid_ngram_oracle(top_n: int = 100, max_n: int = 3) -> str:
     return f"""
     WITH prof(lang, g, lrank) AS (VALUES {", ".join(rows)}),
     langs AS (SELECT DISTINCT lang FROM prof),
-    t AS (SELECT doc_id, replace(lower(text), ' ', '_') AS s FROM documents),
+    t AS (SELECT doc_id,
+                 substring(replace(lower(text), ' ', '_'), 1, {max_chars}) AS s
+          FROM documents),
     grams AS (
       SELECT doc_id, unnest({" || ".join(gram_parts)}) AS g FROM t
     ),
