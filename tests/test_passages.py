@@ -68,3 +68,60 @@ def test_remove_duplicate_passages_releases_caches(spark):
     assert len(sc._jsc.getPersistentRDDs()) > before
     unpersist_intermediates(out)
     assert len(sc._jsc.getPersistentRDDs()) == before
+
+
+# --- property test vs a pure-Python reference -------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny vocabulary forces cross-document k-gram collisions
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcd")), min_size=1, max_size=12).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _reference_removal(texts: list[str], k: int, min_total: int):
+    """Independent pure-Python model of remove_duplicate_passages."""
+    from collections import Counter
+
+    grams: Counter = Counter()
+    doc_grams = []
+    for t in texts:
+        w = t.split(" ")
+        gs = [tuple(w[i : i + k]) for i in range(len(w) - k + 1)] if len(w) >= k else []
+        doc_grams.append(gs)
+        grams.update(gs)
+    out = []
+    for t, gs in zip(texts, doc_grams):
+        w = t.split(" ")
+        covered = set()
+        for i, g in enumerate(gs):
+            if grams[g] >= min_total:
+                covered.update(range(i, i + k))
+        kept = [x for i, x in enumerate(w) if i not in covered]
+        out.append((len(w), len(w) - len(kept), " ".join(kept)))
+    return out
+
+
+@given(texts=_doc_strategy)
+@_SLOW
+def test_remove_duplicate_passages_matches_python_reference(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = remove_duplicate_passages(df, "doc_id", "text", k=3, min_total=2)
+    got = {r["doc_id"]: (r["n_words"], r["n_removed"], r["text_clean"])
+           for r in out.collect()}
+    unpersist_intermediates(out)
+    ref = _reference_removal(texts, k=3, min_total=2)
+    for i, expected in enumerate(ref):
+        assert got[i] == expected, (i, texts[i], got[i], expected)
