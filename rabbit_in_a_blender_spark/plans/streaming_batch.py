@@ -177,6 +177,91 @@ def stream_corpus_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_counts_batch",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 3)     AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="The cumulative stateful counter (streaming/stateful.py "
+    "running_counts, applyInPandasWithState + update mode) under the "
+    "hash gate: events replay as two micro-batches; the FINAL state per "
+    "user (largest cumulative row in the update stream) must equal the "
+    "batch groupBy — count exact, sum on the shared ROUND(,3) "
+    "convention.",
+)
+def stream_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import running_counts
+
+    e = load_tables(spark, sf_dir, "events")["events"].select(
+        "user_id", "ts", "value"
+    )
+    root = tempfile.mkdtemp(prefix="riab_scnt_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    for i, half in enumerate(
+        (e.filter(F.col("user_id") % 2 == 0), e.filter(F.col("user_id") % 2 == 1))
+    ):
+        tmp = os.path.join(root, f"half{i}")
+        half.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    name = f"riab_scnt_{uuid.uuid4().hex[:8]}"
+    query = (
+        running_counts(
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # ProcessingTimeTimeout keeps scheduling timeout-processing batches,
+    # so availableNow never self-terminates — poll until the cumulative
+    # counts account for every input row, then stop the query.
+    import time
+
+    total = e.count()
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        seen = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("__n"))
+            .agg(F.sum("__n"))
+            .first()[0]
+        )
+        if seen == total:
+            break
+        time.sleep(2)
+    query.stop()
+    # update mode appends one cumulative row per (user, micro-batch);
+    # the final state is the max-count row per user
+    mem = spark.table(name)
+    return (
+        mem.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("__s"))
+        .select(
+            "user_id",
+            F.col("__s.n_events").alias("n_events"),
+            F.col("__s.total_value").alias("total_value"),
+        )
+    )
+
+
+@register(
     "stream_zscore_batch",
     oracle="""
     WITH roll AS (

@@ -39,14 +39,21 @@ OUTPUT_SCHEMA = T.StructType(
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from rabbit_in_a_blender_spark.ext._rounding import round_half_up
+
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].fillna(0.0).sum())
     state.update((n, total))
     state.setTimeoutDuration(3600 * 1000)  # evict after 1h idle
+    # HALF_UP like F.round so the batch-twin oracle comparison holds on
+    # .5 ties (Python round is half-even — same class as ADVICE r7)
+    total_r = float(round_half_up(np.array([total]), 3)[0])
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 3)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total_r]}
     )
 
 
