@@ -263,6 +263,48 @@ def langid_ngram(
     )
 
 
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical text cleanup before any dedup/tokenize pass (the
+    C4/Gopher-style normalize stage): strip C0 control chars (keeping
+    tab/newline, which then collapse), collapse all whitespace runs to
+    one space, trim, and Unicode-NFC the result.
+
+    The strip/collapse/trim run as JVM regexes (whole-stage codegen);
+    NFC has no Spark SQL builtin, so it runs as ONE Arrow-batched
+    pandas_udf over the already-collapsed column — the same documented
+    Python seam as ext/pca.py, O(batch) with no shuffle.  DuckDB's
+    nfc_normalize implements the identical Unicode normal form, so the
+    operator is oracle-checkable end-to-end.
+
+    Returns (id, text_norm, n_chars_raw, n_chars_norm, changed).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: `from __future__ import annotations` turns them
+    # into unresolvable strings that pandas_udf's inspection rejects
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else x)
+
+    stripped = F.regexp_replace(
+        F.col(text_col), "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""
+    )
+    collapsed = F.trim(F.regexp_replace(stripped, "\\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__raw"),
+        _nfc(collapsed).alias("text_norm"),
+    ).select(
+        F.col(id_col),
+        "text_norm",
+        F.length("__raw").cast("long").alias("n_chars_raw"),
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
+        (F.col("text_norm") != F.col("__raw")).alias("changed"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str, text_col: str, n: int = 4
 ) -> DataFrame:

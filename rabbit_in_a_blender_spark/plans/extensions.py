@@ -201,6 +201,36 @@ def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_heuristic(d, "doc_id", "text")
 
 
+@register(
+    "ext_text_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, text,
+             nfc_normalize(trim(regexp_replace(
+               regexp_replace(text, '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS text_norm
+      FROM documents
+    )
+    SELECT doc_id, text_norm,
+           CAST(length(text) AS BIGINT)      AS n_chars_raw,
+           CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+           text_norm <> text                 AS changed
+    FROM n
+    """,
+    doc="Canonical text cleanup (C4/Gopher normalize stage): C0 control "
+    "strip + whitespace collapse + trim as JVM regexes, Unicode NFC as "
+    "one Arrow-batched pandas_udf (no Spark SQL builtin) — DuckDB's "
+    "nfc_normalize implements the identical normal form, so the whole "
+    "stage is hash-gated; unicode behavior (combining accents, NBSP, "
+    "control bytes) is pinned in tests/test_ext.py.",
+)
+def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import normalize_text
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return normalize_text(d, "doc_id", "text")
+
+
 def _langid_ngram_oracle(
     top_n: int = 100, max_n: int = 3, max_chars: int = 512
 ) -> str:

@@ -314,3 +314,30 @@ def test_langid_ngram_empty_text_is_und(spark):
     out = {r["doc_id"]: r for r in langid_ngram(df, "doc_id", "text").collect()}
     assert out[1]["predicted_lang"] == "und" and out[1]["oop_distance"] == -1
     assert out[2]["predicted_lang"] == "en"
+
+
+def test_normalize_text_unicode_and_controls(spark):
+    """NFC + control strip + whitespace collapse, pinned against known
+    unicode fixtures (combining accents, control bytes, tab/newline
+    runs) — the Spark pandas_udf and DuckDB's nfc_normalize implement
+    the same normal form, so the catalog row hash-gates engine parity
+    while this test pins the actual unicode behavior."""
+    import unicodedata
+
+    from rabbit_in_a_blender_spark.ext.text import normalize_text
+
+    decomposed = "café"            # e + combining acute
+    composed = unicodedata.normalize("NFC", decomposed)
+    rows = [
+        (1, decomposed),                  # NFC composes the accent
+        (2, "a\x00b\x07c"),              # C0 controls stripped
+        (3, "  lots\t\tof   space \n\n here  "),  # collapse + trim
+        (4, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalize_text(df, "doc_id", "text").collect()}
+    assert got[1]["text_norm"] == composed and got[1]["changed"]
+    assert got[1]["n_chars_raw"] == 5 and got[1]["n_chars_norm"] == 4
+    assert got[2]["text_norm"] == "abc" and got[2]["changed"]
+    assert got[3]["text_norm"] == "lots of space here" and got[3]["changed"]
+    assert got[4]["text_norm"] == "already clean" and not got[4]["changed"]
