@@ -259,7 +259,134 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--with-anomalies", action="store_true",
                    help="With --events-rollup: also write trailing-window "
                         "z-score anomaly flags to <out>_anomalies")
+    x.add_argument("--corpus-normalize", metavar="DOCS",
+                   help="Canonical text cleanup of a document corpus "
+                        "(parquet dir/file or .jsonl[.gz]): C0 control "
+                        "strip + whitespace collapse + Unicode NFC; "
+                        "writes --out with text replaced by text_norm, "
+                        "or prints change statistics")
+    x.add_argument("--passage-dedup", metavar="DOCS",
+                   help="Cut corpus-wide repeated >=k-word passages out "
+                        "of every document (Lee-et-al-2022 exact-"
+                        "substring dedup semantics via rolling word "
+                        "k-grams); writes --out, or prints removal "
+                        "statistics.  See --passage-k/--passage-min-total")
+    x.add_argument("--passage-k", type=int, default=8,
+                   help="With --passage-dedup: words per k-gram "
+                        "(default %(default)s)")
+    x.add_argument("--passage-min-total", type=int, default=2,
+                   help="With --passage-dedup: occurrences for a k-gram "
+                        "to count as duplicated (default %(default)s)")
     return p
+
+
+def _load_corpus(spark, src: str):
+    if src.endswith((".jsonl", ".jsonl.gz", ".json")):
+        from .sources.readers import read_jsonl
+
+        return read_jsonl(spark, src)
+    return spark.read.parquet(src)
+
+
+def _ext_session(cfg):
+    from .core.session import get_spark
+
+    return get_spark(
+        "riab-spark",
+        master=cfg.get("spark", "master", fallback=None),
+        shuffle_partitions=(
+            cfg.getint("spark", "shuffle_partitions")
+            if cfg.has_option("spark", "shuffle_partitions")
+            else None
+        ),
+    )
+
+
+def _corpus_normalize(args, cfg) -> int:
+    """User-facing text cleanup (`ext/text.py::normalize_text`)."""
+    from pyspark.sql import functions as F
+
+    spark = _ext_session(cfg)
+    src = args.corpus_normalize
+    docs = _load_corpus(spark, src)
+    for c in (args.id_col, args.text_col):
+        if c not in docs.columns:
+            raise SystemExit(f"column {c!r} not in {src} ({docs.columns})")
+    from .ext.text import normalize_text
+
+    norm = normalize_text(docs, args.id_col, args.text_col)
+    if args.out:
+        cleaned = (
+            docs.drop(args.text_col)
+            .join(
+                norm.select(
+                    args.id_col, F.col("text_norm").alias(args.text_col)
+                ),
+                args.id_col,
+            )
+        )
+        _write_docs(cleaned, args.out, args.format)
+        print(f"wrote normalized corpus -> {args.out} ({args.format})")
+        return 0
+    stats = norm.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col("changed").cast("long")).alias("changed"),
+        F.sum("n_chars_raw").alias("chars_raw"),
+        F.sum("n_chars_norm").alias("chars_norm"),
+    ).first()
+    print(
+        f"{stats['docs']} docs, {stats['changed']} changed, "
+        f"{stats['chars_raw']} -> {stats['chars_norm']} chars"
+    )
+    return 0
+
+
+def _passage_dedup(args, cfg) -> int:
+    """User-facing duplicate-passage removal (`ext/passages.py`)."""
+    from pyspark.sql import functions as F
+
+    from .core.caching import unpersist_intermediates
+    from .ext.passages import remove_duplicate_passages
+
+    spark = _ext_session(cfg)
+    src = args.passage_dedup
+    docs = _load_corpus(spark, src)
+    for c in (args.id_col, args.text_col):
+        if c not in docs.columns:
+            raise SystemExit(f"column {c!r} not in {src} ({docs.columns})")
+    out = remove_duplicate_passages(
+        docs,
+        args.id_col,
+        args.text_col,
+        k=args.passage_k,
+        min_total=args.passage_min_total,
+    )
+    if args.out:
+        cleaned = (
+            docs.drop(args.text_col)
+            .join(
+                out.select(
+                    args.id_col, F.col("text_clean").alias(args.text_col)
+                ),
+                args.id_col,
+            )
+        )
+        _write_docs(cleaned, args.out, args.format)
+        unpersist_intermediates(out)
+        print(f"wrote passage-deduped corpus -> {args.out} ({args.format})")
+        return 0
+    stats = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("touched"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_removed").alias("removed"),
+    ).first()
+    unpersist_intermediates(out)
+    print(
+        f"{stats['docs']} docs, {stats['touched']} touched, "
+        f"{stats['removed']}/{stats['words']} words removed"
+    )
+    return 0
 
 
 def _corpus_tokenize(args, cfg) -> int:
@@ -902,6 +1029,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.events_rollup:
         return _events_rollup(args, cfg)
+
+    if args.corpus_normalize:
+        return _corpus_normalize(args, cfg)
+
+    if args.passage_dedup:
+        return _passage_dedup(args, cfg)
 
     if args.create_folders:
         from .folders import create_cdm_folders

@@ -620,3 +620,61 @@ def test_embed_cluster_writes_centroids_and_assignments(spark, capsys, tmpdir_):
     assert sorted(sizes.values()) == [30, 30]  # the two planted blobs
     # partition layout on disk
     assert any(d.startswith("centroid_id=") for d in os.listdir(out + "/assignments"))
+
+
+def test_version_flag(capsys):
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    from rabbit_in_a_blender_spark import __version__
+
+    assert __version__ in out
+
+
+def test_corpus_normalize_stats_and_writes(spark, capsys, tmpdir_):
+    root = str(tmpdir_)
+    docs = os.path.join(root, "docs_norm")
+    spark.createDataFrame(
+        [(1, "café  with   runs", "en"), (2, "clean text", "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(docs)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    rc = main(["--corpus-normalize", docs, "--config", cfg])
+    assert rc == 0
+    assert "2 docs, 1 changed" in capsys.readouterr().out
+    out = os.path.join(root, "norm_out")
+    rc = main(["--corpus-normalize", docs, "--out", out, "--config", cfg])
+    assert rc == 0
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got[1] == "café with runs"   # NFC-composed + collapsed
+    assert got[2] == "clean text"
+    # non-doc schema → explicit column error
+    with pytest.raises(SystemExit):
+        main(["--corpus-normalize", docs, "--text-col", "nope", "--config", cfg])
+
+
+def test_passage_dedup_stats_and_writes(spark, capsys, tmpdir_):
+    root = str(tmpdir_)
+    docs = os.path.join(root, "docs_pass")
+    boiler = "all rights reserved by this site"
+    spark.createDataFrame(
+        [(1, f"alpha one two {boiler}"), (2, f"beta three four {boiler}"),
+         (3, "totally original words here")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    rc = main(["--passage-dedup", docs, "--passage-k", "4", "--config", cfg])
+    assert rc == 0
+    assert "3 docs, 2 touched, 12/22 words removed" in capsys.readouterr().out
+    out = os.path.join(root, "pass_out")
+    rc = main(["--passage-dedup", docs, "--passage-k", "4",
+               "--out", out, "--config", cfg])
+    assert rc == 0
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got[1] == "alpha one two"
+    assert got[3] == "totally original words here"
