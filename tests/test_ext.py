@@ -341,3 +341,23 @@ def test_normalize_text_unicode_and_controls(spark):
     assert got[2]["text_norm"] == "abc" and got[2]["changed"]
     assert got[3]["text_norm"] == "lots of space here" and got[3]["changed"]
     assert got[4]["text_norm"] == "already clean" and not got[4]["changed"]
+
+
+def test_normalize_text_is_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x) — the cleanup stage can
+    run at any pipeline position (or twice) without drift."""
+    from rabbit_in_a_blender_spark.ext.text import normalize_text
+
+    rows = [
+        (1, "café  with   runs"),
+        (2, "a\x00b\x07c\t\td"),
+        (3, "  edge  \n\n spaces  "),
+        (4, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = normalize_text(df, "doc_id", "text").select(
+        "doc_id", F.col("text_norm").alias("text")
+    )
+    twice = normalize_text(once, "doc_id", "text")
+    for r in twice.collect():
+        assert not r["changed"], r
