@@ -117,6 +117,50 @@ def ext_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_percentile_approx",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS p50_within_bound,
+           TRUE AS p95_within_bound
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "approx_percentile (the 100 TB path: sketch-merged, no per-group "
+        "sort) under an invariant oracle, the same upgrade HLL got "
+        "(VERDICT r7 task 3 pattern): accuracy=1000 guarantees rank "
+        "error <= 1/1000; the checked bracket uses a 2% rank margin — "
+        "20x looser than the guarantee but immune to the interpolation "
+        "off-by-one of percentile_cont on small groups (the sketch "
+        "returns a data VALUE whose rank is bounded, while the exact "
+        "interpolated quantile at p±1e-3 can sit between data points) — "
+        "so a broken sketch or mis-set accuracy still flips the hash."
+    ),
+)
+def ext_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    acc = 1000
+    eps = 0.02
+    e = load_tables(spark, sf_dir, "events")["events"]
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(acc)).alias("__a50"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(acc)).alias("__a95"),
+        F.percentile("value", F.lit(0.5 - eps)).alias("__lo50"),
+        F.percentile("value", F.lit(0.5 + eps)).alias("__hi50"),
+        F.percentile("value", F.lit(0.95 - eps)).alias("__lo95"),
+        F.percentile("value", F.lit(min(0.95 + eps, 1.0))).alias("__hi95"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        ((F.col("__a50") >= F.col("__lo50")) & (F.col("__a50") <= F.col("__hi50")))
+        .alias("p50_within_bound"),
+        ((F.col("__a95") >= F.col("__lo95")) & (F.col("__a95") <= F.col("__hi95")))
+        .alias("p95_within_bound"),
+    )
+
+
 _XY_SQL = """
   SELECT lang, doc_id,
          CAST(len(string_split(text, ' ')) AS DOUBLE) AS x,
