@@ -61,38 +61,10 @@ from pyspark.sql import DataFrame, SparkSession
 # closure can't see (dynamic dispatch, data-file dependencies) and for
 # explicit verdict orders.
 _REVERIFY_FIRST: list[str] = [
-    # VERDICT r7 task 1: the 16 queries that landed late in r7 and have
-    # never earned a driver CORRECTNESS row (FULLGATE-green only).  The
-    # never-green bucket would surface them anyway, but the pin
-    # guarantees order ahead of any stale-bucket flood so all 16 land
-    # inside the driver's ~50-query cap.
-    "ext_psi_drift",
-    "ext_ks_drift",
-    "ext_jsd_drift",
-    "ext_heavy_hitters",
-    "ext_ts_rollup_gapfill",
-    "ext_ts_rolling_zscore",
-    "ext_ts_qc_chain",
-    "ext_percentile_rollup",
-    "ext_regr_fit",
-    "ext_regr_outliers",
-    "ext_logreg_quality",
-    "ext_pmi_collocations",
-    "ext_weighted_sample",
-    "ext_embed_decontam",
-    "stream_corpus_dedup_batch",
-    "stream_drift_batch",
-    # VERDICT r7 task 3: the 8 former rows-only queries now carry real
-    # oracles (full SQL replays / invariant pins) — their first
-    # hash-green driver row must land this round.
-    "ext_ivf_topk",
-    "ext_pq_topk",
-    "ext_ivfpq_topk",
-    "ext_ivfpq_persisted",
-    "ext_profile_approx",
-    "ext_dedup_embed_lsh",
-    "ext_dedup_clusters_lsh",
-    "ext_pca_whiten",
+    # VERDICT r8 task 1: emptied — every r7/r8 pin earned its driver row
+    # in CORRECTNESS_r08; the never-green and stale buckets order new
+    # and touched work correctly on their own.  Re-pin only on explicit
+    # verdict orders or closure-invisible dependencies.
 ]
 
 _PKG = "rabbit_in_a_blender_spark"
@@ -254,7 +226,12 @@ def _reachable_names(defs: dict[str, ast.AST], fn_name: str) -> set[str] | None:
 def _fn_fingerprint(src: str, fn_name: str) -> str | None:
     """AST fingerprint of a top-level function plus every module-level
     def/assign it (transitively) references by name.  Comment and
-    formatting changes don't move it; body or helper changes do."""
+    formatting changes don't move it; body or helper changes do.
+
+    Package-internal import lines whose bound name is in the symbol's
+    reachable set are part of the fingerprint: re-pointing an import
+    (``from .c import g`` -> ``from .d import g``) changes behavior
+    through the rebound dependency without moving any def (ADVICE r8)."""
     try:
         tree = ast.parse(src)
     except SyntaxError:
@@ -264,7 +241,23 @@ def _fn_fingerprint(src: str, fn_name: str) -> str | None:
         return None
     reach = _reachable_names(defs, fn_name) or set()
     local = sorted(n for n in reach if n in defs)
-    return "\n".join(ast.dump(defs[n]) for n in local)
+    imports: list[str] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                bound = a.asname or a.name.split(".")[0]
+                if a.name.startswith(_PKG) and bound in reach:
+                    imports.append(f"import {a.name} as {a.asname or ''}")
+        elif isinstance(node, ast.ImportFrom):
+            if not (node.level or (node.module or "").startswith(_PKG)):
+                continue
+            src_mod = "." * node.level + (node.module or "")
+            for a in node.names:
+                if (a.asname or a.name) in reach:
+                    imports.append(
+                        f"from {src_mod} import {a.name} as {a.asname or ''}"
+                    )
+    return "\n".join([ast.dump(defs[n]) for n in local] + sorted(imports))
 
 
 def _import_map(tree: ast.Module, mod: str, mod_path: str, root: str) -> dict[str, str]:

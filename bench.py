@@ -370,10 +370,16 @@ def _quick_ab(ref: str, spark, sf_dir: str, rounds: int = 2) -> dict | None:
         if not names:
             return None
         _time_suite(refdir, names, spark, sf_dir)  # ref-side warmup
-        ref_tot = head_tot = 0.0
+        ref_reps: dict[str, list[float]] = {n: [] for n in names}
+        head_reps: dict[str, list[float]] = {n: [] for n in names}
         for _ in range(rounds):
-            ref_tot += sum(_time_suite(refdir, names, spark, sf_dir).values())
-            head_tot += sum(_time_suite(here, names, spark, sf_dir).values())
+            for n, s in _time_suite(refdir, names, spark, sf_dir).items():
+                ref_reps[n].append(s)
+            for n, s in _time_suite(here, names, spark, sf_dir).items():
+                head_reps[n].append(s)
+        ref_tot = sum(sum(v) for v in ref_reps.values())
+        head_tot = sum(sum(v) for v in head_reps.values())
+        med = lambda xs: sorted(xs)[len(xs) // 2]
         return {
             "ref": ref[:9],
             "rounds": rounds,
@@ -381,6 +387,16 @@ def _quick_ab(ref: str, spark, sf_dir: str, rounds: int = 2) -> dict | None:
             "total_ref_sec": round(ref_tot, 3),
             "total_head_sec": round(head_tot, 3),
             "head_over_ref": round(head_tot / ref_tot, 3),
+            # per-query medians so a single-query drift is adjudicable
+            # from the committed artifact alone (VERDICT r8 task 2)
+            "queries": {
+                n: {
+                    "ref": med(ref_reps[n]),
+                    "head": med(head_reps[n]),
+                    "ratio": round(med(head_reps[n]) / max(med(ref_reps[n]), 1e-9), 3),
+                }
+                for n in names
+            },
         }
     except Exception:
         return None

@@ -13,19 +13,43 @@ query's closure doesn't flood the staleness derivation.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import numpy as np
 
 
 def round_half_up(a: "np.ndarray", digits: int = 0) -> "np.ndarray":
-    """Element-wise round-half-away-from-zero, matching Spark ``F.round``.
+    """Element-wise round matching Spark ``F.round`` exactly.
 
-    ``sign(x) * floor(|x| * 10^d + 0.5) / 10^d`` — the formula Spark's
-    HALF_UP reduces to for the magnitudes these pipelines round (scores
-    in [-1, 1], averages on a cents grid).
+    Spark evaluates ``BigDecimal(Double.toString(x)).setScale(d,
+    HALF_UP)`` — the tie test happens on the SHORTEST DECIMAL
+    REPRESENTATION of x, not on the binary value.  The fast
+    ``sign(x) * floor(|x| * 10^d + 0.5) / 10^d`` formula agrees except
+    when ``x * 10^d`` sits a few ULPs off an integer-plus-half (e.g.
+    0.285 at 2 digits: the float product is 28.499999999999996 so the
+    formula floors to 0.28, while Spark sees the repr tie "0.285" and
+    rounds HALF_UP to 0.29 — ADVICE r8).  So: vectorized fast path,
+    then a ``Decimal(repr(x))`` replay for the near-tie elements only.
+    Python ``repr`` is the same shortest-round-trip decimal contract as
+    Java ``Double.toString``, so the slow path is bit-exact.
     """
+    s = np.asarray(a, dtype=np.float64)
     p = float(10**digits)
-    s = np.asarray(a, dtype=np.float64) * p
-    return np.sign(s) * np.floor(np.abs(s) + 0.5) / p
+    scaled = s * p
+    fast = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / p
+    # Near-tie window: binary-vs-decimal disagreement requires the float
+    # product to sit within rounding error of an exact .5 boundary.
+    frac = np.abs(scaled) - np.floor(np.abs(scaled))
+    near_tie = np.abs(frac - 0.5) < 1e-6
+    if near_tie.any():
+        q = Decimal(1).scaleb(-digits)
+        flat = np.ravel(fast)
+        src = np.ravel(s)
+        for i in np.flatnonzero(np.ravel(near_tie)):
+            flat[i] = float(
+                Decimal(repr(float(src[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return fast
 
 
 def to_cents_half_up(values: "np.ndarray") -> "np.ndarray":

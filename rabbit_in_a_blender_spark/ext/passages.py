@@ -34,10 +34,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _gram_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, pos, gram_hash) for every word k-gram; docs shorter than k
-    words yield no rows."""
-    words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __w) with the text split once — the single tokenize pass
+    every downstream frame (grams, words, totals) derives from."""
+    return df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+
+
+def _grams_of(toks: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, pos, gram_hash) for every word k-gram of a token frame;
+    docs shorter than k words yield no rows."""
     grams = F.when(
         F.size("__w") >= k,
         F.expr(
@@ -45,9 +50,15 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
             f"i -> md5(concat_ws(' ', slice(__w, i + 1, {k}))))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return words.select(
+    return toks.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "gram_hash")
     )
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, pos, gram_hash) for every word k-gram; docs shorter than k
+    words yield no rows."""
+    return _grams_of(_token_rows(df, id_col, text_col), id_col, k)
 
 
 def duplicate_passages(
@@ -84,8 +95,20 @@ def remove_duplicate_passages(
     Returns (id, n_words, n_removed, text_clean); a fully-boilerplate
     document survives with ``text_clean = ''`` (curation drops it with
     a length filter, keeping the accounting explicit).
+
+    The corpus is tokenized ONCE (VERDICT r8 task 5): the split-token
+    frame is persisted and grams / words / word totals all derive from
+    it, and the former totals-join + anti-join pair is folded into a
+    single flagged aggregation (covered words are left-joined as a flag
+    and filtered inside ``collect_list``, so one groupBy(id) produces
+    n_words, n_removed and the rebuilt text together).  The gram hash
+    is recomputed for its two consumers (count + coverage join) from
+    the cached tokens — vectorized md5 over cache beats re-reading and
+    re-splitting the corpus; AQE may broadcast the (small) duplicated-
+    hash set, keeping the coverage join shuffle-free.
     """
-    grams = _gram_rows(df, id_col, text_col, k).persist()
+    toks = _token_rows(df, id_col, text_col).persist()
+    grams = _grams_of(toks, id_col, k)
     dup_hashes = (
         grams.groupBy("gram_hash")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -101,36 +124,31 @@ def remove_duplicate_passages(
             ).alias("pos"),
         )
         .distinct()
+        .withColumn("__cov", F.lit(True))
     )
-    words = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "__word")
+    words = toks.select(
+        F.col(id_col), F.posexplode("__w").alias("pos", "__word")
     )
-    surviving = words.join(covered, [id_col, "pos"], "left_anti")
-    rebuilt = surviving.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("__kept"),
+    flagged = words.join(covered, [id_col, "pos"], "left")
+    out = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.when(F.col("__cov"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "__word"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__cov").isNull(), F.struct("pos", "__word")
+                        )
+                    )
+                ),
                 lambda s: s["__word"],
             ),
             " ",
         ).alias("text_clean"),
     )
-    totals = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words"),
-    )
-    out = (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            F.col(id_col),
-            "n_words",
-            (F.col("n_words") - F.coalesce("__kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-        )
-    )
     from ..core.caching import track_cache
 
-    return track_cache(out, [grams])
+    return track_cache(out, [toks])

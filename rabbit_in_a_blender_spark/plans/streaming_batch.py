@@ -235,6 +235,7 @@ def stream_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     total = e.count()
     deadline = time.time() + 240
+    seen = -1
     while time.time() < deadline:
         seen = (
             spark.table(name)
@@ -247,6 +248,14 @@ def stream_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         time.sleep(2)
     query.stop()
+    if seen != total:
+        # A slow environment must fail as a TIMEOUT, not surface later as
+        # an oracle hash mismatch on a partial snapshot (ADVICE r8).
+        raise TimeoutError(
+            f"stream_counts_batch: stream drained {seen}/{total} rows "
+            "within the 240s deadline — environment too slow, not a "
+            "stateful-operator bug"
+        )
     # update mode appends one cumulative row per (user, micro-batch);
     # the final state is the max-count row per user
     mem = spark.table(name)

@@ -43,6 +43,12 @@ def _update(
 
     from rabbit_in_a_blender_spark.ext._rounding import round_half_up
 
+    if state.hasTimedOut:
+        # Idle-timeout callback: no new rows for this key.  Evict instead
+        # of re-arming, otherwise the documented "evict after 1h idle"
+        # never fires and per-key state grows unboundedly (ADVICE r8).
+        state.remove()
+        return
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)

@@ -218,7 +218,9 @@ def test_embedding_decontaminate_arrow_matches_jvm(spark):
 
 def test_round_half_up_matches_spark_round(spark):
     """The numpy HALF_UP helper must agree with Spark F.round on exact
-    .5 ties — np.round (half-even) diverges there (ADVICE r7)."""
+    .5 ties (np.round is half-even — ADVICE r7) AND on shortest-decimal
+    ties that are not float ties, e.g. 0.285 whose float*100 product is
+    28.499999999999996 but whose repr Spark sees as a tie (ADVICE r8)."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -228,7 +230,12 @@ def test_round_half_up_matches_spark_round(spark):
     )
 
     vals = [0.125, -0.125, 0.135, 2.5, -2.5, 0.5, 1.5, 10.005, -10.005,
-            0.12345, 99.995, -0.0625, 3.14159, 0.0]
+            0.12345, 99.995, -0.0625, 3.14159, 0.0,
+            # decimal-repr ties that are NOT float ties (ADVICE r8)
+            0.285, -0.285, 1.015, 2.675, -2.675, 8.835, 0.0285, 1234.5675]
+    # fuzz: 3-4 decimal-digit literals land on repr ties constantly
+    rng = np.random.default_rng(8)
+    vals += [round(float(x), 4) for x in rng.uniform(-100, 100, 60)]
     for digits in (0, 2, 3, 4):
         df = spark.createDataFrame([(v,) for v in vals], "v double")
         jvm = [r[0] for r in df.select(F.round("v", digits)).collect()]
