@@ -88,8 +88,15 @@ def running_counts(events: DataFrame) -> DataFrame:
 #
 # Semantics (documented, test-pinned):
 # - events are processed in ts order within each micro-batch (sorted);
-# - an event for a bucket older than the current one is LATE and dropped
-#   (the bucket already closed — same contract as a watermark);
+# - an event for a bucket older than the current one is LATE: with
+#   allowed_lateness=0 it is dropped (the bucket already closed — same
+#   contract as a watermark); with allowed_lateness=N an event landing
+#   in one of the last N CLOSED buckets reopens its partials and emits a
+#   corrected row (update-style: consumers keep the last row per
+#   (group, bucket)), matching Spark's withWatermark ergonomics;
+# - a correction re-scores against the trailing ring as currently known
+#   (it does NOT cascade re-scores into buckets that closed after it —
+#   their rows already shipped);
 # - the newest bucket per group stays open until a later event closes it,
 #   so a finite replay emits one fewer row per group than the batch twin.
 # - averages sit on the same exact cents grid as the batch operator, so
@@ -101,6 +108,10 @@ ZSCORE_STATE_SCHEMA = T.StructType(
         T.StructField("cur_cents", T.LongType()),
         T.StructField("cur_n", T.LongType()),
         T.StructField("ring", T.ArrayType(T.DoubleType())),
+        # last allowed_lateness closed buckets, reopenable for late data
+        T.StructField("recent_buckets", T.ArrayType(T.LongType())),
+        T.StructField("recent_cents", T.ArrayType(T.LongType())),
+        T.StructField("recent_n", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -115,44 +126,76 @@ ZSCORE_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _make_zscore_update(width_s: int, lookback: int, min_prev: int, threshold: float):
+def _make_zscore_update(
+    width_s: int,
+    lookback: int,
+    min_prev: int,
+    threshold: float,
+    allowed_lateness: int = 0,
+):
     import datetime as _dt
     import math as _math
 
+    def _score_row(key, bucket, avg, hist):
+        """(group, ts, avg4, z, anomaly) when hist is deep enough and
+        has spread; None otherwise.  hist = closed-bucket averages that
+        precede ``bucket``."""
+        if len(hist) < min_prev:
+            return None
+        window = hist[-lookback:]
+        mu = sum(window) / len(window)
+        var = sum((x - mu) ** 2 for x in window) / len(window)
+        sigma = _math.sqrt(var)
+        if sigma <= 0:
+            return None
+        z = round((avg - mu) / sigma, 3)
+        ts = _dt.datetime.fromtimestamp(
+            bucket * width_s, tz=_dt.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        return (
+            key,
+            ts,
+            _math.floor(avg * 10000) / 10000.0,
+            z,
+            abs(z) > threshold,
+        )
+
     def _close(key, bucket, cents, n, ring, out_rows):
         avg = (cents / 100.0) / n
-        if len(ring) >= min_prev:
-            window = ring[-lookback:]
-            mu = sum(window) / len(window)
-            var = sum((x - mu) ** 2 for x in window) / len(window)
-            sigma = _math.sqrt(var)
-            if sigma > 0:
-                z = round((avg - mu) / sigma, 3)
-                ts = _dt.datetime.fromtimestamp(
-                    bucket * width_s, tz=_dt.timezone.utc
-                ).strftime(
-                    "%Y-%m-%d %H:%M:%S"
-                )
-                out_rows.append(
-                    (
-                        key,
-                        ts,
-                        _math.floor(avg * 10000) / 10000.0,
-                        z,
-                        abs(z) > threshold,
-                    )
-                )
+        row = _score_row(key, bucket, avg, ring)
+        if row is not None:
+            out_rows.append(row)
         ring.append(avg)
         del ring[:-lookback]
+
+    def _late(key, b, c, ring, rb, rc, rn, out_rows):
+        """Reopen a recently-closed bucket for a late event: fold the
+        cents in, emit a corrected row scored against the history that
+        preceded the bucket (as currently known), and patch its ring
+        entry so later closes score against the corrected average."""
+        if b not in rb:
+            return  # older than the lateness horizon: dropped
+        i = rb.index(b)
+        rc[i] += int(c)
+        rn[i] += 1
+        avg = (rc[i] / 100.0) / rn[i]
+        off = len(rb) - i  # 1-based distance from the newest close
+        if off <= len(ring):
+            hist = ring[: len(ring) - off]
+            row = _score_row(key, b, avg, hist)
+            if row is not None:
+                out_rows.append(row)
+            ring[len(ring) - off] = avg
 
     def _update_z(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            cur_bucket, cur_cents, cur_n, ring = state.get
-            ring = list(ring)
+            cur_bucket, cur_cents, cur_n, ring, rb, rc, rn = state.get
+            ring, rb, rc, rn = list(ring), list(rb), list(rc), list(rn)
         else:
-            cur_bucket, cur_cents, cur_n, ring = -1, 0, 0, []
+            cur_bucket, cur_cents, cur_n = -1, 0, 0
+            ring, rb, rc, rn = [], [], [], []
         out_rows: list[tuple] = []
         from rabbit_in_a_blender_spark.ext._rounding import to_cents_half_up
 
@@ -166,14 +209,23 @@ def _make_zscore_update(width_s: int, lookback: int, min_prev: int, threshold: f
             for sec, c in zip(secs, cents):
                 b = int(sec) // width_s
                 if b < cur_bucket:
-                    continue  # late event for a closed bucket: dropped
+                    if allowed_lateness > 0:
+                        _late(key[0], b, c, ring, rb, rc, rn, out_rows)
+                    continue  # beyond lateness (or lateness 0): dropped
                 if b > cur_bucket:
                     if cur_n > 0:
                         _close(key[0], cur_bucket, cur_cents, cur_n, ring, out_rows)
+                        if allowed_lateness > 0:
+                            rb.append(cur_bucket)
+                            rc.append(cur_cents)
+                            rn.append(cur_n)
+                            del rb[:-allowed_lateness]
+                            del rc[:-allowed_lateness]
+                            del rn[:-allowed_lateness]
                     cur_bucket, cur_cents, cur_n = b, 0, 0
                 cur_cents += int(c)
                 cur_n += 1
-        state.update((cur_bucket, cur_cents, cur_n, ring))
+        state.update((cur_bucket, cur_cents, cur_n, ring, rb, rc, rn))
         if out_rows:
             yield pd.DataFrame(
                 out_rows,
@@ -190,6 +242,7 @@ def stream_zscore(
     lookback: int = 8,
     min_prev: int = 4,
     threshold: float = 2.0,
+    allowed_lateness: int = 0,
 ) -> DataFrame:
     """Streaming trailing-window z-score over per-group time buckets.
 
@@ -197,12 +250,21 @@ def stream_zscore(
     (timestamp) and ``value`` (double).  Emits one row per CLOSED bucket
     that has enough history; matches the batch
     ``ext.timeseries.rolling_zscore`` on ordered replays (pytest-pinned).
+
+    ``allowed_lateness=N`` keeps the partials of the last N closed
+    buckets reopenable: a late event within that horizon emits a
+    corrected row for its bucket (consumers keep the last row per
+    (group, bucket)) and patches the trailing ring so subsequent closes
+    score against the corrected average.  At the default 0 the operator
+    is byte-identical to the watermark-style drop (batch-twin oracle
+    unchanged).  State grows by 3·N longs per group — still O(lookback
+    + lateness), executor-state-store friendly.
     """
     keyed = events.selectExpr(
         f"CAST({group_col} AS STRING) AS group_key", "ts", "value"
     )
     return keyed.groupBy("group_key").applyInPandasWithState(
-        _make_zscore_update(width_s, lookback, min_prev, threshold),
+        _make_zscore_update(width_s, lookback, min_prev, threshold, allowed_lateness),
         outputStructType=ZSCORE_OUTPUT_SCHEMA,
         stateStructType=ZSCORE_STATE_SCHEMA,
         outputMode="append",

@@ -395,6 +395,62 @@ def test_stream_zscore_drops_late_events(spark):
     assert all(not r["is_anomaly"] for r in got)
 
 
+def test_stream_zscore_allowed_lateness_emits_corrections(spark):
+    """allowed_lateness=N reopens one of the last N closed buckets for a
+    late event: a corrected row is emitted and the trailing ring is
+    patched so later closes score against the corrected average."""
+    import os
+
+    from rabbit_in_a_blender_spark.streaming.stateful import stream_zscore
+    from rabbit_in_a_blender_spark.streaming.windows import streaming_events_source
+
+    # b1: hours 0-5 calm (10/11), hour 6 = 15.0 (stays open)
+    b1 = [(h, D(2024, 1, 1, h, 10), 1, "a", 10.0 + (h % 2)) for h in range(6)]
+    b1.append((6, D(2024, 1, 1, 6, 10), 1, "a", 15.0))
+    # b2: LATE event for hour 5 (the most recent closed bucket)
+    b2 = [(99, D(2024, 1, 1, 5, 50), 1, "a", 1000.0)]
+    # b3: hour 7 closes bucket 6
+    b3 = [(7, D(2024, 1, 1, 7, 10), 1, "a", 10.0)]
+    schema = "event_id int, ts timestamp, user_id int, event_type string, value double"
+    tmp = tempfile.mkdtemp(prefix="riab_zs_corr_")
+    try:
+        for i, rows in enumerate((b1, b2, b3)):
+            sub = f"{tmp}/part{i}"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
+            for f in os.listdir(sub):
+                if f.endswith(".parquet"):
+                    os.rename(f"{sub}/{f}", f"{tmp}/stream_{i}.parquet")
+        src = streaming_events_source(
+            spark, tmp, schema=spark.createDataFrame(b1, schema).schema, max_files=1
+        )
+        q = (
+            stream_zscore(src, "event_type", width_s=3600, allowed_lateness=2)
+            .writeStream.format("memory")
+            .queryName("riab_zscore_corr_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from riab_zscore_corr_test").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    by_ts: dict[str, list] = {}
+    for r in got:
+        by_ts.setdefault(r["bucket_ts"], []).append(r)
+    # bucket 5 has its original close AND the late correction
+    five = sorted(by_ts["2024-01-01 05:00:00"], key=lambda r: r["avg_value"])
+    assert len(five) == 2
+    assert five[0]["avg_value"] == 11.0 and not five[0]["is_anomaly"]
+    # corrected avg = (1100 + 100000) cents / 2 events = 505.5
+    assert five[1]["avg_value"] == 505.5 and five[1]["is_anomaly"]
+    # bucket 6 (avg 15.0) closes AFTER the correction: against the
+    # patched ring (sigma blown up by 505.5) it is NOT an anomaly —
+    # against the unpatched calm ring z would be ~9 and anomalous
+    (six,) = by_ts["2024-01-01 06:00:00"]
+    assert six["avg_value"] == 15.0 and not six["is_anomaly"]
+
+
 def test_stream_drift_monitor_converges_to_batch_psi(spark):
     """Two micro-batches of candidate docs against a fixed reference
     profile: the final streaming PSI report equals batch psi_drift over
