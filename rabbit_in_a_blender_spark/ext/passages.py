@@ -61,6 +61,162 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     return _grams_of(_token_rows(df, id_col, text_col), id_col, k)
 
 
+def passage_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 16,
+    stride: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """(id, win_start, shingle): distinct word k-grams per sliding
+    passage window of ``window`` words every ``stride`` words.  Docs
+    shorter than ``window`` yield one window (the whole doc)."""
+    toks = _token_rows(df, id_col, text_col)
+    wins = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(__w) - {window}, 0),"
+                f" {stride}), i -> named_struct('win_start', i, 'pw',"
+                f" slice(__w, i + 1, {window})))"
+            )
+        ).alias("__win"),
+    ).select(
+        F.col(id_col),
+        F.col("__win.win_start").cast("long").alias("win_start"),
+        F.col("__win.pw").alias("__pw"),
+    )
+    grams = F.expr(
+        f"transform(sequence(0, greatest(size(__pw) - {k}, 0)), "
+        f"j -> concat_ws(' ', slice(__pw, j + 1, {k})))"
+    )
+    return wins.select(
+        F.col(id_col),
+        "win_start",
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    )
+
+
+def near_duplicate_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 16,
+    stride: int = 8,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Cross-document NEAR-duplicate passage pairs via MinHash+LSH over
+    sliding windows — closes the one-word-edit gap of the exact k-gram
+    matcher (``duplicate_passages``) the way doc-level LSH complements
+    exact dedup (VERDICT r8 task 7).
+
+    Per passage window: MinHash signature (salted md5 mins over the
+    window's word k-gram shingles, same construction as ext/dedup.py),
+    LSH banding, cross-document candidate pairs (id_a < id_b), then
+    gram-set Jaccard verification.  Returns (id_a, win_a, id_b, win_b,
+    jaccard>=threshold, ROUND 4).
+
+    Containment guarantee: an exactly-repeated aligned window shares
+    every band (jaccard 1.0), so LSH-passages ⊇ aligned exact passages.
+
+    Scale shape: shingle rows ≈ tokens x window/stride; signatures
+    reduce each window to num_hashes digests; the band self-join and
+    the verification joins shuffle (id, win, digest/int) rows only —
+    never passage text.  Pathological buckets follow the dedup.py
+    discipline (AQE skew-join; cap in lsh_candidate_pairs if needed).
+    """
+    rows_per_band = num_hashes // bands
+    sh = passage_shingles(df, id_col, text_col, window, stride, k).persist()
+    sig = sh.groupBy(F.col(id_col), F.col("win_start")).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    banded = (
+        sig.select(
+            F.col(id_col), "win_start", F.explode(F.array(*band_cols)).alias("band")
+        )
+        .select(
+            F.col(id_col),
+            "win_start",
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_hash").alias("band_hash"),
+        )
+        .persist()
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col("a.win_start").alias("win_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("b.win_start").alias("win_b"),
+        )
+        .distinct()
+    )
+    sha = sh.select(
+        F.col(id_col).alias("id_a"), F.col("win_start").alias("win_a"), "shingle"
+    )
+    shb = sh.select(
+        F.col(id_col).alias("id_b"), F.col("win_start").alias("win_b"), "shingle"
+    )
+    inter = (
+        cand.join(sha, ["id_a", "win_a"])
+        .join(shb, ["id_b", "win_b", "shingle"])
+        .groupBy("id_a", "win_a", "id_b", "win_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sizes = sh.groupBy(F.col(id_col), F.col("win_start")).agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    jac = F.round(
+        F.col("__i") / (F.col("__sa") + F.col("__sb") - F.col("__i")), 4
+    )
+    out = (
+        inter.join(
+            sizes.select(
+                F.col(id_col).alias("id_a"),
+                F.col("win_start").alias("win_a"),
+                F.col("__sz").alias("__sa"),
+            ),
+            ["id_a", "win_a"],
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("id_b"),
+                F.col("win_start").alias("win_b"),
+                F.col("__sz").alias("__sb"),
+            ),
+            ["id_b", "win_b"],
+        )
+        .select("id_a", "win_a", "id_b", "win_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from ..core.caching import track_cache
+
+    return track_cache(out, [sh, banded])
+
+
 def duplicate_passages(
     df: DataFrame,
     id_col: str,

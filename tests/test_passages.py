@@ -125,3 +125,36 @@ def test_remove_duplicate_passages_matches_python_reference(spark, texts):
     ref = _reference_removal(texts, k=3, min_total=2)
     for i, expected in enumerate(ref):
         assert got[i] == expected, (i, texts[i], got[i], expected)
+
+
+def test_near_duplicate_passages_containment_and_near_miss(spark):
+    """LSH-passages ⊇ aligned exact passages (jaccard 1.0 shares every
+    band), and a one-word edit — invisible to the exact k-gram matcher
+    at its repeat threshold — is still caught above threshold."""
+    from rabbit_in_a_blender_spark.ext.passages import near_duplicate_passages
+
+    span = ("w%d " * 16) % tuple(range(16))  # 16 distinct words
+    edited = span.split()
+    edited[7] = "EDIT"  # one-word edit mid-span
+    rows = [
+        (1, span.strip()),                     # exact copy, aligned at 0
+        (2, span.strip()),                     # exact copy, aligned at 0
+        (3, " ".join(edited)),                 # near-miss copy
+        (4, "totally unrelated words " * 4),   # noise
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = near_duplicate_passages(
+        df, "doc_id", "text", window=16, stride=8, k=3,
+        num_hashes=8, bands=4, threshold=0.35,
+    )
+    got = {(r["id_a"], r["win_a"], r["id_b"], r["win_b"]): r["jaccard"]
+           for r in out.collect()}
+    unpersist_intermediates(out)
+    # containment: the aligned exact pair is present with jaccard 1.0
+    assert got[(1, 0, 2, 0)] == 1.0
+    # near-miss: the edited copy pairs with both originals above threshold
+    # (one edited word kills k=3 grams overlapping position 7; 11 of 14
+    # shingles survive → jaccard 11/17 ≈ 0.647)
+    assert got[(1, 0, 3, 0)] >= 0.35 and got[(2, 0, 3, 0)] >= 0.35
+    # noise doc never pairs
+    assert not any(4 in (ka[0], ka[2]) for ka in got)
