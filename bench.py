@@ -94,6 +94,8 @@ NON_HEADLINE = [
     "ext_langid_ngram",
     "stream_zscore_batch",
     "ext_dup_passage_removal",
+    # r9 addition: minhash-over-passage-windows near-dedup
+    "ext_dup_passages_lsh",
 ]
 
 

@@ -217,6 +217,71 @@ def near_duplicate_passages(
     return track_cache(out, [sh, banded])
 
 
+def remove_near_duplicate_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 16,
+    stride: int = 8,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Keep-first removal of near-duplicate passages: for every verified
+    near-dup window pair (id_a < id_b) from
+    :func:`near_duplicate_passages`, the occurrence in the HIGHER-id
+    document is cut (the lower id is canonical — same keep-first policy
+    as exact dedup's min-id canonical).  Word positions covered by any
+    removed window are dropped and survivors re-join in order; returns
+    (id, n_words, n_removed, text_clean) like
+    :func:`remove_duplicate_passages`.
+
+    Scale shape: on top of the detection pipeline this adds only an
+    (id, pos) int-pair coverage explode (|pairs| x window rows) and the
+    same single-tokenize flagged aggregation as the exact removal.
+    """
+    pairs = near_duplicate_passages(
+        df, id_col, text_col, window, stride, k, num_hashes, bands, threshold
+    )
+    covered = (
+        pairs.select(
+            F.col("id_b").alias(id_col),
+            F.explode(
+                F.sequence(F.col("win_b"), F.col("win_b") + F.lit(window - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("__cov", F.lit(True))
+    )
+    words = _token_rows(df, id_col, text_col).select(
+        F.col(id_col), F.posexplode("__w").alias("pos", "__word")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    flagged = words.join(covered, [id_col, "pos"], "left")
+    out = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.when(F.col("__cov"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__cov").isNull(), F.struct("pos", "__word")
+                        )
+                    )
+                ),
+                lambda s: s["__word"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    from ..core.caching import track_cache
+
+    return track_cache(out, list(getattr(pairs, "_graft_cached", [])))
+
+
 def duplicate_passages(
     df: DataFrame,
     id_col: str,

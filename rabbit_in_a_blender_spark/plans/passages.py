@@ -16,6 +16,7 @@ from ..ext.passages import (
     duplicate_passages,
     near_duplicate_passages,
     remove_duplicate_passages,
+    remove_near_duplicate_passages,
 )
 from .catalog import register
 
@@ -91,61 +92,12 @@ def ext_dup_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_passages(d, "doc_id", "text", k=_K, min_total=2)
 
 
-# near-dup passage params: 16-word windows every 8, 3-gram shingles,
-# 8 salted-md5 minhashes in 4 bands of 2, jaccard-verified at 0.35
-_W, _S, _NK, _H, _RPB = 16, 8, 3, 8, 2
+from .passages_helpers import LSH_PAIR_CTES, NK, THRESHOLD, H, S, W  # noqa: E402
 
 
 @register(
     "ext_dup_passages_lsh",
-    oracle=f"""
-    WITH wdocs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-    wins AS (
-      SELECT doc_id, i AS win_start, w[i+1 : i+{_W}] AS pw
-      FROM wdocs CROSS JOIN LATERAL
-        unnest(range(0, greatest(len(w) - {_W}, 0) + 1, {_S})) t(i)
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, win_start,
-             array_to_string(pw[j+1 : j+{_NK}], ' ') AS shingle
-      FROM wins CROSS JOIN LATERAL
-        unnest(range(greatest(len(pw) - {_NK}, 0) + 1)) s(j)
-    ),
-    hashes AS (
-      SELECT doc_id, win_start, j,
-             MIN(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS mh
-      FROM sh CROSS JOIN (SELECT unnest(range({_H})) AS j) js
-      GROUP BY doc_id, win_start, j
-    ),
-    bands AS (
-      SELECT doc_id, win_start, j // {_RPB} AS band_idx,
-             md5(string_agg(mh, '|' ORDER BY j)) AS band_hash
-      FROM hashes GROUP BY doc_id, win_start, j // {_RPB}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, a.win_start AS win_a,
-                      b.doc_id AS id_b, b.win_start AS win_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id
-    ),
-    sizes AS (SELECT doc_id, win_start, COUNT(*) AS sz FROM sh GROUP BY 1, 2),
-    inter AS (
-      SELECT c.id_a, c.win_a, c.id_b, c.win_b, COUNT(*) AS iv
-      FROM cand c
-      JOIN sh sa ON sa.doc_id = c.id_a AND sa.win_start = c.win_a
-      JOIN sh sb ON sb.doc_id = c.id_b AND sb.win_start = c.win_b
-                AND sb.shingle = sa.shingle
-      GROUP BY 1, 2, 3, 4
-    )
-    SELECT id_a, CAST(win_a AS BIGINT) AS win_a,
-           id_b, CAST(win_b AS BIGINT) AS win_b,
-           ROUND(iv / (sa.sz + sb.sz - iv), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a AND sa.win_start = win_a
-    JOIN sizes sb ON sb.doc_id = id_b AND sb.win_start = win_b
-    WHERE ROUND(iv / (sa.sz + sb.sz - iv), 4) >= 0.35
-    """,
+    oracle=f"WITH {LSH_PAIR_CTES} SELECT * FROM pairsq",
     doc="Cross-document NEAR-duplicate passage pairs: MinHash+LSH over "
     "16-word sliding windows (3-gram shingles, 8 hashes / 4 bands), "
     "jaccard-verified at 0.35 — catches the one-word edits the exact "
@@ -156,5 +108,49 @@ def ext_dup_passages_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     return near_duplicate_passages(
         d, "doc_id", "text",
-        window=_W, stride=_S, k=_NK, num_hashes=_H, bands=4, threshold=0.35,
+        window=W, stride=S, k=NK, num_hashes=H, bands=4, threshold=THRESHOLD,
+    )
+
+
+@register(
+    "ext_dup_passage_removal_lsh",
+    oracle=f"""
+    WITH {LSH_PAIR_CTES},
+    covered AS (
+      SELECT DISTINCT id_b AS doc_id, win_b + o.off AS pos
+      FROM pairsq CROSS JOIN LATERAL unnest(range({W})) o(off)
+    ),
+    words AS (
+      SELECT doc_id, i AS pos, w[i+1] AS word
+      FROM wdocs CROSS JOIN LATERAL unnest(range(len(w))) t(i)
+    ),
+    surviving AS (
+      SELECT wo.doc_id, wo.pos, wo.word
+      FROM words wo ANTI JOIN covered c
+        ON wo.doc_id = c.doc_id AND wo.pos = c.pos
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS kept,
+             string_agg(word, ' ' ORDER BY pos) AS text_clean
+      FROM surviving GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(r.kept, 0)
+                AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+    doc="Keep-first near-dup passage removal: every verified near-dup "
+    "window occurrence in the higher-id document is cut (lower id is "
+    "canonical, like exact dedup's min-id), survivors re-join in "
+    "order; same deterministic md5 replay as ext_dup_passages_lsh "
+    "extended with the coverage/rebuild CTEs.",
+)
+def ext_dup_passage_removal_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return remove_near_duplicate_passages(
+        d, "doc_id", "text",
+        window=W, stride=S, k=NK, num_hashes=H, bands=4, threshold=THRESHOLD,
     )

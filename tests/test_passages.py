@@ -158,3 +158,32 @@ def test_near_duplicate_passages_containment_and_near_miss(spark):
     assert got[(1, 0, 3, 0)] >= 0.35 and got[(2, 0, 3, 0)] >= 0.35
     # noise doc never pairs
     assert not any(4 in (ka[0], ka[2]) for ka in got)
+
+
+def test_remove_near_duplicate_passages_keep_first(spark):
+    """The lower-id doc is canonical; near-dup window occurrences are
+    cut from higher-id docs only, edits included."""
+    from rabbit_in_a_blender_spark.ext.passages import (
+        remove_near_duplicate_passages,
+    )
+
+    span = " ".join(f"w{i}" for i in range(16))
+    edited = span.split()
+    edited[7] = "EDIT"
+    rows = [
+        (1, span),                            # canonical
+        (2, span),                            # exact copy -> emptied
+        (3, " ".join(edited)),                # near-miss copy -> emptied
+        (4, " ".join(f"n{i}" for i in range(16))),  # noise, untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_near_duplicate_passages(
+        df, "doc_id", "text", window=16, stride=8, k=3,
+        num_hashes=8, bands=4, threshold=0.35,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    unpersist_intermediates(out)
+    assert got[1]["text_clean"] == span and got[1]["n_removed"] == 0
+    assert got[2]["text_clean"] == "" and got[2]["n_removed"] == 16
+    assert got[3]["text_clean"] == "" and got[3]["n_removed"] == 16
+    assert got[4]["n_removed"] == 0 and got[4]["n_words"] == 16

@@ -837,7 +837,15 @@ def _passages_curve(spark, reps: int) -> None:
 
     base = load_tables(spark, "/root/testdata/sf0.1", "documents")["documents"]
     results = {}
-    for label, copies in (("docs-sf0.1", 1), ("docs-x5", 5), ("docs-x10", 10)):
+    # x50/x100 push the curve out of the scheduling-overhead regime into
+    # work-dominated territory (VERDICT r8 task 6: a flat curve proves
+    # nothing about the asymptote — keep scaling until wall time moves).
+    for label, copies in (
+        ("docs-sf0.1", 1),
+        ("docs-x10", 10),
+        ("docs-x50", 50),
+        ("docs-x100", 100),
+    ):
         def docs():
             reps_df = spark.range(copies).select(F.col("id").alias("__r"))
             return (
