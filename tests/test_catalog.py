@@ -181,3 +181,43 @@ def test_verification_order_buckets():
         assert max(order.index(n) for n in never) < first_green_pos
     # every catalog query appears exactly once
     assert len(order) == len(set(order))
+
+
+def test_fn_fingerprint_catches_repointed_import():
+    """ADVICE r8: re-pointing a package-internal import changes behavior
+    through the rebound dependency without moving any def — the
+    fingerprint must move; externals and unreferenced imports must not
+    flood it."""
+    m = _entry_module()
+    base = (
+        "from rabbit_in_a_blender_spark.ext.a import g\n"
+        "def q(spark):\n    return g(spark)\n"
+    )
+    repointed = (
+        "from rabbit_in_a_blender_spark.ext.b import g\n"
+        "def q(spark):\n    return g(spark)\n"
+    )
+    rel_repointed = "from .b import g\ndef q(spark):\n    return g(spark)\n"
+    rel_base = "from .a import g\ndef q(spark):\n    return g(spark)\n"
+    aliased = (
+        "from rabbit_in_a_blender_spark.ext.a import h as g\n"
+        "def q(spark):\n    return g(spark)\n"
+    )
+    unref_import_added = (
+        "from rabbit_in_a_blender_spark.ext.a import g\n"
+        "from rabbit_in_a_blender_spark.ext.zzz import unused\n"
+        "def q(spark):\n    return g(spark)\n"
+    )
+    external_changed = (
+        "import math\n"
+        "from rabbit_in_a_blender_spark.ext.a import g\n"
+        "def q(spark):\n    return g(spark)\n"
+    )
+    fp = m._fn_fingerprint
+    assert fp(base, "q") != fp(repointed, "q")
+    assert fp(rel_base, "q") != fp(rel_repointed, "q")
+    assert fp(base, "q") != fp(aliased, "q")
+    # an import q never references does not move the fingerprint
+    assert fp(base, "q") == fp(unref_import_added, "q")
+    # external (non-package) imports are not part of the fingerprint
+    assert fp(base, "q") == fp(external_changed, "q")
