@@ -1,0 +1,98 @@
+"""SemDeDup: semantic deduplication inside k-means clusters.
+
+Public recipe: Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication" (arXiv 2303.09540) — cluster
+the embedding space, compare pairs only WITHIN each cluster, and drop
+all but one exemplar of every cosine-near group.  Complements the
+surface-form dedup family (exact/minhash docs, exact/LSH passages): it
+removes semantically redundant documents whose token overlap may be
+near zero.
+
+Engine policy (deterministic, oracle-replayable): a vector is a
+semantic duplicate iff some SMALLER-ID member of its cluster has
+rounded cosine >= tau — the min-id member of every near-dup
+neighborhood survives, the same keep-first canonical rule as exact
+dedup.  (The paper keeps the lowest-centroid-similarity exemplar; any
+total order works — min-id keeps the run engine-reproducible.)
+
+Scale shape (100 TB): pairwise work is per-cluster O(|cluster|^2), so
+C is the knob — the paper runs ~50k clusters to keep clusters in the
+low thousands.  The candidate self-join follows the two-phase
+discipline of ext/similarity.py::cosine_near_dup_lsh (VERDICT r7 task
+5): the centroid_id exchange carries (cluster, id) pairs only, vectors
+are fetched by id for exactly the candidate pairs, and hot clusters
+fall to AQE skew-join handling.  Misses across cluster boundaries are
+the documented SemDeDup trade (same as the paper).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ivf import build_ivf_index
+from .similarity import _dot, _norm
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.35,
+    grid: int = 6,
+) -> DataFrame:
+    """(id, centroid_id, is_dup) for every corpus vector.
+
+    ``centroids`` is the (typically Lloyd-refined, grid-rounded)
+    centroid frame — pair with ``ext/ivf.py::refine_centroids(grid=...)``
+    so the whole pipeline replays in SQL.  ``is_dup`` is True iff a
+    smaller-id member of the same cluster has ``round(cosine, grid) >=
+    tau``; filtering ``is_dup`` yields the SemDeDup-kept corpus, and
+    the flag form keeps the removal accounting explicit (like
+    remove_duplicate_passages' n_removed).
+    """
+    assigned = (
+        build_ivf_index(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col(id_col),
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .persist()
+    )
+    # Phase 1: within-cluster candidate ids — the exchange carries
+    # (centroid_id, id) only, never the embedding.
+    ids = assigned.select("centroid_id", F.col(id_col).alias("__id"))
+    cand = (
+        ids.alias("l")
+        .join(ids.alias("r"), ["centroid_id"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("__ida"), F.col("r.__id").alias("__idb")
+        )
+    )
+    # Phase 2: fetch vectors for exactly the candidate pairs.
+    va = assigned.select(F.col(id_col).alias("__ida"), F.col("__v").alias("__va"))
+    vb = assigned.select(F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"))
+    cos = F.round(
+        _dot(F.col("__va"), F.col("__vb"))
+        / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+        grid,
+    )
+    dups = (
+        cand.join(va, "__ida")
+        .join(vb, "__idb")
+        .filter(cos >= F.lit(tau))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    out = assigned.join(dups, id_col, "left").select(
+        F.col(id_col),
+        "centroid_id",
+        F.coalesce("__dup", F.lit(False)).alias("is_dup"),
+    )
+    from ..core.caching import track_cache
+
+    return track_cache(out, [assigned])

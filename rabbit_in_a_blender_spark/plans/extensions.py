@@ -1657,3 +1657,55 @@ def ext_kmeans_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("__m"), 4).alias("avg_margin"),
         F.round(F.min("__m"), 4).alias("min_margin"),
     )
+
+
+@register(
+    "ext_semantic_dedup",
+    oracle=_kmeans_oracle().replace(
+        """
+    SELECT cid AS centroid_id, pos AS dim, mv AS value
+    FROM (
+      SELECT cid, unnest(cv) AS mv, unnest(range(len(cv))) AS pos
+      FROM cents3
+    ) t(cid, mv, pos)
+    """,
+        """
+    , assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                 c.cid) AS rn
+        FROM vecs e, cents3 c) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+       AND ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+           a.vec_id IN (SELECT dup_id FROM dups) AS is_dup
+    FROM assigned a
+    """,
+    ),
+    doc="SemDeDup (Abbas et al. 2023): Lloyd-cluster the embeddings "
+    "(the oracle-proven grid-rounded run), then flag every vector with "
+    "a smaller-id same-cluster member at rounded cosine >= 0.35 — the "
+    "min-id exemplar of each semantic neighborhood survives.  Pairwise "
+    "work stays within clusters (C is the scale knob); candidates are "
+    "a two-phase (cluster, id) join, vectors fetched per pair.",
+)
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.ivf import refine_centroids
+    from ..ext.semdedup import semantic_dedup
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = refine_centroids(
+        e, e.filter(F.col("vec_id") < 4), iterations=3, grid=6
+    )
+    return semantic_dedup(e, cents, tau=0.35, grid=6)

@@ -137,3 +137,40 @@ def test_embed_near_dup_clusters(spark):
     assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
     assert out[1]["cluster_size"] == 3 and out[1]["is_canonical"] == 1
     assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
+
+
+def test_semantic_dedup_keep_first_within_cluster(spark):
+    """SemDeDup flags every vector with a smaller-id near-twin in its
+    cluster; the min-id exemplar survives and cross-cluster twins are
+    the documented miss."""
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.semdedup import semantic_dedup
+
+    # two well-separated directions; ids 1,2,3 are near-twins along +x,
+    # id 10 is alone along +y, id 11 a near-twin of 10
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.998, -0.02, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.01, 0.999, 0.0, 0.0]),
+        (20, [0.0, 0.0, 1.0, 0.0]),  # lone vector, own direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (10, [0.0, 1.0, 0.0, 0.0]),
+         (20, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(df, cents, tau=0.9, grid=6)
+    got = {r["vec_id"]: r for r in out.collect()}
+    unpersist_intermediates(out)
+    # min-id exemplars survive, their near-twins are flagged
+    assert not got[1]["is_dup"] and got[2]["is_dup"] and got[3]["is_dup"]
+    assert not got[10]["is_dup"] and got[11]["is_dup"]
+    # a lone direction is never flagged
+    assert not got[20]["is_dup"]
+    # flags are cluster-local: the x-twins all sit in centroid 1's cell
+    assert got[2]["centroid_id"] == got[1]["centroid_id"] == 1
