@@ -277,6 +277,32 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--passage-min-total", type=int, default=2,
                    help="With --passage-dedup: occurrences for a k-gram "
                         "to count as duplicated (default %(default)s)")
+    x.add_argument("--passage-mode", choices=("exact", "lsh"),
+                   default="exact",
+                   help="With --passage-dedup: 'exact' cuts corpus-"
+                        "duplicated k-grams (default); 'lsh' removes "
+                        "NEAR-duplicate sliding windows via MinHash+LSH "
+                        "(keep-first: the lower-id doc keeps its copy); "
+                        "lsh verifies candidates at --threshold and "
+                        "uses --passage-window/--passage-stride")
+    x.add_argument("--passage-window", type=int, default=16,
+                   help="With --passage-mode lsh: words per sliding "
+                        "window (default %(default)s)")
+    x.add_argument("--passage-stride", type=int, default=8,
+                   help="With --passage-mode lsh: window stride in "
+                        "words (default %(default)s)")
+    x.add_argument("--semantic-dedup", metavar="VECS",
+                   help="SemDeDup over an embedding table (parquet): "
+                        "Lloyd-cluster the vectors (--clusters seeds, "
+                        "--iterations rounds), flag every vector whose "
+                        "cluster holds a smaller-id member at cosine >= "
+                        "--tau; writes the KEPT rows to --out, or "
+                        "prints flag statistics.  --id-col defaults to "
+                        "doc_id — pass --id-col vec_id for a standard "
+                        "embeddings table")
+    x.add_argument("--tau", type=float, default=0.35,
+                   help="With --semantic-dedup: rounded-cosine duplicate "
+                        "threshold (default %(default)s)")
     return p
 
 
@@ -342,11 +368,16 @@ def _corpus_normalize(args, cfg) -> int:
 
 
 def _passage_dedup(args, cfg) -> int:
-    """User-facing duplicate-passage removal (`ext/passages.py`)."""
+    """User-facing duplicate-passage removal (`ext/passages.py`):
+    exact repeated k-grams, or MinHash-LSH near-duplicate windows with
+    keep-first removal (--passage-mode lsh)."""
     from pyspark.sql import functions as F
 
     from .core.caching import unpersist_intermediates
-    from .ext.passages import remove_duplicate_passages
+    from .ext.passages import (
+        remove_duplicate_passages,
+        remove_near_duplicate_passages,
+    )
 
     spark = _ext_session(cfg)
     src = args.passage_dedup
@@ -354,13 +385,24 @@ def _passage_dedup(args, cfg) -> int:
     for c in (args.id_col, args.text_col):
         if c not in docs.columns:
             raise SystemExit(f"column {c!r} not in {src} ({docs.columns})")
-    out = remove_duplicate_passages(
-        docs,
-        args.id_col,
-        args.text_col,
-        k=args.passage_k,
-        min_total=args.passage_min_total,
-    )
+    if args.passage_mode == "lsh":
+        out = remove_near_duplicate_passages(
+            docs,
+            args.id_col,
+            args.text_col,
+            window=args.passage_window,
+            stride=args.passage_stride,
+            k=min(args.passage_k, args.passage_window),
+            threshold=args.threshold,
+        )
+    else:
+        out = remove_duplicate_passages(
+            docs,
+            args.id_col,
+            args.text_col,
+            k=args.passage_k,
+            min_total=args.passage_min_total,
+        )
     if args.out:
         cleaned = (
             docs.drop(args.text_col)
@@ -781,6 +823,58 @@ def _embed_cluster(args, cfg) -> int:
     return 0
 
 
+def _semantic_dedup(args, cfg) -> int:
+    """User-facing SemDeDup (`ext/semdedup.py`): Lloyd-cluster an
+    embedding table and drop every vector with a smaller-id same-cluster
+    member at rounded cosine >= --tau (the min-id exemplar survives)."""
+    from pyspark.sql import functions as F
+
+    from .core.caching import unpersist_intermediates
+    from .ext.ivf import refine_centroids
+    from .ext.semdedup import semantic_dedup
+
+    spark = _ext_session(cfg)
+    src = args.semantic_dedup
+    vecs = spark.read.parquet(src)
+    for c in (args.id_col, args.vec_col):
+        if c not in vecs.columns:
+            raise SystemExit(
+                f"column {c!r} not in {src} ({vecs.columns}); hint: "
+                "--id-col defaults to 'doc_id', pass --id-col vec_id "
+                "for a standard embeddings table"
+            )
+    slim = vecs.select(args.id_col, args.vec_col)
+    seeds = slim.orderBy(args.id_col).limit(args.clusters)
+    cents = refine_centroids(
+        slim, seeds, id_col=args.id_col, vec_col=args.vec_col,
+        iterations=args.iterations, grid=6,
+    )
+    flags = semantic_dedup(
+        slim, cents, id_col=args.id_col, vec_col=args.vec_col,
+        tau=args.tau, grid=6,
+    )
+    if args.out:
+        kept = vecs.join(
+            flags.filter(~F.col("is_dup")).select(args.id_col),
+            args.id_col,
+            "left_semi",
+        )
+        _write_docs(kept, args.out, args.format)
+        unpersist_intermediates(flags)
+        print(f"wrote SemDeDup-kept rows -> {args.out} ({args.format})")
+        return 0
+    stats = flags.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("is_dup").cast("long")).alias("dups"),
+    ).first()
+    unpersist_intermediates(flags)
+    print(
+        f"{stats['rows']} vectors, {stats['dups']} semantic duplicates "
+        f"flagged at tau={args.tau} across {args.clusters} clusters"
+    )
+    return 0
+
+
 def _corpus_drift(args, cfg) -> int:
     """User-facing drift QC (`ext/drift.py`): PSI + KS over a numeric
     column and JSD over a categorical column, per stratum vs a
@@ -1035,6 +1129,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.passage_dedup:
         return _passage_dedup(args, cfg)
+
+    if args.semantic_dedup:
+        return _semantic_dedup(args, cfg)
 
     if args.create_folders:
         from .folders import create_cdm_folders

@@ -678,3 +678,56 @@ def test_passage_dedup_stats_and_writes(spark, capsys, tmpdir_):
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert got[1] == "alpha one two"
     assert got[3] == "totally original words here"
+
+
+def test_passage_dedup_lsh_mode(spark, capsys, tmpdir_):
+    """--passage-mode lsh removes near-duplicate windows keep-first:
+    the lower-id doc keeps its copy, the edited higher-id copy is cut."""
+    root = str(tmpdir_)
+    docs = os.path.join(root, "docs_lsh")
+    span = " ".join(f"w{i}" for i in range(16))
+    edited = span.split()
+    edited[7] = "EDIT"
+    spark.createDataFrame(
+        [(1, span), (2, " ".join(edited)),
+         (3, " ".join(f"n{i}" for i in range(16)))],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    rc = main(["--passage-dedup", docs, "--passage-mode", "lsh",
+               "--passage-k", "3", "--threshold", "0.35", "--config", cfg])
+    assert rc == 0
+    # doc 2 (16 words) is the only one touched
+    assert "3 docs, 1 touched, 16/48 words removed" in capsys.readouterr().out
+
+
+def test_semantic_dedup_cli_stats_and_kept_rows(spark, capsys, tmpdir_):
+    """--semantic-dedup flags smaller-id near-twins and --out writes
+    only the kept rows."""
+    root = str(tmpdir_)
+    vecs = os.path.join(root, "vecs_sem")
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.01, 0.999, 0.0, 0.0]),
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .write.parquet(vecs)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    rc = main(["--semantic-dedup", vecs, "--id-col", "vec_id",
+               "--clusters", "2", "--iterations", "2", "--tau", "0.9",
+               "--config", cfg])
+    assert rc == 0
+    assert "4 vectors, 2 semantic duplicates" in capsys.readouterr().out
+    out = os.path.join(root, "sem_kept")
+    rc = main(["--semantic-dedup", vecs, "--id-col", "vec_id",
+               "--clusters", "2", "--iterations", "2", "--tau", "0.9",
+               "--out", out, "--config", cfg])
+    assert rc == 0
+    kept = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 10}
