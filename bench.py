@@ -94,8 +94,10 @@ NON_HEADLINE = [
     "ext_langid_ngram",
     "stream_zscore_batch",
     "ext_dup_passage_removal",
-    # r9 addition: minhash-over-passage-windows near-dedup
+    # r9 additions: minhash-over-passage-windows near-dedup and the
+    # SemDeDup semantic flag pass (within-cluster pairwise cosine)
     "ext_dup_passages_lsh",
+    "ext_semantic_dedup",
 ]
 
 

@@ -168,6 +168,10 @@ def main() -> None:
         shutil.rmtree(scaled_dir, ignore_errors=True)
         _passages_curve(spark, reps)
         return
+    if only == "passages_lsh":
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _passages_lsh_curve(spark, reps)
+        return
     try:
         build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
         points = [
@@ -820,6 +824,72 @@ def _fit_curve(spark, reps: int) -> None:
             f"| {label} | {r['emb_rows']:,} | {r['kmeans_median']} | "
             f"{r['doc_rows']:,} | {r['logreg_median']} | {r['ks_median']} | "
             f"{r['jsd_median']} |"
+        )
+
+
+def _passages_lsh_curve(spark, reps: int) -> None:
+    # --- near-dup passage (MinHash+LSH windows) scale curve (round 9) --
+    # Same replica protocol as _passages_curve: replica 0 keeps the
+    # original words so verified near-dup window pairs EXIST; replicas
+    # >0 salt every word, scaling window/shingle rows while the near-dup
+    # fraction shrinks — stresses the banding self-join and the
+    # candidate-bounded jaccard verification, the two pair-sized terms.
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.core.io import load_tables
+    from rabbit_in_a_blender_spark.ext.passages import near_duplicate_passages
+
+    base = load_tables(spark, "/root/testdata/sf0.1", "documents")["documents"]
+    results = {}
+    for label, copies in (("docs-sf0.1", 1), ("docs-x10", 10), ("docs-x50", 50)):
+        def docs():
+            reps_df = spark.range(copies).select(F.col("id").alias("__r"))
+            return (
+                base.crossJoin(F.broadcast(reps_df))
+                .select(
+                    (F.col("doc_id") + F.col("__r") * 10_000_000).alias("doc_id"),
+                    F.when(F.col("__r") == 0, F.col("text"))
+                    .otherwise(
+                        F.array_join(
+                            F.transform(
+                                F.split("text", " "),
+                                lambda w: F.concat(
+                                    F.lit("r"), F.col("__r").cast("string"),
+                                    F.lit("_"), w,
+                                ),
+                            ),
+                            " ",
+                        )
+                    )
+                    .alias("text"),
+                )
+            )
+
+        n_rows = docs().count()
+        r0 = near_duplicate_passages(docs(), "doc_id", "text")
+        r0.count()
+        unpersist_intermediates(r0)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = near_duplicate_passages(docs(), "doc_id", "text")
+            n_out = r.count()
+            times.append(round(time.perf_counter() - t0, 3))
+            unpersist_intermediates(r)
+        results[label] = {
+            "rows": n_rows,
+            "out_pairs": n_out,
+            "reps": times,
+            "median": sorted(times)[len(times) // 2],
+        }
+        print(f"## passages_lsh {label}: {times}", flush=True)
+
+    print(json.dumps(results))
+    print("\n| point | rows | pairs | detect median s | docs/s |")
+    print("|---|---|---|---|---|")
+    for label, r in results.items():
+        print(
+            f"| {label} | {r['rows']:,} | {r['out_pairs']:,} | {r['median']} | "
+            f"{round(r['rows'] / r['median']):,} |"
         )
 
 
