@@ -594,10 +594,18 @@ def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = l2_normalize(
         load_tables(spark, sf_dir, "embeddings")["embeddings"], "embedding"
     )
-    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2, grid=6)
+    # Pin the trained books: they are consumed by both the encode and
+    # the query-LUT sides, and without the pin the 2-round Lloyd
+    # training lineage re-executes per consumer (measured ~2.5x on the
+    # search at sf0.1, PLANS.md r9).  m x ksub rows — metadata at any
+    # scale; released via the track_cache contract.
+    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2, grid=6).persist()
     codes = pq_encode(e, books, m=16)
     queries = e.filter(F.col("vec_id") < 10)
-    return pq_search_rerank(codes, books, e, queries, m=16, k=3, shortlist=32)
+    out = pq_search_rerank(codes, books, e, queries, m=16, k=3, shortlist=32)
+    from ..core.caching import track_cache
+
+    return track_cache(out, [books])
 
 
 @register(
@@ -617,12 +625,17 @@ def ext_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "embeddings")["embeddings"], "embedding"
     )
     centroids = e.filter(F.col("vec_id") < 16)
-    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2, grid=6)
+    # books pin: see ext_pq_topk — Lloyd lineage otherwise re-executes
+    # for the encode AND the ADC-LUT consumers
+    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2, grid=6).persist()
     index = build_ivfpq_index(e, centroids, books, m=16)
     queries = e.filter(F.col("vec_id") < 10)
-    return ivfpq_search(
+    out = ivfpq_search(
         index, centroids, books, e, queries, m=16, k=3, nprobe=8, shortlist=32
     )
+    from ..core.caching import track_cache
+
+    return track_cache(out, [books])
 
 
 @register(
@@ -778,16 +791,21 @@ def ext_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "embeddings")["embeddings"], "embedding"
     )
     centroids = e.filter(F.col("vec_id") < 16)
-    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2, grid=6)
+    # books pin: see ext_pq_topk — the index write and the search LUTs
+    # are separate consumers of the same trained books
+    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2, grid=6).persist()
     index = build_ivfpq_index(e, centroids, books, m=16)
     path = tempfile.mkdtemp(prefix="riab_ivfpq_") + "/index"
     index.write.partitionBy("centroid_id").parquet(path)
     reloaded = spark.read.parquet(path)
     queries = e.filter(F.col("vec_id") < 10)
-    return ivfpq_search(
+    out = ivfpq_search(
         reloaded, centroids, books, e, queries, m=16, k=3, nprobe=8,
         shortlist=32,
     )
+    from ..core.caching import track_cache
+
+    return track_cache(out, [books])
 
 
 @register(

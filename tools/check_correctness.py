@@ -80,6 +80,13 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             srows = [r.asDict() for r in sdf.collect()]
+            # release track_cache-pinned intermediates so a full-catalog
+            # session doesn't accumulate 212 queries' worth of cache
+            for c in getattr(sdf, "_graft_cached", []):
+                try:
+                    c.unpersist()
+                except Exception:
+                    pass
             status = ["?"]
             if name in oracles:
                 orows = con.sql(oracles[name]).df().to_dict("records")
