@@ -303,6 +303,12 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--tau", type=float, default=0.35,
                    help="With --semantic-dedup: rounded-cosine duplicate "
                         "threshold (default %(default)s)")
+    x.add_argument("--keep", choices=("min_id", "low_centroid"),
+                   default="min_id",
+                   help="With --semantic-dedup: which exemplar of a "
+                        "near-dup neighborhood survives — smallest id "
+                        "(default) or the lowest-centroid-cosine member "
+                        "(the SemDeDup paper's policy)")
     return p
 
 
@@ -851,7 +857,7 @@ def _semantic_dedup(args, cfg) -> int:
     )
     flags = semantic_dedup(
         slim, cents, id_col=args.id_col, vec_col=args.vec_col,
-        tau=args.tau, grid=6,
+        tau=args.tau, grid=6, keep=args.keep,
     )
     if args.out:
         kept = vecs.join(

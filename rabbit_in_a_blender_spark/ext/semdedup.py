@@ -41,17 +41,32 @@ def semantic_dedup(
     vec_col: str = "embedding",
     tau: float = 0.35,
     grid: int = 6,
+    keep: str = "min_id",
 ) -> DataFrame:
     """(id, centroid_id, is_dup) for every corpus vector.
 
     ``centroids`` is the (typically Lloyd-refined, grid-rounded)
     centroid frame — pair with ``ext/ivf.py::refine_centroids(grid=...)``
-    so the whole pipeline replays in SQL.  ``is_dup`` is True iff a
-    smaller-id member of the same cluster has ``round(cosine, grid) >=
-    tau``; filtering ``is_dup`` yields the SemDeDup-kept corpus, and
-    the flag form keeps the removal accounting explicit (like
-    remove_duplicate_passages' n_removed).
+    so the whole pipeline replays in SQL.  ``is_dup`` is True iff an
+    EARLIER member (in the keep order) of the same cluster has
+    ``round(cosine, grid) >= tau``; filtering ``is_dup`` yields the
+    SemDeDup-kept corpus, and the flag form keeps the removal
+    accounting explicit (like remove_duplicate_passages' n_removed).
+
+    ``keep`` picks the exemplar order within each near-dup
+    neighborhood:
+
+    - ``"min_id"`` (default): the smallest id survives — the same
+      keep-first canonical rule as exact dedup;
+    - ``"low_centroid"``: the member with the LOWEST rounded cosine to
+      its centroid survives (id tie-break) — the paper's policy (the
+      most atypical exemplar carries the most information).
+
+    Both orders are total and grid-rounded, so either run replays in
+    SQL verbatim.
     """
+    if keep not in ("min_id", "low_centroid"):
+        raise ValueError(f"keep must be min_id or low_centroid, got {keep!r}")
     assigned = (
         build_ivf_index(corpus, centroids, id_col=id_col, vec_col=vec_col)
         .select(
@@ -61,13 +76,41 @@ def semantic_dedup(
         )
         .persist()
     )
+    # Keep-order key per member: plain id, or (rounded centroid cosine,
+    # id) — computed via the broadcast centroid vectors, metadata-sized.
+    if keep == "low_centroid":
+        cvecs = centroids.select(
+            F.col(id_col).cast("long").alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
+        keyed = assigned.join(F.broadcast(cvecs), "centroid_id").select(
+            "centroid_id",
+            F.struct(
+                F.round(
+                    _dot(F.col("__v"), F.col("__cv"))
+                    / (_norm(F.col("__v")) * _norm(F.col("__cv"))),
+                    grid,
+                ).alias("k1"),
+                F.col(id_col).cast("long").alias("k2"),
+            ).alias("__key"),
+            F.col(id_col).alias("__id"),
+        )
+    else:
+        keyed = assigned.select(
+            "centroid_id",
+            F.struct(
+                F.lit(0.0).alias("k1"),
+                F.col(id_col).cast("long").alias("k2"),
+            ).alias("__key"),
+            F.col(id_col).alias("__id"),
+        )
     # Phase 1: within-cluster candidate ids — the exchange carries
-    # (centroid_id, id) only, never the embedding.
-    ids = assigned.select("centroid_id", F.col(id_col).alias("__id"))
+    # (centroid_id, key, id) only, never the embedding.
+    ids = keyed
     cand = (
         ids.alias("l")
         .join(ids.alias("r"), ["centroid_id"])
-        .filter(F.col("l.__id") < F.col("r.__id"))
+        .filter(F.col("l.__key") < F.col("r.__key"))
         .select(
             F.col("l.__id").alias("__ida"), F.col("r.__id").alias("__idb")
         )

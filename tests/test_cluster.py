@@ -174,3 +174,31 @@ def test_semantic_dedup_keep_first_within_cluster(spark):
     assert not got[20]["is_dup"]
     # flags are cluster-local: the x-twins all sit in centroid 1's cell
     assert got[2]["centroid_id"] == got[1]["centroid_id"] == 1
+
+
+def test_semantic_dedup_low_centroid_keep_policy(spark):
+    """keep='low_centroid' keeps the most atypical exemplar (lowest
+    rounded centroid cosine, the paper's policy) instead of the min id;
+    keep='min_id' on the same data keeps id 1."""
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.semdedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),        # exactly on the centroid
+        (2, [0.9999, 0.012, 0.0, 0.0]),   # slightly off
+        (3, [0.995, 0.0999, 0.0, 0.0]),   # farthest from the centroid
+        (10, [0.0, 1.0, 0.0, 0.0]),       # other cluster, lone
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (10, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    low = semantic_dedup(df, cents, tau=0.9, keep="low_centroid")
+    got_low = {r["vec_id"]: r["is_dup"] for r in low.collect()}
+    unpersist_intermediates(low)
+    assert got_low == {1: True, 2: True, 3: False, 10: False}
+    first = semantic_dedup(df, cents, tau=0.9, keep="min_id")
+    got_first = {r["vec_id"]: r["is_dup"] for r in first.collect()}
+    unpersist_intermediates(first)
+    assert got_first == {1: False, 2: True, 3: True, 10: False}
