@@ -139,3 +139,93 @@ def semantic_dedup(
     from ..core.caching import track_cache
 
     return track_cache(out, [assigned])
+
+
+def incremental_semantic_dedup(
+    new_vecs: DataFrame,
+    index: DataFrame | None,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.35,
+    grid: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Screen a NEW batch of vectors against a persisted exemplar index
+    — the continuous-crawl form of :func:`semantic_dedup`, mirroring
+    ``ext/dedup.py::incremental_dedup``.
+
+    ``index`` is the stored (id, centroid_id, vec) table of previously
+    KEPT exemplars (``None`` bootstraps from this batch).  ``centroids``
+    must be the SAME frozen centroids the index was built with —
+    incremental runs never re-train; re-cluster periodically and
+    rebuild the index when drift warrants it.
+
+    A new vector is flagged iff (a) some stored exemplar in its cluster
+    has ``round(cosine, grid) >= tau``, or (b) some smaller-id member
+    of the same batch's same cluster does (the min-id intra-batch rule;
+    transitive chains collapse fully only when they collide pairwise,
+    same caveat as incremental_dedup).
+
+    Returns ``(flags, kept_index_rows)``: flags = (id, centroid_id,
+    is_dup) for the batch; kept_index_rows = the survivors' (id,
+    centroid_id, vec) rows, ready to append to the index.  Release with
+    ``unpersist_intermediates(flags, kept_index_rows)`` per increment.
+
+    Scale: only the delta is assigned and compared; the index side is
+    probed with a cluster-local join — store it bucketed/partitioned by
+    centroid_id and the probe co-locates with no index-side shuffle, so
+    cost per increment is O(delta x cluster density), not O(corpus).
+    """
+    assigned = (
+        build_ivf_index(new_vecs, centroids, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col(id_col),
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .persist()
+    )
+
+    def _cos(a, b):
+        return F.round(_dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b))), grid)
+
+    losers = None
+    if index is not None:
+        idx = index.select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("__xv"),
+        )
+        losers = (
+            assigned.join(idx, "centroid_id")
+            .filter(_cos("__v", "__xv") >= F.lit(tau))
+            .select(id_col)
+            .distinct()
+        )
+    ids = assigned.select("centroid_id", F.col(id_col).alias("__id"))
+    va = assigned.select(F.col(id_col).alias("__ida"), F.col("__v").alias("__va"))
+    vb = assigned.select(F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"))
+    intra = (
+        ids.alias("l")
+        .join(ids.alias("r"), ["centroid_id"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("__ida"), F.col("r.__id").alias("__idb"))
+        .join(va, "__ida")
+        .join(vb, "__idb")
+        .filter(_cos("__va", "__vb") >= F.lit(tau))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    losers = intra if losers is None else losers.unionByName(intra).distinct()
+    flags = assigned.join(
+        losers.withColumn("__dup", F.lit(True)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        "centroid_id",
+        F.coalesce("__dup", F.lit(False)).alias("is_dup"),
+    )
+    kept_index = assigned.join(losers, id_col, "left_anti").select(
+        F.col(id_col), "centroid_id", F.col("__v").alias(vec_col)
+    )
+    from ..core.caching import track_cache
+
+    return track_cache(flags, [assigned]), track_cache(kept_index, [assigned])

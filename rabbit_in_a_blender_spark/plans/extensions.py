@@ -1727,3 +1727,93 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < 4), iterations=3, grid=6
     )
     return semantic_dedup(e, cents, tau=0.35, grid=6)
+
+
+def _inc_semdedup_oracle(tau: float = 0.35) -> str:
+    """Two-batch replay of incremental_semantic_dedup: Lloyd trains on
+    batch 1 only (frozen centroids), batch 1 bootstraps the exemplar
+    index via the intra-batch min-id rule, batch 2 is screened against
+    the kept exemplars AND its own smaller-id members."""
+    base = _kmeans_oracle().replace(
+        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings WHERE vec_id < 250)",
+    )
+    cos_a = (
+        "ROUND(list_dot_product(a.v, c.cv) / (sqrt(list_dot_product(a.v, a.v)) "
+        "* sqrt(list_dot_product(c.cv, c.cv))), 6)"
+    )
+
+    def pair(x: str, y: str) -> str:
+        return (
+            f"ROUND(list_dot_product({x}.v, {y}.v) / "
+            f"(sqrt(list_dot_product({x}.v, {x}.v)) "
+            f"* sqrt(list_dot_product({y}.v, {y}.v))), 6)"
+        )
+
+    final_old = """
+    SELECT cid AS centroid_id, pos AS dim, mv AS value
+    FROM (
+      SELECT cid, unnest(cv) AS mv, unnest(range(len(cv))) AS pos
+      FROM cents3
+    ) t(cid, mv, pos)
+    """
+    final_new = f"""
+    , allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    asg AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT a.vec_id, a.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {cos_a} DESC, c.cid) AS rn
+        FROM allv a, cents3 c) WHERE rn = 1
+    ),
+    b1 AS (SELECT * FROM asg WHERE vec_id < 250),
+    b2 AS (SELECT * FROM asg WHERE vec_id >= 250),
+    dups1 AS (
+      SELECT DISTINCT b.vec_id FROM b1 a JOIN b1 b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id AND {pair('a', 'b')} >= {tau}
+    ),
+    kept1 AS (SELECT * FROM b1 WHERE vec_id NOT IN (SELECT vec_id FROM dups1)),
+    hits2 AS (
+      SELECT DISTINCT n.vec_id FROM b2 n JOIN kept1 x
+        ON n.cid = x.cid AND {pair('n', 'x')} >= {tau}
+    ),
+    intra2 AS (
+      SELECT DISTINCT b.vec_id FROM b2 a JOIN b2 b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id AND {pair('a', 'b')} >= {tau}
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id,
+           vec_id IN (SELECT vec_id FROM hits2
+                      UNION SELECT vec_id FROM intra2) AS is_dup
+    FROM b2
+    """
+    return base.replace(final_old, final_new)
+
+
+@register(
+    "ext_incremental_semantic_dedup",
+    oracle=_inc_semdedup_oracle(),
+    doc="Continuous-crawl SemDeDup: Lloyd centroids frozen from batch 1 "
+    "(vec_id<250), batch 1 bootstraps the kept-exemplar index, batch 2 "
+    "is screened O(delta) against the stored exemplars (cluster-local "
+    "probe) plus its own smaller-id members — the semantic mirror of "
+    "ext_incremental_dedup's band-index screen.  Full two-batch replay "
+    "oracle.",
+)
+def ext_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.ivf import refine_centroids
+    from ..ext.semdedup import incremental_semantic_dedup
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    b1 = e.filter(F.col("vec_id") < 250)
+    b2 = e.filter(F.col("vec_id") >= 250)
+    cents = refine_centroids(
+        b1, e.filter(F.col("vec_id") < 4), iterations=3, grid=6
+    )
+    _flags1, index1 = incremental_semantic_dedup(b1, None, cents, tau=0.35)
+    flags2, _index2 = incremental_semantic_dedup(b2, index1, cents, tau=0.35)
+    from ..core.caching import track_cache
+
+    return track_cache(
+        flags2, list(getattr(index1, "_graft_cached", []))
+    )

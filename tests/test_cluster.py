@@ -202,3 +202,36 @@ def test_semantic_dedup_low_centroid_keep_policy(spark):
     got_first = {r["vec_id"]: r["is_dup"] for r in first.collect()}
     unpersist_intermediates(first)
     assert got_first == {1: False, 2: True, 3: True, 10: False}
+
+
+def test_incremental_semantic_dedup_screens_against_index(spark):
+    """Bootstrap keeps min-id exemplars; the next increment flags
+    vectors near STORED exemplars (index hit) and near smaller-id
+    batch-mates (intra hit), and appends only survivors to the index."""
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.semdedup import incremental_semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (10, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0, 0.0]),
+         (10, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    flags1, index1 = incremental_semantic_dedup(b1, None, cents, tau=0.9)
+    kept1 = {r["vec_id"] for r in index1.collect()}
+    assert kept1 == {1, 10}  # 2 lost to 1 intra-batch
+    b2 = spark.createDataFrame(
+        [(20, [0.999, -0.01, 0.0, 0.0]),   # index hit (near exemplar 1)
+         (21, [0.0, 0.0, 1.0, 0.0]),       # clean, new direction
+         (22, [0.01, 0.0, 0.999, 0.0])],   # intra hit (near 21)
+        "vec_id long, embedding array<double>",
+    )
+    flags2, index2 = incremental_semantic_dedup(b2, index1, cents, tau=0.9)
+    got = {r["vec_id"]: r["is_dup"] for r in flags2.collect()}
+    kept2 = {r["vec_id"] for r in index2.collect()}
+    unpersist_intermediates(flags1, index1, flags2, index2)
+    assert got == {20: True, 21: False, 22: True}
+    assert kept2 == {21}
