@@ -235,3 +235,30 @@ def test_incremental_semantic_dedup_screens_against_index(spark):
     unpersist_intermediates(flags1, index1, flags2, index2)
     assert got == {20: True, 21: False, 22: True}
     assert kept2 == {21}
+
+
+def test_semantic_dedup_partitioning_invariant_and_tau_monotone(spark):
+    """The flag set is independent of input partitioning (determinism
+    the fixed-partitioning hash oracle can't prove) and monotone in
+    tau: raising the threshold never flags MORE vectors."""
+    import random
+
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.semdedup import semantic_dedup
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter("vec_id < 3")
+
+    def flags(frame, tau):
+        out = semantic_dedup(frame, cents, tau=tau)
+        got = {r["vec_id"] for r in out.collect() if r["is_dup"]}
+        unpersist_intermediates(out)
+        return got
+
+    base = flags(df, 0.3)
+    assert flags(df.repartition(7, "vec_id"), 0.3) == base
+    assert flags(df.coalesce(1), 0.3) == base
+    tighter = flags(df, 0.5)
+    assert tighter <= base

@@ -187,3 +187,32 @@ def test_remove_near_duplicate_passages_keep_first(spark):
     assert got[2]["text_clean"] == "" and got[2]["n_removed"] == 16
     assert got[3]["text_clean"] == "" and got[3]["n_removed"] == 16
     assert got[4]["n_removed"] == 0 and got[4]["n_words"] == 16
+
+
+def test_near_duplicate_passages_partitioning_invariant(spark):
+    """Pair set and jaccards are independent of input partitioning —
+    determinism beyond the fixed-partitioning hash oracle."""
+    import random
+
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.passages import near_duplicate_passages
+
+    rng = random.Random(4)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(40)))
+            for i in range(60)]
+    # plant a shared aligned window
+    rows[50] = (50, rows[10][1])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(frame):
+        out = near_duplicate_passages(frame, "doc_id", "text", threshold=0.2)
+        got = {(r["id_a"], r["win_a"], r["id_b"], r["win_b"], r["jaccard"])
+               for r in out.collect()}
+        unpersist_intermediates(out)
+        return got
+
+    base = pairs(df)
+    assert any(p[0] == 10 and p[2] == 50 for p in base)  # planted twin found
+    assert pairs(df.repartition(9, "doc_id")) == base
+    assert pairs(df.coalesce(1)) == base
