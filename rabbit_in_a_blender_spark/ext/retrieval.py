@@ -176,3 +176,63 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, F.col("rank").cast("long").alias("rank"), "term", "tfidf")
     )
+
+
+def cluster_top_terms(
+    docs_with_cluster: DataFrame,
+    cluster_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Characteristic terms per cluster — cluster LABELING, the readout
+    a curation dashboard shows next to each embedding cluster (and the
+    sanity check before a SemDeDup pass prunes it).
+
+    Clusters are treated as pseudo-documents: score(t, c) =
+    tf_c(t) * ln((1 + C) / (1 + df(t))) with df = number of clusters
+    containing t — the same smoothed-IDF integer-exact recipe as
+    tfidf_top_terms, so the per-term double is bit-identical across
+    engines and the top-k rank (rounded score desc, term asc) is fully
+    deterministic.
+
+    Plan: one (cluster, term) count shuffle (corpus reduces to
+    |clusters| x |vocab| rows), a term-keyed df join, and a per-cluster
+    window over at most |cluster vocab| rows — no global window, no
+    corpus-sized broadcast.
+    """
+    words = docs_with_cluster.select(
+        F.col(cluster_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = words.groupBy(cluster_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_clusters = docs_with_cluster.agg(
+        F.count_distinct(F.col(cluster_col)).alias("n_clusters")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_clusters))
+        .select(
+            F.col(cluster_col),
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((1 + F.col("n_clusters")) / (1 + F.col("df"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(cluster_col),
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            "score",
+        )
+    )

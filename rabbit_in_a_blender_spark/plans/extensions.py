@@ -1817,3 +1817,71 @@ def ext_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     return track_cache(
         flags2, list(getattr(index1, "_graft_cached", []))
     )
+
+
+@register(
+    "ext_cluster_top_terms",
+    oracle=_kmeans_oracle().replace(
+        """
+    SELECT cid AS centroid_id, pos AS dim, mv AS value
+    FROM (
+      SELECT cid, unnest(cv) AS mv, unnest(range(len(cv))) AS pos
+      FROM cents3
+    ) t(cid, mv, pos)
+    """,
+        """
+    , asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                 c.cid) AS rn
+        FROM vecs e, cents3 c) WHERE rn = 1
+    ),
+    labeled AS (
+      SELECT a.cid, d.text FROM asg a JOIN documents d ON d.doc_id = a.vec_id
+    ),
+    words AS (
+      SELECT cid, unnest(string_split(text, ' ')) AS term FROM labeled
+    ),
+    tf AS (SELECT cid, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nc AS (SELECT COUNT(DISTINCT cid) AS n FROM labeled),
+    scored AS (
+      SELECT cid, term, ROUND(tf * ln((1 + n) / (1 + df)), 6) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN nc
+    )
+    SELECT CAST(cid AS BIGINT) AS centroid_id,
+           CAST(rnk AS BIGINT) AS rank, term, score
+    FROM (
+      SELECT cid, term, score,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    ),
+    doc="Cluster labeling: top-5 characteristic terms per embedding "
+    "cluster (clusters as pseudo-documents, smoothed cluster-IDF, "
+    "integer-exact tf/df) — the readout a curation dashboard shows "
+    "next to each cluster before a SemDeDup prune; joins documents to "
+    "the oracle-proven Lloyd assignment on vec_id = doc_id.",
+)
+def ext_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.ivf import build_ivf_index, refine_centroids
+    from ..ext.retrieval import cluster_top_terms
+
+    t = load_tables(spark, sf_dir, "embeddings", "documents")
+    e, d = t["embeddings"], t["documents"]
+    cents = refine_centroids(
+        e, e.filter(F.col("vec_id") < 4), iterations=3, grid=6
+    )
+    assigned = build_ivf_index(e, cents).select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id")
+    )
+    labeled = d.join(
+        assigned, d["doc_id"] == assigned["vec_id"]
+    ).select("centroid_id", "text")
+    return cluster_top_terms(labeled, "centroid_id", "text", k=5)

@@ -186,3 +186,26 @@ def test_embedding_decontaminate_flags_semantic_copies(spark):
     assert not out[3]["contaminated"]
     # every corpus row kept (audit surface), none dropped
     assert set(out) == {1, 2, 3}
+
+
+def test_cluster_top_terms_labels_clusters(spark):
+    """Cluster-IDF kills shared vocabulary; each cluster is labeled by
+    its distinctive terms with deterministic rank ties."""
+    from rabbit_in_a_blender_spark.ext.retrieval import cluster_top_terms
+
+    rows = [
+        (0, "spark shuffle shuffle join the the"),
+        (0, "shuffle codegen the"),
+        (1, "genome protein protein the the"),
+        (1, "protein enzyme the"),
+    ]
+    df = spark.createDataFrame(rows, "centroid_id long, text string")
+    got = cluster_top_terms(df, "centroid_id", "text", k=2).collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["centroid_id"], []).append((r["rank"], r["term"]))
+    # 'the' appears in BOTH clusters -> df=2, idf=ln(3/3)=0 -> never tops
+    assert by_cluster[0] == [(1, "shuffle"), (2, "codegen")] or \
+           by_cluster[0] == [(1, "shuffle"), (2, "join")]
+    assert by_cluster[1][0] == (1, "protein")
+    assert all(t != "the" for ranks in by_cluster.values() for _, t in ranks)
