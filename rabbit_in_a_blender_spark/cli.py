@@ -223,9 +223,13 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--vec-col", default="embedding",
                    help="With --embed-cluster: vector column "
                         "(default %(default)s)")
-    x.add_argument("--clusters", type=int, default=8,
-                   help="With --embed-cluster: number of centroids "
-                        "(default %(default)s)")
+    x.add_argument("--clusters", type=int, default=None,
+                   help="Number of centroids.  With --embed-cluster: "
+                        "default 8.  With --semantic-dedup: default is "
+                        "size-aware (~N/1000, min 8) because per-cluster "
+                        "pairwise work is O((N/C)^2) — a small fixed C "
+                        "on a large table is a quadratic blowup (the "
+                        "SemDeDup paper runs ~50k clusters)")
     x.add_argument("--corpus-drift", metavar="DOCS",
                    help="Distribution-drift QC per stratum vs a reference "
                         "stratum: PSI + KS on --numeric-col, JSD on "
@@ -283,14 +287,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "duplicated k-grams (default); 'lsh' removes "
                         "NEAR-duplicate sliding windows via MinHash+LSH "
                         "(keep-first: the lower-id doc keeps its copy); "
-                        "lsh verifies candidates at --threshold and "
-                        "uses --passage-window/--passage-stride")
+                        "lsh verifies candidates at --passage-threshold "
+                        "and uses --passage-window/--passage-stride/"
+                        "--passage-shingle-k")
     x.add_argument("--passage-window", type=int, default=16,
                    help="With --passage-mode lsh: words per sliding "
                         "window (default %(default)s)")
     x.add_argument("--passage-stride", type=int, default=8,
                    help="With --passage-mode lsh: window stride in "
                         "words (default %(default)s)")
+    x.add_argument("--passage-threshold", type=float, default=0.35,
+                   help="With --passage-mode lsh: Jaccard verification "
+                        "threshold for near-dup windows (default "
+                        "%(default)s).  Dedicated flag — the shared "
+                        "--threshold (0.2, corpus-dedup clustering) "
+                        "does NOT apply here (ADVICE r9)")
+    x.add_argument("--passage-shingle-k", type=int, default=3,
+                   help="With --passage-mode lsh: words per shingle "
+                        "inside each window (default %(default)s).  "
+                        "Dedicated flag — --passage-k is the EXACT "
+                        "mode's k-gram width, not the lsh shingle "
+                        "(ADVICE r9)")
     x.add_argument("--semantic-dedup", metavar="VECS",
                    help="SemDeDup over an embedding table (parquet): "
                         "Lloyd-cluster the vectors (--clusters seeds, "
@@ -309,6 +326,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "near-dup neighborhood survives — smallest id "
                         "(default) or the lowest-centroid-cosine member "
                         "(the SemDeDup paper's policy)")
+    x.add_argument("--probe", type=int, default=1,
+                   help="With --semantic-dedup: assign each vector to "
+                        "its --probe nearest centroids for the CANDIDATE "
+                        "phase (reported cluster stays the nearest one); "
+                        "2 closes most cross-cluster boundary misses at "
+                        "~2x candidate cost (default %(default)s)")
+    x.add_argument("--max-cluster-size", type=int, default=None,
+                   help="With --semantic-dedup: subsplit clusters larger "
+                        "than this for the pairwise phase (deterministic "
+                        "id-hash sub-buckets), bounding the per-cluster "
+                        "pair blowup a degenerate corpus can cause; "
+                        "trades recall on the hot cluster (default: off)")
     return p
 
 
@@ -392,14 +421,19 @@ def _passage_dedup(args, cfg) -> int:
         if c not in docs.columns:
             raise SystemExit(f"column {c!r} not in {src} ({docs.columns})")
     if args.passage_mode == "lsh":
+        # Dedicated lsh flags (ADVICE r9): --passage-threshold (0.35)
+        # and --passage-shingle-k (3) — the shared --threshold (0.2,
+        # corpus-dedup clustering) and --passage-k (exact-mode k-gram
+        # width, 8) carry different semantics and defaults, and a
+        # default invocation must verify at the tested configuration.
         out = remove_near_duplicate_passages(
             docs,
             args.id_col,
             args.text_col,
             window=args.passage_window,
             stride=args.passage_stride,
-            k=min(args.passage_k, args.passage_window),
-            threshold=args.threshold,
+            k=min(args.passage_shingle_k, args.passage_window),
+            threshold=args.passage_threshold,
         )
     else:
         out = remove_duplicate_passages(
@@ -798,7 +832,8 @@ def _embed_cluster(args, cfg) -> int:
         if c not in vecs.columns:
             raise SystemExit(f"column {c!r} not in {src} ({vecs.columns})")
     vecs = vecs.select(args.id_col, args.vec_col)
-    seeds = vecs.orderBy(args.id_col).limit(args.clusters)
+    n_clusters = args.clusters if args.clusters is not None else 8
+    seeds = vecs.orderBy(args.id_col).limit(n_clusters)
     cents = refine_centroids(
         vecs, seeds, id_col=args.id_col, vec_col=args.vec_col,
         iterations=args.iterations, grid=6,
@@ -850,14 +885,35 @@ def _semantic_dedup(args, cfg) -> int:
                 "for a standard embeddings table"
             )
     slim = vecs.select(args.id_col, args.vec_col)
-    seeds = slim.orderBy(args.id_col).limit(args.clusters)
+    # Size-aware C (ADVICE r9): SemDeDup's pairwise phase is
+    # O((N/C)^2) per cluster, so inheriting --embed-cluster's fixed
+    # default would make the default invocation quadratic on a real
+    # table.  ~N/1000 tracks the paper's cluster density (they run
+    # ~50k clusters over ~50M embeddings); expected pair count is
+    # ~N^2/(2C) — warn when it's large even at the chosen C.
+    n_rows = slim.count()
+    n_clusters = (
+        args.clusters if args.clusters is not None
+        else max(8, n_rows // 1000)
+    )
+    expected_pairs = (n_rows * n_rows) / (2.0 * max(n_clusters, 1))
+    if expected_pairs > 5e7:
+        print(
+            f"WARNING: --clusters {n_clusters} over {n_rows} vectors "
+            f"implies ~{expected_pairs:.0f} candidate pairs "
+            f"(~(N/C)^2/2 per cluster); raise --clusters or set "
+            "--max-cluster-size to bound the pairwise phase",
+            file=sys.stderr,
+        )
+    seeds = slim.orderBy(args.id_col).limit(n_clusters)
     cents = refine_centroids(
         slim, seeds, id_col=args.id_col, vec_col=args.vec_col,
         iterations=args.iterations, grid=6,
     )
     flags = semantic_dedup(
         slim, cents, id_col=args.id_col, vec_col=args.vec_col,
-        tau=args.tau, grid=6, keep=args.keep,
+        tau=args.tau, grid=6, keep=args.keep, probe=args.probe,
+        max_cluster_size=args.max_cluster_size,
     )
     if args.out:
         kept = vecs.join(
@@ -876,7 +932,7 @@ def _semantic_dedup(args, cfg) -> int:
     unpersist_intermediates(flags)
     print(
         f"{stats['rows']} vectors, {stats['dups']} semantic duplicates "
-        f"flagged at tau={args.tau} across {args.clusters} clusters"
+        f"flagged at tau={args.tau} across {n_clusters} clusters"
     )
     return 0
 

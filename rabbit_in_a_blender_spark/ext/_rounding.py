@@ -38,9 +38,15 @@ def round_half_up(a: "np.ndarray", digits: int = 0) -> "np.ndarray":
     scaled = s * p
     fast = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / p
     # Near-tie window: binary-vs-decimal disagreement requires the float
-    # product to sit within rounding error of an exact .5 boundary.
+    # product to sit within rounding error of an exact .5 boundary.  The
+    # window is ULP-scaled (ADVICE r9): a fixed 1e-6 stops covering the
+    # representation error once |scaled| exceeds ~4.5e9 (one double ULP
+    # is then > 1e-6), so a shortest-decimal tie could sit outside a
+    # fixed window, skip the Decimal replay, and diverge from F.round.
     frac = np.abs(scaled) - np.floor(np.abs(scaled))
-    near_tie = np.abs(frac - 0.5) < 1e-6
+    near_tie = np.abs(frac - 0.5) < np.maximum(
+        1e-6, 4.0 * np.spacing(np.abs(scaled))
+    )
     if near_tie.any():
         q = Decimal(1).scaleb(-digits)
         flat = np.ravel(fast)

@@ -77,6 +77,64 @@ def build_ivf_index(
     )
 
 
+def assign_top_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    p: int = 2,
+) -> DataFrame:
+    """(id_col, centroid_id, centroid_rank 1..p): each corpus vector's
+    ``p`` nearest centroids — the multi-assignment view of
+    :func:`build_ivf_index` (rank 1 IS its assignment, same comparator:
+    rounded cosine desc, centroid_id asc via the negated id in the sort
+    struct).  Consumers that only need CANDIDATE coverage (SemDeDup's
+    top-p probe, multi-list IVF inserts) read ranks 1..p; the reported/
+    stored cluster stays rank 1.
+
+    Zero-shuffle like build_ivf_index: one broadcast centroid-array row
+    attached map-side, a per-row O(C log C) sort over the broadcast
+    array, and a p-row posexplode — no corpus×C exchange.
+    """
+    if p < 1:
+        raise ValueError(f"p must be >= 1, got {p}")
+    cents_row = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("long").alias("cid"),
+                    F.col(vec_col).cast("array<double>").alias("cv"),
+                )
+            )
+        ).alias("__cents")
+    )
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("__cents"),
+                    lambda s: F.struct(
+                        F.round(_cosine(F.col("__v"), s["cv"]), 6).alias("cos"),
+                        (-s["cid"]).alias("neg_cid"),
+                    ),
+                )
+            )
+        ),
+        1,
+        p,
+    )
+    return (
+        corpus.withColumn("__v", F.col(vec_col).cast("array<double>"))
+        .crossJoin(F.broadcast(cents_row))
+        .select(F.col(id_col), F.posexplode(ranked).alias("__r", "__s"))
+        .select(
+            F.col(id_col),
+            (-F.col("__s.neg_cid")).alias("centroid_id"),
+            (F.col("__r") + 1).cast("int").alias("centroid_rank"),
+        )
+    )
+
+
 def probe_lists(
     centroids: DataFrame,
     queries: DataFrame,

@@ -71,14 +71,23 @@ def passage_shingles(
 ) -> DataFrame:
     """(id, win_start, shingle): distinct word k-grams per sliding
     passage window of ``window`` words every ``stride`` words.  Docs
-    shorter than ``window`` yield one window (the whole doc)."""
+    shorter than ``window`` yield one window (the whole doc).
+
+    When ``(len - window) % stride != 0`` a final CLAMPED window starts
+    at ``len - window`` so the trailing words are covered (ADVICE r9:
+    the stride-aligned grid alone leaves a tail gap — e.g. words 24-29
+    of a 30-word doc at window=16/stride=8 fell in no window, making
+    near-dup tails undetectable).  ``array_distinct`` collapses the
+    clamp when the grid already lands on it."""
     toks = _token_rows(df, id_col, text_col)
     wins = toks.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"transform(sequence(0, greatest(size(__w) - {window}, 0),"
-                f" {stride}), i -> named_struct('win_start', i, 'pw',"
+                f"transform(array_distinct(concat("
+                f"sequence(0, greatest(size(__w) - {window}, 0), {stride}),"
+                f" array(greatest(size(__w) - {window}, 0)))),"
+                f" i -> named_struct('win_start', i, 'pw',"
                 f" slice(__w, i + 1, {window})))"
             )
         ).alias("__win"),

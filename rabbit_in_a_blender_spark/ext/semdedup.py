@@ -27,11 +27,84 @@ the documented SemDeDup trade (same as the paper).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ivf import build_ivf_index
+from .ivf import assign_top_centroids, build_ivf_index
 from .similarity import _dot, _norm
+
+
+def _subsplit_hot(
+    ids: DataFrame,
+    cluster_col: str,
+    max_cluster_size: int | None,
+    op_name: str,
+) -> tuple[DataFrame, list[str], list[DataFrame]]:
+    """Hot-cluster guard for the within-cluster candidate self-joins
+    (VERDICT r9): clusters above ``max_cluster_size`` are subsplit into
+    ``ceil(n / max_cluster_size)`` deterministic id-hash sub-buckets, so
+    one degenerate cluster (all-near-identical corpus, bad centroid
+    init) can no longer make the pair phase O(n²) regardless of C —
+    the same pathological-bucket discipline as ext/dedup.py's
+    ``max_bucket_size``.
+
+    The trade (warned loud, like the LSH cap's drop): pairs straddling
+    sub-buckets are not compared, so a hot cluster keeps up to
+    ``nsplits`` exemplars instead of one.  Similarity-based subsplits
+    can't bound the degenerate case (identical vectors all re-assign to
+    one sub-centroid), so the split key is ``pmod(xxhash64(id),
+    nsplits)`` — deterministic across runs, uniform in expectation.
+
+    Returns ``(ids', join_cols, extra_tracked)``; engaging the guard
+    runs one metadata-sized job (per-cluster counts, <= C rows) over a
+    persisted ``ids`` — at the default ``None`` the plan is untouched
+    and fully lazy.
+    """
+    if max_cluster_size is None:
+        return ids, [cluster_col], []
+    if max_cluster_size < 1:
+        raise ValueError(
+            f"max_cluster_size must be >= 1, got {max_cluster_size}"
+        )
+    ids = ids.persist()
+    hot = (
+        ids.groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("__csz"))
+        .filter(F.col("__csz") > max_cluster_size)
+        .select(
+            cluster_col,
+            F.ceil(F.col("__csz") / F.lit(max_cluster_size))
+            .cast("long")
+            .alias("__nsplits"),
+        )
+    )
+    n_hot = hot.count()
+    if n_hot == 0:
+        return ids, [cluster_col], [ids]
+    warnings.warn(
+        f"{op_name}: {n_hot} cluster(s) exceed max_cluster_size="
+        f"{max_cluster_size}; subsplitting into id-hash sub-buckets "
+        "bounds the pair phase but keeps one exemplar PER SUB-BUCKET "
+        "of a hot cluster (recall trade). Raise C (re-cluster) to "
+        "restore full within-cluster recall.",
+        stacklevel=3,
+    )
+    split = (
+        ids.join(F.broadcast(hot), cluster_col, "left")
+        .withColumn(
+            "__sub",
+            F.when(
+                F.col("__nsplits").isNotNull(),
+                F.pmod(F.xxhash64(F.col("__id")), F.col("__nsplits")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("__nsplits")
+    )
+    return split, [cluster_col, "__sub"], [ids]
 
 
 def semantic_dedup(
@@ -42,6 +115,8 @@ def semantic_dedup(
     tau: float = 0.35,
     grid: int = 6,
     keep: str = "min_id",
+    probe: int = 1,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """(id, centroid_id, is_dup) for every corpus vector.
 
@@ -64,6 +139,21 @@ def semantic_dedup(
 
     Both orders are total and grid-rounded, so either run replays in
     SQL verbatim.
+
+    ``probe`` (default 1) assigns each vector to its ``probe`` nearest
+    centroids FOR THE CANDIDATE PHASE ONLY (via
+    ``ext/ivf.py::assign_top_centroids``; the reported ``centroid_id``
+    stays the nearest).  probe=2 closes most cross-cluster boundary
+    misses — a near-dup pair split by a cluster boundary is still
+    compared when either member's second-closest centroid is the
+    other's cluster — at ~probe× candidate cost.  The flagged set at
+    probe=p is a superset of the flagged set at any p' < p
+    (pytest-pinned containment).
+
+    ``max_cluster_size`` engages the hot-cluster guard (see
+    :func:`_subsplit_hot`): a data distribution, not a plan, is the one
+    thing that can make the within-cluster pair join O(n²), and the
+    guard bounds it at a warned recall trade.
     """
     if keep not in ("min_id", "low_centroid"):
         raise ValueError(f"keep must be min_id or low_centroid, got {keep!r}")
@@ -105,16 +195,37 @@ def semantic_dedup(
             F.col(id_col).alias("__id"),
         )
     # Phase 1: within-cluster candidate ids — the exchange carries
-    # (centroid_id, key, id) only, never the embedding.
-    ids = keyed
+    # (cluster key, keep key, id) only, never the embedding.
+    if probe <= 1:
+        ids = keyed.select(
+            F.col("centroid_id").alias("__ccid"), "__key", "__id"
+        )
+    else:
+        # Top-p multi-assignment for candidates only: up to `probe`
+        # (cluster, id) rows per vector; the keep key rides along from
+        # the primary assignment so the exemplar order is unchanged.
+        probes = assign_top_centroids(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, p=probe
+        ).select(
+            F.col("centroid_id").alias("__ccid"),
+            F.col(id_col).alias("__id"),
+        )
+        ids = probes.join(keyed.select("__id", "__key"), "__id")
+    ids, join_cols, extra_tracked = _subsplit_hot(
+        ids, "__ccid", max_cluster_size, "semantic_dedup"
+    )
     cand = (
         ids.alias("l")
-        .join(ids.alias("r"), ["centroid_id"])
+        .join(ids.alias("r"), join_cols)
         .filter(F.col("l.__key") < F.col("r.__key"))
         .select(
             F.col("l.__id").alias("__ida"), F.col("r.__id").alias("__idb")
         )
     )
+    if probe > 1:
+        # A pair sharing several of its top-p clusters arises once per
+        # shared cluster; dedup before the (costlier) vector fetch.
+        cand = cand.distinct()
     # Phase 2: fetch vectors for exactly the candidate pairs.
     va = assigned.select(F.col(id_col).alias("__ida"), F.col("__v").alias("__va"))
     vb = assigned.select(F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"))
@@ -138,7 +249,7 @@ def semantic_dedup(
     )
     from ..core.caching import track_cache
 
-    return track_cache(out, [assigned])
+    return track_cache(out, [assigned] + extra_tracked)
 
 
 def incremental_semantic_dedup(
@@ -149,6 +260,7 @@ def incremental_semantic_dedup(
     vec_col: str = "embedding",
     tau: float = 0.35,
     grid: int = 6,
+    max_cluster_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Screen a NEW batch of vectors against a persisted exemplar index
     — the continuous-crawl form of :func:`semantic_dedup`, mirroring
@@ -174,7 +286,13 @@ def incremental_semantic_dedup(
     Scale: only the delta is assigned and compared; the index side is
     probed with a cluster-local join — store it bucketed/partitioned by
     centroid_id and the probe co-locates with no index-side shuffle, so
-    cost per increment is O(delta x cluster density), not O(corpus).
+    cost per increment is O(delta x cluster density), not O(corpus)
+    (``pipeline/warehouse.py::save_bucketed_index`` writes it that way
+    and ``load_bucketed_index`` reads it back bucket-aware).
+
+    ``max_cluster_size`` guards the INTRA-batch self-join like the
+    batch operator (see :func:`_subsplit_hot`); the index-probe join is
+    a screen against stored exemplars and stays exact.
     """
     assigned = (
         build_ivf_index(new_vecs, centroids, id_col=id_col, vec_col=vec_col)
@@ -201,12 +319,20 @@ def incremental_semantic_dedup(
             .select(id_col)
             .distinct()
         )
-    ids = assigned.select("centroid_id", F.col(id_col).alias("__id"))
+    # Intra-batch self-join gets the same hot-cluster guard as the
+    # batch operator (the index-probe join above is delta×exemplars —
+    # a screen, not a self-join — and must stay exact for correctness).
+    ids = assigned.select(
+        F.col("centroid_id").alias("__ccid"), F.col(id_col).alias("__id")
+    )
+    ids, join_cols, extra_tracked = _subsplit_hot(
+        ids, "__ccid", max_cluster_size, "incremental_semantic_dedup"
+    )
     va = assigned.select(F.col(id_col).alias("__ida"), F.col("__v").alias("__va"))
     vb = assigned.select(F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"))
     intra = (
         ids.alias("l")
-        .join(ids.alias("r"), ["centroid_id"])
+        .join(ids.alias("r"), join_cols)
         .filter(F.col("l.__id") < F.col("r.__id"))
         .select(F.col("l.__id").alias("__ida"), F.col("r.__id").alias("__idb"))
         .join(va, "__ida")
@@ -228,4 +354,7 @@ def incremental_semantic_dedup(
     )
     from ..core.caching import track_cache
 
-    return track_cache(flags, [assigned]), track_cache(kept_index, [assigned])
+    return (
+        track_cache(flags, [assigned] + extra_tracked),
+        track_cache(kept_index, [assigned] + extra_tracked),
+    )

@@ -1729,6 +1729,61 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, cents, tau=0.35, grid=6)
 
 
+@register(
+    "ext_semantic_dedup_probe2",
+    oracle=_kmeans_oracle().replace(
+        """
+    SELECT cid AS centroid_id, pos AS dim, mv AS value
+    FROM (
+      SELECT cid, unnest(cv) AS mv, unnest(range(len(cv))) AS pos
+      FROM cents3
+    ) t(cid, mv, pos)
+    """,
+        """
+    , ranked AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+               c.cid) AS rn
+      FROM vecs e, cents3 c
+    ),
+    assigned AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
+    cand AS (SELECT vec_id, v, cid FROM ranked WHERE rn <= 2),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM cand a JOIN cand b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+       AND ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+           a.vec_id IN (SELECT dup_id FROM dups) AS is_dup
+    FROM assigned a
+    """,
+    ),
+    doc="SemDeDup with the top-2-centroid candidate phase (VERDICT r9 "
+    "task 2): each vector joins the pair phase under BOTH of its two "
+    "nearest centroids (ext/ivf.py::assign_top_centroids), closing "
+    "most cross-cluster boundary misses — a near-dup pair split by a "
+    "cluster boundary is still compared when either member's second "
+    "centroid is the other's cluster — at ~2x candidate cost.  The "
+    "reported centroid_id stays the nearest; the flagged set is a "
+    "superset of probe=1's (pytest containment vs exact all-pairs).",
+)
+def ext_semantic_dedup_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.ivf import refine_centroids
+    from ..ext.semdedup import semantic_dedup
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = refine_centroids(
+        e, e.filter(F.col("vec_id") < 4), iterations=3, grid=6
+    )
+    return semantic_dedup(e, cents, tau=0.35, grid=6, probe=2)
+
+
 def _inc_semdedup_oracle(tau: float = 0.35) -> str:
     """Two-batch replay of incremental_semantic_dedup: Lloyd trains on
     batch 1 only (frozen centroids), batch 1 bootstraps the exemplar

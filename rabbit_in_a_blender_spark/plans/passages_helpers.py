@@ -12,10 +12,15 @@ THRESHOLD = 0.35
 
 LSH_PAIR_CTES = f"""
     wdocs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    -- window starts: the stride grid PLUS a clamped final start at
+    -- len-window when unaligned, so trailing words are covered
+    -- (ADVICE r9 tail gap; list_distinct collapses the aligned case)
     wins AS (
       SELECT doc_id, i AS win_start, w[i+1 : i+{W}] AS pw
       FROM wdocs CROSS JOIN LATERAL
-        unnest(range(0, greatest(len(w) - {W}, 0) + 1, {S})) t(i)
+        unnest(list_distinct(list_append(
+          range(0, greatest(len(w) - {W}, 0) + 1, {S}),
+          greatest(len(w) - {W}, 0)))) t(i)
     ),
     sh AS (
       SELECT DISTINCT doc_id, win_start,

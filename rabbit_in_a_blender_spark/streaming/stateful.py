@@ -172,20 +172,32 @@ def _make_zscore_update(
         """Reopen a recently-closed bucket for a late event: fold the
         cents in, emit a corrected row scored against the history that
         preceded the bucket (as currently known), and patch its ring
-        entry so later closes score against the corrected average."""
+        entry so later closes score against the corrected average.
+
+        Drops (no fold, no emit): buckets older than the lateness
+        horizon, in-horizon buckets that never closed with data (the
+        operator reopens closed buckets, it does not open empty ones),
+        and ring-evicted buckets.  The ring-evicted branch is
+        unreachable while ``allowed_lateness <= lookback`` (enforced by
+        stream_zscore): rb is capped at allowed_lateness and ring at
+        lookback, both fed by the same close path, so
+        ``off <= len(rb) <= len(ring)``.  The guard sits BEFORE the
+        fold so stored partials can never silently diverge from
+        emitted output (ADVICE r9)."""
         if b not in rb:
-            return  # older than the lateness horizon: dropped
+            return  # outside the horizon, or never closed with data
         i = rb.index(b)
+        off = len(rb) - i  # 1-based distance from the newest close
+        if off > len(ring):
+            return  # ring entry evicted: drop whole, don't fold partials
         rc[i] += int(c)
         rn[i] += 1
         avg = (rc[i] / 100.0) / rn[i]
-        off = len(rb) - i  # 1-based distance from the newest close
-        if off <= len(ring):
-            hist = ring[: len(ring) - off]
-            row = _score_row(key, b, avg, hist)
-            if row is not None:
-                out_rows.append(row)
-            ring[len(ring) - off] = avg
+        hist = ring[: len(ring) - off]
+        row = _score_row(key, b, avg, hist)
+        if row is not None:
+            out_rows.append(row)
+        ring[len(ring) - off] = avg
 
     def _update_z(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -259,7 +271,20 @@ def stream_zscore(
     is byte-identical to the watermark-style drop (batch-twin oracle
     unchanged).  State grows by 3·N longs per group — still O(lookback
     + lateness), executor-state-store friendly.
+
+    ``allowed_lateness`` must be <= ``lookback``: the reopen patches a
+    ring entry, so a horizon deeper than the ring would fold partials
+    for buckets whose ring slot is already evicted — corrected state
+    with no corrected output (ADVICE r9).  Late events for in-horizon
+    buckets that never closed with data are dropped, not opened (see
+    ``_late``).
     """
+    if allowed_lateness > lookback:
+        raise ValueError(
+            f"allowed_lateness ({allowed_lateness}) must be <= lookback "
+            f"({lookback}): corrections patch the trailing ring, which "
+            "only keeps the last `lookback` closed buckets"
+        )
     keyed = events.selectExpr(
         f"CAST({group_col} AS STRING) AS group_key", "ts", "value"
     )

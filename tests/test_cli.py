@@ -696,11 +696,21 @@ def test_passage_dedup_lsh_mode(spark, capsys, tmpdir_):
     cfg = os.path.join(root, "riab.ini")
     with open(cfg, "w") as f:
         f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    # DEFAULT invocation: lsh mode must verify at the certified
+    # defaults (shingle k=3, threshold 0.35) without any extra flags —
+    # the shared --threshold (0.2) and --passage-k (8) no longer leak
+    # into lsh mode (ADVICE r9)
     rc = main(["--passage-dedup", docs, "--passage-mode", "lsh",
-               "--passage-k", "3", "--threshold", "0.35", "--config", cfg])
+               "--config", cfg])
     assert rc == 0
     # doc 2 (16 words) is the only one touched
     assert "3 docs, 1 touched, 16/48 words removed" in capsys.readouterr().out
+    # the dedicated flags steer verification: at an impossible 1.01
+    # threshold nothing verifies, nothing is removed
+    rc = main(["--passage-dedup", docs, "--passage-mode", "lsh",
+               "--passage-threshold", "1.01", "--config", cfg])
+    assert rc == 0
+    assert "3 docs, 0 touched, 0/48 words removed" in capsys.readouterr().out
 
 
 def test_semantic_dedup_cli_stats_and_kept_rows(spark, capsys, tmpdir_):
@@ -731,3 +741,11 @@ def test_semantic_dedup_cli_stats_and_kept_rows(spark, capsys, tmpdir_):
     assert rc == 0
     kept = {r["vec_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1, 10}
+    # without --clusters the default is size-aware (max(8, N/1000) = 8
+    # here, every vector its own cell at N=4) rather than a fixed 8
+    # inherited from --embed-cluster (ADVICE r9); probe=2 rides through
+    rc = main(["--semantic-dedup", vecs, "--id-col", "vec_id",
+               "--iterations", "1", "--tau", "0.9", "--probe", "2",
+               "--config", cfg])
+    assert rc == 0
+    assert "across 8 clusters" in capsys.readouterr().out

@@ -262,3 +262,130 @@ def test_semantic_dedup_partitioning_invariant_and_tau_monotone(spark):
     assert flags(df.coalesce(1), 0.3) == base
     tighter = flags(df, 0.5)
     assert tighter <= base
+
+
+def test_semantic_dedup_hot_cluster_guard_degenerate(spark):
+    """VERDICT r9 task 1: an all-identical corpus puts every vector in
+    one cluster — unguarded, the pair phase is O(n^2) no matter what C
+    is.  max_cluster_size subsplits the hot cluster into deterministic
+    id-hash sub-buckets: the job completes with a bounded pair count,
+    keeps at most ceil(n/cap) exemplars (one per sub-bucket, recall
+    trade), warns loud, and stays deterministic across runs."""
+    import warnings as _w
+
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.semdedup import semantic_dedup
+
+    n, cap = 60, 10
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = semantic_dedup(df, cents, tau=0.9, max_cluster_size=cap)
+        survivors = {r["vec_id"] for r in out.collect() if not r["is_dup"]}
+        unpersist_intermediates(out)
+    assert any("max_cluster_size" in str(w.message) for w in caught)
+    # one exemplar per sub-bucket: 1 <= survivors <= ceil(60/10)
+    assert 1 <= len(survivors) <= 6
+    # unguarded, the min-id exemplar is the ONLY survivor
+    full = semantic_dedup(df, cents, tau=0.9)
+    full_survivors = {r["vec_id"] for r in full.collect() if not r["is_dup"]}
+    unpersist_intermediates(full)
+    assert full_survivors == {0}
+    # guarded survivors always include each sub-bucket's min, hence a
+    # superset never — but determinism must hold across reruns
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        again = semantic_dedup(df, cents, tau=0.9, max_cluster_size=cap)
+        survivors2 = {r["vec_id"] for r in again.collect() if not r["is_dup"]}
+        unpersist_intermediates(again)
+    assert survivors2 == survivors
+    # cold clusters are untouched by the guard: a corpus under the cap
+    # yields the identical flag set with and without it
+    small = spark.createDataFrame(rows[:8], "vec_id long, embedding array<double>")
+    a = semantic_dedup(small, cents, tau=0.9)
+    fa = {(r["vec_id"], r["is_dup"]) for r in a.collect()}
+    unpersist_intermediates(a)
+    b = semantic_dedup(small, cents, tau=0.9, max_cluster_size=cap)
+    fb = {(r["vec_id"], r["is_dup"]) for r in b.collect()}
+    unpersist_intermediates(b)
+    assert fa == fb
+
+
+def test_incremental_semantic_dedup_hot_cluster_guard(spark):
+    """The incremental twin guards its intra-batch self-join the same
+    way; the index-probe screen stays exact."""
+    import warnings as _w
+
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.semdedup import (
+        incremental_semantic_dedup,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        flags, index = incremental_semantic_dedup(
+            batch, None, cents, tau=0.9, max_cluster_size=8
+        )
+        kept = {r["vec_id"] for r in index.collect()}
+        unpersist_intermediates(flags, index)
+    assert any("max_cluster_size" in str(w.message) for w in caught)
+    assert 1 <= len(kept) <= 5  # ceil(40/8) sub-buckets
+
+
+def test_semantic_dedup_probe_containment(spark):
+    """VERDICT r9 task 2: the top-p candidate phase closes cross-cluster
+    boundary misses.  flagged(probe=1) ⊆ flagged(probe=2) ⊆ flagged
+    (exact all-pairs), and a boundary-straddling near-dup pair is
+    caught at probe=2 but missed at probe=1."""
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.semdedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),     # near-twin of 1, same cluster
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        # boundary pair: near-dups of each other but assigned to
+        # DIFFERENT nearest centroids (either side of the x/y bisector)
+        (100, [0.72, 0.69, 0.0, 0.0]),    # nearest +x
+        (101, [0.69, 0.72, 0.0, 0.0]),    # nearest +y, cos(100,101)≈0.998
+        (20, [0.0, 0.0, 1.0, 0.0]),       # lone direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (10, [0.0, 1.0, 0.0, 0.0]),
+         (20, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    one_cell = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+
+    def flags(cents_frame, probe):
+        out = semantic_dedup(df, cents_frame, tau=0.9, probe=probe)
+        got = {r["vec_id"] for r in out.collect() if r["is_dup"]}
+        unpersist_intermediates(out)
+        return got
+
+    p1 = flags(cents, 1)
+    p2 = flags(cents, 2)
+    exact = flags(one_cell, 1)  # one cluster -> every pair compared
+    assert p1 <= p2 <= exact
+    # the boundary pair is the p2-vs-p1 difference
+    assert 101 not in p1 and 101 in p2
+    # probe never changes the reported (nearest) cluster
+    out = semantic_dedup(df, cents, tau=0.9, probe=2)
+    cids = {r["vec_id"]: r["centroid_id"] for r in out.collect()}
+    unpersist_intermediates(out)
+    assert cids[100] == 1 and cids[101] == 10

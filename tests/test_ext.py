@@ -250,6 +250,29 @@ def test_round_half_up_matches_spark_round(spark):
     assert cents_jvm == list(to_cents_half_up(np.array(vals)))
 
 
+def test_round_half_up_ulp_window_large_magnitude(spark):
+    """The near-tie replay window must scale with the float ULP (ADVICE
+    r9): at |scaled| ~1e12 one ULP is ~1.2e-4, so a shortest-decimal tie
+    like 100000000.00005 sits 1.2e-4 from the .5 boundary — outside the
+    old fixed 1e-6 window — and the fast path floors DOWN while Spark's
+    BigDecimal(repr) sees the tie and rounds HALF_UP."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.ext._rounding import round_half_up
+
+    vals = [
+        100000000.00005, -100000000.00005, 100000001.00005,
+        123456789.00015, -123456789.00015,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    jvm = [r[0] for r in df.select(F.round("v", 4)).collect()]
+    np_side = list(round_half_up(np.array(vals), 4))
+    assert jvm == np_side, (jvm, np_side)
+    # the documented failing case, pinned explicitly
+    assert np_side[0] == 100000000.0001
+
+
 def test_embedding_decontaminate_arrow_string_ids(spark):
     """The Arrow variant derives the id type from the input schema, so
     string doc ids work like the JVM path (ADVICE r7)."""

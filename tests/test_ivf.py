@@ -78,3 +78,40 @@ def test_refine_centroids_grid_partitioning_invariant(spark):
         return sorted((r["vec_id"], tuple(r["embedding"])) for r in out)
 
     assert run(2) == run(11)
+
+
+def test_assign_top_centroids_rank1_matches_build(spark):
+    """Rank 1 of the multi-assignment IS build_ivf_index's assignment
+    (same rounded-cosine/min-cid comparator); ranks are ordered by
+    cosine descending; p caps at C."""
+    import random
+
+    from rabbit_in_a_blender_spark.ext.ivf import (
+        assign_top_centroids,
+        build_ivf_index,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter("vec_id < 4")
+
+    top = assign_top_centroids(df, cents, p=2).collect()
+    by_vec = {}
+    for r in top:
+        by_vec.setdefault(r["vec_id"], {})[r["centroid_rank"]] = r["centroid_id"]
+    base = {
+        r["vec_id"]: r["centroid_id"]
+        for r in build_ivf_index(df, cents).select("vec_id", "centroid_id").collect()
+    }
+    assert len(by_vec) == 50
+    for vid, ranks in by_vec.items():
+        assert set(ranks) == {1, 2}
+        assert ranks[1] == base[vid]
+        assert ranks[1] != ranks[2]
+    # p > C yields exactly C rows per vector
+    capped = assign_top_centroids(df.limit(3), cents, p=9).collect()
+    per = {}
+    for r in capped:
+        per.setdefault(r["vec_id"], set()).add(r["centroid_rank"])
+    assert all(v == {1, 2, 3, 4} for v in per.values())

@@ -216,3 +216,44 @@ def test_near_duplicate_passages_partitioning_invariant(spark):
     assert any(p[0] == 10 and p[2] == 50 for p in base)  # planted twin found
     assert pairs(df.repartition(9, "doc_id")) == base
     assert pairs(df.coalesce(1)) == base
+
+
+def test_near_duplicate_passages_tail_window_clamp(spark):
+    """ADVICE r9: when (len-window) % stride != 0 a clamped final window
+    starts at len-window, so a duplicated TAIL passage (here the last 16
+    of 30 words, ending beyond the stride grid's coverage) is detected
+    and removable.  The stride-aligned windows (0, 8) stay below the
+    verification threshold, so the clamped window is the only signal."""
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.passages import (
+        near_duplicate_passages,
+        remove_near_duplicate_passages,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(16))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(14)) + " " + shared),
+        (2, " ".join(f"b{i}" for i in range(14)) + " " + shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = near_duplicate_passages(
+        df, "doc_id", "text", window=16, stride=8, k=3,
+        num_hashes=8, bands=4, threshold=0.6,
+    )
+    got = {(r["id_a"], r["win_a"], r["id_b"], r["win_b"]): r["jaccard"]
+           for r in pairs.collect()}
+    unpersist_intermediates(pairs)
+    # the clamped windows at start 14 are identical
+    assert got[(1, 14, 2, 14)] == 1.0
+    # stride-grid windows share at most a suffix and stay under 0.6
+    assert all(wa == 14 and wb == 14 for (_, wa, _, wb) in got)
+    # removal cuts the tail from the higher-id doc only
+    out = remove_near_duplicate_passages(
+        df, "doc_id", "text", window=16, stride=8, k=3,
+        num_hashes=8, bands=4, threshold=0.6,
+    )
+    byid = {r["doc_id"]: r for r in out.collect()}
+    unpersist_intermediates(out)
+    assert byid[1]["n_removed"] == 0
+    assert byid[2]["n_removed"] == 16
+    assert byid[2]["text_clean"] == " ".join(f"b{i}" for i in range(14))

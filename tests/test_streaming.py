@@ -561,3 +561,20 @@ def test_stream_zscore_half_tie_cents_match_batch(spark):
         assert s["avg_value"] == b["avg_value"], ts
         assert abs(s["zscore"] - b["zscore"]) <= 0.001
         assert s["is_anomaly"] == b["is_anomaly"]
+
+
+def test_stream_zscore_rejects_lateness_beyond_lookback(spark):
+    """ADVICE r9: a lateness horizon deeper than the ring would fold
+    late partials for buckets whose ring slot is evicted — corrected
+    state with no corrected output.  The operator fails loud instead."""
+    import pytest
+
+    from rabbit_in_a_blender_spark.streaming.stateful import stream_zscore
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("'g' AS event_type", "timestamp AS ts",
+                    "CAST(value AS DOUBLE) AS value")
+    )
+    with pytest.raises(ValueError, match="allowed_lateness"):
+        stream_zscore(src, "event_type", lookback=4, allowed_lateness=5)
