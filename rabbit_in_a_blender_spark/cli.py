@@ -332,6 +332,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "phase (reported cluster stays the nearest one); "
                         "2 closes most cross-cluster boundary misses at "
                         "~2x candidate cost (default %(default)s)")
+    x.add_argument("--assign-method", choices=("expr", "arrow"),
+                   default="expr",
+                   help="With --semantic-dedup / --embed-cluster: "
+                        "nearest-centroid assignment path — 'expr' "
+                        "(pure-SQL-replayable HOF fold, default) or "
+                        "'arrow' (BLAS matmul per Arrow batch; "
+                        "identical assignments, much faster once "
+                        "--clusters reaches the hundreds)")
     x.add_argument("--max-cluster-size", type=int, default=None,
                    help="With --semantic-dedup: subsplit clusters larger "
                         "than this for the pairwise phase (deterministic "
@@ -837,6 +845,7 @@ def _embed_cluster(args, cfg) -> int:
     cents = refine_centroids(
         vecs, seeds, id_col=args.id_col, vec_col=args.vec_col,
         iterations=args.iterations, grid=6,
+        assign_method=args.assign_method,
     )
     cents_out = args.out.rstrip("/") + "/centroids"
     cents.withColumnRenamed(args.id_col, "centroid_id").write.mode(
@@ -909,11 +918,13 @@ def _semantic_dedup(args, cfg) -> int:
     cents = refine_centroids(
         slim, seeds, id_col=args.id_col, vec_col=args.vec_col,
         iterations=args.iterations, grid=6,
+        assign_method=args.assign_method,
     )
     flags = semantic_dedup(
         slim, cents, id_col=args.id_col, vec_col=args.vec_col,
         tau=args.tau, grid=6, keep=args.keep, probe=args.probe,
         max_cluster_size=args.max_cluster_size,
+        assign_method=args.assign_method,
     )
     if args.out:
         kept = vecs.join(

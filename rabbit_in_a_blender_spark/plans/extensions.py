@@ -1677,9 +1677,11 @@ def ext_kmeans_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ext_semantic_dedup",
-    oracle=_kmeans_oracle().replace(
+def _semdedup_oracle() -> str:
+    """Shared replay for ext_semantic_dedup and its Arrow-assignment
+    twin: the BLAS path selects identical assignments (rounded-cosine
+    grid + min-cid tie-break), so ONE oracle gates both."""
+    return _kmeans_oracle().replace(
         """
     SELECT cid AS centroid_id, pos AS dim, mv AS value
     FROM (
@@ -1710,7 +1712,12 @@ def ext_kmeans_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.vec_id IN (SELECT dup_id FROM dups) AS is_dup
     FROM assigned a
     """,
-    ),
+    )
+
+
+@register(
+    "ext_semantic_dedup",
+    oracle=_semdedup_oracle(),
     doc="SemDeDup (Abbas et al. 2023): Lloyd-cluster the embeddings "
     "(the oracle-proven grid-rounded run), then flag every vector with "
     "a smaller-id same-cluster member at rounded cosine >= 0.35 — the "
@@ -1727,6 +1734,29 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < 4), iterations=3, grid=6
     )
     return semantic_dedup(e, cents, tau=0.35, grid=6)
+
+
+@register(
+    "ext_semantic_dedup_arrow",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup with the Arrow/BLAS nearest-centroid assignment "
+    "(ext/ivf.py::_build_ivf_index_arrow): ONE matmul per Arrow batch "
+    "instead of the per-row interpreted HOF fold — the r10 scale curve "
+    "showed the expr assignment dominating the fixed-density (C ∝ N) "
+    "regime at ~4.6M lambda-ops/s.  Same oracle as ext_semantic_dedup: "
+    "the twin rounds via round_half_up (bit-exact F.round) and breaks "
+    "rounded-cosine ties to the smaller centroid id, so assignments "
+    "are identical and the unrolled SQL replay gates BOTH paths.",
+)
+def ext_semantic_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.ivf import refine_centroids
+    from ..ext.semdedup import semantic_dedup
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = refine_centroids(
+        e, e.filter(F.col("vec_id") < 4), iterations=3, grid=6
+    )
+    return semantic_dedup(e, cents, tau=0.35, grid=6, assign_method="arrow")
 
 
 @register(

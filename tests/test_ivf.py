@@ -115,3 +115,50 @@ def test_assign_top_centroids_rank1_matches_build(spark):
     for r in capped:
         per.setdefault(r["vec_id"], set()).add(r["centroid_rank"])
     assert all(v == {1, 2, 3, 4} for v in per.values())
+
+
+def test_build_ivf_index_arrow_matches_expr(spark):
+    """The BLAS assignment twin must pick IDENTICAL centroids to the
+    expr (HOF fold) path: both compare rounded cosines (1e-6 grid,
+    HALF_UP) and break ties to the smaller centroid id.  Includes an
+    exact-tie fixture (a vector equidistant from two centroids)."""
+    import random
+
+    from rabbit_in_a_blender_spark.ext.ivf import build_ivf_index
+
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    # exact rounded-cosine tie: equidistant from centroids 0 and 1
+    rows.append((900, [1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)]
+        + [(c, [rng.gauss(0, 1) for _ in range(8)]) for c in range(2, 6)],
+        "vec_id long, embedding array<double>",
+    )
+    expr = {
+        r["vec_id"]: r["centroid_id"]
+        for r in build_ivf_index(df, cents).select("vec_id", "centroid_id").collect()
+    }
+    arrow = {
+        r["vec_id"]: r["centroid_id"]
+        for r in build_ivf_index(df, cents, method="arrow")
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    assert arrow == expr
+    assert expr[900] == 0  # tie broken to the smaller centroid id
+    # the arrow path carries every corpus column through unchanged
+    out = build_ivf_index(df, cents, method="arrow")
+    assert set(out.columns) == {"vec_id", "embedding", "centroid_id"}
+    # semantic_dedup(assign_method="arrow") flags identically
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.semdedup import semantic_dedup
+
+    a = semantic_dedup(df, cents, tau=0.5)
+    fa = {(r["vec_id"], r["centroid_id"], r["is_dup"]) for r in a.collect()}
+    unpersist_intermediates(a)
+    b = semantic_dedup(df, cents, tau=0.5, assign_method="arrow")
+    fb = {(r["vec_id"], r["centroid_id"], r["is_dup"]) for r in b.collect()}
+    unpersist_intermediates(b)
+    assert fa == fb

@@ -172,6 +172,10 @@ def main() -> None:
         shutil.rmtree(scaled_dir, ignore_errors=True)
         _passages_lsh_curve(spark, reps)
         return
+    if only == "semdedup":
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _semdedup_curve(spark, reps)
+        return
     try:
         build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
         points = [
@@ -965,6 +969,89 @@ def _passages_curve(spark, reps: int) -> None:
         print(
             f"| {label} | {r['rows']:,} | {r['median']} | "
             f"{round(r['rows'] / r['median']):,} |"
+        )
+
+
+def _semdedup_curve(spark, reps: int) -> None:
+    # --- SemDeDup scale curve (round 10, VERDICT r9 task 5)
+    # Two curves over the same replicated embeddings (disjoint vec_ids,
+    # so replicas are genuine cos=1.0 near-dups; cluster balance is the
+    # base Voronoi proportions scaled uniformly):
+    #  - fixed-DENSITY (C grows with N, density ~= base N/C): the
+    #    paper's operating regime — pair count = N * density / 2 is
+    #    LINEAR in rows, so wall should track ~linear once the pair
+    #    phase dominates planning.
+    #  - fixed-C (C=8): pair count = N^2 * balance / (2C) is QUADRATIC
+    #    in rows — the documented SemDeDup trade, measured rather than
+    #    asserted, and the reason "C is the knob" / the r10
+    #    max_cluster_size guard exist.
+    # Centroids are SEED vectors (no Lloyd) so the timed job isolates
+    # assignment + pair phases; Lloyd's own scaling is the fit curve's
+    # kmeans row.
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.core.io import load_tables
+    from rabbit_in_a_blender_spark.ext.semdedup import semantic_dedup
+
+    emb = load_tables(spark, "/root/testdata/sf0.1", "embeddings")["embeddings"]
+    base_n = emb.count()
+    results = {}
+    for label, copies in (("x10", 10), ("x25", 25), ("x50", 50), ("x100", 100)):
+        def emb_rep():
+            reps_df = spark.range(copies).select(F.col("id").alias("__r"))
+            return emb.crossJoin(F.broadcast(reps_df)).select(
+                (F.col("vec_id") + F.col("__r") * 10_000_000).alias("vec_id"),
+                "embedding",
+            )
+
+        def run(c: int, method: str = "expr") -> float:
+            cents = emb.orderBy("vec_id").limit(c)
+            t0 = time.perf_counter()
+            out = semantic_dedup(
+                emb_rep(), cents, tau=0.35, grid=6, assign_method=method
+            )
+            out.count()
+            sec = round(time.perf_counter() - t0, 3)
+            unpersist_intermediates(out)
+            return sec
+
+        n = base_n * copies
+        c_dense = 4 * copies  # density pinned at base_n / 4
+        # SPARK_GRAFT_SEMDEDUP_SKIP_EXPR=1 skips the interpreted-HOF
+        # dense arm (the measured bottleneck) so a follow-up run can
+        # extend the arrow/fixed-C arms without re-paying it
+        skip_expr = os.environ.get("SPARK_GRAFT_SEMDEDUP_SKIP_EXPR") == "1"
+        run(c_dense, "arrow")  # warmup (codegen + footer reads)
+        dense, dense_arrow, fixed = [], [], []
+        for _ in range(reps):
+            if not skip_expr:
+                dense.append(run(c_dense))
+            dense_arrow.append(run(c_dense, "arrow"))
+            fixed.append(run(8))
+        med = lambda xs: sorted(xs)[len(xs) // 2] if xs else None  # noqa: E731
+        results[label] = {
+            "rows": n,
+            "c_dense": c_dense,
+            "dense_median": med(dense),
+            "dense_arrow_median": med(dense_arrow),
+            "fixedc8_median": med(fixed),
+            "dense_reps": dense,
+            "dense_arrow_reps": dense_arrow,
+            "fixedc8_reps": fixed,
+        }
+        print(
+            f"## semdedup {label}: dense(C={c_dense}) {dense} "
+            f"arrow {dense_arrow} fixedC8 {fixed}",
+            flush=True,
+        )
+
+    print(json.dumps(results))
+    print("\n| point | rows | C (fixed density) | dense-expr s | dense-arrow s | fixed-C8 s |")
+    print("|---|---|---|---|---|---|")
+    for label, r in results.items():
+        print(
+            f"| {label} | {r['rows']:,} | {r['c_dense']} | "
+            f"{r['dense_median']} | {r['dense_arrow_median']} | "
+            f"{r['fixedc8_median']} |"
         )
 
 
