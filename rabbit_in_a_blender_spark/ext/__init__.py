@@ -18,6 +18,13 @@ from .dedup import (
     signature_bands,
     unpersist_intermediates,
 )
+from .dsir import (
+    dsir_resample,
+    dsir_select,
+    dsir_weights,
+    fit_bucket_logratio,
+    hashed_ngram_buckets,
+)
 from .packing import bin_summary, pack_next_fit
 from .sampling import (
     balance_sample,
@@ -64,6 +71,11 @@ __all__ = [
     "upsample_epochs",
     "redact_pii",
     "repetition_stats",
+    "hashed_ngram_buckets",
+    "fit_bucket_logratio",
+    "dsir_weights",
+    "dsir_resample",
+    "dsir_select",
     "cosine_topk",
     "text_stats",
     "token_counts",

@@ -1,0 +1,210 @@
+"""DSIR data selection (Xie et al. 2023, arXiv:2302.03169): importance
+resampling of a raw corpus toward a target distribution over hashed
+n-gram features.
+
+The published recipe, re-expressed Spark-first:
+
+1. **Featurize** every document as a bag of hashed word uni+bigrams:
+   ``bucket = md5(gram ':' seed) mod B``.  One explode + one partial-
+   aggregated ``groupBy(id, bucket)`` — the only data-sized shuffle, and
+   its key space is (doc, bucket), never raw text.
+2. **Fit** two smoothed unigram bucket models — target and raw — from
+   the bucket-count aggregates (each at most B rows, metadata-sized at
+   any corpus scale; the paper uses B = 10k).
+3. **Weight** each document: ``log w = Σ_b c[b]·(ln p̂_t[b] − ln p̂_r[b])``,
+   computed as an exact integer dot product against the per-bucket
+   log-ratio pinned on a 1e-6 grid — order-independent, so the DuckDB
+   oracle replays it bit-for-bit.
+4. **Resample** k documents without replacement with probability
+   ∝ softmax(log w) via Gumbel top-k: ``key = log w + Gumbel(0,1)``
+   with the Gumbel draw a pure function of ``md5(id ':' seed)`` (same
+   determinism contract as :mod:`ext.sampling`).  The global top-k is
+   ``orderBy(...).limit(k)`` — Spark plans TakeOrderedAndProject
+   (per-partition partial top-k), no single-partition window.
+
+Scale notes (100 TB): the corpus is touched twice — once to featurize
+(the doc-bucket frame should be persisted by callers who run both the
+fit and the weighting from it; :func:`dsir_weights` does this via the
+tracked-cache contract), once more never — the bucket models and the
+log-ratio table are ≤ B rows and ride as broadcasts.  The resample is
+a narrow projection plus a top-k.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.caching import track_cache
+
+#: 2^32 + 1 — maps the 8-hex-char md5 prefix to u in (0, 1) exclusive on
+#: both ends, so ln(-ln(u)) is finite even at the extreme hash values.
+_GUMBEL_SPACE = 4294967297.0
+
+
+def _hash_int(key: Column, seed: str) -> Column:
+    """First 32 bits of md5("<key>:<seed>") as a BIGINT in [0, 2^32).
+
+    Oracle: ``('0x' || substr(md5(k || ':<seed>'), 1, 8))::BIGINT``.
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(f":{seed}"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 256,
+    seed: str = "dsir",
+) -> DataFrame:
+    """(id, bucket, cnt): hashed uni+bigram bag-of-words features.
+
+    Bigrams come from zip_with(words, words[2:]) — the trailing pair is
+    (last_word, NULL), which concat() nulls out and filter() drops, so a
+    one-word document contributes exactly its unigram and no bigram.
+    """
+    w = F.split(F.col(text_col), " ")
+    bigrams = F.filter(
+        F.zip_with(
+            w,
+            F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(F.concat(w, bigrams)).alias("__gram")
+    )
+    return (
+        grams.select(
+            F.col(id_col),
+            (_hash_int(F.col("__gram"), seed) % num_buckets).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def fit_bucket_logratio(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    num_buckets: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(bucket, ratio_micro): per-bucket ln(p̂_target) − ln(p̂_raw) on an
+    exact 1e-6 integer grid.
+
+    Inputs are (bucket, cnt) aggregates (≤ num_buckets rows each).  Both
+    models are add-alpha smoothed over the full bucket space, so buckets
+    unseen on either side stay finite.  The full outer join keeps every
+    bucket either side observed; callers joining doc features against it
+    only ever probe raw-side buckets.
+    """
+    t = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    r = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    t_tot = t.agg(F.sum("tc").alias("ttot"))
+    r_tot = r.agg(F.sum("rc").alias("rtot"))
+    joined = (
+        t.join(r, "bucket", "full_outer")
+        .na.fill({"tc": 0, "rc": 0})
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+    )
+    log_ratio = F.ln(
+        (F.col("tc") + F.lit(alpha)) / (F.col("ttot") + F.lit(alpha * num_buckets))
+    ) - F.ln(
+        (F.col("rc") + F.lit(alpha)) / (F.col("rtot") + F.lit(alpha * num_buckets))
+    )
+    return joined.select(
+        "bucket",
+        F.round(log_ratio * F.lit(1e6)).cast("long").alias("ratio_micro"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """(id, logw_micro): per-document DSIR importance log-weight, as the
+    exact integer dot product c·ratio_micro.
+
+    ``df`` is the raw corpus being selected from; ``target_df`` carries
+    the distribution to select toward (it never needs ids — only text).
+    The doc-bucket frame is cached (tracked-release contract) because
+    the raw bucket model and the weighting both read it; without the pin
+    the lineage would scan the corpus twice.
+    """
+    doc_buckets = hashed_ngram_buckets(
+        df, id_col, text_col, num_buckets, seed
+    ).persist()
+    raw_counts = doc_buckets.select("bucket", "cnt")
+    target_counts = hashed_ngram_buckets(
+        target_df, id_col, text_col, num_buckets, seed
+    ).select("bucket", "cnt")
+    ratios = fit_bucket_logratio(target_counts, raw_counts, num_buckets, alpha)
+    out = (
+        doc_buckets.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("ratio_micro")).alias("logw_micro"))
+    )
+    return track_cache(out, [doc_buckets])
+
+
+def gumbel_key(weight_micro: Column, id_col: Column, seed: str) -> Column:
+    """weight + Gumbel(0,1) on the 1e-6 grid, the Gumbel draw a pure
+    function of md5(id ':' seed): -ln(-ln(u)), u in (0, 1)."""
+    u = (_hash_int(id_col, seed) + F.lit(1.0)) / F.lit(_GUMBEL_SPACE)
+    return weight_micro + F.round(-F.ln(-F.ln(u)) * F.lit(1e6)).cast("long")
+
+
+def dsir_resample(
+    weights: DataFrame,
+    id_col: str,
+    k: int,
+    weight_col: str = "logw_micro",
+    seed: str = "dsirg",
+) -> DataFrame:
+    """(id, key_micro): k documents sampled without replacement with
+    probability ∝ softmax(log w), via Gumbel top-k on deterministic
+    hash draws.  Ties (possible only at identical key_micro) break on
+    id, so the selected set is a pure function of (weights, seed, k).
+    """
+    keyed = weights.select(
+        F.col(id_col),
+        gumbel_key(F.col(weight_col), F.col(id_col), seed).alias("key_micro"),
+    )
+    return keyed.orderBy(F.col("key_micro").desc(), F.col(id_col)).limit(k)
+
+
+def dsir_select(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """End-to-end DSIR: featurize → fit → weight → Gumbel top-k.
+    Returns (id, logw_micro, key_micro) for the k selected documents."""
+    w = dsir_weights(df, target_df, id_col, text_col, num_buckets, alpha, seed)
+    keyed = w.select(
+        F.col(id_col),
+        F.col("logw_micro"),
+        gumbel_key(F.col("logw_micro"), F.col(id_col), f"{seed}-g").alias(
+            "key_micro"
+        ),
+    )
+    return keyed.orderBy(F.col("key_micro").desc(), F.col(id_col)).limit(k)

@@ -1416,3 +1416,95 @@ def ext_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = logreg_fit(feats, ["x1", "x2"], "y", steps=8, lr=2.0)
     return logreg_metrics(feats, ["x1", "x2"], "y", w)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023) — r10
+
+_DSIR_WEIGHTS_CTES = """
+    toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, lang, g
+      FROM toks, unnest(list_concat(
+          w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      )) AS u(g)
+    ),
+    bucketed AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT) % 64 AS bucket
+      FROM grams
+    ),
+    doc_counts AS (
+      SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bucketed GROUP BY 1, 2, 3
+    ),
+    raw AS (SELECT bucket, SUM(cnt) AS rc FROM doc_counts GROUP BY 1),
+    tgt AS (SELECT bucket, SUM(cnt) AS tc FROM doc_counts
+            WHERE lang = 'en' GROUP BY 1),
+    rt AS (SELECT SUM(rc) AS rtot FROM raw),
+    tt AS (SELECT SUM(tc) AS ttot FROM tgt),
+    ratios AS (
+      SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+             CAST(ROUND((ln((COALESCE(tc, 0) + 1.0) / (ttot + 1.0 * 64))
+                       - ln((COALESCE(rc, 0) + 1.0) / (rtot + 1.0 * 64)))
+                  * 1e6) AS BIGINT) AS ratio_micro
+      FROM raw r FULL JOIN tgt t USING (bucket), rt, tt
+    ),
+    weights AS (
+      SELECT doc_id, CAST(SUM(cnt * ratio_micro) AS BIGINT) AS logw_micro
+      FROM doc_counts JOIN ratios USING (bucket)
+      GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "ext_dsir_weights",
+    oracle="WITH" + _DSIR_WEIGHTS_CTES + """
+    SELECT doc_id, logw_micro FROM weights
+    """,
+    doc="DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169): "
+    "hashed uni+bigram bucket features (md5 mod 64), add-1-smoothed "
+    "target (lang='en') vs raw bucket models, per-doc weight as the "
+    "exact integer dot product against the 1e-6-grid log-ratio table — "
+    "the bucket models are <=B rows and broadcast; the one data-sized "
+    "shuffle keys on (doc, bucket).",
+)
+def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dsir import dsir_weights
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return dsir_weights(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text",
+        num_buckets=64, alpha=1.0, seed="dsir",
+    )
+
+
+@register(
+    "ext_dsir_resample",
+    oracle="WITH" + _DSIR_WEIGHTS_CTES + """,
+    keyed AS (
+      SELECT doc_id, logw_micro,
+             logw_micro + CAST(ROUND(-ln(-ln(
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir-g'),
+                              1, 8))::BIGINT + 1.0) / 4294967297.0
+             )) * 1e6) AS BIGINT) AS key_micro
+      FROM weights
+    )
+    SELECT doc_id, logw_micro, key_micro
+    FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 100
+    """,
+    doc="DSIR Gumbel top-k resample: 100 docs without replacement with "
+    "probability proportional to softmax(log w), the Gumbel draw a pure "
+    "function of md5(id ':' seed) so both engines select the identical "
+    "set; Spark plans TakeOrderedAndProject (per-partition partial "
+    "top-k), never a single-partition window.",
+)
+def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dsir import dsir_select
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return dsir_select(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text",
+        k=100, num_buckets=64, alpha=1.0, seed="dsir",
+    )

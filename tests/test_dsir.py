@@ -1,0 +1,98 @@
+"""DSIR importance resampling (ext/dsir.py).
+
+Pins: the direction of the weights (target-like docs score higher), the
+exact-integer determinism contract (partitioning invariance), the
+Gumbel top-k selection properties (size, determinism, weight bias), and
+the one-word-document bigram edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+from rabbit_in_a_blender_spark.ext.dsir import (
+    dsir_resample,
+    dsir_select,
+    dsir_weights,
+    hashed_ngram_buckets,
+)
+
+# Two clearly separated token distributions: "science" docs (target-like)
+# and "spam" docs.  Vocabulary overlap is zero so the planted direction
+# is unambiguous.
+_SCI = "quantum field theory predicts particle interactions with precision"
+_SPAM = "buy cheap pills now click here free offer win prize"
+
+
+def _corpus(spark, n_sci=20, n_spam=20):
+    rows = []
+    for i in range(n_sci):
+        rows.append((i, f"{_SCI} variant {i}"))
+    for j in range(n_spam):
+        rows.append((1000 + j, f"{_SPAM} variant {j}"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_weights_favor_target_like_docs(spark):
+    raw = _corpus(spark)
+    target = spark.createDataFrame(
+        [(9000 + i, _SCI) for i in range(5)], ["doc_id", "text"]
+    )
+    w = dsir_weights(raw, target, "doc_id", "text", num_buckets=128)
+    rows = {r.doc_id: r.logw_micro for r in w.collect()}
+    unpersist_intermediates(w)
+    sci = [v for k, v in rows.items() if k < 1000]
+    spam = [v for k, v in rows.items() if k >= 1000]
+    assert len(rows) == 40
+    assert min(sci) > max(spam), "every target-like doc must outweigh every spam doc"
+
+
+def test_weights_partitioning_invariant(spark):
+    raw = _corpus(spark)
+    target = raw.filter(F.col("doc_id") < 1000)
+    base = dsir_weights(raw, target, "doc_id", "text", num_buckets=64)
+    got1 = sorted((r.doc_id, r.logw_micro) for r in base.collect())
+    unpersist_intermediates(base)
+    re = dsir_weights(
+        raw.repartition(7), target.repartition(3), "doc_id", "text", num_buckets=64
+    )
+    got2 = sorted((r.doc_id, r.logw_micro) for r in re.collect())
+    unpersist_intermediates(re)
+    assert got1 == got2
+
+
+def test_resample_is_deterministic_and_biased(spark):
+    raw = _corpus(spark, n_sci=30, n_spam=30)
+    target = spark.createDataFrame([(9000, _SCI)], ["doc_id", "text"])
+    w = dsir_weights(raw, target, "doc_id", "text", num_buckets=128)
+    sel1 = sorted(r.doc_id for r in dsir_resample(w, "doc_id", k=20).collect())
+    sel2 = sorted(r.doc_id for r in dsir_resample(w, "doc_id", k=20).collect())
+    unpersist_intermediates(w)
+    assert sel1 == sel2
+    assert len(sel1) == 20
+    n_sci = sum(1 for d in sel1 if d < 1000)
+    # With zero vocab overlap the softmax gap is enormous: the sample
+    # must be essentially all target-like docs.
+    assert n_sci >= 18
+
+
+def test_select_end_to_end_k_bound_and_schema(spark):
+    raw = _corpus(spark)
+    target = raw.filter(F.col("doc_id") < 1000)
+    out = dsir_select(raw, target, "doc_id", "text", k=7, num_buckets=64)
+    rows = out.collect()
+    unpersist_intermediates(out)
+    assert len(rows) == 7
+    assert set(out.columns) == {"doc_id", "logw_micro", "key_micro"}
+
+
+def test_one_word_doc_has_no_bigram(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "two words")], ["doc_id", "text"])
+    counts = hashed_ngram_buckets(df, "doc_id", "text", num_buckets=1024)
+    per_doc = {
+        r.doc_id: r.total
+        for r in counts.groupBy("doc_id").agg(F.sum("cnt").alias("total")).collect()
+    }
+    assert per_doc[1] == 1  # one unigram, zero bigrams
+    assert per_doc[2] == 3  # two unigrams + one bigram
