@@ -236,3 +236,56 @@ def cluster_top_terms(
             "score",
         )
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    query_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) of N ranked
+    lists: score(q, d) = Σ_lists 1 / (k + rank_list(q, d)).
+
+    The hybrid-retrieval combiner — fuse BM25's lexical top-k with an
+    embedding ANN top-k without comparing their incommensurable scores;
+    only ranks cross the boundary.  Each contribution is pinned to the
+    exact integer ``round(1e6 / (k + rank))`` so the fused score is an
+    order-independent BIGINT sum (oracle-replayable bit-for-bit).
+
+    Scale: inputs are already top-k lists (|Q| x k rows — tiny relative
+    to the corpora that produced them), so the union + groupBy(q, d)
+    shuffles list-sized data only, and the per-query cut is a window
+    over ≤ N·k rows per query.  Returns (query, doc, rrf_micro,
+    n_lists) — n_lists tells reranker stages how many retrievers
+    agreed on the candidate.
+    """
+    from functools import reduce
+
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(doc_col),
+            F.round(F.lit(1e6) / (F.lit(k) + F.col(rank_col)))
+            .cast("long")
+            .alias("__contrib"),
+        )
+        for r in ranked
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = unioned.groupBy(query_col, doc_col).agg(
+        F.sum("__contrib").alias("rrf_micro"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    if topk is None:
+        return fused
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_micro").desc(), F.col(doc_col)
+    )
+    return (
+        fused.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= topk)
+        .drop("__rn")
+    )

@@ -1508,3 +1508,123 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, d.filter(F.col("lang") == "en"), "doc_id", "text",
         k=100, num_buckets=64, alpha=1.0, seed="dsir",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion of BM25 + dense cosine — r10
+
+@register(
+    "ext_hybrid_rrf",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id AS qid,
+             array_to_string(string_split(text, ' ')[3:8], ' ') AS qtext
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    postings AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      GROUP BY doc_id, dl, term
+    ),
+    scalars AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM documents
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term),
+    qterms AS (
+      SELECT DISTINCT qid, t AS term
+      FROM q, unnest(string_split(qtext, ' ')) AS u(t)
+    ),
+    qstats AS (
+      SELECT qid, term, df, n_docs, avgdl
+      FROM dfreq JOIN qterms USING (term), scalars
+      WHERE df <= n_docs * 0.85
+    ),
+    bm25 AS (
+      SELECT qid, doc_id,
+             ROUND(SUM(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ), 4) AS score
+      FROM postings JOIN qstats USING (term)
+      GROUP BY qid, doc_id
+    ),
+    sparse_ranked AS (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM bm25
+    ),
+    qv AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+    dense_scored AS (
+      SELECT qid, doc_id,
+             ROUND(list_dot_product(cvec, qvec)
+                   / (sqrt(list_dot_product(cvec, cvec))
+                      * sqrt(list_dot_product(qvec, qvec))), 4) AS cosine
+      FROM cv CROSS JOIN qv
+      WHERE doc_id <> qid
+    ),
+    dense_ranked AS (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, doc_id) AS rank
+      FROM dense_scored
+    ),
+    unioned AS (
+      SELECT qid, doc_id, rank FROM sparse_ranked WHERE rank <= 10
+      UNION ALL
+      SELECT qid, doc_id, rank FROM dense_ranked WHERE rank <= 10
+    ),
+    fused AS (
+      SELECT qid, doc_id,
+             CAST(SUM(CAST(ROUND(1000000.0 / (60 + rank)) AS BIGINT)) AS BIGINT)
+               AS rrf_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM unioned GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, rrf_micro, n_lists
+    FROM fused
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY rrf_micro DESC, doc_id) <= 5
+    """,
+    doc="Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
+    "2009): BM25 lexical top-10 and exact dense-cosine top-10 (the "
+    "documents and embeddings tables are id-aligned) fused as "
+    "sum(round(1e6/(60+rank))) — an order-independent integer, so the "
+    "whole two-retriever pipeline replays in DuckDB; only ranks cross "
+    "the lexical/dense boundary, never incommensurable scores.",
+)
+def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..ext.retrieval import bm25_topk, rrf_fuse
+    from ..ext.similarity import cosine_topk_arrow
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    d, e = t["documents"], t["embeddings"]
+    q = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 3, 6)).alias("qtext"),
+    )
+    sparse = bm25_topk(
+        d, q, "doc_id", "text", "qid", "qtext",
+        k=10, k1=1.2, b=0.75, max_df_fraction=0.85,
+    ).select("qid", "doc_id", "rank")
+    dense_scores = cosine_topk_arrow(
+        e, e.filter(F.col("vec_id") % 97 == 0), "vec_id", "embedding", k=10
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    dense = dense_scores.select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number().over(w).alias("rank"),
+    )
+    return rrf_fuse([sparse, dense], "qid", "doc_id", "rank", k=60, topk=5)

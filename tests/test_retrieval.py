@@ -209,3 +209,50 @@ def test_cluster_top_terms_labels_clusters(spark):
            by_cluster[0] == [(1, "shuffle"), (2, "join")]
     assert by_cluster[1][0] == (1, "protein")
     assert all(t != "the" for ranks in by_cluster.values() for _, t in ranks)
+
+
+# --------------------------------------------------------------------------
+# Reciprocal Rank Fusion (ext/retrieval.py::rrf_fuse)
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, ["qid", "doc_id", "rank"])
+
+
+def test_rrf_fuse_exact_integer_math(spark):
+    from rabbit_in_a_blender_spark.ext.retrieval import rrf_fuse
+
+    sparse = _ranked(spark, [(1, 10, 1), (1, 11, 2)])
+    dense = _ranked(spark, [(1, 11, 1), (1, 12, 2)])
+    out = {
+        r.doc_id: (r.rrf_micro, r.n_lists)
+        for r in rrf_fuse([sparse, dense], k=60).collect()
+    }
+    # contributions: round(1e6/61)=16393, round(1e6/62)=16129
+    assert out[10] == (16393, 1)
+    assert out[11] == (16129 + 16393, 2)  # rank 2 sparse + rank 1 dense
+    assert out[12] == (16129, 1)
+
+
+def test_rrf_agreement_beats_single_list(spark):
+    from rabbit_in_a_blender_spark.ext.retrieval import rrf_fuse
+
+    # doc 20 is rank 1 in ONE list; doc 21 is rank 3 in BOTH lists.
+    # 2/(60+3) > 1/(60+1), so the agreed-on doc must win the fusion.
+    sparse = _ranked(spark, [(1, 20, 1), (1, 21, 3)])
+    dense = _ranked(spark, [(1, 22, 1), (1, 21, 3)])
+    top = rrf_fuse([sparse, dense], k=60, topk=1).collect()
+    assert len(top) == 1 and top[0].doc_id == 21
+
+
+def test_rrf_topk_cut_is_per_query_with_id_ties(spark):
+    from rabbit_in_a_blender_spark.ext.retrieval import rrf_fuse
+
+    # Two queries; query 2's docs tie exactly (same rank in one list
+    # each), so the cut must break on doc_id.
+    a = _ranked(spark, [(1, 1, 1), (1, 2, 2), (2, 7, 1)])
+    b = _ranked(spark, [(1, 3, 1), (2, 5, 1)])
+    out = rrf_fuse([a, b], k=60, topk=1).collect()
+    got = {r.qid: r.doc_id for r in out}
+    assert got[1] in (1, 3)  # equal 16393 micros -> lower doc_id wins
+    assert got[1] == 1
+    assert got[2] == 5  # tie at rank 1: doc 5 < doc 7
