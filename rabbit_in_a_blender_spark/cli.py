@@ -346,6 +346,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "id-hash sub-buckets), bounding the per-cluster "
                         "pair blowup a degenerate corpus can cause; "
                         "trades recall on the hot cluster (default: off)")
+    x.add_argument("--dsir-select", metavar="DOCS",
+                   help="DSIR data selection (Xie et al. 2023): resample "
+                        "--dsir-k documents from DOCS toward the "
+                        "distribution of --dsir-target, by importance "
+                        "weights over hashed uni+bigram buckets and "
+                        "deterministic Gumbel top-k; writes the selected "
+                        "rows to --out, or prints weight statistics")
+    x.add_argument("--dsir-target", metavar="DOCS",
+                   help="With --dsir-select: corpus whose distribution "
+                        "to select toward (parquet dir/file or "
+                        ".jsonl[.gz]); only its text column is read")
+    x.add_argument("--dsir-k", type=int, default=None,
+                   help="With --dsir-select + --out: how many documents "
+                        "to select (required when writing)")
+    x.add_argument("--dsir-buckets", type=int, default=10000,
+                   help="With --dsir-select: hashed n-gram bucket count "
+                        "(default %(default)s, the paper's 10k)")
     return p
 
 
@@ -1114,6 +1131,66 @@ def _graph_rank(args, cfg) -> int:
     return 0
 
 
+def _dsir_select(args, cfg) -> int:
+    """User-facing DSIR (`ext/dsir.py`): importance-resample a raw
+    corpus toward a target corpus's hashed-n-gram distribution."""
+    from pyspark.sql import functions as F
+
+    from .core.caching import unpersist_intermediates
+    from .ext.dsir import dsir_resample, dsir_weights
+
+    if not args.dsir_target:
+        raise SystemExit("--dsir-select requires --dsir-target")
+    spark = _ext_session(cfg)
+    raw = _load_corpus(spark, args.dsir_select)
+    target = _load_corpus(spark, args.dsir_target)
+    for c in (args.id_col, args.text_col):
+        if c not in raw.columns:
+            raise SystemExit(
+                f"column {c!r} not in {args.dsir_select} ({raw.columns})"
+            )
+    if args.text_col not in target.columns:
+        raise SystemExit(
+            f"column {args.text_col!r} not in {args.dsir_target} "
+            f"({target.columns})"
+        )
+    # The target never needs ids — synthesize one so dsir_weights'
+    # column contract holds even for a text-only benchmark dump.
+    tgt = (
+        target if args.id_col in target.columns
+        else target.withColumn(args.id_col, F.monotonically_increasing_id())
+    )
+    w = dsir_weights(
+        raw, tgt, args.id_col, args.text_col,
+        num_buckets=args.dsir_buckets,
+    )
+    if args.out:
+        if not args.dsir_k:
+            raise SystemExit("--dsir-select with --out requires --dsir-k")
+        sel = dsir_resample(w, args.id_col, k=args.dsir_k)
+        kept = raw.join(sel.select(args.id_col), args.id_col, "left_semi")
+        _write_docs(kept, args.out, args.format)
+        unpersist_intermediates(w)
+        print(
+            f"wrote {args.dsir_k} DSIR-selected docs -> {args.out} "
+            f"({args.format})"
+        )
+        return 0
+    stats = w.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.min("logw_micro").alias("lo"),
+        F.expr("percentile(logw_micro, 0.5)").alias("med"),
+        F.max("logw_micro").alias("hi"),
+    ).first()
+    unpersist_intermediates(w)
+    print(
+        f"{stats['rows']} docs weighted toward {args.dsir_target}: "
+        f"log-weight micro min={stats['lo']} median={stats['med']:.0f} "
+        f"max={stats['hi']} over {args.dsir_buckets} buckets"
+    )
+    return 0
+
+
 def _write_docs(df, out: str, fmt: str) -> None:
     if fmt == "jsonl":
         df.write.mode("overwrite").json(out)
@@ -1205,6 +1282,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.semantic_dedup:
         return _semantic_dedup(args, cfg)
+
+    if args.dsir_select:
+        return _dsir_select(args, cfg)
 
     if args.create_folders:
         from .folders import create_cdm_folders

@@ -749,3 +749,40 @@ def test_semantic_dedup_cli_stats_and_kept_rows(spark, capsys, tmpdir_):
                "--config", cfg])
     assert rc == 0
     assert "across 8 clusters" in capsys.readouterr().out
+
+
+def test_dsir_select_cli_stats_and_selected_rows(spark, capsys, tmpdir_):
+    """--dsir-select prints weight stats, and with --out/--dsir-k writes
+    exactly k rows biased toward the target distribution."""
+    root = str(tmpdir_)
+    raw_p = os.path.join(root, "dsir_raw")
+    tgt_p = os.path.join(root, "dsir_tgt")
+    sci = "quantum field theory predicts particle interactions"
+    spam = "buy cheap pills now click here free offer"
+    rows = [(i, f"{sci} v{i}") for i in range(10)]
+    rows += [(100 + j, f"{spam} v{j}") for j in range(10)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(raw_p)
+    spark.createDataFrame([(0, sci)], "doc_id long, text string") \
+        .write.parquet(tgt_p)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    rc = main(["--dsir-select", raw_p, "--dsir-target", tgt_p,
+               "--dsir-buckets", "128", "--config", cfg])
+    assert rc == 0
+    assert "20 docs weighted toward" in capsys.readouterr().out
+    out = os.path.join(root, "dsir_out")
+    rc = main(["--dsir-select", raw_p, "--dsir-target", tgt_p,
+               "--dsir-buckets", "128", "--dsir-k", "8",
+               "--out", out, "--config", cfg])
+    assert rc == 0
+    sel = spark.read.parquet(out).collect()
+    assert len(sel) == 8
+    # zero vocab overlap -> the selection must be all target-like docs
+    assert all(r["doc_id"] < 100 for r in sel)
+    # missing --dsir-target fails loud
+    try:
+        main(["--dsir-select", raw_p, "--config", cfg])
+        assert False, "expected SystemExit"
+    except SystemExit as e:
+        assert "dsir-target" in str(e)
