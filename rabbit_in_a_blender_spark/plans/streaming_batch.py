@@ -437,3 +437,109 @@ def stream_drift_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.read.parquet(report_dir).select("stratum", "n_docs", "psi")
+
+
+@register(
+    "stream_heavy_hitters_batch",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks GROUP BY token
+    HAVING COUNT(*) * 30 > (SELECT COUNT(*) FROM toks)
+    """,
+    doc="The streaming Misra-Gries tracker (streaming/stateful.py "
+    "stream_heavy_hitters, applyInPandasWithState + update mode) under "
+    "the hash gate: document tokens replay as two micro-batches routed "
+    "to 8 sharded MG(30) sketches; the final candidate snapshot is a "
+    "guaranteed superset of tokens with frequency > n/30, so the exact "
+    "batch-side re-count + threshold filter equals the plain HAVING "
+    "oracle — the same answer as ext_heavy_hitters, with the screen "
+    "pass streamed instead of scanned.",
+)
+def stream_heavy_hitters_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from ..streaming.stateful import stream_heavy_hitters
+
+    k = 30
+    d = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    root = tempfile.mkdtemp(prefix="riab_shh_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    for i, half in enumerate(
+        (d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1))
+    ):
+        tmp = os.path.join(root, f"half{i}")
+        half.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    name = f"riab_shh_{uuid.uuid4().hex[:8]}"
+    stream_toks = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    query = (
+        stream_heavy_hitters(stream_toks, "token", k=k, shards=8)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    batch_toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    total = batch_toks.count()
+    deadline = time.time() + 240
+    seen = -1
+    while time.time() < deadline:
+        seen = (
+            spark.table(name)
+            .groupBy("shard")
+            .agg(F.max("n_seen").alias("__n"))
+            .agg(F.sum("__n"))
+            .first()[0]
+        )
+        if seen == total:
+            break
+        time.sleep(2)
+    query.stop()
+    if seen != total:
+        raise TimeoutError(
+            f"stream_heavy_hitters_batch: sketches drained {seen}/{total} "
+            "tokens within the 240s deadline — environment too slow, not "
+            "a stateful-operator bug"
+        )
+    from pyspark.sql.window import Window
+
+    mem = spark.table(name)
+    # final sketch = the max-n_seen snapshot per shard (update mode
+    # appends one snapshot per shard per micro-batch); window-max
+    # instead of a self-join (memory-sink self-joins trip reference
+    # resolution) — the sink holds sketch rows, metadata-sized
+    snap = mem.withColumn(
+        "__mx", F.max("n_seen").over(Window.partitionBy("shard"))
+    ).where(F.col("n_seen") == F.col("__mx"))
+    cand = (
+        snap.where(F.col("item").isNotNull())
+        .select(F.col("item").alias("token"))
+        .distinct()
+    )
+    exact = (
+        batch_toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") * k > F.lit(int(total)))
+    )
+    return exact

@@ -17,6 +17,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -294,4 +295,109 @@ def stream_zscore(
         stateStructType=ZSCORE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming heavy hitters (Misra-Gries in state) ---------------------
+#
+# The streaming twin of ext/heavy.py::heavy_hitters: items route to a
+# shard (same item -> same shard, so an item's full mass folds into ONE
+# sketch), each shard keeps a Misra-Gries(k) sketch in state — at most
+# k counters per shard regardless of stream length or universe size.
+# The MG guarantee is order-independent: after ANY prefix, every item
+# with frequency > n_shard/(k+1) holds a counter, so the candidate set
+# is always a superset of the true heavy hitters and an exact batch-side
+# re-count of the candidates yields the identical answer to the full
+# groupBy — sketch noise can only add candidates the filter discards.
+#
+# State: (items, counts, n_seen) — bounded by k entries per shard.
+# Output (update mode): per batch, each surviving counter plus a NULL
+# sentinel row; every row carries the shard's cumulative n_seen, so a
+# consumer takes the max-n_seen snapshot per shard as the final sketch.
+
+MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+MG_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("count_lb", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _make_mg_update(k: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            items, counts, n = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            for item in pdf["item"]:
+                if item is None:
+                    continue
+                n += 1
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        state.update((list(counters.keys()), list(counters.values()), n))
+        state.setTimeoutDuration(3600 * 1000)
+        survivors = sorted(counters)
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * (len(survivors) + 1),
+                "item": survivors + [None],
+                "count_lb": [counters[s] for s in survivors] + [0],
+                "n_seen": [n] * (len(survivors) + 1),
+            }
+        )
+
+    return update
+
+
+def stream_heavy_hitters(
+    items: DataFrame, item_col: str, k: int, shards: int = 8
+) -> DataFrame:
+    """Streaming Misra-Gries candidate tracking over ``items`` (a
+    streaming DataFrame).  Route items by crc32 so an item's whole mass
+    lands in one sketch; state is <= k counters per shard.
+
+    The final snapshot (max-n_seen rows per shard) is a guaranteed
+    superset of items with global frequency > n/(k+1); re-count the
+    candidates exactly over stored data to get the same answer as the
+    full groupBy — the two-pass contract of ext/heavy.py, with pass one
+    streamed.
+    """
+    routed = items.select(
+        F.col(item_col).cast("string").alias("item"),
+        (F.crc32(F.col(item_col).cast("string")) % shards).alias("shard"),
+    )
+    return routed.groupBy("shard").applyInPandasWithState(
+        _make_mg_update(k),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

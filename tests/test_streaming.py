@@ -578,3 +578,105 @@ def test_stream_zscore_rejects_lateness_beyond_lookback(spark):
     )
     with pytest.raises(ValueError, match="allowed_lateness"):
         stream_zscore(src, "event_type", lookback=4, allowed_lateness=5)
+
+
+def test_stream_heavy_hitters_superset_and_exact_recount(spark):
+    """Sharded Misra-Gries sketches across two micro-batches: the final
+    candidate snapshot is a superset of the true heavy hitters, state is
+    bounded by k per shard, and the exact re-count + threshold filter
+    equals the plain groupBy answer."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rabbit_in_a_blender_spark.streaming.stateful import stream_heavy_hitters
+    from rabbit_in_a_blender_spark.streaming.windows import streaming_events_source
+
+    k = 3
+    # Skewed universe: 'hot' dominates across both batches, 'warm' is
+    # borderline, the tail is unique items that can only displace
+    # counters, never win one.
+    b1 = ["hot"] * 30 + ["warm"] * 10 + [f"t{i}" for i in range(20)]
+    b2 = ["hot"] * 25 + ["warm"] * 12 + [f"u{i}" for i in range(20)]
+    tmp = tempfile.mkdtemp(prefix="riab_shh_test_")
+    try:
+        for i, items in enumerate((b1, b2)):
+            df = spark.createDataFrame([(x,) for x in items], ["token"])
+            df.coalesce(1).write.parquet(f"{tmp}/in/b{i}")
+        n = 0
+        for i, sub in enumerate(sorted(os.listdir(f"{tmp}/in"))):
+            for f in os.listdir(f"{tmp}/in/{sub}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{tmp}/in/{sub}/{f}", f"{tmp}/stream_{i}.parquet")
+                    os.utime(
+                        f"{tmp}/stream_{i}.parquet",
+                        (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000),
+                    )
+        src = streaming_events_source(
+            spark, tmp,
+            schema=spark.createDataFrame([("x",)], ["token"]).schema,
+            max_files=1,
+        )
+        q = (
+            stream_heavy_hitters(src, "token", k=k, shards=2)
+            .writeStream.format("memory")
+            .queryName("riab_shh_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # ProcessingTimeTimeout keeps scheduling timeout batches, so
+        # availableNow never self-terminates — poll for drain, then stop
+        import time
+
+        total = len(b1) + len(b2)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            drained = (
+                spark.table("riab_shh_test")
+                .groupBy("shard").agg(F.max("n_seen").alias("__n"))
+                .agg(F.sum("__n")).first()[0]
+            )
+            if drained == total:
+                break
+            time.sleep(1)
+        q.stop()
+        assert drained == total
+        mem = spark.table("riab_shh_test")
+        snap = mem.withColumn(
+            "__mx", F.max("n_seen").over(Window.partitionBy("shard"))
+        ).where(F.col("n_seen") == F.col("__mx"))
+        # bounded state: <= k candidate rows per shard in the snapshot
+        per_shard = {
+            r["shard"]: r["nc"]
+            for r in snap.where(F.col("item").isNotNull())
+            .groupBy("shard").agg(F.count(F.lit(1)).alias("nc")).collect()
+        }
+        assert all(v <= k for v in per_shard.values())
+        # every token seen exactly once (across shards)
+        seen = sum(
+            r["n_seen"]
+            for r in snap.select("shard", "n_seen").distinct().collect()
+        )
+        assert seen == total
+        cands = {
+            r["item"]
+            for r in snap.where(F.col("item").isNotNull()).collect()
+        }
+        batch = spark.createDataFrame([(x,) for x in b1 + b2], ["token"])
+        exact = {
+            r["token"]: r["freq"]
+            for r in batch.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .collect()
+        }
+        true_hh = {t for t, f in exact.items() if f * k > total}
+        assert true_hh  # fixture sanity: 'hot' qualifies (55*3 > 117)
+        assert true_hh <= cands, "MG candidates must cover every true HH"
+        # exact re-count + filter == the full groupBy answer
+        recounted = {t: exact[t] for t in cands if exact[t] * k > total}
+        assert recounted == {t: exact[t] for t in true_hh}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS riab_shh_test")
+        shutil.rmtree(tmp, ignore_errors=True)
