@@ -111,6 +111,11 @@ NON_HEADLINE = [
     # SemDeDup semantic flag pass (within-cluster pairwise cosine)
     "ext_dup_passages_lsh",
     "ext_semantic_dedup",
+    # r10 additions: DSIR selection, RRF hybrid retrieval, and the
+    # streamed Misra-Gries screen
+    "ext_dsir_resample",
+    "ext_hybrid_rrf",
+    "stream_heavy_hitters_batch",
 ]
 
 

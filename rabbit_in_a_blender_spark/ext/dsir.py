@@ -32,8 +32,6 @@ a narrow projection plus a top-k.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

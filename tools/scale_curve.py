@@ -176,6 +176,10 @@ def main() -> None:
         shutil.rmtree(scaled_dir, ignore_errors=True)
         _semdedup_curve(spark, reps)
         return
+    if only == "dsir":
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _dsir_curve(spark, reps)
+        return
     try:
         build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
         points = [
@@ -1052,6 +1056,66 @@ def _semdedup_curve(spark, reps: int) -> None:
             f"| {label} | {r['rows']:,} | {r['c_dense']} | "
             f"{r['dense_median']} | {r['dense_arrow_median']} | "
             f"{r['fixedc8_median']} |"
+        )
+
+
+
+
+def _dsir_curve(spark, reps: int) -> None:
+    # --- DSIR scale curve (round 10) ---------------------------------
+    # dsir_select (featurize → fit → weight → Gumbel top-k) on salted
+    # doc replicas of sf0.1 (the passages-curve base: x100 = 500k
+    # docs, the proven work-dominated regime).  Salting makes
+    # every replica's grams distinct, so the DISTINCT-gram space grows
+    # with k while the bucket space stays at the paper's B=10k — the
+    # per-bucket counts grow, the broadcast log-ratio table doesn't.
+    # Expected shape: linear in tokens — one explode scan into a
+    # partial-aggregated (doc, bucket) shuffle, a <=B-row broadcast
+    # join, one (doc) agg, and a TakeOrderedAndProject.
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.dsir import dsir_select
+
+    src = "/root/testdata/sf0.1"
+    results = {}
+    for label, k in (
+        ("docs-x10", 10),
+        ("docs-x50", 50),
+        ("docs-x100", 100),
+    ):
+        tmp = tempfile.mkdtemp(prefix=f"scale_dsir{k}_")
+        try:
+            build_replicated_docs(spark, src, tmp, k)
+            docs = spark.read.parquet(f"{tmp}/documents.parquet")
+            n_docs = docs.count()
+            target = docs.filter(F.col("lang") == "en")
+
+            def run():
+                out = dsir_select(
+                    docs, target, "doc_id", "text",
+                    k=1000, num_buckets=10000,
+                )
+                out.write.format("noop").mode("overwrite").save()
+                unpersist_intermediates(out)
+
+            run()  # warmup
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                run()
+                samples.append(round(time.perf_counter() - t0, 3))
+            med = sorted(samples)[len(samples) // 2]
+            results[label] = {"docs": n_docs, "reps": samples, "median": med}
+            print(f"## dsir {label}: {n_docs} docs {results[label]}", flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(results))
+    print("\n| point | docs | dsir_select median s | docs/s |")
+    print("|---|---|---|---|")
+    for label, r in results.items():
+        print(
+            f"| {label} | {r['docs']:,} | {r['median']} | "
+            f"{round(r['docs'] / r['median']):,} |"
         )
 
 
