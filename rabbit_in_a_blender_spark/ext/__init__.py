@@ -19,11 +19,13 @@ from .dedup import (
     unpersist_intermediates,
 )
 from .dsir import (
+    dsir_model_counts,
     dsir_resample,
     dsir_select,
     dsir_weights,
     fit_bucket_logratio,
     hashed_ngram_buckets,
+    incremental_dsir_weights,
 )
 from .packing import bin_summary, pack_next_fit
 from .sampling import (
@@ -76,6 +78,8 @@ __all__ = [
     "dsir_weights",
     "dsir_resample",
     "dsir_select",
+    "dsir_model_counts",
+    "incremental_dsir_weights",
     "cosine_topk",
     "text_stats",
     "token_counts",

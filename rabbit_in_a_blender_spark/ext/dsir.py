@@ -28,6 +28,9 @@ fit and the weighting from it; :func:`dsir_weights` does this via the
 tracked-cache contract), once more never — the bucket models and the
 log-ratio table are ≤ B rows and ride as broadcasts.  The resample is
 a narrow projection plus a top-k.
+
+Reference parity note: the reference (RiaB) has no data-selection
+surface; extension scope (SURVEY §2.N training-data operators).
 """
 
 from __future__ import annotations
@@ -206,3 +209,65 @@ def dsir_select(
         ),
     )
     return keyed.orderBy(F.col("key_micro").desc(), F.col(id_col)).limit(k)
+
+
+def dsir_model_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 256,
+    seed: str = "dsir",
+) -> DataFrame:
+    """(bucket, cnt): a corpus's aggregated bucket model — the
+    persistable state of a DSIR screen (≤ num_buckets rows, metadata at
+    any corpus size; store it and fold increments in with
+    :func:`incremental_dsir_weights` instead of re-scanning history)."""
+    return (
+        hashed_ngram_buckets(df, id_col, text_col, num_buckets, seed)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def incremental_dsir_weights(
+    batch: DataFrame,
+    raw_model: DataFrame,
+    target_model: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-crawl DSIR: score ONLY the new batch, in O(batch).
+
+    ``raw_model`` is the persisted (bucket, cnt) aggregate of every
+    previously seen document (:func:`dsir_model_counts`);
+    ``target_model`` is the frozen target distribution.  The batch's
+    bucket counts fold into the raw model first, so the importance
+    weights are exactly what a full-corpus :func:`dsir_weights` with
+    the same frozen target would assign to these documents
+    (equality pytest-pinned) — without ever touching historical text.
+
+    Returns ``(weights, updated_raw_model)``: persist the updated model
+    for the next increment.  Per increment the corpus-sized work is one
+    scan of the BATCH; the models stay ≤ num_buckets rows and ride as
+    broadcasts.
+    """
+    doc_buckets = hashed_ngram_buckets(
+        batch, id_col, text_col, num_buckets, seed
+    ).persist()
+    batch_model = doc_buckets.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    updated_raw = (
+        raw_model.select("bucket", "cnt")
+        .unionByName(batch_model)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    ratios = fit_bucket_logratio(target_model, updated_raw, num_buckets, alpha)
+    weights = (
+        doc_buckets.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("ratio_micro")).alias("logw_micro"))
+    )
+    return track_cache(weights, [doc_buckets]), updated_raw

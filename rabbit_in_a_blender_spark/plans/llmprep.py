@@ -1628,3 +1628,65 @@ def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rank"),
     )
     return rrf_fuse([sparse, dense], "qid", "doc_id", "rank", k=60, topk=5)
+
+
+@register(
+    "ext_incremental_dsir",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, lang, g
+      FROM toks, unnest(list_concat(
+          w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      )) AS u(g)
+    ),
+    bucketed AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT) % 64 AS bucket
+      FROM grams
+    ),
+    doc_counts AS (
+      SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bucketed GROUP BY 1, 2, 3
+    ),
+    raw AS (SELECT bucket, SUM(cnt) AS rc FROM doc_counts GROUP BY 1),
+    tgt AS (SELECT bucket, SUM(cnt) AS tc FROM doc_counts
+            WHERE lang = 'en' AND doc_id % 2 = 0 GROUP BY 1),
+    rt AS (SELECT SUM(rc) AS rtot FROM raw),
+    tt AS (SELECT SUM(tc) AS ttot FROM tgt),
+    ratios AS (
+      SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+             CAST(ROUND((ln((COALESCE(tc, 0) + 1.0) / (ttot + 1.0 * 64))
+                       - ln((COALESCE(rc, 0) + 1.0) / (rtot + 1.0 * 64)))
+                  * 1e6) AS BIGINT) AS ratio_micro
+      FROM raw r FULL JOIN tgt t USING (bucket), rt, tt
+    )
+    SELECT doc_id, CAST(SUM(cnt * ratio_micro) AS BIGINT) AS logw_micro
+    FROM doc_counts JOIN ratios USING (bucket)
+    WHERE doc_id % 2 = 1
+    GROUP BY doc_id
+    """,
+    doc="Continuous-crawl DSIR (two-batch replay): batch 1 (even "
+    "doc_ids) bootstraps the persisted raw bucket model and the FROZEN "
+    "target model (its en docs); batch 2 (odd doc_ids) folds its own "
+    "bucket counts into the raw model and scores ONLY itself against "
+    "the updated ratios — O(batch) per increment, historical text never "
+    "re-read, models <=B rows.  The oracle's raw model over ALL docs is "
+    "exactly the post-fold state, so the incremental path is proven "
+    "equal to a full-corpus scoring with the same frozen target.",
+)
+def ext_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dsir import dsir_model_counts, incremental_dsir_weights
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    even = d.filter(F.col("doc_id") % 2 == 0)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    raw_model = dsir_model_counts(even, "doc_id", "text", num_buckets=64)
+    target_model = dsir_model_counts(
+        even.filter(F.col("lang") == "en"), "doc_id", "text", num_buckets=64
+    )
+    w, _updated = incremental_dsir_weights(
+        odd, raw_model, target_model, "doc_id", "text",
+        num_buckets=64, alpha=1.0, seed="dsir",
+    )
+    return w

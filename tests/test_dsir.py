@@ -96,3 +96,38 @@ def test_one_word_doc_has_no_bigram(spark):
     }
     assert per_doc[1] == 1  # one unigram, zero bigrams
     assert per_doc[2] == 3  # two unigrams + one bigram
+
+
+def test_incremental_equals_full_batch_for_delta_docs(spark):
+    """Folding the batch into the persisted raw model and scoring only
+    the batch must equal a full-corpus dsir_weights run with the same
+    frozen target — the O(delta) contract."""
+    from rabbit_in_a_blender_spark.ext.dsir import (
+        dsir_model_counts,
+        incremental_dsir_weights,
+    )
+
+    corpus = _corpus(spark)
+    batch1 = corpus.filter(F.col("doc_id") % 2 == 0)
+    batch2 = corpus.filter(F.col("doc_id") % 2 == 1)
+    target = spark.createDataFrame([(9000, _SCI)], ["doc_id", "text"])
+
+    raw_model = dsir_model_counts(batch1, "doc_id", "text", num_buckets=64)
+    target_model = dsir_model_counts(target, "doc_id", "text", num_buckets=64)
+    inc_w, updated = incremental_dsir_weights(
+        batch2, raw_model, target_model, "doc_id", "text", num_buckets=64
+    )
+    inc = {r.doc_id: r.logw_micro for r in inc_w.collect()}
+
+    full_w = dsir_weights(corpus, target, "doc_id", "text", num_buckets=64)
+    full = {r.doc_id: r.logw_micro for r in full_w.collect()}
+    unpersist_intermediates(inc_w, full_w)
+    assert inc == {k: v for k, v in full.items() if k % 2 == 1}
+
+    # the updated model is the whole corpus's bucket aggregate
+    whole = {
+        (r.bucket, r.cnt)
+        for r in dsir_model_counts(corpus, "doc_id", "text", num_buckets=64)
+        .collect()
+    }
+    assert {(r.bucket, r.cnt) for r in updated.collect()} == whole
