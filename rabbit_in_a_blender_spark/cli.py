@@ -363,6 +363,14 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--dsir-buckets", type=int, default=10000,
                    help="With --dsir-select: hashed n-gram bucket count "
                         "(default %(default)s, the paper's 10k)")
+    x.add_argument("--dsir-model", metavar="DIR",
+                   help="With --dsir-select: persistable bucket-model "
+                        "directory.  Absent/empty -> bootstrap it from "
+                        "this corpus + --dsir-target; existing -> "
+                        "O(batch) incremental scoring against the "
+                        "stored models (the batch's counts fold in as "
+                        "appended rows; the target model stays frozen, "
+                        "so --dsir-target is not read)")
     return p
 
 
@@ -1133,37 +1141,102 @@ def _graph_rank(args, cfg) -> int:
 
 def _dsir_select(args, cfg) -> int:
     """User-facing DSIR (`ext/dsir.py`): importance-resample a raw
-    corpus toward a target corpus's hashed-n-gram distribution."""
+    corpus toward a target corpus's hashed-n-gram distribution.
+    With --dsir-model: persisted bucket models — bootstrap on first
+    run, O(batch) incremental scoring (frozen target) afterwards."""
+    import json as _json
+    import os as _os
+
     from pyspark.sql import functions as F
 
     from .core.caching import unpersist_intermediates
-    from .ext.dsir import dsir_resample, dsir_weights
+    from .core.fsio import parquet_exists
+    from .ext.dsir import (
+        dsir_model_counts,
+        dsir_resample,
+        dsir_weights,
+        incremental_dsir_weights,
+    )
 
-    if not args.dsir_target:
-        raise SystemExit("--dsir-select requires --dsir-target")
     spark = _ext_session(cfg)
     raw = _load_corpus(spark, args.dsir_select)
-    target = _load_corpus(spark, args.dsir_target)
     for c in (args.id_col, args.text_col):
         if c not in raw.columns:
             raise SystemExit(
                 f"column {c!r} not in {args.dsir_select} ({raw.columns})"
             )
-    if args.text_col not in target.columns:
-        raise SystemExit(
-            f"column {args.text_col!r} not in {args.dsir_target} "
-            f"({target.columns})"
+    raw_model_path = (
+        f"{args.dsir_model.rstrip('/')}/raw_model" if args.dsir_model else None
+    )
+    incremental = bool(raw_model_path) and parquet_exists(spark, raw_model_path)
+    buckets = args.dsir_buckets
+    if incremental:
+        # Frozen models: --dsir-target is not read; bucket count and
+        # seed come from the model dir's meta so an increment can never
+        # silently score against mismatched hashing.
+        meta_path = _os.path.join(args.dsir_model, "meta.json")
+        try:
+            with open(meta_path) as fh:
+                meta = _json.load(fh)
+            buckets = int(meta["buckets"])
+        except (OSError, KeyError, ValueError) as e:
+            raise SystemExit(
+                f"--dsir-model {args.dsir_model} exists but its "
+                f"meta.json is unreadable ({e}); refusing to guess the "
+                "bucket count"
+            )
+        raw_model = spark.read.parquet(raw_model_path)
+        target_model = spark.read.parquet(
+            f"{args.dsir_model.rstrip('/')}/target_model"
         )
-    # The target never needs ids — synthesize one so dsir_weights'
-    # column contract holds even for a text-only benchmark dump.
-    tgt = (
-        target if args.id_col in target.columns
-        else target.withColumn(args.id_col, F.monotonically_increasing_id())
-    )
-    w = dsir_weights(
-        raw, tgt, args.id_col, args.text_col,
-        num_buckets=args.dsir_buckets,
-    )
+        w, _updated = incremental_dsir_weights(
+            raw, raw_model, target_model, args.id_col, args.text_col,
+            num_buckets=buckets,
+        )
+        # Fold the batch in by APPENDING its aggregate rows — the next
+        # increment's fit re-aggregates by bucket, so append is exact
+        # and avoids overwriting a directory we are lazily reading.
+        dsir_model_counts(
+            raw, args.id_col, args.text_col, num_buckets=buckets
+        ).write.mode("append").parquet(raw_model_path)
+        print(
+            f"incremental DSIR: batch scored against {args.dsir_model} "
+            f"(B={buckets}, frozen target); batch counts folded in"
+        )
+    else:
+        if not args.dsir_target:
+            raise SystemExit(
+                "--dsir-select requires --dsir-target (or an existing "
+                "--dsir-model to score against)"
+            )
+        target = _load_corpus(spark, args.dsir_target)
+        if args.text_col not in target.columns:
+            raise SystemExit(
+                f"column {args.text_col!r} not in {args.dsir_target} "
+                f"({target.columns})"
+            )
+        # The target never needs ids — synthesize one so dsir_weights'
+        # column contract holds even for a text-only benchmark dump.
+        tgt = (
+            target if args.id_col in target.columns
+            else target.withColumn(args.id_col, F.monotonically_increasing_id())
+        )
+        w = dsir_weights(
+            raw, tgt, args.id_col, args.text_col, num_buckets=buckets
+        )
+        if args.dsir_model:
+            _os.makedirs(args.dsir_model, exist_ok=True)
+            dsir_model_counts(
+                raw, args.id_col, args.text_col, num_buckets=buckets
+            ).write.mode("overwrite").parquet(raw_model_path)
+            dsir_model_counts(
+                tgt, args.id_col, args.text_col, num_buckets=buckets
+            ).write.mode("overwrite").parquet(
+                f"{args.dsir_model.rstrip('/')}/target_model"
+            )
+            with open(_os.path.join(args.dsir_model, "meta.json"), "w") as fh:
+                _json.dump({"buckets": buckets, "seed": "dsir"}, fh)
+            print(f"bootstrapped DSIR models -> {args.dsir_model} (B={buckets})")
     if args.out:
         if not args.dsir_k:
             raise SystemExit("--dsir-select with --out requires --dsir-k")
@@ -1183,10 +1256,11 @@ def _dsir_select(args, cfg) -> int:
         F.max("logw_micro").alias("hi"),
     ).first()
     unpersist_intermediates(w)
+    toward = args.dsir_target or f"models in {args.dsir_model}"
     print(
-        f"{stats['rows']} docs weighted toward {args.dsir_target}: "
+        f"{stats['rows']} docs weighted toward {toward}: "
         f"log-weight micro min={stats['lo']} median={stats['med']:.0f} "
-        f"max={stats['hi']} over {args.dsir_buckets} buckets"
+        f"max={stats['hi']} over {buckets} buckets"
     )
     return 0
 

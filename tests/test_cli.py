@@ -786,3 +786,62 @@ def test_dsir_select_cli_stats_and_selected_rows(spark, capsys, tmpdir_):
         assert False, "expected SystemExit"
     except SystemExit as e:
         assert "dsir-target" in str(e)
+
+
+def test_dsir_model_bootstrap_then_incremental(spark, capsys, tmpdir_):
+    """--dsir-model bootstraps persisted bucket models on first run,
+    then scores later batches incrementally (frozen target, no
+    --dsir-target needed) and folds their counts in."""
+    root = str(tmpdir_)
+    b1 = os.path.join(root, "dsir_b1")
+    b2 = os.path.join(root, "dsir_b2")
+    tgt = os.path.join(root, "dsir_t")
+    model = os.path.join(root, "dsir_model")
+    sci = "quantum field theory predicts particle interactions"
+    spam = "buy cheap pills now click here free offer"
+    spark.createDataFrame(
+        [(i, f"{sci} v{i}") for i in range(5)]
+        + [(100 + j, f"{spam} v{j}") for j in range(5)],
+        "doc_id long, text string",
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(200 + i, f"{sci} w{i}") for i in range(3)]
+        + [(300 + j, f"{spam} w{j}") for j in range(3)],
+        "doc_id long, text string",
+    ).write.parquet(b2)
+    spark.createDataFrame([(0, sci)], "doc_id long, text string") \
+        .write.parquet(tgt)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    # bootstrap
+    rc = main(["--dsir-select", b1, "--dsir-target", tgt,
+               "--dsir-buckets", "128", "--dsir-model", model,
+               "--config", cfg])
+    assert rc == 0
+    out1 = capsys.readouterr().out
+    assert "bootstrapped DSIR models" in out1
+    assert os.path.exists(os.path.join(model, "meta.json"))
+    # incremental: no --dsir-target, bucket count comes from meta.json
+    rc = main(["--dsir-select", b2, "--dsir-model", model, "--config", cfg])
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    assert "incremental DSIR" in out2 and "B=128" in out2
+    assert "6 docs weighted" in out2  # batch docs only, never history
+    # the fold appended the batch's aggregate rows into the raw model:
+    # total gram mass = sum over ALL docs (both batches) of 2*words - 1
+    from pyspark.sql import functions as F
+
+    raw_rows = spark.read.parquet(os.path.join(model, "raw_model"))
+    n_total_grams = raw_rows.agg(F.sum("cnt")).first()[0]
+    b_all = spark.read.parquet(b1).union(spark.read.parquet(b2))
+    words = [len(r["text"].split(" ")) for r in b_all.collect()]
+    assert n_total_grams == sum(2 * w - 1 for w in words)
+    # corrupt meta fails loud instead of guessing the bucket count
+    with open(os.path.join(model, "meta.json"), "w") as f:
+        f.write("{}")
+    try:
+        main(["--dsir-select", b2, "--dsir-model", model, "--config", cfg])
+        assert False, "expected SystemExit"
+    except SystemExit as e:
+        assert "meta.json" in str(e)
