@@ -116,6 +116,7 @@ NON_HEADLINE = [
     "ext_dsir_resample",
     "ext_hybrid_rrf",
     "stream_heavy_hitters_batch",
+    "stream_dsir_batch",
 ]
 
 

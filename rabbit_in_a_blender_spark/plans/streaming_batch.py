@@ -543,3 +543,106 @@ def stream_heavy_hitters_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("freq") * k > F.lit(int(total)))
     )
     return exact
+
+
+@register(
+    "stream_dsir_batch",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, lang, g
+      FROM toks, unnest(list_concat(
+          w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      )) AS u(g)
+    ),
+    bucketed AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT) % 64 AS bucket
+      FROM grams
+    ),
+    doc_counts AS (
+      SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bucketed GROUP BY 1, 2, 3
+    ),
+    tgt AS (SELECT bucket, SUM(cnt) AS tc FROM doc_counts
+            WHERE lang = 'en' GROUP BY 1),
+    tt AS (SELECT SUM(tc) AS ttot FROM tgt),
+    raw1 AS (SELECT bucket, SUM(cnt) AS rc FROM doc_counts
+             WHERE doc_id % 2 = 0 GROUP BY 1),
+    rt1 AS (SELECT SUM(rc) AS rtot FROM raw1),
+    ratios1 AS (
+      SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+             CAST(ROUND((ln((COALESCE(tc, 0) + 1.0) / (ttot + 1.0 * 64))
+                       - ln((COALESCE(rc, 0) + 1.0) / (rtot + 1.0 * 64)))
+                  * 1e6) AS BIGINT) AS ratio_micro
+      FROM raw1 r FULL JOIN tgt t USING (bucket), rt1, tt
+    ),
+    raw2 AS (SELECT bucket, SUM(cnt) AS rc FROM doc_counts GROUP BY 1),
+    rt2 AS (SELECT SUM(rc) AS rtot FROM raw2),
+    ratios2 AS (
+      SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+             CAST(ROUND((ln((COALESCE(tc, 0) + 1.0) / (ttot + 1.0 * 64))
+                       - ln((COALESCE(rc, 0) + 1.0) / (rtot + 1.0 * 64)))
+                  * 1e6) AS BIGINT) AS ratio_micro
+      FROM raw2 r FULL JOIN tgt t USING (bucket), rt2, tt
+    )
+    SELECT doc_id, CAST(SUM(cnt * ratio_micro) AS BIGINT) AS logw_micro
+    FROM doc_counts JOIN ratios1 USING (bucket)
+    WHERE doc_id % 2 = 0 GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, CAST(SUM(cnt * ratio_micro) AS BIGINT) AS logw_micro
+    FROM doc_counts JOIN ratios2 USING (bucket)
+    WHERE doc_id % 2 = 1 GROUP BY doc_id
+    """,
+    doc="The streaming DSIR selector (streaming/sink.py "
+    "stream_dsir_select, foreachBatch) under the hash gate: documents "
+    "replay as two micro-batches; batch 1 bootstraps the raw bucket "
+    "model and is scored against itself, batch 2 folds in and is "
+    "scored against the full history — each batch's at-arrival weights "
+    "are exactly a full-corpus dsir_weights over history-so-far with "
+    "the frozen target (all en docs), which is what the oracle's two "
+    "ratio stages replay.  The Spark side runs the REAL sink with "
+    "checkpointing and append-mode model folds.",
+)
+def stream_dsir_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..ext.dsir import dsir_model_counts
+    from ..streaming.sink import stream_dsir_select
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    target_model = dsir_model_counts(
+        d.filter(F.col("lang") == "en"), "doc_id", "text", num_buckets=64
+    )
+    root = tempfile.mkdtemp(prefix="riab_sdsir_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    for i, half in enumerate(
+        (d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1))
+    ):
+        tmp = os.path.join(root, f"half{i}")
+        half.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    out_dir = os.path.join(root, "out")
+    query = (
+        stream_dsir_select(
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            out_dir=out_dir,
+            model_dir=os.path.join(root, "model"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            target_model=target_model,
+            num_buckets=64,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).select("doc_id", "logw_micro")

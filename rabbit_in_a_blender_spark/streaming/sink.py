@@ -115,3 +115,68 @@ def stream_corpus_dedup(
         stream_docs.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def stream_dsir_select(
+    stream_docs: DataFrame,
+    out_dir: str,
+    model_dir: str,
+    checkpoint_dir: str,
+    target_model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+):
+    """Build (not start) a writeStream that DSIR-scores each micro-batch
+    at arrival — the streaming face of the CLI's incremental
+    ``--dsir-select --dsir-model`` (continuous-crawl data selection).
+
+    Per micro-batch: fold the batch's hashed-n-gram bucket counts into
+    the persisted raw model (``model_dir``; first batch bootstraps it),
+    score ONLY the batch against (frozen ``target_model``, updated raw
+    model), and append ``(id, logw_micro)`` rows to ``out_dir``.  The
+    raw model is <= num_buckets aggregate rows per batch, so state
+    lives in a metadata-sized table, never executor memory; per-batch
+    cost is one scan of the batch — historical text is never re-read.
+
+    A batch's weights are exactly what :func:`ext.dsir.dsir_weights`
+    over the full history-so-far (same frozen target) would assign —
+    the incremental-equality contract, which is what makes the whole
+    stream SQL-replayable batch by batch.
+
+    Replay semantics mirror stream_corpus_dedup: scores append BEFORE
+    the model fold, so a crash between the writes re-appends scores on
+    replay rather than silently dropping them; for exactly-once swap
+    both appends for Delta MERGE — the call-site contract is unchanged.
+
+    Returns the DataStreamWriter; callers pick the trigger.
+    """
+    from ..core.caching import unpersist_intermediates
+    from ..core.fsio import parquet_exists
+    from ..ext.dsir import dsir_model_counts, incremental_dsir_weights
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        raw_model = (
+            spark.read.parquet(model_dir)
+            if parquet_exists(spark, model_dir)
+            else spark.createDataFrame([], "bucket long, cnt long")
+        )
+        weights, _updated = incremental_dsir_weights(
+            batch_df, raw_model, target_model, id_col, text_col,
+            num_buckets=num_buckets, alpha=alpha, seed=seed,
+        )
+        weights.write.mode("append").parquet(out_dir)
+        dsir_model_counts(
+            batch_df, id_col, text_col, num_buckets=num_buckets, seed=seed
+        ).write.mode("append").parquet(model_dir)
+        unpersist_intermediates(weights)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )

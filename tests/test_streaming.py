@@ -680,3 +680,84 @@ def test_stream_heavy_hitters_superset_and_exact_recount(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS riab_shh_test")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dsir_select_folds_history_across_batches(spark):
+    """foreachBatch DSIR: batch 1 is scored against itself, batch 2
+    against the folded history — each at-arrival weight equals a
+    full-history dsir_weights with the same frozen target."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.dsir import dsir_model_counts, dsir_weights
+    from rabbit_in_a_blender_spark.streaming.sink import stream_dsir_select
+
+    sci = "quantum field theory predicts particle interactions"
+    spam = "buy cheap pills now click here free offer"
+    b1 = [(i, f"{sci} v{i}") for i in range(4)] + [
+        (100 + j, f"{spam} v{j}") for j in range(4)
+    ]
+    b2 = [(200 + i, f"{sci} w{i}") for i in range(3)] + [
+        (300 + j, f"{spam} w{j}") for j in range(3)
+    ]
+    target = spark.createDataFrame([(0, sci)], "doc_id long, text string")
+    target_model = dsir_model_counts(target, "doc_id", "text", num_buckets=128)
+    tmp = tempfile.mkdtemp(prefix="riab_sdsir_test_")
+    try:
+        for i, rows in enumerate((b1, b2)):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            df.coalesce(1).write.parquet(f"{tmp}/in/b{i}")
+        for i, sub in enumerate(sorted(os.listdir(f"{tmp}/in"))):
+            for f in os.listdir(f"{tmp}/in/{sub}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{tmp}/in/{sub}/{f}", f"{tmp}/stream_{i}.parquet")
+                    os.utime(
+                        f"{tmp}/stream_{i}.parquet",
+                        (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000),
+                    )
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        q = (
+            stream_dsir_select(
+                src,
+                out_dir=f"{tmp}/out",
+                model_dir=f"{tmp}/model",
+                checkpoint_dir=f"{tmp}/ckpt",
+                target_model=target_model,
+                num_buckets=128,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.doc_id: r.logw_micro
+            for r in spark.read.parquet(f"{tmp}/out").collect()
+        }
+        assert len(got) == len(b1) + len(b2)
+        # batch 1's weights == full dsir_weights over batch 1 only
+        d1 = spark.createDataFrame(b1, "doc_id long, text string")
+        w1 = dsir_weights(d1, target, "doc_id", "text", num_buckets=128)
+        exp1 = {r.doc_id: r.logw_micro for r in w1.collect()}
+        # batch 2's weights == full history (b1+b2) raw model
+        d_all = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+        w_all = dsir_weights(d_all, target, "doc_id", "text", num_buckets=128)
+        exp2 = {r.doc_id: r.logw_micro for r in w_all.collect()}
+        unpersist_intermediates(w1, w_all)
+        for doc_id, _ in b1:
+            assert got[doc_id] == exp1[doc_id]
+        for doc_id, _ in b2:
+            assert got[doc_id] == exp2[doc_id]
+        # the model dir now holds the full history's gram mass
+        mass = (
+            spark.read.parquet(f"{tmp}/model").agg(F.sum("cnt")).first()[0]
+        )
+        words = [len(t.split(" ")) for _, t in b1 + b2]
+        assert mass == sum(2 * w - 1 for w in words)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
