@@ -1203,6 +1203,25 @@ def _dsir_select(args, cfg) -> int:
             f"incremental DSIR: batch scored against {args.dsir_model} "
             f"(B={buckets}, frozen target); batch counts folded in"
         )
+        # Append-mode folds decay into one tiny file per increment;
+        # re-fold to <=B rows once the directory passes 64 files (the
+        # model is metadata-sized, so this is a driver-side aggregate).
+        # Local-path probe only — on object-store URIs run
+        # ext.dsir.compact_model on your own cadence.
+        try:
+            n_files = len(
+                [f for f in _os.listdir(raw_model_path) if f.endswith(".parquet")]
+            )
+        except OSError:
+            n_files = 0
+        if n_files > 64:
+            from .ext.dsir import compact_model
+
+            n_rows = compact_model(spark, raw_model_path)
+            print(
+                f"compacted raw model: {n_files} files -> 1 "
+                f"({n_rows} bucket rows)"
+            )
     else:
         if not args.dsir_target:
             raise SystemExit(

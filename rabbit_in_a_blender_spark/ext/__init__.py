@@ -19,6 +19,7 @@ from .dedup import (
     unpersist_intermediates,
 )
 from .dsir import (
+    compact_model,
     dsir_model_counts,
     dsir_resample,
     dsir_select,
@@ -80,6 +81,7 @@ __all__ = [
     "dsir_select",
     "dsir_model_counts",
     "incremental_dsir_weights",
+    "compact_model",
     "cosine_topk",
     "text_stats",
     "token_counts",

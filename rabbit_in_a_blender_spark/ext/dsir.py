@@ -271,3 +271,27 @@ def incremental_dsir_weights(
         .agg(F.sum(F.col("cnt") * F.col("ratio_micro")).alias("logw_micro"))
     )
     return track_cache(weights, [doc_buckets]), updated_raw
+
+
+def compact_model(spark, model_dir: str) -> int:
+    """Fold an append-mode bucket-model directory back to ≤ num_buckets
+    rows in one file; returns the compacted row count.
+
+    Every incremental fold appends one aggregate file, so a long-running
+    screen decays into thousands of tiny files whose rows the next fit
+    must re-aggregate.  The model is ≤ B rows by construction — the
+    documented metadata-sized exception to the no-collect rule — so
+    compaction materializes the aggregate on the driver first, which
+    makes the overwrite of the directory being read safe without a
+    staged rename."""
+    rows = [
+        (r["bucket"], r["cnt"])
+        for r in spark.read.parquet(model_dir)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    ]
+    spark.createDataFrame(rows, "bucket long, cnt long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(model_dir)
+    return len(rows)

@@ -131,3 +131,30 @@ def test_incremental_equals_full_batch_for_delta_docs(spark):
         .collect()
     }
     assert {(r.bucket, r.cnt) for r in updated.collect()} == whole
+
+
+def test_compact_model_preserves_aggregate(spark, tmp_path):
+    """Compaction folds the appended model files to <=B rows in one
+    file without changing the bucket aggregate."""
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.ext.dsir import compact_model, dsir_model_counts
+
+    model_dir = str(tmp_path / "model")
+    c1 = _corpus(spark, n_sci=5, n_spam=5)
+    c2 = _corpus(spark, n_sci=3, n_spam=3)
+    dsir_model_counts(c1, "doc_id", "text", num_buckets=64).write.mode(
+        "append"
+    ).parquet(model_dir)
+    dsir_model_counts(c2, "doc_id", "text", num_buckets=64).write.mode(
+        "append"
+    ).parquet(model_dir)
+    before = {
+        r.bucket: r.cnt
+        for r in spark.read.parquet(model_dir)
+        .groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    n = compact_model(spark, model_dir)
+    after = {r.bucket: r.cnt for r in spark.read.parquet(model_dir).collect()}
+    assert after == before
+    assert n == len(before) <= 64
