@@ -68,3 +68,59 @@ def test_soak_100_increments_release_all_caches(spark):
         assert total_clean == 200  # 2 unique docs per increment survived
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_soak_50_dsir_increments_release_all_caches(spark):
+    """The DSIR counterpart: 50 incremental_dsir_weights increments in
+    ONE session with the bucket model persisted to parquet between
+    increments (compacted every 16th) — zero cache accumulation, and
+    the model's gram mass tracks the full history exactly."""
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.ext.dsir import (
+        compact_model,
+        dsir_model_counts,
+        incremental_dsir_weights,
+    )
+
+    sc = spark.sparkContext
+    baseline = len(sc._jsc.getPersistentRDDs())
+    root = tempfile.mkdtemp(prefix="riab_soak_dsir_")
+    model_dir = os.path.join(root, "model")
+    target = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    target_model = dsir_model_counts(target, "doc_id", "text", num_buckets=64)
+    grams = 0
+    try:
+        for it in range(50):
+            batch = spark.createDataFrame(
+                [
+                    (it * 10 + 1, f"alpha beta w{it}"),
+                    (it * 10 + 2, f"spam{it} junk{it} noise{it}"),
+                ],
+                "doc_id long, text string",
+            )
+            grams += 2 * (2 * 3 - 1)  # two 3-word docs per increment
+            raw_model = (
+                spark.read.parquet(model_dir)
+                if it > 0
+                else spark.createDataFrame([], "bucket long, cnt long")
+            )
+            w, _updated = incremental_dsir_weights(
+                batch, raw_model, target_model, "doc_id", "text", num_buckets=64
+            )
+            assert w.count() == 2
+            dsir_model_counts(
+                batch, "doc_id", "text", num_buckets=64
+            ).write.mode("append").parquet(model_dir)
+            unpersist_intermediates(w)
+            if it % 16 == 15:
+                compact_model(spark, model_dir)
+            now = len(sc._jsc.getPersistentRDDs())
+            assert now == baseline, (it, now, baseline)
+        mass = spark.read.parquet(model_dir).agg(F.sum("cnt")).first()[0]
+        assert mass == grams
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
