@@ -117,6 +117,7 @@ NON_HEADLINE = [
     "ext_hybrid_rrf",
     "stream_heavy_hitters_batch",
     "stream_dsir_batch",
+    "ext_ccnet_buckets",
 ]
 
 

@@ -523,3 +523,47 @@ def pmi_collocations(
         )
         .filter(F.col("pmi") >= min_pmi)
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: float = 0.5,
+    cuts: tuple[float, float] = (0.25, 0.75),
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020,
+    arXiv:1911.00359) by LM fluency: documents ranked by their
+    :func:`bigram_logprob` score and cut at the ``cuts`` quantiles —
+    higher log-probability (= lower perplexity) lands in *head*, the
+    paper's "keep first" stratum.
+
+    The paper cuts at thirds; the default cuts are (0.25, 0.75) because
+    quarter fractions are exact binary doubles — the quantile index
+    (n-1)·q computes identically in every engine, which keeps a
+    data-point-landing threshold engine-reproducible (1/3 rounds in FP
+    and the index can straddle an integer differently per engine).
+    Scores are on the 4-dp grid, and an interpolated threshold lies
+    strictly between adjacent distinct scores, so no document's bucket
+    depends on FP noise.
+
+    One extra scalar pass over the score frame (exact `percentile`;
+    swap `approx_percentile` at 100 TB — same call shape, sketch-
+    merged); the two thresholds broadcast as a 1-row frame.
+    """
+    scored = bigram_logprob(df, id_col, text_col, k)
+    th = scored.agg(
+        F.expr(
+            f"percentile(mean_bigram_logprob, array({cuts[0]!r}, {cuts[1]!r}))"
+        ).alias("__t")
+    )
+    lo = F.col("__t").getItem(0)
+    hi = F.col("__t").getItem(1)
+    return scored.crossJoin(F.broadcast(th)).select(
+        F.col(id_col),
+        "mean_bigram_logprob",
+        F.when(F.col("mean_bigram_logprob") >= hi, "head")
+        .when(F.col("mean_bigram_logprob") >= lo, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -1690,3 +1690,48 @@ def ext_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_buckets=64, alpha=1.0, seed="dsir",
     )
     return w
+
+
+@register(
+    "ext_ccnet_buckets",
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || chr(31) || w[i+1])) AS bg
+      FROM ws
+    ),
+    bc AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+    cc AS (SELECT string_split(bg, chr(31))[1] AS w1, SUM(c2) AS c1
+           FROM bc GROUP BY 1),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM bc),
+    sc AS (SELECT bg, ln((c2 + 0.5) / (c1 + 0.5 * v)) AS lp
+           FROM bc JOIN cc ON string_split(bg, chr(31))[1] = w1, v),
+    scored AS (
+      SELECT doc_id, ROUND(AVG(lp), 4) AS mean_bigram_logprob
+      FROM bi JOIN sc USING (bg)
+      GROUP BY doc_id
+    ),
+    th AS (
+      SELECT quantile_cont(mean_bigram_logprob, 0.25) AS lo,
+             quantile_cont(mean_bigram_logprob, 0.75) AS hi
+      FROM scored
+    )
+    SELECT doc_id, mean_bigram_logprob,
+           CASE WHEN mean_bigram_logprob >= hi THEN 'head'
+                WHEN mean_bigram_logprob >= lo THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored, th
+    """,
+    doc="CCNet-style head/middle/tail corpus split (Wenzek et al. "
+    "2020) by bigram-LM fluency: exact quantile thresholds at the "
+    "binary-exact (0.25, 0.75) cuts broadcast as one row; higher "
+    "log-probability = lower perplexity = head.  At 100 TB swap the "
+    "threshold pass for approx_percentile (same call shape).",
+)
+def ext_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import perplexity_buckets
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return perplexity_buckets(d, "doc_id", "text", k=0.5)

@@ -256,3 +256,29 @@ def test_rrf_topk_cut_is_per_query_with_id_ties(spark):
     assert got[1] in (1, 3)  # equal 16393 micros -> lower doc_id wins
     assert got[1] == 1
     assert got[2] == 5  # tie at rank 1: doc 5 < doc 7
+
+
+def test_perplexity_buckets_separate_fluent_from_salad(spark):
+    """CCNet bucketing: documents made of the corpus's common
+    transitions land in head; one-off word-salad lands in tail; the
+    cut proportions follow the (0.25, 0.75) quantiles."""
+    from rabbit_in_a_blender_spark.ext.text import perplexity_buckets
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, fluent) for i in range(8)]
+    # salad docs reuse corpus WORDS but in unseen orders (unique
+    # transitions -> low smoothed conditional probability)
+    salad_words = fluent.split(" ")
+    for j in range(4):
+        rotated = salad_words[j + 2:] + salad_words[: j + 2]
+        rows.append((100 + j, " ".join(rotated[::-1])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bucket for r in
+           perplexity_buckets(df, "doc_id", "text").collect()}
+    assert len(out) == 12
+    # every fluent doc scores identically -> all of them sit at the max
+    # score; the top-quartile cut lands inside that tie, so fluent docs
+    # are head and no salad doc can be
+    assert all(out[i] == "head" for i in range(8))
+    assert all(out[100 + j] in ("middle", "tail") for j in range(4))
+    assert sum(1 for b in out.values() if b == "tail") >= 3
