@@ -188,3 +188,69 @@ def test_token_budget_scalable_matches_strict(spark, tokens, budget):
         run += t
         prefix.append(i)
     assert {d for d, _ in a} == set(prefix)
+
+
+# --- round-10 additions: DSIR + RRF laws --------------------------------
+
+docs_strategy = st.lists(
+    st.text(alphabet="abcd ", min_size=1, max_size=24).map(
+        lambda s: " ".join(s.split()) or "a"
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(texts=docs_strategy)
+@_SLOW
+def test_dsir_weights_sum_law_under_self_target(spark, texts):
+    """Target == raw corpus ⇒ every bucket log-ratio is ~0 only when the
+    models coincide exactly; universally, weights are invariant to doc
+    ids and input partitioning, and defined for every doc."""
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.dsir import dsir_weights
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w1 = dsir_weights(df, df, "doc_id", "text", num_buckets=32)
+    got1 = sorted((r.doc_id, r.logw_micro) for r in w1.collect())
+    unpersist_intermediates(w1)
+    assert len(got1) == len(texts)
+    # self-target: p_t == p_r bucket-for-bucket ⇒ every ratio_micro is 0
+    assert all(v == 0 for _, v in got1)
+    w2 = dsir_weights(
+        df.repartition(5), df.repartition(3), "doc_id", "text", num_buckets=32
+    )
+    got2 = sorted((r.doc_id, r.logw_micro) for r in w2.collect())
+    unpersist_intermediates(w2)
+    assert got1 == got2
+
+
+@given(
+    ranks=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(1, 50)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t,
+    )
+)
+@_SLOW
+def test_rrf_score_monotone_in_rank(spark, ranks):
+    """A document can never lose fused score by improving a rank, and
+    appearing in both lists beats appearing in either alone."""
+    from rabbit_in_a_blender_spark.ext.retrieval import rrf_fuse
+
+    rows_a = [(1, i, r1) for i, (r1, _) in enumerate(ranks)]
+    rows_b = [(1, i, r2) for i, (_, r2) in enumerate(ranks)]
+    a = spark.createDataFrame(rows_a, "qid long, doc_id long, rank long")
+    b = spark.createDataFrame(rows_b, "qid long, doc_id long, rank long")
+    both = {
+        r.doc_id: r.rrf_micro for r in rrf_fuse([a, b], k=60).collect()
+    }
+    only_a = {
+        r.doc_id: r.rrf_micro for r in rrf_fuse([a], k=60).collect()
+    }
+    for i, (r1, r2) in enumerate(ranks):
+        assert both[i] > only_a[i]  # the second list can only add mass
+        expect = round(1e6 / (60 + r1)) + round(1e6 / (60 + r2))
+        assert both[i] == expect
