@@ -1170,20 +1170,24 @@ def _dsir_select(args, cfg) -> int:
     )
     incremental = bool(raw_model_path) and parquet_exists(spark, raw_model_path)
     buckets = args.dsir_buckets
+    seed = "dsir"
     if incremental:
-        # Frozen models: --dsir-target is not read; bucket count and
-        # seed come from the model dir's meta so an increment can never
-        # silently score against mismatched hashing.
+        # Frozen models: --dsir-target is not read; bucket count AND
+        # featurization seed come from the model dir's meta so an
+        # increment can never silently score against mismatched hashing
+        # (ADVICE r10: the seed must ride with the model, not fall back
+        # to whatever the library default happens to be).
         meta_path = _os.path.join(args.dsir_model, "meta.json")
         try:
             with open(meta_path) as fh:
                 meta = _json.load(fh)
             buckets = int(meta["buckets"])
+            seed = str(meta["seed"])
         except (OSError, KeyError, ValueError) as e:
             raise SystemExit(
                 f"--dsir-model {args.dsir_model} exists but its "
                 f"meta.json is unreadable ({e}); refusing to guess the "
-                "bucket count"
+                "bucket count or seed"
             )
         raw_model = spark.read.parquet(raw_model_path)
         target_model = spark.read.parquet(
@@ -1191,37 +1195,15 @@ def _dsir_select(args, cfg) -> int:
         )
         w, _updated = incremental_dsir_weights(
             raw, raw_model, target_model, args.id_col, args.text_col,
-            num_buckets=buckets,
+            num_buckets=buckets, seed=seed,
         )
-        # Fold the batch in by APPENDING its aggregate rows — the next
-        # increment's fit re-aggregates by bucket, so append is exact
-        # and avoids overwriting a directory we are lazily reading.
-        dsir_model_counts(
-            raw, args.id_col, args.text_col, num_buckets=buckets
-        ).write.mode("append").parquet(raw_model_path)
-        print(
-            f"incremental DSIR: batch scored against {args.dsir_model} "
-            f"(B={buckets}, frozen target); batch counts folded in"
-        )
-        # Append-mode folds decay into one tiny file per increment;
-        # re-fold to <=B rows once the directory passes 64 files (the
-        # model is metadata-sized, so this is a driver-side aggregate).
-        # Local-path probe only — on object-store URIs run
-        # ext.dsir.compact_model on your own cadence.
-        try:
-            n_files = len(
-                [f for f in _os.listdir(raw_model_path) if f.endswith(".parquet")]
-            )
-        except OSError:
-            n_files = 0
-        if n_files > 64:
-            from .ext.dsir import compact_model
-
-            n_rows = compact_model(spark, raw_model_path)
-            print(
-                f"compacted raw model: {n_files} files -> 1 "
-                f"({n_rows} bucket rows)"
-            )
+        # The batch's counts are folded in AFTER the stats/selection
+        # action below — `w`'s lazy plan holds the pre-fold file
+        # listing of raw_model_path, and fold/compaction must not
+        # touch that directory until the plan has run (ADVICE r10: the
+        # old fold-then-compact-then-materialize order deleted the
+        # listed part files mid-query on the first real-sized run, and
+        # crash-rerun double-counted the batch).
     else:
         if not args.dsir_target:
             raise SystemExit(
@@ -1241,25 +1223,31 @@ def _dsir_select(args, cfg) -> int:
             else target.withColumn(args.id_col, F.monotonically_increasing_id())
         )
         w = dsir_weights(
-            raw, tgt, args.id_col, args.text_col, num_buckets=buckets
+            raw, tgt, args.id_col, args.text_col, num_buckets=buckets,
+            seed=seed,
         )
         if args.dsir_model:
             _os.makedirs(args.dsir_model, exist_ok=True)
             dsir_model_counts(
-                raw, args.id_col, args.text_col, num_buckets=buckets
+                raw, args.id_col, args.text_col, num_buckets=buckets,
+                seed=seed,
             ).write.mode("overwrite").parquet(raw_model_path)
             dsir_model_counts(
-                tgt, args.id_col, args.text_col, num_buckets=buckets
+                tgt, args.id_col, args.text_col, num_buckets=buckets,
+                seed=seed,
             ).write.mode("overwrite").parquet(
                 f"{args.dsir_model.rstrip('/')}/target_model"
             )
             with open(_os.path.join(args.dsir_model, "meta.json"), "w") as fh:
-                _json.dump({"buckets": buckets, "seed": "dsir"}, fh)
+                _json.dump({"buckets": buckets, "seed": seed}, fh)
             print(f"bootstrapped DSIR models -> {args.dsir_model} (B={buckets})")
     if args.out:
         if not args.dsir_k:
             raise SystemExit("--dsir-select with --out requires --dsir-k")
-        sel = dsir_resample(w, args.id_col, k=args.dsir_k)
+        # Same derived Gumbel seed as ext.dsir.dsir_select, so the CLI
+        # selects the identical set the library/oracle would for these
+        # weights (ADVICE r10: it previously used a divergent default).
+        sel = dsir_resample(w, args.id_col, k=args.dsir_k, seed=f"{seed}-g")
         kept = raw.join(sel.select(args.id_col), args.id_col, "left_semi")
         _write_docs(kept, args.out, args.format)
         unpersist_intermediates(w)
@@ -1267,20 +1255,65 @@ def _dsir_select(args, cfg) -> int:
             f"wrote {args.dsir_k} DSIR-selected docs -> {args.out} "
             f"({args.format})"
         )
-        return 0
-    stats = w.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.min("logw_micro").alias("lo"),
-        F.expr("percentile(logw_micro, 0.5)").alias("med"),
-        F.max("logw_micro").alias("hi"),
-    ).first()
-    unpersist_intermediates(w)
-    toward = args.dsir_target or f"models in {args.dsir_model}"
-    print(
-        f"{stats['rows']} docs weighted toward {toward}: "
-        f"log-weight micro min={stats['lo']} median={stats['med']:.0f} "
-        f"max={stats['hi']} over {buckets} buckets"
-    )
+    else:
+        stats = w.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("logw_micro").alias("lo"),
+            F.expr("percentile(logw_micro, 0.5)").alias("med"),
+            F.max("logw_micro").alias("hi"),
+        ).first()
+        unpersist_intermediates(w)
+        toward = args.dsir_target or f"models in {args.dsir_model}"
+        print(
+            f"{stats['rows']} docs weighted toward {toward}: "
+            f"log-weight micro min={stats['lo']} median={stats['med']:.0f} "
+            f"max={stats['hi']} over {buckets} buckets"
+        )
+    if incremental:
+        # `w` is fully materialized (and released) by now, so touching
+        # raw_model_path is safe.  The fold is keyed by a digest of the
+        # batch's resolved source path: re-running a crashed increment
+        # is a no-op instead of a double-count.
+        import hashlib as _hashlib
+
+        from .ext.dsir import fold_model_increment
+
+        tag = _hashlib.sha256(
+            _os.path.abspath(args.dsir_select).encode()
+        ).hexdigest()[:16]
+        folded = fold_model_increment(
+            spark,
+            raw_model_path,
+            dsir_model_counts(
+                raw, args.id_col, args.text_col, num_buckets=buckets,
+                seed=seed,
+            ),
+            tag,
+        )
+        print(
+            f"incremental DSIR: batch scored against {args.dsir_model} "
+            f"(B={buckets}, frozen target); batch counts "
+            + ("folded in" if folded else "already folded (idempotent skip)")
+        )
+        # Single-file folds decay into one tiny file per increment;
+        # re-fold to <=B rows once the directory passes 64 files (the
+        # model is metadata-sized, so this is a driver-side aggregate).
+        # Local-path probe only — on object-store URIs run
+        # ext.dsir.compact_model on your own cadence.
+        try:
+            n_files = len(
+                [f for f in _os.listdir(raw_model_path) if f.endswith(".parquet")]
+            )
+        except OSError:
+            n_files = 0
+        if n_files > 64:
+            from .ext.dsir import compact_model
+
+            n_rows = compact_model(spark, raw_model_path)
+            print(
+                f"compacted raw model: {n_files} files -> 1 "
+                f"({n_rows} bucket rows)"
+            )
     return 0
 
 

@@ -174,12 +174,18 @@ def dsir_resample(
     id_col: str,
     k: int,
     weight_col: str = "logw_micro",
-    seed: str = "dsirg",
+    seed: str = "dsir-g",
 ) -> DataFrame:
     """(id, key_micro): k documents sampled without replacement with
     probability ∝ softmax(log w), via Gumbel top-k on deterministic
     hash draws.  Ties (possible only at identical key_micro) break on
     id, so the selected set is a pure function of (weights, seed, k).
+
+    The default seed matches :func:`dsir_select`'s derived Gumbel seed
+    (``"dsir" + "-g"``), so resampling a weights frame separately
+    selects the same set as the end-to-end helper (ADVICE r10: the old
+    ``"dsirg"`` default silently diverged from library/oracle
+    selections for identical weights).
     """
     keyed = weights.select(
         F.col(id_col),
@@ -273,17 +279,92 @@ def incremental_dsir_weights(
     return track_cache(weights, [doc_buckets]), updated_raw
 
 
+#: Sidecar manifest inside a model dir listing every increment tag ever
+#: folded (underscore prefix → invisible to Spark's parquet reader).
+#: Compaction erases the per-increment ``inc-<tag>.parquet`` files, so
+#: the tags move here to keep :func:`fold_model_increment` idempotent
+#: across compactions.
+_FOLDED_MANIFEST = "_folded.json"
+
+
+def _read_folded_tags(model_dir: str) -> set[str]:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(model_dir, _FOLDED_MANIFEST)) as fh:
+            return set(json.load(fh))
+    except (OSError, ValueError):
+        return set()
+
+
+def fold_model_increment(
+    spark, model_dir: str, counts_df: DataFrame, tag: str
+) -> bool:
+    """Idempotently fold a batch's ``(bucket, cnt)`` aggregate into a
+    persisted model directory; returns False (no-op) if ``tag`` was
+    already folded.
+
+    At-least-once callers (foreachBatch replay, a re-run CLI increment)
+    must not double-count a batch in the raw model (ADVICE r10).  Each
+    fold lands as ONE deterministically-named file
+    ``inc-<tag>.parquet``, written to a hidden temp name and renamed
+    into place — a single atomic op, so a crash can never leave a
+    half-fold — and skipped when the file (or its tag in the
+    post-compaction manifest) already exists.  The aggregate is ≤ B
+    rows by construction, the documented metadata-sized exception to
+    the no-collect rule, so a driver-side pyarrow write is exact and
+    cheap at any corpus size.  Local-path semantics; on object stores
+    use Delta MERGE keyed on (bucket,) with a batch ledger instead.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(model_dir, f"inc-{tag}.parquet")
+    if os.path.exists(path) or tag in _read_folded_tags(model_dir):
+        return False
+    rows = (
+        counts_df.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
+    )
+    os.makedirs(model_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
+            "cnt": pa.array([r["cnt"] for r in rows], pa.int64()),
+        }
+    )
+    tmp = os.path.join(model_dir, f".inc-{tag}.parquet.tmp")
+    pq.write_table(tbl, tmp)
+    os.rename(tmp, path)
+    return True
+
+
 def compact_model(spark, model_dir: str) -> int:
     """Fold an append-mode bucket-model directory back to ≤ num_buckets
     rows in one file; returns the compacted row count.
 
-    Every incremental fold appends one aggregate file, so a long-running
-    screen decays into thousands of tiny files whose rows the next fit
-    must re-aggregate.  The model is ≤ B rows by construction — the
-    documented metadata-sized exception to the no-collect rule — so
-    compaction materializes the aggregate on the driver first, which
-    makes the overwrite of the directory being read safe without a
-    staged rename."""
+    Every incremental fold adds one aggregate file, so a long-running
+    screen decays into many tiny files whose rows the next fit must
+    re-aggregate.  The model is ≤ B rows by construction — the
+    documented metadata-sized exception to the no-collect rule — so the
+    aggregate is collected, written to a sibling staging dir, and
+    renamed into place (ADVICE r10: the old in-place overwrite deleted
+    the live files mid-job, breaking any OTHER still-lazy frame over
+    the directory and risking total model loss on a crash between
+    delete and write).  Callers must still materialize their own reads
+    before compacting — rename swaps the listed files out from under an
+    unmaterialized plan.  The tags of the ``inc-*.parquet`` files being
+    compacted away are preserved in the ``_folded.json`` manifest
+    (written inside the staging dir, so the swap is one atomic rename),
+    keeping :func:`fold_model_increment` replay-safe across
+    compactions.  Local-path semantics; on object stores use Delta.
+    """
+    import json
+    import os
+    import shutil
+
     rows = [
         (r["bucket"], r["cnt"])
         for r in spark.read.parquet(model_dir)
@@ -291,7 +372,21 @@ def compact_model(spark, model_dir: str) -> int:
         .agg(F.sum("cnt").alias("cnt"))
         .collect()
     ]
+    tags = _read_folded_tags(model_dir) | {
+        f[len("inc-"):-len(".parquet")]
+        for f in os.listdir(model_dir)
+        if f.startswith("inc-") and f.endswith(".parquet")
+    }
+    staging = model_dir.rstrip("/") + ".__staging__"
+    shutil.rmtree(staging, ignore_errors=True)
     spark.createDataFrame(rows, "bucket long, cnt long").coalesce(1).write.mode(
         "overwrite"
-    ).parquet(model_dir)
+    ).parquet(staging)
+    with open(os.path.join(staging, _FOLDED_MANIFEST), "w") as fh:
+        json.dump(sorted(tags), fh)
+    old = model_dir.rstrip("/") + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(model_dir, old)
+    os.rename(staging, model_dir)
+    shutil.rmtree(old, ignore_errors=True)
     return len(rows)

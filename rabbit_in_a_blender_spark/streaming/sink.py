@@ -146,16 +146,23 @@ def stream_dsir_select(
     the incremental-equality contract, which is what makes the whole
     stream SQL-replayable batch by batch.
 
-    Replay semantics mirror stream_corpus_dedup: scores append BEFORE
-    the model fold, so a crash between the writes re-appends scores on
-    replay rather than silently dropping them; for exactly-once swap
-    both appends for Delta MERGE — the call-site contract is unchanged.
+    Replay semantics (foreachBatch is at-least-once): the model fold is
+    IDEMPOTENT — each batch's aggregate lands as one file keyed by
+    batch_id (ext.dsir.fold_model_increment), so a crash-replay can
+    never double-count a batch in the raw model (ADVICE r10).  The
+    score append stays at-least-once: a replayed batch re-appends its
+    (id, logw_micro) rows, which downstream dedups by id or a Delta
+    MERGE makes exactly-once — benign next to a silently skewed model.
 
     Returns the DataStreamWriter; callers pick the trigger.
     """
     from ..core.caching import unpersist_intermediates
     from ..core.fsio import parquet_exists
-    from ..ext.dsir import dsir_model_counts, incremental_dsir_weights
+    from ..ext.dsir import (
+        dsir_model_counts,
+        fold_model_increment,
+        incremental_dsir_weights,
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -171,9 +178,14 @@ def stream_dsir_select(
             num_buckets=num_buckets, alpha=alpha, seed=seed,
         )
         weights.write.mode("append").parquet(out_dir)
-        dsir_model_counts(
-            batch_df, id_col, text_col, num_buckets=num_buckets, seed=seed
-        ).write.mode("append").parquet(model_dir)
+        fold_model_increment(
+            spark,
+            model_dir,
+            dsir_model_counts(
+                batch_df, id_col, text_col, num_buckets=num_buckets, seed=seed
+            ),
+            tag=f"batch-{batch_id:08d}",
+        )
         unpersist_intermediates(weights)
 
     return (

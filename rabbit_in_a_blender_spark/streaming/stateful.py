@@ -337,9 +337,6 @@ def _make_mg_update(k: int):
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            state.remove()
-            return
         if state.exists:
             items, counts, n = state.get
             counters = dict(zip(items, counts))
@@ -363,7 +360,6 @@ def _make_mg_update(k: int):
                     for c in dead:
                         del counters[c]
         state.update((list(counters.keys()), list(counters.values()), n))
-        state.setTimeoutDuration(3600 * 1000)
         survivors = sorted(counters)
         yield pd.DataFrame(
             {
@@ -399,5 +395,13 @@ def stream_heavy_hitters(
         outputStructType=MG_OUTPUT_SCHEMA,
         stateStructType=MG_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        # NoTimeout on purpose (ADVICE r10): unlike running_counts,
+        # state here is bounded at k counters + one long per shard
+        # regardless of stream length or universe size, so idle
+        # eviction buys nothing — and a timeout remove() would silently
+        # reset n_seen, breaking both the superset contract (candidates
+        # ⊇ items with freq > n_shard/(k+1)) and the consumer's
+        # max-n_seen snapshot rule across the timeout epoch on
+        # long-running streams.
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

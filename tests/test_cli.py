@@ -837,6 +837,18 @@ def test_dsir_model_bootstrap_then_incremental(spark, capsys, tmpdir_):
     b_all = spark.read.parquet(b1).union(spark.read.parquet(b2))
     words = [len(r["text"].split(" ")) for r in b_all.collect()]
     assert n_total_grams == sum(2 * w - 1 for w in words)
+    # re-running the SAME increment (crash recovery) is a no-op on the
+    # model — the fold is keyed by the batch source path (ADVICE r10:
+    # the old append-always flow double-counted the batch on re-run)
+    rc = main(["--dsir-select", b2, "--dsir-model", model, "--config", cfg])
+    assert rc == 0
+    out3 = capsys.readouterr().out
+    assert "already folded" in out3
+    n_after_rerun = (
+        spark.read.parquet(os.path.join(model, "raw_model"))
+        .agg(F.sum("cnt")).first()[0]
+    )
+    assert n_after_rerun == n_total_grams
     # corrupt meta fails loud instead of guessing the bucket count
     with open(os.path.join(model, "meta.json"), "w") as f:
         f.write("{}")

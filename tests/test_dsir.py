@@ -158,3 +158,62 @@ def test_compact_model_preserves_aggregate(spark, tmp_path):
     after = {r.bucket: r.cnt for r in spark.read.parquet(model_dir).collect()}
     assert after == before
     assert n == len(before) <= 64
+
+
+def test_resample_default_seed_matches_select(spark):
+    """dsir_resample's default Gumbel seed equals dsir_select's derived
+    seed ("dsir" + "-g"), so resampling a weights frame separately
+    selects the identical set the end-to-end helper (and the oracle)
+    would — ADVICE r10: the old "dsirg" default silently diverged."""
+    raw = _corpus(spark)
+    target = raw.filter(F.col("doc_id") < 1000)
+    w = dsir_weights(raw, target, "doc_id", "text", num_buckets=64)
+    via_resample = sorted(
+        r.doc_id for r in dsir_resample(w, "doc_id", k=9).collect()
+    )
+    e2e = dsir_select(raw, target, "doc_id", "text", k=9, num_buckets=64)
+    via_select = sorted(r.doc_id for r in e2e.collect())
+    unpersist_intermediates(w, e2e)
+    assert via_resample == via_select
+
+
+def test_fold_model_increment_idempotent_across_compaction(spark, tmp_path):
+    """At-least-once safety (ADVICE r10): re-folding a tag is a no-op —
+    both before AND after a compaction erases the tag's file (the
+    manifest carries the tags across) — so crash-replay can never
+    double-count a batch in the raw model."""
+    from rabbit_in_a_blender_spark.ext.dsir import (
+        compact_model,
+        dsir_model_counts,
+        fold_model_increment,
+    )
+
+    model_dir = str(tmp_path / "model")
+    c1 = _corpus(spark, n_sci=5, n_spam=5)
+    c2 = _corpus(spark, n_sci=3, n_spam=3)
+    m1 = dsir_model_counts(c1, "doc_id", "text", num_buckets=64)
+    m2 = dsir_model_counts(c2, "doc_id", "text", num_buckets=64)
+
+    assert fold_model_increment(spark, model_dir, m1, "b1") is True
+    assert fold_model_increment(spark, model_dir, m2, "b2") is True
+    mass = spark.read.parquet(model_dir).agg(F.sum("cnt")).first()[0]
+    # replay before compaction: file-existence guard
+    assert fold_model_increment(spark, model_dir, m1, "b1") is False
+    assert (
+        spark.read.parquet(model_dir).agg(F.sum("cnt")).first()[0] == mass
+    )
+    # compaction folds to one file but preserves the tags in _folded.json
+    n = compact_model(spark, model_dir)
+    assert n <= 64
+    # replay after compaction: manifest guard
+    assert fold_model_increment(spark, model_dir, m2, "b2") is False
+    assert (
+        spark.read.parquet(model_dir).agg(F.sum("cnt")).first()[0] == mass
+    )
+    # a genuinely new tag still folds
+    assert fold_model_increment(spark, model_dir, m1, "b3") is True
+    m1_mass = m1.agg(F.sum("cnt")).first()[0]
+    assert (
+        spark.read.parquet(model_dir).agg(F.sum("cnt")).first()[0]
+        == mass + m1_mass
+    )

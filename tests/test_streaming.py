@@ -626,22 +626,15 @@ def test_stream_heavy_hitters_superset_and_exact_recount(spark):
             .trigger(availableNow=True)
             .start()
         )
-        # ProcessingTimeTimeout keeps scheduling timeout batches, so
-        # availableNow never self-terminates — poll for drain, then stop
-        import time
-
+        # NoTimeout (ADVICE r10): no timeout batches get scheduled, so
+        # availableNow self-terminates once the two files are drained.
         total = len(b1) + len(b2)
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            drained = (
-                spark.table("riab_shh_test")
-                .groupBy("shard").agg(F.max("n_seen").alias("__n"))
-                .agg(F.sum("__n")).first()[0]
-            )
-            if drained == total:
-                break
-            time.sleep(1)
-        q.stop()
+        assert q.awaitTermination(120)
+        drained = (
+            spark.table("riab_shh_test")
+            .groupBy("shard").agg(F.max("n_seen").alias("__n"))
+            .agg(F.sum("__n")).first()[0]
+        )
         assert drained == total
         mem = spark.table("riab_shh_test")
         snap = mem.withColumn(
