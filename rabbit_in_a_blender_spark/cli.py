@@ -333,13 +333,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "2 closes most cross-cluster boundary misses at "
                         "~2x candidate cost (default %(default)s)")
     x.add_argument("--assign-method", choices=("expr", "arrow"),
-                   default="expr",
+                   default="arrow",
                    help="With --semantic-dedup / --embed-cluster: "
-                        "nearest-centroid assignment path — 'expr' "
-                        "(pure-SQL-replayable HOF fold, default) or "
-                        "'arrow' (BLAS matmul per Arrow batch; "
-                        "identical assignments, much faster once "
-                        "--clusters reaches the hundreds)")
+                        "nearest-centroid assignment path — 'arrow' "
+                        "(BLAS matmul per Arrow batch, default; "
+                        "identical assignments, 44-71x faster once "
+                        "--clusters reaches the hundreds) or 'expr' "
+                        "(pure-SQL-replayable HOF fold, the oracle "
+                        "twin)")
     x.add_argument("--max-cluster-size", type=int, default=None,
                    help="With --semantic-dedup: subsplit clusters larger "
                         "than this for the pairwise phase (deterministic "

@@ -34,7 +34,7 @@ def build_ivf_index(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "expr",
+    method: str = "arrow",
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (cosine).
 
@@ -271,7 +271,7 @@ def refine_centroids(
     vec_col: str = "embedding",
     iterations: int = 2,
     grid: int | None = None,
-    assign_method: str = "expr",
+    assign_method: str = "arrow",
 ) -> DataFrame:
     """Lloyd (k-means) refinement of the coarse centroids, pure DataFrame.
 

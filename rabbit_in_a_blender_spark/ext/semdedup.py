@@ -117,7 +117,7 @@ def semantic_dedup(
     keep: str = "min_id",
     probe: int = 1,
     max_cluster_size: int | None = None,
-    assign_method: str = "expr",
+    assign_method: str = "arrow",
 ) -> DataFrame:
     """(id, centroid_id, is_dup) for every corpus vector.
 
@@ -156,14 +156,16 @@ def semantic_dedup(
     thing that can make the within-cluster pair join O(n²), and the
     guard bounds it at a warned recall trade.
 
-    ``assign_method="arrow"`` swaps the nearest-centroid assignment to
-    the BLAS twin (see ``build_ivf_index``): identical assignments
-    (rounded-cosine grid + min-cid tie-break, pytest-pinned and gated
-    by ``ext_semantic_dedup_arrow`` on the SAME oracle), measured
-    44×/71× faster at C=100/200 — the r10 scale curve showed the
-    interpreted HOF assignment, not the pair phase, dominating the
-    fixed-density (C ∝ N) regime (PLANS.md r10 notes).  The default
-    stays "expr" so the oracle rows replay the pure-SQL lineage.
+    ``assign_method`` picks the nearest-centroid assignment path.  The
+    default ``"arrow"`` is the BLAS twin (see ``build_ivf_index``):
+    identical assignments (rounded-cosine grid + min-cid tie-break,
+    pytest-pinned and oracle-gated on the SAME replay as the expr
+    path), measured 44×/71× faster at C=100/200 — the r10 scale curve
+    showed the interpreted HOF assignment, not the pair phase,
+    dominating the fixed-density (C ∝ N) regime (PLANS.md r10 notes),
+    so the default a user gets must be the path that survives 100×
+    (VERDICT r10 task 1).  ``"expr"`` is the opt-in pure-SQL-lineage
+    twin (``ext_semantic_dedup_expr`` gates it on the same oracle).
     """
     if keep not in ("min_id", "low_centroid"):
         raise ValueError(f"keep must be min_id or low_centroid, got {keep!r}")

@@ -1723,7 +1723,13 @@ def _semdedup_oracle() -> str:
     "a smaller-id same-cluster member at rounded cosine >= 0.35 — the "
     "min-id exemplar of each semantic neighborhood survives.  Pairwise "
     "work stays within clusters (C is the scale knob); candidates are "
-    "a two-phase (cluster, id) join, vectors fetched per pair.",
+    "a two-phase (cluster, id) join, vectors fetched per pair.  Runs "
+    "the DEFAULT assignment path — since r11 that is the Arrow/BLAS "
+    "matmul (VERDICT r10 task 1: the default a user gets must be the "
+    "one that survives 100×; the interpreted HOF fold measured 44-71× "
+    "slower at C=100/200 and goes quadratic in the paper's C ∝ N "
+    "regime) — so this row gates what `semantic_dedup(...)` actually "
+    "ships.",
 )
 def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.ivf import refine_centroids
@@ -1737,26 +1743,27 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ext_semantic_dedup_arrow",
+    "ext_semantic_dedup_expr",
     oracle=_semdedup_oracle(),
-    doc="SemDeDup with the Arrow/BLAS nearest-centroid assignment "
-    "(ext/ivf.py::_build_ivf_index_arrow): ONE matmul per Arrow batch "
-    "instead of the per-row interpreted HOF fold — the r10 scale curve "
-    "showed the expr assignment dominating the fixed-density (C ∝ N) "
-    "regime at ~4.6M lambda-ops/s.  Same oracle as ext_semantic_dedup: "
-    "the twin rounds via round_half_up (bit-exact F.round) and breaks "
-    "rounded-cosine ties to the smaller centroid id, so assignments "
-    "are identical and the unrolled SQL replay gates BOTH paths.",
+    doc="SemDeDup with the opt-in pure-SQL-lineage 'expr' assignment "
+    "(per-row HOF fold over the broadcast centroid row) — the oracle "
+    "twin of the Arrow/BLAS default.  Same oracle as "
+    "ext_semantic_dedup: the Arrow path rounds via round_half_up "
+    "(bit-exact F.round) and breaks rounded-cosine ties to the smaller "
+    "centroid id, so assignments are identical and the unrolled SQL "
+    "replay gates BOTH paths — hash-equality here IS the proof that "
+    "flipping the default (r11) changed the plan, not the answer.",
 )
-def ext_semantic_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_semantic_dedup_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.ivf import refine_centroids
     from ..ext.semdedup import semantic_dedup
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     cents = refine_centroids(
-        e, e.filter(F.col("vec_id") < 4), iterations=3, grid=6
+        e, e.filter(F.col("vec_id") < 4), iterations=3, grid=6,
+        assign_method="expr",
     )
-    return semantic_dedup(e, cents, tau=0.35, grid=6, assign_method="arrow")
+    return semantic_dedup(e, cents, tau=0.35, grid=6, assign_method="expr")
 
 
 @register(
