@@ -223,7 +223,72 @@ def _reachable_names(defs: dict[str, ast.AST], fn_name: str) -> set[str] | None:
     return names | visited
 
 
-def _fn_fingerprint(src: str, fn_name: str) -> str | None:
+#: Method decorators that don't change how a method is REACHED — a
+#: consumer still gets at it via ``obj.name`` / ``Cls.name``, so the
+#: attrs-based method selection below stays sound.  Anything else
+#: (registration decorators, wrappers with side effects at class-body
+#: execution) forces the method into every fingerprint.
+_TRANSPARENT_METHOD_DECORATORS = {
+    "staticmethod", "classmethod", "property", "abstractmethod",
+    "override", "cached_property", "lru_cache", "cache", "setter",
+}
+
+
+def _decorator_name(d: ast.AST) -> str | None:
+    if isinstance(d, ast.Call):
+        d = d.func
+    if isinstance(d, ast.Attribute):
+        return d.attr
+    if isinstance(d, ast.Name):
+        return d.id
+    return None
+
+
+def _class_fingerprint(node: ast.ClassDef, attrs: set[str] | None) -> str:
+    """Method-granular ClassDef fingerprint (VERDICT r10 task 3): the
+    class header (bases, keywords, decorators, class-level assigns) plus
+    ONLY the methods the consuming code can reach — names in ``attrs``
+    (every attribute name referenced anywhere in the query's import
+    closure), dunders (invoked implicitly), and methods carrying
+    non-transparent decorators (class-body side effects).  Adding an
+    unused method no longer moves the fingerprint — the r10 stale flood
+    (74 rows from two new ``Warehouse`` methods).  Falls back to the
+    whole-class dump when ``attrs`` is None (a closure file couldn't be
+    parsed) or the class declares a metaclass (which may rewrite any
+    part of the body)."""
+    if attrs is None or any(kw.arg == "metaclass" for kw in node.keywords):
+        return ast.dump(node)
+    header: list[str] = []
+    methods: list[str] = []
+    for stmt in node.body:
+        if isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            reached = (
+                stmt.name in attrs
+                or (stmt.name.startswith("__") and stmt.name.endswith("__"))
+                or any(
+                    _decorator_name(d) not in _TRANSPARENT_METHOD_DECORATORS
+                    for d in stmt.decorator_list
+                )
+            )
+            if reached:
+                methods.append(ast.dump(stmt))
+        else:
+            header.append(ast.dump(stmt))
+    return "|".join(
+        [
+            f"class {node.name}",
+            ",".join(ast.dump(b) for b in node.bases),
+            ",".join(ast.dump(k) for k in node.keywords),
+            ",".join(ast.dump(d) for d in node.decorator_list),
+        ]
+        + header
+        + methods
+    )
+
+
+def _fn_fingerprint(
+    src: str, fn_name: str, attrs: set[str] | None = None
+) -> str | None:
     """AST fingerprint of a top-level function plus every module-level
     def/assign it (transitively) references by name.  Comment and
     formatting changes don't move it; body or helper changes do.
@@ -231,7 +296,11 @@ def _fn_fingerprint(src: str, fn_name: str) -> str | None:
     Package-internal import lines whose bound name is in the symbol's
     reachable set are part of the fingerprint: re-pointing an import
     (``from .c import g`` -> ``from .d import g``) changes behavior
-    through the rebound dependency without moving any def (ADVICE r8)."""
+    through the rebound dependency without moving any def (ADVICE r8).
+
+    ``attrs`` is the attribute-name universe of the consuming closure;
+    when given, ClassDefs in the reachable set are fingerprinted at
+    method granularity (see :func:`_class_fingerprint`)."""
     try:
         tree = ast.parse(src)
     except SyntaxError:
@@ -257,7 +326,13 @@ def _fn_fingerprint(src: str, fn_name: str) -> str | None:
                     imports.append(
                         f"from {src_mod} import {a.name} as {a.asname or ''}"
                     )
-    return "\n".join([ast.dump(defs[n]) for n in local] + sorted(imports))
+    parts = [
+        _class_fingerprint(defs[n], attrs)
+        if isinstance(defs[n], ast.ClassDef)
+        else ast.dump(defs[n])
+        for n in local
+    ]
+    return "\n".join(parts + sorted(imports))
 
 
 def _import_map(tree: ast.Module, mod: str, mod_path: str, root: str) -> dict[str, str]:
@@ -344,6 +419,37 @@ def _file_module(path: str) -> str:
     return mod.replace("/", ".")
 
 
+def _closure_attrs(
+    paths: set[str], root: str, cache: dict[str, set[str] | None]
+) -> set[str] | None:
+    """Union of every attribute name (``x.<attr>``) referenced across
+    ``paths`` — the universe of method names the query's closure can
+    possibly call, which scopes class fingerprints to reached methods.
+    None (→ conservative whole-class dumps) when any file is unreadable
+    or unparsable.  Dynamic access (getattr with computed strings) is
+    out of scope — acceptable because the engine never dispatches
+    methods that way (and the fallback for new dynamic code is a
+    too-eager re-verify, never a missed one... inverted here: a missed
+    flag; the codebase bans computed-getattr dispatch for this reason)."""
+    out: set[str] = set()
+    for p in paths:
+        if p not in cache:
+            try:
+                with open(os.path.join(root, p)) as f:
+                    tree = ast.parse(f.read())
+            except (OSError, SyntaxError):
+                cache[p] = None
+            else:
+                cache[p] = {
+                    a.attr for a in ast.walk(tree)
+                    if isinstance(a, ast.Attribute)
+                }
+        if cache[p] is None:
+            return None
+        out |= cache[p]
+    return out
+
+
 def _symbols_changed(
     files: set[str],
     edges: dict[str, set[str]],
@@ -351,7 +457,8 @@ def _symbols_changed(
     root: str,
     cur_src: dict[str, str | None],
     old_src: dict[tuple[str, str], str | None],
-    fp_cache: dict[tuple[str, str, str], bool],
+    fp_cache: dict[tuple, bool],
+    attrs: set[str] | None = None,
 ) -> bool:
     """True when any symbol the closure imports from a CHANGED file has
     a moved fingerprint (VERDICT r7 task 4: symbol-level staleness).
@@ -372,11 +479,14 @@ def _symbols_changed(
         new, old = cur_src[path], old_src[(sha, path)]
         if new is None or old is None:
             return True
+        # attrs varies per query (each has its own closure), so it is
+        # part of the cache key; hash(frozenset) is stable in-process
+        atoken = None if attrs is None else hash(frozenset(attrs))
         for name in names:
-            key = (sha, path, name)
+            key = (sha, path, name, atoken)
             if key not in fp_cache:
-                fp_old = _fn_fingerprint(old, name)
-                fp_new = _fn_fingerprint(new, name)
+                fp_old = _fn_fingerprint(old, name, attrs)
+                fp_new = _fn_fingerprint(new, name, attrs)
                 fp_cache[key] = (
                     fp_old is None or fp_new is None or fp_old != fp_new
                 )
@@ -400,7 +510,8 @@ def _stale_queries(names: list[str], last_green: dict[str, int], root: str) -> l
     changed: dict[int, set[str] | None] = {}
     cur_src: dict[str, str | None] = {}
     old_src: dict[tuple[str, str], str | None] = {}
-    fp_cache: dict[tuple[str, str, str], bool] = {}
+    fp_cache: dict[tuple, bool] = {}
+    attr_cache: dict[str, set[str] | None] = {}
     stale = []
     for n in names:
         rnd = last_green.get(n)
@@ -433,8 +544,13 @@ def _stale_queries(names: list[str], last_green: dict[str, int], root: str) -> l
             continue
         deep, edges = res
         hit = deep & delta
+        attrs = (
+            _closure_attrs(deep | {mod_file}, root, attr_cache)
+            if (hit or mod_file in delta)
+            else None
+        )
         if hit and _symbols_changed(
-            hit, edges, sha, root, cur_src, old_src, fp_cache
+            hit, edges, sha, root, cur_src, old_src, fp_cache, attrs
         ):
             stale.append(n)
             continue
@@ -445,8 +561,8 @@ def _stale_queries(names: list[str], last_green: dict[str, int], root: str) -> l
             if old is None:
                 stale.append(n)  # can't compare → conservative
                 continue
-            fp_old = _fn_fingerprint(old, fn.__name__)
-            fp_new = _fn_fingerprint(new, fn.__name__)
+            fp_old = _fn_fingerprint(old, fn.__name__, attrs)
+            fp_new = _fn_fingerprint(new, fn.__name__, attrs)
             if fp_old is None or fp_new is None or fp_old != fp_new:
                 stale.append(n)
     return stale

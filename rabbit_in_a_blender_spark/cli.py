@@ -332,15 +332,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "phase (reported cluster stays the nearest one); "
                         "2 closes most cross-cluster boundary misses at "
                         "~2x candidate cost (default %(default)s)")
-    x.add_argument("--assign-method", choices=("expr", "arrow"),
+    x.add_argument("--assign-method", choices=("expr", "arrow", "coarse"),
                    default="arrow",
                    help="With --semantic-dedup / --embed-cluster: "
                         "nearest-centroid assignment path — 'arrow' "
                         "(BLAS matmul per Arrow batch, default; "
                         "identical assignments, 44-71x faster once "
-                        "--clusters reaches the hundreds) or 'expr' "
+                        "--clusters reaches the hundreds), 'expr' "
                         "(pure-SQL-replayable HOF fold, the oracle "
-                        "twin)")
+                        "twin), or 'coarse' (two-level quantizer: "
+                        "probe sqrt(C) super-cells then exact within "
+                        "— O(N*sqrt(C)*d), the C-proportional-to-N "
+                        "regime rung; exact whenever the nearest "
+                        "centroid lies in a probed super-cell)")
     x.add_argument("--max-cluster-size", type=int, default=None,
                    help="With --semantic-dedup: subsplit clusters larger "
                         "than this for the pairwise phase (deterministic "

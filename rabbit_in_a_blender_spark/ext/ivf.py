@@ -35,6 +35,8 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "arrow",
+    coarse_probe: int = 4,
+    n_super: int | None = None,
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (cosine).
 
@@ -66,11 +68,35 @@ def build_ivf_index(
     ulps, the same contract as ``similarity.cosine_topk_arrow``.  The
     C×d centroid matrix rides in the task closure — dimension-sized
     metadata, like the JVM path's broadcast row.
+
+    ``method="coarse"`` is the large-C rung (VERDICT r10 task 2): even
+    the arrow matmul is O(N·C·d) per row-batch, and in the SemDeDup
+    paper's fixed-density regime C grows with N (C≈50k at 100 TB), so
+    flat assignment goes quadratic overall.  The coarse path k-means
+    the CENTROIDS THEMSELVES into ``n_super`` (default ⌈√C⌉)
+    super-cells on the driver (C×d metadata, deterministic strided
+    init, no RNG), then per corpus vector (1) one N×√C matmul picks
+    the ``coarse_probe`` nearest super-cells and (2) the exact
+    rounded-cosine argmax runs over only those cells' member centroids
+    — O(N·(√C + probe·C/√C)·d).  Same rounding grid and min-cid
+    tie-break as the flat paths, so whenever the true nearest centroid
+    lives in a probed super-cell the answer is IDENTICAL; with
+    ``coarse_probe >= n_super`` the candidate set is every centroid
+    and equality is unconditional (pytest-pinned).  Probing w cells
+    bounds the miss rate the way IVF nprobe does — a miss still
+    returns the best candidate among probed cells, never garbage.
     """
     if method == "arrow":
         return _build_ivf_index_arrow(corpus, centroids, id_col, vec_col)
+    if method == "coarse":
+        return _build_ivf_index_coarse(
+            corpus, centroids, id_col, vec_col,
+            coarse_probe=coarse_probe, n_super=n_super,
+        )
     if method != "expr":
-        raise ValueError(f"method must be 'expr' or 'arrow', got {method!r}")
+        raise ValueError(
+            f"method must be 'expr', 'arrow' or 'coarse', got {method!r}"
+        )
     cents_row = centroids.agg(
         F.array_sort(
             F.collect_list(
@@ -138,6 +164,116 @@ def _build_ivf_index_arrow(
             rounded = round_half_up(sims, 6)
             pdf = pdf.copy()
             pdf["centroid_id"] = cids[np.argmax(rounded, axis=1)]
+            yield pdf
+
+    return src.mapInPandas(assign, schema=out_schema)
+
+
+def _super_kmeans(cu, n_super: int, iters: int = 5):
+    """Deterministic driver-side k-means over the unit centroid rows
+    ``cu`` (C×d numpy): strided init in cid order, fixed Lloyd rounds,
+    argmax ties to the lower super-cell index — no RNG, so the same
+    centroid frame always yields the same super-cells.  Returns
+    (super_matrix S×d, assignment C-vector)."""
+    import numpy as np
+
+    idx = np.unique(
+        np.linspace(0, len(cu) - 1, n_super).round().astype(np.int64)
+    )
+    s = cu[idx].copy()
+    for _ in range(iters):
+        a = np.argmax(cu @ s.T, axis=1)
+        for j in range(len(s)):
+            m = cu[a == j]
+            if len(m):
+                v = m.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    s[j] = v / nv
+    return s, np.argmax(cu @ s.T, axis=1)
+
+
+def _build_ivf_index_coarse(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse_probe: int = 4,
+    n_super: int | None = None,
+) -> DataFrame:
+    """Two-level (coarse-quantized) nearest-centroid assignment — see
+    build_ivf_index(method="coarse") for the contract and scale math."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from ._rounding import round_half_up
+
+    c_rows = centroids.select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).collect()
+    c_rows.sort(key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in c_rows], dtype=np.float64)
+    if len(c_rows) <= 2:
+        return _build_ivf_index_arrow(corpus, centroids, id_col, vec_col)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cu = cmat / np.where(cnorm == 0, 1.0, cnorm)[:, None]
+    n_s = n_super if n_super else math.isqrt(len(c_rows) - 1) + 1
+    smat, cell_of = _super_kmeans(cu, min(n_s, len(c_rows)))
+    # drop empty super-cells so every probed cell contributes >=1
+    # candidate (a row probing only empty cells would otherwise get no
+    # assignment at all)
+    members = [np.nonzero(cell_of == j)[0] for j in range(len(smat))]
+    keep = [j for j, m in enumerate(members) if len(m)]
+    smat = smat[keep]
+    members = [members[j] for j in keep]
+    probe = min(coarse_probe, len(smat))
+
+    src = corpus.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    out_schema = T.StructType(
+        list(src.schema.fields) + [T.StructField("centroid_id", T.LongType())]
+    )
+
+    def assign(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            vnorm = np.linalg.norm(v, axis=1)
+            vu = v / np.where(vnorm == 0, 1.0, vnorm)[:, None]
+            ssims = vu @ smat.T
+            if probe < len(smat):
+                probed = np.argpartition(-ssims, probe - 1, axis=1)[:, :probe]
+            else:
+                probed = np.tile(np.arange(len(smat)), (len(v), 1))
+            # running lexicographic best (rounded cosine desc, cid asc)
+            # as one int64 key: 1e-6-grid cosine in the high bits, the
+            # negated cid in the low 32 — identical order to the flat
+            # paths' argmax-first-hit over ascending cids
+            best = np.full(len(v), np.iinfo(np.int64).min, dtype=np.int64)
+            best_cid = np.zeros(len(v), dtype=np.int64)
+            for j in range(len(smat)):
+                rows = np.nonzero((probed == j).any(axis=1))[0]
+                if not rows.size:
+                    continue
+                mem = members[j]
+                sims = (v[rows] @ cmat[mem].T) / np.outer(
+                    vnorm[rows], cnorm[mem]
+                )
+                ri = np.round(round_half_up(sims, 6) * 1e6).astype(np.int64)
+                keys = ri * (1 << 32) - cids[mem][None, :]
+                arg = np.argmax(keys, axis=1)
+                kbest = keys[np.arange(len(rows)), arg]
+                upd = kbest > best[rows]
+                hit = rows[upd]
+                best[hit] = kbest[upd]
+                best_cid[hit] = cids[mem][arg[upd]]
+            pdf = pdf.copy()
+            pdf["centroid_id"] = best_cid
             yield pdf
 
     return src.mapInPandas(assign, schema=out_schema)

@@ -221,3 +221,154 @@ def test_fn_fingerprint_catches_repointed_import():
     assert fp(base, "q") == fp(unref_import_added, "q")
     # external (non-package) imports are not part of the fingerprint
     assert fp(base, "q") == fp(external_changed, "q")
+
+
+def test_class_fingerprint_is_method_granular():
+    """VERDICT r10 task 3: adding an UNUSED method to a class must not
+    move the fingerprint of consumers that never reach it (the r10
+    stale flood: two new Warehouse methods re-flagged 74 rows), while
+    editing/removing a method the closure DOES reference still must."""
+    m = _entry_module()
+    fp = m._fn_fingerprint
+    base = (
+        "class W:\n"
+        "    ZONE = 'gold'\n"
+        "    def write(self, df):\n"
+        "        return df\n"
+        "    def read(self, t):\n"
+        "        return t\n"
+        "def q(spark):\n"
+        "    return W().write(spark)\n"
+    )
+    added_unused = base.replace(
+        "def q(spark):",
+        "    def save_bucketed_index(self, df):\n"
+        "        return df.bucketed()\n"
+        "def q(spark):",
+    )
+    edited_reached = base.replace("return df\n", "return df.distinct()\n")
+    removed_reached = base.replace(
+        "    def write(self, df):\n        return df\n", ""
+    )
+    edited_unreached = base.replace("return t\n", "return t.upper()\n")
+    # attrs = what q's closure actually touches
+    attrs = {"write"}
+    assert fp(base, "q", attrs) == fp(added_unused, "q", attrs)
+    assert fp(base, "q", attrs) != fp(edited_reached, "q", attrs)
+    assert fp(base, "q", attrs) != fp(removed_reached, "q", attrs)
+    # a method the closure never references can change freely
+    assert fp(base, "q", attrs) == fp(edited_unreached, "q", attrs)
+    # ...but with attrs=None (unparsable closure) every method counts
+    assert fp(base, "q") != fp(added_unused, "q")
+    assert fp(base, "q") != fp(edited_unreached, "q")
+    # adding a method whose name IS referenced flags (it became real)
+    attrs2 = {"write", "save_bucketed_index"}
+    assert fp(base, "q", attrs2) != fp(added_unused, "q", attrs2)
+    # class-level assigns are header: always compared
+    header_changed = base.replace("ZONE = 'gold'", "ZONE = 'silver'")
+    assert fp(base, "q", attrs) != fp(header_changed, "q", attrs)
+
+
+def test_class_fingerprint_dunder_decorator_metaclass_conservatism():
+    """Dunders are invoked implicitly (always compared); non-transparent
+    method decorators force inclusion; metaclass falls back to the
+    whole-class dump."""
+    m = _entry_module()
+    fp = m._fn_fingerprint
+    base = (
+        "class W:\n"
+        "    def __init__(self, x):\n"
+        "        self.x = x\n"
+        "    @property\n"
+        "    def path(self):\n"
+        "        return self.x\n"
+        "def q(spark):\n"
+        "    return W(spark)\n"
+    )
+    attrs = set()  # q touches no attributes at all
+    init_changed = base.replace("self.x = x", "self.x = x + 1")
+    assert fp(base, "q", attrs) != fp(init_changed, "q", attrs)
+    # transparent-decorated, unreferenced → free to change
+    prop_changed = base.replace("return self.x", "return -self.x")
+    assert fp(base, "q", attrs) == fp(prop_changed, "q", attrs)
+    # ...unless referenced
+    assert fp(base, "q", {"path"}) != fp(prop_changed, "q", {"path"})
+    # registration-style decorator → always included
+    reg = base.replace("@property", "@register_hook")
+    reg_changed = prop_changed.replace("@property", "@register_hook")
+    assert fp(reg, "q", attrs) != fp(reg_changed, "q", attrs)
+    # metaclass → whole-class dump, any body change flags
+    meta = base.replace("class W:", "class W(metaclass=Meta):")
+    meta_added = meta.replace(
+        "def q(spark):",
+        "    def unused(self):\n        return 0\n"
+        "def q(spark):",
+    )
+    assert fp(meta, "q", attrs) != fp(meta_added, "q", attrs)
+
+
+def test_symbols_changed_scopes_class_methods_by_closure_attrs():
+    """_symbols_changed with an attrs universe: a class growing an
+    unreached method in a closure file does NOT flag, the same class
+    with a reached method edited does."""
+    m = _entry_module()
+    path = "rabbit_in_a_blender_spark/pipeline/warehouse.py"
+    with open(f"/root/repo/{path}") as f:
+        new = f.read()
+    # old = current minus a hypothetical method nobody calls: simulate
+    # by claiming the OLD version lacked a method the NEW one has
+    old_unused_added = new.replace(
+        "    def append(self, df",
+        "    def r11_probe_unused(self):\n"
+        "        return 41\n\n"
+        "    def append(self, df",
+    )
+    assert old_unused_added != new
+    edges = {"rabbit_in_a_blender_spark.pipeline.warehouse": {"Warehouse"}}
+    attrs = {"write", "append", "path"}  # closure reaches these only
+
+    class _Probe:
+        def __init__(self, old_src):
+            self.old = old_src
+
+        def show(self, sha, p, root):
+            return self.old
+
+    orig = m._git_show
+    try:
+        m._git_show = _Probe(old_unused_added).show
+        assert not m._symbols_changed(
+            {path}, edges, "deadbeef", "/root/repo", {}, {}, {}, attrs
+        )
+        # same delta but the closure references the method → flags
+        assert m._symbols_changed(
+            {path}, edges, "deadbeef", "/root/repo", {}, {}, {},
+            attrs | {"r11_probe_unused"},
+        )
+        # attrs=None stays conservative: whole-class dump moved
+        assert m._symbols_changed(
+            {path}, edges, "deadbeef", "/root/repo", {}, {}, {}, None
+        )
+        # a reached method's body changing always flags
+        old_write_changed = new.replace(
+            "df.write.mode(\"append\")", "df.write.mode(\"overwrite\")", 1
+        )
+        assert old_write_changed != new
+        m._git_show = _Probe(old_write_changed).show
+        assert m._symbols_changed(
+            {path}, edges, "deadbeef", "/root/repo", {}, {}, {}, attrs
+        )
+    finally:
+        m._git_show = orig
+
+
+def test_closure_attrs_unions_and_goes_conservative():
+    m = _entry_module()
+    attrs = m._closure_attrs(
+        {"rabbit_in_a_blender_spark/core/io.py"}, "/root/repo", {}
+    )
+    assert attrs and "read" in attrs  # spark.read.… appears in io.py
+    # unreadable file → None (conservative whole-class fingerprints)
+    assert (
+        m._closure_attrs({"no/such/file.py"}, "/root/repo", {}) is None
+    )

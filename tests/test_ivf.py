@@ -136,9 +136,13 @@ def test_build_ivf_index_arrow_matches_expr(spark):
         + [(c, [rng.gauss(0, 1) for _ in range(8)]) for c in range(2, 6)],
         "vec_id long, embedding array<double>",
     )
+    # method="expr" explicitly — since r11 the DEFAULT is arrow, so a
+    # bare call would compare arrow against itself
     expr = {
         r["vec_id"]: r["centroid_id"]
-        for r in build_ivf_index(df, cents).select("vec_id", "centroid_id").collect()
+        for r in build_ivf_index(df, cents, method="expr")
+        .select("vec_id", "centroid_id")
+        .collect()
     }
     arrow = {
         r["vec_id"]: r["centroid_id"]
@@ -155,10 +159,113 @@ def test_build_ivf_index_arrow_matches_expr(spark):
     from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
     from rabbit_in_a_blender_spark.ext.semdedup import semantic_dedup
 
-    a = semantic_dedup(df, cents, tau=0.5)
+    a = semantic_dedup(df, cents, tau=0.5, assign_method="expr")
     fa = {(r["vec_id"], r["centroid_id"], r["is_dup"]) for r in a.collect()}
     unpersist_intermediates(a)
     b = semantic_dedup(df, cents, tau=0.5, assign_method="arrow")
     fb = {(r["vec_id"], r["centroid_id"], r["is_dup"]) for r in b.collect()}
     unpersist_intermediates(b)
     assert fa == fb
+
+
+def test_coarse_assignment_exhaustive_probe_equals_flat(spark):
+    """The two-level quantizer with coarse_probe >= n_super probes every
+    super-cell, so its candidate set is all C centroids and the
+    assignment must be IDENTICAL to the flat arrow path (same 1e-6
+    rounding grid + min-cid tie-break) — the unconditional-equality leg
+    of the VERDICT r10 task-2 pin."""
+    import random
+
+    from rabbit_in_a_blender_spark.ext.ivf import build_ivf_index
+
+    rng = random.Random(29)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(c, [rng.gauss(0, 1) for _ in range(8)]) for c in range(25)],
+        "vec_id long, embedding array<double>",
+    )
+    flat = {
+        r["vec_id"]: r["centroid_id"]
+        for r in build_ivf_index(df, cents, method="arrow")
+        .select("vec_id", "centroid_id").collect()
+    }
+    # n_super defaults to ceil(sqrt(25)) = 5; probe them all
+    coarse = {
+        r["vec_id"]: r["centroid_id"]
+        for r in build_ivf_index(
+            df, cents, method="coarse", coarse_probe=5
+        ).select("vec_id", "centroid_id").collect()
+    }
+    assert coarse == flat
+
+
+def test_coarse_assignment_separated_fixture_probe1(spark):
+    """On well-separated clusters (orthogonal axes), probe=1 already
+    finds the true nearest centroid: the super-cell containing it is
+    the vector's nearest super-cell.  Also pins determinism (two runs,
+    identical assignments) — the driver-side super-k-means has no RNG."""
+    import random
+
+    from rabbit_in_a_blender_spark.ext.ivf import build_ivf_index
+
+    rng = random.Random(31)
+    d = 16
+    # 8 orthogonal-axis clusters, 30 points each, tiny jitter
+    rows, cents_rows = [], []
+    for c in range(8):
+        axis = [0.0] * d
+        axis[c] = 1.0
+        cents_rows.append((c, axis))
+        for i in range(30):
+            v = [rng.gauss(0, 0.01) for _ in range(d)]
+            v[c] += 1.0
+            rows.append((c * 100 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        cents_rows, "vec_id long, embedding array<double>"
+    )
+    flat = {
+        r["vec_id"]: r["centroid_id"]
+        for r in build_ivf_index(df, cents, method="arrow")
+        .select("vec_id", "centroid_id").collect()
+    }
+    runs = []
+    for _ in range(2):
+        runs.append({
+            r["vec_id"]: r["centroid_id"]
+            for r in build_ivf_index(
+                df, cents, method="coarse", coarse_probe=1
+            ).select("vec_id", "centroid_id").collect()
+        })
+    assert runs[0] == flat  # every point lands on its own axis centroid
+    assert runs[0] == runs[1]  # deterministic
+    assert all(v == k // 100 for k, v in runs[0].items())
+
+
+def test_coarse_assignment_through_semantic_dedup(spark):
+    """assign_method='coarse' threads through semantic_dedup and (with
+    exhaustive probe at this C) flags the identical set as the arrow
+    default — the integration leg of the task-2 pin."""
+    import random
+
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.semdedup import semantic_dedup
+
+    rng = random.Random(37)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(1000 + i, list(v)) for i, v in enumerate(base[:10])]  # dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(c, base[c]) for c in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    a = semantic_dedup(df, cents, tau=0.9)
+    fa = {(r["vec_id"], r["centroid_id"], r["is_dup"]) for r in a.collect()}
+    unpersist_intermediates(a)
+    b = semantic_dedup(df, cents, tau=0.9, assign_method="coarse")
+    fb = {(r["vec_id"], r["centroid_id"], r["is_dup"]) for r in b.collect()}
+    unpersist_intermediates(b)
+    assert fa == fb
+    assert any(f[2] for f in fb)  # the planted dups are flagged

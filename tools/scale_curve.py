@@ -180,6 +180,10 @@ def main() -> None:
         shutil.rmtree(scaled_dir, ignore_errors=True)
         _dsir_curve(spark, reps)
         return
+    if only == "assign":
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _assign_curve(spark, reps)
+        return
     try:
         build_replicated(spark, "/root/testdata/sf0.1", scaled_dir, 5)
         points = [
@@ -1059,6 +1063,93 @@ def _semdedup_curve(spark, reps: int) -> None:
         )
 
 
+
+
+def _assign_curve(spark, reps: int) -> None:
+    # --- nearest-centroid assignment curve (round 11, VERDICT r10
+    # tasks 1+2) ------------------------------------------------------
+    # Isolates the ASSIGNMENT step (build_ivf_index + count, no pair
+    # phase) at growing C on a fixed replicated corpus: the arrow/BLAS
+    # default is O(N*C*d) per batch, the two-level coarse quantizer is
+    # O(N*(sqrt(C)+probe*C/sqrt(C))*d) — the crossover should appear by
+    # C in the low thousands and widen linearly in sqrt(C).  Also
+    # reports coarse-vs-flat assignment agreement at each C (the probed
+    # miss rate the IVF-style probe bounds).  Centroids are corpus
+    # vectors (realistic geometry), N fixed at x100 sf0.1 = 200k rows.
+    from rabbit_in_a_blender_spark.core.io import load_tables
+    from rabbit_in_a_blender_spark.ext.ivf import build_ivf_index
+
+    emb = load_tables(spark, "/root/testdata/sf0.1", "embeddings")["embeddings"]
+    copies = 100
+    reps_df = spark.range(copies).select(F.col("id").alias("__r"))
+    big = emb.crossJoin(F.broadcast(reps_df)).select(
+        (F.col("vec_id") + F.col("__r") * 10_000_000).alias("vec_id"),
+        "embedding",
+    ).persist()
+    n = big.count()
+    results = {}
+    for c in (400, 2000, 8000):
+        # >2000 centroids: replicate the base vectors under distinct ids
+        # (repeated geometry; the cost model only needs C and the
+        # min-cid tie-break keeps assignment deterministic)
+        k_rep = (c + 1999) // 2000
+        reps_c = spark.range(k_rep).select(F.col("id").alias("__k"))
+        cents = (
+            emb.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(reps_c))
+            .select(
+                (F.col("vec_id") + F.col("__k") * 1_000_000).alias("vec_id"),
+                "embedding",
+            )
+            .orderBy("vec_id")
+            .limit(c)
+            .persist()
+        )
+        n_c = cents.count()
+
+        def run(method: str) -> float:
+            t0 = time.perf_counter()
+            build_ivf_index(big, cents, method=method).select(
+                "centroid_id"
+            ).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3)
+
+        run("coarse")  # warmup
+        arrow, coarse = [], []
+        for _ in range(reps):
+            arrow.append(run("arrow"))
+            coarse.append(run("coarse"))
+        # agreement: fraction of rows where coarse picked the flat answer
+        a = build_ivf_index(big, cents, method="arrow").select(
+            "vec_id", F.col("centroid_id").alias("flat_cid")
+        )
+        b = build_ivf_index(big, cents, method="coarse").select(
+            "vec_id", F.col("centroid_id").alias("coarse_cid")
+        )
+        agree = a.join(b, "vec_id").agg(
+            F.avg(
+                (F.col("flat_cid") == F.col("coarse_cid")).cast("double")
+            )
+        ).first()[0]
+        cents.unpersist()
+        med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+        results[f"C{n_c}"] = {
+            "rows": n, "C": n_c,
+            "arrow_median": med(arrow), "coarse_median": med(coarse),
+            "agreement": round(agree, 6),
+            "arrow_reps": arrow, "coarse_reps": coarse,
+        }
+        print(f"## assign C={n_c}: arrow {arrow} coarse {coarse} "
+              f"agree {agree:.4f}", flush=True)
+    big.unpersist()
+    print(json.dumps(results))
+    print("\n| C | rows | arrow s | coarse s | speedup | agreement |")
+    print("|---|---|---|---|---|---|")
+    for k, r in results.items():
+        print(f"| {r['C']} | {r['rows']:,} | {r['arrow_median']} | "
+              f"{r['coarse_median']} | "
+              f"{round(r['arrow_median']/r['coarse_median'],2)}x | "
+              f"{r['agreement']} |")
 
 
 def _dsir_curve(spark, reps: int) -> None:
