@@ -144,6 +144,47 @@ def build_ivfpq_index(
     )
 
 
+def append_ivfpq_index(
+    batch: DataFrame,
+    centroids: DataFrame,
+    books: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    residual: bool = False,
+) -> None:
+    """Continuous-crawl IVFADC append (VERDICT r10 task 5): encode ONLY
+    the new batch against the FROZEN coarse centroids + PQ codebooks and
+    append its code rows into an existing ``partitionBy("centroid_id")``
+    index layout.
+
+    Completes the incremental story alongside incremental dedup /
+    SemDeDup / DSIR: previously any new batch forced a full index
+    rebuild (re-encoding the entire history).  Because both models are
+    frozen, encode(batch) is independent of every previously indexed
+    row, so ``append(build(b1), b2)`` holds exactly the same (id,
+    centroid_id, codes) set as ``build(b1 ∪ b2)`` (equality
+    pytest-pinned) — and any search over the appended index returns
+    identical results to a search over a full rebuild.
+
+    O(batch) by construction: the plan reads the batch once (the same
+    zero-shuffle fused assignment+encode as :func:`build_ivfpq_index` —
+    centroid cell and codebooks ride as broadcast 1-row attaches), and
+    ``mode("append")`` adds files under the existing ``centroid_id=``
+    partition dirs without listing, reading, or rewriting historical
+    files.  Partition pruning for probed searches is unaffected — new
+    files land inside the same pruned directory tree.  Re-train the
+    models (and rebuild once) only when drift degrades recall; that
+    cadence is measured by ext/drift.py, not guessed.
+    """
+    rows = build_ivfpq_index(
+        batch, centroids, books,
+        id_col=id_col, vec_col=vec_col, m=m, residual=residual,
+    )
+    rows.write.mode("append").partitionBy("centroid_id").parquet(index_dir)
+
+
 def ivfpq_search(
     index: DataFrame,
     centroids: DataFrame,

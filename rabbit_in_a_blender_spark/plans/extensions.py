@@ -809,6 +809,53 @@ def ext_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_ivfpq_incremental",
+    oracle=_pq_oracle(ivf_c=16, nprobe=8),  # identical to ext_ivfpq_topk
+    # and ext_ivfpq_persisted: with frozen models, append(build(b1), b2)
+    # holds the same code rows as build(b1 ∪ b2), so the search result
+    # must hash-match the same full-replay oracle
+    doc="Continuous-crawl IVFADC append (VERDICT r10 task 5): build the "
+    "partitionBy(centroid_id) index on HALF the corpus, append the "
+    "other half encoded against the FROZEN centroids + codebooks "
+    "(ext/ivfpq.py::append_ivfpq_index — the same zero-shuffle fused "
+    "assignment+encode, O(batch): history is never listed, read, or "
+    "rewritten; mode('append') drops new files inside the existing "
+    "pruned partition tree), then probe-bounded search over the "
+    "appended layout.  Completes the incremental story alongside "
+    "incremental dedup / SemDeDup / DSIR; equality with a full rebuild "
+    "is pytest-pinned and this row hash-gates the end-to-end result "
+    "under the SAME oracle as the full-build rows.",
+)
+def ext_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..ext.ivfpq import append_ivfpq_index, build_ivfpq_index, ivfpq_search
+    from ..ext.pq import l2_normalize, train_pq_codebooks
+
+    e = l2_normalize(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"], "embedding"
+    )
+    centroids = e.filter(F.col("vec_id") < 16)
+    books = train_pq_codebooks(e, m=16, ksub=32, iterations=2, grid=6).persist()
+    path = tempfile.mkdtemp(prefix="riab_ivfpq_inc_") + "/index"
+    b1 = e.filter(F.col("vec_id") % 2 == 0)
+    b2 = e.filter(F.col("vec_id") % 2 == 1)
+    build_ivfpq_index(b1, centroids, books, m=16).write.partitionBy(
+        "centroid_id"
+    ).parquet(path)
+    append_ivfpq_index(b2, centroids, books, path, m=16)
+    reloaded = spark.read.parquet(path)
+    queries = e.filter(F.col("vec_id") < 10)
+    out = ivfpq_search(
+        reloaded, centroids, books, e, queries, m=16, k=3, nprobe=8,
+        shortlist=32,
+    )
+    from ..core.caching import track_cache
+
+    return track_cache(out, [books])
+
+
+@register(
     "ext_profile_approx",
     oracle="""
     WITH cols AS (
