@@ -376,6 +376,33 @@ def build_parser() -> argparse.ArgumentParser:
                         "stored models (the batch's counts fold in as "
                         "appended rows; the target model stays frozen, "
                         "so --dsir-target is not read)")
+    x.add_argument("--quality-fit", metavar="DOCS",
+                   help="Train the logistic-regression quality filter "
+                        "(oracle-reproducible full-batch GD) on DOCS "
+                        "over the standard text feature set, using "
+                        "--label-col as the 0/1 target; prints the "
+                        "confusion matrix and saves the weights to "
+                        "--quality-model for score-only reruns")
+    x.add_argument("--quality-select", metavar="DOCS",
+                   help="Score DOCS with a PERSISTED quality model "
+                        "(--quality-model, trained by --quality-fit) — "
+                        "no retraining, one narrow scoring pass; with "
+                        "--out writes rows scoring >= "
+                        "--quality-threshold, else prints score stats")
+    x.add_argument("--quality-model", metavar="FILE",
+                   help="With --quality-fit / --quality-select: JSON "
+                        "weight file (weights + feature list, so "
+                        "scoring can never run against mismatched "
+                        "features)")
+    x.add_argument("--label-col", default="label",
+                   help="With --quality-fit: 0/1 label column in DOCS "
+                        "(default %(default)s)")
+    x.add_argument("--quality-threshold", type=float, default=0.5,
+                   help="With --quality-select + --out: keep docs with "
+                        "sigmoid score >= this (default %(default)s)")
+    x.add_argument("--quality-steps", type=int, default=8,
+                   help="With --quality-fit: gradient-descent steps "
+                        "(default %(default)s)")
     return p
 
 
@@ -1322,6 +1349,100 @@ def _dsir_select(args, cfg) -> int:
     return 0
 
 
+def _quality_fit(args, cfg) -> int:
+    """Train the distilled quality filter (ext/mlfit.py) on a labeled
+    corpus over the standard feature set and persist the weights —
+    the train half of the freeze-and-reuse flow (VERDICT r10 task 7)."""
+    from .ext.mlfit import (
+        QUALITY_FEATURES,
+        logreg_fit,
+        logreg_metrics,
+        quality_features,
+        save_logreg_model,
+    )
+
+    spark = _ext_session(cfg)
+    docs = _load_corpus(spark, args.quality_fit)
+    for c in (args.id_col, args.text_col, args.label_col):
+        if c not in docs.columns:
+            raise SystemExit(
+                f"column {c!r} not in {args.quality_fit} ({docs.columns})"
+            )
+    if not args.quality_model:
+        raise SystemExit("--quality-fit requires --quality-model")
+    from pyspark.sql import functions as F
+
+    feats = quality_features(docs, args.id_col, args.text_col).join(
+        docs.select(args.id_col, F.col(args.label_col).alias("__label")),
+        args.id_col,
+    )
+    w = logreg_fit(
+        feats, QUALITY_FEATURES, "__label", steps=args.quality_steps, lr=2.0
+    )
+    m = logreg_metrics(feats, QUALITY_FEATURES, "__label", w).select(
+        "tp", "fp", "fn", "tn", "accuracy"
+    ).first()
+    save_logreg_model(args.quality_model, w, QUALITY_FEATURES)
+    print(
+        f"trained quality filter ({args.quality_steps} steps) -> "
+        f"{args.quality_model}: accuracy={m['accuracy']} "
+        f"tp={m['tp']} fp={m['fp']} fn={m['fn']} tn={m['tn']}"
+    )
+    return 0
+
+
+def _quality_select(args, cfg) -> int:
+    """Score-only rerun against a persisted quality model — no
+    retraining, one narrow zero-shuffle pass over the batch."""
+    from pyspark.sql import functions as F
+
+    from .ext.mlfit import load_logreg_model, logreg_score, quality_features
+
+    if not args.quality_model:
+        raise SystemExit("--quality-select requires --quality-model")
+    try:
+        w, feat_cols = load_logreg_model(args.quality_model)
+    except (OSError, ValueError) as e:
+        raise SystemExit(f"cannot load quality model: {e}")
+    spark = _ext_session(cfg)
+    docs = _load_corpus(spark, args.quality_select)
+    for c in (args.id_col, args.text_col):
+        if c not in docs.columns:
+            raise SystemExit(
+                f"column {c!r} not in {args.quality_select} ({docs.columns})"
+            )
+    scored = logreg_score(
+        quality_features(docs, args.id_col, args.text_col), feat_cols, w
+    )
+    if args.out:
+        kept_ids = scored.filter(
+            F.col("score") >= args.quality_threshold
+        ).select(args.id_col)
+        kept = docs.join(kept_ids, args.id_col, "left_semi")
+        _write_docs(kept, args.out, args.format)
+        n = kept_ids.count()
+        print(
+            f"wrote {n} docs scoring >= {args.quality_threshold} -> "
+            f"{args.out} ({args.format})"
+        )
+        return 0
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.min("score"), 4).alias("lo"),
+        F.round(F.expr("percentile(score, 0.5)"), 4).alias("med"),
+        F.round(F.max("score"), 4).alias("hi"),
+        F.sum((F.col("score") >= args.quality_threshold).cast("long")).alias(
+            "n_keep"
+        ),
+    ).first()
+    print(
+        f"{stats['rows']} docs scored with {args.quality_model}: "
+        f"min={stats['lo']} median={stats['med']} max={stats['hi']}; "
+        f"{stats['n_keep']} >= {args.quality_threshold}"
+    )
+    return 0
+
+
 def _write_docs(df, out: str, fmt: str) -> None:
     if fmt == "jsonl":
         df.write.mode("overwrite").json(out)
@@ -1416,6 +1537,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.dsir_select:
         return _dsir_select(args, cfg)
+
+    if args.quality_fit:
+        return _quality_fit(args, cfg)
+
+    if args.quality_select:
+        return _quality_select(args, cfg)
 
     if args.create_folders:
         from .folders import create_cdm_folders

@@ -173,3 +173,110 @@ def logreg_oracle_sql(
            {wcols}
     FROM xy CROSS JOIN {prev}
     """
+
+
+# --- persisted inference mode (VERDICT r10 task 7) ----------------------
+#
+# The distilled quality filter is useful across crawls: train once on a
+# labeled slice, persist the handful of floats, then score-only every
+# later batch — the same freeze-and-reuse shape as --dsir-model.  The
+# model file carries the feature column list so scoring can never
+# silently run against mismatched features.
+
+QUALITY_FEATURES = ["f_length", "f_stopword", "f_punct", "f_wordlen"]
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, f_length, f_stopword, f_punct, f_wordlen): the standard
+    quality-classifier feature vector (FineWeb-style inputs), every
+    component a JVM-side expression rounded to 1e-4 so both training
+    and scoring replay identically in any engine.
+
+    - f_length: min(words/64, 1) — the C4 length ramp;
+    - f_stopword: share of English stopwords (ext/text.py list);
+    - f_punct: punctuation chars per character;
+    - f_wordlen: (chars/word)/10 — long-token gibberish signal.
+    """
+    from .text import STOPWORDS_EN
+
+    words = F.split(F.col(text_col), " ")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    return df.select(
+        F.col(id_col),
+        F.round(
+            F.least(F.size(words) / F.lit(64.0), F.lit(1.0)), 4
+        ).alias("f_length"),
+        F.round(
+            F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+            / n_words,
+            4,
+        ).alias("f_stopword"),
+        F.round(
+            F.regexp_count(F.col(text_col), F.lit(r"[.,;:!?]"))
+            / F.greatest(F.length(F.col(text_col)), F.lit(1)),
+            4,
+        ).alias("f_punct"),
+        F.round(
+            (F.length(F.col(text_col)) - (F.size(words) - 1))
+            / n_words / F.lit(10.0),
+            4,
+        ).alias("f_wordlen"),
+    )
+
+
+def logreg_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    w: list[float],
+    score_col: str = "score",
+) -> DataFrame:
+    """Attach ``score_col`` = sigmoid(w·x) rounded to 1e-6 — pure
+    scoring, no training pass.  The model rides in as literals (d+1
+    floats), so the plan is a narrow zero-shuffle projection at any
+    corpus size; train→save→load→score equals scoring with the
+    in-memory weights bit-for-bit (pytest-pinned)."""
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(feature_cols, w)))
+    return df.withColumn(score_col, F.round(p, 6))
+
+
+def save_logreg_model(path: str, w: list[float], feature_cols: list[str]) -> None:
+    """Persist weights + feature list as one JSON file via hidden-temp
+    + rename (atomic on posix, same recipe as ext/dsir.py's fold)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = os.path.join(
+        os.path.dirname(path) or ".", "." + os.path.basename(path) + ".tmp"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "weights": [float(x) for x in w],
+                "features": list(feature_cols),
+                "grids": {"grad": GRAD_GRID, "w": W_GRID},
+            },
+            fh,
+        )
+    os.rename(tmp, path)
+
+
+def load_logreg_model(path: str) -> tuple[list[float], list[str]]:
+    """(weights, feature_cols) from :func:`save_logreg_model` output;
+    raises ValueError on a malformed file rather than guessing."""
+    import json
+
+    with open(path) as fh:
+        m = json.load(fh)
+    try:
+        w = [float(x) for x in m["weights"]]
+        feats = [str(c) for c in m["features"]]
+    except (KeyError, TypeError, ValueError) as e:
+        raise ValueError(f"malformed logreg model at {path}: {e}")
+    if len(w) != len(feats) + 1:
+        raise ValueError(
+            f"model at {path} has {len(w)} weights for {len(feats)} "
+            "features (want features+1 incl. intercept)"
+        )
+    return w, feats

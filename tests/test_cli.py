@@ -857,3 +857,55 @@ def test_dsir_model_bootstrap_then_incremental(spark, capsys, tmpdir_):
         assert False, "expected SystemExit"
     except SystemExit as e:
         assert "meta.json" in str(e)
+
+
+def test_quality_fit_then_select_cli(spark, capsys, tmpdir_):
+    """--quality-fit trains + persists the distilled quality filter;
+    --quality-select scores later batches against the SAVED weights
+    with no retraining (VERDICT r10 task 7: the --dsir-model shape for
+    the logreg filter)."""
+    root = str(tmpdir_)
+    train_p = os.path.join(root, "q_train")
+    batch_p = os.path.join(root, "q_batch")
+    model_p = os.path.join(root, "quality_model.json")
+    good = "the quick brown fox jumps over the lazy dog and runs far away"
+    bad = "zzzz xxxx qqqq"
+    spark.createDataFrame(
+        [(i, f"{good} v{i}", 1) for i in range(10)]
+        + [(100 + j, f"{bad} v{j}", 0) for j in range(10)],
+        "doc_id long, text string, label int",
+    ).write.parquet(train_p)
+    spark.createDataFrame(
+        [(200 + i, f"{good} w{i}") for i in range(4)]
+        + [(300 + j, f"{bad} w{j}") for j in range(4)],
+        "doc_id long, text string",
+    ).write.parquet(batch_p)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    rc = main(["--quality-fit", train_p, "--quality-model", model_p,
+               "--config", cfg])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "trained quality filter" in out and "accuracy=" in out
+    assert os.path.exists(model_p)
+    # score-only stats pass
+    rc = main(["--quality-select", batch_p, "--quality-model", model_p,
+               "--config", cfg])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "8 docs scored" in out
+    # selection write: good docs score above bad ones
+    sel = os.path.join(root, "q_out")
+    rc = main(["--quality-select", batch_p, "--quality-model", model_p,
+               "--quality-threshold", "0.5", "--out", sel, "--config", cfg])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(sel).collect()}
+    assert kept and kept <= {200, 201, 202, 203}
+    # missing model fails loud
+    try:
+        main(["--quality-select", batch_p, "--quality-model",
+              os.path.join(root, "nope.json"), "--config", cfg])
+        assert False, "expected SystemExit"
+    except SystemExit as e:
+        assert "quality model" in str(e)
