@@ -118,6 +118,10 @@ NON_HEADLINE = [
     "stream_heavy_hitters_batch",
     "stream_dsir_batch",
     "ext_ccnet_buckets",
+    # r11 additions: the coarse-quantizer assignment twin and the
+    # incremental IVFADC append+search round trip
+    "ext_semantic_dedup_coarse",
+    "ext_ivfpq_incremental",
 ]
 
 

@@ -185,6 +185,38 @@ def append_ivfpq_index(
     rows.write.mode("append").partitionBy("centroid_id").parquet(index_dir)
 
 
+def overwrite_ivfpq_batch(
+    batch: DataFrame,
+    centroids: DataFrame,
+    books: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    residual: bool = False,
+) -> None:
+    """Exactly-once variant of :func:`append_ivfpq_index` for
+    at-least-once callers (foreachBatch): the batch's code rows land in
+    their OWN partition subdir ``index_dir/batch=<id>/centroid_id=*``
+    via ``mode("overwrite")`` — a replayed batch REPLACES its previous
+    write instead of duplicating rows, so no ledger is needed.
+
+    Readers use ``spark.read.parquet(index_dir)``: partition discovery
+    surfaces both ``batch`` and ``centroid_id`` columns, and searches
+    still prune on centroid_id (nested partition dirs prune the same).
+    O(batch) like the plain append; historical batch dirs are never
+    touched.
+    """
+    rows = build_ivfpq_index(
+        batch, centroids, books,
+        id_col=id_col, vec_col=vec_col, m=m, residual=residual,
+    )
+    rows.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{index_dir.rstrip('/')}/batch={int(batch_id)}"
+    )
+
+
 def ivfpq_search(
     index: DataFrame,
     centroids: DataFrame,

@@ -646,3 +646,82 @@ def stream_dsir_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.read.parquet(out_dir).select("doc_id", "logw_micro")
+
+
+def _register_stream_ivfpq() -> None:
+    # late import so plans/extensions.py's oracle builder is reused
+    # verbatim — one replay gates the batch build, the persisted round
+    # trip, the incremental append, AND this streaming growth path
+    from .extensions import _pq_oracle
+
+    @register(
+        "stream_ivfpq_batch",
+        oracle=_pq_oracle(ivf_c=16, nprobe=8),
+        doc="Streaming IVFADC index growth (streaming/sink.py "
+        "stream_ivfpq_append) under the hash gate: embeddings replay "
+        "as two micro-batches through the REAL foreachBatch sink with "
+        "checkpointing, each batch encoded against the FROZEN coarse "
+        "centroids + PQ codebooks into its OWN batch=<id> partition "
+        "subdir (overwrite — at-least-once replay replaces, never "
+        "duplicates, so index contents are exactly-once without a "
+        "ledger).  Search over the streamed layout must equal a "
+        "single-shot build: the SAME full-replay oracle as "
+        "ext_ivfpq_topk / _persisted / _incremental gates it.",
+    )
+    def stream_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        from ..core.caching import track_cache
+        from ..ext.ivfpq import ivfpq_search
+        from ..ext.pq import l2_normalize, train_pq_codebooks
+        from ..streaming.sink import stream_ivfpq_append
+
+        e = l2_normalize(
+            load_tables(spark, sf_dir, "embeddings")["embeddings"], "embedding"
+        )
+        centroids = e.filter(F.col("vec_id") < 16)
+        books = train_pq_codebooks(
+            e, m=16, ksub=32, iterations=2, grid=6
+        ).persist()
+        root = tempfile.mkdtemp(prefix="riab_sivfpq_")
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        for i, half in enumerate(
+            (e.filter(F.col("vec_id") % 2 == 0),
+             e.filter(F.col("vec_id") % 2 == 1))
+        ):
+            tmp = os.path.join(root, f"half{i}")
+            half.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(in_dir, f"{i:02d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+        index_dir = os.path.join(root, "index")
+        query = (
+            stream_ivfpq_append(
+                spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(in_dir),
+                index_dir,
+                os.path.join(root, "ckpt"),
+                centroids,
+                books,
+                m=16,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        reloaded = spark.read.parquet(index_dir)
+        queries = e.filter(F.col("vec_id") < 10)
+        out = ivfpq_search(
+            reloaded, centroids, books, e, queries, m=16, k=3, nprobe=8,
+            shortlist=32,
+        )
+        return track_cache(out, [books])
+
+
+_register_stream_ivfpq()

@@ -192,3 +192,47 @@ def stream_dsir_select(
         stream_docs.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def stream_ivfpq_append(
+    stream_vecs: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    books: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    residual: bool = False,
+):
+    """Build (not start) a writeStream that grows a persisted IVFADC
+    index as embedding batches arrive — the streaming face of
+    ``ext/ivfpq.py::append_ivfpq_index`` (continuous-crawl ANN,
+    VERDICT r10 task 5's streaming twin).
+
+    Per micro-batch: encode ONLY the batch against the FROZEN coarse
+    centroids + PQ codebooks (zero-shuffle fused assignment+encode) and
+    overwrite the batch's own ``batch=<id>`` partition subdir
+    (:func:`ext.ivfpq.overwrite_ivfpq_batch`).  Because every batch
+    owns its subdir, foreachBatch's at-least-once replay REPLACES
+    rather than duplicates — exactly-once index contents with no
+    ledger, no Delta dependency.  Per-batch cost is O(batch); history
+    is never read.  Searches over ``spark.read.parquet(index_dir)``
+    prune on centroid_id exactly as over a single-build layout.
+
+    Returns the DataStreamWriter; callers pick the trigger.
+    """
+    from ..ext.ivfpq import overwrite_ivfpq_batch
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        overwrite_ivfpq_batch(
+            batch_df, centroids, books, index_dir, batch_id,
+            id_col=id_col, vec_col=vec_col, m=m, residual=residual,
+        )
+
+    return (
+        stream_vecs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -754,3 +754,83 @@ def test_stream_dsir_select_folds_history_across_batches(spark):
         assert mass == sum(2 * w - 1 for w in words)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_ivfpq_append_builds_searchable_index(spark):
+    """Streaming IVFADC growth: two embedding micro-batches through the
+    foreachBatch sink produce an index whose contents equal a single
+    full build with the same frozen models, and whose search results
+    match; replaying a batch id REPLACES its subdir (exactly-once, no
+    duplicate code rows)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.ext.ivfpq import (
+        build_ivfpq_index,
+        ivfpq_search,
+        overwrite_ivfpq_batch,
+    )
+    from rabbit_in_a_blender_spark.ext.pq import l2_normalize, train_pq_codebooks
+    from rabbit_in_a_blender_spark.streaming.sink import stream_ivfpq_append
+
+    emb = l2_normalize(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "embedding",
+    )
+    centroids = emb.filter(F.col("vec_id") < 16)
+    books = train_pq_codebooks(emb, m=16, ksub=32, iterations=1)
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="riab_sivfpq_test_")
+    try:
+        for i, df in enumerate((b1, b2)):
+            df.coalesce(1).write.parquet(f"{tmp}/in/b{i}")
+        for i, sub in enumerate(sorted(os.listdir(f"{tmp}/in"))):
+            for f in os.listdir(f"{tmp}/in/{sub}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{tmp}/in/{sub}/{f}", f"{tmp}/stream_{i}.parquet")
+                    os.utime(
+                        f"{tmp}/stream_{i}.parquet",
+                        (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000),
+                    )
+        src = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        q = (
+            stream_ivfpq_append(
+                src, f"{tmp}/index", f"{tmp}/ckpt", centroids, books, m=16
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = spark.read.parquet(f"{tmp}/index")
+        full = build_ivfpq_index(emb, centroids, books, m=16)
+        key = lambda df: sorted(
+            (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+            for r in df.collect()
+        )
+        assert key(streamed) == key(full)
+        # search parity over the streamed layout
+        queries = emb.filter(F.col("vec_id") < 6)
+        kw = dict(m=16, k=3, nprobe=8, shortlist=32)
+        got = ivfpq_search(streamed, centroids, books, emb, queries, **kw)
+        want = ivfpq_search(full, centroids, books, emb, queries, **kw)
+        rows = lambda df: sorted(map(tuple, df.collect()))
+        assert rows(got) == rows(want) and got.count() > 0
+        # replay idempotency: rewriting an existing batch id leaves the
+        # index contents unchanged (overwrite, not append)
+        bid = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(f"{tmp}/index") if d.startswith("batch=")
+        )[0]
+        replay_src = b1 if bid == 0 else b2
+        overwrite_ivfpq_batch(
+            replay_src, centroids, books, f"{tmp}/index", bid, m=16
+        )
+        assert key(spark.read.parquet(f"{tmp}/index")) == key(full)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
