@@ -374,8 +374,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "this corpus + --dsir-target; existing -> "
                         "O(batch) incremental scoring against the "
                         "stored models (the batch's counts fold in as "
-                        "appended rows; the target model stays frozen, "
-                        "so --dsir-target is not read)")
+                        "one idempotent file keyed on the batch source "
+                        "path, so crash re-runs never double-count; "
+                        "the target model stays frozen, so "
+                        "--dsir-target is not read)")
     x.add_argument("--quality-fit", metavar="DOCS",
                    help="Train the logistic-regression quality filter "
                         "(oracle-reproducible full-batch GD) on DOCS "
