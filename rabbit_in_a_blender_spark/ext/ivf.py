@@ -220,6 +220,11 @@ def _build_ivf_index_coarse(
     cmat = np.array([r["cv"] for r in c_rows], dtype=np.float64)
     if len(c_rows) <= 2:
         return _build_ivf_index_arrow(corpus, centroids, id_col, vec_col)
+    if int(cids.min()) < 0 or int(cids.max()) >= (1 << 32):
+        # the running-best int64 key packs the cid into the low 32
+        # bits; ids outside [0, 2^32) would corrupt the tie-break
+        # order, so fall back to the flat path (correct at any id)
+        return _build_ivf_index_arrow(corpus, centroids, id_col, vec_col)
     cnorm = np.linalg.norm(cmat, axis=1)
     cu = cmat / np.where(cnorm == 0, 1.0, cnorm)[:, None]
     n_s = n_super if n_super else math.isqrt(len(c_rows) - 1) + 1

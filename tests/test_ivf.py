@@ -269,3 +269,33 @@ def test_coarse_assignment_through_semantic_dedup(spark):
     unpersist_intermediates(b)
     assert fa == fb
     assert any(f[2] for f in fb)  # the planted dups are flagged
+
+
+def test_coarse_assignment_out_of_range_cid_falls_back(spark):
+    """Centroid ids outside [0, 2^32) can't ride in the low 32 bits of
+    the coarse path's running-best key — the method must fall back to
+    the flat arrow path and still return correct assignments."""
+    import random
+
+    from rabbit_in_a_blender_spark.ext.ivf import build_ivf_index
+
+    rng = random.Random(41)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    big = 1 << 33
+    cents = spark.createDataFrame(
+        [(big + c, [rng.gauss(0, 1) for _ in range(6)]) for c in range(9)],
+        "vec_id long, embedding array<double>",
+    )
+    flat = {
+        r["vec_id"]: r["centroid_id"]
+        for r in build_ivf_index(df, cents, method="arrow")
+        .select("vec_id", "centroid_id").collect()
+    }
+    coarse = {
+        r["vec_id"]: r["centroid_id"]
+        for r in build_ivf_index(df, cents, method="coarse")
+        .select("vec_id", "centroid_id").collect()
+    }
+    assert coarse == flat
+    assert all(v >= big for v in coarse.values())
