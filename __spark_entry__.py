@@ -426,11 +426,14 @@ def _closure_attrs(
     ``paths`` — the universe of method names the query's closure can
     possibly call, which scopes class fingerprints to reached methods.
     None (→ conservative whole-class dumps) when any file is unreadable
-    or unparsable.  Dynamic access (getattr with computed strings) is
-    out of scope — acceptable because the engine never dispatches
-    methods that way (and the fallback for new dynamic code is a
-    too-eager re-verify, never a missed one... inverted here: a missed
-    flag; the codebase bans computed-getattr dispatch for this reason)."""
+    or unparsable.
+
+    Known limitation: a method dispatched via getattr with a COMPUTED
+    string never appears as an Attribute node, so its edits would not
+    flag importers.  The engine deliberately has no such dispatch (a
+    grep-able invariant); code that needs it should also add the query
+    to _REVERIFY_FIRST, the documented escape hatch for
+    closure-invisible dependencies."""
     out: set[str] = set()
     for p in paths:
         if p not in cache:
