@@ -405,6 +405,18 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--quality-steps", type=int, default=8,
                    help="With --quality-fit: gradient-descent steps "
                         "(default %(default)s)")
+    x.add_argument("--compact", metavar="DIR",
+                   help="Rewrite an append-decayed parquet directory "
+                        "(streaming sink outputs, incremental indexes) "
+                        "into ~--target-file-mb files via a staged "
+                        "atomic swap; prints files before -> after")
+    x.add_argument("--target-file-mb", type=int, default=128,
+                   help="With --compact: target output file size "
+                        "(default %(default)s MB)")
+    x.add_argument("--compact-partition-by", metavar="COLS",
+                   help="With --compact: comma-separated partition "
+                        "columns to preserve in the layout (e.g. "
+                        "centroid_id for an IVFADC index)")
     return p
 
 
@@ -1545,6 +1557,26 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.quality_select:
         return _quality_select(args, cfg)
+
+    if args.compact:
+        from .core.fsio import compact_parquet_dir
+
+        spark = _ext_session(cfg)
+        parts = (
+            [c.strip() for c in args.compact_partition_by.split(",") if c.strip()]
+            if args.compact_partition_by
+            else None
+        )
+        before, after = compact_parquet_dir(
+            spark, args.compact,
+            target_file_mb=args.target_file_mb, partition_by=parts,
+        )
+        print(
+            f"compacted {args.compact}: {before} files -> {after} "
+            f"(target {args.target_file_mb} MB"
+            + (f", partitioned by {','.join(parts)})" if parts else ")")
+        )
+        return 0
 
     if args.create_folders:
         from .folders import create_cdm_folders

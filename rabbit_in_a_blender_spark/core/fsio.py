@@ -39,3 +39,63 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     table; the call-site contract (all-or-nothing replace) is identical.
     """
     df.write.mode("overwrite").parquet(path)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Rewrite an append-decayed parquet directory into ~``target_file_mb``
+    files; returns (files_before, files_after).
+
+    Every foreachBatch sink in streaming/sink.py appends per micro-batch
+    — a week of 1-minute triggers decays a table into ~10k tiny files
+    whose per-file open/footer cost dominates scans long before data
+    size does (the classic small-files problem).  Compaction reads the
+    dir once, repartitions to ceil(total_bytes / target_file_mb), and
+    swaps via a staged sibling dir + rename (the warehouse atomic-
+    rebuild recipe — never an in-place overwrite, so a crash leaves the
+    old table intact and a concurrent reader sees old-or-new, not
+    half).  With ``partition_by`` the staging write keeps the partition
+    layout (repartitioned ON those keys so each partition dir compacts
+    to its own files and scan-level pruning is preserved).
+
+    Data-neutral by construction: same rows, same schema (equality
+    pytest-pinned).  Local-path rename semantics; on object stores use
+    Delta OPTIMIZE — the call-site contract is identical.
+    """
+    import math
+    import os
+    import shutil
+
+    def _walk(p: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+        return out
+
+    before = _walk(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".__staging__"
+    shutil.rmtree(staging, ignore_errors=True)
+    if partition_by:
+        keys = [k for k in partition_by if k in df.columns]
+        df.repartition(max(n_files, 1), *keys).write.mode(
+            "overwrite"
+        ).partitionBy(*keys).parquet(staging)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(before), len(_walk(path))

@@ -909,3 +909,22 @@ def test_quality_fit_then_select_cli(spark, capsys, tmpdir_):
         assert False, "expected SystemExit"
     except SystemExit as e:
         assert "quality model" in str(e)
+
+
+def test_compact_cli(spark, capsys, tmpdir_):
+    """--compact folds an append-decayed directory and reports the
+    file-count change; --compact-partition-by preserves the layout."""
+    root = str(tmpdir_)
+    d = os.path.join(root, "decayed")
+    for i in range(5):
+        spark.range(i * 50, (i + 1) * 50).repartition(3).write.mode(
+            "append"
+        ).parquet(d)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    rc = main(["--compact", d, "--config", cfg])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "compacted" in out and "files ->" in out
+    assert spark.read.parquet(d).count() == 250
