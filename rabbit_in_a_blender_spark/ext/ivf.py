@@ -350,25 +350,61 @@ def probe_lists(
     nprobe: int = 4,
 ) -> DataFrame:
     """(query_id, __qv, centroid_id): the nprobe nearest centroid lists
-    per query — the |Q| x C scoring is broadcast-side and tiny; the
-    result is the metadata-sized probe driver for any IVF-family search
-    (raw-vector ivf_search here, PQ-code ivfpq_search in ext/ivfpq.py)."""
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
+    per query — the metadata-sized probe driver for any IVF-family
+    search (raw-vector ivf_search here, PQ-code ivfpq_search in
+    ext/ivfpq.py).
+
+    Zero-shuffle (r11): the centroids collapse to ONE broadcast
+    array-of-structs row; each query row HOF-sorts it by (rounded
+    cosine desc, centroid_id asc — the negated id inside the ascending
+    sort struct) and explodes the top nprobe.  The previous shape
+    materialized |Q|×C rows through a row_number window — a real
+    exchange whose width goes quadratic when BOTH the query batch and
+    the centroid count are large (bulk re-scoring at C ∝ N); now
+    nothing wider than |Q|×nprobe ever exists and no exchange is
+    planned.  Selection is identical (same comparator as the old
+    window; the IVF-family oracles gate it).  For bulk |Q| at C in the
+    tens of thousands, the per-row O(C log C) interpreted sort can be
+    swapped for the Arrow top-p the way build_ivf_index's
+    method="arrow"/"coarse" does — same contract.
+    """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(_cosine(F.col("__qv"), F.col("__cv")), 6)), F.col("centroid_id")
+    cents_row = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("long").alias("cid"),
+                    F.col(vec_col).cast("array<double>").alias("cv"),
+                )
+            )
+        ).alias("__cents")
+    )
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("__cents"),
+                    lambda s: F.struct(
+                        F.round(_cosine(F.col("__qv"), s["cv"]), 6).alias("cos"),
+                        (-s["cid"]).alias("neg_cid"),
+                    ),
+                )
+            )
+        ),
+        1,
+        nprobe,
     )
     return (
-        q.crossJoin(F.broadcast(c))
-        .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", "centroid_id")
+        q.crossJoin(F.broadcast(cents_row))
+        .select("query_id", "__qv", F.explode(ranked).alias("__s"))
+        .select(
+            "query_id",
+            "__qv",
+            (-F.col("__s.neg_cid")).alias("centroid_id"),
+        )
     )
 
 
