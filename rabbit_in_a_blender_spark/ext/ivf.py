@@ -290,6 +290,7 @@ def assign_top_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     p: int = 2,
+    method: str = "arrow",
 ) -> DataFrame:
     """(id_col, centroid_id, centroid_rank 1..p): each corpus vector's
     ``p`` nearest centroids — the multi-assignment view of
@@ -299,12 +300,26 @@ def assign_top_centroids(
     top-p probe, multi-list IVF inserts) read ranks 1..p; the reported/
     stored cluster stays rank 1.
 
+    ``method="arrow"`` (default since r11, same rationale as
+    build_ivf_index's flip): the per-row interpreted O(C log C) HOF
+    sort is this function's expr cost over the FULL CORPUS — the exact
+    wall the r10 SemDeDup scale curve measured for the plain
+    assignment, since the probe phase runs corpus-wide too.  The Arrow
+    twin does one matmul + top-p argsort per batch on the identical
+    (rounded cosine desc, cid asc) int64 key, so ranks are identical
+    (pytest-pinned; ext_semantic_dedup_probe2 hash-gates it end to
+    end).  ``method="expr"`` keeps the pure-SQL-lineage twin.
+
     Zero-shuffle like build_ivf_index: one broadcast centroid-array row
     attached map-side, a per-row O(C log C) sort over the broadcast
     array, and a p-row posexplode — no corpus×C exchange.
     """
     if p < 1:
         raise ValueError(f"p must be >= 1, got {p}")
+    if method == "arrow":
+        return _assign_top_centroids_arrow(corpus, centroids, id_col, vec_col, p)
+    if method != "expr":
+        raise ValueError(f"method must be 'expr' or 'arrow', got {method!r}")
     cents_row = centroids.agg(
         F.array_sort(
             F.collect_list(
@@ -340,6 +355,83 @@ def assign_top_centroids(
             (F.col("__r") + 1).cast("int").alias("centroid_rank"),
         )
     )
+
+
+def _assign_top_centroids_arrow(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    p: int,
+) -> DataFrame:
+    """Arrow/BLAS twin of the expr top-p assignment — see
+    assign_top_centroids.  One matmul + top-p argsort per batch on the
+    int64 (rounded-cosine, -cid) key; ranks identical to the HOF sort."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from ._rounding import round_half_up
+
+    c_rows = centroids.select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).collect()
+    c_rows.sort(key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in c_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    take = min(p, len(c_rows))
+    if cids.size and (int(cids.min()) < 0 or int(cids.max()) >= (1 << 32)):
+        # the int64 key packs the cid into the low 32 bits (see the
+        # coarse path); out-of-range ids use the expr twin instead
+        return assign_top_centroids(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, p=p,
+            method="expr",
+        )
+
+    src = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    out_schema = T.StructType(
+        [
+            src.schema[id_col],
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("centroid_rank", T.IntegerType()),
+        ]
+    )
+
+    def top_p(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+            vnorm = np.linalg.norm(v, axis=1)
+            sims = (v @ cmat.T) / np.outer(vnorm, cnorm)
+            ri = np.round(round_half_up(sims, 6) * 1e6).astype(np.int64)
+            keys = ri * (1 << 32) - cids[None, :]
+            # top-p by key desc == (rounded cosine desc, cid asc)
+            if take < keys.shape[1]:
+                part = np.argpartition(-keys, take - 1, axis=1)[:, :take]
+                pk = np.take_along_axis(keys, part, axis=1)
+                order = np.argsort(-pk, axis=1, kind="stable")
+                idx = np.take_along_axis(part, order, axis=1)
+            else:
+                idx = np.argsort(-keys, axis=1, kind="stable")
+            n, w = idx.shape
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), w),
+                    "centroid_id": cids[idx].reshape(-1),
+                    "centroid_rank": np.tile(
+                        np.arange(1, w + 1, dtype=np.int32), n
+                    ),
+                }
+            )
+
+    return src.mapInPandas(top_p, schema=out_schema)
 
 
 def probe_lists(

@@ -299,3 +299,50 @@ def test_coarse_assignment_out_of_range_cid_falls_back(spark):
     }
     assert coarse == flat
     assert all(v >= big for v in coarse.values())
+
+
+def test_assign_top_centroids_arrow_matches_expr(spark):
+    """The Arrow top-p twin must produce IDENTICAL (id, rank) ->
+    centroid maps as the expr HOF sort — same rounded-cosine grid and
+    min-cid tie-break — including at p > C and on a planted exact tie;
+    out-of-range centroid ids fall back to expr transparently."""
+    import random
+
+    from rabbit_in_a_blender_spark.ext.ivf import assign_top_centroids
+
+    rng = random.Random(43)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(150)]
+    rows.append((900, [1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # tie
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)]
+        + [(c, [rng.gauss(0, 1) for _ in range(8)]) for c in range(2, 7)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def ranks(method, p):
+        return {
+            (r["vec_id"], r["centroid_rank"]): r["centroid_id"]
+            for r in assign_top_centroids(df, cents, p=p, method=method)
+            .collect()
+        }
+
+    for p in (1, 3, 9):  # 9 > C=7 exercises the cap
+        assert ranks("arrow", p) == ranks("expr", p), f"p={p}"
+    got = ranks("arrow", 2)
+    assert got[(900, 1)] == 0 and got[(900, 2)] == 1  # tie to smaller cid
+    # out-of-range ids: arrow delegates to expr, results still correct
+    big = 1 << 33
+    cents_big = cents.select(
+        (F.col("vec_id") + big).alias("vec_id"), "embedding"
+    )
+    a = {
+        (r["vec_id"], r["centroid_rank"]): r["centroid_id"]
+        for r in assign_top_centroids(df, cents_big, p=2).collect()
+    }
+    e = {
+        (r["vec_id"], r["centroid_rank"]): r["centroid_id"]
+        for r in assign_top_centroids(df, cents_big, p=2, method="expr")
+        .collect()
+    }
+    assert a == e and all(v >= big for v in a.values())
