@@ -254,3 +254,83 @@ def test_rrf_score_monotone_in_rank(spark, ranks):
         assert both[i] > only_a[i]  # the second list can only add mass
         expect = round(1e6 / (60 + r1)) + round(1e6 / (60 + r2))
         assert both[i] == expect
+
+
+vec_strategy = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-4, max_value=4,
+            allow_nan=False, allow_infinity=False, width=32,
+        ),
+        min_size=4, max_size=4,
+    ).filter(lambda v: any(abs(x) > 1e-3 for x in v)),
+    min_size=3, max_size=24,
+)
+
+
+@given(vecs=vec_strategy, n_cents=st.integers(min_value=2, max_value=6))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_assignment_methods_agree_on_random_fixtures(spark, vecs, n_cents):
+    """Law (r11): all three nearest-centroid assignment paths — expr HOF,
+    Arrow matmul, and the coarse quantizer with exhaustive probe — pick
+    the SAME centroid for every vector, for ANY geometry hypothesis can
+    draw (including duplicate vectors and rounded-cosine ties)."""
+    from rabbit_in_a_blender_spark.ext.ivf import build_ivf_index
+
+    n_cents = min(n_cents, len(vecs))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = df.limit(n_cents)
+
+    def got(**kw):
+        return {
+            r["vec_id"]: r["centroid_id"]
+            for r in build_ivf_index(df, cents, **kw)
+            .select("vec_id", "centroid_id").collect()
+        }
+
+    expr = got(method="expr")
+    assert got(method="arrow") == expr
+    assert got(method="coarse", coarse_probe=n_cents) == expr
+
+
+@given(vecs=vec_strategy, p=st.integers(min_value=1, max_value=4))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_top_p_rank1_is_the_assignment_for_any_fixture(spark, vecs, p):
+    """Law: assign_top_centroids rank 1 IS build_ivf_index's assignment
+    and arrow/expr rank maps coincide, for any geometry."""
+    from rabbit_in_a_blender_spark.ext.ivf import (
+        assign_top_centroids,
+        build_ivf_index,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = df.limit(3)
+    base = {
+        r["vec_id"]: r["centroid_id"]
+        for r in build_ivf_index(df, cents)
+        .select("vec_id", "centroid_id").collect()
+    }
+    a = {
+        (r["vec_id"], r["centroid_rank"]): r["centroid_id"]
+        for r in assign_top_centroids(df, cents, p=p).collect()
+    }
+    e = {
+        (r["vec_id"], r["centroid_rank"]): r["centroid_id"]
+        for r in assign_top_centroids(df, cents, p=p, method="expr").collect()
+    }
+    assert a == e
+    assert all(a[(vid, 1)] == cid for vid, cid in base.items())
