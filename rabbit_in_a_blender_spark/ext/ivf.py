@@ -291,6 +291,8 @@ def assign_top_centroids(
     vec_col: str = "embedding",
     p: int = 2,
     method: str = "arrow",
+    coarse_probe: int = 4,
+    n_super: int | None = None,
 ) -> DataFrame:
     """(id_col, centroid_id, centroid_rank 1..p): each corpus vector's
     ``p`` nearest centroids — the multi-assignment view of
@@ -310,6 +312,15 @@ def assign_top_centroids(
     (pytest-pinned; ext_semantic_dedup_probe2 hash-gates it end to
     end).  ``method="expr"`` keeps the pure-SQL-lineage twin.
 
+    ``method="coarse"`` is the large-C rung, mirroring
+    build_ivf_index(method="coarse"): top-p is computed over only the
+    ``coarse_probe`` nearest super-cells' members — O(N·√C·d) instead
+    of the arrow matmul's O(N·C·d) — with per-cell top-p partials
+    merged into a running (n×p) best, same int64 key/tie-break.  Ranks
+    are identical whenever the true top-p all lie in probed super-cells
+    (unconditional at coarse_probe >= n_super, pytest-pinned); use p
+    well below probe·√C so the candidate pool covers the list.
+
     Zero-shuffle like build_ivf_index: one broadcast centroid-array row
     attached map-side, a per-row O(C log C) sort over the broadcast
     array, and a p-row posexplode — no corpus×C exchange.
@@ -318,8 +329,15 @@ def assign_top_centroids(
         raise ValueError(f"p must be >= 1, got {p}")
     if method == "arrow":
         return _assign_top_centroids_arrow(corpus, centroids, id_col, vec_col, p)
+    if method == "coarse":
+        return _assign_top_centroids_coarse(
+            corpus, centroids, id_col, vec_col, p,
+            coarse_probe=coarse_probe, n_super=n_super,
+        )
     if method != "expr":
-        raise ValueError(f"method must be 'expr' or 'arrow', got {method!r}")
+        raise ValueError(
+            f"method must be 'expr', 'arrow' or 'coarse', got {method!r}"
+        )
     cents_row = centroids.agg(
         F.array_sort(
             F.collect_list(
@@ -428,6 +446,123 @@ def _assign_top_centroids_arrow(
                     "centroid_rank": np.tile(
                         np.arange(1, w + 1, dtype=np.int32), n
                     ),
+                }
+            )
+
+    return src.mapInPandas(top_p, schema=out_schema)
+
+
+def _assign_top_centroids_coarse(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    p: int,
+    coarse_probe: int = 4,
+    n_super: int | None = None,
+) -> DataFrame:
+    """Two-level top-p assignment — see assign_top_centroids
+    (method="coarse").  Per batch: one N×√C super-cell matmul, then
+    per probed cell a members matmul whose per-row top-p partial merges
+    into a running (n×p) best on the shared int64 key."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from ._rounding import round_half_up
+
+    c_rows = centroids.select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).collect()
+    c_rows.sort(key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in c_rows], dtype=np.float64)
+    if len(c_rows) <= 2 or (
+        cids.size and (int(cids.min()) < 0 or int(cids.max()) >= (1 << 32))
+    ):
+        return _assign_top_centroids_arrow(corpus, centroids, id_col, vec_col, p)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cu = cmat / np.where(cnorm == 0, 1.0, cnorm)[:, None]
+    n_s = n_super if n_super else math.isqrt(len(c_rows) - 1) + 1
+    smat, cell_of = _super_kmeans(cu, min(n_s, len(c_rows)))
+    members = [np.nonzero(cell_of == j)[0] for j in range(len(smat))]
+    keep = [j for j, m in enumerate(members) if len(m)]
+    smat = smat[keep]
+    members = [members[j] for j in keep]
+    probe = min(coarse_probe, len(smat))
+    take = min(p, len(c_rows))
+    # sentinel must survive negation: -int64_min overflows back to
+    # itself, which would make argpartition(-pool) rank the EMPTY slot
+    # first; min+1 negates to int64_max and stays below every real key
+    kmin = np.iinfo(np.int64).min + 1
+
+    src = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    out_schema = T.StructType(
+        [
+            src.schema[id_col],
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("centroid_rank", T.IntegerType()),
+        ]
+    )
+
+    def top_p(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+            vnorm = np.linalg.norm(v, axis=1)
+            vu = v / np.where(vnorm == 0, 1.0, vnorm)[:, None]
+            ssims = vu @ smat.T
+            if probe < len(smat):
+                probed = np.argpartition(-ssims, probe - 1, axis=1)[:, :probe]
+            else:
+                probed = np.tile(np.arange(len(smat)), (len(v), 1))
+            best = np.full((len(v), take), kmin, dtype=np.int64)
+            for j in range(len(smat)):
+                rows = np.nonzero((probed == j).any(axis=1))[0]
+                if not rows.size:
+                    continue
+                mem = members[j]
+                sims = (v[rows] @ cmat[mem].T) / np.outer(
+                    vnorm[rows], cnorm[mem]
+                )
+                ri = np.round(round_half_up(sims, 6) * 1e6).astype(np.int64)
+                keys = ri * (1 << 32) - cids[mem][None, :]
+                t = min(take, keys.shape[1])
+                if t < keys.shape[1]:
+                    part = np.argpartition(-keys, t - 1, axis=1)[:, :t]
+                    kj = np.take_along_axis(keys, part, axis=1)
+                else:
+                    kj = keys
+                # merge this cell's top-t into the running (n×take) best
+                pool = np.concatenate([best[rows], kj], axis=1)
+                sel = np.argpartition(-pool, take - 1, axis=1)[:, :take]
+                best[rows] = np.take_along_axis(pool, sel, axis=1)
+            order = np.argsort(-best, axis=1, kind="stable")
+            best = np.take_along_axis(best, order, axis=1)
+            # decode cids back from the key's low 32 bits: key = ri*2^32
+            # - cid with cid in [0, 2^32) → cid = -(key mod -2^32)...
+            # simpler exactly: ri = ceil(key / 2^32), cid = ri*2^32 - key
+            ri = -(-best // (1 << 32))
+            dec_cid = ri * (1 << 32) - best
+            valid = best > kmin
+            n = len(v)
+            reps = valid.sum(axis=1)
+            ranks = np.concatenate(
+                [np.arange(1, r + 1, dtype=np.int32) for r in reps]
+            ) if n else np.array([], dtype=np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), reps),
+                    "centroid_id": dec_cid[valid],
+                    "centroid_rank": ranks,
                 }
             )
 

@@ -219,8 +219,12 @@ def semantic_dedup(
         # Top-p multi-assignment for candidates only: up to `probe`
         # (cluster, id) rows per vector; the keep key rides along from
         # the primary assignment so the exemplar order is unchanged.
+        # the candidate phase rides the same assignment path as phase 1
+        # so assign_method="coarse" keeps BOTH corpus-sized passes at
+        # O(N·√C·d); "expr" keeps the probe replay pure-SQL
         probes = assign_top_centroids(
-            corpus, centroids, id_col=id_col, vec_col=vec_col, p=probe
+            corpus, centroids, id_col=id_col, vec_col=vec_col, p=probe,
+            method=assign_method,
         ).select(
             F.col("centroid_id").alias("__ccid"),
             F.col(id_col).alias("__id"),

