@@ -332,19 +332,32 @@ def build_parser() -> argparse.ArgumentParser:
                         "phase (reported cluster stays the nearest one); "
                         "2 closes most cross-cluster boundary misses at "
                         "~2x candidate cost (default %(default)s)")
-    x.add_argument("--assign-method", choices=("expr", "arrow", "coarse"),
-                   default="arrow",
+    x.add_argument("--assign-method",
+                   choices=("auto", "expr", "arrow", "coarse"),
+                   default="auto",
                    help="With --semantic-dedup / --embed-cluster: "
-                        "nearest-centroid assignment path — 'arrow' "
-                        "(BLAS matmul per Arrow batch, default; "
-                        "identical assignments, 44-71x faster once "
-                        "--clusters reaches the hundreds), 'expr' "
+                        "nearest-centroid assignment path — 'auto' "
+                        "(default: picks 'coarse' once the centroid "
+                        "count crosses the measured crossover, 'arrow' "
+                        "below it; the choice is logged), 'arrow' "
+                        "(flat BLAS matmul per Arrow batch; identical "
+                        "assignments, exact at any C), 'expr' "
                         "(pure-SQL-replayable HOF fold, the oracle "
                         "twin), or 'coarse' (two-level quantizer: "
                         "probe sqrt(C) super-cells then exact within "
                         "— O(N*sqrt(C)*d), the C-proportional-to-N "
                         "regime rung; exact whenever the nearest "
                         "centroid lies in a probed super-cell)")
+    x.add_argument("--coarse-probe", default="4",
+                   help="With --semantic-dedup / --embed-cluster on the "
+                        "coarse assignment rung: how many super-cells "
+                        "each vector probes (bounds the miss rate like "
+                        "IVF nprobe; default %(default)s), or 'auto' to "
+                        "size it by a sampled flat-vs-coarse agreement "
+                        "estimate (doubles the probe until agreement "
+                        ">= 0.98 on a deterministic id-hash sample — "
+                        "needed on unclustered geometry, where the "
+                        "measured agreement at probe=4 is only 0.68)")
     x.add_argument("--max-cluster-size", type=int, default=None,
                    help="With --semantic-dedup: subsplit clusters larger "
                         "than this for the pairwise phase (deterministic "
@@ -864,6 +877,40 @@ def _corpus_search(args, cfg) -> int:
     return 0
 
 
+def _resolve_coarse_probe(
+    arg: str, vecs, cents, id_col: str, vec_col: str,
+    n_clusters: int, assign_method: str,
+) -> int:
+    """Parse --coarse-probe: a positive integer, or 'auto' — which runs
+    ext/ivf.py::tune_coarse_probe (sampled flat-vs-coarse agreement,
+    probe doubled to target) but ONLY when the resolved assignment
+    method is actually the coarse rung; on the flat rungs the probe is
+    unused and tuning would waste two sample assignments."""
+    from .ext.ivf import resolve_assign_method, tune_coarse_probe
+
+    if arg != "auto":
+        try:
+            p = int(arg)
+        except ValueError:
+            raise SystemExit(
+                f"--coarse-probe must be a positive integer or 'auto', "
+                f"got {arg!r}"
+            )
+        if p < 1:
+            raise SystemExit(f"--coarse-probe must be >= 1, got {p}")
+        return p
+    if resolve_assign_method(assign_method, n_clusters) != "coarse":
+        return 4
+    probe, agree = tune_coarse_probe(
+        vecs, cents, id_col=id_col, vec_col=vec_col
+    )
+    print(
+        f"--coarse-probe auto: chose probe={probe} "
+        f"(sampled flat-vs-coarse agreement {agree:.4f})"
+    )
+    return probe
+
+
 def _embed_cluster(args, cfg) -> int:
     """User-facing Lloyd k-means (`ext/ivf.py::refine_centroids`):
     cluster an embedding table, write centroids + an IVF-ready
@@ -922,11 +969,19 @@ def _embed_cluster(args, cfg) -> int:
     cents.withColumnRenamed(args.id_col, "centroid_id").write.mode(
         "overwrite"
     ).parquet(cents_out)
+    cents_read = spark.read.parquet(cents_out).withColumnRenamed(
+        "centroid_id", args.id_col
+    )
+    # probe tuning runs against the WRITTEN centroids so the sampled
+    # agreement measures exactly what the final assignment will use
+    coarse_probe = _resolve_coarse_probe(
+        args.coarse_probe, vecs, cents_read, args.id_col, args.vec_col,
+        n_clusters, args.assign_method,
+    )
     assigned = build_ivf_index(
-        vecs, spark.read.parquet(cents_out).withColumnRenamed(
-            "centroid_id", args.id_col
-        ),
+        vecs, cents_read,
         id_col=args.id_col, vec_col=args.vec_col,
+        method=args.assign_method, coarse_probe=coarse_probe,
     )
     assign_out = args.out.rstrip("/") + "/assignments"
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(assign_out)
@@ -991,11 +1046,15 @@ def _semantic_dedup(args, cfg) -> int:
         iterations=args.iterations, grid=6,
         assign_method=args.assign_method,
     )
+    coarse_probe = _resolve_coarse_probe(
+        args.coarse_probe, slim, cents, args.id_col, args.vec_col,
+        n_clusters, args.assign_method,
+    )
     flags = semantic_dedup(
         slim, cents, id_col=args.id_col, vec_col=args.vec_col,
         tau=args.tau, grid=6, keep=args.keep, probe=args.probe,
         max_cluster_size=args.max_cluster_size,
-        assign_method=args.assign_method,
+        assign_method=args.assign_method, coarse_probe=coarse_probe,
     )
     if args.out:
         kept = vecs.join(

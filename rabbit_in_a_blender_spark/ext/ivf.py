@@ -19,10 +19,61 @@ trades with nprobe exactly like FAISS IVF-Flat.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import _dot, _norm
+
+log = logging.getLogger("riab_spark.ext.ivf")
+
+#: Measured auto-escalation crossover for nearest-centroid assignment
+#: (PLANS.md r11 scale curve, N=200k d=64): the coarse two-level rung
+#: already wins 5.3x at C=400 and is assignment-IDENTICAL to the flat
+#: matmul at C>=2000 on clustered geometry (the SemDeDup operating
+#: regime, probe=4) — 15.8x at C=2000, 70.4x at C=8000, widening as
+#: C/sqrt(C).  Below the threshold flat arrow stays default: it is
+#: unconditionally exact and fast enough that the coarse setup cost
+#: isn't worth a bounded-miss trade on adversarial geometry (agreement
+#: 0.68 at C=400 on uniform-random vectors).
+AUTO_COARSE_MIN_C = 2000
+
+
+def resolve_assign_method(
+    method: str, n_centroids: int, threshold: int | None = None
+) -> str:
+    """Resolve ``method="auto"`` to a concrete assignment path by the
+    centroid count (VERDICT r11 task 1: the CLI derives C ~ N/1000, so a
+    large corpus must not silently ride the O(N*C*d) flat matmul that
+    the r11 curve measures at 70x over coarse at C=8000).  Non-auto
+    methods pass through untouched — ``arrow``/``expr`` remain the
+    explicit exactness opt-outs at any C.  ``threshold=None`` reads the
+    module constant at CALL time so the boundary stays one knob."""
+    if method != "auto":
+        return method
+    t = AUTO_COARSE_MIN_C if threshold is None else threshold
+    return "coarse" if n_centroids >= t else "arrow"
+
+
+def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (cids asc int64 array, C x d float64 matrix) of the
+    centroid frame — C x d METADATA, collected once per operator call
+    so the auto dispatch never recomputes a lazy centroid plan twice."""
+    import numpy as np
+
+    c_rows = centroids.select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).collect()
+    c_rows.sort(key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
+    cmat = (
+        np.array([r["cv"] for r in c_rows], dtype=np.float64)
+        if c_rows
+        else np.zeros((0, 0), dtype=np.float64)
+    )
+    return cids, cmat
 
 
 def _cosine(a, b):
@@ -34,7 +85,7 @@ def build_ivf_index(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "arrow",
+    method: str = "auto",
     coarse_probe: int = 4,
     n_super: int | None = None,
 ) -> DataFrame:
@@ -85,17 +136,34 @@ def build_ivf_index(
     and equality is unconditional (pytest-pinned).  Probing w cells
     bounds the miss rate the way IVF nprobe does — a miss still
     returns the best candidate among probed cells, never garbage.
+
+    ``method="auto"`` (default since r12, VERDICT r11 task 1) collects
+    the centroid frame ONCE (C x d metadata) and picks the rung by C via
+    :func:`resolve_assign_method`: ``coarse`` at C >=
+    ``AUTO_COARSE_MIN_C`` (the measured assignment-identical crossover),
+    flat ``arrow`` below it.  The choice is logged; pass an explicit
+    method to opt out.
     """
-    if method == "arrow":
-        return _build_ivf_index_arrow(corpus, centroids, id_col, vec_col)
-    if method == "coarse":
+    if method in ("auto", "arrow", "coarse"):
+        c = _collect_centroids(centroids, id_col, vec_col)
+        resolved = resolve_assign_method(method, len(c[0]))
+        if method == "auto":
+            log.info(
+                "build_ivf_index: assign method auto -> %r (C=%d, "
+                "crossover=%d)", resolved, len(c[0]), AUTO_COARSE_MIN_C,
+            )
+        if resolved == "arrow":
+            return _build_ivf_index_arrow(
+                corpus, centroids, id_col, vec_col, _c=c
+            )
         return _build_ivf_index_coarse(
             corpus, centroids, id_col, vec_col,
-            coarse_probe=coarse_probe, n_super=n_super,
+            coarse_probe=coarse_probe, n_super=n_super, _c=c,
         )
     if method != "expr":
         raise ValueError(
-            f"method must be 'expr', 'arrow' or 'coarse', got {method!r}"
+            f"method must be 'auto', 'expr', 'arrow' or 'coarse', "
+            f"got {method!r}"
         )
     cents_row = centroids.agg(
         F.array_sort(
@@ -129,6 +197,7 @@ def _build_ivf_index_arrow(
     centroids: DataFrame,
     id_col: str,
     vec_col: str,
+    _c=None,
 ) -> DataFrame:
     """Arrow/BLAS twin of the expr assignment — see build_ivf_index."""
     import numpy as np
@@ -137,13 +206,10 @@ def _build_ivf_index_arrow(
 
     from ._rounding import round_half_up
 
-    c_rows = centroids.select(
-        F.col(id_col).cast("long").alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).collect()
-    c_rows.sort(key=lambda r: r["cid"])  # ascending cid: argmax first-hit
-    cids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
-    cmat = np.array([r["cv"] for r in c_rows], dtype=np.float64)
+    # cids ascending: argmax first-hit == min-cid tie-break
+    cids, cmat = _c if _c is not None else _collect_centroids(
+        centroids, id_col, vec_col
+    )
     cnorm = np.linalg.norm(cmat, axis=1)
 
     src = corpus.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
@@ -200,6 +266,7 @@ def _build_ivf_index_coarse(
     vec_col: str,
     coarse_probe: int = 4,
     n_super: int | None = None,
+    _c=None,
 ) -> DataFrame:
     """Two-level (coarse-quantized) nearest-centroid assignment — see
     build_ivf_index(method="coarse") for the contract and scale math."""
@@ -211,24 +278,24 @@ def _build_ivf_index_coarse(
 
     from ._rounding import round_half_up
 
-    c_rows = centroids.select(
-        F.col(id_col).cast("long").alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).collect()
-    c_rows.sort(key=lambda r: r["cid"])
-    cids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
-    cmat = np.array([r["cv"] for r in c_rows], dtype=np.float64)
-    if len(c_rows) <= 2:
-        return _build_ivf_index_arrow(corpus, centroids, id_col, vec_col)
+    cids, cmat = _c if _c is not None else _collect_centroids(
+        centroids, id_col, vec_col
+    )
+    if len(cids) <= 2:
+        return _build_ivf_index_arrow(
+            corpus, centroids, id_col, vec_col, _c=(cids, cmat)
+        )
     if int(cids.min()) < 0 or int(cids.max()) >= (1 << 32):
         # the running-best int64 key packs the cid into the low 32
         # bits; ids outside [0, 2^32) would corrupt the tie-break
         # order, so fall back to the flat path (correct at any id)
-        return _build_ivf_index_arrow(corpus, centroids, id_col, vec_col)
+        return _build_ivf_index_arrow(
+            corpus, centroids, id_col, vec_col, _c=(cids, cmat)
+        )
     cnorm = np.linalg.norm(cmat, axis=1)
     cu = cmat / np.where(cnorm == 0, 1.0, cnorm)[:, None]
-    n_s = n_super if n_super else math.isqrt(len(c_rows) - 1) + 1
-    smat, cell_of = _super_kmeans(cu, min(n_s, len(c_rows)))
+    n_s = n_super if n_super else math.isqrt(len(cids) - 1) + 1
+    smat, cell_of = _super_kmeans(cu, min(n_s, len(cids)))
     # drop empty super-cells so every probed cell contributes >=1
     # candidate (a row probing only empty cells would otherwise get no
     # assignment at all)
@@ -290,7 +357,7 @@ def assign_top_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     p: int = 2,
-    method: str = "arrow",
+    method: str = "auto",
     coarse_probe: int = 4,
     n_super: int | None = None,
 ) -> DataFrame:
@@ -327,16 +394,26 @@ def assign_top_centroids(
     """
     if p < 1:
         raise ValueError(f"p must be >= 1, got {p}")
-    if method == "arrow":
-        return _assign_top_centroids_arrow(corpus, centroids, id_col, vec_col, p)
-    if method == "coarse":
+    if method in ("auto", "arrow", "coarse"):
+        c = _collect_centroids(centroids, id_col, vec_col)
+        resolved = resolve_assign_method(method, len(c[0]))
+        if method == "auto":
+            log.info(
+                "assign_top_centroids: assign method auto -> %r (C=%d, "
+                "crossover=%d)", resolved, len(c[0]), AUTO_COARSE_MIN_C,
+            )
+        if resolved == "arrow":
+            return _assign_top_centroids_arrow(
+                corpus, centroids, id_col, vec_col, p, _c=c
+            )
         return _assign_top_centroids_coarse(
             corpus, centroids, id_col, vec_col, p,
-            coarse_probe=coarse_probe, n_super=n_super,
+            coarse_probe=coarse_probe, n_super=n_super, _c=c,
         )
     if method != "expr":
         raise ValueError(
-            f"method must be 'expr', 'arrow' or 'coarse', got {method!r}"
+            f"method must be 'auto', 'expr', 'arrow' or 'coarse', "
+            f"got {method!r}"
         )
     cents_row = centroids.agg(
         F.array_sort(
@@ -381,6 +458,7 @@ def _assign_top_centroids_arrow(
     id_col: str,
     vec_col: str,
     p: int,
+    _c=None,
 ) -> DataFrame:
     """Arrow/BLAS twin of the expr top-p assignment — see
     assign_top_centroids.  One matmul + top-p argsort per batch on the
@@ -391,15 +469,11 @@ def _assign_top_centroids_arrow(
 
     from ._rounding import round_half_up
 
-    c_rows = centroids.select(
-        F.col(id_col).cast("long").alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).collect()
-    c_rows.sort(key=lambda r: r["cid"])
-    cids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
-    cmat = np.array([r["cv"] for r in c_rows], dtype=np.float64)
+    cids, cmat = _c if _c is not None else _collect_centroids(
+        centroids, id_col, vec_col
+    )
     cnorm = np.linalg.norm(cmat, axis=1)
-    take = min(p, len(c_rows))
+    take = min(p, len(cids))
     if cids.size and (int(cids.min()) < 0 or int(cids.max()) >= (1 << 32)):
         # the int64 key packs the cid into the low 32 bits (see the
         # coarse path); out-of-range ids use the expr twin instead
@@ -460,6 +534,7 @@ def _assign_top_centroids_coarse(
     p: int,
     coarse_probe: int = 4,
     n_super: int | None = None,
+    _c=None,
 ) -> DataFrame:
     """Two-level top-p assignment — see assign_top_centroids
     (method="coarse").  Per batch: one N×√C super-cell matmul, then
@@ -473,27 +548,25 @@ def _assign_top_centroids_coarse(
 
     from ._rounding import round_half_up
 
-    c_rows = centroids.select(
-        F.col(id_col).cast("long").alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).collect()
-    c_rows.sort(key=lambda r: r["cid"])
-    cids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
-    cmat = np.array([r["cv"] for r in c_rows], dtype=np.float64)
-    if len(c_rows) <= 2 or (
+    cids, cmat = _c if _c is not None else _collect_centroids(
+        centroids, id_col, vec_col
+    )
+    if len(cids) <= 2 or (
         cids.size and (int(cids.min()) < 0 or int(cids.max()) >= (1 << 32))
     ):
-        return _assign_top_centroids_arrow(corpus, centroids, id_col, vec_col, p)
+        return _assign_top_centroids_arrow(
+            corpus, centroids, id_col, vec_col, p, _c=(cids, cmat)
+        )
     cnorm = np.linalg.norm(cmat, axis=1)
     cu = cmat / np.where(cnorm == 0, 1.0, cnorm)[:, None]
-    n_s = n_super if n_super else math.isqrt(len(c_rows) - 1) + 1
-    smat, cell_of = _super_kmeans(cu, min(n_s, len(c_rows)))
+    n_s = n_super if n_super else math.isqrt(len(cids) - 1) + 1
+    smat, cell_of = _super_kmeans(cu, min(n_s, len(cids)))
     members = [np.nonzero(cell_of == j)[0] for j in range(len(smat))]
     keep = [j for j, m in enumerate(members) if len(m)]
     smat = smat[keep]
     members = [members[j] for j in keep]
     probe = min(coarse_probe, len(smat))
-    take = min(p, len(c_rows))
+    take = min(p, len(cids))
     # sentinel must survive negation: -int64_min overflows back to
     # itself, which would make argpartition(-pool) rank the EMPTY slot
     # first; min+1 negates to int64_max and stays below every real key
@@ -567,6 +640,111 @@ def _assign_top_centroids_coarse(
             )
 
     return src.mapInPandas(top_p, schema=out_schema)
+
+
+def estimate_coarse_agreement(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_probe: int = 4,
+    n_super: int | None = None,
+    sample_mod: int = 100,
+    max_rows: int = 5000,
+) -> tuple[float, int]:
+    """Cheap sampled agreement estimate for the coarse assignment rung
+    (VERDICT r11 task 5): assign a deterministic id-hash sample of the
+    corpus BOTH ways (flat arrow and coarse at ``coarse_probe``) and
+    return ``(fraction identical, rows sampled)``.
+
+    The r11 probe curve shows agreement reads on GEOMETRY: 1.0 at
+    probe=4 on clustered (Lloyd-refined) centroids, but 0.68 on
+    adversarially unstructured uniform-random vectors at C=400 — so a
+    user can't know their probe is safe without measuring THEIR corpus.
+    This estimator bounds the measurement cost: the sample is
+    ``pmod(xxhash64(id), sample_mod) == 0`` capped at ``max_rows``
+    (deterministic across runs — no RNG), so the flat leg costs
+    O(max_rows * C * d), independent of corpus size.
+
+    0 sampled rows returns agreement 1.0 — "no evidence", not a
+    guarantee; lower ``sample_mod`` for tiny corpora.
+    """
+    sample = corpus.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+    ).limit(max_rows)
+    c = _collect_centroids(centroids, id_col, vec_col)
+    flat = _build_ivf_index_arrow(sample, centroids, id_col, vec_col, _c=c).select(
+        F.col(id_col).alias("__id"), F.col("centroid_id").alias("__flat")
+    )
+    coarse = _build_ivf_index_coarse(
+        sample, centroids, id_col, vec_col,
+        coarse_probe=coarse_probe, n_super=n_super, _c=c,
+    ).select(F.col(id_col).alias("__id"), F.col("centroid_id").alias("__coarse"))
+    row = (
+        flat.join(coarse, "__id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("__flat") == F.col("__coarse")).cast("long")
+            ).alias("ok"),
+        )
+        .collect()[0]
+    )
+    n = int(row["n"] or 0)
+    return (1.0 if n == 0 else int(row["ok"]) / n), n
+
+
+def tune_coarse_probe(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target: float = 0.98,
+    start_probe: int = 4,
+    n_super: int | None = None,
+    sample_mod: int = 100,
+    max_rows: int = 5000,
+) -> tuple[int, float]:
+    """``coarse_probe="auto"``: double the probe until the sampled
+    flat-vs-coarse agreement (:func:`estimate_coarse_agreement`) reaches
+    ``target`` or the probe covers every super-cell (exhaustive probing
+    equals flat BY CONSTRUCTION — the pytest-pinned unconditional leg —
+    so the loop always terminates at agreement 1.0).  Returns ``(probe,
+    estimated agreement)``; each step is logged so the chosen trade is
+    visible, the IVF-nprobe discipline applied to the assignment rung.
+    """
+    import math
+
+    cids, _cmat = _collect_centroids(centroids, id_col, vec_col)
+    n_cells = max(len(cids), 1)
+    n_s = min(
+        n_super if n_super else math.isqrt(max(n_cells - 1, 0)) + 1, n_cells
+    )
+    probe = max(1, start_probe)
+    while probe < n_s:
+        agree, n = estimate_coarse_agreement(
+            corpus, centroids, id_col=id_col, vec_col=vec_col,
+            coarse_probe=probe, n_super=n_super,
+            sample_mod=sample_mod, max_rows=max_rows,
+        )
+        if n == 0 or agree >= target:
+            log.info(
+                "tune_coarse_probe: probe=%d agreement=%.4f over %d "
+                "sampled rows (target %.4f) — accepted",
+                probe, agree, n, target,
+            )
+            return probe, agree
+        log.info(
+            "tune_coarse_probe: probe=%d agreement=%.4f over %d sampled "
+            "rows < target %.4f — doubling probe",
+            probe, agree, n, target,
+        )
+        probe = min(probe * 2, n_s)
+    log.info(
+        "tune_coarse_probe: probe=%d covers all %d super-cells — "
+        "exhaustive (agreement 1.0 by construction)", probe, n_s,
+    )
+    return probe, 1.0
 
 
 def probe_lists(
@@ -675,7 +853,8 @@ def refine_centroids(
     vec_col: str = "embedding",
     iterations: int = 2,
     grid: int | None = None,
-    assign_method: str = "arrow",
+    assign_method: str = "auto",
+    coarse_probe: int = 4,
 ) -> DataFrame:
     """Lloyd (k-means) refinement of the coarse centroids, pure DataFrame.
 
@@ -700,7 +879,8 @@ def refine_centroids(
     )
     for _ in range(iterations):
         assigned = build_ivf_index(
-            corpus, cents, id_col=id_col, vec_col=vec_col, method=assign_method
+            corpus, cents, id_col=id_col, vec_col=vec_col,
+            method=assign_method, coarse_probe=coarse_probe,
         )
         dims = assigned.select(
             "centroid_id",

@@ -117,7 +117,8 @@ def semantic_dedup(
     keep: str = "min_id",
     probe: int = 1,
     max_cluster_size: int | None = None,
-    assign_method: str = "arrow",
+    assign_method: str = "auto",
+    coarse_probe: int = 4,
 ) -> DataFrame:
     """(id, centroid_id, is_dup) for every corpus vector.
 
@@ -157,7 +158,15 @@ def semantic_dedup(
     guard bounds it at a warned recall trade.
 
     ``assign_method`` picks the nearest-centroid assignment path.  The
-    default ``"arrow"`` is the BLAS twin (see ``build_ivf_index``):
+    default ``"auto"`` (r12, VERDICT r11 task 1) resolves by centroid
+    count via ``ext/ivf.py::resolve_assign_method``: the flat
+    ``"arrow"`` BLAS rung below ``AUTO_COARSE_MIN_C`` centroids, the
+    two-level ``"coarse"`` rung at or above it — the r11 scale curve
+    measures flat at 70x over coarse at C=8000 with IDENTICAL
+    assignments at C>=2000 on clustered geometry, and the CLI derives
+    C ~ N/1000, so a large corpus must not silently ride the O(N*C*d)
+    flat matmul.  ``"arrow"`` is the explicit flat opt-out (see
+    ``build_ivf_index``):
     identical assignments (rounded-cosine grid + min-cid tie-break,
     pytest-pinned and oracle-gated on the SAME replay as the expr
     path), measured 44×/71× faster at C=100/200 — the r10 scale curve
@@ -166,13 +175,18 @@ def semantic_dedup(
     so the default a user gets must be the path that survives 100×
     (VERDICT r10 task 1).  ``"expr"`` is the opt-in pure-SQL-lineage
     twin (``ext_semantic_dedup_expr`` gates it on the same oracle).
+
+    ``coarse_probe`` bounds the coarse rung's super-cell miss rate
+    (only used when the resolved method is ``coarse``); size it with
+    ``ext/ivf.py::tune_coarse_probe`` on unfamiliar geometry — the CLI's
+    ``--coarse-probe auto`` does exactly that.
     """
     if keep not in ("min_id", "low_centroid"):
         raise ValueError(f"keep must be min_id or low_centroid, got {keep!r}")
     assigned = (
         build_ivf_index(
             corpus, centroids, id_col=id_col, vec_col=vec_col,
-            method=assign_method,
+            method=assign_method, coarse_probe=coarse_probe,
         )
         .select(
             F.col(id_col),
@@ -224,7 +238,7 @@ def semantic_dedup(
         # O(N·√C·d); "expr" keeps the probe replay pure-SQL
         probes = assign_top_centroids(
             corpus, centroids, id_col=id_col, vec_col=vec_col, p=probe,
-            method=assign_method,
+            method=assign_method, coarse_probe=coarse_probe,
         ).select(
             F.col("centroid_id").alias("__ccid"),
             F.col(id_col).alias("__id"),

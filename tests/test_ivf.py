@@ -376,3 +376,108 @@ def test_assign_top_centroids_coarse_exhaustive_probe(spark):
     for p in (1, 3, 20):
         # n_super defaults to ceil(sqrt(16)) = 4; probe all 4 cells
         assert ranks("coarse", p, coarse_probe=4) == ranks("arrow", p), f"p={p}"
+
+
+def test_resolve_assign_method_boundary():
+    """Auto-escalation boundary (VERDICT r11 task 1): 'auto' rides the
+    flat arrow rung strictly below AUTO_COARSE_MIN_C and the coarse
+    O(N*sqrt(C)*d) rung at/above it; explicit methods never resolve."""
+    from rabbit_in_a_blender_spark.ext.ivf import (
+        AUTO_COARSE_MIN_C,
+        resolve_assign_method,
+    )
+
+    assert resolve_assign_method("auto", AUTO_COARSE_MIN_C - 1) == "arrow"
+    assert resolve_assign_method("auto", AUTO_COARSE_MIN_C) == "coarse"
+    assert resolve_assign_method("auto", 10**9) == "coarse"
+    # explicit methods pass through at any C
+    assert resolve_assign_method("arrow", 10**9) == "arrow"
+    assert resolve_assign_method("expr", 10**9) == "expr"
+    assert resolve_assign_method("coarse", 1) == "coarse"
+    # the threshold knob reads the module constant at call time
+    assert resolve_assign_method("auto", 4, threshold=4) == "coarse"
+    assert resolve_assign_method("auto", 4, threshold=5) == "arrow"
+
+
+def test_auto_assignment_escalates_and_stays_exact(spark, monkeypatch, caplog):
+    """method='auto' end to end: below the crossover it logs and picks
+    the arrow rung; with the module threshold lowered to the fixture's C it
+    logs the coarse rung — and both legs produce identical assignments
+    (probe >= n_super makes coarse unconditional on this fixture)."""
+    import logging
+    import random
+
+    import rabbit_in_a_blender_spark.ext.ivf as ivf
+
+    rng = random.Random(12)
+    df = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(c, [rng.gauss(0, 1) for _ in range(8)]) for c in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    flat = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf.build_ivf_index(df, cents, method="arrow").collect()
+    }
+    caplog.set_level(logging.INFO, logger="riab_spark.ext.ivf")
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf.build_ivf_index(df, cents, method="auto").collect()
+    }
+    assert got == flat
+    assert any("auto -> 'arrow' (C=16" in m for m in caplog.messages)
+
+    caplog.clear()
+    monkeypatch.setattr(ivf, "AUTO_COARSE_MIN_C", 16)
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf.build_ivf_index(
+            df, cents, method="auto", coarse_probe=4
+        ).collect()
+    }
+    assert got == flat
+    assert any("auto -> 'coarse' (C=16" in m for m in caplog.messages)
+
+
+def test_coarse_agreement_estimator_flags_adversarial_geometry(spark):
+    """VERDICT r11 task 5: on uniform-random vectors vs random centroids
+    (the r11 probe curve's worst case — agreement 0.68 at probe=4,
+    C=400) the sampled estimator must FLAG low agreement at a small
+    probe, and tune_coarse_probe must escalate until it reaches the
+    target (exhaustive probing is exact by construction, so it always
+    terminates)."""
+    import random
+
+    from rabbit_in_a_blender_spark.ext.ivf import (
+        estimate_coarse_agreement,
+        tune_coarse_probe,
+    )
+
+    rng = random.Random(7)
+    df = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(c, [rng.gauss(0, 1) for _ in range(16)]) for c in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    # sample_mod=1: every row sampled (fixture-sized corpus)
+    agree1, n1 = estimate_coarse_agreement(
+        df, cents, coarse_probe=1, sample_mod=1
+    )
+    assert n1 == 400
+    assert agree1 < 0.95, f"probe=1 agreement unexpectedly high: {agree1}"
+    probe, agree = tune_coarse_probe(
+        df, cents, target=0.98, start_probe=1, sample_mod=1
+    )
+    assert probe > 1
+    assert agree >= 0.98
+    # sanity: the estimator itself reports 1.0 at an exhaustive probe
+    agree_all, _ = estimate_coarse_agreement(
+        df, cents, coarse_probe=8, sample_mod=1
+    )
+    assert agree_all == 1.0
