@@ -217,6 +217,155 @@ def overwrite_ivfpq_batch(
     )
 
 
+def _adc_scored_arrow(
+    index: DataFrame,
+    probes: DataFrame,
+    queries: DataFrame,
+    books: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    residual: bool,
+) -> DataFrame:
+    """(query_id, neighbor_id, score): numpy ADC twin of the expr
+    scoring inside :func:`ivfpq_search` — see method="arrow" there.
+
+    Score parity is bit-exact by construction (the r11 assignment-twin
+    discipline): every float op replays the expr path's order — LUT
+    entries are LEFT-TO-RIGHT folds of q_sub[t]*codeword[t] (the
+    ``_dot`` aggregate's ((0+v0)+v1)+... order, vectorized across codes
+    but sequential across t), the per-row ADC sum folds subspaces 0..m-1
+    sequentially, subvector slicing replicates ``F.slice``'s
+    ``int(i*d/m + 1)`` truncating-cast arithmetic, and rounding is
+    ``round_half_up`` (bit-exact ``F.round`` HALF_UP).  IEEE-754
+    binary64 add/mul are deterministic per (op, operand order), so the
+    rounded scores — and therefore the shortlist and the final hash —
+    match the expr twin exactly.
+
+    Driver-side state is metadata-sized: the query batch (|Q| x d — a
+    search batch is broadcast-sized by contract; the expr path already
+    broadcasts its LUT build), the m x ksub codebooks, and for
+    ``residual`` the C x d centroids for the exact dot(q, centroid)
+    term.  The corpus-sized pass (probed cells' code rows) stays
+    distributed and is scored per Arrow batch with ONE fancy-indexed
+    gather + m adds instead of per-row interpreted HOF folds.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from ._rounding import round_half_up
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    b_rows = books.select(
+        F.col("sub_idx").cast("int").alias("sub_idx"),
+        F.col("code").cast("int").alias("code"),
+        F.col("subvec").cast("array<double>").alias("subvec"),
+    ).collect()
+    per_sub: dict[int, list] = {}
+    for r in b_rows:
+        per_sub.setdefault(r["sub_idx"], []).append(
+            (int(r["code"]), np.asarray(r["subvec"], dtype=np.float64))
+        )
+    kmax = max(int(r["code"]) for r in b_rows)
+    qindex = {r["query_id"]: i for i, r in enumerate(q_rows)}
+    # L[q, sub, code] = dot(q_sub, codeword): NaN where no such code —
+    # the expr twin's element_at returns null there and nulls the score
+    lut = np.full((len(q_rows), m, kmax + 1), np.nan, dtype=np.float64)
+    for qi, r in enumerate(q_rows):
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        dsub_f = len(qv) / m
+        ln = int(dsub_f)
+        for i in range(m):
+            start = int(i * dsub_f + 1) - 1
+            qsub = qv[start:start + ln]
+            entries = per_sub.get(i)
+            if not entries:
+                continue
+            width = min(ln, min(len(cw) for _, cw in entries))
+            cwmat = np.stack([cw[:width] for _, cw in entries])
+            acc = np.zeros(len(entries), dtype=np.float64)
+            for t in range(width):
+                acc = acc + qsub[t] * cwmat[:, t]
+            for (code, _), val in zip(entries, acc):
+                lut[qi, i, code] = val
+    qc_dot = None
+    if residual:
+        c_rows = centroids.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ).collect()
+        qc_dot = {}
+        for qi, r in enumerate(q_rows):
+            qv = np.asarray(r["qv"], dtype=np.float64)
+            for cr in c_rows:
+                cv = np.asarray(cr["cv"], dtype=np.float64)
+                width = min(len(qv), len(cv))
+                acc = 0.0
+                for t in range(width):
+                    acc = acc + qv[t] * cv[t]
+                qc_dot[(r["query_id"], cr["cid"])] = acc
+
+    keep = ["query_id", "neighbor_id", "codes"] + (
+        ["centroid_id"] if residual else []
+    )
+    cand = (
+        index.withColumnRenamed(id_col, "neighbor_id")
+        .join(
+            F.broadcast(probes.select("query_id", "centroid_id")),
+            "centroid_id",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(*keep)
+    )
+    out_schema = T.StructType(
+        [
+            cand.schema["query_id"],
+            cand.schema["neighbor_id"],
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    sub_idx = np.arange(m)
+
+    def score(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(qindex).to_numpy(dtype=np.int64)
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            vals = lut[qi[:, None], sub_idx[None, :], codes]
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for i in range(m):
+                acc = acc + vals[:, i]
+            s = round_half_up(acc, 4)
+            if residual:
+                qc = np.array(
+                    [
+                        qc_dot[(q, c)]
+                        for q, c in zip(pdf["query_id"], pdf["centroid_id"])
+                    ],
+                    dtype=np.float64,
+                )
+                s = round_half_up(qc + s, 4)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "score": s,
+                }
+            )
+
+    return cand.mapInPandas(score, schema=out_schema)
+
+
 def ivfpq_search(
     index: DataFrame,
     centroids: DataFrame,
@@ -230,6 +379,7 @@ def ivfpq_search(
     nprobe: int = 4,
     shortlist: int = 32,
     residual: bool = False,
+    method: str = "arrow",
 ) -> DataFrame:
     """Probe-bounded ADC + exact re-rank: (query_id, neighbor_id, cosine).
 
@@ -252,32 +402,51 @@ def ivfpq_search(
     The corpus-sized pass reads (centroid_id, m-byte codes) for
     nprobe/C of the data; raw vectors are touched by a point-lookup-
     sized join.  Deterministic ties (score desc, neighbor_id asc).
+
+    ``method="arrow"`` (default since r12, VERDICT r11 task 4) scores
+    the probed code rows with :func:`_adc_scored_arrow` — the expr
+    path's per-candidate ``zip_with``/``aggregate`` LUT fold costs a
+    scale-INDEPENDENT ~10 s of Catalyst planning/codegen for the
+    m x ksub expression trees (PLANS.md r8: ``ext_ivfpq_topk`` flat at
+    11.5 s from sf0.01 to sf0.1), which the numpy twin replaces with
+    one fancy-indexed gather per Arrow batch at bit-identical rounded
+    scores (same fold order, same HALF_UP grid — see the twin's
+    docstring).  ``method="expr"`` keeps the pure-SQL-lineage scoring
+    the DuckDB oracle replays.
     """
     probes = probe_lists(
         centroids, queries, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     )
-    if residual:
-        c = centroids.select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).cast("array<double>").alias("__cv"),
+    if method == "arrow":
+        cand = _adc_scored_arrow(
+            index, probes, queries, books, centroids,
+            id_col, vec_col, m, residual,
         )
-        probes = (
-            probes.join(F.broadcast(c), "centroid_id")
-            .withColumn("__qc_dot", _dot(F.col("__qv"), F.col("__cv")))
-            .select("query_id", "centroid_id", "__qc_dot")
+    elif method == "expr":
+        if residual:
+            c = centroids.select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).cast("array<double>").alias("__cv"),
+            )
+            probes = (
+                probes.join(F.broadcast(c), "centroid_id")
+                .withColumn("__qc_dot", _dot(F.col("__qv"), F.col("__cv")))
+                .select("query_id", "centroid_id", "__qc_dot")
+            )
+            score = F.round(F.col("__qc_dot") + _adc_score(), 4)
+        else:
+            probes = probes.select("query_id", "centroid_id")
+            score = _adc_score()
+        q_lut = _query_luts(queries, books, id_col=id_col, vec_col=vec_col, m=m)
+        cand = (
+            index.withColumnRenamed(id_col, "neighbor_id")
+            .join(F.broadcast(probes), "centroid_id")
+            .join(F.broadcast(q_lut), "query_id")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", score.alias("score"))
         )
-        score = F.round(F.col("__qc_dot") + _adc_score(), 4)
     else:
-        probes = probes.select("query_id", "centroid_id")
-        score = _adc_score()
-    q_lut = _query_luts(queries, books, id_col=id_col, vec_col=vec_col, m=m)
-    cand = (
-        index.withColumnRenamed(id_col, "neighbor_id")
-        .join(F.broadcast(probes), "centroid_id")
-        .join(F.broadcast(q_lut), "query_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", score.alias("score"))
-    )
+        raise ValueError(f"method must be 'arrow' or 'expr', got {method!r}")
     ws = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
     short = (
         cand.withColumn("__rn", F.row_number().over(ws))

@@ -64,6 +64,7 @@ def train_pq_codebooks(
     ksub: int = 16,
     iterations: int = 2,
     grid: int | None = None,
+    assign_method: str = "arrow",
 ) -> DataFrame:
     """Per-subspace k-means codebooks: (sub_idx, code, subvec).
 
@@ -77,6 +78,18 @@ def train_pq_codebooks(
     assignment's own 1e-9 distance rounding that makes the whole Lloyd
     iteration engine-reproducible, so a PQ pipeline can be replayed by
     an unrolled SQL oracle (the k-means decimal-grid recipe).
+
+    ``assign_method="arrow"`` (default since r12, VERDICT r11 task 4):
+    the per-round nearest-code search rides :func:`_assign_codes_arrow`
+    — the expr HOF fold is O(ksub*dsub) INTERPRETED ops per (row,
+    subspace), the corpus-sized wall of this trainer exactly as the
+    r10/r11 curves measured for centroid assignment; assignments are
+    bit-identical (see ``_nearest_codes_np``), and the per-round
+    codebook collect (m x ksub metadata) also bounds the plan lineage
+    to ONE round instead of an iterations-deep lazy chain.  The mean
+    recomputation stays a JVM groupBy under the same ``grid``
+    discipline either way.  ``"expr"`` keeps the fully-lazy
+    pure-SQL-lineage trainer.
     """
     subs = _subvectors(corpus, id_col, vec_col, m)
     seeds = _subvectors(
@@ -87,11 +100,18 @@ def train_pq_codebooks(
         seeds.withColumn("code", F.row_number().over(w) - 1)
         .select("sub_idx", "code", "subvec")
     )
+    if assign_method not in ("arrow", "expr"):
+        raise ValueError(
+            f"assign_method must be 'arrow' or 'expr', got {assign_method!r}"
+        )
     mean_expr = F.avg("__val")
     if grid is not None:
         mean_expr = F.round(mean_expr, grid)
     for _ in range(iterations):
-        assigned = _assign_codes(subs, books)
+        if assign_method == "arrow":
+            assigned = _assign_codes_arrow(subs, _collect_books_np(books), id_col)
+        else:
+            assigned = _assign_codes(subs, books)
         books = (
             assigned.select(
                 "sub_idx",
@@ -111,6 +131,93 @@ def train_pq_codebooks(
             )
         )
     return books
+
+
+def _collect_books_np(books: DataFrame) -> dict:
+    """Driver-side ``{sub_idx: (codes int64 asc, codewords float64
+    (ncodes x dsub))}`` of the m x ksub codebook — metadata-sized, the
+    numpy twin of :func:`_books_cell`.  Codes ascend so ``argmax``'s
+    first-max replicates the expr paths' min-code tie-break."""
+    import numpy as np
+
+    rows = books.select(
+        F.col("sub_idx").cast("int").alias("sub_idx"),
+        F.col("code").cast("int").alias("code"),
+        F.col("subvec").cast("array<double>").alias("subvec"),
+    ).collect()
+    per_sub: dict[int, list] = {}
+    for r in rows:
+        per_sub.setdefault(int(r["sub_idx"]), []).append(
+            (int(r["code"]), np.asarray(r["subvec"], dtype=np.float64))
+        )
+    out = {}
+    for i, entries in per_sub.items():
+        entries.sort(key=lambda e: e[0])
+        width = min(len(cw) for _, cw in entries)
+        out[i] = (
+            np.array([c for c, _ in entries], dtype=np.int64),
+            np.stack([cw[:width] for _, cw in entries]),
+        )
+    return out
+
+
+def _nearest_codes_np(vsub, codes, cwmat, round_half_up):
+    """Nearest codeword per row of ``vsub`` (n x dsub) — the numpy twin
+    of the expr paths' ``array_max(struct(round(-L2², 9), -code))``:
+    squared-L2 accumulated LEFT-TO-RIGHT over dimensions (the
+    ``aggregate`` fold's ((0+v0)+v1)+... order, so every partial is the
+    same IEEE-754 double), negated and HALF_UP-rounded on the same 1e-9
+    grid, then ``argmax``'s first-max over ascending codes = the
+    min-code tie-break.  Assignments are therefore bit-identical to the
+    expr twin (pytest-pinned)."""
+    import numpy as np
+
+    width = min(vsub.shape[1], cwmat.shape[1])
+    acc = np.zeros((vsub.shape[0], cwmat.shape[0]), dtype=np.float64)
+    for t in range(width):
+        d = vsub[:, t, None] - cwmat[None, :, t]
+        acc = acc + d * d
+    rounded = round_half_up(-acc, 9)
+    return codes[np.argmax(rounded, axis=1)]
+
+
+def _assign_codes_arrow(subs: DataFrame, books_np: dict, id_col: str) -> DataFrame:
+    """Arrow twin of :func:`_assign_codes` over (id, sub_idx, subvec)
+    rows: one vectorized distance accumulation per (batch, subspace)
+    instead of an interpreted O(ksub*dsub) HOF fold per row."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from ._rounding import round_half_up
+
+    out_schema = T.StructType(
+        list(subs.schema.fields) + [T.StructField("code", T.IntegerType())]
+    )
+
+    def assign(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            code_out = np.zeros(len(pdf), dtype=np.int32)
+            sub_vals = pdf["sub_idx"].to_numpy()
+            for i in np.unique(sub_vals):
+                sel = np.nonzero(sub_vals == i)[0]
+                vsub = np.stack(
+                    [
+                        np.asarray(x, dtype=np.float64)
+                        for x in pdf["subvec"].iloc[sel]
+                    ]
+                )
+                codes, cwmat = books_np[int(i)]
+                code_out[sel] = _nearest_codes_np(
+                    vsub, codes, cwmat, round_half_up
+                )
+            pdf["code"] = code_out
+            yield pdf
+
+    return subs.mapInPandas(assign, schema=out_schema)
 
 
 def _books_cell(books: DataFrame):
@@ -165,6 +272,7 @@ def pq_encode(
     vec_col: str = "embedding",
     m: int = 8,
     keep: tuple[str, ...] = (),
+    method: str = "arrow",
 ) -> DataFrame:
     """(id, *keep, codes array<int> of length m) — one narrow projection.
 
@@ -173,7 +281,21 @@ def pq_encode(
     encoding shuffles nothing and can run inline in a write pipeline.
     ``keep`` carries extra columns (e.g. an IVF ``centroid_id``) through
     without a post-hoc join.
+
+    ``method="arrow"`` (default since r12, VERDICT r11 task 4): the
+    expr path's nested transform is O(m*ksub*dsub) INTERPRETED lambda
+    ops per corpus row — the encode, not the probe-bounded search, is
+    the corpus-sized pass of an IVFADC build at 100 TB.  The Arrow twin
+    does one vectorized distance accumulation per (batch, subspace)
+    with codes bit-identical to the expr fold (``_nearest_codes_np``:
+    same left-to-right L2 fold, 1e-9 HALF_UP grid, min-code tie-break;
+    pytest-pinned and under the ext_pq/ivfpq full-replay oracles).
+    ``method="expr"`` keeps the pure-SQL-lineage projection.
     """
+    if method == "arrow":
+        return _pq_encode_arrow(corpus, books, id_col, vec_col, m, keep)
+    if method != "expr":
+        raise ValueError(f"method must be 'arrow' or 'expr', got {method!r}")
     v = F.col(vec_col).cast("array<double>")
     dsub = F.size(v) / m
     codes = F.transform(
@@ -203,6 +325,61 @@ def pq_encode(
         corpus.crossJoin(F.broadcast(_books_cell(books)))
         .select(F.col(id_col), *[F.col(c) for c in keep], codes.alias("codes"))
     )
+
+
+def _pq_encode_arrow(
+    corpus: DataFrame,
+    books: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    keep: tuple[str, ...],
+) -> DataFrame:
+    """Arrow twin of the expr encode — see :func:`pq_encode`.  Subvector
+    slicing replicates ``F.slice``'s ``int(i*d/m + 1)`` truncating-cast
+    arithmetic so non-divisible dimensions land on the same (possibly
+    ragged) boundaries as the expr/training paths."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from ._rounding import round_half_up
+
+    books_np = _collect_books_np(books)
+    src = corpus.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    out_schema = T.StructType(
+        [src.schema[id_col]]
+        + [src.schema[c] for c in keep]
+        + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+
+    def encode(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+            dsub_f = v.shape[1] / m
+            ln = int(dsub_f)
+            mat = np.zeros((len(pdf), m), dtype=np.int32)
+            for i in range(m):
+                start = int(i * dsub_f + 1) - 1
+                codes, cwmat = books_np[i]
+                mat[:, i] = _nearest_codes_np(
+                    v[:, start:start + ln], codes, cwmat, round_half_up
+                )
+            out = {id_col: pdf[id_col]}
+            for c in keep:
+                out[c] = pdf[c]
+            out["codes"] = list(mat)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(encode, schema=out_schema)
 
 
 def _query_luts(

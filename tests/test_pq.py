@@ -142,3 +142,35 @@ def test_pq_index_survives_parquet_roundtrip(spark, embeddings, tmp_path):
     c2 = spark.read.parquet(f"{tmp_path}/codes")
     reloaded = pq_search(c2, b2, queries, m=8, k=3).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, reloaded))
+
+
+def test_pq_encode_and_train_arrow_match_expr(spark, embeddings):
+    """The r12 Arrow twins must be BIT-IDENTICAL to the expr paths:
+    training assignments (same per-round nearest-code picks -> same
+    grid-rounded codebooks) and encode codes (same left-to-right L2
+    fold, 1e-9 HALF_UP grid, min-code tie-break) — the VERDICT r11
+    task-4 pin for the corpus-sized IVFADC passes."""
+    from rabbit_in_a_blender_spark.ext.pq import pq_encode, train_pq_codebooks
+
+    be = train_pq_codebooks(
+        embeddings, m=8, ksub=16, iterations=2, grid=6, assign_method="expr"
+    )
+    ba = train_pq_codebooks(
+        embeddings, m=8, ksub=16, iterations=2, grid=6, assign_method="arrow"
+    )
+    rows_e = sorted(
+        (r["sub_idx"], r["code"], tuple(r["subvec"])) for r in be.collect()
+    )
+    rows_a = sorted(
+        (r["sub_idx"], r["code"], tuple(r["subvec"])) for r in ba.collect()
+    )
+    assert rows_e == rows_a
+    enc_e = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(embeddings, be, m=8, method="expr").collect()
+    )
+    enc_a = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(embeddings, be, m=8, method="arrow").collect()
+    )
+    assert enc_e == enc_a
