@@ -381,14 +381,23 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--dsir-buckets", type=int, default=10000,
                    help="With --dsir-select: hashed n-gram bucket count "
                         "(default %(default)s, the paper's 10k)")
+    x.add_argument("--fold-tag", metavar="TAG",
+                   help="With --dsir-select on an existing --dsir-model: "
+                        "override the idempotent fold tag (defaults to a "
+                        "content fingerprint of the batch source — path "
+                        "+ file listing/sizes/mtimes). Use for non-local "
+                        "URIs where the fingerprint can't see contents, "
+                        "or to force a re-fold")
     x.add_argument("--dsir-model", metavar="DIR",
                    help="With --dsir-select: persistable bucket-model "
                         "directory.  Absent/empty -> bootstrap it from "
                         "this corpus + --dsir-target; existing -> "
                         "O(batch) incremental scoring against the "
                         "stored models (the batch's counts fold in as "
-                        "one idempotent file keyed on the batch source "
-                        "path, so crash re-runs never double-count; "
+                        "one idempotent file keyed on a content "
+                        "fingerprint of the batch source, so crash "
+                        "re-runs never double-count but refreshed "
+                        "data at the same path re-folds; "
                         "the target model stays frozen, so "
                         "--dsir-target is not read)")
     x.add_argument("--quality-fit", metavar="DOCS",
@@ -428,8 +437,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default %(default)s MB)")
     x.add_argument("--compact-partition-by", metavar="COLS",
                    help="With --compact: comma-separated partition "
-                        "columns to preserve in the layout (e.g. "
-                        "centroid_id for an IVFADC index)")
+                        "columns the directory's discovered key=value "
+                        "layout must match (a mismatch raises instead "
+                        "of silently rewriting the layout); omit to "
+                        "preserve the discovered layout automatically")
     return p
 
 
@@ -1376,16 +1387,14 @@ def _dsir_select(args, cfg) -> int:
         )
     if incremental:
         # `w` is fully materialized (and released) by now, so touching
-        # raw_model_path is safe.  The fold is keyed by a digest of the
-        # batch's resolved source path: re-running a crashed increment
-        # is a no-op instead of a double-count.
-        import hashlib as _hashlib
+        # raw_model_path is safe.  The fold is keyed by a CONTENT
+        # fingerprint of the batch source (resolved path + file
+        # listing/sizes/mtimes — ADVICE r11: a path-only digest
+        # silently skipped refreshed data at a reused path, leaving the
+        # raw model stale); crash re-runs of identical data stay no-ops.
+        from .ext.dsir import fold_model_increment, source_fingerprint
 
-        from .ext.dsir import fold_model_increment
-
-        tag = _hashlib.sha256(
-            _os.path.abspath(args.dsir_select).encode()
-        ).hexdigest()[:16]
+        tag = args.fold_tag or source_fingerprint(args.dsir_select)
         folded = fold_model_increment(
             spark,
             raw_model_path,
@@ -1398,8 +1407,16 @@ def _dsir_select(args, cfg) -> int:
         print(
             f"incremental DSIR: batch scored against {args.dsir_model} "
             f"(B={buckets}, frozen target); batch counts "
-            + ("folded in" if folded else "already folded (idempotent skip)")
+            + ("folded in" if folded else "already folded")
         )
+        if not folded:
+            print(
+                f"WARNING: batch counts were NOT folded — fold tag "
+                f"{tag} was already recorded for this source content. "
+                "If this really is new data, pass --fold-tag with a "
+                "fresh value.",
+                file=sys.stderr,
+            )
         # Single-file folds decay into one tiny file per increment;
         # re-fold to <=B rows once the directory passes 64 files (the
         # model is metadata-sized, so this is a driver-side aggregate).
@@ -1618,6 +1635,7 @@ def main(argv: list[str] | None = None) -> int:
         return _quality_select(args, cfg)
 
     if args.compact:
+        from .core.commit import is_pointer_table
         from .core.fsio import compact_parquet_dir
 
         spark = _ext_session(cfg)
@@ -1629,6 +1647,9 @@ def main(argv: list[str] | None = None) -> int:
         before, after = compact_parquet_dir(
             spark, args.compact,
             target_file_mb=args.target_file_mb, partition_by=parts,
+            commit_mode=(
+                "pointer" if is_pointer_table(args.compact) else "rename"
+            ),
         )
         print(
             f"compacted {args.compact}: {before} files -> {after} "
@@ -1658,7 +1679,13 @@ def main(argv: list[str] | None = None) -> int:
             else None
         ),
     )
-    wh = Warehouse(wh_root)
+    # [warehouse] commit_mode = rename|pointer (core/commit.py): rename
+    # is the POSIX/HDFS staged-rename default; pointer is the
+    # object-store-safe manifest swap (old-or-new at every instant)
+    wh = Warehouse(
+        wh_root,
+        commit_mode=cfg.get("warehouse", "commit_mode", fallback="rename"),
+    )
 
     def _omop_reader():
         def read(table):

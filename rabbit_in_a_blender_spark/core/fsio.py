@@ -41,11 +41,65 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def _walk_parquet(p: str) -> list[str]:
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(p):
+        out += [
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    return out
+
+
+def _discovered_partition_keys(data_dir: str, files: list[str]) -> list[str]:
+    """The ``key=value`` partition-column sequence the files actually
+    live under (what ``spark.read.parquet`` will discover).  Raises on
+    MIXED layouts — files at different partition depths/keys would make
+    the read itself fail with conflicting partition structures."""
+    import os
+
+    layouts = set()
+    for f in files:
+        rel = os.path.relpath(os.path.dirname(f), data_dir)
+        keys = tuple(
+            seg.split("=", 1)[0]
+            for seg in (rel.split(os.sep) if rel != "." else [])
+            if "=" in seg
+        )
+        layouts.add(keys)
+    if len(layouts) > 1:
+        raise ValueError(
+            f"{data_dir}: mixed partition layouts {sorted(layouts)} — "
+            "refusing to compact (a single-layout rewrite would orphan "
+            "or break part of the data; split or migrate the layouts "
+            "first)"
+        )
+    return list(layouts.pop()) if layouts else []
+
+
+def recover_parquet_dir(path: str) -> bool:
+    """Crash recovery for the rename-mode swap: if ``path`` is absent
+    but its ``.__old__`` sibling survives (a crash hit the window
+    between the two renames), restore it.  Returns True if a restore
+    happened.  ``compact_parquet_dir`` calls this automatically."""
+    import os
+
+    old = path.rstrip("/") + ".__old__"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,
     target_file_mb: int = 128,
     partition_by: list[str] | None = None,
+    commit_mode: str = "rename",
 ) -> tuple[int, int]:
     """Rewrite an append-decayed parquet directory into ~``target_file_mb``
     files; returns (files_before, files_after).
@@ -55,47 +109,121 @@ def compact_parquet_dir(
     whose per-file open/footer cost dominates scans long before data
     size does (the classic small-files problem).  Compaction reads the
     dir once, repartitions to ceil(total_bytes / target_file_mb), and
-    swaps via a staged sibling dir + rename (the warehouse atomic-
-    rebuild recipe — never an in-place overwrite, so a crash leaves the
-    old table intact and a concurrent reader sees old-or-new, not
-    half).  With ``partition_by`` the staging write keeps the partition
-    layout (repartitioned ON those keys so each partition dir compacts
-    to its own files and scan-level pruning is preserved).
+    replaces the directory contents atomically per ``commit_mode``.
+
+    Partition layout (ADVICE r11): the DISCOVERED ``key=value`` layout
+    is preserved by default (``partition_by=None``), so a nested
+    ``batch=*/centroid_id=*`` streaming index compacts to the same tree
+    and later stream appends keep working.  An explicit ``partition_by``
+    must match both the schema and the discovered layout — a typo'd or
+    layout-changing key raises instead of silently rewriting to an
+    unpartitioned (or conflicting) tree.
+
+    Safety contract (ADVICE r11 — the target must be QUIESCED, and this
+    function now enforces it rather than documenting it):
+
+    - refuses a directory holding ``_spark_metadata`` (a file-sink's
+      commit log would be left pointing at deleted files);
+    - after the staging write, the source file listing is re-checked;
+      if a concurrent writer appended or removed files mid-compaction
+      the swap ABORTS (staging deleted, RuntimeError) instead of
+      silently deleting the new files;
+    - ``commit_mode="rename"`` (default): staged sibling + two renames;
+      atomic old-or-new for readers EXCEPT a brief window where the
+      path is absent; a crash in that window is auto-recovered on the
+      next call (:func:`recover_parquet_dir`).  Local/HDFS only.
+    - ``commit_mode="pointer"``: for pointer tables
+      (``core/commit.py``) — the compacted data lands in a fresh
+      version dir and one pointer file flips: old-or-new at EVERY
+      instant, object-store safe, no absent-path window.  A plain
+      directory is refused (raw ``spark.read.parquet(path)`` readers
+      would break mid-conversion); write it via
+      ``Warehouse(commit_mode="pointer")`` first.
 
     Data-neutral by construction: same rows, same schema (equality
-    pytest-pinned).  Local-path rename semantics; on object stores use
-    Delta OPTIMIZE — the call-site contract is identical.
+    pytest-pinned).
     """
     import math
     import os
     import shutil
 
-    def _walk(p: str) -> list[str]:
-        out = []
-        for root, _dirs, files in os.walk(p):
-            out += [
-                os.path.join(root, f)
-                for f in files
-                if f.endswith(".parquet") and not f.startswith((".", "_"))
-            ]
-        return out
+    from .commit import is_pointer_table, pointer_commit, resolve_pointer
 
-    before = _walk(path)
+    if commit_mode not in ("rename", "pointer"):
+        raise ValueError(
+            f"commit_mode must be 'rename' or 'pointer', got {commit_mode!r}"
+        )
+    recover_parquet_dir(path)
+    pointer = is_pointer_table(path)
+    if commit_mode == "pointer" and not pointer:
+        raise ValueError(
+            f"{path} is not a pointer table; refusing to convert in "
+            "place (readers using spark.read.parquet on the raw path "
+            "would break). Write it with "
+            "Warehouse(commit_mode='pointer') first."
+        )
+    data_dir = resolve_pointer(path) if pointer else path
+    if os.path.isdir(os.path.join(data_dir, "_spark_metadata")):
+        raise ValueError(
+            f"{data_dir} has a _spark_metadata commit log (an active "
+            "structured-streaming file sink); compacting would strand "
+            "the log's file references. Stop the stream and remove the "
+            "log, or compact a foreachBatch-owned table instead."
+        )
+    before = sorted(_walk_parquet(data_dir))
     total_bytes = sum(os.path.getsize(f) for f in before)
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
+    discovered = _discovered_partition_keys(data_dir, before)
+    if partition_by is not None:
+        missing = [k for k in partition_by if k not in discovered]
+        if missing or list(partition_by) != discovered:
+            raise ValueError(
+                f"partition_by {list(partition_by)} does not match the "
+                f"discovered partition layout {discovered} of {data_dir}"
+                " — a mismatched rewrite would lose scan pruning or "
+                "conflict with future appends. Omit partition_by to "
+                "preserve the discovered layout."
+            )
+    keys = discovered
+    df = spark.read.parquet(data_dir)
+
+    def _write(dest: str) -> None:
+        if keys:
+            df.repartition(max(n_files, 1), *keys).write.mode(
+                "overwrite"
+            ).partitionBy(*keys).parquet(dest)
+        else:
+            df.repartition(n_files).write.mode("overwrite").parquet(dest)
+
+    def _check_quiesced() -> None:
+        now = sorted(_walk_parquet(data_dir))
+        if now != before:
+            raise RuntimeError(
+                f"{data_dir} changed during compaction "
+                f"({len(before)} -> {len(now)} files): a concurrent "
+                "writer is active; aborting the swap so its files are "
+                "not deleted. Quiesce the table and re-run."
+            )
+
+    if pointer:
+        def _write_checked(dest: str) -> None:
+            _write(dest)
+            _check_quiesced()
+
+        pointer_commit(_write_checked, path)
+        return len(before), len(_walk_parquet(resolve_pointer(path)))
+
     staging = path.rstrip("/") + ".__staging__"
     shutil.rmtree(staging, ignore_errors=True)
-    if partition_by:
-        keys = [k for k in partition_by if k in df.columns]
-        df.repartition(max(n_files, 1), *keys).write.mode(
-            "overwrite"
-        ).partitionBy(*keys).parquet(staging)
-    else:
-        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    try:
+        _write(staging)
+        _check_quiesced()
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     old = path.rstrip("/") + ".__old__"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)
-    return len(before), len(_walk(path))
+    return len(before), len(_walk_parquet(path))

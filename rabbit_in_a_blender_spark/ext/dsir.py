@@ -287,6 +287,37 @@ def incremental_dsir_weights(
 _FOLDED_MANIFEST = "_folded.json"
 
 
+def source_fingerprint(path: str) -> str:
+    """Content-sensitive fold tag for a batch source (ADVICE r11): a
+    digest of the resolved path PLUS its file listing with sizes and
+    mtimes, so re-running ``--dsir-select`` against a path whose data
+    was refreshed in place (a daily-updated dir, a ``latest/`` symlink)
+    folds the NEW batch instead of silently skipping on a stale
+    path-only tag.  Identical data at the same path keeps the tag
+    stable, so crash re-runs remain no-ops.  Non-local URIs fall back
+    to the path alone — pass an explicit tag there (CLI
+    ``--fold-tag``)."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    ap = os.path.abspath(os.path.realpath(path))
+    h.update(ap.encode())
+    if os.path.isdir(ap):
+        for root, dirs, files in os.walk(ap):
+            dirs.sort()
+            for f in sorted(files):
+                if f.startswith("."):
+                    continue
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), ap)
+                h.update(f"|{rel}|{st.st_size}|{st.st_mtime_ns}".encode())
+    elif os.path.isfile(ap):
+        st = os.stat(ap)
+        h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 def _read_folded_tags(model_dir: str) -> set[str]:
     import json
     import os
@@ -359,7 +390,8 @@ def compact_model(spark, model_dir: str) -> int:
     compacted away are preserved in the ``_folded.json`` manifest
     (written inside the staging dir, so the swap is one atomic rename),
     keeping :func:`fold_model_increment` replay-safe across
-    compactions.  Local-path semantics; on object stores use Delta.
+    compactions.  Local-path rename semantics; on object stores use the
+    pointer-swap tables in ``core/commit.py`` (or Delta) instead.
     """
     import json
     import os

@@ -772,6 +772,15 @@ def probe_lists(
     tens of thousands, the per-row O(C log C) interpreted sort can be
     swapped for the Arrow top-p the way build_ivf_index's
     method="arrow"/"coarse" does — same contract.
+
+    Edge contracts (ADVICE r11): centroid ids must be NUMERIC — the
+    ``cast("long")`` below (shared with every assignment path's int64
+    comparator) turns non-numeric ids into nulls rather than erroring;
+    and a null cosine (null elements in a degenerate centroid vector)
+    is coalesced to -2.0 — below every real cosine — so it sorts LAST
+    like the pre-r11 ``F.desc`` window did, instead of ahead of real
+    centroids after array_sort+reverse (null structs sort high), where
+    it would consume probe slots.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -793,7 +802,10 @@ def probe_lists(
                 F.transform(
                     F.col("__cents"),
                     lambda s: F.struct(
-                        F.round(_cosine(F.col("__qv"), s["cv"]), 6).alias("cos"),
+                        F.coalesce(
+                            F.round(_cosine(F.col("__qv"), s["cv"]), 6),
+                            F.lit(-2.0),
+                        ).alias("cos"),
                         (-s["cid"]).alias("neg_cid"),
                     ),
                 )

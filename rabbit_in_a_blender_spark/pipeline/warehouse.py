@@ -3,8 +3,9 @@ achilles namespaces — reference README.md:22, cli.py:62-65).
 
 Local tests use parquet dirs under one root; on a cluster the same layout
 maps to catalog databases or object-store prefixes.  Writes are atomic
-rebuilds (A7 semantics) via parquet overwrite — swap in Delta tables for
-object stores without atomic rename.
+rebuilds (A7 semantics); pick the protocol with ``commit_mode`` —
+``rename`` (staged dir + rename, POSIX/HDFS) or ``pointer``
+(manifest/pointer swap, object-store safe; see ``core/commit.py``).
 """
 
 from __future__ import annotations
@@ -19,22 +20,67 @@ ZONES = ("raw", "work", "omop", "dqd", "achilles")
 
 
 class Warehouse:
-    def __init__(self, root: str):
+    """``commit_mode`` picks the atomic-replace protocol (VERDICT r11
+    task 2):
+
+    - ``"rename"`` (default): staged sibling dir + directory rename —
+      atomic on POSIX/HDFS, the A7 semantics every prior round shipped;
+      NOT atomic on S3-class object stores, and the swap has a brief
+      window where the table path is absent (crash there is recoverable
+      from ``.__old__``).
+    - ``"pointer"``: manifest/pointer-swap tables (``core/commit.py``):
+      data lands in immutable ``v-NNNNNN`` dirs and ONE small
+      ``_POINTER`` file flips atomically — old-or-new at every instant
+      on any store with atomic single-object replace, no
+      directory-rename assumption.  Readers must resolve through this
+      class (``read``/``exists`` do); snapshots and time travel come
+      free (version dirs), so ``write_versioned``/``restore_version``
+      become pointer flips.
+
+    Both modes are single-writer per table.
+    """
+
+    def __init__(self, root: str, commit_mode: str = "rename"):
+        if commit_mode not in ("rename", "pointer"):
+            raise ValueError(
+                f"commit_mode must be 'rename' or 'pointer', got "
+                f"{commit_mode!r}"
+            )
         self.root = root
+        self.commit_mode = commit_mode
         os.makedirs(root, exist_ok=True)
 
     def path(self, zone: str, table: str) -> str:
         assert zone in ZONES, zone
         return os.path.join(self.root, zone, table)
 
-    def exists(self, zone: str, table: str) -> bool:
+    def _data_path(self, zone: str, table: str) -> str:
+        """Where the live parquet files actually are: through the
+        pointer for pointer tables, the table path otherwise.  Reading
+        resolves by what's ON DISK (not the session's commit_mode), so
+        a pointer-mode warehouse can read rename-mode tables and vice
+        versa."""
+        from ..core.commit import is_pointer_table, resolve_pointer
+
         p = self.path(zone, table)
+        return resolve_pointer(p) if is_pointer_table(p) else p
+
+    def exists(self, zone: str, table: str) -> bool:
+        from ..core.commit import is_pointer_table
+
+        if is_pointer_table(self.path(zone, table)):
+            try:
+                p = self._data_path(zone, table)
+            except FileNotFoundError:
+                return False
+        else:
+            p = self.path(zone, table)
         return os.path.isdir(p) and any(
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
         )
 
     def read(self, spark: SparkSession, zone: str, table: str) -> DataFrame:
-        return spark.read.parquet(self.path(zone, table))
+        return spark.read.parquet(self._data_path(zone, table))
 
     def write(
         self,
@@ -73,6 +119,32 @@ class Warehouse:
             if keys:
                 df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
         target = self.path(zone, table)
+        from ..core.commit import is_pointer_table, pointer_commit
+
+        if self.commit_mode == "pointer" or is_pointer_table(target):
+            # on-disk format wins over session mode: a rename-mode
+            # session replacing a pointer table must not rename over
+            # the version dirs, and a pointer-mode write CONVERTS a
+            # plain dir (the new version lands first — the plan may
+            # lazily read the old loose files — then they're removed)
+            was_plain = not is_pointer_table(target)
+            pointer_commit(
+                lambda d: df.write.mode("overwrite").parquet(d), target
+            )
+            if was_plain:
+                for f in os.listdir(target):
+                    fp = os.path.join(target, f)
+                    if os.path.isfile(fp) and (
+                        f.endswith(".parquet")
+                        or f.startswith(("_SUCCESS", "part-", "."))
+                    ):
+                        if f == "_POINTER":
+                            continue
+                        try:
+                            os.remove(fp)
+                        except OSError:
+                            pass
+            return
         staging = target + ".__staging__"
         shutil.rmtree(staging, ignore_errors=True)
         df.write.mode("overwrite").parquet(staging)
@@ -84,7 +156,24 @@ class Warehouse:
         shutil.rmtree(old, ignore_errors=True)
 
     def append(self, df: DataFrame, zone: str, table: str) -> None:
-        df.write.mode("append").parquet(self.path(zone, table))
+        """Plain file append.  In pointer mode this appends INTO the
+        live version dir (readers see the new files appear, exactly as
+        non-atomically as a rename-mode append) — the pointer's
+        old-or-new guarantee covers REPLACES, not appends; batch
+        appenders that need exactly-once use their own batch=<id>
+        subdir discipline (streaming/sink.py)."""
+        from ..core.commit import is_pointer_table, pointer_commit
+
+        target = self.path(zone, table)
+        if self.commit_mode == "pointer" or is_pointer_table(target):
+            if not is_pointer_table(target):
+                pointer_commit(
+                    lambda d: df.write.mode("overwrite").parquet(d), target
+                )
+                return
+            df.write.mode("append").parquet(self._data_path(zone, table))
+            return
+        df.write.mode("append").parquet(target)
 
     # ---- snapshot versioning (poor-man's time travel) -----------------
     #
@@ -131,6 +220,22 @@ class Warehouse:
             if keys:
                 df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
         target = self.path(zone, table)
+        from ..core.commit import (
+            current_version,
+            is_pointer_table,
+            pointer_commit,
+        )
+
+        if self.commit_mode == "pointer" or is_pointer_table(target):
+            # pointer tables get versioning for free: the outgoing
+            # version dir IS the snapshot; retain live + keep snapshots
+            prev = current_version(target)
+            pointer_commit(
+                lambda d: df.write.mode("overwrite").parquet(d),
+                target,
+                keep=(keep + 1) if keep > 0 else 0,
+            )
+            return prev
         staging = target + ".__staging__"
         shutil.rmtree(staging, ignore_errors=True)
         df.write.mode("overwrite").parquet(staging)
@@ -154,6 +259,24 @@ class Warehouse:
     def read_version(
         self, spark: SparkSession, zone: str, table: str, version: int
     ) -> DataFrame:
+        from ..core.commit import (
+            _vdir,
+            current_version,
+            is_pointer_table,
+            list_versions,
+        )
+
+        target = self.path(zone, table)
+        if is_pointer_table(target):
+            d = _vdir(target, version)
+            live = current_version(target)
+            if not os.path.isdir(d) or (live is not None and version > live):
+                avail = [v for v in list_versions(target) if v <= (live or 0)]
+                raise ValueError(
+                    f"{zone}.{table} has no version {version}; "
+                    f"available: {avail}"
+                )
+            return spark.read.parquet(d)
         snap = os.path.join(self._snap_dir(zone, table), f"v{version}")
         if not os.path.isdir(snap):
             raise ValueError(
@@ -170,7 +293,10 @@ class Warehouse:
         The current contents are snapshotted first (so a restore is
         itself undoable); the restored snapshot stays in history.
         Returns the snapshot version the replaced contents were saved
-        under.
+        under.  On a pointer table the restore copies no data — the new
+        version dir holds the restored rows via one rewrite today; a
+        true zero-I/O flip is possible but would let pruning delete the
+        dir the pointer names, so the rewrite keeps retention simple.
         """
         return self.write_versioned(
             self.read_version(spark, zone, table, version), zone, table
@@ -198,7 +324,7 @@ class Warehouse:
         Row order within files is preserved, so cluster_by key locality
         from earlier writes survives compaction.
         """
-        p = self.path(zone, table)
+        p = self._data_path(zone, table)
         total = sum(
             os.path.getsize(os.path.join(p, f))
             for f in os.listdir(p)
@@ -207,7 +333,9 @@ class Warehouse:
         n_files = max(1, -(-total // target_file_bytes))  # ceil
         self.write(self.read(spark, zone, table).coalesce(n_files), zone, table)
         return sum(
-            1 for f in os.listdir(self.path(zone, table)) if f.endswith(".parquet")
+            1
+            for f in os.listdir(self._data_path(zone, table))
+            if f.endswith(".parquet")
         )
 
     def load(

@@ -146,18 +146,36 @@ def stream_dsir_select(
     the incremental-equality contract, which is what makes the whole
     stream SQL-replayable batch by batch.
 
-    Replay semantics (foreachBatch is at-least-once): the model fold is
-    IDEMPOTENT — each batch's aggregate lands as one file keyed by
-    batch_id (ext.dsir.fold_model_increment), so a crash-replay can
-    never double-count a batch in the raw model (ADVICE r10).  The
-    score append stays at-least-once: a replayed batch re-appends its
-    (id, logw_micro) rows, which downstream dedups by id or a Delta
-    MERGE makes exactly-once — benign next to a silently skewed model.
+    Replay semantics (foreachBatch is at-least-once) — exactly-once on
+    BOTH sides since r12 (ADVICE r11):
+
+    - the model fold is IDEMPOTENT: each batch's aggregate lands as one
+      file keyed by batch_id (ext.dsir.fold_model_increment), so a
+      crash-replay can never double-count a batch in the raw model
+      (ADVICE r10);
+    - the score write is IDEMPOTENT: each batch's (id, logw_micro)
+      rows OVERWRITE the batch's own ``out_dir/batch=<id>`` partition
+      subdir (the overwrite_ivfpq_batch discipline), so a replay
+      replaces rather than duplicates;
+    - and replayed VALUES are deterministic: the batch scores against
+      the model PREFIX view — fold files of its own batch id AND any
+      later id are excluded (after a checkpoint rollback every batch
+      from the rollback point re-fires, so "later" folds may already
+      exist on disk) — so a crash AFTER the fold but before checkpoint
+      commit recomputes exactly the weights the original run produced
+      (previously the replay re-folded the batch in-plan and emitted
+      divergent scores).  One caveat: ext.dsir.compact_model merges
+      fold files into the base — run it only on a quiesced stream (its
+      own documented contract), otherwise a replay straddling a
+      compaction cannot reconstruct the prefix view.
+
+    Readers use ``spark.read.parquet(out_dir)`` — partition discovery
+    surfaces an extra ``batch`` column alongside (id, logw_micro).
+    Local-path model listing, like fold_model_increment itself.
 
     Returns the DataStreamWriter; callers pick the trigger.
     """
     from ..core.caching import unpersist_intermediates
-    from ..core.fsio import parquet_exists
     from ..ext.dsir import (
         dsir_model_counts,
         fold_model_increment,
@@ -165,26 +183,53 @@ def stream_dsir_select(
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        tag = f"batch-{batch_id:08d}"
+
+        def _is_future_fold(name: str) -> bool:
+            # a replayed batch must see the model PREFIX folded by
+            # strictly-earlier batches: zero-padded batch tags compare
+            # lexicographically, so its own fold AND any later batch's
+            # fold (all of which re-fire after a checkpoint rollback)
+            # are excluded from the scoring view
+            return (
+                name.startswith("inc-batch-")
+                and name.endswith(".parquet")
+                and name >= f"inc-{tag}.parquet"
+            )
+
+        model_files = (
+            sorted(
+                os.path.join(model_dir, f)
+                for f in os.listdir(model_dir)
+                if f.endswith(".parquet") and not _is_future_fold(f)
+            )
+            if os.path.isdir(model_dir)
+            else []
+        )
         raw_model = (
-            spark.read.parquet(model_dir)
-            if parquet_exists(spark, model_dir)
+            spark.read.parquet(*model_files)
+            if model_files
             else spark.createDataFrame([], "bucket long, cnt long")
         )
         weights, _updated = incremental_dsir_weights(
             batch_df, raw_model, target_model, id_col, text_col,
             num_buckets=num_buckets, alpha=alpha, seed=seed,
         )
-        weights.write.mode("append").parquet(out_dir)
+        weights.write.mode("overwrite").parquet(
+            f"{out_dir.rstrip('/')}/batch={int(batch_id)}"
+        )
         fold_model_increment(
             spark,
             model_dir,
             dsir_model_counts(
                 batch_df, id_col, text_col, num_buckets=num_buckets, seed=seed
             ),
-            tag=f"batch-{batch_id:08d}",
+            tag=tag,
         )
         unpersist_intermediates(weights)
 

@@ -849,6 +849,37 @@ def test_dsir_model_bootstrap_then_incremental(spark, capsys, tmpdir_):
         .agg(F.sum("cnt")).first()[0]
     )
     assert n_after_rerun == n_total_grams
+    # ...but REFRESHED data at the same path re-folds (ADVICE r11: the
+    # tag is a content fingerprint, not a path digest — a daily-updated
+    # dir must not be silently skipped and leave the model stale)
+    import shutil as _sh
+
+    _sh.rmtree(b2)
+    spark.createDataFrame(
+        [(400 + i, f"{sci} x{i}") for i in range(2)],
+        "doc_id long, text string",
+    ).write.parquet(b2)
+    rc = main(["--dsir-select", b2, "--dsir-model", model, "--config", cfg])
+    assert rc == 0
+    out4 = capsys.readouterr().out
+    assert "folded in" in out4
+    n_refreshed = (
+        spark.read.parquet(os.path.join(model, "raw_model"))
+        .agg(F.sum("cnt")).first()[0]
+    )
+    new_words = [
+        len(r["text"].split(" ")) for r in spark.read.parquet(b2).collect()
+    ]
+    assert n_refreshed == n_total_grams + sum(2 * w - 1 for w in new_words)
+    # an explicit --fold-tag forces idempotence on the caller's key
+    rc = main(["--dsir-select", b2, "--dsir-model", model,
+               "--fold-tag", "mykey", "--config", cfg])
+    assert rc == 0
+    assert "folded in" in capsys.readouterr().out
+    rc = main(["--dsir-select", b2, "--dsir-model", model,
+               "--fold-tag", "mykey", "--config", cfg])
+    assert rc == 0
+    assert "already folded" in capsys.readouterr().out
     # corrupt meta fails loud instead of guessing the bucket count
     with open(os.path.join(model, "meta.json"), "w") as f:
         f.write("{}")

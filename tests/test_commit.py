@@ -1,0 +1,224 @@
+"""Pointer-swap commit protocol (core/commit.py, VERDICT r11 task 2):
+old-or-new at every instant, crash between stage and publish leaves the
+old table live, versioning/restore on pointer tables, and the
+compact_parquet_dir safety contract (ADVICE r11: quiesce enforcement,
+partition-layout validation, crash-window recovery)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rabbit_in_a_blender_spark.core.commit import (
+    current_version,
+    is_pointer_table,
+    list_versions,
+    pointer_commit,
+    resolve_pointer,
+)
+from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).withColumn("v", F.col("id") * 2)
+
+
+def test_pointer_commit_crash_between_stage_and_publish(spark, tmp_path):
+    """The task-2 'Done' pin: a crash AFTER the new data is fully
+    staged but BEFORE the pointer flips leaves readers on the OLD
+    version — never half, never ENOENT — and the next commit sweeps
+    the orphan."""
+    t = str(tmp_path / "t")
+    pointer_commit(
+        lambda d: _rows(spark, 0, 10).write.mode("overwrite").parquet(d), t
+    )
+    old_rows = sorted(r["id"] for r in spark.read.parquet(resolve_pointer(t)).collect())
+    assert old_rows == list(range(10))
+
+    def crashy(d):
+        _rows(spark, 100, 120).write.mode("overwrite").parquet(d)
+        raise RuntimeError("simulated crash before publish")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pointer_commit(crashy, t)
+    # reader resolution unchanged: old version still live, path never absent
+    assert current_version(t) == 1
+    assert sorted(
+        r["id"] for r in spark.read.parquet(resolve_pointer(t)).collect()
+    ) == list(range(10))
+    # orphan staged dir exists now, is swept by the next commit
+    assert 2 in list_versions(t)
+    pointer_commit(
+        lambda d: _rows(spark, 200, 205).write.mode("overwrite").parquet(d), t
+    )
+    assert current_version(t) == 2
+    assert sorted(
+        r["id"] for r in spark.read.parquet(resolve_pointer(t)).collect()
+    ) == list(range(200, 205))
+
+
+def test_warehouse_pointer_mode_roundtrip_and_conversion(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"), commit_mode="pointer")
+    wh.write(_rows(spark, 0, 50), "work", "t1")
+    assert wh.exists("work", "t1")
+    assert is_pointer_table(wh.path("work", "t1"))
+    assert wh.read(spark, "work", "t1").count() == 50
+    # replace: readers resolve the new version
+    wh.write(_rows(spark, 0, 7), "work", "t1")
+    assert wh.read(spark, "work", "t1").count() == 7
+    # append lands in the live version dir
+    wh.append(_rows(spark, 100, 103), "work", "t1")
+    assert wh.read(spark, "work", "t1").count() == 10
+
+    # a rename-mode table converts on the first pointer-mode write and
+    # stays readable through the same Warehouse API
+    wh_r = Warehouse(str(tmp_path / "wh"), commit_mode="rename")
+    wh_r.write(_rows(spark, 0, 5), "work", "plain")
+    assert not is_pointer_table(wh_r.path("work", "plain"))
+    wh.write(_rows(spark, 0, 9), "work", "plain")
+    assert is_pointer_table(wh.path("work", "plain"))
+    assert wh.read(spark, "work", "plain").count() == 9
+    # and a rename-mode session replacing a pointer table routes
+    # through the pointer protocol (on-disk format wins)
+    wh_r.write(_rows(spark, 0, 4), "work", "plain")
+    assert is_pointer_table(wh_r.path("work", "plain"))
+    assert wh_r.read(spark, "work", "plain").count() == 4
+
+
+def test_warehouse_pointer_versioning_and_restore(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "whv"), commit_mode="pointer")
+    assert wh.write_versioned(_rows(spark, 0, 3), "work", "t") is None
+    assert wh.write_versioned(_rows(spark, 0, 5), "work", "t") == 1
+    assert wh.write_versioned(_rows(spark, 0, 8), "work", "t") == 2
+    assert wh.read(spark, "work", "t").count() == 8
+    assert wh.read_version(spark, "work", "t", 1).count() == 3
+    assert wh.read_version(spark, "work", "t", 2).count() == 5
+    with pytest.raises(ValueError, match="no version 99"):
+        wh.read_version(spark, "work", "t", 99)
+    # restore makes v1's rows live again (as a NEW version)
+    wh.restore_version(spark, "work", "t", 1)
+    assert wh.read(spark, "work", "t").count() == 3
+    # keep pruning: many writes retain only live + keep snapshots
+    for i in range(5):
+        wh.write_versioned(_rows(spark, 0, 10 + i), "work", "t", keep=2)
+    vs = list_versions(wh.path("work", "t"))
+    assert len(vs) == 3  # live + 2 snapshots
+    assert current_version(wh.path("work", "t")) == max(vs)
+
+
+def test_compact_pointer_table_and_plain_refusal(spark, tmp_path):
+    from rabbit_in_a_blender_spark.core.fsio import compact_parquet_dir
+
+    wh = Warehouse(str(tmp_path / "whc"), commit_mode="pointer")
+    wh.write(_rows(spark, 0, 100).repartition(8), "work", "decayed")
+    for i in range(4):
+        wh.append(_rows(spark, 100 + i * 10, 110 + i * 10).repartition(4),
+                  "work", "decayed")
+    t = wh.path("work", "decayed")
+    rows_before = sorted(r["id"] for r in wh.read(spark, "work", "decayed").collect())
+    before, after = compact_parquet_dir(spark, t, commit_mode="pointer")
+    assert after < before
+    assert is_pointer_table(t)
+    rows_after = sorted(r["id"] for r in wh.read(spark, "work", "decayed").collect())
+    assert rows_after == rows_before
+    # plain dirs are refused in pointer mode (raw-path readers would break)
+    plain = str(tmp_path / "plain")
+    _rows(spark, 0, 10).write.parquet(plain)
+    with pytest.raises(ValueError, match="not a pointer table"):
+        compact_parquet_dir(spark, plain, commit_mode="pointer")
+
+
+def test_compact_partition_layout_validation(spark, tmp_path):
+    from rabbit_in_a_blender_spark.core.fsio import compact_parquet_dir
+
+    part = str(tmp_path / "part")
+    for i in range(3):
+        _rows(spark, i * 20, (i + 1) * 20).withColumn(
+            "cell", F.col("id") % 2
+        ).write.mode("append").partitionBy("cell").parquet(part)
+    # typo'd key raises instead of silently unpartitioning (ADVICE r11)
+    with pytest.raises(ValueError, match="does not match the discovered"):
+        compact_parquet_dir(spark, part, partition_by=["centroidd_id"])
+    # omitted partition_by preserves the discovered layout
+    b, a = compact_parquet_dir(spark, part)
+    assert a <= b
+    assert sorted(
+        d for d in os.listdir(part) if d.startswith("cell=")
+    ) == ["cell=0", "cell=1"]
+    # nested layout (the streaming IVFADC batch=*/centroid_id=* shape)
+    nested = str(tmp_path / "nested")
+    for b_id in range(2):
+        _rows(spark, b_id * 10, (b_id + 1) * 10).withColumn(
+            "cell", F.col("id") % 2
+        ).withColumn("batch", F.lit(b_id)).write.mode("append").partitionBy(
+            "batch", "cell"
+        ).parquet(nested)
+    nb, na = compact_parquet_dir(spark, nested)
+    assert sorted(
+        d for d in os.listdir(nested) if d.startswith("batch=")
+    ) == ["batch=0", "batch=1"]
+    assert spark.read.parquet(nested).count() == 20
+    # single-level partition_by over the nested layout refuses too
+    for i in range(2):
+        _rows(spark, 500 + i, 501 + i).withColumn(
+            "cell", F.col("id") % 2
+        ).withColumn("batch", F.lit(9)).write.mode("append").partitionBy(
+            "batch", "cell"
+        ).parquet(nested)
+    with pytest.raises(ValueError, match="does not match the discovered"):
+        compact_parquet_dir(spark, nested, partition_by=["cell"])
+
+
+def test_compact_aborts_on_concurrent_writer(spark, tmp_path, monkeypatch):
+    """ADVICE r11: files appended between the initial listing and the
+    swap must NOT be silently deleted — the swap aborts and the
+    original dir (old files included) survives."""
+    import rabbit_in_a_blender_spark.core.fsio as fsio
+
+    flat = str(tmp_path / "flat")
+    for i in range(3):
+        _rows(spark, i * 10, (i + 1) * 10).repartition(2).write.mode(
+            "append"
+        ).parquet(flat)
+    n_before = spark.read.parquet(flat).count()
+    orig = fsio._walk_parquet
+    calls = {"n": 0}
+
+    def racy(p):
+        out = orig(p)
+        calls["n"] += 1
+        if calls["n"] == 2:  # the post-stage quiesce re-check
+            return out + ["/phantom/concurrent-append.parquet"]
+        return out
+
+    monkeypatch.setattr(fsio, "_walk_parquet", racy)
+    with pytest.raises(RuntimeError, match="changed during compaction"):
+        fsio.compact_parquet_dir(spark, flat)
+    monkeypatch.setattr(fsio, "_walk_parquet", orig)
+    # original intact, staging cleaned up
+    assert spark.read.parquet(flat).count() == n_before
+    assert not os.path.isdir(flat + ".__staging__")
+
+
+def test_compact_recovers_crash_window_and_refuses_stream_log(spark, tmp_path):
+    from rabbit_in_a_blender_spark.core.fsio import (
+        compact_parquet_dir,
+        recover_parquet_dir,
+    )
+
+    flat = str(tmp_path / "flat")
+    _rows(spark, 0, 30).repartition(3).write.parquet(flat)
+    # simulate a crash between the two renames: path absent, .__old__ left
+    os.rename(flat, flat + ".__old__")
+    assert recover_parquet_dir(flat)
+    assert spark.read.parquet(flat).count() == 30
+    # and compact itself auto-recovers before starting
+    os.rename(flat, flat + ".__old__")
+    b, a = compact_parquet_dir(spark, flat)
+    assert spark.read.parquet(flat).count() == 30
+    # an active file-sink commit log is refused
+    os.makedirs(os.path.join(flat, "_spark_metadata"))
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_parquet_dir(spark, flat)

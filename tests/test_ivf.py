@@ -481,3 +481,31 @@ def test_coarse_agreement_estimator_flags_adversarial_geometry(spark):
         df, cents, coarse_probe=8, sample_mod=1
     )
     assert agree_all == 1.0
+
+
+def test_probe_lists_degenerate_centroid_sorts_last(spark):
+    """ADVICE r11: a centroid whose vector has null elements gets a
+    null cosine; it must sort BELOW every real centroid (coalesced to
+    -2.0) instead of consuming probe slots at the top of the
+    array_sort+reverse order."""
+    from rabbit_in_a_blender_spark.ext.ivf import probe_lists
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [None, 1.0]),  # degenerate: null element -> null cosine
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        r["centroid_id"]
+        for r in probe_lists(cents, q, nprobe=2).collect()
+    ]
+    assert sorted(got) == [1, 2]  # the degenerate centroid never probes
+    # with nprobe covering all, it comes LAST
+    all3 = probe_lists(cents, q, nprobe=3).collect()
+    assert len(all3) == 3 and {r["centroid_id"] for r in all3} == {1, 2, 3}

@@ -702,18 +702,21 @@ def test_stream_dsir_select_folds_history_across_batches(spark):
         for i, rows in enumerate((b1, b2)):
             df = spark.createDataFrame(rows, "doc_id long, text string")
             df.coalesce(1).write.parquet(f"{tmp}/in/b{i}")
+        os.makedirs(f"{tmp}/src")
         for i, sub in enumerate(sorted(os.listdir(f"{tmp}/in"))):
             for f in os.listdir(f"{tmp}/in/{sub}"):
                 if f.endswith(".parquet"):
-                    os.rename(f"{tmp}/in/{sub}/{f}", f"{tmp}/stream_{i}.parquet")
+                    os.rename(
+                        f"{tmp}/in/{sub}/{f}", f"{tmp}/src/stream_{i}.parquet"
+                    )
                     os.utime(
-                        f"{tmp}/stream_{i}.parquet",
+                        f"{tmp}/src/stream_{i}.parquet",
                         (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000),
                     )
         src = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", "1")
-            .parquet(tmp)
+            .parquet(f"{tmp}/src")
         )
         q = (
             stream_dsir_select(
@@ -752,6 +755,34 @@ def test_stream_dsir_select_folds_history_across_batches(spark):
         )
         words = [len(t.split(" ")) for _, t in b1 + b2]
         assert mass == sum(2 * w - 1 for w in words)
+        # FULL REPLAY (ADVICE r11): wipe the checkpoint and re-run the
+        # stream over the same files — every batch re-fires.  Scores
+        # must come out IDENTICAL (each batch overwrites its own
+        # batch=<id> subdir and recomputes against the pre-fold model
+        # view), never duplicated, and the model mass must not grow.
+        shutil.rmtree(f"{tmp}/ckpt")
+        q2 = (
+            stream_dsir_select(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{tmp}/src"),
+                out_dir=f"{tmp}/out",
+                model_dir=f"{tmp}/model",
+                checkpoint_dir=f"{tmp}/ckpt",
+                target_model=target_model,
+                num_buckets=128,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        replayed = spark.read.parquet(f"{tmp}/out").collect()
+        assert len(replayed) == len(b1) + len(b2)  # no duplicate rows
+        assert {r.doc_id: r.logw_micro for r in replayed} == got
+        mass2 = (
+            spark.read.parquet(f"{tmp}/model").agg(F.sum("cnt")).first()[0]
+        )
+        assert mass2 == mass
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
