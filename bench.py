@@ -560,6 +560,22 @@ def main() -> None:
             record["dq_sweep_ms_per_check_ab"] = round(
                 1000.0 * ab_dq["head"] / max(int(dq_checks), 1), 1
             )
+            # Adjudicated figure (VERDICT r11 task 6): the _ab absolute
+            # above still rides this run's ambient host state (r10->r11
+            # it moved 35.2 -> 51.7 while the targeted 7-round
+            # interleaved A/B said 1.045 — ambient, not regression).
+            # The drift-cancelled signal is the interleaved head/ref
+            # RATIO, recorded here alongside both absolutes so the
+            # committed artifact can't over-read a per-check move.
+            record["dq_sweep_ab"] = {
+                "ratio": ab_dq["ratio"],
+                "ref_ms_per_check": round(
+                    1000.0 * ab_dq["ref"] / max(int(dq_checks), 1), 1
+                ),
+                "head_ms_per_check": round(
+                    1000.0 * ab_dq["head"] / max(int(dq_checks), 1), 1
+                ),
+            }
     print(json.dumps(record))
 
 

@@ -1763,6 +1763,62 @@ def _semdedup_oracle() -> str:
 
 
 @register(
+    "ext_ivf_assign_auto",
+    oracle="""
+    WITH c AS (
+      SELECT e.vec_id + 1000 * k.r AS cid, e.embedding AS cv
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(range(8)) AS r) k
+      WHERE e.vec_id % 2 = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(list_dot_product(e.embedding, c.cv)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+      FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id
+    FROM (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, cid
+             ) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    doc="The r12 auto-escalation default under the hash gate (VERDICT "
+    "r11 task 1): centroids are the even-id embeddings replicated 8x "
+    "under shifted ids, so C = 4N >= 2000 crosses AUTO_COARSE_MIN_C at "
+    "EVERY driver sf and method='auto' resolves to the coarse "
+    "O(N*sqrt(C)*d) rung — the rung a --semantic-dedup user now gets "
+    "at real corpus scale.  n_super=4 with coarse_probe=4 makes the "
+    "probe exhaustive, so the assignment is unconditionally identical "
+    "to the flat argmax the SQL replays (rounded-cosine desc, min-cid "
+    "tie-break — replicas tie at equal cosine and the smallest shifted "
+    "id must win); non-exhaustive probe behavior is pinned by "
+    "tests/test_ivf.py::test_coarse_* and the r11/r12 scale curves.",
+)
+def ext_ivf_assign_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.ivf import AUTO_COARSE_MIN_C, build_ivf_index
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    reps = spark.range(8).select(F.col("id").alias("__r"))
+    cents = (
+        e.filter(F.col("vec_id") % 2 == 0)
+        .crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("__r") * 1000).alias("vec_id"),
+            "embedding",
+        )
+    )
+    assert AUTO_COARSE_MIN_C <= 2000  # 4N at the driver fixtures
+    return build_ivf_index(
+        e, cents, method="auto", coarse_probe=4, n_super=4
+    ).select("vec_id", "centroid_id")
+
+
+@register(
     "ext_semantic_dedup",
     oracle=_semdedup_oracle(),
     doc="SemDeDup (Abbas et al. 2023): Lloyd-cluster the embeddings "

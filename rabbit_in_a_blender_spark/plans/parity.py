@@ -210,10 +210,16 @@ def j2_mapping_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j4_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")["orders"]
+    # fresh scan for the b side: building both join inputs from ONE
+    # frame makes their key columns the same analyzer attribute, so the
+    # equi-predicate degenerates to a "trivially true" self-compare
+    # warning (VERDICT r11 hygiene note #3); a second read gives b its
+    # own lineage — same plan shape, same oracle, no warning
+    o2 = _t(spark, sf_dir, "orders")["orders"]
     key = F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_key")
     a = o.groupBy(F.col("o_custkey"), key).agg(F.count(F.lit(1)).alias("n_all"))
     b = (
-        o.filter(F.col("o_totalprice") > 5000)
+        o2.filter(F.col("o_totalprice") > 5000)
         .groupBy(F.col("o_custkey"), key)
         .agg(F.count(F.lit(1)).alias("n_big"))
     )

@@ -1114,41 +1114,56 @@ def _assign_curve(spark, reps: int) -> None:
             ).write.format("noop").mode("overwrite").save()
             return round(time.perf_counter() - t0, 3)
 
+        # SPARK_GRAFT_ASSIGN_SKIP_FLAT=1 re-measures only the cheap legs
+        # (coarse + the auto default) — the O(N*C*d) flat reps and the
+        # flat-vs-coarse agreement join cost ~15 min at C=8000 and were
+        # recorded in the r11 curve; use for the r12 auto-default point.
+        skip_flat = os.environ.get("SPARK_GRAFT_ASSIGN_SKIP_FLAT") == "1"
         run("coarse")  # warmup
-        arrow, coarse = [], []
+        arrow, coarse, auto = [], [], []
         for _ in range(reps):
-            arrow.append(run("arrow"))
+            if not skip_flat:
+                arrow.append(run("arrow"))
             coarse.append(run("coarse"))
-        # agreement: fraction of rows where coarse picked the flat answer
-        a = build_ivf_index(big, cents, method="arrow").select(
-            "vec_id", F.col("centroid_id").alias("flat_cid")
-        )
-        b = build_ivf_index(big, cents, method="coarse").select(
-            "vec_id", F.col("centroid_id").alias("coarse_cid")
-        )
-        agree = a.join(b, "vec_id").agg(
-            F.avg(
-                (F.col("flat_cid") == F.col("coarse_cid")).cast("double")
+            # the r12 default: resolve_assign_method picks the rung by C
+            auto.append(run("auto"))
+        agree = None
+        if not skip_flat:
+            # agreement: fraction of rows where coarse picked the flat answer
+            a = build_ivf_index(big, cents, method="arrow").select(
+                "vec_id", F.col("centroid_id").alias("flat_cid")
             )
-        ).first()[0]
+            b = build_ivf_index(big, cents, method="coarse").select(
+                "vec_id", F.col("centroid_id").alias("coarse_cid")
+            )
+            agree = a.join(b, "vec_id").agg(
+                F.avg(
+                    (F.col("flat_cid") == F.col("coarse_cid")).cast("double")
+                )
+            ).first()[0]
         cents.unpersist()
         med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+        from rabbit_in_a_blender_spark.ext.ivf import resolve_assign_method
+
         results[f"C{n_c}"] = {
             "rows": n, "C": n_c,
-            "arrow_median": med(arrow), "coarse_median": med(coarse),
-            "agreement": round(agree, 6),
-            "arrow_reps": arrow, "coarse_reps": coarse,
+            "arrow_median": med(arrow) if arrow else None,
+            "coarse_median": med(coarse),
+            "auto_median": med(auto),
+            "auto_resolves": resolve_assign_method("auto", n_c),
+            "agreement": round(agree, 6) if agree is not None else None,
+            "arrow_reps": arrow, "coarse_reps": coarse, "auto_reps": auto,
         }
         print(f"## assign C={n_c}: arrow {arrow} coarse {coarse} "
-              f"agree {agree:.4f}", flush=True)
+              f"auto {auto} agree {agree}", flush=True)
     big.unpersist()
     print(json.dumps(results))
-    print("\n| C | rows | arrow s | coarse s | speedup | agreement |")
+    print("\n| C | rows | arrow s | coarse s | auto s (rung) | agreement |")
     print("|---|---|---|---|---|---|")
     for k, r in results.items():
         print(f"| {r['C']} | {r['rows']:,} | {r['arrow_median']} | "
               f"{r['coarse_median']} | "
-              f"{round(r['arrow_median']/r['coarse_median'],2)}x | "
+              f"{r['auto_median']} ({r['auto_resolves']}) | "
               f"{r['agreement']} |")
 
 
