@@ -725,3 +725,74 @@ def _register_stream_ivfpq() -> None:
 
 
 _register_stream_ivfpq()
+
+
+def _register_stream_semdedup() -> None:
+    # late import so the two-batch incremental SemDeDup replay oracle is
+    # reused verbatim — one replay gates the batch incremental operator
+    # AND this streaming growth path
+    from .extensions import _inc_semdedup_oracle
+
+    @register(
+        "stream_semdedup_batch",
+        oracle=_inc_semdedup_oracle(),
+        doc="Streaming SemDeDup (streaming/sink.py stream_semantic_dedup, "
+        "r12) under the hash gate: embeddings replay as two micro-batches "
+        "through the REAL foreachBatch sink with checkpointing, each "
+        "batch screened against the persisted kept-exemplar index "
+        "(frozen batch-1 Lloyd centroids), flags and surviving exemplars "
+        "written to per-batch overwrite subdirs — exactly-once by VALUE "
+        "on replay because each batch screens only strictly-earlier "
+        "index subdirs.  Batch 2's flags must equal the batch "
+        "incremental operator's: the SAME full two-batch replay oracle "
+        "as ext_incremental_semantic_dedup gates both.",
+    )
+    def stream_semdedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        from ..ext.ivf import refine_centroids
+        from ..streaming.sink import stream_semantic_dedup
+
+        e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        b1 = e.filter(F.col("vec_id") < 250)
+        cents = refine_centroids(
+            b1, e.filter(F.col("vec_id") < 4), iterations=3, grid=6
+        )
+        root = tempfile.mkdtemp(prefix="riab_ssemdedup_")
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        for i, half in enumerate((b1, e.filter(F.col("vec_id") >= 250))):
+            tmp = os.path.join(root, f"half{i}")
+            half.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(in_dir, f"{i:02d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+        out_dir = os.path.join(root, "out")
+        query = (
+            stream_semantic_dedup(
+                spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(in_dir),
+                out_dir=out_dir,
+                index_dir=os.path.join(root, "index"),
+                checkpoint_dir=os.path.join(root, "ckpt"),
+                centroids=cents,
+                tau=0.35,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        # the oracle replays batch 2's flags (vec_id >= 250)
+        return (
+            spark.read.parquet(out_dir)
+            .filter(F.col("vec_id") >= 250)
+            .select("vec_id", "centroid_id", "is_dup")
+        )
+
+
+_register_stream_semdedup()

@@ -239,6 +239,88 @@ def stream_dsir_select(
     )
 
 
+def stream_semantic_dedup(
+    stream_vecs: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.35,
+    grid: int = 6,
+    max_cluster_size: int | None = None,
+):
+    """Build (not start) a writeStream that SemDeDup-screens each
+    embedding micro-batch against a persisted kept-exemplar index — the
+    streaming face of ``ext/semdedup.py::incremental_semantic_dedup``,
+    completing the continuous-crawl matrix (surface-form LSH dedup,
+    DSIR, IVFADC, and now semantic dedup all have batch + incremental +
+    streaming forms).
+
+    ``centroids`` must be the FROZEN centroid frame the whole stream
+    screens under (re-cluster offline and rebuild when drift warrants —
+    measured by ext/drift.py, not guessed).  Per micro-batch: assign +
+    screen ONLY the batch (cluster-local probe of the stored exemplars
+    + the intra-batch min-id rule), write its (id, centroid_id, is_dup)
+    flags to ``out_dir/batch=<id>`` and its surviving exemplar rows to
+    ``index_dir/batch=<id>`` — O(batch x cluster density), history
+    vectors never re-read, state lives in the index table.
+
+    Replay semantics (exactly-once BY VALUE, the r12 DSIR-sink
+    discipline): both writes OVERWRITE the batch's own ``batch=<id>``
+    subdir, and the screen reads only index subdirs of STRICTLY EARLIER
+    batch ids — so a replayed batch sees exactly the prefix the
+    original run saw (never its own or later batches' exemplars, which
+    would flag every replayed row as a dup of itself) and reproduces
+    byte-identical flags.  Searches/screens over the full index use
+    ``spark.read.parquet(index_dir)`` (partition discovery adds a
+    ``batch`` column).  Local-path subdir listing, like the DSIR sink.
+
+    Returns the DataStreamWriter; callers pick the trigger.
+    """
+    from ..core.caching import unpersist_intermediates
+    from ..ext.semdedup import incremental_semantic_dedup
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        prefix_dirs = []
+        if os.path.isdir(index_dir):
+            for d in os.listdir(index_dir):
+                tail = d.split("=", 1)
+                if (
+                    d.startswith("batch=")
+                    and len(tail) == 2
+                    and tail[1].isdigit()
+                    and int(tail[1]) < int(batch_id)
+                ):
+                    prefix_dirs.append(os.path.join(index_dir, d))
+        index = (
+            spark.read.parquet(*sorted(prefix_dirs)) if prefix_dirs else None
+        )
+        flags, kept = incremental_semantic_dedup(
+            batch_df, index, centroids,
+            id_col=id_col, vec_col=vec_col, tau=tau, grid=grid,
+            max_cluster_size=max_cluster_size,
+        )
+        flags.write.mode("overwrite").parquet(
+            f"{out_dir.rstrip('/')}/batch={int(batch_id)}"
+        )
+        kept.write.mode("overwrite").parquet(
+            f"{index_dir.rstrip('/')}/batch={int(batch_id)}"
+        )
+        unpersist_intermediates(flags, kept)
+
+    return (
+        stream_vecs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def stream_ivfpq_append(
     stream_vecs: DataFrame,
     index_dir: str,

@@ -865,3 +865,97 @@ def test_stream_ivfpq_append_builds_searchable_index(spark):
         assert key(spark.read.parquet(f"{tmp}/index")) == key(full)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_semantic_dedup_screens_and_replays_identically(spark):
+    """Streaming SemDeDup (r12): batch 2 must be screened against batch
+    1's kept exemplars through the persisted index; a full
+    checkpoint-rollback replay must reproduce byte-identical flags with
+    no duplicate rows (each batch overwrites its own subdir and screens
+    only strictly-earlier index subdirs)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.ext.semdedup import (
+        incremental_semantic_dedup,
+    )
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.streaming.sink import stream_semantic_dedup
+
+    # two clusters around (1,0) and (0,1); batch 2 repeats batch 1's
+    # neighborhoods so the index screen must flag them
+    b1 = [(0, [1.0, 0.0]), (1, [0.99, 0.14]), (10, [0.0, 1.0])]
+    b2 = [(20, [1.0, 0.01]), (21, [-1.0, 0.0]), (30, [0.01, 1.0])]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tmp = tempfile.mkdtemp(prefix="riab_ssem_test_")
+    try:
+        os.makedirs(f"{tmp}/src")
+        for i, rows in enumerate((b1, b2)):
+            df = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            )
+            df.coalesce(1).write.parquet(f"{tmp}/in/b{i}")
+            for f in os.listdir(f"{tmp}/in/b{i}"):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        f"{tmp}/in/b{i}/{f}", f"{tmp}/src/stream_{i}.parquet"
+                    )
+                    os.utime(
+                        f"{tmp}/src/stream_{i}.parquet",
+                        (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000),
+                    )
+
+        def run():
+            q = (
+                stream_semantic_dedup(
+                    spark.readStream.schema(
+                        "vec_id long, embedding array<double>"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(f"{tmp}/src"),
+                    out_dir=f"{tmp}/out",
+                    index_dir=f"{tmp}/index",
+                    checkpoint_dir=f"{tmp}/ckpt",
+                    centroids=cents,
+                    tau=0.9,
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return sorted(
+                (r["vec_id"], r["centroid_id"], r["is_dup"])
+                for r in spark.read.parquet(f"{tmp}/out").select(
+                    "vec_id", "centroid_id", "is_dup"
+                ).collect()
+            )
+
+        got = run()
+        # equals the batch incremental operator run batch-by-batch
+        d1 = spark.createDataFrame(b1, "vec_id long, embedding array<double>")
+        d2 = spark.createDataFrame(b2, "vec_id long, embedding array<double>")
+        f1, idx1 = incremental_semantic_dedup(d1, None, cents, tau=0.9)
+        f2, _ = incremental_semantic_dedup(d2, idx1, cents, tau=0.9)
+        exp = sorted(
+            (r["vec_id"], r["centroid_id"], r["is_dup"])
+            for r in f1.unionByName(f2).collect()
+        )
+        unpersist_intermediates(f1, f2)
+        assert got == exp
+        # batch-2 near-repeats of batch-1 exemplars are flagged; the
+        # orthogonal newcomer survives
+        flags = dict((v, d) for v, _c, d in got)
+        assert flags[20] and flags[30] and not flags[21]
+        # full replay: wipe the checkpoint, re-run, byte-identical
+        shutil.rmtree(f"{tmp}/ckpt")
+        assert run() == got
+        n_rows = spark.read.parquet(f"{tmp}/out").count()
+        assert n_rows == len(b1) + len(b2)  # no duplicates
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
