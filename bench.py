@@ -122,6 +122,12 @@ NON_HEADLINE = [
     # incremental IVFADC append+search round trip
     "ext_semantic_dedup_coarse",
     "ext_ivfpq_incremental",
+    # r12 additions: the auto-escalating assignment default at C=2000
+    # (rides the coarse rung), the pointer-swap commit ledger, and the
+    # streaming SemDeDup screen
+    "ext_ivf_assign_auto",
+    "wh_pointer_commit",
+    "stream_semdedup_batch",
 ]
 
 

@@ -749,6 +749,28 @@ def test_semantic_dedup_cli_stats_and_kept_rows(spark, capsys, tmpdir_):
                "--config", cfg])
     assert rc == 0
     assert "across 8 clusters" in capsys.readouterr().out
+    # --coarse-probe auto on the coarse rung runs the sampled
+    # agreement tuner and reports its choice (r12, VERDICT r11 task 5);
+    # sampled flags must match the default-path run
+    rc = main(["--semantic-dedup", vecs, "--id-col", "vec_id",
+               "--clusters", "2", "--iterations", "2", "--tau", "0.9",
+               "--assign-method", "coarse", "--coarse-probe", "auto",
+               "--out", os.path.join(root, "sem_kept_auto"),
+               "--config", cfg])
+    assert rc == 0
+    assert "--coarse-probe auto: chose probe=" in capsys.readouterr().out
+    kept_auto = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(root, "sem_kept_auto")).collect()
+    }
+    assert kept_auto == {1, 10}
+    # a bad --coarse-probe value fails loud
+    try:
+        main(["--semantic-dedup", vecs, "--id-col", "vec_id",
+              "--clusters", "2", "--coarse-probe", "zero", "--config", cfg])
+        assert False, "expected SystemExit"
+    except SystemExit as e:
+        assert "coarse-probe" in str(e)
 
 
 def test_dsir_select_cli_stats_and_selected_rows(spark, capsys, tmpdir_):
