@@ -758,9 +758,14 @@ def _register_stream_semdedup() -> None:
 
         e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
         b1 = e.filter(F.col("vec_id") < 250)
+        # pin the frozen centroids: the sink's closure re-evaluates the
+        # centroid frame once per micro-batch op (assignment collect +
+        # screen), and without the pin each evaluation re-runs the
+        # 3-round Lloyd lineage — C x d metadata, released after the
+        # stream drains
         cents = refine_centroids(
             b1, e.filter(F.col("vec_id") < 4), iterations=3, grid=6
-        )
+        ).persist()
         root = tempfile.mkdtemp(prefix="riab_ssemdedup_")
         in_dir = os.path.join(root, "in")
         os.makedirs(in_dir)
@@ -787,6 +792,7 @@ def _register_stream_semdedup() -> None:
             .start()
         )
         query.awaitTermination()
+        cents.unpersist()
         # the oracle replays batch 2's flags (vec_id >= 250)
         return (
             spark.read.parquet(out_dir)
