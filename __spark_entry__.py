@@ -61,10 +61,18 @@ from pyspark.sql import DataFrame, SparkSession
 # closure can't see (dynamic dispatch, data-file dependencies) and for
 # explicit verdict orders.
 _REVERIFY_FIRST: list[str] = [
-    # VERDICT r8 task 1: emptied — every r7/r8 pin earned its driver row
-    # in CORRECTNESS_r08; the never-green and stale buckets order new
-    # and touched work correctly on their own.  Re-pin only on explicit
-    # verdict orders or closure-invisible dependencies.
+    # VERDICT r11 task 3 (explicit order): these seven rows' last
+    # driver-green is r3; they sort first in the rest bucket, but the
+    # r12 warehouse/commit changes flagged ~65 queries stale, which
+    # would push them past the ~50/round cap again.  Pin them ahead so
+    # CORRECTNESS_r12 finally carries them; drop the pin next round.
+    "s1_latest_topk",
+    "u1_union_all_uploads",
+    "u2_union_distinct",
+    "u3_preserve_union",
+    "f_scalar_suite",
+    "m1_update_invalidate",
+    "q3_shipping_priority",
 ]
 
 _PKG = "rabbit_in_a_blender_spark"
