@@ -223,6 +223,41 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--vec-col", default="embedding",
                    help="With --embed-cluster: vector column "
                         "(default %(default)s)")
+    x.add_argument("--ann-index", metavar="VECS",
+                   help="Build a persisted IVFADC ANN index (ext/ivfpq) "
+                        "from an embedding table: Lloyd-refines "
+                        "--clusters coarse centroids, trains "
+                        "--ann-m x --ann-ksub PQ codebooks, and writes "
+                        "<out>/centroids + <out>/books + <out>/index "
+                        "(partitioned by centroid_id, scan-prunable) + "
+                        "meta.json.  Vectors are L2-normalized so ADC "
+                        "scores approximate cosine.  NOTE: --id-col "
+                        "defaults to 'doc_id'; pass --id-col vec_id for "
+                        "a standard embeddings table")
+    x.add_argument("--ann-search", metavar="QUERIES",
+                   help="Search a --ann-index-built directory (pass it "
+                        "as --index): probe-bounded ADC + exact cosine "
+                        "re-rank, printing (or --out writing) "
+                        "(query_id, neighbor_id, cosine) top---topk "
+                        "rows per query.  The exact re-rank reads the "
+                        "corpus recorded in the index's meta.json "
+                        "(override with --ann-corpus)")
+    x.add_argument("--ann-corpus", metavar="VECS",
+                   help="With --ann-search: corpus table for the exact "
+                        "re-rank (default: the source recorded at build "
+                        "time)")
+    x.add_argument("--ann-m", type=int, default=8,
+                   help="With --ann-index: PQ subspaces (default "
+                        "%(default)s; must divide the vector dim)")
+    x.add_argument("--ann-ksub", type=int, default=16,
+                   help="With --ann-index: codewords per subspace "
+                        "(default %(default)s)")
+    x.add_argument("--ann-nprobe", type=int, default=4,
+                   help="With --ann-search: coarse cells probed per "
+                        "query (default %(default)s)")
+    x.add_argument("--ann-shortlist", type=int, default=32,
+                   help="With --ann-search: ADC shortlist re-ranked "
+                        "exactly per query (default %(default)s)")
     x.add_argument("--clusters", type=int, default=None,
                    help="Number of centroids.  With --embed-cluster: "
                         "default 8.  With --semantic-dedup: default is "
@@ -1089,6 +1124,164 @@ def _semantic_dedup(args, cfg) -> int:
     return 0
 
 
+def _ann_index(args, cfg) -> int:
+    """User-facing IVFADC index build (`ext/ivfpq.py`): Lloyd-refined
+    coarse centroids + trained PQ codebooks + the fused zero-shuffle
+    assignment/encode, persisted with ``partitionBy("centroid_id")`` so
+    searches prune at the parquet-scan level.  meta.json records the
+    build parameters and source so ``--ann-search`` is self-contained."""
+    import json as _json
+    import os as _os
+
+    from .ext.ivf import refine_centroids
+    from .ext.ivfpq import build_ivfpq_index
+    from .ext.pq import l2_normalize, train_pq_codebooks
+
+    if not args.out:
+        raise SystemExit("--ann-index requires --out DIR")
+    spark = _ext_session(cfg)
+    src = args.ann_index
+    vecs = spark.read.parquet(src)
+    for c in (args.id_col, args.vec_col):
+        if c not in vecs.columns:
+            raise SystemExit(
+                f"column {c!r} not in {src} ({vecs.columns}); hint: "
+                "--id-col defaults to 'doc_id', pass --id-col vec_id "
+                "for a standard embeddings table"
+            )
+    vecs = l2_normalize(
+        vecs.select(args.id_col, args.vec_col), args.vec_col
+    )
+    dim = len(vecs.select(args.vec_col).first()[0])
+    if dim % args.ann_m != 0:
+        raise SystemExit(
+            f"--ann-m {args.ann_m} does not divide the vector "
+            f"dimension {dim}"
+        )
+    n_rows = vecs.count()
+    n_clusters = (
+        args.clusters if args.clusters is not None
+        else max(4, min(n_rows // 64, 4096))
+    )
+    seeds = vecs.orderBy(args.id_col).limit(n_clusters)
+    cents = refine_centroids(
+        vecs, seeds, id_col=args.id_col, vec_col=args.vec_col,
+        iterations=args.iterations, grid=6,
+        assign_method=args.assign_method,
+    ).persist()
+    out = args.out.rstrip("/")
+    cents.withColumnRenamed(args.id_col, "centroid_id").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/centroids")
+    # PQ books: 2 Lloyd rounds (the proven catalog-row config);
+    # --iterations steers the coarse-centroid refinement only
+    books = train_pq_codebooks(
+        vecs, id_col=args.id_col, vec_col=args.vec_col,
+        m=args.ann_m, ksub=args.ann_ksub, iterations=2, grid=6,
+    ).persist()
+    books.write.mode("overwrite").parquet(f"{out}/books")
+    cents_read = spark.read.parquet(f"{out}/centroids").withColumnRenamed(
+        "centroid_id", args.id_col
+    )
+    books_read = spark.read.parquet(f"{out}/books")
+    index = build_ivfpq_index(
+        vecs, cents_read, books_read,
+        id_col=args.id_col, vec_col=args.vec_col, m=args.ann_m,
+    )
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{out}/index"
+    )
+    with open(_os.path.join(out, "meta.json"), "w") as fh:
+        _json.dump(
+            {
+                "src": _os.path.abspath(src),
+                "id_col": args.id_col,
+                "vec_col": args.vec_col,
+                "m": args.ann_m,
+                "ksub": args.ann_ksub,
+                "clusters": n_clusters,
+                "normalized": True,
+            },
+            fh,
+        )
+    cents.unpersist()
+    books.unpersist()
+    n_cells = spark.read.parquet(f"{out}/index").select(
+        "centroid_id"
+    ).distinct().count()
+    print(
+        f"built IVFADC index over {n_rows} vectors -> {out} "
+        f"(C={n_clusters}, {n_cells} non-empty cells, m={args.ann_m}, "
+        f"ksub={args.ann_ksub}; code bytes/vector={args.ann_m})"
+    )
+    return 0
+
+
+def _ann_search(args, cfg) -> int:
+    """User-facing IVFADC search (`ext/ivfpq.py::ivfpq_search`):
+    probe-bounded ADC over the persisted code table (partition-pruned on
+    centroid_id) + exact cosine re-rank against the corpus recorded at
+    build time (or --ann-corpus)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from .ext.ivfpq import ivfpq_search
+    from .ext.pq import l2_normalize
+
+    if not args.index:
+        raise SystemExit(
+            "--ann-search requires --index DIR (a --ann-index output)"
+        )
+    meta_path = _os.path.join(args.index, "meta.json")
+    if not _os.path.exists(meta_path):
+        raise SystemExit(
+            f"{args.index} has no meta.json — not a --ann-index output"
+        )
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    id_col, vec_col, m = meta["id_col"], meta["vec_col"], int(meta["m"])
+    spark = _ext_session(cfg)
+    idx_root = args.index.rstrip("/")
+    index = spark.read.parquet(f"{idx_root}/index")
+    cents = spark.read.parquet(f"{idx_root}/centroids").withColumnRenamed(
+        "centroid_id", id_col
+    )
+    books = spark.read.parquet(f"{idx_root}/books")
+    corpus_src = args.ann_corpus or meta["src"]
+    corpus = l2_normalize(
+        spark.read.parquet(corpus_src).select(id_col, vec_col), vec_col
+    )
+    queries = spark.read.parquet(args.ann_search)
+    for c in (id_col, vec_col):
+        if c not in queries.columns:
+            raise SystemExit(
+                f"column {c!r} not in {args.ann_search} "
+                f"({queries.columns}) — the index was built with "
+                f"id_col={id_col!r}, vec_col={vec_col!r}"
+            )
+    queries = l2_normalize(queries.select(id_col, vec_col), vec_col)
+    hits = ivfpq_search(
+        index, cents, books, corpus, queries,
+        id_col=id_col, vec_col=vec_col, m=m, k=args.topk,
+        nprobe=args.ann_nprobe, shortlist=args.ann_shortlist,
+    )
+    if args.out:
+        _write_docs(hits, args.out, args.format)
+        print(f"wrote ANN results -> {args.out} ({args.format})")
+        return 0
+    rows = hits.orderBy("query_id", F.desc("cosine"), "neighbor_id").collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in sorted(by_q):
+        print(f"query {qid}:")
+        for i, r in enumerate(by_q[qid], 1):
+            print(f"  {i:>3}. {r['neighbor_id']}  cosine={r['cosine']}")
+    return 0
+
+
 def _corpus_drift(args, cfg) -> int:
     """User-facing drift QC (`ext/drift.py`): PSI + KS over a numeric
     column and JSD over a categorical column, per stratum vs a
@@ -1624,6 +1817,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.semantic_dedup:
         return _semantic_dedup(args, cfg)
+
+    if args.ann_index:
+        return _ann_index(args, cfg)
+
+    if args.ann_search:
+        return _ann_search(args, cfg)
 
     if args.dsir_select:
         return _dsir_select(args, cfg)

@@ -981,3 +981,78 @@ def test_compact_cli(spark, capsys, tmpdir_):
     out = capsys.readouterr().out
     assert "compacted" in out and "files ->" in out
     assert spark.read.parquet(d).count() == 250
+
+
+def test_ann_index_build_and_search_cli(spark, capsys, tmpdir_):
+    """--ann-index builds a persisted IVFADC directory (centroids +
+    books + centroid_id-partitioned codes + meta.json); --ann-search
+    probes it and returns the same rows the library search does."""
+    root = str(tmpdir_)
+    cfg = os.path.join(root, "riab.ini")
+    with open(cfg, "w") as f:
+        f.write("[spark]\nmaster = local[4]\nshuffle_partitions = 4\n")
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = os.path.join(root, "ann_idx")
+    rc = main(["--ann-index", src, "--id-col", "vec_id",
+               "--clusters", "8", "--iterations", "1",
+               "--ann-m", "8", "--ann-ksub", "16",
+               "--out", idx, "--config", cfg])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built IVFADC index" in out and "m=8" in out
+    assert os.path.exists(os.path.join(idx, "meta.json"))
+    # partition-prunable layout
+    assert any(
+        d.startswith("centroid_id=")
+        for d in os.listdir(os.path.join(idx, "index"))
+    )
+    # search: write mode
+    q_out = os.path.join(root, "ann_hits")
+    queries = os.path.join(root, "ann_q")
+    spark.read.parquet(src).filter("vec_id < 3").write.parquet(queries)
+    rc = main(["--ann-search", queries, "--index", idx, "--topk", "3",
+               "--ann-nprobe", "4", "--out", q_out, "--config", cfg])
+    assert rc == 0
+    hits = spark.read.parquet(q_out).collect()
+    assert {r["query_id"] for r in hits} == {0, 1, 2}
+    assert all(
+        len([h for h in hits if h["query_id"] == q]) == 3 for q in (0, 1, 2)
+    )
+    # equals the library search on the same persisted artifacts
+    from rabbit_in_a_blender_spark.ext.ivfpq import ivfpq_search
+    from rabbit_in_a_blender_spark.ext.pq import l2_normalize
+
+    e = l2_normalize(
+        spark.read.parquet(src).select("vec_id", "embedding"), "embedding"
+    )
+    lib = ivfpq_search(
+        spark.read.parquet(os.path.join(idx, "index")),
+        spark.read.parquet(os.path.join(idx, "centroids")).withColumnRenamed(
+            "centroid_id", "vec_id"
+        ),
+        spark.read.parquet(os.path.join(idx, "books")),
+        e, e.filter("vec_id < 3"), m=8, k=3, nprobe=4, shortlist=32,
+    )
+    assert sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"]) for r in hits
+    ) == sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"]) for r in lib.collect()
+    )
+    # print mode
+    rc = main(["--ann-search", queries, "--index", idx, "--topk", "2",
+               "--config", cfg])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "query 0:" in printed and "cosine=" in printed
+    # guardrails fail loud
+    try:
+        main(["--ann-search", queries, "--config", cfg])
+        assert False, "expected SystemExit"
+    except SystemExit as e2:
+        assert "--index" in str(e2)
+    try:
+        main(["--ann-index", src, "--id-col", "vec_id", "--ann-m", "7",
+              "--out", os.path.join(root, "x"), "--config", cfg])
+        assert False, "expected SystemExit"
+    except SystemExit as e3:
+        assert "does not divide" in str(e3)
