@@ -294,6 +294,8 @@ def incremental_semantic_dedup(
     tau: float = 0.35,
     grid: int = 6,
     max_cluster_size: int | None = None,
+    assign_method: str = "auto",
+    coarse_probe: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
     """Screen a NEW batch of vectors against a persisted exemplar index
     — the continuous-crawl form of :func:`semantic_dedup`, mirroring
@@ -326,9 +328,17 @@ def incremental_semantic_dedup(
     ``max_cluster_size`` guards the INTRA-batch self-join like the
     batch operator (see :func:`_subsplit_hot`); the index-probe join is
     a screen against stored exemplars and stays exact.
+
+    ``assign_method``/``coarse_probe`` mirror :func:`semantic_dedup`:
+    the default ``"auto"`` rides the flat Arrow rung below
+    ``AUTO_COARSE_MIN_C`` frozen centroids and the coarse
+    O(delta·sqrt(C)·d) rung at/above it.
     """
     assigned = (
-        build_ivf_index(new_vecs, centroids, id_col=id_col, vec_col=vec_col)
+        build_ivf_index(
+            new_vecs, centroids, id_col=id_col, vec_col=vec_col,
+            method=assign_method, coarse_probe=coarse_probe,
+        )
         .select(
             F.col(id_col),
             F.col("centroid_id").cast("long").alias("centroid_id"),

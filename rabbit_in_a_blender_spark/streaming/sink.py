@@ -250,6 +250,8 @@ def stream_semantic_dedup(
     tau: float = 0.35,
     grid: int = 6,
     max_cluster_size: int | None = None,
+    assign_method: str = "auto",
+    coarse_probe: int = 4,
 ):
     """Build (not start) a writeStream that SemDeDup-screens each
     embedding micro-batch against a persisted kept-exemplar index — the
@@ -306,6 +308,7 @@ def stream_semantic_dedup(
             batch_df, index, centroids,
             id_col=id_col, vec_col=vec_col, tau=tau, grid=grid,
             max_cluster_size=max_cluster_size,
+            assign_method=assign_method, coarse_probe=coarse_probe,
         )
         flags.write.mode("overwrite").parquet(
             f"{out_dir.rstrip('/')}/batch={int(batch_id)}"

@@ -334,3 +334,60 @@ def test_top_p_rank1_is_the_assignment_for_any_fixture(spark, vecs, p):
     }
     assert a == e
     assert all(a[(vid, 1)] == cid for vid, cid in base.items())
+
+
+# ---------------------------------------------------------------------------
+# pointer-commit protocol law (r12): after ANY interleaving of successful
+# commits and crashes-before-publish, a reader resolving through the
+# pointer sees exactly the LAST SUCCESSFULLY PUBLISHED payload — never a
+# crashed stage, never a half state, never ENOENT once one commit
+# succeeded — and retention never exceeds keep + the one sweepable orphan.
+from rabbit_in_a_blender_spark.core.commit import (  # noqa: E402
+    current_version,
+    list_versions,
+    pointer_commit,
+    resolve_pointer,
+)
+
+
+class _SimCrash(RuntimeError):
+    pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.booleans(), min_size=1, max_size=12))
+def test_pointer_commit_interleaving_law(ops):
+    import os
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="riab_ptr_prop_")
+    table = os.path.join(root, "t")
+    try:
+        published = None
+        for n, ok in enumerate(ops, start=1):
+            def write_fn(d, payload=n, ok=ok):
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, "payload.txt"), "w") as f:
+                    f.write(str(payload))
+                if not ok:
+                    raise _SimCrash(str(payload))
+
+            try:
+                pointer_commit(write_fn, table, keep=3)
+            except _SimCrash:
+                pass
+            else:
+                published = n
+            # reader invariant holds after EVERY operation
+            if published is None:
+                assert current_version(table) is None
+            else:
+                live = resolve_pointer(table)
+                with open(os.path.join(live, "payload.txt")) as f:
+                    assert f.read() == str(published)
+            # retention: at most keep=3 published versions + <=1 orphan
+            # from the most recent crash (swept by the next commit)
+            assert len(list_versions(table)) <= 4
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
