@@ -229,11 +229,13 @@ class Warehouse:
         if self.commit_mode == "pointer" or is_pointer_table(target):
             # pointer tables get versioning for free: the outgoing
             # version dir IS the snapshot; retain live + keep snapshots
+            # (keep <= 0 means NO snapshots — live only — matching the
+            # rename path's prune-everything semantics)
             prev = current_version(target)
             pointer_commit(
                 lambda d: df.write.mode("overwrite").parquet(d),
                 target,
-                keep=(keep + 1) if keep > 0 else 0,
+                keep=keep + 1 if keep > 0 else 1,
             )
             return prev
         staging = target + ".__staging__"
