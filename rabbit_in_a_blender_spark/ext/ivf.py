@@ -669,9 +669,17 @@ def estimate_coarse_agreement(
     0 sampled rows returns agreement 1.0 — "no evidence", not a
     guarantee; lower ``sample_mod`` for tiny corpora.
     """
-    sample = corpus.filter(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
-    ).limit(max_rows)
+    # orderBy before limit: a bare limit over an over-full hash sample
+    # would pick a scheduler-dependent subset; TakeOrdered keeps the
+    # estimate a pure function of the corpus (cheap — only filtered
+    # rows reach it)
+    sample = (
+        corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+        )
+        .orderBy(id_col)
+        .limit(max_rows)
+    )
     c = _collect_centroids(centroids, id_col, vec_col)
     flat = _build_ivf_index_arrow(sample, centroids, id_col, vec_col, _c=c).select(
         F.col(id_col).alias("__id"), F.col("centroid_id").alias("__flat")
