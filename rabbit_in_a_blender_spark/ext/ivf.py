@@ -761,6 +761,7 @@ def probe_lists(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 4,
+    method: str = "expr",
 ) -> DataFrame:
     """(query_id, __qv, centroid_id): the nprobe nearest centroid lists
     per query — the metadata-sized probe driver for any IVF-family
@@ -789,7 +790,32 @@ def probe_lists(
     like the pre-r11 ``F.desc`` window did, instead of ahead of real
     centroids after array_sort+reverse (null structs sort high), where
     it would consume probe slots.
+
+    ``method="arrow"`` (r12): for BULK |Q| — re-scoring a corpus-sized
+    query set at C in the tens of thousands — the per-row interpreted
+    O(C log C) HOF sort becomes this function's wall; the Arrow twin
+    rides :func:`assign_top_centroids`'s matmul + top-p argsort on the
+    identical (rounded-cosine desc, cid asc) comparator, so the probed
+    cells are identical (pytest-pinned; caveat: vectors with NULL
+    elements stay an expr-only contract — the numpy paths see them as
+    NaN).  The default stays ``expr``: an ANN search batch is
+    metadata-sized, and the expr probe keeps the lineage pure SQL.
     """
+    if method == "arrow":
+        top = _assign_top_centroids_arrow(
+            queries, centroids, id_col, vec_col, nprobe
+        ).select(F.col(id_col).alias("query_id"), "centroid_id")
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        # no broadcast hint: at bulk |Q| the vector re-attach must be a
+        # distributed join; AQE still broadcasts when the batch is small
+        return top.join(q, "query_id").select(
+            "query_id", "__qv", "centroid_id"
+        )
+    if method != "expr":
+        raise ValueError(f"method must be 'expr' or 'arrow', got {method!r}")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
@@ -841,10 +867,16 @@ def ivf_search(
     vec_col: str = "embedding",
     k: int = 3,
     nprobe: int = 4,
+    probe_method: str = "expr",
 ) -> DataFrame:
-    """Approximate top-k: probe the nprobe nearest centroid lists only."""
+    """Approximate top-k: probe the nprobe nearest centroid lists only.
+
+    ``probe_method="arrow"`` swaps the per-query probe for the Arrow
+    top-p twin — same probed cells, for bulk query batches (see
+    :func:`probe_lists`)."""
     probes = probe_lists(
-        centroids, queries, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+        centroids, queries, id_col=id_col, vec_col=vec_col, nprobe=nprobe,
+        method=probe_method,
     )
     # Exact cosine inside the probed lists; centroid_id join prunes
     # partitions when the index is partitioned by it.

@@ -380,6 +380,7 @@ def ivfpq_search(
     shortlist: int = 32,
     residual: bool = False,
     method: str = "arrow",
+    probe_method: str = "expr",
 ) -> DataFrame:
     """Probe-bounded ADC + exact re-rank: (query_id, neighbor_id, cosine).
 
@@ -415,7 +416,8 @@ def ivfpq_search(
     the DuckDB oracle replays.
     """
     probes = probe_lists(
-        centroids, queries, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+        centroids, queries, id_col=id_col, vec_col=vec_col, nprobe=nprobe,
+        method=probe_method,
     )
     if method == "arrow":
         cand = _adc_scored_arrow(

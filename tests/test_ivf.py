@@ -509,3 +509,34 @@ def test_probe_lists_degenerate_centroid_sorts_last(spark):
     # with nprobe covering all, it comes LAST
     all3 = probe_lists(cents, q, nprobe=3).collect()
     assert len(all3) == 3 and {r["centroid_id"] for r in all3} == {1, 2, 3}
+
+
+def test_probe_lists_arrow_matches_expr(spark):
+    """The r12 Arrow probe twin must select the IDENTICAL probed cells
+    (same rounded-cosine desc / min-cid comparator, tie included) and
+    carry the query vector through for the in-list exact scoring."""
+    import random
+
+    from rabbit_in_a_blender_spark.ext.ivf import probe_lists
+
+    rng = random.Random(31)
+    q = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+        + [(900, [1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)]
+        + [(c, [rng.gauss(0, 1) for _ in range(8)]) for c in range(2, 12)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def cells(method):
+        out = probe_lists(cents, q, nprobe=3, method=method)
+        assert set(out.columns) == {"query_id", "__qv", "centroid_id"}
+        return {
+            (r["query_id"], r["centroid_id"], tuple(r["__qv"]))
+            for r in out.collect()
+        }
+
+    assert cells("arrow") == cells("expr")
