@@ -759,3 +759,59 @@ def wh_load_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step long, disposition string, ok boolean, n_rows long"
     )
+
+
+@register(
+    "src_webdataset_shards",
+    oracle="""
+    SELECT printf('%08d', doc_id) AS key,
+           CAST(2 AS BIGINT) AS n_parts,
+           CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+           CAST(octet_length(encode(
+               '{"id": ' || CAST(doc_id AS VARCHAR) || '}'
+           )) AS BIGINT) AS json_bytes
+    FROM documents WHERE doc_id < 40
+    """,
+    doc="WebDataset tar-shard source (sources/webdataset.py, r12) under "
+    "the hash gate: the first 40 documents are packed into two tar "
+    "shards (key = zero-padded doc_id, members <key>.txt + <key>.json, "
+    "zeroed mtimes), read back through the binaryFile + mapInPandas "
+    "member parser, and grouped into samples.  The oracle replays the "
+    "per-sample part count and the exact byte lengths of both payloads "
+    "from the source table — a parser that drops members, splits keys "
+    "at the wrong dot, or truncates bytes hash-mismatches.  Scale "
+    "shape: one task per shard (tars are not splittable, like "
+    ".jsonl.gz), sample grouping is one shard-local shuffle.",
+)
+def src_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from ..sources.webdataset import (
+        read_tar_shards,
+        samples_from_members,
+        write_tar_shard,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .collect()
+    )
+    root = tempfile.mkdtemp(prefix="riab_wds_")
+    half = [[], []]
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        key = f"{int(r['doc_id']):08d}"
+        half[int(r["doc_id"]) % 2] += [
+            (f"{key}.txt", r["text"].encode("utf-8")),
+            (f"{key}.json", json.dumps({"id": int(r["doc_id"])}).encode()),
+        ]
+    for i, members in enumerate(half):
+        write_tar_shard(members, os.path.join(root, f"shard-{i:03d}.tar"))
+    samples = samples_from_members(read_tar_shards(spark, root))
+    return samples.select(
+        "key",
+        "n_parts",
+        F.length(F.element_at("parts", "txt")).cast("long").alias("txt_bytes"),
+        F.length(F.element_at("parts", "json")).cast("long").alias("json_bytes"),
+    )

@@ -170,3 +170,57 @@ def test_compact_parquet_dir_flat_and_partitioned(spark, tmp_path):
         (r["id"], r["cell"]) for r in spark.read.parquet(part).collect()
     )
     assert rows_a == rows_b
+
+
+def test_webdataset_tar_shards_roundtrip(spark, tmp_path):
+    """WebDataset tar-shard source (r12): members parse with the
+    first-dot key/ext split, samples group per key with map payloads,
+    and a duplicated member name follows tar's last-entry-wins rule."""
+    import json
+
+    from rabbit_in_a_blender_spark.sources.webdataset import (
+        read_tar_shards,
+        samples_from_members,
+        write_tar_shard,
+    )
+
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    write_tar_shard(
+        [
+            ("00000001.txt", b"hello world"),
+            ("00000001.json", json.dumps({"id": 1}).encode()),
+            ("00000002.txt", b"second doc"),
+            ("00000002.seg.png", b"\x89PNGfake"),
+        ],
+        str(shards / "shard-000.tar"),
+    )
+    write_tar_shard(
+        [
+            ("00000003.txt", b"old payload"),
+            ("00000003.txt", b"new payload"),  # shadows the first
+        ],
+        str(shards / "shard-001.tar"),
+    )
+    # a non-tar file in the dir is ignored by the glob filter
+    (shards / "README.md").write_text("not a shard")
+
+    members = read_tar_shards(spark, str(shards))
+    rows = {
+        (r["key"], r["ext"], r["pos"]): bytes(r["content"])
+        for r in members.collect()
+    }
+    assert ("00000001", "txt", 0) in rows
+    assert rows[("00000002", "seg.png", 3)] == b"\x89PNGfake"  # first-dot split
+    assert len(rows) == 6  # both duplicate members surface as members
+
+    samples = samples_from_members(members)
+    got = {
+        r["key"]: (r["n_parts"], {k: bytes(v) for k, v in r["parts"].items()})
+        for r in samples.collect()
+    }
+    assert got["00000001"][0] == 2
+    assert got["00000001"][1]["json"] == json.dumps({"id": 1}).encode()
+    assert got["00000002"][1].keys() == {"txt", "seg.png"}
+    # last-entry-wins shadowing for the duplicated name
+    assert got["00000003"] == (1, {"txt": b"new payload"})
