@@ -222,3 +222,36 @@ def test_compact_recovers_crash_window_and_refuses_stream_log(spark, tmp_path):
     os.makedirs(os.path.join(flat, "_spark_metadata"))
     with pytest.raises(ValueError, match="_spark_metadata"):
         compact_parquet_dir(spark, flat)
+
+
+def test_compact_pointer_aborts_on_concurrent_writer(spark, tmp_path, monkeypatch):
+    """Pointer-mode compaction must also refuse to publish when the
+    live version dir changed mid-compaction: the staged version is left
+    unpublished (swept by the next commit) and readers stay on the old
+    version."""
+    import rabbit_in_a_blender_spark.core.fsio as fsio
+    from rabbit_in_a_blender_spark.core.commit import current_version
+
+    wh = Warehouse(str(tmp_path / "wh"), commit_mode="pointer")
+    wh.write(_rows(spark, 0, 60).repartition(6), "work", "t")
+    t = wh.path("work", "t")
+    live_before = current_version(t)
+    orig = fsio._walk_parquet
+    calls = {"n": 0}
+
+    def racy(p):
+        out = orig(p)
+        calls["n"] += 1
+        if calls["n"] == 2:  # the post-stage quiesce re-check
+            return out + ["/phantom/concurrent-append.parquet"]
+        return out
+
+    monkeypatch.setattr(fsio, "_walk_parquet", racy)
+    with pytest.raises(RuntimeError, match="changed during compaction"):
+        fsio.compact_parquet_dir(spark, t, commit_mode="pointer")
+    monkeypatch.setattr(fsio, "_walk_parquet", orig)
+    assert current_version(t) == live_before  # pointer never flipped
+    assert wh.read(spark, "work", "t").count() == 60
+    # and the next commit proceeds normally, sweeping the orphan
+    wh.write(_rows(spark, 0, 5), "work", "t")
+    assert wh.read(spark, "work", "t").count() == 5
