@@ -255,3 +255,171 @@ def test_compact_pointer_aborts_on_concurrent_writer(spark, tmp_path, monkeypatc
     # and the next commit proceeds normally, sweeping the orphan
     wh.write(_rows(spark, 0, 5), "work", "t")
     assert wh.read(spark, "work", "t").count() == 5
+
+
+# ---------------------------------------------------------------------------
+# r13: Hadoop FileSystem routing + concurrent-writer guard + persisted
+# retention (VERDICT r12 tasks 1-2, ADVICE r12 item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_pointer_commit_through_hadoop_fs_uri(spark, tmp_path):
+    """VERDICT r12 task 1 'Done' pin: the whole pointer protocol —
+    commit, crash, sweep, publish, resolve — executed against a
+    ``file://`` URI, which routes every path operation through the
+    session's Hadoop FileSystem (the JVM connector stack), not ``os``.
+    The same code path serves hdfs:// and s3a:// warehouses."""
+    t = "file://" + str(tmp_path / "hfs_table")
+    v1 = pointer_commit(
+        lambda d: _rows(spark, 0, 10).write.mode("overwrite").parquet(d), t
+    )
+    assert v1 == 1
+    assert is_pointer_table(t)
+    live = resolve_pointer(t)
+    assert live.startswith("file://")
+    assert sorted(r["id"] for r in spark.read.parquet(live).collect()) == list(
+        range(10)
+    )
+
+    # crash before publish: old version stays live, orphan is swept next
+    def crashy(d):
+        _rows(spark, 50, 55).write.mode("overwrite").parquet(d)
+        raise RuntimeError("simulated crash before publish")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pointer_commit(crashy, t)
+    assert current_version(t) == 1
+    assert spark.read.parquet(resolve_pointer(t)).count() == 10
+    assert 2 in list_versions(t)
+    v2 = pointer_commit(
+        lambda d: _rows(spark, 100, 103).write.mode("overwrite").parquet(d), t
+    )
+    assert v2 == 2
+    assert spark.read.parquet(resolve_pointer(t)).count() == 3
+    # retention pruning works through the JVM route too
+    for i in range(5):
+        pointer_commit(
+            lambda d, i=i: _rows(spark, 0, i + 1).write.parquet(d), t, keep=2
+        )
+    assert len(list_versions(t)) == 2
+
+
+def test_pointer_commit_concurrent_writer_raises_cleanly(spark, tmp_path):
+    """VERDICT r12 task 2 'Done' pin: two threads commit to one table;
+    exactly one wins, the other raises ConcurrentCommitError, and
+    nothing that was ever live is deleted."""
+    import threading
+
+    from rabbit_in_a_blender_spark.core.commit import ConcurrentCommitError
+
+    t = str(tmp_path / "contended")
+    pointer_commit(
+        lambda d: _rows(spark, 0, 10).write.mode("overwrite").parquet(d), t
+    )
+    inside = threading.Barrier(2, timeout=30)
+    release = threading.Event()
+    results: dict[str, object] = {}
+
+    def slow_write(d):
+        _rows(spark, 100, 105).write.mode("overwrite").parquet(d)
+        inside.wait()  # signal: the slow commit holds the lock now
+        assert release.wait(30)
+
+    def slow_commit():
+        try:
+            results["slow"] = pointer_commit(slow_write, t)
+        except BaseException as e:  # pragma: no cover - surfaced below
+            results["slow"] = e
+
+    th = threading.Thread(target=slow_commit)
+    th.start()
+    inside.wait()  # slow writer is mid-commit, lock held
+    with pytest.raises(ConcurrentCommitError, match="in flight"):
+        pointer_commit(
+            lambda d: _rows(spark, 200, 205).write.parquet(d), t
+        )
+    # the loser changed nothing: v1 still live
+    assert current_version(t) == 1
+    assert spark.read.parquet(resolve_pointer(t)).count() == 10
+    release.set()
+    th.join(timeout=60)
+    assert results["slow"] == 2  # the in-flight writer completed its commit
+    assert current_version(t) == 2
+    assert sorted(
+        r["id"] for r in spark.read.parquet(resolve_pointer(t)).collect()
+    ) == list(range(100, 105))
+
+
+def test_pointer_commit_stale_lock_broken_and_takeover_aborts(spark, tmp_path):
+    """A lock left by a crashed writer is broken after stale_lock_sec
+    (with a warning); and a writer whose lock WAS broken mid-commit
+    aborts at the pre-publish ownership re-check instead of publishing
+    over the new owner."""
+    import warnings as _w
+
+    from rabbit_in_a_blender_spark.core.commit import (
+        LOCK,
+        ConcurrentCommitError,
+    )
+
+    t = str(tmp_path / "stale")
+    pointer_commit(lambda d: _rows(spark, 0, 5).write.parquet(d), t)
+    # plant a crashed writer's lock, aged past the threshold
+    lockp = os.path.join(t, LOCK)
+    with open(lockp, "w") as f:
+        f.write("dead-writer-token")
+    os.utime(lockp, (0, 0))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        pointer_commit(lambda d: _rows(spark, 0, 7).write.parquet(d), t)
+    assert any("stale commit lock" in str(w.message) for w in rec)
+    assert spark.read.parquet(resolve_pointer(t)).count() == 7
+
+    # takeover: the lock content changes mid-commit (another writer
+    # broke it as stale) -> the zombie must NOT publish
+    def hijacked(d):
+        _rows(spark, 0, 9).write.parquet(d)
+        with open(lockp, "w") as f:
+            f.write("new-owner-token")
+
+    live_before = current_version(t)
+    with pytest.raises(ConcurrentCommitError, match="taken over"):
+        pointer_commit(hijacked, t)
+    assert current_version(t) == live_before
+    assert spark.read.parquet(resolve_pointer(t)).count() == 7
+    os.remove(lockp)  # the hijacker's lock; clean up for the next commit
+    pointer_commit(lambda d: _rows(spark, 0, 3).write.parquet(d), t)
+    assert spark.read.parquet(resolve_pointer(t)).count() == 3
+
+
+def test_pointer_retention_persisted_across_plain_writes(spark, tmp_path):
+    """ADVICE r12 item 1: a table built with write_versioned(keep=4)
+    must not lose snapshots beyond the default 3 on a later PLAIN
+    write/compact — the explicit retention is persisted in the pointer
+    file and inherited by keep=None commits."""
+    from rabbit_in_a_blender_spark.core.commit import table_retention
+
+    wh = Warehouse(str(tmp_path / "whk"), commit_mode="pointer")
+    for i in range(6):
+        wh.write_versioned(_rows(spark, 0, i + 1), "work", "t", keep=4)
+    t = wh.path("work", "t")
+    assert table_retention(t) == 5  # live + 4 snapshots
+    assert len(list_versions(t)) == 5
+    # plain writes (keep=None) inherit the persisted retention
+    wh.write(_rows(spark, 0, 50), "work", "t")
+    wh.write(_rows(spark, 0, 60), "work", "t")
+    assert len(list_versions(t)) == 5
+    assert table_retention(t) == 5
+    # compact() flows through the same inherited retention
+    wh.compact(spark, "work", "t")
+    assert len(list_versions(t)) == 5
+    # and the older snapshots are still readable (time travel intact)
+    vs = list_versions(t)
+    assert wh.read_version(spark, "work", "t", vs[0]).count() > 0
+    # a table with NO persisted retention still defaults to 3
+    for i in range(5):
+        pointer_commit(
+            lambda d, i=i: _rows(spark, 0, i + 1).write.parquet(d),
+            str(tmp_path / "plainret"),
+        )
+    assert len(list_versions(str(tmp_path / "plainret"))) == 3
