@@ -1588,6 +1588,20 @@ def _dsir_select(args, cfg) -> int:
         from .ext.dsir import fold_model_increment, source_fingerprint
 
         tag = args.fold_tag or source_fingerprint(args.dsir_select)
+        # Tag-scheme migration (ADVICE r12 item 2): pre-r12 folds were
+        # keyed by a path-only sha256 digest.  A model carrying that
+        # legacy tag for THIS source path already contains this batch
+        # (the path's data was unchanged when the scheme flipped, else
+        # the old tag would have skipped wrongly — the very bug the
+        # content tag fixed), so the legacy tag also suppresses the
+        # fold; it is never written for new folds.
+        import hashlib as _hashlib
+
+        legacy = (
+            _hashlib.sha256(
+                _os.path.abspath(args.dsir_select).encode()
+            ).hexdigest()[:16],
+        ) if not args.fold_tag else ()
         folded = fold_model_increment(
             spark,
             raw_model_path,
@@ -1596,6 +1610,7 @@ def _dsir_select(args, cfg) -> int:
                 seed=seed,
             ),
             tag,
+            also_skip_tags=legacy,
         )
         print(
             f"incremental DSIR: batch scored against {args.dsir_model} "
@@ -1605,9 +1620,10 @@ def _dsir_select(args, cfg) -> int:
         if not folded:
             print(
                 f"WARNING: batch counts were NOT folded — fold tag "
-                f"{tag} was already recorded for this source content. "
-                "If this really is new data, pass --fold-tag with a "
-                "fresh value.",
+                f"{tag} (or this path's pre-r12 legacy path-digest "
+                "tag) was already recorded for this source. If this "
+                "really is new data, pass --fold-tag with a fresh "
+                "value.",
                 file=sys.stderr,
             )
         # Single-file folds decay into one tiny file per increment;

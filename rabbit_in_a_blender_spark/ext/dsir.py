@@ -330,11 +330,24 @@ def _read_folded_tags(model_dir: str) -> set[str]:
 
 
 def fold_model_increment(
-    spark, model_dir: str, counts_df: DataFrame, tag: str
+    spark,
+    model_dir: str,
+    counts_df: DataFrame,
+    tag: str,
+    also_skip_tags: tuple[str, ...] = (),
 ) -> bool:
     """Idempotently fold a batch's ``(bucket, cnt)`` aggregate into a
-    persisted model directory; returns False (no-op) if ``tag`` was
-    already folded.
+    persisted model directory; returns False (no-op) if ``tag`` — or
+    any of ``also_skip_tags`` — was already folded.
+
+    ``also_skip_tags`` exists for tag-scheme migrations (ADVICE r12
+    item 2): the CLI's fold tag changed from a path-only digest to a
+    content fingerprint in r12, so a pre-existing model whose batches
+    were folded under the OLD path tag must not re-fold the same
+    unchanged batch under the new tag on the first post-upgrade run —
+    the caller passes the legacy tag(s) here and the fold stays a
+    no-op; genuinely new data at the same path changes the content
+    fingerprint without matching the legacy tag, so it still folds.
 
     At-least-once callers (foreachBatch replay, a re-run CLI increment)
     must not double-count a batch in the raw model (ADVICE r10).  Each
@@ -354,8 +367,13 @@ def fold_model_increment(
     import pyarrow.parquet as pq
 
     path = os.path.join(model_dir, f"inc-{tag}.parquet")
-    if os.path.exists(path) or tag in _read_folded_tags(model_dir):
-        return False
+    folded = _read_folded_tags(model_dir)
+    for t in (tag, *also_skip_tags):
+        if (
+            os.path.exists(os.path.join(model_dir, f"inc-{t}.parquet"))
+            or t in folded
+        ):
+            return False
     rows = (
         counts_df.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
     )

@@ -53,7 +53,57 @@ def resolve_assign_method(
     if method != "auto":
         return method
     t = AUTO_COARSE_MIN_C if threshold is None else threshold
-    return "coarse" if n_centroids >= t else "arrow"
+    if n_centroids >= t:
+        import warnings
+
+        # ADVICE r12 item 5: escalation trades unconditional exactness
+        # for the coarse rung's geometry-dependent agreement (≈1.0 on
+        # clustered vectors at probe>=4, measured 0.68 at probe=4 on
+        # uniform-random ones), so make the trade VISIBLE, not a log
+        # line: callers who need exact assignment at any C pass
+        # method='arrow'; callers unsure of their geometry can check
+        # estimate_coarse_agreement / tune_coarse_probe first.
+        warnings.warn(
+            f"assignment method 'auto' escalated to 'coarse' at "
+            f"C={n_centroids} (>= {t}): nearest-centroid assignment is "
+            "now approximate (probe-bounded two-level search; exactness "
+            "depends on centroid geometry). Pass method='arrow' for "
+            "exact assignment, or validate with "
+            "estimate_coarse_agreement()/tune_coarse_probe().",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return "coarse"
+    return "arrow"
+
+
+#: Measured probe-side expr→arrow crossover (r13, local[32], d=32,
+#: nprobe=4): at |Q|·C=1e5 the expr HOF probe still wins (2.3 s vs
+#: 2.7 s — per-batch numpy setup dominates); at 1e6 arrow wins 2.5×
+#: (0.6 s vs 1.5 s) and the gap widens with |Q|·C (4.4 s vs 7.3 s at
+#: 2e7).  Below the threshold expr stays default: the probe batch is
+#: metadata-sized and the expr twin keeps the lineage pure SQL (it IS
+#: the oracle path).
+AUTO_PROBE_MIN_QC = 1_000_000
+
+
+def resolve_probe_method(
+    method: str,
+    n_queries: int,
+    n_centroids: int,
+    threshold: int | None = None,
+) -> str:
+    """Resolve ``method="auto"`` for the probe side (:func:`probe_lists`)
+    by the |Q|·C product (VERDICT r12 task 6: bulk query batches — the
+    Arrow probe twin's own use case — deserve the same dispatch
+    discipline as assignment).  Non-auto methods pass through untouched;
+    both rungs select IDENTICAL probed cells (pytest-pinned), so unlike
+    the assignment escalation this dispatch never trades exactness —
+    only null-element query vectors remain an expr-only contract."""
+    if method != "auto":
+        return method
+    t = AUTO_PROBE_MIN_QC if threshold is None else threshold
+    return "arrow" if n_queries * n_centroids >= t else "expr"
 
 
 def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str):
@@ -761,7 +811,7 @@ def probe_lists(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 4,
-    method: str = "expr",
+    method: str = "auto",
 ) -> DataFrame:
     """(query_id, __qv, centroid_id): the nprobe nearest centroid lists
     per query — the metadata-sized probe driver for any IVF-family
@@ -798,9 +848,24 @@ def probe_lists(
     identical (rounded-cosine desc, cid asc) comparator, so the probed
     cells are identical (pytest-pinned; caveat: vectors with NULL
     elements stay an expr-only contract — the numpy paths see them as
-    NaN).  The default stays ``expr``: an ANN search batch is
-    metadata-sized, and the expr probe keeps the lineage pure SQL.
+    NaN).
+
+    ``method="auto"`` (default since r13, VERDICT r12 task 6) counts
+    both frames (two cheap jobs — persist a recomputed-expensive query
+    plan first) and picks the rung by |Q|·C via
+    :func:`resolve_probe_method`: ``arrow`` from
+    ``AUTO_PROBE_MIN_QC`` up, ``expr`` below — where the probe batch
+    is metadata-sized and the expr twin keeps the lineage pure SQL.
+    Both rungs probe the same cells, so auto never changes results.
     """
+    if method == "auto":
+        method = resolve_probe_method(
+            "auto", queries.count(), centroids.count()
+        )
+        log.info(
+            "probe_lists: probe method auto -> %r (crossover |Q|*C=%d)",
+            method, AUTO_PROBE_MIN_QC,
+        )
     if method == "arrow":
         top = _assign_top_centroids_arrow(
             queries, centroids, id_col, vec_col, nprobe
@@ -867,13 +932,13 @@ def ivf_search(
     vec_col: str = "embedding",
     k: int = 3,
     nprobe: int = 4,
-    probe_method: str = "expr",
+    probe_method: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: probe the nprobe nearest centroid lists only.
 
-    ``probe_method="arrow"`` swaps the per-query probe for the Arrow
-    top-p twin — same probed cells, for bulk query batches (see
-    :func:`probe_lists`)."""
+    ``probe_method`` rides :func:`probe_lists`'s |Q|·C auto dispatch by
+    default (VERDICT r12 task 6); ``"arrow"``/``"expr"`` pin the rung —
+    same probed cells either way."""
     probes = probe_lists(
         centroids, queries, id_col=id_col, vec_col=vec_col, nprobe=nprobe,
         method=probe_method,

@@ -341,7 +341,12 @@ def _adc_scored_arrow(
             codes = np.stack(
                 [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
             )
-            vals = lut[qi[:, None], sub_idx[None, :], codes]
+            # element_at semantics for ANY unknown code: out-of-range
+            # ids must behave like in-range-but-absent ones (NaN -> the
+            # NULL below), not crash the gather
+            bad = (codes < 0) | (codes > kmax)
+            vals = lut[qi[:, None], sub_idx[None, :], np.where(bad, 0, codes)]
+            vals[bad] = np.nan
             acc = np.zeros(len(pdf), dtype=np.float64)
             for i in range(m):
                 acc = acc + vals[:, i]
@@ -359,7 +364,12 @@ def _adc_scored_arrow(
                 {
                     "query_id": pdf["query_id"],
                     "neighbor_id": pdf["neighbor_id"],
-                    "score": s,
+                    # NaN (a code absent from the codebook) → NULL, to
+                    # match the expr twin's element_at: Spark orders
+                    # NaN ABOVE every double, so a degenerate candidate
+                    # would rank FIRST and eat shortlist slots, while
+                    # null sorts last under desc (ADVICE r12 item 3)
+                    "score": pd.array(s, dtype="Float64"),
                 }
             )
 
@@ -380,7 +390,7 @@ def ivfpq_search(
     shortlist: int = 32,
     residual: bool = False,
     method: str = "arrow",
-    probe_method: str = "expr",
+    probe_method: str = "auto",
 ) -> DataFrame:
     """Probe-bounded ADC + exact re-rank: (query_id, neighbor_id, cosine).
 

@@ -44,9 +44,11 @@ def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
 
     ``path`` is a file/dir/glob accepted by the binaryFile source
     (e.g. ``/corpus/shards`` or ``/corpus/shards/part-*.tar``).  The
-    member name splits at the FIRST dot after the basename, the
+    member name splits at the FIRST dot of its BASENAME, the
     WebDataset rule, so ``x/000123.seg.png`` → key ``x/000123``, ext
-    ``seg.png``.  Directories, PAX headers, and zero-length
+    ``seg.png``, and a dotted directory component stays in the key
+    (``v1.0/000123.txt`` → key ``v1.0/000123`` — ADVICE r12: the
+    previous full-path split yielded key ``v1``).  Directories, PAX headers, and zero-length
     non-regular members are skipped.  Deterministic: rows carry their
     shard path, and member order inside a shard is the tar's own.
     """
@@ -71,7 +73,14 @@ def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
                         if not m.isfile():
                             continue
                         name = m.name.lstrip("./")
-                        base, dot, ext = name.partition(".")
+                        # split at the first dot of the BASENAME (the
+                        # WebDataset rule) — partitioning the full path
+                        # mis-keys dotted directory components
+                        # ('v1.0/000123.txt' must yield key
+                        # 'v1.0/000123', not 'v1') — ADVICE r12
+                        head, _, leaf = name.rpartition("/")
+                        stem, dot, ext = leaf.partition(".")
+                        base = f"{head}/{stem}" if head else stem
                         fh = tf.extractfile(m)
                         if fh is None:
                             continue

@@ -217,3 +217,44 @@ def test_fold_model_increment_idempotent_across_compaction(spark, tmp_path):
         spark.read.parquet(model_dir).agg(F.sum("cnt")).first()[0]
         == mass + m1_mass
     )
+
+
+def test_fold_legacy_tag_migration_skip(spark, tmp_path):
+    """ADVICE r12 item 2: a batch folded under the pre-r12 path-digest
+    tag must NOT re-fold under the new content-fingerprint tag
+    (double-count), while a genuinely new tag still folds."""
+    from rabbit_in_a_blender_spark.ext.dsir import fold_model_increment
+
+    model_dir = str(tmp_path / "model")
+    counts = spark.createDataFrame(
+        [(0, 5), (1, 7)], "bucket long, cnt long"
+    )
+    legacy = "0123456789abcdef"  # the old sha256(abspath)[:16] tag
+    assert fold_model_increment(spark, model_dir, counts, legacy) is True
+    # post-upgrade re-run of the SAME unchanged batch: new content tag,
+    # legacy passed as a skip tag -> no-op, no double count
+    assert (
+        fold_model_increment(
+            spark, model_dir, counts, "newcontenttag111",
+            also_skip_tags=(legacy,),
+        )
+        is False
+    )
+    total = (
+        spark.read.parquet(model_dir)
+        .groupBy()
+        .sum("cnt")
+        .first()[0]
+    )
+    assert total == 12  # folded exactly once
+    # refreshed data at the same path: different content tag, same
+    # legacy skip tag... but the legacy tag no longer matches a file?
+    # it does (path unchanged) — so the USER passes --fold-tag; the
+    # library contract is: a tag not in {tag, also_skip} folds.
+    assert (
+        fold_model_increment(
+            spark, model_dir, counts, "explicituser0001",
+            also_skip_tags=(),
+        )
+        is True
+    )

@@ -540,3 +540,67 @@ def test_probe_lists_arrow_matches_expr(spark):
         }
 
     assert cells("arrow") == cells("expr")
+
+
+def test_resolve_probe_method_boundary_and_auto_parity(spark):
+    """r13 (VERDICT r12 task 6): the probe-side auto dispatch resolves
+    by |Q|*C — expr (the oracle path) below AUTO_PROBE_MIN_QC, arrow
+    from it up — and an auto probe returns the identical cells."""
+    from rabbit_in_a_blender_spark.ext.ivf import (
+        AUTO_PROBE_MIN_QC,
+        probe_lists,
+        resolve_probe_method,
+    )
+
+    t = AUTO_PROBE_MIN_QC
+    assert resolve_probe_method("auto", 1, t - 1) == "expr"
+    assert resolve_probe_method("auto", 1, t) == "arrow"
+    assert resolve_probe_method("auto", t, 1) == "arrow"
+    assert resolve_probe_method("auto", 1000, 1000) == "arrow"
+    assert resolve_probe_method("auto", 999, 1000) == "expr"
+    # explicit rungs pass through untouched at any size
+    assert resolve_probe_method("expr", 10**9, 10**9) == "expr"
+    assert resolve_probe_method("arrow", 1, 1) == "arrow"
+
+    q = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(c), 1.0, 0.0]) for c in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def cells(method):
+        return {
+            (r["query_id"], r["centroid_id"])
+            for r in probe_lists(cents, q, nprobe=2, method=method).collect()
+        }
+
+    assert cells("auto") == cells("expr") == cells("arrow")
+
+
+def test_auto_escalation_emits_runtime_warning():
+    """ADVICE r12 item 5: auto->coarse escalation is a VISIBLE
+    RuntimeWarning (the exactness trade is geometry-dependent), while
+    the sub-threshold resolution and explicit methods stay silent."""
+    import warnings
+
+    from rabbit_in_a_blender_spark.ext.ivf import (
+        AUTO_COARSE_MIN_C,
+        resolve_assign_method,
+    )
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert resolve_assign_method("auto", AUTO_COARSE_MIN_C) == "coarse"
+    assert any(
+        isinstance(w.message, RuntimeWarning)
+        and "escalated to 'coarse'" in str(w.message)
+        for w in rec
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert resolve_assign_method("auto", AUTO_COARSE_MIN_C - 1) == "arrow"
+        assert resolve_assign_method("coarse", AUTO_COARSE_MIN_C) == "coarse"
+    assert not rec

@@ -265,3 +265,55 @@ def test_ivfpq_search_arrow_matches_expr_residual(spark, embeddings):
         )
 
     assert rows("arrow") == rows("expr")
+
+
+def test_missing_code_sorts_last_in_both_twins(spark, embeddings, trained):
+    """ADVICE r12: a code absent from the codebook must yield NULL in
+    BOTH scoring twins (expr element_at -> null; arrow LUT gather ->
+    NaN converted to null), so the degenerate candidate sorts LAST
+    under desc instead of NaN ranking first and eating shortlist
+    slots.  Gates twin parity with a hole punched in the books AND
+    with an out-of-range code id in the index."""
+    centroids, books, index = trained
+    queries = embeddings.filter(F.col("vec_id") < 4)
+    # punch a hole: drop one (sub_idx, code) cell every index row uses
+    holed = books.filter(
+        ~((F.col("sub_idx") == 0) & (F.col("code") == 0))
+    )
+    # and corrupt one row's codes to an out-of-range id entirely
+    victim = (
+        index.orderBy("vec_id").limit(1).select("vec_id").first()["vec_id"]
+    )
+    corrupted = index.withColumn(
+        "codes",
+        F.when(
+            F.col("vec_id") == victim,
+            F.transform(F.col("codes"), lambda _: F.lit(999)),
+        ).otherwise(F.col("codes")),
+    )
+
+    def rows(method):
+        out = ivfpq_search(
+            corrupted, centroids, holed, embeddings, queries,
+            m=16, k=3, nprobe=8, shortlist=16, method=method,
+        )
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"])
+            for r in out.collect()
+        )
+
+    a, e = rows("arrow"), rows("expr")
+    assert a == e
+    # arrow scoring itself yields NULL (not NaN) for the corrupted row,
+    # so desc ordering puts it last
+    from rabbit_in_a_blender_spark.ext.ivfpq import _adc_scored_arrow
+    from rabbit_in_a_blender_spark.ext.ivf import probe_lists
+
+    probes = probe_lists(centroids, queries, nprobe=8)
+    scored = _adc_scored_arrow(
+        corrupted, probes, queries, holed, centroids,
+        "vec_id", "embedding", 16, False,
+    )
+    vic = scored.filter(F.col("neighbor_id") == victim)
+    assert vic.count() > 0
+    assert vic.filter(F.col("score").isNotNull()).count() == 0

@@ -224,3 +224,38 @@ def test_webdataset_tar_shards_roundtrip(spark, tmp_path):
     assert got["00000002"][1].keys() == {"txt", "seg.png"}
     # last-entry-wins shadowing for the duplicated name
     assert got["00000003"] == (1, {"txt": b"new payload"})
+
+
+def test_webdataset_dotted_directory_key_split(spark, tmp_path):
+    """ADVICE r12: the key/ext split happens at the first dot of the
+    BASENAME — a dotted directory component ('v1.0/000123.txt') stays
+    in the key ('v1.0/000123') instead of truncating it to 'v1'."""
+    from rabbit_in_a_blender_spark.sources.webdataset import (
+        read_tar_shards,
+        samples_from_members,
+        write_tar_shard,
+    )
+
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    write_tar_shard(
+        [
+            ("v1.0/000123.txt", b"caption"),
+            ("v1.0/000123.jpg", b"jpegbytes"),
+            ("v1.0/000124.txt", b"other"),
+            ("plain/000125.cls.txt", b"label"),
+        ],
+        str(shards / "shard-000.tar"),
+    )
+    members = read_tar_shards(spark, str(shards))
+    got = {(r["key"], r["ext"]) for r in members.collect()}
+    assert ("v1.0/000123", "txt") in got
+    assert ("v1.0/000123", "jpg") in got
+    assert ("v1.0/000124", "txt") in got
+    assert ("plain/000125", "cls.txt") in got  # first basename dot only
+    samples = {
+        r["key"]: r["n_parts"]
+        for r in samples_from_members(members).collect()
+    }
+    assert samples["v1.0/000123"] == 2
+    assert samples["v1.0/000124"] == 1
