@@ -34,8 +34,22 @@ emits:
    counted only when the query function's AST fingerprint moved
    (otherwise adding one query to a plans file would flag every
    query in it).  plans/catalog.py is excluded: pure registration
-   plumbing whose breakage every query would surface instantly;
-4. everything else, stalest green round first.
+   plumbing whose breakage every query would surface instantly.
+   Docstring-only edits don't move a symbol's fingerprint (r13);
+4. ...MERGED with everything else by last-green round ascending, with
+   staleness discounting a row's green by ``_STALE_AGE_PENALTY``
+   rounds (and winning ties).  Since r13 the stale and rest buckets
+   share one ordering: a core-module round (like r12→r13's
+   pointer-commit rewrite) flags 60+ stale rows, more than the
+   driver's ~50-row cap, and a stale-strictly-first order would let
+   rows whose last hard signal is r4 starve for ANOTHER round behind
+   stale rows greened in r11-r12 (VERDICT r12 task 3 ordered that
+   tail drained).  The age of the last hard signal is the common
+   currency — a stale flag makes that signal OLDER (its code moved)
+   but not zero, because every stale row is additionally covered by
+   the builder's own full-replay FULLGATE hash gate each round: a
+   stale row waiting behind an older rest row is never unchecked,
+   only unconfirmed by the driver.
 
 The rotation maximizes cumulative oracle coverage across rounds while
 re-earning the hard signal on exactly the code that moved.  The
@@ -61,21 +75,19 @@ from pyspark.sql import DataFrame, SparkSession
 # closure can't see (dynamic dispatch, data-file dependencies) and for
 # explicit verdict orders.
 _REVERIFY_FIRST: list[str] = [
-    # VERDICT r11 task 3 (explicit order): these seven rows' last
-    # driver-green is r3; they sort first in the rest bucket, but the
-    # r12 warehouse/commit changes flagged ~65 queries stale, which
-    # would push them past the ~50/round cap again.  Pin them ahead so
-    # CORRECTNESS_r12 finally carries them; drop the pin next round.
-    "s1_latest_topk",
-    "u1_union_all_uploads",
-    "u2_union_distinct",
-    "u3_preserve_union",
-    "f_scalar_suite",
-    "m1_update_invalidate",
-    "q3_shipping_priority",
+    # (empty since r13 — the r12 pin did its job and VERDICT r12 task 3
+    # ordered it dropped; the automatic never/stale/oldest buckets now
+    # feed the rotation unimpeded)
 ]
 
 _PKG = "rabbit_in_a_blender_spark"
+
+#: Rounds of evidence a staleness flag costs a row in the merged
+#: verification order (r13): a stale row greened in r12 competes for
+#: driver slots like an unchanged row greened in r7.  Tuned so a
+#: core-module round (60+ stale) interleaves with the oldest unchanged
+#: tail inside the driver's ~50-row cap instead of starving it.
+_STALE_AGE_PENALTY = 5
 
 
 def _pkg_file(mod: str, root: str) -> str | None:
@@ -252,6 +264,31 @@ def _decorator_name(d: ast.AST) -> str | None:
     return None
 
 
+def _dump(node: ast.AST) -> str:
+    """``ast.dump`` with docstrings stripped (r13): a docstring edit
+    documents behavior, it doesn't change it, so it must not flag
+    dependents stale — the r12→r13 pointer-commit DOC edits alone
+    would have re-flagged every ``Warehouse`` consumer on top of the
+    real protocol change.  Leading string-constant statements of
+    modules, functions, and classes are dropped before dumping."""
+    import copy
+
+    node = copy.deepcopy(node)
+    for n in ast.walk(node):
+        if isinstance(
+            n, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            b = n.body
+            if (
+                b
+                and isinstance(b[0], ast.Expr)
+                and isinstance(b[0].value, ast.Constant)
+                and isinstance(b[0].value.value, str)
+            ):
+                n.body = b[1:] or [ast.Pass()]
+    return ast.dump(node)
+
+
 def _class_fingerprint(node: ast.ClassDef, attrs: set[str] | None) -> str:
     """Method-granular ClassDef fingerprint (VERDICT r10 task 3): the
     class header (bases, keywords, decorators, class-level assigns) plus
@@ -265,10 +302,18 @@ def _class_fingerprint(node: ast.ClassDef, attrs: set[str] | None) -> str:
     parsed) or the class declares a metaclass (which may rewrite any
     part of the body)."""
     if attrs is None or any(kw.arg == "metaclass" for kw in node.keywords):
-        return ast.dump(node)
+        return _dump(node)
     header: list[str] = []
     methods: list[str] = []
-    for stmt in node.body:
+    body = node.body
+    if (
+        body
+        and isinstance(body[0], ast.Expr)
+        and isinstance(body[0].value, ast.Constant)
+        and isinstance(body[0].value.value, str)
+    ):
+        body = body[1:]  # class docstring: not part of the fingerprint
+    for stmt in body:
         if isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef)):
             reached = (
                 stmt.name in attrs
@@ -279,15 +324,15 @@ def _class_fingerprint(node: ast.ClassDef, attrs: set[str] | None) -> str:
                 )
             )
             if reached:
-                methods.append(ast.dump(stmt))
+                methods.append(_dump(stmt))
         else:
-            header.append(ast.dump(stmt))
+            header.append(_dump(stmt))
     return "|".join(
         [
             f"class {node.name}",
-            ",".join(ast.dump(b) for b in node.bases),
-            ",".join(ast.dump(k) for k in node.keywords),
-            ",".join(ast.dump(d) for d in node.decorator_list),
+            ",".join(_dump(b) for b in node.bases),
+            ",".join(_dump(k) for k in node.keywords),
+            ",".join(_dump(d) for d in node.decorator_list),
         ]
         + header
         + methods
@@ -337,7 +382,7 @@ def _fn_fingerprint(
     parts = [
         _class_fingerprint(defs[n], attrs)
         if isinstance(defs[n], ast.ClassDef)
-        else ast.dump(defs[n])
+        else _dump(defs[n])
         for n in local
     ]
     return "\n".join(parts + sorted(imports))
@@ -626,15 +671,35 @@ def _verification_order(names: list[str], has_oracle: set[str]) -> list[str]:
     taken = set(manual)
     new = [n for n in names if n not in last_green and n not in taken]
     taken |= set(new)
+    stale_set = {
+        n for n in _stale_queries(names, last_green, root) if n not in taken
+    }
     stale = sorted(
-        (n for n in _stale_queries(names, last_green, root) if n not in taken),
+        stale_set, key=lambda n: (last_green.get(n, -1), reg_index[n])
+    )
+    rest = sorted(
+        (n for n in names if n not in taken and n not in stale_set),
         key=lambda n: (last_green.get(n, -1), reg_index[n]),
     )
-    taken |= set(stale)
-    rest = [n for n in names if n not in taken]
-    rest.sort(key=lambda n: (last_green.get(n, -1), reg_index[n]))
+    # merged ordering (r13, see module docstring): oldest hard signal
+    # first across BOTH buckets, with staleness DISCOUNTING a row's
+    # last green by _STALE_AGE_PENALTY rounds (its evidence predates a
+    # code change, so it counts as old — but not as zero, because the
+    # builder's full-replay FULLGATE re-hashes every stale row each
+    # round).  A 60+ stale flood can't starve the ≤r5 tail past the
+    # driver's ~50-row cap, and the oldest stale rows still share the
+    # head with it.
+    merged = sorted(
+        stale + rest,
+        key=lambda n: (
+            last_green.get(n, -1)
+            - (_STALE_AGE_PENALTY if n in stale_set else 0),
+            0 if n in stale_set else 1,
+            reg_index[n],
+        ),
+    )
     _emit_queue_metadata(manual, new, stale, rest, last_green, root)
-    return manual + new + stale + rest
+    return manual + new + merged
 
 
 def _emit_queue_metadata(

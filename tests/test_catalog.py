@@ -372,3 +372,58 @@ def test_closure_attrs_unions_and_goes_conservative():
     assert (
         m._closure_attrs({"no/such/file.py"}, "/root/repo", {}) is None
     )
+
+
+def test_fn_fingerprint_ignores_docstring_changes():
+    """r13: docstring edits document behavior, they don't change it —
+    the fingerprint must not move for function, class, or method
+    docstring changes, but must still move for body changes."""
+    m = _entry_module()
+    fp = m._fn_fingerprint
+    base = 'def q(spark):\n    """v1 docs."""\n    return spark\n'
+    redoc = 'def q(spark):\n    """v2 docs, rewritten at length."""\n    return spark\n'
+    nodoc = "def q(spark):\n    return spark\n"
+    body = 'def q(spark):\n    """v1 docs."""\n    return None\n'
+    assert fp(base, "q") == fp(redoc, "q") == fp(nodoc, "q")
+    assert fp(base, "q") != fp(body, "q")
+    # class + method docstrings via the reachable-class path
+    cls_a = (
+        'class W:\n    """old."""\n'
+        '    def write(self):\n        """old."""\n        return 1\n'
+        "def q(spark):\n    return W().write()\n"
+    )
+    cls_b = (
+        'class W:\n    """NEW class docs."""\n'
+        '    def write(self):\n        """NEW method docs."""\n        return 1\n'
+        "def q(spark):\n    return W().write()\n"
+    )
+    cls_body = (
+        'class W:\n    """old."""\n'
+        '    def write(self):\n        """old."""\n        return 2\n'
+        "def q(spark):\n    return W().write()\n"
+    )
+    attrs = {"write"}
+    assert fp(cls_a, "q", attrs) == fp(cls_b, "q", attrs)
+    assert fp(cls_a, "q", attrs) != fp(cls_body, "q", attrs)
+
+
+def test_merged_order_interleaves_stale_with_old_tail():
+    """r13 ordering: staleness discounts a row's last green by
+    _STALE_AGE_PENALTY rounds instead of jumping the whole queue, so a
+    60+ stale flood cannot starve the oldest unchanged rows past the
+    driver cap (VERDICT r12 task 3)."""
+    m = _entry_module()
+    import json
+
+    order = list(m.queries())  # also refreshes VERIFY_QUEUE.json
+    vq = json.load(open(os.path.join(os.path.dirname(m.__file__), "VERIFY_QUEUE.json")))
+    lg = vq["last_green_round"]
+    stale = set(vq["buckets"]["stale"])
+    pinned = set(m._REVERIFY_FIRST) | set(vq["buckets"]["never_green"])
+    ranked = [n for n in order if n not in pinned]
+    # the merged key is monotone over the queue
+    def key(n):
+        return lg.get(n, -1) - (m._STALE_AGE_PENALTY if n in stale else 0)
+
+    keys = [key(n) for n in ranked]
+    assert keys == sorted(keys)
