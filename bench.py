@@ -31,6 +31,7 @@ variance bar to adjudicate).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -128,6 +129,11 @@ NON_HEADLINE = [
     "ext_ivf_assign_auto",
     "wh_pointer_commit",
     "stream_semdedup_batch",
+    # r13 additions: the pointer protocol on the Hadoop-FS (file://)
+    # route with the concurrent-writer guard, and the probe-side auto
+    # dispatch at bulk |Q|*C
+    "wh_pointer_hadoopfs",
+    "ext_probe_auto_bulk",
 ]
 
 
@@ -540,6 +546,22 @@ def main() -> None:
     if marker and os.environ.get("SPARK_GRAFT_BENCH_AB", "1") != "0":
         ab = _quick_ab(marker, spark, sf_dir)
 
+    # Recorded pinned-tree ETL adjudication (VERDICT r12 task 5): the
+    # 7-round interleaved A/B of the ETL pipeline vs the r10 marker is
+    # too heavy to re-run per bench invocation, so the committed
+    # artifact (ETL_AB_r*.json, produced by the builder's controlled
+    # session) is attached verbatim, labeled as a recording.
+    etl_ab = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(glob.glob(os.path.join(here, "ETL_AB_r*.json")))
+    if recs:
+        try:
+            with open(recs[-1]) as fh:
+                etl_ab = json.load(fh)
+                etl_ab["recorded_artifact"] = os.path.basename(recs[-1])
+        except (OSError, ValueError):
+            etl_ab = None
+
     record = {
         "metric": "headline_queries_total_seconds",
         "value": total,
@@ -582,6 +604,8 @@ def main() -> None:
                     1000.0 * ab_dq["head"] / max(int(dq_checks), 1), 1
                 ),
             }
+    if etl_ab is not None:
+        record["etl_ab_r10"] = etl_ab
     print(json.dumps(record))
 
 

@@ -2106,3 +2106,54 @@ def ext_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, d["doc_id"] == assigned["vec_id"]
     ).select("centroid_id", "text")
     return cluster_top_terms(labeled, "centroid_id", "text", k=5)
+
+
+@register(
+    "ext_probe_auto_bulk",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(e.vec_id + 10000 * k.r AS BIGINT) AS qid,
+             e.embedding AS qv
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(range(4)) AS r) k
+    ),
+    scored AS (
+      SELECT q.qid, c.vec_id AS cid,
+             ROUND(list_dot_product(q.qv, c.embedding)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.embedding, c.embedding))),
+               6) AS cos
+      FROM q CROSS JOIN embeddings c
+    )
+    SELECT qid AS query_id, CAST(cid AS BIGINT) AS centroid_id
+    FROM (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY cos DESC, cid
+             ) AS rn
+      FROM scored
+    ) WHERE rn <= 4
+    """,
+    doc="The r13 probe-side auto dispatch under the hash gate (VERDICT "
+    "r12 task 6): queries are the embeddings replicated 4x under "
+    "shifted ids against all N centroids, so |Q|*C = 2000*500 = 1e6 "
+    "crosses AUTO_PROBE_MIN_QC at every driver sf and "
+    "probe_lists(method='auto') resolves to the Arrow matmul+top-p "
+    "rung — the rung a bulk re-scoring batch now gets by default.  "
+    "Unlike the assignment escalation this trades NO exactness: both "
+    "rungs rank by (rounded-cosine desc, centroid_id asc), so the "
+    "probed cells the SQL replays gate the arrow path bit-for-bit.",
+)
+def ext_probe_auto_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.ivf import AUTO_PROBE_MIN_QC, probe_lists
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    reps = spark.range(4).select(F.col("id").alias("__r"))
+    q = e.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("__r") * 10000).alias("vec_id"),
+        "embedding",
+    )
+    assert AUTO_PROBE_MIN_QC <= 1_000_000  # 4N * N at the driver fixtures
+    return probe_lists(e, q, nprobe=4, method="auto").select(
+        "query_id", "centroid_id"
+    )

@@ -815,3 +815,96 @@ def src_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.element_at("parts", "txt")).cast("long").alias("txt_bytes"),
         F.length(F.element_at("parts", "json")).cast("long").alias("json_bytes"),
     )
+
+
+@register(
+    "wh_pointer_hadoopfs",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS step, 'commit_v1' AS action,
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+                AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 2, 'commit_v2',
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey IN (0, 1))
+                AS BIGINT)
+    UNION ALL
+    SELECT 3, 'crash_before_publish',
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey IN (0, 1))
+                AS BIGINT)
+    UNION ALL
+    SELECT 4, 'time_travel_v1',
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 5, 'concurrent_abort',
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey IN (0, 1))
+                AS BIGINT)
+    """,
+    doc="The pointer-swap commit protocol executed through a file:// "
+    "URI — every path operation routes through the session's Hadoop "
+    "FileSystem (core/commit.py::_HadoopFS, VERDICT r12 task 1), the "
+    "same JVM connector stack an hdfs:// or s3a:// warehouse resolves. "
+    "Steps replay the wh_pointer_commit ledger on the JVM route: "
+    "commit, replace, crash-before-publish (old stays live), time "
+    "travel to v1, and — new in r13 — a commit attempted while another "
+    "writer holds _COMMIT_LOCK raises ConcurrentCommitError without "
+    "touching the live version (VERDICT r12 task 2).",
+)
+def wh_pointer_hadoopfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..core.commit import (
+        LOCK,
+        ConcurrentCommitError,
+        _vdir,
+        pointer_commit,
+        resolve_pointer,
+    )
+
+    nation = load_tables(spark, sf_dir, "nation")["nation"]
+    local_root = tempfile.mkdtemp(prefix="riab_ptr_hfs_")
+    t = "file://" + local_root + "/t"
+
+    def n():
+        return spark.read.parquet(resolve_pointer(t)).count()
+
+    rows = []
+    pointer_commit(
+        lambda d: nation.filter(F.col("n_regionkey") == 0)
+        .write.mode("overwrite")
+        .parquet(d),
+        t,
+    )
+    rows.append((1, "commit_v1", n()))
+    pointer_commit(
+        lambda d: nation.filter(F.col("n_regionkey").isin(0, 1))
+        .write.mode("overwrite")
+        .parquet(d),
+        t,
+    )
+    rows.append((2, "commit_v2", n()))
+
+    def crashy(d):
+        nation.write.mode("overwrite").parquet(d)
+        raise RuntimeError("simulated crash before publish")
+
+    try:
+        pointer_commit(crashy, t)
+    except RuntimeError:
+        pass
+    rows.append((3, "crash_before_publish", n()))
+    rows.append((4, "time_travel_v1", spark.read.parquet(_vdir(t, 1)).count()))
+    # a lock held by another writer turns the commit into a clean error
+    lock_local = os.path.join(local_root, "t", LOCK)
+    with open(lock_local, "w") as fh:
+        fh.write("other-writer")
+    try:
+        pointer_commit(
+            lambda d: nation.write.mode("overwrite").parquet(d), t
+        )
+        raise AssertionError("expected ConcurrentCommitError")
+    except ConcurrentCommitError:
+        pass
+    os.remove(lock_local)
+    rows.append((5, "concurrent_abort", n()))
+    return spark.createDataFrame(
+        rows, "step long, action string, n_rows long"
+    )
