@@ -188,6 +188,18 @@ class _LocalFS:
     def mtime(self, p: str) -> float:
         return os.stat(p).st_mtime
 
+    def listsizes(self, p: str) -> list[tuple[str, int]]:
+        """(name, bytes) of the plain FILES directly under ``p``."""
+        out = []
+        try:
+            with os.scandir(p) as it:
+                for e in it:
+                    if e.is_file():
+                        out.append((e.name, e.stat().st_size))
+        except (FileNotFoundError, NotADirectoryError):
+            pass
+        return out
+
 
 class _HadoopFS:
     """URI paths (``file://``, ``hdfs://``, ``s3a://``, ...) through
@@ -336,9 +348,36 @@ class _HadoopFS:
             raise FileNotFoundError(p)
         return st.getModificationTime() / 1000.0
 
+    def listsizes(self, p: str) -> list[tuple[str, int]]:
+        """(name, bytes) of the plain FILES directly under ``p``."""
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            return [
+                (s.getPath().getName(), int(s.getLen()))
+                for s in self._fs.listStatus(self._p(p))
+                if s.isFile()
+            ]
+        except Py4JJavaError as e:
+            if self._is_java(e, "FileNotFoundException"):
+                return []
+            raise
+
 
 def _fs_for(path: str):
     return _HadoopFS(path) if _URI_RE.match(path) else _LocalFS()
+
+
+def is_uri(path: str) -> bool:
+    """True iff ``path`` carries a URI scheme (and therefore routes
+    through the session's Hadoop FileSystem rather than ``os``)."""
+    return bool(_URI_RE.match(path))
+
+
+#: Public alias: the filesystem adapter for a path — ``os``-backed for
+#: plain paths, Hadoop-FileSystem-backed for URIs.  The pointer
+#: protocol and the URI-rooted ``Warehouse`` share it.
+fs_for = _fs_for
 
 
 # ---------------------------------------------------------------------------

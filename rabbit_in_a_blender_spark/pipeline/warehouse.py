@@ -51,13 +51,38 @@ class Warehouse:
                 f"commit_mode must be 'rename' or 'pointer', got "
                 f"{commit_mode!r}"
             )
-        self.root = root
+        from ..core.commit import is_uri
+
+        self.root = root.rstrip("/") if is_uri(root) else root
+        self._uri = is_uri(root)
+        if self._uri and commit_mode != "pointer":
+            raise ValueError(
+                f"warehouse root {root!r} is a URI: directory renames "
+                "are not atomic on object stores, so only "
+                "commit_mode='pointer' is supported there (rename mode "
+                "needs a locally mounted / HDFS-style root accessed by "
+                "plain path)"
+            )
         self.commit_mode = commit_mode
-        os.makedirs(root, exist_ok=True)
+        if not self._uri:
+            os.makedirs(root, exist_ok=True)
+        # URI roots: creation is deferred to the first write (the fs
+        # adapter needs an active SparkSession; object stores have no
+        # real directories anyway)
+
+    def _fs(self):
+        from ..core.commit import fs_for
+
+        return fs_for(self.root)
+
+    def _join(self, *parts: str) -> str:
+        if self._uri:
+            return "/".join([self.root, *parts])
+        return os.path.join(self.root, *parts)
 
     def path(self, zone: str, table: str) -> str:
         assert zone in ZONES, zone
-        return os.path.join(self.root, zone, table)
+        return self._join(zone, table)
 
     def _data_path(self, zone: str, table: str) -> str:
         """Where the live parquet files actually are: through the
@@ -80,8 +105,9 @@ class Warehouse:
                 return False
         else:
             p = self.path(zone, table)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        fs = self._fs()
+        return fs.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in fs.listdir(p)
         )
 
     def read(self, spark: SparkSession, zone: str, table: str) -> DataFrame:
@@ -137,18 +163,16 @@ class Warehouse:
                 lambda d: df.write.mode("overwrite").parquet(d), target
             )
             if was_plain:
-                for f in os.listdir(target):
-                    fp = os.path.join(target, f)
-                    if os.path.isfile(fp) and (
+                fs = self._fs()
+                for f in fs.listdir(target):
+                    fp = target.rstrip("/") + "/" + f
+                    if fs.isfile(fp) and (
                         f.endswith(".parquet")
                         or f.startswith(("_SUCCESS", "part-", "."))
                     ):
                         if f == "_POINTER":
                             continue
-                        try:
-                            os.remove(fp)
-                        except OSError:
-                            pass
+                        fs.delete(fp)
             return
         staging = target + ".__staging__"
         shutil.rmtree(staging, ignore_errors=True)
@@ -193,15 +217,13 @@ class Warehouse:
 
     def _snap_dir(self, zone: str, table: str) -> str:
         assert zone in ZONES, zone
-        return os.path.join(self.root, zone, ".snapshots", table)
+        return self._join(zone, ".snapshots", table)
 
     def versions(self, zone: str, table: str) -> list[int]:
         """Snapshot version numbers, oldest first."""
         d = self._snap_dir(zone, table)
-        if not os.path.isdir(d):
-            return []
         out = []
-        for name in os.listdir(d):
+        for name in self._fs().listdir(d):
             if name.startswith("v") and name[1:].isdigit():
                 out.append(int(name[1:]))
         return sorted(out)
@@ -280,7 +302,7 @@ class Warehouse:
         if is_pointer_table(target):
             d = _vdir(target, version)
             live = current_version(target)
-            if not os.path.isdir(d) or (live is not None and version > live):
+            if not self._fs().isdir(d) or (live is not None and version > live):
                 avail = [v for v in list_versions(target) if v <= (live or 0)]
                 raise ValueError(
                     f"{zone}.{table} has no version {version}; "
@@ -288,7 +310,7 @@ class Warehouse:
                 )
             return spark.read.parquet(d)
         snap = os.path.join(self._snap_dir(zone, table), f"v{version}")
-        if not os.path.isdir(snap):
+        if not self._fs().isdir(snap):
             raise ValueError(
                 f"{zone}.{table} has no snapshot v{version}; "
                 f"available: {self.versions(zone, table)}"
@@ -334,17 +356,16 @@ class Warehouse:
         Row order within files is preserved, so cluster_by key locality
         from earlier writes survives compaction.
         """
+        fs = self._fs()
         p = self._data_path(zone, table)
         total = sum(
-            os.path.getsize(os.path.join(p, f))
-            for f in os.listdir(p)
-            if f.endswith(".parquet")
+            size for f, size in fs.listsizes(p) if f.endswith(".parquet")
         )
         n_files = max(1, -(-total // target_file_bytes))  # ceil
         self.write(self.read(spark, zone, table).coalesce(n_files), zone, table)
         return sum(
             1
-            for f in os.listdir(self._data_path(zone, table))
+            for f in fs.listdir(self._data_path(zone, table))
             if f.endswith(".parquet")
         )
 
@@ -403,6 +424,14 @@ class Warehouse:
         is swapped and the old files removed — so a plan may lazily read
         the table being replaced (swap-table extension on re-runs).
         """
+        if self._uri:
+            raise NotImplementedError(
+                "bucketed tables need a real catalog service (bucket "
+                "metadata lives in the metastore); on a URI-rooted "
+                "warehouse configure HMS/Glue and saveAsTable there — "
+                "the session-local derby catalog only manages local "
+                "paths"
+            )
         spark = df.sparkSession
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {zone}")
         full = f"{zone}.{table}"
@@ -504,15 +533,14 @@ class Warehouse:
         return spark.table(f"{zone}.{table}")
 
     def drop(self, zone: str, table: str) -> None:
-        shutil.rmtree(self.path(zone, table), ignore_errors=True)
+        self._fs().delete(self.path(zone, table), recursive=True)
 
     def list_tables(self, zone: str) -> list[str]:
-        zdir = os.path.join(self.root, zone)
-        if not os.path.isdir(zdir):
-            return []
+        fs = self._fs()
+        zdir = self._join(zone)
         return sorted(
             d
-            for d in os.listdir(zdir)
+            for d in fs.listdir(zdir)
             # hidden dirs are warehouse internals (.snapshots), not tables
-            if os.path.isdir(os.path.join(zdir, d)) and not d.startswith(".")
+            if not d.startswith(".") and fs.isdir(zdir.rstrip("/") + "/" + d)
         )

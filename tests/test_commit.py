@@ -423,3 +423,45 @@ def test_pointer_retention_persisted_across_plain_writes(spark, tmp_path):
             str(tmp_path / "plainret"),
         )
     assert len(list_versions(str(tmp_path / "plainret"))) == 3
+
+
+def test_warehouse_uri_root_pointer_mode_end_to_end(spark, tmp_path):
+    """r13: a Warehouse rooted at a URI (file:// here — hdfs://s3a://
+    in production) runs the whole table lifecycle through the Hadoop
+    FileSystem route: write/read/exists, append, versioned replace +
+    time travel + restore, compact, list_tables, drop.  Rename mode on
+    a URI root is refused up front (directory renames are not
+    object-store-atomic)."""
+    root = "file://" + str(tmp_path / "uri_wh")
+    with pytest.raises(ValueError, match="only commit_mode='pointer'"):
+        Warehouse(root, commit_mode="rename")
+    wh = Warehouse(root, commit_mode="pointer")
+    assert not wh.exists("work", "t")
+    wh.write(_rows(spark, 0, 40).repartition(4), "work", "t")
+    assert wh.exists("work", "t")
+    assert is_pointer_table(wh.path("work", "t"))
+    assert wh.path("work", "t").startswith("file://")
+    assert wh.read(spark, "work", "t").count() == 40
+    wh.append(_rows(spark, 100, 105), "work", "t")
+    assert wh.read(spark, "work", "t").count() == 45
+    # versioned replace: snapshots are version dirs, time travel works
+    assert wh.write_versioned(_rows(spark, 0, 7), "work", "t", keep=3) == 1
+    assert wh.read(spark, "work", "t").count() == 7
+    assert wh.read_version(spark, "work", "t", 1).count() == 45
+    wh.restore_version(spark, "work", "t", 1)
+    assert wh.read(spark, "work", "t").count() == 45
+    # compact through the URI route
+    for i in range(3):
+        wh.append(_rows(spark, 200 + i, 210 + i).repartition(3), "work", "t")
+    n_files = wh.compact(spark, "work", "t")
+    assert n_files >= 1
+    assert wh.read(spark, "work", "t").count() == 45 + 3 * 10
+    # listing + drop
+    wh.write(_rows(spark, 0, 3), "work", "other")
+    assert wh.list_tables("work") == ["other", "t"]
+    wh.drop("work", "t")
+    assert wh.list_tables("work") == ["other"]
+    assert not wh.exists("work", "t")
+    # bucketed writes need a real metastore on URI roots
+    with pytest.raises(NotImplementedError, match="catalog service"):
+        wh.write_bucketed(_rows(spark, 0, 5), "work", "b", ["id"])
