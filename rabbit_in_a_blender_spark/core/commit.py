@@ -200,6 +200,18 @@ class _LocalFS:
             pass
         return out
 
+    def walkfiles(self, p: str) -> list[tuple[str, int]]:
+        """(full path, bytes) of every file under ``p``, recursive."""
+        out = []
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(root, f)
+                try:
+                    out.append((fp, os.path.getsize(fp)))
+                except OSError:
+                    pass
+        return out
+
 
 class _HadoopFS:
     """URI paths (``file://``, ``hdfs://``, ``s3a://``, ...) through
@@ -362,6 +374,24 @@ class _HadoopFS:
             if self._is_java(e, "FileNotFoundException"):
                 return []
             raise
+
+    def walkfiles(self, p: str) -> list[tuple[str, int]]:
+        """(full path, bytes) of every file under ``p``, recursive —
+        ``FileSystem.listFiles(recursive=True)``, which on object
+        stores is one flat LIST per page rather than a directory
+        walk."""
+        from py4j.protocol import Py4JJavaError
+
+        out = []
+        try:
+            it = self._fs.listFiles(self._p(p), True)
+            while it.hasNext():
+                s = it.next()
+                out.append((s.getPath().toString(), int(s.getLen())))
+        except Py4JJavaError as e:
+            if not self._is_java(e, "FileNotFoundException"):
+                raise
+        return out
 
 
 def _fs_for(path: str):

@@ -54,6 +54,38 @@ def _walk_parquet(p: str) -> list[str]:
     return out
 
 
+def _walk_parquet_sized(p: str) -> list[tuple[str, int]]:
+    """(path, bytes) of the parquet data files under ``p`` — URI paths
+    walk through the Hadoop FileSystem (r13), plain paths through
+    ``os`` (kept separate so the local path stays monkeypatchable via
+    :func:`_walk_parquet` in the quiesce tests and pays no JVM trip)."""
+    import os
+
+    from .commit import fs_for, is_uri
+
+    if is_uri(p):
+        out = []
+        for f, size in fs_for(p).walkfiles(p):
+            name = f.rsplit("/", 1)[-1]
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                out.append((f, size))
+        return out
+    return [(f, os.path.getsize(f)) for f in _walk_parquet(p)]
+
+
+def _rel_dir(f: str, base: str) -> str:
+    """Directory of ``f`` relative to ``base`` ('.' when equal) —
+    URI-safe: both sides reduce to their PATH component, so the JVM
+    walker's ``file:/x`` form matches the caller's ``file:///x`` and
+    plain paths pass through unchanged (urlparse leaves them as-is)."""
+    import os
+    from urllib.parse import urlparse
+
+    return os.path.relpath(
+        os.path.dirname(urlparse(f).path), urlparse(base).path
+    )
+
+
 def _discovered_partition_keys(data_dir: str, files: list[str]) -> list[str]:
     """The ``key=value`` partition-column sequence the files actually
     live under (what ``spark.read.parquet`` will discover).  Raises on
@@ -63,7 +95,7 @@ def _discovered_partition_keys(data_dir: str, files: list[str]) -> list[str]:
 
     layouts = set()
     for f in files:
-        rel = os.path.relpath(os.path.dirname(f), data_dir)
+        rel = _rel_dir(f, data_dir)
         keys = tuple(
             seg.split("=", 1)[0]
             for seg in (rel.split(os.sep) if rel != "." else [])
@@ -147,13 +179,27 @@ def compact_parquet_dir(
     import os
     import shutil
 
-    from .commit import is_pointer_table, pointer_commit, resolve_pointer
+    from .commit import (
+        fs_for,
+        is_pointer_table,
+        is_uri,
+        pointer_commit,
+        resolve_pointer,
+    )
 
     if commit_mode not in ("rename", "pointer"):
         raise ValueError(
             f"commit_mode must be 'rename' or 'pointer', got {commit_mode!r}"
         )
-    recover_parquet_dir(path)
+    uri = is_uri(path)
+    if uri and commit_mode != "pointer":
+        raise ValueError(
+            f"{path} is a URI: only commit_mode='pointer' compacts "
+            "object-store paths (directory renames are not atomic "
+            "there)"
+        )
+    if not uri:
+        recover_parquet_dir(path)
     pointer = is_pointer_table(path)
     if commit_mode == "pointer" and not pointer:
         raise ValueError(
@@ -163,15 +209,17 @@ def compact_parquet_dir(
             "Warehouse(commit_mode='pointer') first."
         )
     data_dir = resolve_pointer(path) if pointer else path
-    if os.path.isdir(os.path.join(data_dir, "_spark_metadata")):
+    _isdir = fs_for(path).isdir if uri else os.path.isdir
+    if _isdir(data_dir.rstrip("/") + "/_spark_metadata"):
         raise ValueError(
             f"{data_dir} has a _spark_metadata commit log (an active "
             "structured-streaming file sink); compacting would strand "
             "the log's file references. Stop the stream and remove the "
             "log, or compact a foreachBatch-owned table instead."
         )
-    before = sorted(_walk_parquet(data_dir))
-    total_bytes = sum(os.path.getsize(f) for f in before)
+    sized = sorted(_walk_parquet_sized(data_dir))
+    before = [f for f, _ in sized]
+    total_bytes = sum(size for _, size in sized)
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     discovered = _discovered_partition_keys(data_dir, before)
     if partition_by is not None:
@@ -196,7 +244,11 @@ def compact_parquet_dir(
             df.repartition(n_files).write.mode("overwrite").parquet(dest)
 
     def _check_quiesced() -> None:
-        now = sorted(_walk_parquet(data_dir))
+        now = (
+            sorted(f for f, _ in _walk_parquet_sized(data_dir))
+            if uri
+            else sorted(_walk_parquet(data_dir))
+        )
         if now != before:
             raise RuntimeError(
                 f"{data_dir} changed during compaction "
@@ -211,7 +263,7 @@ def compact_parquet_dir(
             _check_quiesced()
 
         pointer_commit(_write_checked, path)
-        return len(before), len(_walk_parquet(resolve_pointer(path)))
+        return len(before), len(_walk_parquet_sized(resolve_pointer(path)))
 
     staging = path.rstrip("/") + ".__staging__"
     shutil.rmtree(staging, ignore_errors=True)

@@ -465,3 +465,56 @@ def test_warehouse_uri_root_pointer_mode_end_to_end(spark, tmp_path):
     # bucketed writes need a real metastore on URI roots
     with pytest.raises(NotImplementedError, match="catalog service"):
         wh.write_bucketed(_rows(spark, 0, 5), "work", "b", ["id"])
+
+
+def test_compact_parquet_dir_uri_pointer_table(spark, tmp_path):
+    """r13: the streaming-sink compaction path works on URI pointer
+    tables through the Hadoop FileSystem walker, preserving a
+    discovered partition layout; rename-mode compaction of a URI is
+    refused (directory renames are not object-store-atomic)."""
+    from rabbit_in_a_blender_spark.core.fsio import compact_parquet_dir
+
+    root = "file://" + str(tmp_path / "wh")
+    wh = Warehouse(root, commit_mode="pointer")
+    wh.write(
+        _rows(spark, 0, 60)
+        .withColumn("cell", F.col("id") % 2)
+        .repartition(6),
+        "work",
+        "t",
+    )
+    t = wh.path("work", "t")
+    for i in range(3):
+        _rows(spark, 100 + i * 10, 110 + i * 10).withColumn(
+            "cell", F.col("id") % 2
+        ).repartition(4).write.mode("append").parquet(resolve_pointer(t))
+    rows_before = sorted(r["id"] for r in wh.read(spark, "work", "t").collect())
+    before, after = compact_parquet_dir(spark, t, commit_mode="pointer")
+    assert after < before
+    assert sorted(
+        r["id"] for r in wh.read(spark, "work", "t").collect()
+    ) == rows_before
+    with pytest.raises(ValueError, match="only commit_mode='pointer'"):
+        compact_parquet_dir(spark, t, commit_mode="rename")
+
+    # partitioned layout survives the URI compaction
+    wh.write(
+        _rows(spark, 0, 40).withColumn("cell", F.col("id") % 2),
+        "work",
+        "p",
+    )
+    tp = wh.path("work", "p")
+    live = resolve_pointer(tp)
+    _rows(spark, 0, 40).withColumn("cell", F.col("id") % 2).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(live)
+    b, a = compact_parquet_dir(spark, tp, commit_mode="pointer")
+    new_live = resolve_pointer(tp)
+    from rabbit_in_a_blender_spark.core.commit import fs_for
+
+    names = fs_for(tp).listdir(new_live)
+    assert sorted(d for d in names if d.startswith("cell=")) == [
+        "cell=0",
+        "cell=1",
+    ]
+    assert spark.read.parquet(new_live).count() == 40
