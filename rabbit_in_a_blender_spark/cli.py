@@ -1896,7 +1896,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     # [warehouse] commit_mode = rename|pointer (core/commit.py): rename
     # is the POSIX/HDFS staged-rename default; pointer is the
-    # object-store-safe manifest swap (old-or-new at every instant)
+    # object-store-safe manifest swap (old-or-new at every instant).
+    # Since r13 the root may be a URI (hdfs://, s3a://, file://) —
+    # pointer mode only; all warehouse I/O then routes through the
+    # session's Hadoop FileSystem (the same connector stack the
+    # DataFrame reader uses)
     wh = Warehouse(
         wh_root,
         commit_mode=cfg.get("warehouse", "commit_mode", fallback="rename"),
