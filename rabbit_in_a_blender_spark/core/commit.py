@@ -212,6 +212,18 @@ class _LocalFS:
                     pass
         return out
 
+    def listdirs(self, p: str) -> list[str]:
+        """Names of the DIRECTORIES directly under ``p`` (one listing)."""
+        out = []
+        try:
+            with os.scandir(p) as it:
+                for e in it:
+                    if e.is_dir():
+                        out.append(e.name)
+        except (FileNotFoundError, NotADirectoryError):
+            pass
+        return out
+
 
 class _HadoopFS:
     """URI paths (``file://``, ``hdfs://``, ``s3a://``, ...) through
@@ -392,6 +404,23 @@ class _HadoopFS:
             if not self._is_java(e, "FileNotFoundException"):
                 raise
         return out
+
+    def listdirs(self, p: str) -> list[str]:
+        """Names of the DIRECTORIES directly under ``p`` — ONE
+        listStatus round trip (an isdir probe per entry would cost one
+        RPC each on object stores)."""
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            return [
+                s.getPath().getName()
+                for s in self._fs.listStatus(self._p(p))
+                if s.isDirectory()
+            ]
+        except Py4JJavaError as e:
+            if self._is_java(e, "FileNotFoundException"):
+                return []
+            raise
 
 
 def _fs_for(path: str):

@@ -536,11 +536,9 @@ class Warehouse:
         self._fs().delete(self.path(zone, table), recursive=True)
 
     def list_tables(self, zone: str) -> list[str]:
-        fs = self._fs()
-        zdir = self._join(zone)
         return sorted(
             d
-            for d in fs.listdir(zdir)
+            for d in self._fs().listdirs(self._join(zone))
             # hidden dirs are warehouse internals (.snapshots), not tables
-            if not d.startswith(".") and fs.isdir(zdir.rstrip("/") + "/" + d)
+            if not d.startswith(".")
         )
