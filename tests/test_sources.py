@@ -259,3 +259,19 @@ def test_webdataset_dotted_directory_key_split(spark, tmp_path):
     }
     assert samples["v1.0/000123"] == 2
     assert samples["v1.0/000124"] == 1
+
+
+def test_rel_dir_uri_and_plain_forms():
+    """r13: partition-layout discovery must see the same relative dirs
+    whether paths come from os.walk (plain), the caller (file:///) or
+    the JVM walker (file:/ single-slash form)."""
+    from rabbit_in_a_blender_spark.core.fsio import _rel_dir
+
+    assert _rel_dir("/a/b/cell=1/x.parquet", "/a/b") == "cell=1"
+    assert _rel_dir("file:///a/b/cell=1/x.parquet", "file:///a/b") == "cell=1"
+    assert _rel_dir("file:/a/b/cell=1/x.parquet", "file:///a/b") == "cell=1"
+    assert _rel_dir("file:/a/b/x.parquet", "file:///a/b") == "."
+    assert (
+        _rel_dir("s3a://bkt/t/batch=2/cell=0/x.parquet", "s3a://bkt/t")
+        == "batch=2/cell=0"
+    )
