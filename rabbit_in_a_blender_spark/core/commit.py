@@ -236,7 +236,12 @@ class _HadoopFS:
     def __init__(self, path: str):
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.getActiveSession()
+        # getActiveSession is THREAD-local (None inside the ETL's table
+        # worker threads); fall back to the process-wide session
+        spark = (
+            SparkSession.getActiveSession()
+            or SparkSession._instantiatedSession
+        )
         if spark is None:
             raise RuntimeError(
                 f"pointer table {path!r} is a URI, which routes through "

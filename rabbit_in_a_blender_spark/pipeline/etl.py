@@ -1021,11 +1021,11 @@ def _cleanup_tables(
             ):
                 warehouse.drop(zone, t)
                 dropped.append(f"{zone}.{t}")
-    import os
-
     for table in targets or []:
         part = f"{EtlPipeline.ID_MAP}/omop_table={table}"
-        if os.path.isdir(warehouse.path("work", part)):
+        # through the warehouse's fs adapter, so the cleanup walk works
+        # on URI-rooted (object-store) warehouses too (r13)
+        if warehouse._fs().isdir(warehouse.path("work", part)):
             warehouse.drop("work", part)
             dropped.append(f"work.{part}")
     return dropped

@@ -770,3 +770,56 @@ def test_cleanup_clear_auto_generated_custom_concept_ids(spark, wh):
     assert wh.exists("work", "concept_id__swap")  # default: kept
     cleanup(wh, spark=spark, clear_auto_generated_custom_concept_ids=True)
     assert not wh.exists("work", "concept_id__swap")
+
+
+def test_etl_pipeline_on_uri_warehouse(spark, tmp_path):
+    """r13: the two-stage ETL runs end-to-end against a URI-rooted
+    pointer-mode warehouse (file:// here; hdfs://s3a:// in production)
+    — uploads, mapping, swap, dedup, final tables, and the cleanup walk
+    all through the Hadoop FileSystem route."""
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.core.registry import (
+        ColumnSpec,
+        SchemaRegistry,
+        TableSpec,
+    )
+    from rabbit_in_a_blender_spark.pipeline.etl import (
+        EtlPipeline,
+        TableInputs,
+        cleanup,
+    )
+    from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+    registry = SchemaRegistry(
+        [
+            TableSpec(
+                name="person",
+                columns=[
+                    ColumnSpec("person_id", "int64", required=True),
+                    ColumnSpec("name", "string"),
+                ],
+                pk="person_id",
+            ),
+        ]
+    )
+    wh = Warehouse(
+        "file://" + str(tmp_path / "uri_etl_wh"), commit_mode="pointer"
+    )
+    upload = spark.createDataFrame(
+        [(f"PK_{i}", f"name{i}") for i in range(20)],
+        "person_id string, name string",
+    )
+    pipe = EtlPipeline(spark, wh, registry)
+    pipe.run({"person": TableInputs(uploads=[upload])})
+    assert wh.exists("omop", "person")
+    out = wh.read(spark, "omop", "person")
+    assert out.count() == 20
+    assert out.filter(F.col("person_id").isNull()).count() == 0
+    # re-run is stable (atomic rebuild semantics on the pointer route)
+    pipe.run({"person": TableInputs(uploads=[upload])})
+    assert wh.read(spark, "omop", "person").count() == 20
+    # cleanup walk drops the table + its work artifacts through the fs
+    dropped = cleanup(wh, table="person", spark=spark, registry=registry)
+    assert any("person" in d for d in dropped)
+    assert not wh.exists("omop", "person")
