@@ -96,6 +96,7 @@ import warnings
 
 POINTER = "_POINTER"
 LOCK = "_COMMIT_LOCK"
+PINS = "_PINS"
 _VPREFIX = "v-"
 
 #: Default retained versions when neither the call nor the table's
@@ -467,22 +468,33 @@ def _vdir(path: str, version: int) -> str:
     return _join(path, f"{_VPREFIX}{version:06d}")
 
 
-def _read_pointer(fs, path: str) -> tuple[int | None, int | None]:
-    """(live version, persisted keep) from ``_POINTER``; (None, None)
-    if the table has no pointer yet."""
+def _read_pointer(fs, path: str) -> tuple[int | None, int | None, int | None]:
+    """(live version, persisted keep, high-water mark) from
+    ``_POINTER``; (None, None, None) if the table has no pointer yet.
+
+    The high-water mark (``max=N`` line) is the highest version ever
+    PUBLISHED; it exceeds the live version only after a
+    :func:`repoint` to an older version, where the versions between
+    live and the mark are legit history, not crash orphans.  Absent
+    (every pre-r13 pointer file), it equals the live version — which
+    preserves the original sweep semantics exactly."""
     p = _join(path, POINTER)
     if not fs.isfile(p):
-        return None, None
+        return None, None, None
     lines = fs.read_text(p).strip().splitlines()
     name = lines[0].strip() if lines else ""
     if not (name.startswith(_VPREFIX) and name[len(_VPREFIX):].isdigit()):
         raise ValueError(f"{p} holds {name!r}, not a version dir name")
     keep = None
+    hw = None
     for ln in lines[1:]:
         ln = ln.strip()
         if ln.startswith("keep=") and ln[5:].lstrip("-").isdigit():
             keep = int(ln[5:])
-    return int(name[len(_VPREFIX):]), keep
+        elif ln.startswith("max=") and ln[4:].isdigit():
+            hw = int(ln[4:])
+    live = int(name[len(_VPREFIX):])
+    return live, keep, max(hw, live) if hw is not None else live
 
 
 def current_version(path: str) -> int | None:
@@ -497,6 +509,42 @@ def table_retention(path: str) -> int | None:
     return _read_pointer(_fs_for(path), path)[1]
 
 
+def high_water(path: str) -> int | None:
+    """The highest version ever published (>= live after a
+    :func:`repoint`), or None if ``path`` isn't a pointer table yet."""
+    return _read_pointer(_fs_for(path), path)[2]
+
+
+def read_pins(path: str) -> set[int]:
+    """Versions protected from retention pruning (``_PINS`` file) —
+    the transaction layer pins every version a retained warehouse
+    manifest still names (pipeline/txn.py), so a table-level commit
+    can never prune a snapshot some consistent cross-table view
+    resolves."""
+    fs = _fs_for(path)
+    p = _join(path, PINS)
+    if not fs.isfile(p):
+        return set()
+    out = set()
+    for ln in fs.read_text(p).splitlines():
+        ln = ln.strip()
+        if ln.isdigit():
+            out.add(int(ln))
+    return out
+
+
+def write_pins(path: str, versions: set[int] | list[int]) -> None:
+    """Atomically replace the table's pinned-version set; an empty set
+    removes the ``_PINS`` file."""
+    fs = _fs_for(path)
+    p = _join(path, PINS)
+    vs = sorted(set(int(v) for v in versions))
+    if not vs:
+        fs.delete(p)
+        return
+    fs.write_text_atomic(p, "\n".join(str(v) for v in vs))
+
+
 def resolve_pointer(path: str) -> str:
     """The live data directory of a pointer table — the one path every
     reader must use.  Raises if the pointer is missing or dangling."""
@@ -509,12 +557,17 @@ def resolve_pointer(path: str) -> str:
     return d
 
 
-def _publish(fs, path: str, version: int, keep: int | None) -> None:
+def _publish(
+    fs, path: str, version: int, keep: int | None, hw: int | None = None
+) -> None:
     """Atomically point ``_POINTER`` at ``version`` (temp file + atomic
-    single-object replace), persisting ``keep`` when given."""
+    single-object replace), persisting ``keep`` when given and the
+    high-water mark when it exceeds the published version (repoint)."""
     text = f"{_VPREFIX}{version:06d}"
     if keep is not None:
         text += f"\nkeep={keep}"
+    if hw is not None and hw > version:
+        text += f"\nmax={hw}"
     fs.write_text_atomic(_join(path, POINTER), text)
 
 
@@ -591,20 +644,22 @@ def pointer_commit(
     token = uuid.uuid4().hex
     _acquire_lock(fs, path, token, stale_lock_sec)
     try:
-        live, persisted_keep = _read_pointer(fs, path)
+        live, persisted_keep, hw = _read_pointer(fs, path)
         persist_keep = keep if keep is not None else persisted_keep
         eff_keep = persist_keep if persist_keep is not None else DEFAULT_KEEP
         # sweep garbage from crashed commits: version dirs never
-        # published (numbered above the live pointer) and stale temp
-        # pointer files — safe under the lock (no other staged dir can
-        # be in flight)
+        # published (numbered above the HIGH-WATER mark — after a
+        # repoint, dirs between live and the mark are history, not
+        # orphans) and stale temp pointer files — safe under the lock
+        # (no other staged dir can be in flight)
+        base = max(hw or 0, live or 0)
         for v in list_versions(path):
-            if live is None or v > live:
+            if live is None or v > base:
                 fs.delete(_vdir(path, v), recursive=True)
         for name in fs.listdir(path):
             if name.startswith(f".{POINTER}.") and name.endswith(".tmp"):
                 fs.delete(_join(path, name))
-        new = (live or 0) + 1
+        new = base + 1 if live is not None else 1
         write_fn(_vdir(path, new))
         # conditional publish: if our lock was broken as stale (we were
         # presumed dead) or the pointer moved, abort rather than
@@ -627,9 +682,52 @@ def pointer_commit(
             )
         _publish(fs, path, new, persist_keep)
         if eff_keep > 0:
+            pinned = read_pins(path)
             for v in list_versions(path)[:-eff_keep]:
-                if v != new:
+                # never the new version, never the version that was
+                # live a moment ago (after a repoint it can sit far
+                # below the numeric tail), never a manifest-pinned one
+                if v != new and v != live and v not in pinned:
                     fs.delete(_vdir(path, v), recursive=True)
         return new
+    finally:
+        _release_lock(fs, path, token)
+
+
+def repoint(
+    path: str,
+    version: int,
+    stale_lock_sec: float = DEFAULT_STALE_LOCK_SEC,
+) -> int | None:
+    """Atomically flip a pointer table back (or forward) to an existing
+    version — ZERO data I/O, just the locked pointer replace.  Returns
+    the previously live version.
+
+    This is the restore/rollback primitive: the target version dir must
+    already exist on disk.  The pointer's high-water mark keeps the
+    versions ABOVE the new live one recognized as history (the next
+    commit numbers past them instead of sweeping them as crash
+    orphans), so a repoint is itself undoable by repointing forward
+    again.  Retention: repoint never prunes; the next regular commit
+    prunes by the persisted ``keep`` as usual (sparing pins and the
+    just-replaced live version).
+    """
+    fs = _fs_for(path)
+    token = uuid.uuid4().hex
+    _acquire_lock(fs, path, token, stale_lock_sec)
+    try:
+        live, persisted_keep, hw = _read_pointer(fs, path)
+        if live is None:
+            raise FileNotFoundError(f"{path} has no {POINTER} file")
+        if not fs.isdir(_vdir(path, version)):
+            raise ValueError(
+                f"{path} has no version {version}; available: "
+                f"{list_versions(path)}"
+            )
+        _publish(
+            fs, path, version, persisted_keep,
+            hw=max(hw or 0, live, version),
+        )
+        return live
     finally:
         _release_lock(fs, path, token)

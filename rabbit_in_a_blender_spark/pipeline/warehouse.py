@@ -293,7 +293,7 @@ class Warehouse:
     ) -> DataFrame:
         from ..core.commit import (
             _vdir,
-            current_version,
+            high_water,
             is_pointer_table,
             list_versions,
         )
@@ -301,9 +301,12 @@ class Warehouse:
         target = self.path(zone, table)
         if is_pointer_table(target):
             d = _vdir(target, version)
-            live = current_version(target)
-            if not self._fs().isdir(d) or (live is not None and version > live):
-                avail = [v for v in list_versions(target) if v <= (live or 0)]
+            # versions up to the high-water mark are published history
+            # (after a restore_version the live pointer sits BELOW
+            # later versions); above it are crash orphans — unreadable
+            hw = high_water(target)
+            if not self._fs().isdir(d) or (hw is not None and version > hw):
+                avail = [v for v in list_versions(target) if v <= (hw or 0)]
                 raise ValueError(
                     f"{zone}.{table} has no version {version}; "
                     f"available: {avail}"
@@ -325,11 +328,18 @@ class Warehouse:
         The current contents are snapshotted first (so a restore is
         itself undoable); the restored snapshot stays in history.
         Returns the snapshot version the replaced contents were saved
-        under.  On a pointer table the restore copies no data — the new
-        version dir holds the restored rows via one rewrite today; a
-        true zero-I/O flip is possible but would let pruning delete the
-        dir the pointer names, so the rewrite keeps retention simple.
+        under.  On a pointer table the restore is a ZERO-I/O pointer
+        flip (``core/commit.py::repoint``): the pointer's high-water
+        mark keeps the versions above the restored one recognized as
+        history, so the undo is another flip — no table rewrite at any
+        size (the r12 docstring's 'one rewrite today' limitation is
+        gone).
         """
+        from ..core.commit import is_pointer_table, repoint
+
+        target = self.path(zone, table)
+        if is_pointer_table(target):
+            return repoint(target, version)
         return self.write_versioned(
             self.read_version(spark, zone, table, version), zone, table
         )
@@ -531,6 +541,59 @@ class Warehouse:
 
     def read_bucketed(self, spark: SparkSession, zone: str, table: str) -> DataFrame:
         return spark.table(f"{zone}.{table}")
+
+    # ---- multi-table transactions (pipeline/txn.py) -------------------
+    #
+    # One atomic manifest publish covers every table an ETL run writes:
+    # snapshot readers see all-old or all-new, never a torn cross-table
+    # view.  Pointer mode only (the manifest pins version dirs).
+
+    def begin(self, keep: int | None = None):
+        """Start a multi-table transaction (explicit commit/rollback);
+        see ``pipeline/txn.py``."""
+        from .txn import WarehouseTransaction
+
+        return WarehouseTransaction(self, keep=keep)
+
+    def transaction(self, keep: int | None = None):
+        """``with wh.transaction() as txn:`` — commits on clean exit,
+        rolls back when the block raises."""
+        from .txn import transaction
+
+        return transaction(self, keep=keep)
+
+    def read_snapshot(
+        self, spark: SparkSession, zone: str, table: str,
+        txn: int | None = None,
+    ) -> DataFrame:
+        """Read through the warehouse manifest — the consistent
+        cross-table view (live, or transaction ``txn`` to time-travel
+        the whole warehouse)."""
+        from .txn import read_snapshot
+
+        return read_snapshot(self, spark, zone, table, txn=txn)
+
+    def snapshot(self, txn: int | None = None) -> dict[str, int]:
+        """The manifest's table→version map (live manifest, or a
+        retained transaction's)."""
+        from .txn import live_manifest, manifest_at
+
+        if txn is None:
+            return live_manifest(self)[1]
+        return manifest_at(self, txn)
+
+    def list_txns(self) -> list[int]:
+        """Retained transaction ids, oldest first."""
+        from .txn import list_txns
+
+        return list_txns(self)
+
+    def txn_recover(self) -> dict[str, int]:
+        """Repoint manifest tables whose live version drifted (a
+        crashed transaction) back to the live manifest's versions."""
+        from .txn import txn_recover
+
+        return txn_recover(self)
 
     def drop(self, zone: str, table: str) -> None:
         self._fs().delete(self.path(zone, table), recursive=True)

@@ -1,0 +1,158 @@
+"""Multi-table transaction layer (pipeline/txn.py, r13): one manifest
+publish makes every staged table visible together — snapshot readers
+see all-old or all-new, never a torn cross-table view; rollback and
+crash recovery are zero-I/O pointer flips; retained manifests pin
+their versions against table-level retention pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rabbit_in_a_blender_spark.core.commit import (
+    ConcurrentCommitError,
+    current_version,
+    list_versions,
+    read_pins,
+)
+from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).withColumn("v", F.col("id") * 2)
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_txn_commit_is_all_or_nothing_for_snapshot_readers(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"), commit_mode="pointer")
+    with wh.transaction() as txn:
+        txn.write(_rows(spark, 0, 10), "omop", "a")
+        txn.write(_rows(spark, 100, 105), "omop", "b")
+    assert wh.list_txns() == [1]
+    assert wh.snapshot() == {"omop/a": 1, "omop/b": 1}
+    assert _ids(wh.read_snapshot(spark, "omop", "a")) == list(range(10))
+    assert _ids(wh.read_snapshot(spark, "omop", "b")) == list(range(100, 105))
+
+    # second txn: crash after ONE table is staged -> snapshot readers
+    # still see txn 1 on BOTH tables (no torn view)
+    txn2 = wh.begin()
+    txn2.write(_rows(spark, 0, 3), "omop", "a")
+    assert wh.read(spark, "omop", "a").count() == 3  # read-uncommitted
+    assert _ids(wh.read_snapshot(spark, "omop", "a")) == list(range(10))
+    assert _ids(wh.read_snapshot(spark, "omop", "b")) == list(range(100, 105))
+    # simulated process death: the txn object is abandoned; recovery
+    # repoints the drifted table back to the manifest
+    restored = wh.txn_recover()
+    assert restored == {"omop/a": 1}
+    assert wh.read(spark, "omop", "a").count() == 10
+
+    # a fresh txn over both tables commits and flips the view together
+    with wh.transaction() as txn:
+        txn.write(_rows(spark, 0, 4), "omop", "a")
+        txn.write(_rows(spark, 200, 202), "omop", "b")
+    assert _ids(wh.read_snapshot(spark, "omop", "a")) == list(range(4))
+    assert _ids(wh.read_snapshot(spark, "omop", "b")) == [200, 201]
+    # time travel: the whole warehouse as of txn 1
+    assert _ids(wh.read_snapshot(spark, "omop", "a", txn=1)) == list(range(10))
+    assert _ids(wh.read_snapshot(spark, "omop", "b", txn=1)) == list(
+        range(100, 105)
+    )
+
+
+def test_txn_rollback_on_exception_repoints_tables(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"), commit_mode="pointer")
+    with wh.transaction() as txn:
+        txn.write(_rows(spark, 0, 5), "omop", "t")
+    with pytest.raises(RuntimeError, match="boom"):
+        with wh.transaction() as txn:
+            txn.write(_rows(spark, 50, 60), "omop", "t")
+            assert wh.read(spark, "omop", "t").count() == 10
+            raise RuntimeError("boom")
+    # rolled back: live pointer AND manifest both back on v1
+    assert wh.read(spark, "omop", "t").count() == 5
+    assert wh.snapshot() == {"omop/t": 1}
+    assert wh.list_txns() == [1]
+    # a table that never existed before the failed txn stays out of the
+    # manifest but keeps its files (harmless; rewritten next txn)
+    with pytest.raises(RuntimeError, match="boom"):
+        with wh.transaction() as txn:
+            txn.write(_rows(spark, 0, 2), "omop", "new_t")
+            raise RuntimeError("boom")
+    assert "omop/new_t" not in wh.snapshot()
+
+
+def test_txn_optimistic_concurrency_one_winner(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"), commit_mode="pointer")
+    with wh.transaction() as txn:
+        txn.write(_rows(spark, 0, 5), "omop", "t")
+
+    t1 = wh.begin()
+    t2 = wh.begin()
+    t1.write(_rows(spark, 10, 20), "omop", "t")
+    first_txn = t1.commit()
+    assert first_txn == 2
+    t2.write(_rows(spark, 500, 503), "omop", "t")
+    with pytest.raises(ConcurrentCommitError, match="another transaction"):
+        t2.commit()
+    # the loser rolled back to ITS base (v1, the pre-t1 manifest);
+    # txn_recover reconciles the pointer to the winner's live manifest
+    wh.txn_recover()
+    assert wh.snapshot() == {"omop/t": 2}
+    assert _ids(wh.read_snapshot(spark, "omop", "t")) == list(range(10, 20))
+    assert wh.read(spark, "omop", "t").count() == 10
+
+
+def test_txn_pins_protect_manifest_versions_from_pruning(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"), commit_mode="pointer")
+    with wh.transaction() as txn:
+        txn.write(_rows(spark, 0, 7), "omop", "t")
+    target = wh.path("omop", "t")
+    assert read_pins(target) == {1}
+    # a storm of PLAIN writes (default keep=3) must not prune v1 while
+    # the retained manifest still names it
+    for i in range(6):
+        wh.write(_rows(spark, 0, i + 1), "omop", "t")
+    assert 1 in list_versions(target)
+    assert _ids(wh.read_snapshot(spark, "omop", "t")) == list(range(7))
+    # once enough TRANSACTIONS retire the manifest (keep=3 manifests by
+    # default), the pin moves on and table pruning may reclaim v1
+    for i in range(3):
+        with wh.transaction() as txn:
+            txn.write(_rows(spark, 0, 20 + i), "omop", "t")
+    assert 1 not in read_pins(target)
+    wh.write(_rows(spark, 0, 50), "omop", "t")
+    assert 1 not in list_versions(target)
+
+
+def test_txn_drop_is_logical_until_manifests_retire(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"), commit_mode="pointer")
+    with wh.transaction() as txn:
+        txn.write(_rows(spark, 0, 5), "omop", "a")
+        txn.write(_rows(spark, 0, 9), "omop", "b")
+    with wh.transaction() as txn:
+        txn.drop("omop", "b")
+        txn.write(_rows(spark, 0, 6), "omop", "a")
+    assert wh.snapshot() == {"omop/a": 2}
+    with pytest.raises(ValueError, match="does not include"):
+        wh.read_snapshot(spark, "omop", "b")
+    # the old manifest still resolves the dropped table (time travel)
+    assert _ids(wh.read_snapshot(spark, "omop", "b", txn=1)) == list(range(9))
+    assert wh.exists("omop", "b")  # physical files untouched
+
+
+def test_txn_requires_pointer_mode_and_tracks_versions(spark, tmp_path):
+    wh_rename = Warehouse(str(tmp_path / "wr"), commit_mode="rename")
+    with pytest.raises(ValueError, match="pointer"):
+        wh_rename.begin()
+    wh = Warehouse(str(tmp_path / "wp"), commit_mode="pointer")
+    txn = wh.begin()
+    v = txn.write(_rows(spark, 0, 3), "omop", "t")
+    assert v == current_version(wh.path("omop", "t")) == 1
+    assert txn.commit() == 1
+    with pytest.raises(RuntimeError, match="already committed"):
+        txn.write(_rows(spark, 0, 1), "omop", "t")
+    with pytest.raises(ValueError, match="no transaction 9"):
+        wh.snapshot(txn=9)
