@@ -885,6 +885,22 @@ class EtlPipeline:
                 self.run_stage2(self.registry[table])
         with self._step("invalidate_stale_mappings"):
             self.invalidate_stale_mappings(etl_start)
+        if self.wh.commit_mode == "pointer":
+            # seal the run: ONE manifest publish records every omop
+            # table's just-written version (pipeline/txn.py), so
+            # snapshot readers flip from all-of-last-run to
+            # all-of-this-run atomically — a crash anywhere above
+            # leaves them on the previous run's consistent view
+            with self._step("seal_transaction"):
+                from ..core.commit import is_pointer_table
+
+                txn = self.wh.begin()
+                for t in self.wh.list_tables("omop"):
+                    # rename-mode leftovers from a mixed-mode history
+                    # have no version dirs to pin — skip them
+                    if is_pointer_table(self.wh.path("omop", t)):
+                        txn.include("omop", t)
+                txn.commit()
         # Attach rows/bytes from the status store to this run's steps
         # (jobs from prefetch pool threads carry no group; their I/O is
         # not attributed to a step — by design, they overlap steps).

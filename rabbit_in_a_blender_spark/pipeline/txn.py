@@ -216,6 +216,26 @@ class WarehouseTransaction:
         self._dropped.discard(key)
         return new_v
 
+    def include(self, zone: str, table: str) -> int:
+        """Record the table's CURRENT live version in the manifest
+        WITHOUT writing — the sealing path for pipelines that already
+        wrote through the plain ``Warehouse`` API during a run (the
+        ETL's end-of-run seal).  Returns the recorded version."""
+        from ..core.commit import current_version
+
+        self._check_open()
+        target = self._wh.path(zone, table)
+        v = current_version(target)
+        if v is None:
+            raise ValueError(
+                f"{zone}.{table} is not a pointer table (no version to "
+                "record); write it through pointer mode first"
+            )
+        key = self._key(zone, table)
+        self._pending[key] = v
+        self._dropped.discard(key)
+        return v
+
     def drop(self, zone: str, table: str) -> None:
         """Logically drop a table from the manifest.  The files stay
         (older manifests may still resolve them); physical removal is

@@ -908,3 +908,105 @@ def wh_pointer_hadoopfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step long, action string, n_rows long"
     )
+
+
+@register(
+    "wh_txn_snapshot",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS step, 'txn1_commit' AS action,
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+                AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 1)
+                AS BIGINT) AS n_b
+    UNION ALL
+    SELECT 2, 'txn2_crashed_midway',
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 1)
+                AS BIGINT)
+    UNION ALL
+    SELECT 3, 'recovered',
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 1)
+                AS BIGINT)
+    UNION ALL
+    SELECT 4, 'txn3_commit',
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey IN (0, 1))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey IN (1, 2))
+                AS BIGINT)
+    UNION ALL
+    SELECT 5, 'time_travel_txn1',
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 1)
+                AS BIGINT)
+    UNION ALL
+    SELECT 6, 'rollback_on_error',
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey IN (0, 1))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey IN (1, 2))
+                AS BIGINT)
+    """,
+    doc="Atomic multi-table transactions (pipeline/txn.py, r13) under "
+    "the hash gate: a warehouse-root manifest makes every table an ETL "
+    "run writes visible to snapshot readers in ONE pointer replace. "
+    "The ledger records (count of table a, count of table b) as seen "
+    "THROUGH the manifest at each step: txn1 commits both tables; txn2 "
+    "stages a new version of a and dies before commit — the oracle "
+    "states BOTH snapshot counts unchanged (no torn cross-table view); "
+    "txn_recover repoints the drifted table (zero data I/O); txn3 "
+    "replaces both tables atomically; time travel re-reads the whole "
+    "warehouse as of txn1; and a transaction that raises mid-block "
+    "rolls back leaving the txn3 view intact.  A manifest that "
+    "published early, resolved a half-committed table, or lost a "
+    "pinned snapshot hash-mismatches.  Scale shape: manifests are "
+    "bytes-sized JSON; commit/rollback/recover move no data at any "
+    "table size.",
+)
+def wh_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_tables(spark, sf_dir, "nation")["nation"]
+    wh = Warehouse(
+        tempfile.mkdtemp(prefix="riab_txn_"), commit_mode="pointer"
+    )
+
+    def snap(zone="omop"):
+        return (
+            wh.read_snapshot(spark, zone, "a").count(),
+            wh.read_snapshot(spark, zone, "b").count(),
+        )
+
+    rows = []
+    with wh.transaction() as txn:
+        txn.write(nation.filter(F.col("n_regionkey") == 0), "omop", "a")
+        txn.write(nation.filter(F.col("n_regionkey") == 1), "omop", "b")
+    rows.append((1, "txn1_commit", *snap()))
+    # txn2 stages one table and dies before commit: snapshot unchanged
+    txn2 = wh.begin()
+    txn2.write(nation, "omop", "a")
+    rows.append((2, "txn2_crashed_midway", *snap()))
+    wh.txn_recover()
+    rows.append((3, "recovered", *snap()))
+    with wh.transaction() as txn:
+        txn.write(nation.filter(F.col("n_regionkey").isin(0, 1)), "omop", "a")
+        txn.write(nation.filter(F.col("n_regionkey").isin(1, 2)), "omop", "b")
+    rows.append((4, "txn3_commit", *snap()))
+    rows.append(
+        (
+            5,
+            "time_travel_txn1",
+            wh.read_snapshot(spark, "omop", "a", txn=1).count(),
+            wh.read_snapshot(spark, "omop", "b", txn=1).count(),
+        )
+    )
+    try:
+        with wh.transaction() as txn:
+            txn.write(nation, "omop", "a")
+            raise RuntimeError("simulated failure mid-transaction")
+    except RuntimeError:
+        pass
+    rows.append((6, "rollback_on_error", *snap()))
+    return spark.createDataFrame(
+        rows, "step long, action string, n_a long, n_b long"
+    )

@@ -823,3 +823,55 @@ def test_etl_pipeline_on_uri_warehouse(spark, tmp_path):
     dropped = cleanup(wh, table="person", spark=spark, registry=registry)
     assert any("person" in d for d in dropped)
     assert not wh.exists("omop", "person")
+
+
+def test_etl_pointer_mode_seals_a_transaction_per_run(spark, tmp_path):
+    """r13: on a pointer-mode warehouse every ETL run ends with ONE
+    manifest publish (pipeline/txn.py) recording all omop tables'
+    versions — snapshot readers flip between runs atomically, and time
+    travel re-reads the whole warehouse as of any retained run."""
+    from rabbit_in_a_blender_spark.core.registry import (
+        ColumnSpec,
+        SchemaRegistry,
+        TableSpec,
+    )
+    from rabbit_in_a_blender_spark.pipeline.etl import EtlPipeline, TableInputs
+    from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+    registry = SchemaRegistry(
+        [
+            TableSpec(
+                name="person",
+                columns=[
+                    ColumnSpec("person_id", "int64", required=True),
+                    ColumnSpec("name", "string"),
+                ],
+                pk="person_id",
+            ),
+        ]
+    )
+    wh = Warehouse(str(tmp_path / "seal_wh"), commit_mode="pointer")
+    pipe = EtlPipeline(spark, wh, registry)
+
+    def upload(n):
+        return spark.createDataFrame(
+            [(f"PK_{i}", f"name{i}") for i in range(n)],
+            "person_id string, name string",
+        )
+
+    pipe.run({"person": TableInputs(uploads=[upload(20)])})
+    assert wh.list_txns() == [1]
+    assert "omop/person" in wh.snapshot()
+    assert wh.read_snapshot(spark, "omop", "person").count() == 20
+    assert any(name == "seal_transaction" for name, _ in pipe.metrics)
+
+    pipe.run({"person": TableInputs(uploads=[upload(7)])})
+    assert wh.list_txns() == [1, 2]
+    assert wh.read_snapshot(spark, "omop", "person").count() == 7
+    # the previous run's consistent view is still fully readable
+    assert wh.read_snapshot(spark, "omop", "person", txn=1).count() == 20
+    # and table-level retention can't prune a manifest-pinned run
+    for i in range(4):
+        wh.write(upload(i + 1), "omop", "person")
+    assert wh.read_snapshot(spark, "omop", "person", txn=1).count() == 20
+    assert wh.read_snapshot(spark, "omop", "person", txn=2).count() == 7
