@@ -476,6 +476,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "layout must match (a mismatch raises instead "
                         "of silently rewriting the layout); omit to "
                         "preserve the discovered layout automatically")
+    x.add_argument("--list-txns", action="store_true",
+                   help="Print the warehouse's retained transactions "
+                        "(pipeline/txn.py): each ETL run on a pointer "
+                        "warehouse seals one — id, table count, and "
+                        "the table->version map of the live one")
+    x.add_argument("--txn-recover", action="store_true",
+                   help="Reconcile table pointers with the live "
+                        "manifest after a crashed run: every manifest "
+                        "table whose live version drifted is repointed "
+                        "back (zero data I/O)")
+    x.add_argument("--restore-txn", type=int, metavar="N",
+                   help="Warehouse-wide time travel: repoint every "
+                        "table to its version in transaction N and "
+                        "seal that view as a NEW transaction (zero "
+                        "data I/O; the restore is itself undoable)")
     return p
 
 
@@ -1913,6 +1928,48 @@ def main(argv: list[str] | None = None) -> int:
             return wh.read(spark, "omop", table)
 
         return read
+
+    if args.list_txns:
+        txns = wh.list_txns()
+        if not txns:
+            print(f"no transactions in {wh_root} (pointer-mode runs seal one each)")
+            return 0
+        live = txns[-1]
+        for t in txns:
+            snap = wh.snapshot(txn=t)
+            mark = " (live)" if t == live else ""
+            print(f"txn {t}{mark}: {len(snap)} tables")
+        for key, ver in sorted(wh.snapshot().items()):
+            print(f"  {key} -> v{ver:06d}")
+        return 0
+
+    if args.txn_recover:
+        restored = wh.txn_recover()
+        if restored:
+            for key, ver in sorted(restored.items()):
+                print(f"repointed {key} -> v{ver:06d}")
+        print(f"recovered {len(restored)} drifted tables to the live manifest")
+        return 0
+
+    if args.restore_txn is not None:
+        from .core.commit import repoint
+
+        target = wh.snapshot(txn=args.restore_txn)
+        live = wh.snapshot()
+        txn = wh.begin()
+        for key, ver in sorted(target.items()):
+            zone, _, table = key.partition("/")
+            repoint(wh.path(zone, table), ver)
+            txn.include(zone, table)
+        for key in sorted(set(live) - set(target)):
+            zone, _, table = key.partition("/")
+            txn.drop(zone, table)
+        new_id = txn.commit()
+        print(
+            f"restored transaction {args.restore_txn} "
+            f"({len(target)} tables) as new transaction {new_id}"
+        )
+        return 0
 
     if args.test_db_connection:
         # Reference -tdc/--test-db-connection (cli.py:460-462): prove the

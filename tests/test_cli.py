@@ -1056,3 +1056,47 @@ def test_ann_index_build_and_search_cli(spark, capsys, tmpdir_):
         assert False, "expected SystemExit"
     except SystemExit as e3:
         assert "does not divide" in str(e3)
+
+
+def test_cli_txn_verbs_on_pointer_warehouse(env, spark, capsys):
+    """r13 transaction verbs: pointer-mode ETL runs seal a transaction
+    each; --list-txns prints them, --restore-txn time-travels the whole
+    warehouse (zero data I/O), --txn-recover reconciles drifted
+    pointers."""
+    root = env["root"]
+    ini = os.path.join(root, "riab_ptr.ini")
+    with open(ini, "w") as f:
+        f.write(
+            f"[warehouse]\nroot = {root}/ptr_wh\ncommit_mode = pointer\n"
+            f"[raw]\npath = {root}/raw\n"
+        )
+    assert main(["--config", ini, "--run-etl", env["etl_dir"]]) == 0
+    assert main(["--config", ini, "--run-etl", env["etl_dir"]]) == 0
+    capsys.readouterr()
+
+    assert main(["--config", ini, "--list-txns"]) == 0
+    out = capsys.readouterr().out
+    assert "txn 1" in out and "txn 2 (live)" in out
+    assert "omop/person -> v" in out
+
+    from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+    wh = Warehouse(f"{root}/ptr_wh", commit_mode="pointer")
+    n_run = wh.read_snapshot(spark, "omop", "person").count()
+
+    # warehouse-wide restore to the first run's view
+    assert main(["--config", ini, "--restore-txn", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "restored transaction 1" in out and "new transaction 3" in out
+    assert wh.snapshot() == wh.snapshot(txn=1)
+    assert wh.read_snapshot(spark, "omop", "person").count() == n_run
+
+    # drift one table, then recover against the live manifest
+    wh.write(
+        spark.createDataFrame([("P1",)], "person_id string"), "omop", "person"
+    )
+    assert main(["--config", ini, "--txn-recover"]) == 0
+    out = capsys.readouterr().out
+    assert "repointed omop/person" in out
+    assert wh.read_snapshot(spark, "omop", "person").count() == n_run
+    assert wh.read(spark, "omop", "person").count() == n_run
