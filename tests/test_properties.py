@@ -391,3 +391,97 @@ def test_pointer_commit_interleaving_law(ops):
             assert len(list_versions(table)) <= 4
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# multi-table transaction law (r13): after ANY interleaving of committed
+# transactions, mid-transaction crashes, explicit rollbacks, and
+# recoveries, a snapshot reader resolving through the warehouse manifest
+# sees the LAST COMMITTED transaction's payload on EVERY table — the two
+# tables always agree (no torn cross-table view), and recovery restores
+# the live table pointers to the manifest without moving the view.
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["commit", "crash_mid", "rollback", "recover"]),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_txn_manifest_interleaving_law(ops):
+    import os
+    import shutil
+    import tempfile
+
+    from rabbit_in_a_blender_spark.core.commit import (
+        _vdir,
+        current_version,
+        pointer_commit,
+    )
+    from rabbit_in_a_blender_spark.pipeline.txn import live_manifest
+    from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+    root = tempfile.mkdtemp(prefix="riab_txn_prop_")
+    try:
+        wh = Warehouse(os.path.join(root, "wh"), commit_mode="pointer")
+
+        def put(table, payload):
+            # the seal path: a plain pointer commit + txn.include —
+            # exactly how the ETL stages tables during a run
+            def write_fn(d):
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, "payload.txt"), "w") as f:
+                    f.write(str(payload))
+
+            pointer_commit(write_fn, wh.path("omop", table))
+
+        def snap_payloads():
+            _, tables = live_manifest(wh)
+            out = {}
+            for key, ver in tables.items():
+                zone, _, table = key.partition("/")
+                with open(
+                    os.path.join(_vdir(wh.path(zone, table), ver), "payload.txt")
+                ) as f:
+                    out[key] = f.read()
+            return out
+
+        committed = None
+        for n, op in enumerate(ops, start=1):
+            if op == "commit":
+                txn = wh.begin()
+                put("a", n)
+                txn.include("omop", "a")
+                put("b", n)
+                txn.include("omop", "b")
+                txn.commit()
+                committed = n
+            elif op == "crash_mid":
+                txn = wh.begin()
+                put("a", n)
+                txn.include("omop", "a")
+                # txn object abandoned: simulated process death
+            elif op == "rollback":
+                txn = wh.begin()
+                put("a", n)
+                txn.include("omop", "a")
+                put("b", n)
+                txn.include("omop", "b")
+                txn.rollback()
+            elif op == "recover":
+                wh.txn_recover()
+
+            # the law, after EVERY operation
+            if committed is None:
+                assert snap_payloads() == {}
+            else:
+                assert snap_payloads() == {
+                    "omop/a": str(committed),
+                    "omop/b": str(committed),
+                }
+            if op == "recover" and committed is not None:
+                _, tables = live_manifest(wh)
+                for key, ver in tables.items():
+                    zone, _, table = key.partition("/")
+                    assert current_version(wh.path(zone, table)) == ver
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
