@@ -156,3 +156,31 @@ def test_txn_requires_pointer_mode_and_tracks_versions(spark, tmp_path):
         txn.write(_rows(spark, 0, 1), "omop", "t")
     with pytest.raises(ValueError, match="no transaction 9"):
         wh.snapshot(txn=9)
+
+
+def test_txn_on_uri_root_through_hadoop_fs(spark, tmp_path):
+    """The whole transaction lifecycle on a file:// URI root — every
+    manifest/pin/pointer operation routed through the session's Hadoop
+    FileSystem (the same JVM connector stack an hdfs:// or s3a://
+    warehouse resolves)."""
+    wh = Warehouse(
+        "file://" + str(tmp_path / "uri_txn_wh"), commit_mode="pointer"
+    )
+    with wh.transaction() as txn:
+        txn.write(_rows(spark, 0, 8), "omop", "a")
+        txn.write(_rows(spark, 50, 53), "omop", "b")
+    assert wh.list_txns() == [1]
+    assert wh.snapshot() == {"omop/a": 1, "omop/b": 1}
+    assert _ids(wh.read_snapshot(spark, "omop", "a")) == list(range(8))
+
+    # crash mid-txn, recover, then a clean second txn
+    txn2 = wh.begin()
+    txn2.write(_rows(spark, 900, 905), "omop", "a")
+    assert _ids(wh.read_snapshot(spark, "omop", "a")) == list(range(8))
+    assert wh.txn_recover() == {"omop/a": 1}
+    with wh.transaction() as txn:
+        txn.write(_rows(spark, 10, 12), "omop", "a")
+    assert _ids(wh.read_snapshot(spark, "omop", "a")) == [10, 11]
+    assert _ids(wh.read_snapshot(spark, "omop", "a", txn=1)) == list(range(8))
+    # pins survive on the URI route too
+    assert read_pins(wh.path("omop", "a")) >= {1}
