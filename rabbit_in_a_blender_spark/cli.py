@@ -61,6 +61,17 @@ def build_parser() -> argparse.ArgumentParser:
     g = p.add_argument_group("commands")
     g.add_argument("-cd", "--create-db", action="store_true",
                    help="Create the (empty) OMOP CDM tables in the omop zone")
+    g.add_argument("--migrate-db", action="store_true",
+                   help="Evolve every omop table to the registry's "
+                        "schema (CDM upgrade path): create missing "
+                        "tables empty, add/drop/retype drifted columns "
+                        "through the atomic commit path; prints the "
+                        "per-table change report. Lossy casts are "
+                        "refused unless --allow-narrowing")
+    g.add_argument("--allow-narrowing", action="store_true",
+                   help="With --migrate-db: force lossy casts via "
+                        "try_cast (overflow becomes NULL) instead of "
+                        "refusing them")
     g.add_argument("-tdc", "--test-db-connection", action="store_true",
                    help="Test the Spark session + warehouse root are reachable")
     g.add_argument("-cf", "--create-folders", metavar="PATH",
@@ -1997,6 +2008,24 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 created.append(tname)
         print(f"created {len(created)} empty OMOP tables in {wh_root}/omop")
+        return 0
+
+    if args.migrate_db:
+        from .pipeline.evolve import migrate_to_registry
+
+        report = migrate_to_registry(
+            wh, spark, registry, allow_narrowing=args.allow_narrowing
+        )
+        changed = 0
+        for tname in sorted(report):
+            changes = report[tname]
+            if changes:
+                changed += 1
+                print(f"{tname}: {', '.join(changes)}")
+        print(
+            f"migrated {changed}/{len(report)} tables to the registry "
+            f"schema in {wh_root}/omop"
+        )
         return 0
 
     if args.import_vocabularies:

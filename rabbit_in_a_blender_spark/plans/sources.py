@@ -1010,3 +1010,88 @@ def wh_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step long, action string, n_a long, n_b long"
     )
+
+
+@register(
+    "wh_schema_evolution",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS step, 'seed_old_schema' AS action,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows,
+           CAST(3 AS BIGINT) AS n_cols,
+           ROUND(0.0, 2) AS score_sum
+    UNION ALL
+    SELECT 2, 'read_evolved_zero_rewrite',
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+           CAST(3 AS BIGINT),
+           ROUND((SELECT COUNT(*) FROM nation) * 0.5, 2)
+    UNION ALL
+    SELECT 3, 'evolve_rewrite',
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+           CAST(3 AS BIGINT),
+           ROUND((SELECT COUNT(*) FROM nation) * 0.5, 2)
+    UNION ALL
+    SELECT 4, 'restore_undo',
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+           CAST(3 AS BIGINT),
+           ROUND(0.0, 2)
+    """,
+    doc="Schema evolution (pipeline/evolve.py, r13) under the hash "
+    "gate: a table seeded with a drifted schema (int32 key, stray "
+    "legacy column) is evolved to its target (int64 key, legacy "
+    "dropped, score double added with default 0.5) twice — first "
+    "READ-SIDE (read_evolved: one narrow projection Catalyst folds "
+    "into the scan; zero rewrite, the 100 TB rung for additive drift), "
+    "then as an atomic REWRITE (evolve) whose pre-evolution schema "
+    "survives as a pointer version, proven by the restore_undo step "
+    "flipping back to it with zero data I/O.  The ledger records "
+    "(rows, surviving column count, sum of the defaulted column) at "
+    "each step; the oracle states the expected shape from nation, so "
+    "an evolution that loses rows, keeps dropped columns, or "
+    "mis-defaults hash-mismatches.",
+)
+def wh_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as Ty
+
+    from ..pipeline.evolve import evolve, read_evolved
+
+    nation = load_tables(spark, sf_dir, "nation")["nation"]
+    wh = Warehouse(
+        tempfile.mkdtemp(prefix="riab_evolve_"), commit_mode="pointer"
+    )
+    old = nation.select(
+        F.col("n_nationkey").cast("int").alias("key"),
+        F.col("n_name").alias("name"),
+        F.lit("junk").alias("legacy"),
+    )
+    wh.write(old, "omop", "t")
+    target = Ty.StructType(
+        [
+            Ty.StructField("key", Ty.LongType()),
+            Ty.StructField("name", Ty.StringType()),
+            Ty.StructField("score", Ty.DoubleType()),
+        ]
+    )
+
+    def ledger(step, action, df, has_score):
+        score = (
+            df.agg(F.sum("score")).collect()[0][0] if has_score else 0.0
+        )
+        return (
+            step, action, df.count(), len(df.columns),
+            round(float(score or 0.0), 2),
+        )
+
+    rows = [ledger(1, "seed_old_schema", wh.read(spark, "omop", "t"), False)]
+    evolved = read_evolved(
+        wh, spark, "omop", "t", target, defaults={"score": 0.5}
+    )
+    rows.append(ledger(2, "read_evolved_zero_rewrite", evolved, True))
+    evolve(wh, spark, "omop", "t", target, defaults={"score": 0.5})
+    rows.append(ledger(3, "evolve_rewrite", wh.read(spark, "omop", "t"), True))
+    wh.restore_version(spark, "omop", "t", 1)
+    rows.append(ledger(4, "restore_undo", wh.read(spark, "omop", "t"), False))
+    return spark.createDataFrame(
+        rows,
+        "step long, action string, n_rows long, n_cols long, "
+        "score_sum double",
+    )

@@ -1100,3 +1100,30 @@ def test_cli_txn_verbs_on_pointer_warehouse(env, spark, capsys):
     assert "repointed omop/person" in out
     assert wh.read_snapshot(spark, "omop", "person").count() == n_run
     assert wh.read(spark, "omop", "person").count() == n_run
+
+
+def test_cli_migrate_db(env, spark, capsys):
+    """--migrate-db (r13): creates missing CDM tables empty and evolves
+    drifted ones to the registry schema through the atomic commit
+    path."""
+    ini = env["ini"]
+    root = env["root"]
+    # plant a drifted person table: int32 id, a stray column
+    spark.createDataFrame(
+        [(1, "stray")], "person_id int, legacy string"
+    ).write.mode("overwrite").parquet(
+        os.path.join(root, "warehouse", "omop", "person")
+    )
+    assert main(["--config", ini, "--migrate-db"]) == 0
+    out = capsys.readouterr().out
+    assert "person:" in out and "-legacy" in out
+    assert "~person_id:int->bigint" in out
+    person = spark.read.parquet(
+        os.path.join(root, "warehouse", "omop", "person")
+    )
+    assert "legacy" not in person.columns
+    assert dict(person.dtypes)["person_id"] == "bigint"
+    # idempotent: second run reports zero changes
+    assert main(["--config", ini, "--migrate-db"]) == 0
+    out = capsys.readouterr().out
+    assert "migrated 0/" in out
