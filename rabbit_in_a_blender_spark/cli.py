@@ -497,6 +497,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "manifest after a crashed run: every manifest "
                         "table whose live version drifted is repointed "
                         "back (zero data I/O)")
+    x.add_argument("--vacuum", action="store_true",
+                   help="Reclaim dead warehouse space without "
+                        "committing: crash-orphan version dirs, stale "
+                        "temp pointer files, versions beyond retention "
+                        "(never live, never manifest-pinned); retires "
+                        "old transaction manifests first and re-derives "
+                        "pins, so expired transactions release their "
+                        "versions. Prints per-table dirs/bytes freed")
     x.add_argument("--restore-txn", type=int, metavar="N",
                    help="Warehouse-wide time travel: repoint every "
                         "table to its version in transaction N and "
@@ -1952,6 +1960,20 @@ def main(argv: list[str] | None = None) -> int:
             print(f"txn {t}{mark}: {len(snap)} tables")
         for key, ver in sorted(wh.snapshot().items()):
             print(f"  {key} -> v{ver:06d}")
+        return 0
+
+    if args.vacuum:
+        report = wh.vacuum()
+        freed_dirs = sum(d for d, _ in report.values())
+        freed_bytes = sum(b for _, b in report.values())
+        for key in sorted(report):
+            d, b = report[key]
+            if d:
+                print(f"{key}: {d} version dirs, {b:,} bytes freed")
+        print(
+            f"vacuumed {len(report)} pointer tables: {freed_dirs} dirs, "
+            f"{freed_bytes:,} bytes freed"
+        )
         return 0
 
     if args.txn_recover:

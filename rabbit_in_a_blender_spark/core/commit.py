@@ -694,6 +694,57 @@ def pointer_commit(
         _release_lock(fs, path, token)
 
 
+def vacuum_table(
+    path: str,
+    keep: int | None = None,
+    stale_lock_sec: float = DEFAULT_STALE_LOCK_SEC,
+) -> tuple[int, int]:
+    """Reclaim a pointer table's dead space WITHOUT committing:
+    crash-orphan version dirs (numbered above the high-water mark),
+    stale pointer temp files, and versions beyond the retention —
+    sparing the live version and every ``_PINS``-pinned one, exactly
+    like the commit-time prune.  Runs under the commit lock (a
+    concurrent writer raises :class:`ConcurrentCommitError`).
+
+    Returns ``(dirs_removed, bytes_reclaimed)``.  ``keep=None`` uses
+    the table's persisted retention (or the default); ``keep=0``
+    removes orphans/temps only.
+    """
+    fs = _fs_for(path)
+    token = uuid.uuid4().hex
+    _acquire_lock(fs, path, token, stale_lock_sec)
+    try:
+        live, persisted_keep, hw = _read_pointer(fs, path)
+        if live is None:
+            raise FileNotFoundError(f"{path} has no {POINTER} file")
+        eff_keep = (
+            keep if keep is not None
+            else persisted_keep if persisted_keep is not None
+            else DEFAULT_KEEP
+        )
+        base = max(hw or 0, live)
+        victims = [v for v in list_versions(path) if v > base]
+        if eff_keep > 0:
+            pinned = read_pins(path)
+            victims += [
+                v
+                for v in list_versions(path)[:-eff_keep]
+                if v <= base and v != live and v not in pinned
+            ]
+        n_dirs, n_bytes = 0, 0
+        for v in victims:
+            d = _vdir(path, v)
+            n_bytes += sum(size for _, size in fs.walkfiles(d))
+            fs.delete(d, recursive=True)
+            n_dirs += 1
+        for name in fs.listdir(path):
+            if name.startswith(f".{POINTER}.") and name.endswith(".tmp"):
+                fs.delete(_join(path, name))
+        return n_dirs, n_bytes
+    finally:
+        _release_lock(fs, path, token)
+
+
 def repoint(
     path: str,
     version: int,

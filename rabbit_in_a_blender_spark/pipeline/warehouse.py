@@ -595,6 +595,47 @@ class Warehouse:
 
         return txn_recover(self)
 
+    def vacuum(self, zones: list[str] | None = None) -> dict[str, tuple[int, int]]:
+        """Reclaim dead space across the warehouse WITHOUT committing:
+        per pointer table, crash-orphan version dirs, stale temp
+        pointer files, and versions beyond retention (never the live
+        version, never a manifest-pinned one).  The transaction
+        manifest is vacuumed first and every table's ``_PINS`` file
+        re-derived from the manifests that survive, so retiring old
+        transactions is what actually releases their pinned versions.
+
+        Returns ``{"zone/table": (dirs_removed, bytes_reclaimed)}``
+        (the manifest under key ``"_TXN"``).  Zero data is ever read —
+        pure metadata walks, safe to run concurrently with readers
+        (they resolve through pointers; nothing live or pinned moves).
+        """
+        from ..core.commit import (
+            PINS,
+            is_pointer_table,
+            vacuum_table,
+        )
+        from .txn import _refresh_pins, _txn_path, live_manifest
+
+        report: dict[str, tuple[int, int]] = {}
+        fs = self._fs()
+        tp = _txn_path(self)
+        if is_pointer_table(tp):
+            report["_TXN"] = vacuum_table(tp)
+            # recompute pins from the manifests that survived, for
+            # every table that is pinned or manifest-listed
+            pinned_tables = set(live_manifest(self)[1])
+            for zone in ZONES:
+                for t in self.list_tables(zone):
+                    if fs.isfile(self._join(zone, t, PINS)):
+                        pinned_tables.add(f"{zone}/{t}")
+            _refresh_pins(self, pinned_tables)
+        for zone in zones or ZONES:
+            for t in self.list_tables(zone):
+                p = self.path(zone, t)
+                if is_pointer_table(p):
+                    report[f"{zone}/{t}"] = vacuum_table(p)
+        return report
+
     def drop(self, zone: str, table: str) -> None:
         self._fs().delete(self.path(zone, table), recursive=True)
 

@@ -1127,3 +1127,27 @@ def test_cli_migrate_db(env, spark, capsys):
     assert main(["--config", ini, "--migrate-db"]) == 0
     out = capsys.readouterr().out
     assert "migrated 0/" in out
+
+
+def test_cli_vacuum(env, spark, capsys):
+    """--vacuum (r13): reports per-table reclamation on a pointer
+    warehouse and leaves live data intact."""
+    root = env["root"]
+    ini = os.path.join(root, "riab_vac.ini")
+    with open(ini, "w") as f:
+        f.write(
+            f"[warehouse]\nroot = {root}/vac_wh\ncommit_mode = pointer\n"
+            f"[raw]\npath = {root}/raw\n"
+        )
+    assert main(["--config", ini, "--run-etl", env["etl_dir"]]) == 0
+    # churn versions beyond retention
+    for _ in range(5):
+        assert main(["--config", ini, "--run-etl", env["etl_dir"]]) == 0
+    capsys.readouterr()
+    assert main(["--config", ini, "--vacuum"]) == 0
+    out = capsys.readouterr().out
+    assert "vacuumed" in out and "pointer tables" in out
+    from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+    wh = Warehouse(f"{root}/vac_wh", commit_mode="pointer")
+    assert wh.read_snapshot(spark, "omop", "person").count() > 0

@@ -184,3 +184,46 @@ def test_txn_on_uri_root_through_hadoop_fs(spark, tmp_path):
     assert _ids(wh.read_snapshot(spark, "omop", "a", txn=1)) == list(range(8))
     # pins survive on the URI route too
     assert read_pins(wh.path("omop", "a")) >= {1}
+
+
+def test_vacuum_reclaims_orphans_and_respects_pins(spark, tmp_path):
+    """r13 vacuum: crash orphans and beyond-retention versions are
+    reclaimed without a commit; the live version and manifest-pinned
+    versions survive; retiring old transactions (manifest retention)
+    is what releases their pins."""
+    from rabbit_in_a_blender_spark.core.commit import pointer_commit
+
+    wh = Warehouse(str(tmp_path / "wh"), commit_mode="pointer")
+    with wh.transaction() as txn:
+        txn.write(_rows(spark, 0, 7), "omop", "t")
+    target = wh.path("omop", "t")
+    # plain-write storm + a crash orphan
+    for i in range(4):
+        wh.write(_rows(spark, 0, i + 1), "omop", "t")
+
+    def crashy(d):
+        _rows(spark, 0, 99).write.mode("overwrite").parquet(d)
+        raise RuntimeError("simulated crash before publish")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pointer_commit(crashy, target)
+    orphan = max(list_versions(target))
+    report = wh.vacuum()
+    assert orphan not in list_versions(target)
+    assert 1 in list_versions(target)  # pinned by the live manifest
+    d, b = report["omop/t"]
+    assert d >= 1 and b > 0
+    assert _ids(wh.read_snapshot(spark, "omop", "t")) == list(range(7))
+    assert wh.read(spark, "omop", "t").count() == 4  # live untouched
+
+    # three more transactions retire manifest 1 (default keep=3); the
+    # NEXT vacuum releases v1's pin and reclaims it
+    for i in range(3):
+        with wh.transaction() as txn:
+            txn.write(_rows(spark, 0, 10 + i), "omop", "t")
+    report2 = wh.vacuum()
+    assert 1 not in list_versions(target)
+    assert wh.list_txns() == [2, 3, 4]
+    # everything still resolves: live + each retained txn
+    for t in wh.list_txns():
+        assert wh.read_snapshot(spark, "omop", "t", txn=t).count() >= 0
