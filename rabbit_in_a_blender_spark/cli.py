@@ -497,6 +497,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "manifest after a crashed run: every manifest "
                         "table whose live version drifted is repointed "
                         "back (zero data I/O)")
+    x.add_argument("--wds-export", metavar="DOCS",
+                   help="Export a corpus to WebDataset tar shards "
+                        "(--out DIR required): each doc becomes one "
+                        "sample (member <id>.txt), hash-sharded into "
+                        "--shards tars (default 8), deterministic "
+                        "bytes, atomic per-shard rename; prints the "
+                        "shard index")
     x.add_argument("--vacuum", action="store_true",
                    help="Reclaim dead warehouse space without "
                         "committing: crash-orphan version dirs, stale "
@@ -533,6 +540,38 @@ def _ext_session(cfg):
             else None
         ),
     )
+
+
+def _wds_export(args, cfg) -> int:
+    """Corpus → WebDataset tar shards (sources/webdataset.py, r13)."""
+    from pyspark.sql import functions as F
+
+    if not args.out:
+        raise SystemExit("--wds-export needs --out DIR for the shards")
+    spark = _ext_session(cfg)
+    docs = _load_corpus(spark, args.wds_export)
+    for c in (args.id_col, args.text_col):
+        if c not in docs.columns:
+            raise SystemExit(
+                f"column {c!r} not in {args.wds_export} ({docs.columns})"
+            )
+    from .sources.webdataset import write_webdataset
+
+    samples = docs.select(
+        F.col(args.id_col).cast("string").alias("key"),
+        F.map_from_arrays(
+            F.array(F.lit("txt")),
+            F.array(F.encode(F.col(args.text_col), "utf-8")),
+        ).alias("parts"),
+    )
+    idx = write_webdataset(samples, args.out, n_shards=args.shards).collect()
+    for r in sorted(idx, key=lambda r: r["shard"]):
+        print(
+            f"{r['shard']}: {r['n_samples']} samples, "
+            f"{r['n_members']} members, {r['n_bytes']:,} bytes"
+        )
+    print(f"exported {sum(r['n_samples'] for r in idx)} samples -> {args.out}")
+    return 0
 
 
 def _corpus_normalize(args, cfg) -> int:
@@ -1861,6 +1900,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.corpus_normalize:
         return _corpus_normalize(args, cfg)
+
+    if args.wds_export:
+        return _wds_export(args, cfg)
 
     if args.passage_dedup:
         return _passage_dedup(args, cfg)

@@ -1095,3 +1095,63 @@ def wh_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step long, action string, n_rows long, n_cols long, "
         "score_sum double",
     )
+
+
+@register(
+    "src_webdataset_export",
+    oracle="""
+    SELECT printf('%08d', doc_id) AS key,
+           CAST(2 AS BIGINT) AS n_parts,
+           CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+           CAST(octet_length(encode(
+               '{"id": ' || CAST(doc_id AS VARCHAR) || '}'
+           )) AS BIGINT) AS json_bytes
+    FROM documents WHERE doc_id < 40
+    """,
+    doc="The DISTRIBUTED write half of the WebDataset round trip "
+    "(sources/webdataset.py::write_webdataset, r13): the first 40 "
+    "documents become samples (txt + json parts), are exported to tar "
+    "shards via hash-assigned shard ids + one payload exchange + "
+    "applyInPandas tar writers (zeroed mtimes, (key, ext)-ordered "
+    "members, atomic .inprogress rename — shard bytes are a pure "
+    "function of corpus content), then read BACK through the "
+    "binaryFile + mapInPandas member parser and re-grouped into "
+    "samples.  The oracle restates every payload's byte length from "
+    "the source table, so an exporter that drops samples, mangles "
+    "member names, or truncates bytes hash-mismatches.  Scale shape: "
+    "no global sort (shard ids are xxhash64 mod N), the single "
+    "exchange carries each payload exactly once, one tar per group.",
+)
+def src_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.webdataset import (
+        read_tar_shards,
+        samples_from_members,
+        write_webdataset,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") < 40)
+        .select(
+            F.format_string("%08d", F.col("doc_id")).alias("key"),
+            F.map_from_arrays(
+                F.array(F.lit("txt"), F.lit("json")),
+                F.array(
+                    F.encode(F.col("text"), "utf-8"),
+                    F.encode(
+                        F.format_string('{"id": %d}', F.col("doc_id")),
+                        "utf-8",
+                    ),
+                ),
+            ).alias("parts"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="riab_wds_export_")
+    write_webdataset(docs, root, samples_per_shard=16).collect()
+    samples = samples_from_members(read_tar_shards(spark, root))
+    return samples.select(
+        "key",
+        "n_parts",
+        F.length(F.element_at("parts", "txt")).cast("long").alias("txt_bytes"),
+        F.length(F.element_at("parts", "json")).cast("long").alias("json_bytes"),
+    )

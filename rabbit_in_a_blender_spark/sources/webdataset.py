@@ -127,6 +127,94 @@ def samples_from_members(members: DataFrame) -> DataFrame:
     )
 
 
+def write_webdataset(
+    samples: DataFrame,
+    out_dir: str,
+    n_shards: int | None = None,
+    samples_per_shard: int = 1000,
+    key_col: str = "key",
+    parts_col: str = "parts",
+) -> DataFrame:
+    """DISTRIBUTED tar-shard export — the write half of the WebDataset
+    round trip (training pipelines consume the shards this layout was
+    made for).  ``samples`` is the :func:`samples_from_members` shape:
+    one row per sample, ``key_col`` string + ``parts_col``
+    ``map<ext, binary>``.
+
+    Spark-first shape: each sample is assigned a shard by
+    ``pmod(xxhash64(key), n_shards)`` — deterministic and balanced
+    with NO global sort (a row_number ordering would serialize the
+    corpus through one partition) — then ONE exchange on the shard id
+    (the unavoidable one: it carries each payload exactly once) feeds
+    ``applyInPandas``, where each group writes its tar with zeroed
+    mtimes, members ordered by (key, ext), via an ``.inprogress`` temp
+    + atomic rename.  Shard BYTES are therefore a pure function of the
+    corpus content: re-running the export reproduces identical tars.
+
+    Returns the shard index (shard, n_samples, n_members, n_bytes) —
+    write it next to the shards as the manifest.  Constraints, stated:
+    one shard must fit an executor's memory (pick ``samples_per_shard``
+    accordingly — same bound as the reader), and ``out_dir`` must be a
+    path every executor can write (local/NFS/fuse mount; for raw
+    object stores, export to the mount or stage+upload).
+    """
+    import math
+    import os
+
+    if n_shards is None:
+        n_shards = max(
+            1, math.ceil(samples.count() / max(1, samples_per_shard))
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    tagged = samples.select(
+        F.col(key_col).alias("key"),
+        F.col(parts_col).alias("parts"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("_shard"),
+    )
+
+    def write_group(pdf):
+        import io
+        import tarfile
+        import uuid as _uuid
+
+        import pandas as pd
+
+        sid = int(pdf["_shard"].iloc[0])
+        name = f"shard-{sid:05d}.tar"
+        final = os.path.join(out_dir, name)
+        tmp = os.path.join(out_dir, f".{name}.{_uuid.uuid4().hex}.inprogress")
+        n_members = 0
+        order = pdf.sort_values("key")
+        with tarfile.open(tmp, "w") as tf:
+            for key, parts in zip(order["key"], order["parts"]):
+                for ext in sorted(parts):
+                    payload = bytes(parts[ext])
+                    info = tarfile.TarInfo(
+                        name=f"{key}.{ext}" if ext else key
+                    )
+                    info.size = len(payload)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(payload))
+                    n_members += 1
+        size = os.path.getsize(tmp)
+        os.replace(tmp, final)
+        return pd.DataFrame(
+            {
+                "shard": [name],
+                "n_samples": [len(pdf)],
+                "n_members": [n_members],
+                "n_bytes": [size],
+            }
+        )
+
+    return tagged.groupBy("_shard").applyInPandas(
+        write_group,
+        "shard string, n_samples long, n_members long, n_bytes long",
+    )
+
+
 def write_tar_shard(rows: list[tuple[str, bytes]], out_path: str) -> int:
     """Driver-side helper for tests/fixtures: write ``(member name,
     bytes)`` pairs into one tar at ``out_path`` with zeroed mtimes (so

@@ -275,3 +275,62 @@ def test_rel_dir_uri_and_plain_forms():
         _rel_dir("s3a://bkt/t/batch=2/cell=0/x.parquet", "s3a://bkt/t")
         == "batch=2/cell=0"
     )
+
+
+def test_webdataset_distributed_export_roundtrip(spark, tmp_path):
+    """r13 write half: write_webdataset shards a sample frame into
+    deterministic tars via applyInPandas; reading them back through
+    read_tar_shards + samples_from_members reproduces every payload,
+    and re-running the export reproduces byte-identical shards."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rabbit_in_a_blender_spark.sources.webdataset import (
+        read_tar_shards,
+        samples_from_members,
+        write_webdataset,
+    )
+
+    samples = spark.range(0, 37).select(
+        F.format_string("%08d", F.col("id")).alias("key"),
+        F.map_from_arrays(
+            F.array(F.lit("txt"), F.lit("json")),
+            F.array(
+                F.encode(F.format_string("payload-%d", F.col("id")), "utf-8"),
+                F.encode(F.format_string('{"id": %d}', F.col("id")), "utf-8"),
+            ),
+        ).alias("parts"),
+    )
+    out1 = str(tmp_path / "export1")
+    idx = write_webdataset(samples, out1, samples_per_shard=10).collect()
+    assert sum(r["n_samples"] for r in idx) == 37
+    assert sum(r["n_members"] for r in idx) == 74
+    assert all(r["n_bytes"] > 0 for r in idx)
+    shards = sorted(f for f in os.listdir(out1) if f.endswith(".tar"))
+    assert shards == sorted(r["shard"] for r in idx)
+    assert not any(f.endswith(".inprogress") for f in os.listdir(out1))
+
+    back = samples_from_members(read_tar_shards(spark, out1))
+    assert back.count() == 37
+    got = {
+        r["key"]: dict(r["parts"]) for r in back.collect()
+    }
+    assert bytes(got["00000005"]["txt"]) == b"payload-5"
+    assert bytes(got["00000011"]["json"]) == b'{"id": 11}'
+
+    # determinism: a second export writes byte-identical shards
+    out2 = str(tmp_path / "export2")
+    write_webdataset(samples, out2, samples_per_shard=10).collect()
+
+    def digest(d):
+        out = {}
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".tar"):
+                out[f] = hashlib.sha256(
+                    open(os.path.join(d, f), "rb").read()
+                ).hexdigest()
+        return out
+
+    assert digest(out1) == digest(out2)
