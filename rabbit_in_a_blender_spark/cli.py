@@ -504,6 +504,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "--shards tars (default 8), deterministic "
                         "bytes, atomic per-shard rename; prints the "
                         "shard index")
+    x.add_argument("--at-txn", type=int, metavar="N",
+                   help="With -dq/-dqd/-ach on a pointer warehouse: "
+                        "read omop tables through transaction N's "
+                        "manifest (a frozen consistent view) instead "
+                        "of the live pointers — reproducible quality "
+                        "runs even while an ETL is writing; 0 = the "
+                        "latest committed transaction")
     x.add_argument("--vacuum", action="store_true",
                    help="Reclaim dead warehouse space without "
                         "committing: crash-orphan version dirs, stale "
@@ -1983,10 +1990,19 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     def _omop_reader():
+        # --at-txn freezes the quality verbs (-dq/-dqd/-ach) on one
+        # transaction's consistent cross-table view (pipeline/txn.py)
+        # — safe to run while an ETL writes, reproducible afterwards
+        src = (
+            wh.at_snapshot(args.at_txn or None)
+            if args.at_txn is not None
+            else wh
+        )
+
         def read(table):
-            if not wh.exists("omop", table):
+            if not src.exists("omop", table):
                 return None
-            return wh.read(spark, "omop", table)
+            return src.read(spark, "omop", table)
 
         return read
 

@@ -126,7 +126,9 @@ class Warehouse:
         Staged write + rename: the plan may lazily READ the table being
         replaced (e.g. swap-table extension on re-runs) — a plain
         overwrite would delete the input files mid-job.  Rename is atomic
-        on posix/HDFS; on object stores swap in Delta instead.
+        on posix/HDFS; on object stores use ``commit_mode="pointer"``
+        (the manifest/pointer swap needs only atomic single-object
+        replace).
 
         ``cluster_by`` is the BigQuery CLUSTER BY analog: range-partition
         + sort on the keys, so each parquet file covers a narrow key
@@ -211,9 +213,9 @@ class Warehouse:
     # reader unchanged); snapshots live under <zone>/.snapshots/<table>/
     # v<NNN>.  Snapshotting the outgoing version is a RENAME of files the
     # atomic-rebuild path was about to delete — zero extra I/O at any
-    # table size.  (On object stores / for concurrent writers, use Delta
-    # or Iceberg — this covers the single-writer batch warehouse the
-    # reference targets.)
+    # table size.  (On object stores, pointer mode supersedes this
+    # whole section: version dirs ARE the snapshots, retention persists
+    # in the pointer file, and concurrent writers are locked out.)
 
     def _snap_dir(self, zone: str, table: str) -> str:
         assert zone in ZONES, zone
@@ -595,6 +597,15 @@ class Warehouse:
 
         return txn_recover(self)
 
+    def at_snapshot(self, txn: int | None = None) -> "SnapshotWarehouse":
+        """A READ-ONLY view of this warehouse frozen at a transaction
+        (live manifest by default): ``read``/``exists``/``list_tables``
+        resolve through the manifest's pinned versions, so any
+        downstream consumer — DQD, Achilles, analytics — runs against
+        one consistent cross-table view even while an ETL run is
+        writing.  Writes raise."""
+        return SnapshotWarehouse(self, txn)
+
     def vacuum(self, zones: list[str] | None = None) -> dict[str, tuple[int, int]]:
         """Reclaim dead space across the warehouse WITHOUT committing:
         per pointer table, crash-orphan version dirs, stale temp
@@ -646,3 +657,71 @@ class Warehouse:
             # hidden dirs are warehouse internals (.snapshots), not tables
             if not d.startswith(".")
         )
+
+
+class SnapshotWarehouse:
+    """Read-only warehouse view frozen at one transaction's manifest
+    (``Warehouse.at_snapshot``).  Reads resolve to the manifest's
+    pinned version dirs — immutable parquet, so the view stays
+    consistent for its whole lifetime regardless of concurrent writes,
+    and holding it costs nothing (no locks; pins already protect the
+    versions from pruning while the transaction is retained).
+
+    Only manifest tables are visible; zones/tables outside the
+    manifest read as absent (they carry no cross-table consistency).
+    Every mutating method raises.
+    """
+
+    def __init__(self, wh: Warehouse, txn: int | None = None):
+        from .txn import live_manifest, manifest_at
+
+        self._wh = wh
+        if txn is None:
+            txn, tables = live_manifest(wh)
+            if txn is None:
+                raise FileNotFoundError(
+                    f"warehouse {wh.root} has no committed transaction"
+                )
+        else:
+            tables = manifest_at(wh, txn)
+        self.txn = txn
+        self._tables = tables
+        self.root = wh.root
+
+    def _resolve(self, zone: str, table: str) -> str | None:
+        from ..core.commit import _vdir
+
+        ver = self._tables.get(f"{zone}/{table}")
+        if ver is None:
+            return None
+        return _vdir(self._wh.path(zone, table), ver)
+
+    def exists(self, zone: str, table: str) -> bool:
+        return f"{zone}/{table}" in self._tables
+
+    def read(self, spark: SparkSession, zone: str, table: str) -> DataFrame:
+        d = self._resolve(zone, table)
+        if d is None:
+            raise FileNotFoundError(
+                f"{zone}.{table} is not in transaction {self.txn}; "
+                f"tables: {sorted(self._tables)}"
+            )
+        return spark.read.parquet(d)
+
+    def list_tables(self, zone: str) -> list[str]:
+        prefix = zone + "/"
+        return sorted(
+            k[len(prefix):] for k in self._tables if k.startswith(prefix)
+        )
+
+    def path(self, zone: str, table: str) -> str:
+        return self._wh.path(zone, table)
+
+    def _readonly(self, *_args, **_kwargs):
+        raise TypeError(
+            f"warehouse snapshot (txn {self.txn}) is read-only — write "
+            "through the live Warehouse"
+        )
+
+    write = append = load = write_versioned = write_bucketed = _readonly
+    drop = compact = restore_version = vacuum = _readonly

@@ -1182,3 +1182,31 @@ def test_cli_wds_export(env, spark, capsys, tmpdir_):
     assert back.count() == 12
     row = {r["key"]: r for r in back.collect()}["7"]
     assert bytes(dict(row["parts"])["txt"]) == b"document text 7"
+
+
+def test_cli_data_quality_at_txn(env, spark, capsys):
+    """--at-txn (r13): -dq reads omop through a frozen transaction
+    manifest — the run is reproducible even after later ETL runs
+    change the live tables."""
+    root = env["root"]
+    ini = os.path.join(root, "riab_snap.ini")
+    with open(ini, "w") as f:
+        f.write(
+            f"[warehouse]\nroot = {root}/snap_wh\ncommit_mode = pointer\n"
+            f"[raw]\npath = {root}/raw\n"
+        )
+    assert main(["--config", ini, "--run-etl", env["etl_dir"]]) == 0
+    capsys.readouterr()
+    out_json = os.path.join(root, "dq_at_txn.json")
+    rc = main(
+        ["--config", ini, "--data-quality", "--at-txn", "1",
+         "--json", out_json]
+    )
+    assert rc in (0, 3)  # 3 = some checks failed (absent CDM tables)
+    assert os.path.isfile(out_json)
+    payload = json.load(open(out_json))
+    assert payload  # checks ran against the frozen view
+    # the latest-txn spelling works too
+    assert main(
+        ["--config", ini, "--data-quality", "--at-txn", "0"]
+    ) in (0, 3)

@@ -227,3 +227,30 @@ def test_vacuum_reclaims_orphans_and_respects_pins(spark, tmp_path):
     # everything still resolves: live + each retained txn
     for t in wh.list_txns():
         assert wh.read_snapshot(spark, "omop", "t", txn=t).count() >= 0
+
+
+def test_at_snapshot_is_a_frozen_readonly_view(spark, tmp_path):
+    """r13: at_snapshot() freezes one manifest — reads stay on it while
+    the live warehouse moves on; writes through the view raise."""
+    wh = Warehouse(str(tmp_path / "wh"), commit_mode="pointer")
+    with wh.transaction() as txn:
+        txn.write(_rows(spark, 0, 6), "omop", "a")
+        txn.write(_rows(spark, 0, 3), "omop", "b")
+    snap = wh.at_snapshot()
+    assert snap.txn == 1
+    assert snap.list_tables("omop") == ["a", "b"]
+    assert snap.exists("omop", "a") and not snap.exists("omop", "zzz")
+    # the live warehouse moves on; the view does not
+    with wh.transaction() as txn:
+        txn.write(_rows(spark, 0, 50), "omop", "a")
+    assert _ids(snap.read(spark, "omop", "a")) == list(range(6))
+    assert wh.at_snapshot().read(spark, "omop", "a").count() == 50
+    assert wh.at_snapshot(txn=1).read(spark, "omop", "a").count() == 6
+    with pytest.raises(TypeError, match="read-only"):
+        snap.write(_rows(spark, 0, 1), "omop", "a")
+    with pytest.raises(FileNotFoundError, match="not in transaction"):
+        snap.read(spark, "omop", "zzz")
+    # a warehouse with no committed transaction has no snapshot
+    empty = Warehouse(str(tmp_path / "empty"), commit_mode="pointer")
+    with pytest.raises(FileNotFoundError, match="no committed transaction"):
+        empty.at_snapshot()
