@@ -1,4 +1,16 @@
-from .warehouse import Warehouse
 from .etl import EtlPipeline, TableInputs
+from .evolve import diff_schema, evolve, migrate_to_registry, read_evolved
+from .txn import WarehouseTransaction
+from .warehouse import SnapshotWarehouse, Warehouse
 
-__all__ = ["Warehouse", "EtlPipeline", "TableInputs"]
+__all__ = [
+    "EtlPipeline",
+    "SnapshotWarehouse",
+    "TableInputs",
+    "Warehouse",
+    "WarehouseTransaction",
+    "diff_schema",
+    "evolve",
+    "migrate_to_registry",
+    "read_evolved",
+]
