@@ -254,3 +254,70 @@ def test_at_snapshot_is_a_frozen_readonly_view(spark, tmp_path):
     empty = Warehouse(str(tmp_path / "empty"), commit_mode="pointer")
     with pytest.raises(FileNotFoundError, match="no committed transaction"):
         empty.at_snapshot()
+
+
+def test_txn_concurrent_snapshot_readers_never_see_torn_views(tmp_path):
+    """Soak (r13): a writer commits 30 transactions (two tables, same
+    payload per txn) while 3 reader threads hammer the manifest; every
+    observed view must be SOME committed state with both tables
+    agreeing — never a torn mix, never a half-published manifest."""
+    import os
+    import threading
+
+    from rabbit_in_a_blender_spark.core.commit import _vdir, pointer_commit
+    from rabbit_in_a_blender_spark.pipeline.txn import live_manifest
+
+    wh = Warehouse(str(tmp_path / "wh"), commit_mode="pointer")
+
+    def put(table, payload):
+        def wf(d):
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "payload.txt"), "w") as f:
+                f.write(str(payload))
+
+        pointer_commit(wf, wh.path("omop", table))
+
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                _, tables = live_manifest(wh)
+            except FileNotFoundError:
+                continue
+            if not tables:
+                continue
+            seen = {}
+            for key, ver in tables.items():
+                zone, _, table = key.partition("/")
+                p = os.path.join(
+                    _vdir(wh.path(zone, table), ver), "payload.txt"
+                )
+                try:
+                    with open(p) as f:
+                        seen[key] = f.read()
+                except FileNotFoundError:
+                    errors.append(f"pinned version vanished: {p}")
+                    return
+            if len(set(seen.values())) > 1:
+                errors.append(f"torn view: {seen}")
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for n in range(1, 31):
+            txn = wh.begin()
+            put("a", n)
+            txn.include("omop", "a")
+            put("b", n)
+            txn.include("omop", "b")
+            txn.commit()
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+    assert errors == []
+    assert live_manifest(wh)[1] == {"omop/a": 30, "omop/b": 30}
