@@ -597,6 +597,28 @@ class Warehouse:
 
         return txn_recover(self)
 
+    def register_views(
+        self,
+        spark: SparkSession,
+        zones: tuple[str, ...] = ("omop",),
+        prefix: str | None = None,
+    ) -> list[str]:
+        """Register every table as a temp view ``<zone>_<table>`` (or
+        ``<prefix>_<table>``), so plain ``spark.sql`` queries the
+        warehouse — the BigQuery-SQL ergonomics the reference's users
+        have.  Views are lazy: each query re-resolves the table's
+        current pointer at registration time; re-register after
+        writes for the newest versions.  Returns the view names."""
+        out = []
+        for zone in zones:
+            for t in self.list_tables(zone):
+                if not self.exists(zone, t):
+                    continue
+                name = f"{prefix or zone}_{t}"
+                self.read(spark, zone, t).createOrReplaceTempView(name)
+                out.append(name)
+        return out
+
     def at_snapshot(self, txn: int | None = None) -> "SnapshotWarehouse":
         """A READ-ONLY view of this warehouse frozen at a transaction
         (live manifest by default): ``read``/``exists``/``list_tables``
@@ -716,6 +738,23 @@ class SnapshotWarehouse:
 
     def path(self, zone: str, table: str) -> str:
         return self._wh.path(zone, table)
+
+    def register_views(
+        self,
+        spark: SparkSession,
+        zones: tuple[str, ...] = ("omop",),
+        prefix: str | None = None,
+    ) -> list[str]:
+        """Temp views over the FROZEN manifest versions — ``spark.sql``
+        then queries one consistent cross-table state no matter what
+        the live warehouse does.  Returns the view names."""
+        out = []
+        for zone in zones:
+            for t in self.list_tables(zone):
+                name = f"{prefix or zone}_{t}"
+                self.read(spark, zone, t).createOrReplaceTempView(name)
+                out.append(name)
+        return out
 
     def _readonly(self, *_args, **_kwargs):
         raise TypeError(

@@ -321,3 +321,23 @@ def test_txn_concurrent_snapshot_readers_never_see_torn_views(tmp_path):
             t.join(timeout=30)
     assert errors == []
     assert live_manifest(wh)[1] == {"omop/a": 30, "omop/b": 30}
+
+
+def test_register_views_live_and_snapshot(spark, tmp_path):
+    """r13: spark.sql ergonomics — live views re-resolve the pointer at
+    registration; snapshot views stay pinned to their manifest."""
+    wh = Warehouse(str(tmp_path / "wh"), commit_mode="pointer")
+    with wh.transaction() as txn:
+        txn.write(_rows(spark, 0, 9), "omop", "a")
+    snap = wh.at_snapshot()
+    assert snap.register_views(spark, prefix="t1") == ["t1_a"]
+    with wh.transaction() as txn:
+        txn.write(_rows(spark, 0, 4), "omop", "a")
+    assert wh.register_views(spark) == ["omop_a"]
+    assert spark.sql("SELECT COUNT(*) c FROM omop_a").collect()[0]["c"] == 4
+    assert spark.sql("SELECT COUNT(*) c FROM t1_a").collect()[0]["c"] == 9
+    assert spark.sql(
+        "SELECT SUM(v) s FROM t1_a WHERE id < 3"
+    ).collect()[0]["s"] == 6
+    for v in ("omop_a", "t1_a"):
+        spark.catalog.dropTempView(v)
