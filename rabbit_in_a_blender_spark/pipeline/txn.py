@@ -93,14 +93,17 @@ def _read_manifest_dir(fs, d: str) -> dict[str, int]:
 
 def live_manifest(wh) -> tuple[int | None, dict[str, int]]:
     """(live txn id, table→version map) — (None, {}) before the first
-    transaction commits."""
-    from ..core.commit import current_version, fs_for, resolve_pointer
+    transaction commits.  One pointer read: the returned id and tables
+    always belong to the SAME manifest even under a concurrent
+    commit's flip (a current_version + resolve_pointer pair could
+    straddle it and mislabel the view)."""
+    from ..core.commit import _vdir, current_version, fs_for
 
     tp = _txn_path(wh)
     v = current_version(tp)
     if v is None:
         return None, {}
-    return v, _read_manifest_dir(fs_for(tp), resolve_pointer(tp))
+    return v, _read_manifest_dir(fs_for(tp), _vdir(tp, v))
 
 
 def manifest_at(wh, txn: int) -> dict[str, int]:
