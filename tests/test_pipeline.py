@@ -875,3 +875,63 @@ def test_etl_pointer_mode_seals_a_transaction_per_run(spark, tmp_path):
         wh.write(upload(i + 1), "omop", "person")
     assert wh.read_snapshot(spark, "omop", "person", txn=1).count() == 20
     assert wh.read_snapshot(spark, "omop", "person", txn=2).count() == 7
+
+
+def test_etl_crash_mid_run_leaves_snapshot_consistent(spark, tmp_path, monkeypatch):
+    """r13: a run that DIES between table writes (simulated by failing
+    the seal-adjacent stage-2 step) leaves snapshot readers on the
+    previous run's sealed view; txn_recover repoints the drifted
+    tables and the next clean run seals normally."""
+    from rabbit_in_a_blender_spark.core.registry import (
+        ColumnSpec,
+        SchemaRegistry,
+        TableSpec,
+    )
+    from rabbit_in_a_blender_spark.pipeline.etl import EtlPipeline, TableInputs
+    from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+    registry = SchemaRegistry(
+        [
+            TableSpec(
+                name="person",
+                columns=[
+                    ColumnSpec("person_id", "int64", required=True),
+                    ColumnSpec("name", "string"),
+                ],
+                pk="person_id",
+            ),
+        ]
+    )
+    wh = Warehouse(str(tmp_path / "crash_wh"), commit_mode="pointer")
+    pipe = EtlPipeline(spark, wh, registry)
+
+    def upload(n):
+        return spark.createDataFrame(
+            [(f"PK_{i}", f"name{i}") for i in range(n)],
+            "person_id string, name string",
+        )
+
+    pipe.run({"person": TableInputs(uploads=[upload(20)])})
+    assert wh.read_snapshot(spark, "omop", "person").count() == 20
+
+    # second run dies AFTER stage-1 wrote omop.person but BEFORE the
+    # seal: live pointer moved, manifest did not
+    boom = RuntimeError("simulated crash mid-run")
+
+    def exploding(self, spec):
+        raise boom
+
+    monkeypatch.setattr(EtlPipeline, "run_stage2", exploding)
+    with pytest.raises(RuntimeError, match="mid-run"):
+        pipe.run({"person": TableInputs(uploads=[upload(5)])})
+    monkeypatch.undo()
+    assert wh.read(spark, "omop", "person").count() == 5  # drifted
+    assert wh.read_snapshot(spark, "omop", "person").count() == 20
+    assert wh.list_txns() == [1]
+    # recovery heals the drift; the next clean run seals txn 2
+    assert wh.txn_recover() == {"omop/person": 1}
+    assert wh.read(spark, "omop", "person").count() == 20
+    pipe.run({"person": TableInputs(uploads=[upload(9)])})
+    assert wh.list_txns() == [1, 2]
+    assert wh.read_snapshot(spark, "omop", "person").count() == 9
+    assert wh.read_snapshot(spark, "omop", "person", txn=1).count() == 20
