@@ -535,12 +535,16 @@ def read_pins(path: str) -> set[int]:
 
 def write_pins(path: str, versions: set[int] | list[int]) -> None:
     """Atomically replace the table's pinned-version set; an empty set
-    removes the ``_PINS`` file."""
+    removes the ``_PINS`` file.  A table dir that no longer exists
+    (physically dropped while an older manifest still names it) is a
+    no-op — there are no version dirs left to protect."""
     fs = _fs_for(path)
     p = _join(path, PINS)
     vs = sorted(set(int(v) for v in versions))
     if not vs:
         fs.delete(p)
+        return
+    if not fs.isdir(path):
         return
     fs.write_text_atomic(p, "\n".join(str(v) for v in vs))
 

@@ -1044,4 +1044,23 @@ def _cleanup_tables(
         if warehouse._fs().isdir(warehouse.path("work", part)):
             warehouse.drop("work", part)
             dropped.append(f"work.{part}")
+    # on a sealed (transactional) warehouse, dropping the files alone
+    # would leave the live manifest naming deleted version dirs —
+    # snapshot readers of the cleaned tables would dangle.  Seal the
+    # drops as one transaction so the manifest flips consistently.
+    if warehouse.commit_mode == "pointer":
+        gone = {
+            key.split(".", 1)[1]
+            for key in dropped
+            if key.startswith("omop.")
+        }
+        if gone:
+            manifest = warehouse.snapshot() if warehouse.list_txns() else {}
+            named = {k.split("/", 1)[1] for k in manifest}
+            if gone & named:
+                txn = warehouse.begin()
+                for t in gone & named:
+                    txn.drop("omop", t)
+                txn.commit()
+                dropped.append("_TXN[manifest drop sealed]")
     return dropped

@@ -935,3 +935,53 @@ def test_etl_crash_mid_run_leaves_snapshot_consistent(spark, tmp_path, monkeypat
     assert wh.list_txns() == [1, 2]
     assert wh.read_snapshot(spark, "omop", "person").count() == 9
     assert wh.read_snapshot(spark, "omop", "person", txn=1).count() == 20
+
+
+def test_cleanup_seals_manifest_drops_on_pointer_warehouse(spark, tmp_path):
+    """r13: cleanup on a sealed warehouse commits a manifest-drop
+    transaction, so the LIVE snapshot never names deleted tables
+    (older manifests are best-effort after a physical drop — the
+    reference's cleanup is a hard drop)."""
+    from rabbit_in_a_blender_spark.core.registry import (
+        ColumnSpec,
+        SchemaRegistry,
+        TableSpec,
+    )
+    from rabbit_in_a_blender_spark.pipeline.etl import (
+        EtlPipeline,
+        TableInputs,
+        cleanup,
+    )
+    from rabbit_in_a_blender_spark.pipeline.warehouse import Warehouse
+
+    registry = SchemaRegistry(
+        [
+            TableSpec(
+                name="person",
+                columns=[
+                    ColumnSpec("person_id", "int64", required=True),
+                    ColumnSpec("name", "string"),
+                ],
+                pk="person_id",
+            ),
+        ]
+    )
+    wh = Warehouse(str(tmp_path / "clean_wh"), commit_mode="pointer")
+    pipe = EtlPipeline(spark, wh, registry)
+    upload = spark.createDataFrame(
+        [(f"PK_{i}", f"n{i}") for i in range(6)],
+        "person_id string, name string",
+    )
+    pipe.run({"person": TableInputs(uploads=[upload])})
+    assert "omop/person" in wh.snapshot()
+    dropped = cleanup(wh, table="person", spark=spark, registry=registry)
+    assert "_TXN[manifest drop sealed]" in dropped
+    assert "omop/person" not in wh.snapshot()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not include"):
+        wh.read_snapshot(spark, "omop", "person")
+    # the next run re-creates and re-seals the table
+    pipe.run({"person": TableInputs(uploads=[upload])})
+    assert "omop/person" in wh.snapshot()
+    assert wh.read_snapshot(spark, "omop", "person").count() == 6
