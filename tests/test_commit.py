@@ -518,3 +518,72 @@ def test_compact_parquet_dir_uri_pointer_table(spark, tmp_path):
         "cell=1",
     ]
     assert spark.read.parquet(new_live).count() == 40
+
+
+def test_pointer_commit_survives_real_process_kill(spark, tmp_path):
+    """r13: a WRITER PROCESS killed with SIGKILL mid-commit (lock held,
+    version dir half-written) leaves readers on the old version; the
+    next commit breaks the stale lock, sweeps the orphan, and
+    publishes normally — the crash story with a real process death,
+    not an in-process simulated raise."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from rabbit_in_a_blender_spark.core.commit import LOCK
+
+    t = str(tmp_path / "killed")
+    pointer_commit(
+        lambda d: _rows(spark, 0, 10).write.mode("overwrite").parquet(d), t
+    )
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            f"""
+import sys, time, os
+sys.path.insert(0, {os.getcwd()!r})
+from rabbit_in_a_blender_spark.core.commit import pointer_commit
+
+def slow_write(d):
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "partial.bin"), "wb") as f:
+        f.write(b"half-written")
+    print("STAGED", flush=True)
+    time.sleep(60)
+
+pointer_commit(slow_write, {t!r})
+""",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    assert child.stdout.readline().strip() == "STAGED"
+    os.kill(child.pid, signal.SIGKILL)
+    child.wait(timeout=30)
+    # lock file left behind by the dead writer; old version still live
+    assert os.path.exists(os.path.join(t, LOCK))
+    assert current_version(t) == 1
+    assert spark.read.parquet(resolve_pointer(t)).count() == 10
+    assert 2 in list_versions(t)  # the half-written orphan
+    # next commit: stale lock broken (short threshold), orphan swept
+    time.sleep(1.1)
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        v = pointer_commit(
+            lambda d: _rows(spark, 50, 53).write.parquet(d),
+            t,
+            stale_lock_sec=1.0,
+        )
+    assert any("stale commit lock" in str(w.message) for w in rec)
+    assert v == 2
+    assert sorted(
+        r["id"] for r in spark.read.parquet(resolve_pointer(t)).collect()
+    ) == [50, 51, 52]
+    assert not os.path.exists(
+        os.path.join(t, "v-000002", "partial.bin")
+    )  # orphan contents swept before restage
