@@ -511,6 +511,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "of the live pointers — reproducible quality "
                         "runs even while an ETL is writing; 0 = the "
                         "latest committed transaction")
+    x.add_argument("--analyze", metavar="TABLE",
+                   help="Profile an omop table in one aggregate pass "
+                        "(rows, bytes, per-column nulls/ndv/min/max; "
+                        "HLL ndv) and persist the _STATS sidecar "
+                        "stamped with the pointer version; prints the "
+                        "profile and the broadcast-join suggestion")
     x.add_argument("--vacuum", action="store_true",
                    help="Reclaim dead warehouse space without "
                         "committing: crash-orphan version dirs, stale "
@@ -2018,6 +2024,28 @@ def main(argv: list[str] | None = None) -> int:
             print(f"txn {t}{mark}: {len(snap)} tables")
         for key, ver in sorted(wh.snapshot().items()):
             print(f"  {key} -> v{ver:06d}")
+        return 0
+
+    if args.analyze:
+        from .pipeline.stats import analyze_table, suggest_broadcast
+
+        stats = analyze_table(wh, spark, "omop", args.analyze)
+        print(
+            f"omop.{args.analyze}: {stats['n_rows']:,} rows, "
+            f"{stats['n_bytes']:,} bytes"
+            + (
+                f", version {stats['version']}"
+                if stats["version"] is not None
+                else ""
+            )
+        )
+        for col, e in sorted(stats["columns"].items()):
+            detail = f"nulls={e['nulls']}"
+            if "ndv" in e:
+                detail += f" ndv~{e['ndv']} min={e['min']} max={e['max']}"
+            print(f"  {col}: {detail}")
+        bc = suggest_broadcast(wh, "omop", args.analyze)
+        print(f"broadcast-join candidate: {bc}")
         return 0
 
     if args.vacuum:

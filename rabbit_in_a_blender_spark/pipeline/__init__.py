@@ -1,5 +1,6 @@
 from .etl import EtlPipeline, TableInputs
 from .evolve import diff_schema, evolve, migrate_to_registry, read_evolved
+from .stats import analyze_table, suggest_broadcast, table_stats
 from .txn import WarehouseTransaction
 from .warehouse import SnapshotWarehouse, Warehouse
 
@@ -9,8 +10,11 @@ __all__ = [
     "TableInputs",
     "Warehouse",
     "WarehouseTransaction",
+    "analyze_table",
     "diff_schema",
     "evolve",
     "migrate_to_registry",
     "read_evolved",
+    "suggest_broadcast",
+    "table_stats",
 ]

@@ -1155,3 +1155,73 @@ def src_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.element_at("parts", "txt")).cast("long").alias("txt_bytes"),
         F.length(F.element_at("parts", "json")).cast("long").alias("json_bytes"),
     )
+
+
+@register(
+    "wh_table_stats",
+    oracle="""
+    SELECT 'n_name' AS col,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT n_name) AS BIGINT) AS ndv,
+           CAST(MIN(n_name) AS VARCHAR) AS min_s,
+           CAST(MAX(n_name) AS VARCHAR) AS max_s
+    FROM nation
+    UNION ALL
+    SELECT 'n_nationkey',
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(COUNT(DISTINCT n_nationkey) AS BIGINT),
+           CAST(MIN(n_nationkey) AS VARCHAR),
+           CAST(MAX(n_nationkey) AS VARCHAR)
+    FROM nation
+    UNION ALL
+    SELECT 'n_regionkey',
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(COUNT(DISTINCT n_regionkey) AS BIGINT),
+           CAST(MIN(n_regionkey) AS VARCHAR),
+           CAST(MAX(n_regionkey) AS VARCHAR)
+    FROM nation
+    """,
+    doc="Table statistics (pipeline/stats.py, r13) under the hash "
+    "gate: analyze_table profiles a warehouse table in ONE aggregate "
+    "pass (row count + per-column nulls/ndv/min/max; physical bytes "
+    "from the file listing, no data read) and persists the _STATS "
+    "sidecar stamped with the pointer version — the ANALYZE TABLE "
+    "analog BigQuery keeps server-side and Spark CBO wants from a "
+    "catalog.  The row uses the exact-ndv twin so DuckDB restates "
+    "every number; the scale path is approx_count_distinct (HLL++, "
+    "same single pass, partial aggregation — no shuffle wider than "
+    "one row per partition).  A profile that miscounts nulls, "
+    "misorders min/max, or double-counts rows hash-mismatches.",
+)
+def wh_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.stats import analyze_table, table_stats
+
+    nation = load_tables(spark, sf_dir, "nation")["nation"]
+    wh = Warehouse(
+        tempfile.mkdtemp(prefix="riab_stats_"), commit_mode="pointer"
+    )
+    wh.write(nation, "omop", "nation")
+    analyze_table(
+        wh, spark, "omop", "nation",
+        columns=["n_nationkey", "n_name", "n_regionkey"], exact=True,
+    )
+    stats = table_stats(wh, "omop", "nation")  # persisted round trip
+    rows = [
+        (
+            col,
+            stats["n_rows"],
+            entry["nulls"],
+            entry["ndv"],
+            entry["min"],
+            entry["max"],
+        )
+        for col, entry in sorted(stats["columns"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col string, n_rows long, n_nulls long, ndv long, "
+        "min_s string, max_s string",
+    )

@@ -1210,3 +1210,16 @@ def test_cli_data_quality_at_txn(env, spark, capsys):
     assert main(
         ["--config", ini, "--data-quality", "--at-txn", "0"]
     ) in (0, 3)
+
+
+def test_cli_analyze_table(env, spark, capsys):
+    """--analyze (r13): one-pass profile of an omop table with the
+    persisted _STATS sidecar and the broadcast suggestion."""
+    ini = env["ini"]
+    assert main(["--config", ini, "--run-etl", env["etl_dir"]]) == 0
+    capsys.readouterr()
+    assert main(["--config", ini, "--analyze", "person"]) == 0
+    out = capsys.readouterr().out
+    assert "omop.person:" in out and "rows" in out
+    assert "person_id: nulls=0" in out
+    assert "broadcast-join candidate: True" in out

@@ -341,3 +341,39 @@ def test_register_views_live_and_snapshot(spark, tmp_path):
     ).collect()[0]["s"] == 6
     for v in ("omop_a", "t1_a"):
         spark.catalog.dropTempView(v)
+
+
+def test_analyze_table_stats_and_staleness(spark, tmp_path):
+    """r13 stats: one-pass profile persisted as _STATS, stamped with
+    the pointer version — a later write invalidates it detectably;
+    suggest_broadcast sizes from fresh stats only."""
+    from rabbit_in_a_blender_spark.pipeline.stats import (
+        analyze_table,
+        suggest_broadcast,
+        table_stats,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"), commit_mode="pointer")
+    df = _rows(spark, 0, 100).withColumn(
+        "grp", F.col("id") % 10
+    ).withColumn("maybe", F.when(F.col("id") % 4 == 0, F.col("id")))
+    wh.write(df, "omop", "t")
+    stats = analyze_table(wh, spark, "omop", "t", exact=True)
+    assert stats["n_rows"] == 100 and stats["n_bytes"] > 0
+    assert stats["version"] == 1
+    assert stats["columns"]["grp"]["ndv"] == 10
+    assert stats["columns"]["maybe"]["nulls"] == 75
+    assert stats["columns"]["id"]["min"] == "0"
+    assert stats["columns"]["id"]["max"] == "99"
+    # read-back + broadcast sizing
+    assert table_stats(wh, "omop", "t") == stats
+    assert suggest_broadcast(wh, "omop", "t") is True
+    assert suggest_broadcast(wh, "omop", "t", threshold_bytes=1) is False
+    # a write moves the pointer: stats are STALE, not silently wrong
+    wh.write(_rows(spark, 0, 5), "omop", "t")
+    assert table_stats(wh, "omop", "t") is None
+    assert suggest_broadcast(wh, "omop", "t") is None
+    # re-analyze with approximate ndv (the scale path)
+    stats2 = analyze_table(wh, spark, "omop", "t")
+    assert stats2["n_rows"] == 5 and not stats2["exact_ndv"]
+    assert table_stats(wh, "omop", "t")["version"] == 2
