@@ -33,7 +33,147 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .ivf import assign_top_centroids, build_ivf_index
-from .similarity import _dot, _norm
+from .similarity import _dot, _norm, pair_cosine_survivors_arrow
+
+
+def _cluster_pair_flags_arrow(
+    ids: DataFrame,
+    join_cols: list[str],
+    tau: float,
+    grid: int,
+    block: int = 256,
+) -> DataFrame:
+    """Flagged ``__id`` rows of the within-cluster pair phase, scored
+    per CLUSTER with numpy (r13 optimization round, guide §8): instead
+    of materializing the candidate self-join and fetching two vectors
+    per PAIR (O(pairs·d) doubles through joins and the Arrow boundary —
+    the profiled 3.5-6 s single-task stages of the sf0.1 SemDeDup
+    rows), each cluster's (key, id, vector) rows group ONCE and the
+    pair cosines come from per-dimension accumulation over the cluster
+    matrix.  At scale this also moves each vector across exactly ONE
+    exchange (the cluster groupBy) instead of two id-joins plus the
+    pair stream; per-group memory is bounded by the existing
+    ``max_cluster_size`` subsplit guard and the ``block``-row scoring
+    window (O(block·n) scores, never n²).
+
+    ``ids`` columns: ``*join_cols``, optional ``__key`` struct(k1
+    double, k2 long), ``__id``, ``__v``.  A row is flagged iff an
+    EARLIER row (key order — or plain ``__id`` order when ``__key`` is
+    absent, the incremental operator's rule) of the same group has
+    rounded cosine >= tau.  Keys are unique within a group (k2 is the
+    id), so sorted position order is exactly the ``l.__key < r.__key``
+    pair condition.
+
+    Bit parity with the expr twin: per-dimension LEFT-TO-RIGHT
+    accumulation for dot and norms, IEEE sqrt/*//, ``round_half_up``
+    (F.round HALF_UP), NaN survives (Spark orders NaN above every
+    double so ``round(NaN) >= tau`` is true); a null/ragged vector row
+    falls back to a per-row replay of the zip_with null semantics
+    (dropped), matching the expr filter's ``null >= tau``.  Null
+    ELEMENTS remain the package-wide expr-only contract (Arrow hands
+    them to pandas as NaN).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ._rounding import round_half_up
+
+    has_key = "__key" in ids.columns
+    out_schema = T.StructType([ids.schema["__id"]])
+
+    def _pair_cos_none(a, b):
+        # expr zip_with/fold null semantics for the degenerate fallback
+        if a is None or b is None or len(a) != len(b):
+            return None
+        accd = accna = accnb = 0.0
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                return None
+            accd += x * y
+            accna += x * x
+            accnb += y * y
+        import math
+
+        return accd / (math.sqrt(accna) * math.sqrt(accnb))
+
+    def _fallback(pdf, order, ids_sorted):
+        vecs = list(pdf["__v"].iloc[order])
+        n = len(vecs)
+        flagged = np.zeros(n, dtype=bool)
+        for j in range(1, n):
+            for i in range(j):
+                c = _pair_cos_none(vecs[i], vecs[j])
+                if c is None:
+                    continue
+                r = float(round_half_up(np.array([c]), grid)[0])
+                if r >= tau or np.isnan(r):
+                    flagged[j] = True
+                    break
+        return pd.DataFrame({"__id": ids_sorted[flagged]})
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"__id": pdf["__id"][:0]})
+        if has_key:
+            k1 = np.array([k["k1"] for k in pdf["__key"]], dtype=np.float64)
+            k2 = np.array([k["k2"] for k in pdf["__key"]], dtype=np.int64)
+            order = np.lexsort((k2, k1))
+        else:
+            order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
+        ids_sorted = pdf["__id"].to_numpy()[order]
+        try:
+            v = np.stack(
+                [
+                    np.asarray(x, dtype=np.float64)
+                    for x in pdf["__v"].iloc[order]
+                ]
+            )
+        except Exception:
+            return _fallback(pdf, order, ids_sorted)
+        d = v.shape[1]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            accn = np.zeros(n, dtype=np.float64)
+            for t in range(d):
+                accn = accn + v[:, t] * v[:, t]
+            nrm = np.sqrt(accn)
+            flagged = np.zeros(n, dtype=bool)
+            cols = np.arange(n)
+            for start in range(0, n, block):
+                end = min(start + block, n)
+                bj = v[start:end]
+                accd = np.zeros((end - start, n), dtype=np.float64)
+                for t in range(d):
+                    accd = accd + bj[:, t:t + 1] * v[None, :, t]
+                cos = accd / (nrm[start:end, None] * nrm[None, :])
+                r = round_half_up(cos, grid)
+                surv = (r >= tau) | np.isnan(r)
+                earlier = cols[None, :] < np.arange(start, end)[:, None]
+                flagged[start:end] = (surv & earlier).any(axis=1)
+        return pd.DataFrame({"__id": ids_sorted[flagged]})
+
+    return ids.groupBy(*join_cols).applyInPandas(score, schema=out_schema)
+
+
+def _resolve_pair_method(pair_method: str, assign_method: str) -> str:
+    """Resolve the pair-verify rung (r13 optimization round).
+
+    ``"auto"`` rides the Arrow scorer except when the caller pinned
+    ``assign_method="expr"`` — the pure-SQL-lineage twin
+    (ext_semantic_dedup_expr) must stay expr end to end, exactly like
+    the assignment dispatch keeps its expr opt-in.  Scores are
+    bit-identical either way (see pair_cosine_survivors_arrow), so the
+    dispatch never changes results — only the physical plan.
+    """
+    if pair_method == "auto":
+        return "expr" if assign_method == "expr" else "arrow"
+    if pair_method not in ("arrow", "expr"):
+        raise ValueError(
+            f"pair_method must be 'auto', 'arrow' or 'expr', got {pair_method!r}"
+        )
+    return pair_method
 
 
 def _subsplit_hot(
@@ -119,6 +259,7 @@ def semantic_dedup(
     max_cluster_size: int | None = None,
     assign_method: str = "auto",
     coarse_probe: int = 4,
+    pair_method: str = "auto",
 ) -> DataFrame:
     """(id, centroid_id, is_dup) for every corpus vector.
 
@@ -180,6 +321,18 @@ def semantic_dedup(
     (only used when the resolved method is ``coarse``); size it with
     ``ext/ivf.py::tune_coarse_probe`` on unfamiliar geometry — the CLI's
     ``--coarse-probe auto`` does exactly that.
+
+    ``pair_method`` (r13 optimization round) picks the phase-2
+    pair-verify rung: ``"auto"`` resolves to the Arrow/numpy scorer
+    (``ext/similarity.py::pair_cosine_survivors_arrow`` — one
+    per-dimension vectorized accumulation per batch instead of an
+    O(dim) interpreted HOF fold per candidate pair, the profiled wall
+    of this operator: a 6.1 s single-task stage on the sf0.1 bench row)
+    unless ``assign_method="expr"`` pins the pure-SQL-lineage twin, in
+    which case the verify stays expr too.  Rounded cosines are
+    bit-identical between the rungs (same left-to-right fold, same
+    HALF_UP grid — see the scorer's docstring), so the dispatch never
+    changes which pairs survive.
     """
     if keep not in ("min_id", "low_centroid"):
         raise ValueError(f"keep must be min_id or low_centroid, got {keep!r}")
@@ -213,6 +366,7 @@ def semantic_dedup(
                 F.col(id_col).cast("long").alias("k2"),
             ).alias("__key"),
             F.col(id_col).alias("__id"),
+            F.col("__v"),
         )
     else:
         keyed = assigned.select(
@@ -222,12 +376,19 @@ def semantic_dedup(
                 F.col(id_col).cast("long").alias("k2"),
             ).alias("__key"),
             F.col(id_col).alias("__id"),
+            F.col("__v"),
         )
-    # Phase 1: within-cluster candidate ids — the exchange carries
-    # (cluster key, keep key, id) only, never the embedding.
+    resolved_pairs = _resolve_pair_method(pair_method, assign_method)
+    # Phase 1 candidates.  The expr rung's exchange carries (cluster
+    # key, keep key, id) only; the arrow rung additionally carries the
+    # vector so each vector crosses exactly ONE exchange (the cluster
+    # groupBy) and the pair matrix is scored in numpy per cluster —
+    # instead of a pair-count-sized stream re-joined to vectors twice
+    # (see _cluster_pair_flags_arrow).
+    key_cols = ["__key", "__id"] + (["__v"] if resolved_pairs == "arrow" else [])
     if probe <= 1:
         ids = keyed.select(
-            F.col("centroid_id").alias("__ccid"), "__key", "__id"
+            F.col("centroid_id").alias("__ccid"), *key_cols
         )
     else:
         # Top-p multi-assignment for candidates only: up to `probe`
@@ -243,38 +404,53 @@ def semantic_dedup(
             F.col("centroid_id").alias("__ccid"),
             F.col(id_col).alias("__id"),
         )
-        ids = probes.join(keyed.select("__id", "__key"), "__id")
+        ids = probes.join(keyed.select(*key_cols), "__id")
     ids, join_cols, extra_tracked = _subsplit_hot(
         ids, "__ccid", max_cluster_size, "semantic_dedup"
     )
-    cand = (
-        ids.alias("l")
-        .join(ids.alias("r"), join_cols)
-        .filter(F.col("l.__key") < F.col("r.__key"))
-        .select(
-            F.col("l.__id").alias("__ida"), F.col("r.__id").alias("__idb")
+    if resolved_pairs == "arrow":
+        # a pair sharing several top-p clusters is flagged once per
+        # cluster; the distinct below collapses it — no pair stream to
+        # pre-dedup
+        flagged = _cluster_pair_flags_arrow(ids, join_cols, tau, grid)
+        dups = (
+            flagged.select(F.col("__id").alias(id_col))
+            .distinct()
+            .withColumn("__dup", F.lit(True))
         )
-    )
-    if probe > 1:
-        # A pair sharing several of its top-p clusters arises once per
-        # shared cluster; dedup before the (costlier) vector fetch.
-        cand = cand.distinct()
-    # Phase 2: fetch vectors for exactly the candidate pairs.
-    va = assigned.select(F.col(id_col).alias("__ida"), F.col("__v").alias("__va"))
-    vb = assigned.select(F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"))
-    cos = F.round(
-        _dot(F.col("__va"), F.col("__vb"))
-        / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
-        grid,
-    )
-    dups = (
-        cand.join(va, "__ida")
-        .join(vb, "__idb")
-        .filter(cos >= F.lit(tau))
-        .select(F.col("__idb").alias(id_col))
-        .distinct()
-        .withColumn("__dup", F.lit(True))
-    )
+    else:
+        cand = (
+            ids.alias("l")
+            .join(ids.alias("r"), join_cols)
+            .filter(F.col("l.__key") < F.col("r.__key"))
+            .select(
+                F.col("l.__id").alias("__ida"), F.col("r.__id").alias("__idb")
+            )
+        )
+        if probe > 1:
+            # A pair sharing several of its top-p clusters arises once
+            # per shared cluster; dedup before the (costlier) fetch.
+            cand = cand.distinct()
+        # Phase 2: fetch vectors for exactly the candidate pairs.
+        va = assigned.select(
+            F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
+        )
+        vb = assigned.select(
+            F.col(id_col).alias("__idb"), F.col("__v").alias("__vb")
+        )
+        cos = F.round(
+            _dot(F.col("__va"), F.col("__vb"))
+            / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+            grid,
+        )
+        dups = (
+            cand.join(va, "__ida")
+            .join(vb, "__idb")
+            .filter(cos >= F.lit(tau))
+            .select(F.col("__idb").alias(id_col))
+            .distinct()
+            .withColumn("__dup", F.lit(True))
+        )
     out = assigned.join(dups, id_col, "left").select(
         F.col(id_col),
         "centroid_id",
@@ -296,6 +472,7 @@ def incremental_semantic_dedup(
     max_cluster_size: int | None = None,
     assign_method: str = "auto",
     coarse_probe: int = 4,
+    pair_method: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Screen a NEW batch of vectors against a persisted exemplar index
     — the continuous-crawl form of :func:`semantic_dedup`, mirroring
@@ -350,41 +527,80 @@ def incremental_semantic_dedup(
     def _cos(a, b):
         return F.round(_dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b))), grid)
 
-    losers = None
+    resolved_pairs = _resolve_pair_method(pair_method, assign_method)
+
+    def _survivors(pairs, va_col, vb_col, keep):
+        # shared verify rung for the index screen and the intra-batch
+        # pass (r13 optimization round): the Arrow scorer replaces the
+        # per-pair interpreted HOF fold at bit-identical rounded
+        # cosines; "expr" keeps the pure-SQL-lineage filter
+        if resolved_pairs == "arrow":
+            return pair_cosine_survivors_arrow(
+                pairs, va_col, vb_col, [keep], tau, grid
+            )
+        return pairs.filter(_cos(va_col, vb_col) >= F.lit(tau)).select(keep)
+
+    screens = []
     if index is not None:
         idx = index.select(
             F.col("centroid_id").cast("long").alias("centroid_id"),
             F.col(vec_col).cast("array<double>").alias("__xv"),
         )
-        losers = (
-            assigned.join(idx, "centroid_id")
-            .filter(_cos("__v", "__xv") >= F.lit(tau))
-            .select(id_col)
-            .distinct()
+        screens.append(
+            _survivors(
+                assigned.join(idx, "centroid_id"), "__v", "__xv", id_col
+            )
         )
     # Intra-batch self-join gets the same hot-cluster guard as the
     # batch operator (the index-probe join above is delta×exemplars —
     # a screen, not a self-join — and must stay exact for correctness).
     ids = assigned.select(
-        F.col("centroid_id").alias("__ccid"), F.col(id_col).alias("__id")
+        F.col("centroid_id").alias("__ccid"),
+        F.col(id_col).alias("__id"),
+        *(["__v"] if resolved_pairs == "arrow" else []),
     )
     ids, join_cols, extra_tracked = _subsplit_hot(
         ids, "__ccid", max_cluster_size, "incremental_semantic_dedup"
     )
-    va = assigned.select(F.col(id_col).alias("__ida"), F.col("__v").alias("__va"))
-    vb = assigned.select(F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"))
-    intra = (
-        ids.alias("l")
-        .join(ids.alias("r"), join_cols)
-        .filter(F.col("l.__id") < F.col("r.__id"))
-        .select(F.col("l.__id").alias("__ida"), F.col("r.__id").alias("__idb"))
-        .join(va, "__ida")
-        .join(vb, "__idb")
-        .filter(_cos("__va", "__vb") >= F.lit(tau))
-        .select(F.col("__idb").alias(id_col))
-        .distinct()
-    )
-    losers = intra if losers is None else losers.unionByName(intra).distinct()
+    if resolved_pairs == "arrow":
+        # per-cluster grouped scoring (no __key column → plain __id
+        # order, the min-id intra-batch rule) — see
+        # _cluster_pair_flags_arrow for the plan-shape rationale
+        screens.append(
+            _cluster_pair_flags_arrow(ids, join_cols, tau, grid)
+            .withColumnRenamed("__id", id_col)
+        )
+    else:
+        va = assigned.select(
+            F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
+        )
+        vb = assigned.select(
+            F.col(id_col).alias("__idb"), F.col("__v").alias("__vb")
+        )
+        intra_pairs = (
+            ids.alias("l")
+            .join(ids.alias("r"), join_cols)
+            .filter(F.col("l.__id") < F.col("r.__id"))
+            .select(
+                F.col("l.__id").alias("__ida"), F.col("r.__id").alias("__idb")
+            )
+            .join(va, "__ida")
+            .join(vb, "__idb")
+        )
+        screens.append(
+            _survivors(intra_pairs, "__va", "__vb", "__idb").withColumnRenamed(
+                "__idb", id_col
+            )
+        )
+    # ONE distinct over the unioned candidate-loser ids (was: a distinct
+    # per screen plus a distinct over their union — same set, one
+    # exchange), persisted because BOTH outputs consume it: without the
+    # pin the flags write and the kept-index write each re-ran the
+    # whole intra-batch pair phase (profiled as the twin 4 s single-task
+    # stages per micro-batch in stream_semdedup_batch).  Loser ids are
+    # id-sized metadata; released via the track_cache contract below.
+    losers = screens[0] if len(screens) == 1 else screens[0].unionByName(screens[1])
+    losers = losers.distinct().persist()
     flags = assigned.join(
         losers.withColumn("__dup", F.lit(True)), id_col, "left"
     ).select(
@@ -398,6 +614,6 @@ def incremental_semantic_dedup(
     from ..core.caching import track_cache
 
     return (
-        track_cache(flags, [assigned] + extra_tracked),
-        track_cache(kept_index, [assigned] + extra_tracked),
+        track_cache(flags, [assigned, losers] + extra_tracked),
+        track_cache(kept_index, [assigned, losers] + extra_tracked),
     )

@@ -160,6 +160,115 @@ def cosine_topk_arrow(
     )
 
 
+def pair_cosine_survivors_arrow(
+    pairs: DataFrame,
+    va_col: str,
+    vb_col: str,
+    keep_cols: list[str],
+    tau: float,
+    grid: int,
+) -> DataFrame:
+    """Arrow/numpy twin of the expr pair-verify filter
+    ``F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), grid) >= tau`` —
+    returns ``keep_cols`` of exactly the surviving rows.
+
+    The r13 optimization-round fix for the measured wall of the
+    SemDeDup family (guide §4.2): the expr verify pays O(dim)
+    INTERPRETED lambda ops per candidate pair (HOF folds sit outside
+    whole-stage codegen), profiled at 4-6 s single-task stages on the
+    sf0.1 bench rows; this twin scores a whole Arrow batch with one
+    per-dimension vectorized accumulation.
+
+    Bit parity (the r11/r12 assignment-twin discipline): every float op
+    replays the expr fold's order — dot and both norms accumulate
+    LEFT-TO-RIGHT over dimensions (``((0+v0)+v1)+...``, vectorized
+    across rows but sequential across t), ``sqrt``/``*``/``/`` are
+    IEEE-754 correctly-rounded on both sides, and rounding is
+    ``round_half_up`` (bit-exact ``F.round`` HALF_UP).  Edge semantics
+    match Spark's comparison rules: a numeric-NaN cosine (zero-norm
+    vector, 0/0) SURVIVES, because Spark orders NaN above every double
+    so ``round(NaN) >= tau`` is true; a NULL vector or a ragged pair
+    yields SQL NULL in the expr fold (zip_with pads with null) and is
+    DROPPED — the per-row fallback replays exactly that.  One caveat,
+    shared with every numpy twin in this package (see probe_lists):
+    vectors with NULL *elements* are an expr-only contract — Arrow
+    hands them to pandas as NaN, indistinguishable from a NaN element,
+    so they ride the survive-as-NaN rule instead of the null-drop rule.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ._rounding import round_half_up
+
+    src = pairs.select(*keep_cols, va_col, vb_col)
+    out_schema = T.StructType([src.schema[c] for c in keep_cols])
+
+    def _row_cosine(a, b):
+        # per-row replay of zip_with(pad-with-null) + fold: a null
+        # vector or ragged pair nulls the whole fold (→ None, dropped);
+        # numeric NaN flows through (→ kept, NaN-largest like Spark)
+        if a is None or b is None or len(a) != len(b):
+            return None
+        accd = accna = accnb = 0.0
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                return None
+            accd += x * y
+            accna += x * x
+            accnb += y * y
+        import math
+
+        na, nb = math.sqrt(accna), math.sqrt(accnb)
+        try:
+            return accd / (na * nb)
+        except ZeroDivisionError:  # not reachable for floats; safety
+            return float("nan")
+
+    def survive(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            dropped = None
+            try:
+                a = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[va_col]]
+                )
+                b = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[vb_col]]
+                )
+                accd = np.zeros(len(pdf), dtype=np.float64)
+                accna = np.zeros(len(pdf), dtype=np.float64)
+                accnb = np.zeros(len(pdf), dtype=np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    for t in range(a.shape[1]):
+                        accd = accd + a[:, t] * b[:, t]
+                        accna = accna + a[:, t] * a[:, t]
+                        accnb = accnb + b[:, t] * b[:, t]
+                    cos = accd / (np.sqrt(accna) * np.sqrt(accnb))
+            except Exception:
+                # ragged or null-vector batch: per-row null semantics
+                rows = [
+                    _row_cosine(x, y)
+                    for x, y in zip(pdf[va_col], pdf[vb_col])
+                ]
+                dropped = np.array([r is None for r in rows])
+                cos = np.array(
+                    [np.nan if r is None else r for r in rows],
+                    dtype=np.float64,
+                )
+            with np.errstate(invalid="ignore"):
+                rounded = round_half_up(cos, grid)
+                # Spark orders NaN above every double: NaN >= tau is TRUE
+                mask = (rounded >= tau) | np.isnan(rounded)
+            if dropped is not None:
+                mask &= ~dropped
+            yield pd.DataFrame({c: pdf[c][mask] for c in keep_cols})
+
+    return src.mapInPandas(survive, schema=out_schema)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -442,7 +442,17 @@ def test_incremental_semdedup_bucketed_index_no_index_side_exchange(spark, tmp_p
         pp = plan_of(idx_plain)
         scan_lines = [l for l in pb.splitlines() if "sem_exemplars" in l]
         assert scan_lines and all("Bucketed: true" in l for l in scan_lines)
-        assert pb.count("Exchange") == pp.count("Exchange") - 1, (
+
+        # Since the r13 pair-phase rework the loser-id set is persisted
+        # (both outputs consume it), and an InMemoryRelation under AQE
+        # prints its cached subtree more than once (initial + current
+        # adaptive plan), so the exact one-Exchange-difference count is
+        # no longer textually stable.  The load-bearing property stays
+        # the Bucketed:true scan assertion above; here we keep the
+        # directional check that the plain layout plans strictly more
+        # exchanges (its index side must re-shuffle, possibly printed
+        # once per cached-plan copy).
+        assert pb.count("Exchange") < pp.count("Exchange"), (
             pb.count("Exchange"), pp.count("Exchange"))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
@@ -459,3 +469,73 @@ def test_save_bucketed_index_rejects_missing_key(spark, tmp_path):
     df = spark.range(3).selectExpr("id AS vec_id")
     with pytest.raises(ValueError, match="centroid_id"):
         wh.save_bucketed_index(df, "work", "bad_index")
+
+
+def test_pair_rung_arrow_expr_flag_parity(spark):
+    """r13 optimization round: the per-cluster Arrow pair scorer
+    (_cluster_pair_flags_arrow) must flag EXACTLY the rows the expr HOF
+    verify flags — including rounded-cosine near-tie pairs sitting on
+    the 1e-6 grid boundary, where a single-ulp scoring difference would
+    flip is_dup.  Both the batch operator and the incremental screen
+    are compared rung-vs-rung on the same inputs."""
+    import math
+
+    from rabbit_in_a_blender_spark.core.caching import unpersist_intermediates
+    from rabbit_in_a_blender_spark.ext.semdedup import (
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+
+    # two clusters; members at angles engineered to land near the tau
+    # boundary after 1e-6 rounding (tau = cos of ~25.8 deg), plus exact
+    # duplicates and near-orthogonal singletons
+    def vec(deg, axis):
+        a = math.radians(deg)
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[axis] = math.cos(a)
+        v[(axis + 1) % 4] = math.sin(a)
+        return v
+
+    rows = []
+    for i, deg in enumerate([0.0, 0.5, 25.799, 25.8, 25.801, 44.9, 45.0]):
+        rows.append((i, vec(deg, 0)))
+        rows.append((100 + i, vec(deg, 2)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tau = round(math.cos(math.radians(25.8)), 6)
+    for keep in ("min_id", "low_centroid"):
+        arrow = semantic_dedup(
+            df, cents, tau=tau, keep=keep, pair_method="arrow"
+        )
+        expr = semantic_dedup(
+            df, cents, tau=tau, keep=keep, pair_method="expr"
+        )
+        a = {tuple(r) for r in arrow.collect()}
+        e = {tuple(r) for r in expr.collect()}
+        assert a == e, (keep, a ^ e)
+        assert any(r[2] for r in a)  # the fixture does flag something
+        unpersist_intermediates(arrow, expr)
+
+    b1 = df.filter("vec_id < 3 OR (vec_id >= 100 AND vec_id < 103)")
+    b2 = df.subtract(b1)
+    fa1, ia1 = incremental_semantic_dedup(
+        b1, None, cents, tau=tau, pair_method="arrow"
+    )
+    fe1, ie1 = incremental_semantic_dedup(
+        b1, None, cents, tau=tau, pair_method="expr"
+    )
+    assert {tuple(r) for r in fa1.collect()} == {tuple(r) for r in fe1.collect()}
+    ia = ia1.collect()
+    fa2, ia2 = incremental_semantic_dedup(
+        b2, spark.createDataFrame(ia, ia1.schema), cents, tau=tau,
+        pair_method="arrow",
+    )
+    fe2, ie2 = incremental_semantic_dedup(
+        b2, spark.createDataFrame(ia, ia1.schema), cents, tau=tau,
+        pair_method="expr",
+    )
+    assert {tuple(r) for r in fa2.collect()} == {tuple(r) for r in fe2.collect()}
+    unpersist_intermediates(fa1, ia1, fe1, ie1, fa2, ia2, fe2, ie2)
