@@ -165,6 +165,97 @@ def langid_profiles(top_n: int = 100, max_n: int = 3) -> dict[str, dict[str, int
     return out
 
 
+def _langid_ngram_arrow(
+    t: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    top_n: int,
+    max_n: int,
+    profiles: dict[str, dict[str, int]],
+) -> DataFrame:
+    """Arrow twin of the langid_ngram core (r13 optimization round,
+    guide §4.2): the expr path pays O(|text|) interpreted substring
+    scans per gram (O(|text|²·n) per document — profiled as a 6.8 s
+    single-task stage on the sf0.1 bench row) and shuffles a corpus ×
+    ~1.5k (id, gram) explode; here the doc profile, the out-of-place
+    distances against the (metadata-sized, closure-captured) language
+    profiles, and the argmin all happen per document inside one
+    mapInPandas pass — ZERO corpus-sized shuffle remains in the plan.
+
+    Integer-exact parity with the expr/SQL twin: normalization
+    (lower/replace/substring) stays a JVM projection so no Python
+    locale semantics enter; gram slicing is by code point on both
+    sides (UTF8String counts code points, so does Python str); the
+    rank comparator (count desc, gram asc) compares strings
+    identically (UTF-8 byte order == code-point order); distances are
+    integer sums; argmin ties break to the smaller language code by
+    the same string order.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            t.schema["__id"],
+            T.StructField("__lang", T.StringType()),
+            T.StructField("__dist", T.LongType()),
+        ]
+    )
+    langs = sorted(profiles)
+
+    def classify(pdfs):
+        from collections import Counter
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            out_id, out_lang, out_dist = [], [], []
+            for doc_id, s in zip(pdf["__id"], pdf["__t"]):
+                if s is None:
+                    continue
+                counts = Counter()
+                for n in range(1, max_n + 1):
+                    for i in range(len(s) - n + 1):
+                        counts[s[i : i + n]] += 1
+                if not counts:
+                    continue
+                ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                doc_rank = {
+                    g: r + 1 for r, (g, _) in enumerate(ranked[:top_n])
+                }
+                best_lang, best_dist = None, None
+                for lang in langs:
+                    pm = profiles[lang]
+                    dist = 0
+                    for g, dr in doc_rank.items():
+                        lr = pm.get(g)
+                        dist += abs(dr - lr) if lr is not None else top_n
+                    if best_dist is None or dist < best_dist:
+                        best_lang, best_dist = lang, dist
+                out_id.append(doc_id)
+                out_lang.append(best_lang)
+                out_dist.append(best_dist)
+            yield pd.DataFrame(
+                {"__id": out_id, "__lang": out_lang, "__dist": out_dist}
+            )
+
+    from ..core.parallelism import fan_out_for_compute
+
+    best = fan_out_for_compute(t, "__id").mapInPandas(
+        classify, schema=out_schema
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(best, F.col(id_col) == best["__id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__lang", F.lit("und")).alias("predicted_lang"),
+            F.coalesce("__dist", F.lit(-1)).cast("long").alias("oop_distance"),
+        )
+    )
+
+
 def langid_ngram(
     df: DataFrame,
     id_col: str,
@@ -172,6 +263,7 @@ def langid_ngram(
     top_n: int = 100,
     max_n: int = 3,
     max_chars: int = 512,
+    method: str = "arrow",
 ) -> DataFrame:
     """Char-n-gram language ID (Cavnar-Trenkle out-of-place distance) —
     the accuracy upgrade over :func:`langid_heuristic` (VERDICT r7 task
@@ -196,11 +288,26 @@ def langid_ngram(
     doc instead of O(|doc|) — the difference between a metadata-sized
     pass and re-exploding the whole corpus (measured 3.4× on the sf0.1
     bench row).
+
+    ``method="arrow"`` (default since the r13 optimization round): the
+    whole classify — doc profile, out-of-place distances, argmin —
+    runs per document inside one mapInPandas pass against the
+    closure-captured profiles, integer-exact to the expr/SQL twin (see
+    :func:`_langid_ngram_arrow`); no corpus-sized shuffle remains.
+    ``method="expr"`` keeps the pure-SQL-lineage pipeline the DuckDB
+    oracle replays.
     """
+    if method not in ("arrow", "expr"):
+        raise ValueError(f"method must be 'arrow' or 'expr', got {method!r}")
     norm = F.substring(
         F.lower(F.regexp_replace(F.col(text_col), " ", "_")), 1, max_chars
     )
     t = df.select(F.col(id_col).alias("__id"), norm.alias("__t"))
+    if method == "arrow":
+        return _langid_ngram_arrow(
+            t, df, id_col, top_n, max_n,
+            langid_profiles(top_n=top_n, max_n=max_n),
+        )
     gram_arrays = []
     for n in range(1, max_n + 1):
         gram_arrays.append(

@@ -391,3 +391,33 @@ def test_normalize_text_is_idempotent(spark):
     twice = normalize_text(once, "doc_id", "text")
     for r in twice.collect():
         assert not r["changed"], r
+
+
+def test_langid_ngram_arrow_expr_parity(spark):
+    """r13 optimization round: the mapInPandas classify twin must be
+    integer-exact to the expr/SQL pipeline — same doc-profile ranks
+    (count desc, gram asc), same out-of-place distances with the top_n
+    absent-gram penalty, same smaller-code argmin tie-break.  The
+    fixture includes unicode text, ties between languages, an empty
+    doc, a null doc, and a doc shorter than max_n."""
+    from rabbit_in_a_blender_spark.ext.text import langid_ngram
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then naps"),
+        (2, "el zorro marrón rápido salta sobre el perro perezoso hoy"),
+        (3, "le renard brun rapide saute par dessus le chien paresseux"),
+        (4, ""),
+        (5, None),
+        (6, "ab"),
+        (7, "zzzz qqqq xxxx wwww kkkk jjjj vvvv"),  # garbage, large dist
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = {
+        tuple(r)
+        for r in langid_ngram(df, "doc_id", "text", method="arrow").collect()
+    }
+    expr = {
+        tuple(r)
+        for r in langid_ngram(df, "doc_id", "text", method="expr").collect()
+    }
+    assert arrow == expr, arrow ^ expr
