@@ -79,9 +79,15 @@ def hashed_ngram_buckets(
         ),
         lambda g: g.isNotNull(),
     )
-    grams = df.select(
-        F.col(id_col), F.explode(F.concat(w, bigrams)).alias("__gram")
-    )
+    from ..core.parallelism import fan_out_for_compute
+
+    # Guide §2.5 unsplittable-input remedy: the featurize explode is the
+    # corpus-sized pass of every DSIR operator, and a single-file scan
+    # would run it serially; the fan-out is a structural no-op whenever
+    # the scan already has >= default-parallelism partitions.
+    grams = fan_out_for_compute(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(F.col(id_col), F.explode(F.concat(w, bigrams)).alias("__gram"))
     return (
         grams.select(
             F.col(id_col),
@@ -244,6 +250,7 @@ def incremental_dsir_weights(
     num_buckets: int = 256,
     alpha: float = 1.0,
     seed: str = "dsir",
+    doc_buckets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Continuous-crawl DSIR: score ONLY the new batch, in O(batch).
 
@@ -259,10 +266,21 @@ def incremental_dsir_weights(
     for the next increment.  Per increment the corpus-sized work is one
     scan of the BATCH; the models stay ≤ num_buckets rows and ride as
     broadcasts.
+
+    ``doc_buckets`` (r13 optimization round): a caller that ALSO needs
+    the batch's (id, bucket, cnt) features — the streaming sink folds
+    their aggregate into the persisted model — can pass its own
+    (persisted) frame from :func:`hashed_ngram_buckets` so the batch is
+    featurized ONCE instead of once per consumer; the caller then owns
+    the unpersist.  Omitted, behavior is unchanged (internal persist,
+    released via the track_cache contract).
     """
-    doc_buckets = hashed_ngram_buckets(
-        batch, id_col, text_col, num_buckets, seed
-    ).persist()
+    own_cache: list[DataFrame] = []
+    if doc_buckets is None:
+        doc_buckets = hashed_ngram_buckets(
+            batch, id_col, text_col, num_buckets, seed
+        ).persist()
+        own_cache.append(doc_buckets)
     batch_model = doc_buckets.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
     updated_raw = (
         raw_model.select("bucket", "cnt")
@@ -276,7 +294,7 @@ def incremental_dsir_weights(
         .groupBy(id_col)
         .agg(F.sum(F.col("cnt") * F.col("ratio_micro")).alias("logw_micro"))
     )
-    return track_cache(weights, [doc_buckets]), updated_raw
+    return track_cache(weights, own_cache), updated_raw
 
 
 #: Sidecar manifest inside a model dir listing every increment tag ever

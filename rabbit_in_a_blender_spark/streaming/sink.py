@@ -177,13 +177,15 @@ def stream_dsir_select(
     """
     from ..core.caching import unpersist_intermediates
     from ..ext.dsir import (
-        dsir_model_counts,
         fold_model_increment,
+        hashed_ngram_buckets,
         incremental_dsir_weights,
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         import os
+
+        from pyspark.sql import functions as F
 
         if batch_df.isEmpty():
             return
@@ -216,9 +218,18 @@ def stream_dsir_select(
             if model_files
             else spark.createDataFrame([], "bucket long, cnt long")
         )
+        # Featurize the batch ONCE (r13 optimization round): the score
+        # pass and the model fold both read the same persisted
+        # (id, bucket, cnt) frame — previously the fold re-ran the full
+        # hashed-n-gram explode via dsir_model_counts, doubling the
+        # per-batch corpus-sized work.
+        doc_buckets = hashed_ngram_buckets(
+            batch_df, id_col, text_col, num_buckets, seed
+        ).persist()
         weights, _updated = incremental_dsir_weights(
             batch_df, raw_model, target_model, id_col, text_col,
             num_buckets=num_buckets, alpha=alpha, seed=seed,
+            doc_buckets=doc_buckets,
         )
         weights.write.mode("overwrite").parquet(
             f"{out_dir.rstrip('/')}/batch={int(batch_id)}"
@@ -226,12 +237,11 @@ def stream_dsir_select(
         fold_model_increment(
             spark,
             model_dir,
-            dsir_model_counts(
-                batch_df, id_col, text_col, num_buckets=num_buckets, seed=seed
-            ),
+            doc_buckets.groupBy("bucket").agg(F.sum("cnt").alias("cnt")),
             tag=tag,
         )
         unpersist_intermediates(weights)
+        doc_buckets.unpersist()
 
     return (
         stream_docs.writeStream.foreachBatch(_sink)
