@@ -1,16 +1,21 @@
 """Scan-parallelism floor for compute-heavy per-row operators.
 
 Guide §2.5 ("input skew: one huge unsplittable file ... repartition
-immediately after the read"): the bench fixtures — like any
-single-file, single-row-group parquet — plan as ONE scan task, so an
-operator whose per-row work is heavy (gram profiling, shingle
-hashing, Arrow-batched scoring) runs serially no matter how many
-cores the session has.  ``fan_out_for_compute`` hash-repartitions the
-frame up to the session's default parallelism, but ONLY when the
-incoming plan has fewer partitions than that — at cluster scale a
-real table scan already carries more splits than cores, so the guard
-makes this a structural no-op there (no shuffle is ever added to a
-plan that is already parallel).
+immediately after the read"): a single-file, single-row-group parquet
+scan plans as ONE task, so an operator whose per-row work is heavy
+(gram profiling, shingle hashing, Arrow-batched scoring) runs serially
+no matter how many cores the session has.  ``fan_out_for_compute``
+hash-repartitions the frame up to the session's default parallelism,
+but ONLY when the scan demonstrably cannot reach that parallelism —
+at cluster scale a real table carries more files than cores, so the
+guard makes this a structural no-op there (no shuffle is ever added
+to a plan that is already parallel).
+
+The decision is made from driver-side FILE METADATA
+(``df.inputFiles()`` + Hadoop FileStatus sizes), never from
+``df.rdd`` — converting an AQE plan to an RDD materializes its query
+stages eagerly, i.e. it would silently EXECUTE shuffles at plan-build
+time (measured: seconds of driver-side stall per call).
 
 The repartition key should be the operator's (near-)unique id column:
 hash partitioning on a unique key spreads evenly and — unlike keyless
@@ -23,19 +28,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Per-core input-bytes ceiling under which a low-file-count scan is
+#: considered compute-bound rather than I/O-bound: below it the fan-out
+#: shuffle is trivially cheap next to the serial compute it unlocks;
+#: above it the input is big enough that splitting should come from the
+#: file layout (more files / row groups), not an extra exchange.
+_FAN_OUT_BYTES_PER_CORE = 16 * 1024 * 1024
+
 
 def fan_out_for_compute(df: DataFrame, *key_cols: str) -> DataFrame:
     """Repartition ``df`` to the session default parallelism iff its
-    current plan has fewer partitions; identity otherwise (see module
-    docstring).  Pass the operator's unique id column(s) as the hash
-    key; with no key a round-robin repartition is used."""
+    input files cannot reach that parallelism AND the total input is
+    small enough that the extra exchange is trivially cheap; identity
+    otherwise (see module docstring).  Pass the operator's unique id
+    column(s) as the hash key; with no key a round-robin repartition
+    is used.  Frames with no file inputs (local relations, streaming
+    rate sources) are left untouched."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        n = df.rdd.getNumPartitions()
+        files = df.inputFiles()
     except Exception:
         return df
-    if n >= target:
+    if not files or len(files) >= target:
+        return df
+    budget = target * _FAN_OUT_BYTES_PER_CORE
+    total = 0
+    try:
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(hconf)
+            total += int(fs.getFileStatus(p).getLen())
+            if total >= budget:
+                return df
+    except Exception:
         return df
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])

@@ -320,7 +320,12 @@ def incremental_dedup(
         intra_losers if corpus_hits is None
         else corpus_hits.unionByName(intra_losers).distinct()
     )
-    caches = [nb] + list(getattr(intra_pairs, "_graft_cached", []))
+    # Both outputs consume the loser set; without the pin the corpus
+    # semi-join and the intra-batch band self-join re-ran once per
+    # write (r13 optimization round).  Id-sized metadata, released via
+    # the track_cache contract with the rest.
+    losers = losers.persist()
+    caches = [nb, losers] + list(getattr(intra_pairs, "_graft_cached", []))
     clean_docs = _track_cache(new_docs.join(losers, id_col, "left_anti"), caches)
     clean_bands = _track_cache(nb.join(losers, id_col, "left_anti"), caches)
     return clean_docs, clean_bands

@@ -36,8 +36,16 @@ from pyspark.sql import functions as F
 
 def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, __w) with the text split once — the single tokenize pass
-    every downstream frame (grams, words, totals) derives from."""
-    return df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+    every downstream frame (grams, words, totals) derives from.  Fans
+    out a below-parallelism scan first (guide §2.5 unsplittable-input
+    remedy; structural no-op on already-parallel scans) because the
+    gram/window explodes downstream are the corpus-sized passes of
+    every passage operator."""
+    from ..core.parallelism import fan_out_for_compute
+
+    return fan_out_for_compute(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
 
 
 def _grams_of(toks: DataFrame, id_col: str, k: int) -> DataFrame:
