@@ -20,6 +20,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def materialize_local(df: DataFrame) -> DataFrame:
+    """Execute a METADATA-SIZED frame once and rebuild it as a
+    driver-side local relation with identical rows and schema.
+
+    For iterative trainers (Lloyd rounds in ``ext/ivf.py::
+    refine_centroids`` / ``ext/pq.py::train_pq_codebooks``) the
+    per-round model frame is C x d / m x ksub metadata, but leaving it
+    lazy makes iteration i's plan embed iterations 1..i-1 — the
+    optimizer re-plans (and every extra consumer re-EXECUTES) an
+    iterations-deep corpus lineage.  Collapsing each round to a local
+    relation bounds the plan to one round and makes downstream
+    consumption free of recompute — the guide §5 persist/localCheckpoint
+    rationale, minus the executor-memory pin (rows live on the driver,
+    like the broadcast cells these models become anyway).
+
+    Only call this on frames whose row count is bounded by model size,
+    never on corpus-sized data.  The float64 round-trip through
+    ``collect``/``createDataFrame`` is exact, so results are
+    bit-identical to the lazy plan.
+    """
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def track_cache(df: DataFrame, cached: list[DataFrame]) -> DataFrame:
     """Record persisted intermediates on the result frame so callers in
     a long-running loop can release them (ADVICE r5/r6: the continuous-

@@ -109,17 +109,36 @@ def resolve_probe_method(
 def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str):
     """Driver-side (cids asc int64 array, C x d float64 matrix) of the
     centroid frame — C x d METADATA, collected once per operator call
-    so the auto dispatch never recomputes a lazy centroid plan twice."""
-    import numpy as np
+    so the auto dispatch never recomputes a lazy centroid plan twice.
 
+    When the SAME centroid frame object feeds several operators (build
+    + search + probe in one query, or Lloyd rounds in
+    :func:`refine_centroids`), the converted matrix rides the frame as
+    a per-object memo keyed by (id_col, vec_col) — later calls skip the
+    collect job.  The memo dies with the frame object, so nothing is
+    cached across bench or oracle invocations.
+    """
+    key = (id_col, vec_col)
+    memo = getattr(centroids, "_graft_centroids_np", None)
+    if memo is not None and memo[0] == key:
+        return memo[1]
     c_rows = centroids.select(
         F.col(id_col).cast("long").alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).collect()
-    c_rows.sort(key=lambda r: r["cid"])
-    cids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
+    out = _centroids_np_from_rows(c_rows)
+    centroids._graft_centroids_np = (key, out)
+    return out
+
+
+def _centroids_np_from_rows(c_rows):
+    """(cid, cv) rows -> the ``_collect_centroids`` pair, no job."""
+    import numpy as np
+
+    c_rows = sorted(c_rows, key=lambda r: r[0])
+    cids = np.array([r[0] for r in c_rows], dtype=np.int64)
     cmat = (
-        np.array([r["cv"] for r in c_rows], dtype=np.float64)
+        np.array([list(r[1]) for r in c_rows], dtype=np.float64)
         if c_rows
         else np.zeros((0, 0), dtype=np.float64)
     )
@@ -990,6 +1009,19 @@ def refine_centroids(
 
     Returns a frame in the same (id_col, vec_col) shape as ``centroids``
     so it feeds straight back into build_ivf_index / ivf_search.
+
+    On the collected rungs (``assign_method`` auto/arrow/coarse) each
+    round's recomputed centroid frame — C x d metadata — is collapsed to
+    a driver-side local relation by one collect per round (which also
+    pre-seeds the ``_collect_centroids`` memo).  Without that, round i's
+    lazy plan embeds rounds 1..i-1: the next round's
+    ``_collect_centroids`` re-executes the whole chain, the optimizer
+    re-plans an iterations-deep corpus lineage per consumer, and the
+    RETURNED frame re-executes its final round once per downstream
+    action (measured as multi-second "plan-build" wall on every
+    ivfpq/kmeans bench row).  With it, every round executes exactly
+    once and consumers see a LocalRelation.  ``"expr"`` keeps the
+    fully-lazy pure-SQL lineage (the unrolled-oracle replay twin).
     """
     cents = centroids.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
@@ -1020,4 +1052,14 @@ def refine_centroids(
             )
         )
         cents = means.select(F.col("centroid_id").alias(id_col), vec_col)
+        if assign_method != "expr":
+            # One collect per round: rebuild as a local relation AND
+            # pre-seed the _collect_centroids memo so the next round's
+            # assignment (and every downstream consumer of the returned
+            # frame) launches no collect job of its own.
+            rows = cents.collect()
+            cents = cents.sparkSession.createDataFrame(rows, cents.schema)
+            cents._graft_centroids_np = (
+                (id_col, vec_col), _centroids_np_from_rows(rows)
+            )
     return cents
