@@ -64,11 +64,19 @@ def bm25_topk(
     Output: (qid, doc_id, rank, score) with rank 1..k per query —
     deterministic via the rounded-score + doc_id ordering.
 
-    Plan shape: postings groupBy is the only wide stage over the
-    corpus; doc lengths ride the same scan; df/N/avgdl are tiny
-    aggregates of the postings; the query-term dimension broadcasts,
-    so scoring is a map-side join + one (qid, doc) reduction + a
-    per-query window over at most |matched docs| rows.
+    Plan shape (reworked in the r13 optimization round): the postings
+    groupBy is the ONLY wide stage over the corpus — it runs exactly
+    once.  Previously document frequencies came from a second full
+    ``postings.groupBy(term)`` pass (the corpus tokenize + aggregate
+    executed twice, measured as two ~1.4s single-task jobs per call at
+    sf0.1 and two full corpus passes at any scale).  Now the query-term
+    dimension broadcast-restricts the postings FIRST, and df is counted
+    with a window over the matched rows: the broadcast join keeps every
+    posting row of each query term, so ``count() over (partition by
+    term)`` equals the full-corpus df exactly.  N/avgdl stay a narrow
+    second scan (map-side partial agg, one scalar row).  Scoring is
+    then a broadcast attach + one (qid, doc) reduction + a per-query
+    window over at most |matched docs| rows.
     """
     # (doc, dl, term, tf) in ONE wide stage: dl is functional on the
     # doc id, so grouping by (id, dl, term) folds the length in without
@@ -91,21 +99,19 @@ def bm25_topk(
             / F.count(F.lit(1))
         ).alias("avgdl"),
     )
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = (
         queries.select(
             F.col(qid_col), F.explode(F.split(F.col(qtext_col), " ")).alias("term")
         )
         .distinct()
     )
-    # Corpus-sized vocabulary stats never broadcast: the small query-term
-    # dimension broadcasts INTO the dfreq join, and only the resulting
-    # |query terms|-row stats table is broadcast to the postings scan.
-    qstats = (
-        dfreq.join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(scalars))
-        .filter(F.col("df") <= F.col("n_docs") * max_df_fraction)
-    )
+    # ONE corpus pass: broadcast-restrict postings to the query terms,
+    # then count df over the matched rows — (doc, term) is unique after
+    # the postings groupBy, so the per-term window count IS the
+    # full-corpus document frequency of that term.
+    matched = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -114,7 +120,9 @@ def bm25_topk(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        postings.join(F.broadcast(qstats), "term")
+        matched.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(scalars))
+        .filter(F.col("df") <= F.col("n_docs") * max_df_fraction)
         .groupBy(qid_col, id_col)
         .agg(F.round(F.sum(idf * tf_part), 4).alias("score"))
     )
@@ -149,17 +157,21 @@ def tfidf_top_terms(
     across engines; ranking is (rounded score desc, term asc) inside
     each document, making the top-k fully deterministic.
 
-    Plan: the postings aggregate (one wide stage) self-derives df; the
-    (term -> df) table joins back on the term key, and the per-doc
-    window ranks at most |distinct terms in doc| rows — partitioned by
-    document, so no global window appears at any scale.
+    Plan (reworked in the r13 optimization round): ONE corpus pass.
+    Previously df came from a ``postings.groupBy(term)`` self-join, so
+    the corpus tokenize + aggregate lineage executed twice and the join
+    re-shuffled postings by term anyway.  Now ``count() over (partition
+    by term)`` derives df from the single postings pass — same term-key
+    shuffle the join needed, minus the duplicate corpus scan — and the
+    per-doc window ranks at most |distinct terms in doc| rows, so no
+    global window appears at any scale.
     """
-    postings = term_stats(docs, id_col, text_col)
+    postings = term_stats(docs, id_col, text_col).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        postings.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
+        postings.crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
             "term",
@@ -195,9 +207,12 @@ def cluster_top_terms(
     engines and the top-k rank (rounded score desc, term asc) is fully
     deterministic.
 
-    Plan: one (cluster, term) count shuffle (corpus reduces to
-    |clusters| x |vocab| rows), a term-keyed df join, and a per-cluster
-    window over at most |cluster vocab| rows — no global window, no
+    Plan (reworked in the r13 optimization round): one (cluster, term)
+    count shuffle (corpus reduces to |clusters| x |vocab| rows), then
+    df from a ``count() over (partition by term)`` window on those same
+    rows — previously a ``tf.groupBy(term)`` self-join re-executed the
+    corpus explode + aggregate lineage twice — and a per-cluster window
+    over at most |cluster vocab| rows.  No global window, no
     corpus-sized broadcast.
     """
     words = docs_with_cluster.select(
@@ -205,14 +220,12 @@ def cluster_top_terms(
     )
     tf = words.groupBy(cluster_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     n_clusters = docs_with_cluster.agg(
         F.count_distinct(F.col(cluster_col)).alias("n_clusters")
     )
     scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_clusters))
+        tf.crossJoin(F.broadcast(n_clusters))
         .select(
             F.col(cluster_col),
             "term",
