@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.io import load_tables
+from ..streaming.tuning import pinned_shuffle_partitions
 from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
 from .catalog import register
 
@@ -336,21 +337,26 @@ def stream_zscore_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.move(part, dst)
         os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
     out_dir = os.path.join(root, "out")
-    query = (
-        stream_zscore(
-            spark.readStream.schema(e.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(in_dir),
-            "event_type",
-            width_s=21600,
+    # event_type is an enum-like key (5 values at every SF), so the
+    # state exchange gets 8 partitions instead of the 32-partition
+    # batch default — see streaming/tuning.py for why state partitions
+    # beyond the group cardinality are pure per-batch overhead.
+    with pinned_shuffle_partitions(spark, 8):
+        query = (
+            stream_zscore(
+                spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(in_dir),
+                "event_type",
+                width_s=21600,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+        query.awaitTermination()
     return spark.read.parquet(out_dir).withColumnRenamed("group_key", "event_type")
 
 
@@ -491,24 +497,31 @@ def stream_heavy_hitters_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(in_dir)
         .select(F.explode(F.split("text", " ")).alias("token"))
     )
-    query = (
-        stream_heavy_hitters(stream_toks, "token", k=k, shards=8)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    batch_toks = d.select(F.explode(F.split("text", " ")).alias("token"))
-    total = batch_toks.count()
-    # availableNow terminates once every pending file is processed, and
-    # the memory sink is populated synchronously per micro-batch — so
-    # ONE post-termination drain check replaces the former 2 s-granular
-    # poll loop (r13 optimization round: the poll averaged ~2-3 s of
-    # pure sleep inside the timed query).  The deadline guard stays for
-    # the pathological-environment diagnosis.
-    deadline = time.time() + 240
-    query.awaitTermination(240)
+    # the stream routes to exactly 8 MG shards, so 8 state partitions
+    # (vs the 32-partition batch default) carry the same parallelism
+    # with a quarter of the per-batch state-store overhead — see
+    # streaming/tuning.py.
+    with pinned_shuffle_partitions(spark, 8):
+        query = (
+            stream_heavy_hitters(stream_toks, "token", k=k, shards=8)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        batch_toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+        total = batch_toks.count()
+        # availableNow terminates once every pending file is processed,
+        # and the memory sink is populated synchronously per micro-batch
+        # — so ONE post-termination drain check replaces the former
+        # 2 s-granular poll loop (r13 optimization round: the poll
+        # averaged ~2-3 s of pure sleep inside the timed query).  The
+        # deadline guard stays for the pathological-environment
+        # diagnosis.  awaitTermination stays inside the pin so the conf
+        # is live until every micro-batch has been planned.
+        deadline = time.time() + 240
+        query.awaitTermination(240)
     seen = (
         spark.table(name)
         .groupBy("shard")
