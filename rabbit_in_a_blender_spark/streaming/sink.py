@@ -175,12 +175,22 @@ def stream_dsir_select(
 
     Returns the DataStreamWriter; callers pick the trigger.
     """
-    from ..core.caching import unpersist_intermediates
+    from ..core.caching import materialize_local, unpersist_intermediates
     from ..ext.dsir import (
         fold_model_increment,
         hashed_ngram_buckets,
         incremental_dsir_weights,
     )
+
+    # Collapse the frozen target ONCE at stream construction (r13
+    # optimization round): it is a <= num_buckets-row aggregate, but a
+    # caller typically hands it over as the LAZY dsir_model_counts
+    # lineage — a full target-corpus featurize that fit_bucket_logratio
+    # would otherwise re-execute inside EVERY micro-batch.  One
+    # execution total instead of one per batch: noise-level at bench
+    # scale (the fixture's target corpus is sub-MB) but unbounded on a
+    # long-running stream over a real corpus.  Bit-identical rows.
+    target_model = materialize_local(target_model)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         import os
