@@ -36,17 +36,31 @@ def round_half_up(a: "np.ndarray", digits: int = 0) -> "np.ndarray":
     s = np.asarray(a, dtype=np.float64)
     p = float(10**digits)
     scaled = s * p
-    fast = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / p
+    # Allocation-lean evaluation (r13 optimization round, guide §4.2/§5):
+    # the naive expression chain materializes ~12 input-sized
+    # temporaries; on big matrices (|batch| x C assignment scores) that
+    # is GBs of fresh pages per call.  Same float ops in the same order
+    # — multiplication is commutative and every np.* below is the same
+    # IEEE-754 op the old chain ran — just chained in-place through two
+    # scratch buffers, so results are bit-identical.
+    babs = np.abs(scaled)
+    fast = babs + 0.5
+    np.floor(fast, out=fast)
+    np.multiply(fast, np.sign(scaled), out=fast)
+    np.divide(fast, p, out=fast)
     # Near-tie window: binary-vs-decimal disagreement requires the float
     # product to sit within rounding error of an exact .5 boundary.  The
     # window is ULP-scaled (ADVICE r9): a fixed 1e-6 stops covering the
     # representation error once |scaled| exceeds ~4.5e9 (one double ULP
     # is then > 1e-6), so a shortest-decimal tie could sit outside a
     # fixed window, skip the Decimal replay, and diverge from F.round.
-    frac = np.abs(scaled) - np.floor(np.abs(scaled))
-    near_tie = np.abs(frac - 0.5) < np.maximum(
-        1e-6, 4.0 * np.spacing(np.abs(scaled))
-    )
+    frac = babs - np.floor(babs)          # frac of |scaled|
+    np.subtract(frac, 0.5, out=frac)
+    np.abs(frac, out=frac)                # |frac - 0.5|
+    np.spacing(babs, out=babs)
+    np.multiply(babs, 4.0, out=babs)
+    np.maximum(babs, 1e-6, out=babs)      # ULP-scaled tie window
+    near_tie = frac < babs
     if near_tie.any():
         q = Decimal(1).scaleb(-digits)
         flat = np.ravel(fast)

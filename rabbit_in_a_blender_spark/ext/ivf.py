@@ -149,6 +149,53 @@ def _cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+#: Per-tile scratch ceiling for the numpy assignment kernels: the
+#: score/key matrices a tile allocates stay ~16 MB (2M float64/int64
+#: elements) regardless of Arrow batch size or centroid count.  A
+#: 10k-row batch against C=50k centroids would otherwise materialize
+#: 4 GB matrices per temporary (guide §4.2: bound batch memory) —
+#: and bounded scratch re-uses the worker's warm allocator arena
+#: instead of faulting fresh pages every batch.
+_TILE_ELEMS = 2_000_000
+
+
+def _row_tiles(pdf, n_cols: int):
+    """Row-slices of one Arrow batch sized so per-tile numpy scratch
+    (rows x n_cols elements) stays under ``_TILE_ELEMS``.  Every kernel
+    below is row-independent — each row's scores, rounding and argmax
+    read nothing from other rows — so tiling changes no output value,
+    only the allocation shape."""
+    step = max(1, _TILE_ELEMS // max(n_cols, 1))
+    if len(pdf) <= step:
+        yield pdf
+        return
+    for s in range(0, len(pdf), step):
+        yield pdf.iloc[s:s + step]
+
+
+def _fan_out_if_heavy(df: DataFrame, n_centroids: int, *key_cols: str):
+    """Fan a low-parallelism scan out to the session's cores ONLY when
+    the per-row numpy work is heavy enough to dominate the exchange it
+    costs — gated on the SAME measured boundary the assignment
+    auto-dispatch rides (``AUTO_COARSE_MIN_C``).  The fan-out shuffle
+    moves each vector once (~d elements) to unlock O(C·d)-per-row
+    compute, a C:1 payoff at C>=2000 (r13 5-round interleaved A/B:
+    ext_ivf_assign_auto and ext_probe_auto_bulk head/ref ~0.06) — but
+    at the small C of the fused IVFPQ/SemDeDup pipelines (16-64 cells)
+    the kernels are nowhere near the wall and the unconditional fan-out
+    REGRESSED them (same A/B: ext_ivfpq_incremental 2.4x,
+    ext_semantic_dedup 1.4x — extra exchange per lineage execution plus
+    a 32x small-file explosion under partitionBy writes).  Identity
+    below the boundary keeps those pipelines' zero-shuffle plans; see
+    ``core.parallelism.fan_out_for_compute`` for the already-parallel
+    guard above it."""
+    if n_centroids >= AUTO_COARSE_MIN_C:
+        from ..core.parallelism import fan_out_for_compute
+
+        return fan_out_for_compute(df, *key_cols)
+    return df
+
+
 def build_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -281,25 +328,35 @@ def _build_ivf_index_arrow(
     )
     cnorm = np.linalg.norm(cmat, axis=1)
 
-    src = corpus.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    # §2.5: a single-file scan plans ONE task, serializing the O(N·C·d)
+    # numpy work below on one core — but only worth an exchange when C
+    # is large (see _fan_out_if_heavy)
+    src = _fan_out_if_heavy(
+        corpus.withColumn(vec_col, F.col(vec_col).cast("array<double>")),
+        len(cids),
+        id_col,
+    )
     out_schema = T.StructType(
         list(src.schema.fields) + [T.StructField("centroid_id", T.LongType())]
     )
 
     def assign(pdfs):
-        for pdf in pdfs:
-            if not len(pdf):
+        for whole in pdfs:
+            if not len(whole):
                 continue
-            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            vnorm = np.linalg.norm(v, axis=1)
-            sims = (v @ cmat.T) / np.outer(vnorm, cnorm)
-            # the expr path compares ROUNDED cosines (grid 1e-6) and
-            # breaks ties to the smaller cid; cids ascending makes
-            # argmax's first-max exactly that tie-break
-            rounded = round_half_up(sims, 6)
-            pdf = pdf.copy()
-            pdf["centroid_id"] = cids[np.argmax(rounded, axis=1)]
-            yield pdf
+            for pdf in _row_tiles(whole, len(cids)):
+                v = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+                )
+                vnorm = np.linalg.norm(v, axis=1)
+                sims = (v @ cmat.T) / np.outer(vnorm, cnorm)
+                # the expr path compares ROUNDED cosines (grid 1e-6) and
+                # breaks ties to the smaller cid; cids ascending makes
+                # argmax's first-max exactly that tie-break
+                rounded = round_half_up(sims, 6)
+                pdf = pdf.copy()
+                pdf["centroid_id"] = cids[np.argmax(rounded, axis=1)]
+                yield pdf
 
     return src.mapInPandas(assign, schema=out_schema)
 
@@ -374,48 +431,58 @@ def _build_ivf_index_coarse(
     members = [members[j] for j in keep]
     probe = min(coarse_probe, len(smat))
 
-    src = corpus.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    # §2.5 fan-out + bounded tiles, like the flat arrow kernel: the
+    # per-supercell loop's (rows x |members|) score matrices sum to at
+    # most rows x C elements per tile
+    src = _fan_out_if_heavy(
+        corpus.withColumn(vec_col, F.col(vec_col).cast("array<double>")),
+        len(cids),
+        id_col,
+    )
     out_schema = T.StructType(
         list(src.schema.fields) + [T.StructField("centroid_id", T.LongType())]
     )
 
     def assign(pdfs):
-        for pdf in pdfs:
-            if not len(pdf):
+        for whole in pdfs:
+            if not len(whole):
                 continue
-            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            vnorm = np.linalg.norm(v, axis=1)
-            vu = v / np.where(vnorm == 0, 1.0, vnorm)[:, None]
-            ssims = vu @ smat.T
-            if probe < len(smat):
-                probed = np.argpartition(-ssims, probe - 1, axis=1)[:, :probe]
-            else:
-                probed = np.tile(np.arange(len(smat)), (len(v), 1))
-            # running lexicographic best (rounded cosine desc, cid asc)
-            # as one int64 key: 1e-6-grid cosine in the high bits, the
-            # negated cid in the low 32 — identical order to the flat
-            # paths' argmax-first-hit over ascending cids
-            best = np.full(len(v), np.iinfo(np.int64).min, dtype=np.int64)
-            best_cid = np.zeros(len(v), dtype=np.int64)
-            for j in range(len(smat)):
-                rows = np.nonzero((probed == j).any(axis=1))[0]
-                if not rows.size:
-                    continue
-                mem = members[j]
-                sims = (v[rows] @ cmat[mem].T) / np.outer(
-                    vnorm[rows], cnorm[mem]
+            for pdf in _row_tiles(whole, len(cids)):
+                v = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
                 )
-                ri = np.round(round_half_up(sims, 6) * 1e6).astype(np.int64)
-                keys = ri * (1 << 32) - cids[mem][None, :]
-                arg = np.argmax(keys, axis=1)
-                kbest = keys[np.arange(len(rows)), arg]
-                upd = kbest > best[rows]
-                hit = rows[upd]
-                best[hit] = kbest[upd]
-                best_cid[hit] = cids[mem][arg[upd]]
-            pdf = pdf.copy()
-            pdf["centroid_id"] = best_cid
-            yield pdf
+                vnorm = np.linalg.norm(v, axis=1)
+                vu = v / np.where(vnorm == 0, 1.0, vnorm)[:, None]
+                ssims = vu @ smat.T
+                if probe < len(smat):
+                    probed = np.argpartition(-ssims, probe - 1, axis=1)[:, :probe]
+                else:
+                    probed = np.tile(np.arange(len(smat)), (len(v), 1))
+                # running lexicographic best (rounded cosine desc, cid asc)
+                # as one int64 key: 1e-6-grid cosine in the high bits, the
+                # negated cid in the low 32 — identical order to the flat
+                # paths' argmax-first-hit over ascending cids
+                best = np.full(len(v), np.iinfo(np.int64).min, dtype=np.int64)
+                best_cid = np.zeros(len(v), dtype=np.int64)
+                for j in range(len(smat)):
+                    rows = np.nonzero((probed == j).any(axis=1))[0]
+                    if not rows.size:
+                        continue
+                    mem = members[j]
+                    sims = (v[rows] @ cmat[mem].T) / np.outer(
+                        vnorm[rows], cnorm[mem]
+                    )
+                    ri = np.round(round_half_up(sims, 6) * 1e6).astype(np.int64)
+                    keys = ri * (1 << 32) - cids[mem][None, :]
+                    arg = np.argmax(keys, axis=1)
+                    kbest = keys[np.arange(len(rows)), arg]
+                    upd = kbest > best[rows]
+                    hit = rows[upd]
+                    best[hit] = kbest[upd]
+                    best_cid[hit] = cids[mem][arg[upd]]
+                pdf = pdf.copy()
+                pdf["centroid_id"] = best_cid
+                yield pdf
 
     return src.mapInPandas(assign, schema=out_schema)
 
@@ -551,8 +618,12 @@ def _assign_top_centroids_arrow(
             method="expr",
         )
 
-    src = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    src = _fan_out_if_heavy(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        ),
+        len(cids),
+        id_col,
     )
     out_schema = T.StructType(
         [
@@ -565,32 +636,35 @@ def _assign_top_centroids_arrow(
     def top_p(pdfs):
         import pandas as pd
 
-        for pdf in pdfs:
-            if not len(pdf):
+        for whole in pdfs:
+            if not len(whole):
                 continue
-            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
-            vnorm = np.linalg.norm(v, axis=1)
-            sims = (v @ cmat.T) / np.outer(vnorm, cnorm)
-            ri = np.round(round_half_up(sims, 6) * 1e6).astype(np.int64)
-            keys = ri * (1 << 32) - cids[None, :]
-            # top-p by key desc == (rounded cosine desc, cid asc)
-            if take < keys.shape[1]:
-                part = np.argpartition(-keys, take - 1, axis=1)[:, :take]
-                pk = np.take_along_axis(keys, part, axis=1)
-                order = np.argsort(-pk, axis=1, kind="stable")
-                idx = np.take_along_axis(part, order, axis=1)
-            else:
-                idx = np.argsort(-keys, axis=1, kind="stable")
-            n, w = idx.shape
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), w),
-                    "centroid_id": cids[idx].reshape(-1),
-                    "centroid_rank": np.tile(
-                        np.arange(1, w + 1, dtype=np.int32), n
-                    ),
-                }
-            )
+            for pdf in _row_tiles(whole, len(cids)):
+                v = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+                )
+                vnorm = np.linalg.norm(v, axis=1)
+                sims = (v @ cmat.T) / np.outer(vnorm, cnorm)
+                ri = np.round(round_half_up(sims, 6) * 1e6).astype(np.int64)
+                keys = ri * (1 << 32) - cids[None, :]
+                # top-p by key desc == (rounded cosine desc, cid asc)
+                if take < keys.shape[1]:
+                    part = np.argpartition(-keys, take - 1, axis=1)[:, :take]
+                    pk = np.take_along_axis(keys, part, axis=1)
+                    order = np.argsort(-pk, axis=1, kind="stable")
+                    idx = np.take_along_axis(part, order, axis=1)
+                else:
+                    idx = np.argsort(-keys, axis=1, kind="stable")
+                n, w = idx.shape
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].to_numpy(), w),
+                        "centroid_id": cids[idx].reshape(-1),
+                        "centroid_rank": np.tile(
+                            np.arange(1, w + 1, dtype=np.int32), n
+                        ),
+                    }
+                )
 
     return src.mapInPandas(top_p, schema=out_schema)
 
@@ -641,8 +715,12 @@ def _assign_top_centroids_coarse(
     # first; min+1 negates to int64_max and stays below every real key
     kmin = np.iinfo(np.int64).min + 1
 
-    src = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    src = _fan_out_if_heavy(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        ),
+        len(cids),
+        id_col,
     )
     out_schema = T.StructType(
         [
@@ -655,58 +733,61 @@ def _assign_top_centroids_coarse(
     def top_p(pdfs):
         import pandas as pd
 
-        for pdf in pdfs:
-            if not len(pdf):
+        for whole in pdfs:
+            if not len(whole):
                 continue
-            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
-            vnorm = np.linalg.norm(v, axis=1)
-            vu = v / np.where(vnorm == 0, 1.0, vnorm)[:, None]
-            ssims = vu @ smat.T
-            if probe < len(smat):
-                probed = np.argpartition(-ssims, probe - 1, axis=1)[:, :probe]
-            else:
-                probed = np.tile(np.arange(len(smat)), (len(v), 1))
-            best = np.full((len(v), take), kmin, dtype=np.int64)
-            for j in range(len(smat)):
-                rows = np.nonzero((probed == j).any(axis=1))[0]
-                if not rows.size:
-                    continue
-                mem = members[j]
-                sims = (v[rows] @ cmat[mem].T) / np.outer(
-                    vnorm[rows], cnorm[mem]
+            for pdf in _row_tiles(whole, len(cids)):
+                v = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
                 )
-                ri = np.round(round_half_up(sims, 6) * 1e6).astype(np.int64)
-                keys = ri * (1 << 32) - cids[mem][None, :]
-                t = min(take, keys.shape[1])
-                if t < keys.shape[1]:
-                    part = np.argpartition(-keys, t - 1, axis=1)[:, :t]
-                    kj = np.take_along_axis(keys, part, axis=1)
+                vnorm = np.linalg.norm(v, axis=1)
+                vu = v / np.where(vnorm == 0, 1.0, vnorm)[:, None]
+                ssims = vu @ smat.T
+                if probe < len(smat):
+                    probed = np.argpartition(-ssims, probe - 1, axis=1)[:, :probe]
                 else:
-                    kj = keys
-                # merge this cell's top-t into the running (n×take) best
-                pool = np.concatenate([best[rows], kj], axis=1)
-                sel = np.argpartition(-pool, take - 1, axis=1)[:, :take]
-                best[rows] = np.take_along_axis(pool, sel, axis=1)
-            order = np.argsort(-best, axis=1, kind="stable")
-            best = np.take_along_axis(best, order, axis=1)
-            # decode cids back from the key's low 32 bits: key = ri*2^32
-            # - cid with cid in [0, 2^32) → cid = -(key mod -2^32)...
-            # simpler exactly: ri = ceil(key / 2^32), cid = ri*2^32 - key
-            ri = -(-best // (1 << 32))
-            dec_cid = ri * (1 << 32) - best
-            valid = best > kmin
-            n = len(v)
-            reps = valid.sum(axis=1)
-            ranks = np.concatenate(
-                [np.arange(1, r + 1, dtype=np.int32) for r in reps]
-            ) if n else np.array([], dtype=np.int32)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), reps),
-                    "centroid_id": dec_cid[valid],
-                    "centroid_rank": ranks,
-                }
-            )
+                    probed = np.tile(np.arange(len(smat)), (len(v), 1))
+                best = np.full((len(v), take), kmin, dtype=np.int64)
+                for j in range(len(smat)):
+                    rows = np.nonzero((probed == j).any(axis=1))[0]
+                    if not rows.size:
+                        continue
+                    mem = members[j]
+                    sims = (v[rows] @ cmat[mem].T) / np.outer(
+                        vnorm[rows], cnorm[mem]
+                    )
+                    ri = np.round(round_half_up(sims, 6) * 1e6).astype(np.int64)
+                    keys = ri * (1 << 32) - cids[mem][None, :]
+                    t = min(take, keys.shape[1])
+                    if t < keys.shape[1]:
+                        part = np.argpartition(-keys, t - 1, axis=1)[:, :t]
+                        kj = np.take_along_axis(keys, part, axis=1)
+                    else:
+                        kj = keys
+                    # merge this cell's top-t into the running (n×take) best
+                    pool = np.concatenate([best[rows], kj], axis=1)
+                    sel = np.argpartition(-pool, take - 1, axis=1)[:, :take]
+                    best[rows] = np.take_along_axis(pool, sel, axis=1)
+                order = np.argsort(-best, axis=1, kind="stable")
+                best = np.take_along_axis(best, order, axis=1)
+                # decode cids back from the key's low 32 bits: key = ri*2^32
+                # - cid with cid in [0, 2^32) → cid = -(key mod -2^32)...
+                # simpler exactly: ri = ceil(key / 2^32), cid = ri*2^32 - key
+                ri = -(-best // (1 << 32))
+                dec_cid = ri * (1 << 32) - best
+                valid = best > kmin
+                n = len(v)
+                reps = valid.sum(axis=1)
+                ranks = np.concatenate(
+                    [np.arange(1, r + 1, dtype=np.int32) for r in reps]
+                ) if n else np.array([], dtype=np.int32)
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].to_numpy(), reps),
+                        "centroid_id": dec_cid[valid],
+                        "centroid_rank": ranks,
+                    }
+                )
 
     return src.mapInPandas(top_p, schema=out_schema)
 

@@ -604,3 +604,77 @@ def test_auto_escalation_emits_runtime_warning():
         assert resolve_assign_method("auto", AUTO_COARSE_MIN_C - 1) == "arrow"
         assert resolve_assign_method("coarse", AUTO_COARSE_MIN_C) == "coarse"
     assert not rec
+
+
+def test_row_tiling_preserves_assignments(spark, monkeypatch):
+    """r13 optimization: the numpy kernels slice each Arrow batch into
+    bounded-scratch row tiles (ivf._row_tiles).  Every kernel is
+    row-independent, so forcing MANY tiny tiles (ceiling lowered to a
+    few rows x C elements) must change nothing — flat arrow, coarse,
+    and the probe-side top-p all produce identical rows to the expr
+    oracle twins."""
+    import random
+
+    import rabbit_in_a_blender_spark.ext.ivf as ivf
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(c, [rng.gauss(0, 1) for _ in range(8)]) for c in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def assignments(method):
+        return {
+            (r["vec_id"], r["centroid_id"])
+            for r in ivf.build_ivf_index(df, cents, method=method)
+            .select("vec_id", "centroid_id")
+            .collect()
+        }
+
+    def probed(method):
+        return {
+            (r["vec_id"], r["centroid_id"], r["centroid_rank"])
+            for r in ivf.assign_top_centroids(
+                df, cents, p=3, method=method
+            ).collect()
+        }
+
+    expr_assign = assignments("expr")
+    expr_top = probed("expr")
+    # ~5 rows per tile at C=12 -> every 150-row batch splits into many
+    monkeypatch.setattr(ivf, "_TILE_ELEMS", 64)
+    assert assignments("arrow") == expr_assign
+    assert probed("arrow") == expr_top
+    # exhaustive probe makes coarse exact on any geometry
+    coarse = {
+        (r["vec_id"], r["centroid_id"])
+        for r in ivf._build_ivf_index_coarse(
+            df, cents, "vec_id", "embedding", n_super=3, coarse_probe=3
+        ).collect()
+    }
+    assert coarse == expr_assign
+
+
+def test_fan_out_gate_rides_the_coarse_boundary(spark, tmp_path):
+    """r13 optimization: the scan fan-out inside the ivf numpy kernels
+    fires ONLY at C >= AUTO_COARSE_MIN_C (per-row work ~C*d dominates
+    the exchange); below it the frame passes through UNTOUCHED so the
+    fused small-C pipelines (IVFPQ C=16, SemDeDup clusters) keep their
+    zero-shuffle plans — the measured 5-round A/B regression gate."""
+    import rabbit_in_a_blender_spark.ext.ivf as ivf
+
+    spark.range(40).selectExpr(
+        "id as vec_id", "array(cast(id as double), 1.0d) as embedding"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+    df = spark.read.parquet(str(tmp_path / "one"))
+    assert len(df.inputFiles()) == 1
+
+    # below the boundary: identity (not just an equal plan — the same
+    # object, so no exchange can have been inserted)
+    assert ivf._fan_out_if_heavy(df, ivf.AUTO_COARSE_MIN_C - 1, "vec_id") is df
+    # at/above: the single-file scan fans out to the session parallelism
+    fanned = ivf._fan_out_if_heavy(df, ivf.AUTO_COARSE_MIN_C, "vec_id")
+    assert fanned is not df
+    assert "Exchange" in fanned._jdf.queryExecution().executedPlan().toString()
