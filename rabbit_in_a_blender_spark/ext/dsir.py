@@ -251,6 +251,7 @@ def incremental_dsir_weights(
     alpha: float = 1.0,
     seed: str = "dsir",
     doc_buckets: DataFrame | None = None,
+    batch_model: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Continuous-crawl DSIR: score ONLY the new batch, in O(batch).
 
@@ -274,6 +275,23 @@ def incremental_dsir_weights(
     featurized ONCE instead of once per consumer; the caller then owns
     the unpersist.  Omitted, behavior is unchanged (internal persist,
     released via the track_cache contract).
+
+    ``batch_model`` (r13 optimization round): a caller that already
+    collected the batch's (bucket, cnt) aggregate — the streaming sink
+    folds exactly that frame into the persisted model — can pass it as
+    a LOCAL relation so this call never re-aggregates the features.
+
+    Model algebra runs on the DRIVER (r13 optimization round, guide
+    §2.4/§5): the three inputs are ≤ num_buckets-row aggregates by
+    contract, but composing them as a Spark plan (union + re-aggregate
+    + four scalar aggregates + a full-outer join + two broadcasts) cost
+    ~8 scheduled jobs per micro-batch — two orders of magnitude more
+    scheduling than data.  The counts are now collected once and merged
+    as exact integer sums in Python, and only the per-bucket log-ratio
+    EXPRESSION still evaluates in the JVM over a local relation — the
+    identical ``ln``/``round`` expression tree on identical inputs, so
+    weights are bit-for-bit what the plan-shaped composition produced
+    (incremental-equality pytest unchanged).
     """
     own_cache: list[DataFrame] = []
     if doc_buckets is None:
@@ -281,18 +299,51 @@ def incremental_dsir_weights(
             batch, id_col, text_col, num_buckets, seed
         ).persist()
         own_cache.append(doc_buckets)
-    batch_model = doc_buckets.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
-    updated_raw = (
-        raw_model.select("bucket", "cnt")
-        .unionByName(batch_model)
-        .groupBy("bucket")
-        .agg(F.sum("cnt").alias("cnt"))
+    if batch_model is None:
+        batch_model = doc_buckets.groupBy("bucket").agg(
+            F.sum("cnt").alias("cnt")
+        )
+    spark = batch.sparkSession
+
+    def _sum_counts(df: DataFrame) -> dict[int, int]:
+        # exact integer sums; order-independent, so collect order is
+        # irrelevant (inputs may carry one row per bucket per fold file)
+        out: dict[int, int] = {}
+        for r in df.select("bucket", "cnt").collect():
+            out[int(r["bucket"])] = out.get(int(r["bucket"]), 0) + int(r["cnt"])
+        return out
+
+    t_counts = _sum_counts(target_model)
+    updated = _sum_counts(raw_model)
+    for b, c in _sum_counts(batch_model).items():
+        updated[b] = updated.get(b, 0) + c
+    ttot = sum(t_counts.values())
+    rtot = sum(updated.values())
+    pre = spark.createDataFrame(
+        [
+            (b, t_counts.get(b, 0), updated.get(b, 0))
+            for b in sorted(set(t_counts) | set(updated))
+        ],
+        "bucket long, tc long, rc long",
     )
-    ratios = fit_bucket_logratio(target_model, updated_raw, num_buckets, alpha)
+    # the SAME expression tree fit_bucket_logratio built over the
+    # plan-shaped join — identical double inputs → identical ratio_micro
+    log_ratio = F.ln(
+        (F.col("tc") + F.lit(alpha)) / (F.lit(ttot) + F.lit(alpha * num_buckets))
+    ) - F.ln(
+        (F.col("rc") + F.lit(alpha)) / (F.lit(rtot) + F.lit(alpha * num_buckets))
+    )
+    ratios = pre.select(
+        "bucket",
+        F.round(log_ratio * F.lit(1e6)).cast("long").alias("ratio_micro"),
+    )
     weights = (
         doc_buckets.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
         .agg(F.sum(F.col("cnt") * F.col("ratio_micro")).alias("logw_micro"))
+    )
+    updated_raw = spark.createDataFrame(
+        sorted(updated.items()), "bucket long, cnt long"
     )
     return track_cache(weights, own_cache), updated_raw
 
@@ -353,6 +404,7 @@ def fold_model_increment(
     counts_df: DataFrame,
     tag: str,
     also_skip_tags: tuple[str, ...] = (),
+    rows: list | None = None,
 ) -> bool:
     """Idempotently fold a batch's ``(bucket, cnt)`` aggregate into a
     persisted model directory; returns False (no-op) if ``tag`` — or
@@ -378,6 +430,11 @@ def fold_model_increment(
     the no-collect rule, so a driver-side pyarrow write is exact and
     cheap at any corpus size.  Local-path semantics; on object stores
     use Delta MERGE keyed on (bucket,) with a batch ledger instead.
+
+    ``rows`` (r13 optimization round): a caller that already holds the
+    batch's collected (bucket, cnt) aggregate — the streaming sink
+    collects it once for the scoring pass too — can pass it directly so
+    the fold schedules zero Spark jobs; ``counts_df`` is ignored then.
     """
     import os
 
@@ -392,9 +449,10 @@ def fold_model_increment(
             or t in folded
         ):
             return False
-    rows = (
-        counts_df.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
-    )
+    if rows is None:
+        rows = (
+            counts_df.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
+        )
     os.makedirs(model_dir, exist_ok=True)
     tbl = pa.table(
         {

@@ -195,6 +195,7 @@ def stream_dsir_select(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
+        import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
         if batch_df.isEmpty():
@@ -223,32 +224,46 @@ def stream_dsir_select(
             if os.path.isdir(model_dir)
             else []
         )
-        raw_model = (
-            spark.read.parquet(*model_files)
-            if model_files
-            else spark.createDataFrame([], "bucket long, cnt long")
-        )
+        # Driver-side pyarrow read of the fold files (r13 optimization
+        # round, guide §5): the model is ≤ num_buckets aggregate rows
+        # per file by contract, but a per-batch spark.read.parquet paid
+        # schema-inference and scan jobs just to re-read metadata; the
+        # local relation feeds incremental_dsir_weights' driver-side
+        # model algebra with zero scheduled jobs.
+        raw_rows: list[tuple[int, int]] = []
+        for f in model_files:
+            t = pq.read_table(f, columns=["bucket", "cnt"])
+            raw_rows.extend(
+                zip(t.column("bucket").to_pylist(), t.column("cnt").to_pylist())
+            )
+        raw_model = spark.createDataFrame(raw_rows, "bucket long, cnt long")
         # Featurize the batch ONCE (r13 optimization round): the score
         # pass and the model fold both read the same persisted
         # (id, bucket, cnt) frame — previously the fold re-ran the full
         # hashed-n-gram explode via dsir_model_counts, doubling the
-        # per-batch corpus-sized work.
+        # per-batch corpus-sized work.  Its (bucket, cnt) aggregate is
+        # collected ONCE (the only per-batch model job) and shared by
+        # the scoring pass and the fold.
         doc_buckets = hashed_ngram_buckets(
             batch_df, id_col, text_col, num_buckets, seed
         ).persist()
+        batch_rows = (
+            doc_buckets.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
+        )
+        batch_model = spark.createDataFrame(
+            [(int(r["bucket"]), int(r["cnt"])) for r in batch_rows],
+            "bucket long, cnt long",
+        )
         weights, _updated = incremental_dsir_weights(
             batch_df, raw_model, target_model, id_col, text_col,
             num_buckets=num_buckets, alpha=alpha, seed=seed,
-            doc_buckets=doc_buckets,
+            doc_buckets=doc_buckets, batch_model=batch_model,
         )
         weights.write.mode("overwrite").parquet(
             f"{out_dir.rstrip('/')}/batch={int(batch_id)}"
         )
         fold_model_increment(
-            spark,
-            model_dir,
-            doc_buckets.groupBy("bucket").agg(F.sum("cnt").alias("cnt")),
-            tag=tag,
+            spark, model_dir, batch_model, tag=tag, rows=batch_rows
         )
         unpersist_intermediates(weights)
         doc_buckets.unpersist()
