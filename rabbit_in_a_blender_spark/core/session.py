@@ -50,6 +50,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        # PySpark 4's DataFrame-debugging wraps EVERY Column/DataFrame
+        # API call in a user-stack capture plus a JVM thread-local
+        # update (py4j round trips).  Expression-dense plan builders
+        # (the DQD sweep composes ~100 checks: 13k py4j calls, ~2.7 s
+        # of socket latency per build — cProfile, r13 optimization
+        # round) pay it with zero benefit in a non-interactive engine;
+        # disabling trades error-message call sites for ~2x faster
+        # plan construction on every query, results unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
         # read as long, converted to micros in core.io.load_tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
