@@ -29,7 +29,13 @@ from pyspark.sql.window import Window
 
 def term_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(term, doc, tf) postings from whitespace tokenization — the
-    inverted-index relation every scorer here joins against."""
+    inverted-index relation every scorer here joins against.
+
+    Deliberately NO scan fan-out here (r13 optimization round): the
+    plain (id, term) explode is ~3x cheaper than bm25's (dl folded in),
+    and the interleaved A/B read the extra exchange as a 1.10 ratio on
+    tfidf_top_terms — the §2.5 remedy only pays where the serial
+    per-row work outweighs one exchange (see bm25_topk)."""
     return (
         docs.select(
             F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
@@ -80,9 +86,14 @@ def bm25_topk(
     """
     # (doc, dl, term, tf) in ONE wide stage: dl is functional on the
     # doc id, so grouping by (id, dl, term) folds the length in without
-    # a separate doc-length join.
+    # a separate doc-length join.  The tokenize explode gets the §2.5
+    # single-file fan-out (see term_stats) — profiled as the 1.6 s
+    # serial wall of this scorer at sf0.1, structural no-op at scale.
+    from ..core.parallelism import fan_out_for_compute
+
     postings = (
-        docs.select(
+        fan_out_for_compute(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(
             F.col(id_col),
             F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl"),
             F.explode(F.split(F.col(text_col), " ")).alias("term"),
