@@ -36,20 +36,42 @@ from pyspark.sql import functions as F
 _FAN_OUT_BYTES_PER_CORE = 16 * 1024 * 1024
 
 
-def fan_out_for_compute(df: DataFrame, *key_cols: str) -> DataFrame:
+def fan_out_for_compute(
+    df: DataFrame, *key_cols: str, partition_probe: bool = False
+) -> DataFrame:
     """Repartition ``df`` to the session default parallelism iff its
     input files cannot reach that parallelism AND the total input is
     small enough that the extra exchange is trivially cheap; identity
     otherwise (see module docstring).  Pass the operator's unique id
     column(s) as the hash key; with no key a round-robin repartition
     is used.  Frames with no file inputs (local relations, streaming
-    rate sources) are left untouched."""
+    rate sources) are left untouched by default.
+
+    ``partition_probe`` (r13 optimization round): foreachBatch
+    micro-batch frames report ``inputFiles() == []`` even though they
+    scan files, so the default gate never fires inside a streaming
+    sink — the per-batch shingle/minhash walls stayed serial.  Callers
+    that KNOW the frame is a streaming micro-batch (AQE is disabled
+    there, so ``df.rdd`` is a plan-only probe, never an eager
+    query-stage materialization) can opt in: the decision falls back
+    to the frame's partition count, which reflects the batch's file
+    layout — a many-file production batch already reaches the target
+    and is left untouched."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         return df
+    if not files and partition_probe:
+        try:
+            if df.rdd.getNumPartitions() >= target:
+                return df
+        except Exception:
+            return df
+        if key_cols:
+            return df.repartition(target, *[F.col(c) for c in key_cols])
+        return df.repartition(target)
     if not files or len(files) >= target:
         return df
     budget = target * _FAN_OUT_BYTES_PER_CORE

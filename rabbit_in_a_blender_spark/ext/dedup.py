@@ -271,8 +271,14 @@ def incremental_dedup(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    fan_out_probe: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Screen a NEW batch against an existing corpus LSH index.
+
+    ``fan_out_probe``: set True when ``new_docs`` is a streaming
+    micro-batch frame (no input-file metadata) so the delta fan-out
+    below can decide from the frame's partition count instead — see
+    ``core.parallelism.fan_out_for_compute``.
 
     Returns ``(clean_docs, clean_bands)``:
 
@@ -296,8 +302,21 @@ def incremental_dedup(
     each increment or cache entries accumulate across increments
     (ADVICE r5).
     """
+    # §2.5 fan-out on the DELTA scan (r13 optimization round): a
+    # single-file micro-batch runs the shingle+minhash explode — the
+    # profiled 1.6-2.3 s serial wall of every streaming increment — in
+    # ONE task.  Safe here (unlike the batch clusters path, where the
+    # fan-out regressed multi-consumer plans): the banded signatures
+    # are persisted, so the exchange executes exactly once per batch.
+    from ..core.parallelism import fan_out_for_compute
+
+    delta = fan_out_for_compute(
+        new_docs.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        partition_probe=fan_out_probe,
+    )
     sigs = minhash_signatures(
-        shingle_sets(new_docs, id_col, text_col, n=n), id_col, num_hashes=num_hashes
+        shingle_sets(delta, id_col, text_col, n=n), id_col, num_hashes=num_hashes
     )
     nb = signature_bands(sigs, id_col, num_hashes=num_hashes, bands=bands).persist()
     # (a) collides with the stored corpus index

@@ -106,6 +106,9 @@ def stream_corpus_dedup(
             text_col,
             num_hashes=num_hashes,
             bands=bands,
+            # micro-batch frames carry no input-file metadata; let the
+            # delta fan-out decide from the batch's partition count
+            fan_out_probe=True,
         )
         clean.write.mode("append").parquet(out_dir)
         clean_bands.write.mode("append").parquet(index_dir)
