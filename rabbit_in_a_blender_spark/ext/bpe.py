@@ -244,7 +244,17 @@ def bpe_tokenize(
 
     Merge count ≤ EXPR_MERGE_LIMIT runs as a pure JVM expression chain;
     larger vocabularies use the Arrow fallback with identical output.
+
+    The merge chain is heavy per-row work either way — a single-file
+    corpus scan ran the whole encode as ONE task (profiled 1.8 s serial
+    wall of ext_bpe_token_counts at sf0.1) — so the scan gets the §2.5
+    gated fan-out (r13 optimization round): file-metadata decision,
+    structural no-op once the layout reaches the session parallelism.
+    Keyless round-robin because this helper cannot assume an id column.
     """
+    from ..core.parallelism import fan_out_for_compute
+
+    df = fan_out_for_compute(df)
     if len(merges) > EXPR_MERGE_LIMIT:
         return _bpe_tokenize_arrow(df, merges, text_col, out_col)
     tokens = F.flatten(
