@@ -73,13 +73,30 @@ def test_pack_nextfit_single_shuffle(spark):
     assert "Exchange SinglePartition" not in plan
 
 
-def test_bpe_rows_are_shuffle_free_codegen(spark):
+def test_bpe_rows_codegen_with_at_most_the_fanout_exchange(spark):
     """The literal-replace chain and the vocab-id map must stay inside
-    whole-stage codegen with zero exchanges (PLANS.md r7 note)."""
+    whole-stage codegen (PLANS.md r7 note).  Since the r13 optimization
+    round the single-file scan MAY carry exactly one keyless
+    round-robin fan-out exchange ahead of the merge chain (the §2.5
+    serial-scan remedy — measured 0.225 A/B on ext_bpe_token_counts);
+    hash exchanges, joins, or aggregates would still flag a regression."""
+    import re
+
     for name in ("ext_bpe_token_counts", "ext_bpe_encode_ids"):
         plan = _plan(spark, name)
-        assert "Exchange" not in plan, name
-        assert "*(1)" in plan, name  # codegen stage markers in executedPlan
+        exchanges = re.findall(r"Exchange (\w+)", plan)
+        assert len(exchanges) <= 1, (name, exchanges)
+        assert all(e == "RoundRobinPartitioning" for e in exchanges), (
+            name,
+            exchanges,
+        )
+        # the chain itself must stay a JVM expression projection: no
+        # Python boundary, no join, no aggregate anywhere in the plan
+        # (the fan-out wraps the plan in AdaptiveSparkPlan, which hides
+        # the *(n) codegen markers until execution)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "Join", "Aggregate"):
+            assert node not in plan, (name, node)
+        assert "transform(" in plan, name  # the merge chain projection
 
 
 def test_deterministic_shuffle_is_shuffle_free(spark):
