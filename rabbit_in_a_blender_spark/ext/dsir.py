@@ -63,12 +63,19 @@ def hashed_ngram_buckets(
     text_col: str,
     num_buckets: int = 256,
     seed: str = "dsir",
+    fan_out_probe: bool = False,
 ) -> DataFrame:
     """(id, bucket, cnt): hashed uni+bigram bag-of-words features.
 
     Bigrams come from zip_with(words, words[2:]) — the trailing pair is
     (last_word, NULL), which concat() nulls out and filter() drops, so a
     one-word document contributes exactly its unigram and no bigram.
+
+    ``fan_out_probe``: set True when ``df`` is a streaming micro-batch
+    frame (no input-file metadata) so the featurize fan-out below can
+    decide from the frame's partition count instead — see
+    ``core.parallelism.fan_out_for_compute`` (r13 optimization round:
+    the per-batch md5 explode otherwise runs serially in the sink).
     """
     w = F.split(F.col(text_col), " ")
     bigrams = F.filter(
@@ -86,7 +93,9 @@ def hashed_ngram_buckets(
     # would run it serially; the fan-out is a structural no-op whenever
     # the scan already has >= default-parallelism partitions.
     grams = fan_out_for_compute(
-        df.select(F.col(id_col), F.col(text_col)), id_col
+        df.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        partition_probe=fan_out_probe,
     ).select(F.col(id_col), F.explode(F.concat(w, bigrams)).alias("__gram"))
     return (
         grams.select(

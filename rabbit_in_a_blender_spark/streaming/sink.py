@@ -248,7 +248,10 @@ def stream_dsir_select(
         # collected ONCE (the only per-batch model job) and shared by
         # the scoring pass and the fold.
         doc_buckets = hashed_ngram_buckets(
-            batch_df, id_col, text_col, num_buckets, seed
+            batch_df, id_col, text_col, num_buckets, seed,
+            # micro-batch frames carry no input-file metadata; let the
+            # featurize fan-out decide from the batch's partition count
+            fan_out_probe=True,
         ).persist()
         batch_rows = (
             doc_buckets.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
