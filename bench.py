@@ -548,9 +548,16 @@ def main() -> None:
 
     # Recorded pinned-tree ETL adjudication (VERDICT r12 task 5): the
     # 7-round interleaved A/B of the ETL pipeline vs the r10 marker is
-    # too heavy to re-run per bench invocation, so the committed
-    # artifact (ETL_AB_r*.json, produced by the builder's controlled
-    # session) is attached verbatim, labeled as a recording.
+    # too heavy to re-run per bench invocation.  The committed artifact
+    # (ETL_AB_r*.json, produced by the builder's controlled session)
+    # prints VERBATIM on its own earlier line below; the compact record
+    # keeps only a slim pointer (ratios + filename) so (a) the
+    # builder-measured numbers can never read as fresh driver
+    # measurements inside the record (VERDICT r13 what's-wrong #5) and
+    # (b) the one-line record the driver parses stays small enough to
+    # survive tail captures (BENCH_r12's record line was truncated
+    # in the driver's capture and the whole r12->r13 comparison was
+    # lost — VERDICT r13 task 7).
     etl_ab = None
     here = os.path.dirname(os.path.abspath(__file__))
     recs = sorted(glob.glob(os.path.join(here, "ETL_AB_r*.json")))
@@ -605,7 +612,16 @@ def main() -> None:
                 ),
             }
     if etl_ab is not None:
-        record["etl_ab_r10"] = etl_ab
+        # full artifact on its own line (recorded, builder-measured)...
+        print(json.dumps({"detail": "etl_ab_recorded_artifact", **etl_ab}))
+        # ...slim pointer in the record: ratios only, clearly labeled
+        record["etl_ab_recorded"] = {
+            "ref": etl_ab.get("ref"),
+            "rounds": etl_ab.get("rounds"),
+            "two_stage_ratio": etl_ab.get("two_stage", {}).get("ratio"),
+            "bucketed_ratio": etl_ab.get("bucketed", {}).get("ratio"),
+            "recorded_artifact": etl_ab.get("recorded_artifact"),
+        }
     print(json.dumps(record))
 
 

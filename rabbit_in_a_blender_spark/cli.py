@@ -1592,13 +1592,14 @@ def _dsir_select(args, cfg) -> int:
             raw, raw_model, target_model, args.id_col, args.text_col,
             num_buckets=buckets, seed=seed,
         )
-        # The batch's counts are folded in AFTER the stats/selection
-        # action below — `w`'s lazy plan holds the pre-fold file
-        # listing of raw_model_path, and fold/compaction must not
-        # touch that directory until the plan has run (ADVICE r10: the
-        # old fold-then-compact-then-materialize order deleted the
-        # listed part files mid-query on the first real-sized run, and
-        # crash-rerun double-counted the batch).
+        # The batch's counts are folded in AFTER the selection action
+        # below.  Since r13 incremental_dsir_weights is EAGER on the
+        # model side (it collects the ≤B-row models at call time and
+        # does the ratio algebra on the driver), so the pre-fold view
+        # is captured by the collect above, not by a lazy file listing
+        # — the ADVICE-r10 ordering hazard (fold/compact mutating a
+        # directory a lazy plan still lists) is moot here; only `w`'s
+        # BATCH featurize stays lazy, and it never reads the model dir.
     else:
         if not args.dsir_target:
             raise SystemExit(

@@ -39,9 +39,22 @@ def materialize_local(df: DataFrame) -> DataFrame:
     never on corpus-sized data.  The float64 round-trip through
     ``collect``/``createDataFrame`` is exact, so results are
     bit-identical to the lazy plan.
+
+    The rebuilt relation is ONE partition (r14, guide §5): a bare
+    ``createDataFrame(list)`` parallelizes into defaultParallelism
+    slices, so every JVM materialization of the "local" model frame
+    (a broadcast build, a scan inside a consumer plan) scheduled a
+    |cores|-task job for metadata-sized rows — profiled at ~0.3 s per
+    job at local[32] in the streaming DSIR sink.  One slice, one task.
+    Values and row order are unchanged.
     """
     rows = df.collect()
-    return df.sparkSession.createDataFrame(rows, df.schema)
+    spark = df.sparkSession
+    if not rows:
+        return spark.createDataFrame([], df.schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), df.schema
+    )
 
 
 def track_cache(df: DataFrame, cached: list[DataFrame]) -> DataFrame:

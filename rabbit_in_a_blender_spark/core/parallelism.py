@@ -35,6 +35,19 @@ from pyspark.sql import functions as F
 #: file layout (more files / row groups), not an extra exchange.
 _FAN_OUT_BYTES_PER_CORE = 16 * 1024 * 1024
 
+#: Per-task byte floor for the micro-batch probe path: the operators
+#: behind it (shingle/minhash, hashed-n-gram explode) measured ~2 s of
+#: serial compute per ~300 KB batch (r13 profiles), i.e. ~7 µs/byte, so
+#: a 16 KB slice is ~0.1 s of work — the host's per-task scheduling
+#: floor.  Fanning a batch wider than bytes/16KB buys tasks shorter
+#: than their own scheduling cost; a trickle batch therefore gets a
+#: small (or no) exchange instead of an unconditional |cores|-way one.
+_PROBE_BYTES_PER_TASK = 16 * 1024
+
+#: Catalyst's "unknown size" default is Long.MaxValue-ish; anything
+#: this large is a missing estimate, not a measurement.
+_UNKNOWN_STATS_BYTES = 1 << 60
+
 
 def fan_out_for_compute(
     df: DataFrame, *key_cols: str, partition_probe: bool = False
@@ -51,12 +64,25 @@ def fan_out_for_compute(
     micro-batch frames report ``inputFiles() == []`` even though they
     scan files, so the default gate never fires inside a streaming
     sink — the per-batch shingle/minhash walls stayed serial.  Callers
-    that KNOW the frame is a streaming micro-batch (AQE is disabled
-    there, so ``df.rdd`` is a plan-only probe, never an eager
-    query-stage materialization) can opt in: the decision falls back
-    to the frame's partition count, which reflects the batch's file
-    layout — a many-file production batch already reaches the target
-    and is left untouched."""
+    that KNOW the frame is a streaming micro-batch can opt in; the
+    decision then reads the frame's partition count plus the optimizer
+    plan-stats size (both driver-side, no job).  CALLER CONTRACT
+    (ADVICE r13 item 3): probe only a bare pre-shuffle projection of a
+    foreachBatch frame — AQE is disabled there, so ``df.rdd`` is a
+    plan-only probe; on a frame with upstream exchanges under AQE it
+    would EXECUTE query stages at plan-build time (the module-docstring
+    trap).
+
+    Probe-path sizing (r14, VERDICT r13 task 1 + ADVICE r13 item 2):
+    the batch's plan-stats bytes (for a file-backed micro-batch these
+    are the actual file sizes) bound the fan-out both ways — a batch
+    at/above the same ``_FAN_OUT_BYTES_PER_CORE`` budget the
+    file-metadata path enforces is refused outright (its splitting
+    should come from the batch's file layout), and below it the target
+    is ``ceil(bytes / _PROBE_BYTES_PER_TASK)`` capped at the default
+    parallelism, so a trickle batch no longer pays an unconditional
+    |cores|-way exchange.  Unknown stats fall back to the full target
+    (pre-r14 behavior)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
@@ -64,6 +90,20 @@ def fan_out_for_compute(
     except Exception:
         return df
     if not files and partition_probe:
+        size = None
+        try:
+            jsize = (
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            size = int(jsize.toString())
+            if size >= _UNKNOWN_STATS_BYTES:
+                size = None
+        except Exception:
+            size = None
+        if size is not None:
+            if size >= target * _FAN_OUT_BYTES_PER_CORE:
+                return df  # same refusal as the file-metadata path
+            target = min(target, max(1, -(-size // _PROBE_BYTES_PER_TASK)))
         try:
             if df.rdd.getNumPartitions() >= target:
                 return df

@@ -252,15 +252,15 @@ def dsir_model_counts(
 
 def incremental_dsir_weights(
     batch: DataFrame,
-    raw_model: DataFrame,
-    target_model: DataFrame,
+    raw_model,
+    target_model,
     id_col: str,
     text_col: str,
     num_buckets: int = 256,
     alpha: float = 1.0,
     seed: str = "dsir",
     doc_buckets: DataFrame | None = None,
-    batch_model: DataFrame | None = None,
+    batch_model=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Continuous-crawl DSIR: score ONLY the new batch, in O(batch).
 
@@ -301,6 +301,28 @@ def incremental_dsir_weights(
     identical ``ln``/``round`` expression tree on identical inputs, so
     weights are bit-for-bit what the plan-shaped composition produced
     (incremental-equality pytest unchanged).
+
+    NOTE this makes the call EAGER when the models are DataFrames
+    (ADVICE r13 item 1): the model collects execute at CALL time, so
+    building the returned ``weights`` plan is no longer free — a
+    plan-only use (EXPLAIN, deferred construction) pays the model
+    scans up front.  The models are metadata-sized by contract, but
+    the BATCH featurize stays lazy either way.
+
+    ``raw_model`` / ``target_model`` / ``batch_model`` also accept a
+    plain ``{bucket: cnt}`` dict (r14 optimization round, guide §5): a
+    caller that already holds the counts driver-side — the streaming
+    sink folds per-batch pyarrow reads of the model files — passes
+    dicts and this call schedules ZERO model jobs.  DataFrame inputs
+    behave as before (one collect each).  The per-bucket log-ratio
+    table is built as a ``VALUES`` LocalRelation, which the optimizer
+    folds driver-side (``ConvertToLocalRelation`` — verified
+    LocalTableScan in the plan), so the ratio evaluation and its
+    broadcast schedule no job at all; previously each ≤128-row model
+    frame came from ``createDataFrame``, which parallelizes into
+    defaultParallelism slices — FOUR 32-task zero-I/O jobs per
+    micro-batch at local[32] (profiled ~0.3 s each, the per-batch wall
+    of stream_dsir_batch after the r13 algebra move).
     """
     own_cache: list[DataFrame] = []
     if doc_buckets is None:
@@ -314,21 +336,14 @@ def incremental_dsir_weights(
         )
     spark = batch.sparkSession
 
-    def _sum_counts(df: DataFrame) -> dict[int, int]:
-        # exact integer sums; order-independent, so collect order is
-        # irrelevant (inputs may carry one row per bucket per fold file)
-        out: dict[int, int] = {}
-        for r in df.select("bucket", "cnt").collect():
-            out[int(r["bucket"])] = out.get(int(r["bucket"]), 0) + int(r["cnt"])
-        return out
-
     t_counts = _sum_counts(target_model)
     updated = _sum_counts(raw_model)
     for b, c in _sum_counts(batch_model).items():
         updated[b] = updated.get(b, 0) + c
     ttot = sum(t_counts.values())
     rtot = sum(updated.values())
-    pre = spark.createDataFrame(
+    pre = _local_counts_relation(
+        spark,
         [
             (b, t_counts.get(b, 0), updated.get(b, 0))
             for b in sorted(set(t_counts) | set(updated))
@@ -351,10 +366,54 @@ def incremental_dsir_weights(
         .groupBy(id_col)
         .agg(F.sum(F.col("cnt") * F.col("ratio_micro")).alias("logw_micro"))
     )
-    updated_raw = spark.createDataFrame(
-        sorted(updated.items()), "bucket long, cnt long"
+    updated_raw = _local_counts_relation(
+        spark, sorted(updated.items()), "bucket long, cnt long"
     )
     return track_cache(weights, own_cache), updated_raw
+
+
+def _sum_counts(src) -> dict[int, int]:
+    """Exact integer bucket sums from a ``(bucket, cnt)`` DataFrame or a
+    ``{bucket: cnt}`` dict; order-independent, so collect order is
+    irrelevant (inputs may carry one row per bucket per fold file).
+    NULL bucket/cnt rows are rejected with a clear error — the model
+    fold contract (fold_model_increment / dsir_model_counts) cannot
+    produce them, so one indicates a corrupt model file (ADVICE r13
+    item 4: int(None) used to surface as a bare TypeError)."""
+    if isinstance(src, dict):
+        return {int(b): int(c) for b, c in src.items()}
+    out: dict[int, int] = {}
+    for r in src.select("bucket", "cnt").collect():
+        if r["bucket"] is None or r["cnt"] is None:
+            raise ValueError(
+                "DSIR model contains a NULL bucket or cnt row — the "
+                "fold contract cannot produce one; the model file is "
+                f"corrupt (row: {r!r})"
+            )
+        out[int(r["bucket"])] = out.get(int(r["bucket"]), 0) + int(r["cnt"])
+    return out
+
+
+def _local_counts_relation(spark, rows, schema: str) -> DataFrame:
+    """A small all-BIGINT rows relation as a true ``VALUES``
+    LocalRelation: consumers (collect, broadcast build) execute it
+    DRIVER-side with zero scheduled jobs, unlike ``createDataFrame``,
+    whose list input parallelizes into defaultParallelism slices and
+    costs one |cores|-task job per materialization (guide §5; the
+    profiled per-batch wall of the streaming DSIR sink).  Integer
+    literals round-trip exactly through SQL text, so values are
+    identical to the createDataFrame path."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    vals = ",".join(
+        "(" + ",".join(f"{int(v)}L" for v in row) + ")" for row in rows
+    )
+    names = ",".join(s.strip().split()[0] for s in schema.split(","))
+    df = spark.sql(f"SELECT * FROM VALUES {vals} AS t({names})")
+    # the VALUES literals are already BIGINT (the L suffix); this is a
+    # schema-shape assert, not a cast
+    assert [f.name for f in df.schema.fields] == names.split(",")
+    return df
 
 
 #: Sidecar manifest inside a model dir listing every increment tag ever
