@@ -477,11 +477,20 @@ def _read_pointer(fs, path: str) -> tuple[int | None, int | None, int | None]:
     :func:`repoint` to an older version, where the versions between
     live and the mark are legit history, not crash orphans.  Absent
     (every pre-r13 pointer file), it equals the live version — which
-    preserves the original sweep semantics exactly."""
+    preserves the original sweep semantics exactly.
+
+    One filesystem round trip (r14, guide §6): read-and-catch instead
+    of the old isfile-probe-then-read pair — on an object store each
+    probe is a network RPC, and the pointer is read three times per
+    commit (entry, ownership re-check, release)."""
     p = _join(path, POINTER)
-    if not fs.isfile(p):
+    try:
+        text = fs.read_text(p)
+    except (FileNotFoundError, IsADirectoryError):
+        # missing or not-a-file == "no pointer yet"; anything else
+        # (permissions, transport) must still raise, same as before
         return None, None, None
-    lines = fs.read_text(p).strip().splitlines()
+    lines = text.strip().splitlines()
     name = lines[0].strip() if lines else ""
     if not (name.startswith(_VPREFIX) and name[len(_VPREFIX):].isdigit()):
         raise ValueError(f"{p} holds {name!r}, not a version dir name")
@@ -521,12 +530,19 @@ def read_pins(path: str) -> set[int]:
     manifest still names (pipeline/txn.py), so a table-level commit
     can never prune a snapshot some consistent cross-table view
     resolves."""
-    fs = _fs_for(path)
+    return _read_pins(_fs_for(path), path)
+
+
+def _read_pins(fs, path: str) -> set[int]:
+    """read_pins against an already-constructed fs adapter (one RPC:
+    read-and-catch instead of isfile-then-read)."""
     p = _join(path, PINS)
-    if not fs.isfile(p):
+    try:
+        text = fs.read_text(p)
+    except (FileNotFoundError, IsADirectoryError):
         return set()
     out = set()
-    for ln in fs.read_text(p).splitlines():
+    for ln in text.splitlines():
         ln = ln.strip()
         if ln.isdigit():
             out.add(int(ln))
@@ -651,16 +667,29 @@ def pointer_commit(
         live, persisted_keep, hw = _read_pointer(fs, path)
         persist_keep = keep if keep is not None else persisted_keep
         eff_keep = persist_keep if persist_keep is not None else DEFAULT_KEEP
+        # ONE directory listing serves the orphan sweep, the temp-file
+        # sweep, AND (below) the retention prune (r14, guide §6: a
+        # listing is one RPC per page on an object store; this commit
+        # previously listed the table dir three times).  Safe under the
+        # lock — no other writer can add a staged dir meanwhile.
+        names = fs.listdir(path)
+        versions = sorted(
+            int(n[len(_VPREFIX):])
+            for n in names
+            if n.startswith(_VPREFIX) and n[len(_VPREFIX):].isdigit()
+        )
         # sweep garbage from crashed commits: version dirs never
         # published (numbered above the HIGH-WATER mark — after a
         # repoint, dirs between live and the mark are history, not
-        # orphans) and stale temp pointer files — safe under the lock
-        # (no other staged dir can be in flight)
+        # orphans) and stale temp pointer files
         base = max(hw or 0, live or 0)
-        for v in list_versions(path):
+        survivors = []
+        for v in versions:
             if live is None or v > base:
                 fs.delete(_vdir(path, v), recursive=True)
-        for name in fs.listdir(path):
+            else:
+                survivors.append(v)
+        for name in names:
             if name.startswith(f".{POINTER}.") and name.endswith(".tmp"):
                 fs.delete(_join(path, name))
         new = base + 1 if live is not None else 1
@@ -679,15 +708,18 @@ def pointer_commit(
                 "(presumed-stale break by another writer); aborting "
                 "unpublished — the staged version dir will be swept"
             )
-        if current_version(path) != live:
+        if _read_pointer(fs, path)[0] != live:
             raise ConcurrentCommitError(
                 f"pointer on {path} moved during the commit; aborting "
                 "unpublished"
             )
         _publish(fs, path, new, persist_keep)
         if eff_keep > 0:
-            pinned = read_pins(path)
-            for v in list_versions(path)[:-eff_keep]:
+            pinned = _read_pins(fs, path)
+            # on-disk versions now == pre-publish survivors + the new
+            # one (this commit's own sweep + write are the only changes
+            # under the lock) — no relisting needed
+            for v in (survivors + [new])[:-eff_keep]:
                 # never the new version, never the version that was
                 # live a moment ago (after a repoint it can sit far
                 # below the numeric tail), never a manifest-pinned one
@@ -727,12 +759,21 @@ def vacuum_table(
             else DEFAULT_KEEP
         )
         base = max(hw or 0, live)
-        victims = [v for v in list_versions(path) if v > base]
+        # ONE listing serves the orphan scan, the retention scan, and
+        # the temp sweep (r14, guide §6) — version-dir deletes below
+        # cannot invalidate the temp-file subset of it
+        names = fs.listdir(path)
+        versions = sorted(
+            int(n[len(_VPREFIX):])
+            for n in names
+            if n.startswith(_VPREFIX) and n[len(_VPREFIX):].isdigit()
+        )
+        victims = [v for v in versions if v > base]
         if eff_keep > 0:
-            pinned = read_pins(path)
+            pinned = _read_pins(fs, path)
             victims += [
                 v
-                for v in list_versions(path)[:-eff_keep]
+                for v in versions[:-eff_keep]
                 if v <= base and v != live and v not in pinned
             ]
         n_dirs, n_bytes = 0, 0
@@ -741,7 +782,7 @@ def vacuum_table(
             n_bytes += sum(size for _, size in fs.walkfiles(d))
             fs.delete(d, recursive=True)
             n_dirs += 1
-        for name in fs.listdir(path):
+        for name in names:
             if name.startswith(f".{POINTER}.") and name.endswith(".tmp"):
                 fs.delete(_join(path, name))
         return n_dirs, n_bytes

@@ -912,6 +912,8 @@ def probe_lists(
     vec_col: str = "embedding",
     nprobe: int = 4,
     method: str = "auto",
+    n_queries: int | None = None,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """(query_id, __qv, centroid_id): the nprobe nearest centroid lists
     per query — the metadata-sized probe driver for any IVF-family
@@ -950,18 +952,32 @@ def probe_lists(
     elements stay an expr-only contract — the numpy paths see them as
     NaN).
 
-    ``method="auto"`` (default since r13, VERDICT r12 task 6) counts
-    both frames (two cheap jobs — persist a recomputed-expensive query
-    plan first) and picks the rung by |Q|·C via
-    :func:`resolve_probe_method`: ``arrow`` from
+    ``method="auto"`` (default since r13, VERDICT r12 task 6) picks
+    the rung by |Q|·C via :func:`resolve_probe_method`: ``arrow`` from
     ``AUTO_PROBE_MIN_QC`` up, ``expr`` below — where the probe batch
     is metadata-sized and the expr twin keeps the lineage pure SQL.
     Both rungs probe the same cells, so auto never changes results.
+    Callers that already hold the sizes pass ``n_queries`` /
+    ``n_centroids`` (r14, guide §2.4): without the hints, auto COUNTS
+    both frames — two scheduled jobs per search call, and on a BULK
+    query set the |Q| count is a full extra pass over the query corpus
+    purely to pick a dispatch that cannot change results.  C defaults
+    to the memoized centroid collect (metadata by contract, and every
+    rung of the family needs it anyway), so only |Q| may still count.
     """
     if method == "auto":
-        method = resolve_probe_method(
-            "auto", queries.count(), centroids.count()
-        )
+        if n_centroids is None:
+            try:
+                n_centroids = len(
+                    _collect_centroids(centroids, id_col, vec_col)[0]
+                )
+            except Exception:
+                # non-numeric centroid ids (the expr-only contract
+                # below) don't convert; fall back to the plain count
+                n_centroids = centroids.count()
+        if n_queries is None:
+            n_queries = queries.count()
+        method = resolve_probe_method("auto", n_queries, n_centroids)
         log.info(
             "probe_lists: probe method auto -> %r (crossover |Q|*C=%d)",
             method, AUTO_PROBE_MIN_QC,

@@ -227,9 +227,13 @@ def _adc_scored_arrow(
     vec_col: str,
     m: int,
     residual: bool,
+    _q_rows=None,
 ) -> DataFrame:
     """(query_id, neighbor_id, score): numpy ADC twin of the expr
     scoring inside :func:`ivfpq_search` — see method="arrow" there.
+    ``_q_rows`` lets the caller reuse an already-collected query batch
+    (ivfpq_search collects it once for the probe dispatch too — r14,
+    one job instead of two per search).
 
     Score parity is bit-exact by construction (the r11 assignment-twin
     discipline): every float op replays the expr path's order — LUT
@@ -257,21 +261,30 @@ def _adc_scored_arrow(
 
     from ._rounding import round_half_up
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).collect()
-    b_rows = books.select(
-        F.col("sub_idx").cast("int").alias("sub_idx"),
-        F.col("code").cast("int").alias("code"),
-        F.col("subvec").cast("array<double>").alias("subvec"),
-    ).collect()
-    per_sub: dict[int, list] = {}
-    for r in b_rows:
-        per_sub.setdefault(r["sub_idx"], []).append(
-            (int(r["code"]), np.asarray(r["subvec"], dtype=np.float64))
-        )
-    kmax = max(int(r["code"]) for r in b_rows)
+    q_rows = (
+        _q_rows
+        if _q_rows is not None
+        else queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ).collect()
+    )
+    # books via the shared trainer memo (r14, §2.4): frames trained by
+    # train_pq_codebooks carry their numpy dict, so scoring launches no
+    # books collect job of its own.  The dict holds codewords truncated
+    # to the per-subspace min width — the same truncation this scorer
+    # applied to its own collect (min(len(cw)) below), so LUT values
+    # are bit-identical.
+    from .pq import _collect_books_np
+
+    books_np = _collect_books_np(books)
+    per_sub: dict[int, list] = {
+        i: list(zip(codes.tolist(), cwmat))
+        for i, (codes, cwmat) in books_np.items()
+    }
+    kmax = max(
+        int(c) for codes, _ in books_np.values() for c in codes.tolist()
+    )
     qindex = {r["query_id"]: i for i, r in enumerate(q_rows)}
     # L[q, sub, code] = dot(q_sub, codeword): NaN where no such code —
     # the expr twin's element_at returns null there and nulls the score
@@ -425,14 +438,25 @@ def ivfpq_search(
     docstring).  ``method="expr"`` keeps the pure-SQL-lineage scoring
     the DuckDB oracle replays.
     """
+    # One query collect serves the ADC scorer AND the probe dispatch
+    # (r14, guide §2.4): probe_lists(method="auto") would otherwise
+    # schedule its own |Q| count — on a bulk query set, a full extra
+    # pass over the query corpus just to pick a result-identical rung.
+    q_rows = None
+    if method == "arrow":
+        q_rows = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ).collect()
     probes = probe_lists(
         centroids, queries, id_col=id_col, vec_col=vec_col, nprobe=nprobe,
         method=probe_method,
+        n_queries=len(q_rows) if q_rows is not None else None,
     )
     if method == "arrow":
         cand = _adc_scored_arrow(
             index, probes, queries, books, centroids,
-            id_col, vec_col, m, residual,
+            id_col, vec_col, m, residual, _q_rows=q_rows,
         )
     elif method == "expr":
         if residual:

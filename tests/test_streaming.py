@@ -106,7 +106,27 @@ def test_stateful_running_counts(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # ProcessingTimeTimeout keeps scheduling timeout-processing
+        # batches, so availableNow never self-terminates — the old flat
+        # awaitTermination(120) slept the FULL 120 s every run (r14:
+        # the single slowest non-soak test).  Poll the memory sink
+        # until both micro-batches' rows landed, then stop (the same
+        # drain discipline as the stream_counts_batch catalog fixture).
+        import time as _time
+
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            seen = (
+                spark.table("riab_stateful_test")
+                .groupBy("user_id")
+                .agg({"n_events": "max"})
+                .agg({"max(n_events)": "sum"})
+                .first()[0]
+            )
+            if seen == 4:  # events 1,2,3 for user 1 + event for user 2
+                break
+            _time.sleep(0.5)
+        q.stop()
         rows = spark.sql(
             "select * from riab_stateful_test order by user_id, n_events"
         ).collect()
