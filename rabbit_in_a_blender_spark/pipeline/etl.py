@@ -427,6 +427,20 @@ class EtlPipeline:
             if usagi is None:
                 upload = upload.withColumn(concept_col, F.lit(0).cast("long"))
                 continue
+            # Collapse the mapping frame to a driver-side local relation
+            # ONCE (r14, guide §5): five consumers scan it below (dup
+            # check, concept check, STCM merge, work-table write, the
+            # apply_usagi broadcast build), and a caller-supplied
+            # createDataFrame frame parallelizes into defaultParallelism
+            # slices — profiled as ~1 s zero-I/O |cores|-task jobs per
+            # consumer per (table, concept col) in the ETL bench.
+            # Mapping tables are human-curated and dimension-sized by
+            # contract (see the single-file-write notes below), the
+            # documented metadata exception to the no-collect rule;
+            # values are unchanged, each consumer now scans one slice.
+            from ..core.caching import materialize_local
+
+            usagi = materialize_local(usagi)
             if self.skip_upload:
                 # checks, STCM merge and the work-table write all live
                 # inside the reference's skipped _apply_usagi_mapping
